@@ -1,0 +1,31 @@
+"""Star-schema table loading for the declared queries (TESTDATA.md).
+
+Loads are plain parquet scans — Catalyst pushes filters/projections into them.
+``register_views`` mirrors the reference's catalog registration step
+(reference README.md:51-57) so SQL-form queries see the same table names the
+DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

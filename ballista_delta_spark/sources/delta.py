@@ -1,0 +1,504 @@
+"""Delta Lake protocol reader/writer in pure Python on top of Spark parquet.
+
+Reference parity: the reference delegates Delta to delta-rs — ``open_table``
+(reference examples/local_standalone.rs:30-35) reads ``_delta_log/*.json``,
+builds the latest snapshot, and exposes a scan; writes go through a factory
+that is declared but broken (reference src/lib.rs:140-174; tests/local.rs:100-103
+asserts INSERT *errors*). The delta-spark JVM connector is not on this
+classpath, so this module implements the Delta protocol (v1 reader / v2
+writer floor, matching the fixture's ``minReaderVersion:1,minWriterVersion:2``,
+reference data/.../_delta_log/00000000000000000000.json:2) directly:
+
+- The ``_delta_log`` is tiny driver-side METADATA (one JSON line per file
+  action). Parsing it on the driver is exactly what delta-rs and delta-spark
+  do; it is O(#files), not O(data).
+- The DATA path stays fully distributed: the snapshot's file list feeds one
+  ``spark.read.parquet(*files)`` scan, so column pruning, predicate pushdown
+  and parallelism are stock Spark. Partition columns are recovered from the
+  Hive-style paths by Spark's partition discovery (``basePath`` option), so
+  partition pruning works (Catalyst prunes directories before listing files).
+- Writes produce real Delta commits: parquet part-files in Hive dirs + an
+  ordered JSON commit with commitInfo/protocol/metaData/add/remove actions and
+  per-file stats (numRecords/minValues/maxValues/nullCount) — the same action
+  shapes as the Spark-3.4-written fixture. We therefore EXCEED the reference:
+  its INSERT path errors, ours round-trips (SURVEY.md §2.1 S9/S10).
+
+At 100 TB the log grows; readers checkpoint. ``_last_checkpoint`` + parquet
+checkpoints are supported on read so snapshot construction stays O(files
+since last checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+ENGINE_INFO = "ballista-delta-spark/0.1.0 PySpark/4.1"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(_strip_file_scheme(path), "_delta_log")
+
+
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return urlparse(path).path
+    return path
+
+
+def _version_file(log_dir: str, version: int) -> str:
+    return os.path.join(log_dir, f"{version:020d}.json")
+
+
+@dataclass
+class Snapshot:
+    """Materialized view of a Delta table at a version."""
+
+    path: str
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    files: dict[str, dict[str, Any]] = field(default_factory=dict)  # path -> add action
+    configuration: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def data_schema(self) -> T.StructType:
+        return T.StructType([f for f in self.schema.fields if f.name not in self.partition_columns])
+
+
+class DeltaTable:
+    """A Delta table snapshot (analogue of delta-rs ``DeltaTable`` /
+    delta-spark ``DeltaTable.forPath`` — reference README.md:51-57)."""
+
+    def __init__(self, path: str, version: int | None = None):
+        self.path = _strip_file_scheme(path)
+        self.snapshot = _load_snapshot(self.path, version)
+
+    @property
+    def version(self) -> int:
+        return self.snapshot.version
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot.schema
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Distributed scan of the snapshot's active files.
+
+        One parquet scan over the explicit file list; ``basePath`` makes Spark
+        recover (and prune on) Hive-style partition columns. Partition columns
+        are cast to the log schema's declared types (partition values in Delta
+        are stored as strings in ``partitionValues``; the dir names carry the
+        same strings).
+        """
+        snap = self.snapshot
+        if not snap.files:
+            return spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.path, p) for p in snap.files]
+        if snap.partition_columns and all(self._hive_pathed(p) for p in snap.files):
+            df = (
+                spark.read.option("basePath", self.path)
+                .schema(snap.schema)
+                .parquet(*paths)
+            )
+            return df.select(*[f.name for f in snap.schema.fields])
+        if not snap.partition_columns:
+            return spark.read.schema(snap.schema).parquet(*paths).select(
+                *[f.name for f in snap.schema.fields]
+            )
+        # Fallback for non-Hive file layouts (legal in the protocol): group
+        # files by identical partitionValues and union per-group scans with
+        # the partition literals attached.
+        by_pv: dict[tuple, list[str]] = {}
+        for rel, add in self.snapshot.files.items():
+            key = tuple(sorted((add.get("partitionValues") or {}).items()))
+            by_pv.setdefault(key, []).append(os.path.join(self.path, rel))
+        parts = []
+        ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        for key, group in sorted(by_pv.items()):
+            df = spark.read.schema(snap.data_schema).parquet(*group)
+            for col, val in key:
+                lit = F.lit(None) if val is None else F.lit(val)
+                df = df.withColumn(col, lit.cast(ptypes[col]))
+            parts.append(df.select(*[f.name for f in snap.schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _hive_pathed(self, rel_path: str) -> bool:
+        parts = rel_path.split("/")[:-1]
+        cols = [seg.split("=", 1)[0] for seg in parts if "=" in seg]
+        return cols == self.snapshot.partition_columns
+
+    def history(self) -> list[dict[str, Any]]:
+        """commitInfo per version (DESCRIBE HISTORY analogue)."""
+        log = _log_dir(self.path)
+        out = []
+        for v in range(self.snapshot.version + 1):
+            fp = _version_file(log, v)
+            if not os.path.exists(fp):
+                continue
+            with open(fp) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        out.append({"version": v, **act["commitInfo"]})
+        return out
+
+
+def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """``spark.read.format("delta").load(path)`` analogue, with time travel."""
+    return DeltaTable(path, version=version).to_df(spark)
+
+
+def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
+    log = _log_dir(path)
+    if not os.path.isdir(log):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
+
+    start_version = 0
+    files: dict[str, dict[str, Any]] = {}
+    schema: T.StructType | None = None
+    part_cols: list[str] = []
+    config: dict[str, str] = {}
+
+    # Checkpoint fast path: _last_checkpoint names a parquet snapshot of all
+    # actions ≤ its version; replay only the JSON commits after it.
+    ckpt_file = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(ckpt_file) and version is None:
+        with open(ckpt_file) as fh:
+            ckpt = json.loads(fh.read())
+        cv = int(ckpt["version"])
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(log, f"{cv:020d}.checkpoint.parquet"))
+        for row in tbl.to_pylist():
+            if row.get("metaData") and row["metaData"].get("schemaString"):
+                md = row["metaData"]
+                schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                part_cols = list(md.get("partitionColumns") or [])
+                config = _as_dict(md.get("configuration"))
+            if row.get("add") and row["add"].get("path"):
+                add = dict(row["add"])
+                add["partitionValues"] = _as_dict(add.get("partitionValues"))
+                files[add["path"]] = add
+            if row.get("remove") and row["remove"].get("path"):
+                files.pop(row["remove"]["path"], None)
+        start_version = cv + 1
+
+    v = start_version
+    last_seen = start_version - 1
+    while True:
+        fp = _version_file(log, v)
+        if not os.path.exists(fp) or (version is not None and v > version):
+            break
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "metaData" in act:
+                    md = act["metaData"]
+                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                    part_cols = list(md.get("partitionColumns") or [])
+                    config = dict(md.get("configuration") or {})
+                elif "add" in act:
+                    files[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    files.pop(act["remove"]["path"], None)
+                elif "protocol" in act:
+                    pr = act["protocol"]
+                    if pr.get("minReaderVersion", 1) > 2:
+                        raise ValueError(
+                            f"unsupported Delta reader protocol {pr} (supported: ≤2)"
+                        )
+        last_seen = v
+        v += 1
+
+    if version is not None and last_seen < version:
+        raise ValueError(f"version {version} not found (latest {last_seen})")
+    if schema is None:
+        raise ValueError(f"no metaData action found in Delta log: {log}")
+    return Snapshot(
+        path=path, version=last_seen, schema=schema,
+        partition_columns=part_cols, files=files, configuration=config,
+    )
+
+
+def _as_dict(v) -> dict:
+    """Arrow map columns round-trip to lists of (k, v) pairs; normalize."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _next_version(log: str) -> int:
+    if not os.path.isdir(log):
+        return 0
+    versions = [
+        int(name[:20])
+        for name in os.listdir(log)
+        if name.endswith(".json") and name[:20].isdigit()
+    ]
+    return max(versions) + 1 if versions else 0
+
+
+def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
+    """Per-file stats from the parquet footer (no data re-read): numRecords +
+    min/max/nullCount per leaf column — same shape Spark/Delta 2.4 wrote in
+    the fixture (reference _delta_log/...json:4-6)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    want = {f.name for f in data_fields}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in want:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
+    )
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """``df.write.format("delta").mode(mode).save(path)`` analogue.
+
+    Exceeds the reference: its insert factory raises ("At the moment INSERT
+    does not work", reference examples/local_standalone.rs:38-47) and its
+    working write path silently drops to single-process local execution
+    (reference examples/local_write_standalone.rs:11-15). Here the data write
+    is Spark's fully distributed parquet writer; only the O(#files) commit is
+    driver-side — which is how delta-spark itself commits.
+
+    Returns the committed version.
+    """
+    path = _strip_file_scheme(path)
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    log = _log_dir(path)
+    exists = os.path.isdir(log) and _next_version(log) > 0
+
+    partition_by = list(partition_by or [])
+    if exists:
+        prev = _load_snapshot(path)
+        if partition_by and partition_by != prev.partition_columns:
+            raise ValueError(
+                f"partition columns {partition_by} != table's {prev.partition_columns}"
+            )
+        partition_by = prev.partition_columns
+        # Schema enforcement, Delta-style: incoming columns must match.
+        incoming = {f.name for f in df.schema.fields}
+        expected = {f.name for f in prev.schema.fields}
+        if incoming != expected:
+            raise ValueError(f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}")
+        df = df.select(*[f.name for f in prev.schema.fields])
+        schema_struct = prev.schema
+    else:
+        schema_struct = df.schema
+
+    # Stage the distributed write into a temp dir inside the table, then move
+    # part-files into their final Hive locations and commit. (Object-store
+    # deployments would write final-named files directly + commit, as
+    # delta-spark does; rename is the local-FS equivalent.)
+    staging = os.path.join(path, f".tmp-write-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
+    adds: list[dict[str, Any]] = []
+    now_ms = int(time.time() * 1000)
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
+            dst = os.path.join(path, rel_final)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            stats = _file_stats(src, data_fields)
+            os.replace(src, dst)
+            adds.append(
+                {
+                    "path": rel_final.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict[str, Any]] = []
+    num_records = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": mode.capitalize(),
+                    "partitionBy": json.dumps(partition_by),
+                },
+                "operationMetrics": {
+                    "numFiles": str(len(adds)),
+                    "numOutputRows": str(num_records),
+                    "numOutputBytes": str(sum(a["size"] for a in adds)),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    )
+    if not exists:
+        actions.append({"protocol": PROTOCOL})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema_struct.jsonValue()),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite" and exists:
+        for rel in prev.files:
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+    for a in adds:
+        actions.append({"add": a})
+
+    os.makedirs(log, exist_ok=True)
+    version = _next_version(log)
+    commit_path = _version_file(log, version)
+    tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp_commit, "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+    # Optimistic-concurrency commit: O_EXCL link so two writers can't both
+    # claim the same version (local-FS analogue of delta's put-if-absent).
+    try:
+        os.link(tmp_commit, commit_path)
+    except FileExistsError as exc:
+        os.unlink(tmp_commit)
+        raise RuntimeError(f"concurrent commit at version {version}") from exc
+    os.unlink(tmp_commit)
+    return version
+
+
+def create_checkpoint(path: str) -> int:
+    """Write a parquet checkpoint of the current snapshot + _last_checkpoint.
+
+    At 100 TB / millions of files this bounds snapshot reconstruction cost.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    log = _log_dir(path)
+    rows: list[dict[str, Any]] = [
+        {"protocol": PROTOCOL, "metaData": None, "add": None, "remove": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "schemaString": json.dumps(snap.schema.jsonValue()),
+                "partitionColumns": snap.partition_columns,
+                "configuration": list(snap.configuration.items()),
+            },
+            "add": None,
+            "remove": None,
+        },
+    ]
+    for add in snap.files.values():
+        a = dict(add)
+        a["partitionValues"] = list(_as_dict(a.get("partitionValues")).items())
+        rows.append({
+            "protocol": None, "metaData": None, "remove": None,
+            "add": {k: a.get(k) for k in
+                    ("path", "partitionValues", "size", "modificationTime", "dataChange", "stats")},
+        })
+    ckpt_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+        ("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+    tbl = pa.Table.from_pylist(rows, schema=ckpt_schema)
+    out = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(tbl, out)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
+    return snap.version
