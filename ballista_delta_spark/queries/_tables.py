@@ -19,7 +19,21 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    (TimestampType is µs). Read nanos as long and truncate to µs — the same
+    ns→µs truncation DuckDB applies when casting its TIMESTAMP_NS, so the
+    oracle comparison sees identical values (FIXTURES.md flags this edge)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

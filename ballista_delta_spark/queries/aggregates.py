@@ -18,16 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._tables import load
+from ._registry import make_registry
+from ._tables import load, register_views
 
 QUERIES: dict = {}
-
-
-def _q(name: str, sql: str | None):
-    def deco(fn):
-        QUERIES[name] = (fn, sql)
-        return fn
-    return deco
+_q = make_registry(QUERIES)
 
 
 # --- A2 agg_basic: the flagship. TPC-H Q1 pricing summary (SURVEY §7 Phase A).
@@ -66,4 +61,323 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A1 agg_count: COUNT(*) vs COUNT(col) null semantics.
+@_q(
+    "agg_count",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(nullif(l_discount, 0.0)) AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.nullif(F.col("l_discount"), F.lit(0.0))).alias("n_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A3 agg_distinct: COUNT(DISTINCT) / SUM(DISTINCT).
+@_q(
+    "agg_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           round(sum(DISTINCT CAST(round(o_totalprice, 0) AS BIGINT)), 2) AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.round(
+                F.sum_distinct(F.round(F.col("o_totalprice"), 0).cast("bigint")), 2
+            ).alias("sum_distinct_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- A4 agg_having: post-aggregation filter.
+@_q(
+    "agg_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --- A5 agg_stats: stddev / variance / corr / covar (sample + population).
+@_q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(stddev_pop(l_quantity), 4) AS sdp_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(var_pop(l_discount), 6) AS varp_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+           round(covar_pop(l_quantity, l_discount), 4) AS covp_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.var_pop("l_discount"), 6).alias("varp_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("covp_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A6 agg_median: exact interpolating median (F.median == percentile_cont 0.5).
+@_q(
+    "agg_median",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(median(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A7 agg_approx_percentile: sketch-based percentile. With accuracy >= n the
+# GK sketch is exact, so it matches DuckDB's discrete quantile; at real scale
+# you lower the accuracy knob and accept bounded rank error.
+@_q(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50_qty,
+           quantile_disc(l_quantity, 0.95) AS p95_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 1000000).alias("p50_qty"),
+            F.percentile_approx("l_quantity", 0.95, 1000000).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A8 agg_approx_distinct: HyperLogLog++. Exact at low cardinality (the HLL
+# sparse representation), which is what makes it oracle-comparable here; at
+# 100 TB it is THE way to count distincts without a shuffle of all keys.
+@_q(
+    "agg_approx_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_orderpriority) AS approx_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_orderpriority", 0.005).alias("approx_priorities"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- A9 agg_array_agg: collect_set, sorted and joined so the value hash is
+# deterministic (array_agg order is engine-defined otherwise).
+@_q(
+    "agg_array_agg",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- A10 agg_first_last: ordered first/last via min_by/max_by (Spark's plain
+# first/last are order-nondeterministic; min_by over the unique key is the
+# deterministic form — DataFusion's first_value(x ORDER BY k) equivalent).
+@_q(
+    "agg_first_last",
+    """
+    SELECT o_orderstatus,
+           min_by(o_orderpriority, o_orderkey) AS first_priority,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           min(o_orderkey) AS first_key,
+           max(o_orderkey) AS last_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- A11 agg_bool: bool_and / bool_or.
+@_q(
+    "agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_discount,
+           bool_and(l_tax < 0.05) AS all_low_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+            F.bool_and(F.col("l_tax") < 0.05).alias("all_low_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A12 agg_grouping_sets
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- A13 agg_rollup (+ grouping() marker)
+@_q(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+# --- A14 agg_cube
+@_q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
