@@ -1,3 +1,285 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Scan / source / sink surface — SURVEY.md §2.1 ids S1-S10.
+
+This is the layer the reference implements in its own code (scan registration,
+object-store routing, the broken insert factory). Every query here derives a
+Delta/CSV/JSON artifact *from the star tables* into a fresh temp dir, reads it
+back through the engine path under test, and aggregates — so the DuckDB oracle
+(which only sees the original parquet views) checks the full write→read
+round-trip, not just the read.
+
+Scale notes: Delta writes go through Spark's distributed parquet writer;
+the driver-side commit is O(#files). Partitioned scans (S3) prune directories
+before listing files. The HTTP path (S7) necessarily localizes through the
+driver — matching the reference's niche HTTP object store, not a bulk path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import session as bd_session
+from ..sources.delta import read_delta, write_delta
+from ..sources.registry import (
+    register_csv,
+    register_delta,
+    register_json,
+    register_parquet,
+)
+from ._registry import make_registry
+from ._tables import TABLES, load, register_views
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"bds-{prefix}-")
+
+
+# --- S1 scan_delta_register: programmatic Delta register + SQL over it
+# (reference README.md:51-57, examples/local_standalone.rs:30-35).
+@_q(
+    "scan_delta_register",
+    """
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def scan_delta_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("s1"), "nation_delta")
+    write_delta(load(spark, sf_dir, "nation"), path, mode="overwrite")
+    register_delta(spark, "nation_delta", path)
+    return spark.sql(
+        """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation_delta GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
+# --- S2 scan_delta_ddl: CREATE EXTERNAL TABLE ... STORED AS DELTA
+# (reference src/lib.rs:37, README.md:59, tests/local.rs:48).
+@_q(
+    "scan_delta_ddl",
+    """
+    SELECT r_name, r_regionkey FROM region
+    """,
+)
+def scan_delta_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("s2"), "region_delta")
+    write_delta(load(spark, sf_dir, "region"), path, mode="overwrite")
+    bd_session.sql(spark, f"CREATE EXTERNAL TABLE region_ddl STORED AS DELTA LOCATION '{path}'")
+    return spark.sql("SELECT r_name, r_regionkey FROM region_ddl")
+
+
+# --- S3 scan_delta_partitioned: Hive-partitioned Delta write + pruned read
+# (reference fixture shape: partitionBy country, _delta_log/...json:1,3-6).
+@_q(
+    "scan_delta_partitioned",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scan_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("s3"), "orders_delta")
+    write_delta(
+        load(spark, sf_dir, "orders"), path, mode="overwrite", partition_by=["o_orderstatus"]
+    )
+    df = read_delta(spark, path)
+    # The o_orderstatus='O' filter prunes to one Hive directory before listing.
+    return (
+        df.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- S4 scan_parquet: raw parquet registration
+# (reference examples/s3_standalone.rs:35-39).
+@_q(
+    "scan_parquet",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_parquet(spark, "supplier_pq", os.path.join(sf_dir, "supplier.parquet"))
+    return spark.sql(
+        """
+        SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier_pq GROUP BY s_nationkey ORDER BY s_nationkey
+        """
+    )
+
+
+# --- S5 scan_csv_json: CSV + NDJSON sources round-trip
+# (reference links datafusion-datasource-csv/-json, Cargo.lock:1980,2005).
+@_q(
+    "scan_csv_json",
+    """
+    SELECT c.c_mktsegment AS seg, count(*) AS n, round(sum(c.c_acctbal), 2) AS bal
+    FROM customer c JOIN customer j ON c.c_custkey = j.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY seg
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("s5")
+    cust = load(spark, sf_dir, "customer")
+    csv_path = os.path.join(base, "customer_csv")
+    json_path = os.path.join(base, "customer_json")
+    cust.write.mode("overwrite").option("header", "true").csv(csv_path)
+    cust.write.mode("overwrite").json(json_path)
+    c = register_csv(spark, "customer_csv", csv_path)
+    del c
+    register_json(spark, "customer_json", json_path, schema=cust.schema)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS seg, count(*) AS n, round(sum(c.c_acctbal), 2) AS bal
+        FROM customer_csv c JOIN customer_json j ON c.c_custkey = j.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg
+        """
+    )
+
+
+# --- S6 scan_s3: the S3/MinIO path (reference src/object_store.rs:42-47,
+# examples/s3_standalone.rs:15-18). No MinIO/docker in this container, so the
+# query exercises the same code path — resolve_url scheme routing + registry —
+# over file:// URLs; `configure_s3` carries the s3a conf (endpoint/creds/
+# path-style) and is covered by unit tests. On a real cluster only the conf
+# changes, not the plan.
+@_q(
+    "scan_s3",
+    """
+    SELECT p_brand, count(*) AS n_parts
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def scan_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = "file://" + os.path.join(sf_dir, "part.parquet")
+    register_parquet(spark, "part_url", url)
+    return spark.sql(
+        "SELECT p_brand, count(*) AS n_parts FROM part_url GROUP BY p_brand ORDER BY p_brand"
+    )
+
+
+# --- S7 scan_http: HTTP(S) object store (reference src/object_store.rs:36-41).
+# Served from a real local HTTP server; the fetch localizes through the driver
+# (SURVEY §2.1: addFile+local read), then the scan is a normal parquet scan.
+@_q(
+    "scan_http",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import http.server
+    import shutil
+    import threading
+    import urllib.request
+
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=sf_dir)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/region.parquet"
+        local = os.path.join(_tmp("s7"), "region.parquet")
+        with urllib.request.urlopen(url) as resp, open(local, "wb") as fh:
+            shutil.copyfileobj(resp, fh)
+        register_parquet(spark, "region_http", local)
+        return spark.sql("SELECT r_regionkey, r_name FROM region_http")
+    finally:
+        httpd.shutdown()
+
+
+# --- S8 meta_information_schema: catalog introspection
+# (reference src/lib.rs:19 with_information_schema; SHOW TABLES analogue).
+@_q(
+    "meta_information_schema",
+    f"""
+    SELECT table_name FROM information_schema.tables
+    WHERE table_name IN ({", ".join(repr(t) for t in TABLES)})
+    ORDER BY table_name
+    """,
+)
+def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(*TABLES))
+        .select(F.col("tableName").alias("table_name"))
+        .orderBy("table_name")
+    )
+
+
+# --- S9 sink_delta_insert: INSERT INTO a Delta table. The reference DECLARES
+# this and asserts it FAILS ("Can't encode non-delta tables",
+# tests/local.rs:100-103). Here the same SQL shape commits a real Delta
+# version and the read-back reflects it — parity exceeded.
+@_q(
+    "sink_delta_insert",
+    """
+    SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+    FROM (SELECT n_nationkey, n_regionkey FROM nation
+          UNION ALL
+          SELECT n_nationkey + 100 AS n_nationkey, n_regionkey FROM nation
+          WHERE n_regionkey <= 1) t
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def sink_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("s9"), "nation_delta")
+    write_delta(load(spark, sf_dir, "nation"), path, mode="overwrite")
+    bd_session.sql(spark, f"CREATE EXTERNAL TABLE nation_ins STORED AS DELTA LOCATION '{path}'")
+    bd_session.sql(
+        spark,
+        """INSERT INTO nation_ins
+           SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+           FROM nation_ins WHERE n_regionkey <= 1""",
+    )
+    return spark.sql(
+        """
+        SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+        FROM nation_ins GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
+# --- S10 sink_delta_write_local: DataFrame-API Delta write (append after
+# overwrite, partitioned) + versioned read-back. The reference's working write
+# path silently degrades to single-process local execution
+# (examples/local_write_standalone.rs:11-15); Spark's stays distributed.
+@_q(
+    "sink_delta_write_local",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM (SELECT o_orderstatus FROM orders
+          UNION ALL
+          SELECT o_orderstatus FROM orders WHERE o_totalprice > 400000) t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_delta_write_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("s10"), "orders_delta")
+    orders = load(spark, sf_dir, "orders")
+    write_delta(orders, path, mode="overwrite", partition_by=["o_orderstatus"])
+    write_delta(orders.filter(F.col("o_totalprice") > 400000), path, mode="append")
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )

@@ -32,6 +32,16 @@ _DELTA_DDL = re.compile(
     re.IGNORECASE,
 )
 
+_DELTA_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# Delta-backed view name -> table path, populated by the DDL interceptor and
+# register_delta so INSERT INTO can resolve its target (the analogue of the
+# reference's DELTA_INSERT table factory, src/lib.rs:140-174).
+_delta_views: dict[str, str] = {}
+
 
 def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -82,5 +92,19 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
         name, loc = m.group("name"), m.group("loc")
         read_delta(spark, loc).createOrReplaceTempView(name)
+        _delta_views[name] = loc
         return spark.sql(f"SELECT '{name}' AS registered_table")
+
+    m = _DELTA_INSERT.match(statement)
+    if m and m.group("name") in _delta_views:
+        from .sources.delta import read_delta, write_delta
+
+        name = m.group("name")
+        loc = _delta_views[name]
+        rows = spark.sql(m.group("select"))
+        version = write_delta(rows, loc, mode="append")
+        # Refresh the view to the new snapshot (the reference errors here:
+        # "Can't encode non-delta tables", tests/local.rs:100-103 — we commit).
+        read_delta(spark, loc).createOrReplaceTempView(name)
+        return spark.sql(f"SELECT CAST({version} AS BIGINT) AS committed_version")
     return spark.sql(statement)

@@ -124,3 +124,41 @@ def test_history(spark, tmp_path):
     hist = DeltaTable(tbl).history()
     assert [h["version"] for h in hist] == [0, 1]
     assert all(h["operation"] == "WRITE" for h in hist)
+
+
+def test_insert_into_delta_sql(spark, tmp_path):
+    """INSERT INTO through the SQL surface — the reference asserts this FAILS
+    (tests/local.rs:100-103); we assert it commits and the view refreshes."""
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite", partition_by=["country"])
+    sql(spark, f"CREATE EXTERNAL TABLE people_ins STORED AS DELTA LOCATION '{tbl}'")
+    out = sql(
+        spark,
+        "INSERT INTO people_ins "
+        "SELECT first_name, last_name, country, continent FROM people_ins "
+        "WHERE country = 'China'",
+    )
+    assert out.collect()[0].committed_version == 1
+    assert spark.sql("SELECT count(*) AS n FROM people_ins").collect()[0].n == 7
+
+
+def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
+    """Re-create the reference fixture with our writer and golden-check it
+    (mirror of reference tests/local.rs:31-41)."""
+    import json
+
+    tbl = str(tmp_path / "people_countries")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite", partition_by=["country"])
+    rows = [
+        (r.first_name, r.last_name, r.continent, r.country)
+        for r in read_delta(spark, tbl).orderBy("first_name").collect()
+    ]
+    assert rows == GOLDEN
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo" and "protocol" in kinds and "metaData" in kinds
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    assert md["partitionColumns"] == ["country"]
