@@ -1,3 +1,189 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Text-analysis operators over the ``documents`` table — training-data
+pipeline extensions beyond the reference surface (SURVEY.md §7 phase E).
+
+The reference has no text operators (it is a scan/SQL showcase,
+reference README.md:18-21); these are the operations a 100 TB corpus
+pipeline needs: token counting, quality scoring, language ID, and document
+fingerprinting. All four are pure built-in ``pyspark.sql.functions``
+expressions — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with the scan: one narrow pass over ``documents``, no shuffle
+at all (verify: ``.explain`` shows a single WholeStageCodegen over the
+parquet scan with ReadSchema pruned to doc_id/text).
+
+Oracle parity: every expression is mirrored in ANSI/DuckDB SQL with the
+same constants, so the driver hash-compare is exact (integer arithmetic) or
+rounded (ratios rounded to 4 decimals in BOTH engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+# Whitespace tokenizer used by every operator here (and by the oracles).
+# _WS_SQL is the form embedded in SQL string literals: Spark SQL processes
+# backslash escapes inside '...' (so it needs \\s), DuckDB does not (so the
+# oracle uses \s) — same final regex either way.
+_WS = r"\s+"
+_WS_SQL = r"\\s+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other symbol.
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language function-word profiles for the lang-ID heuristic.
+_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une"),
+}
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _hits(lang: str):
+    """Spark column: # tokens in the language's function-word profile."""
+    return F.expr(
+        f"size(filter(split(text, '{_WS_SQL}'), t -> t IN {_sql_in(_PROFILES[lang])}))"
+    )
+
+
+# --- text_token_count: whitespace + BPE-ish regex token counts.
+@_q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '{_WS}')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", _WS)).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE)).alias("bpe_tokens"),
+    )
+
+
+# --- text_quality: length / punctuation / stopword-ratio scoring.
+# Ratios rounded to 4 decimals in BOTH engines so the value-hash is stable.
+@_q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(regexp_split_to_array(text, '{_WS}')) AS n_tokens,
+           round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                 / length(text), 4) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                                 t -> t IN {_sql_in(_PROFILES["en"])})) * 1.0
+                 / len(regexp_split_to_array(text, '{_WS}')), 4) AS stopword_ratio,
+           CASE WHEN length(text) < 50 THEN 'short'
+                WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                     / length(text) > 0.1 THEN 'noisy'
+                ELSE 'clean' END AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct * 1.0 / F.length("text"), 4).alias("punct_ratio"),
+        F.round(_hits("en") * 1.0 / F.size(toks), 4).alias("stopword_ratio"),
+        F.when(F.length("text") < 50, "short")
+        .when(punct * 1.0 / F.length("text") > 0.1, "noisy")
+        .otherwise("clean")
+        .alias("quality"),
+    )
+
+
+# --- text_lang_id: function-word-profile argmax (n-gram-style heuristic).
+# Deterministic tie-break: highest count wins, earlier profile wins ties,
+# 'und' (undetermined) when no profile hits at all. NOTE: the synthetic
+# corpus uses one shared vocabulary, so this scores honestly rather than
+# recovering the fixture's `lang` column — the operator, not the label, is
+# what a real pipeline reuses.
+_LANG_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t IN {_sql_in(_PROFILES["en"])})) AS h_en,
+             len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t IN {_sql_in(_PROFILES["es"])})) AS h_es,
+             len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t IN {_sql_in(_PROFILES["de"])})) AS h_de,
+             len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t IN {_sql_in(_PROFILES["fr"])})) AS h_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                WHEN h_de >= h_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+"""
+
+
+@_q("text_lang_id", _LANG_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = {lang: _hits(lang) for lang in _PROFILES}
+    best = F.greatest(*h.values())
+    return d.select(
+        "doc_id",
+        F.when(best == 0, "und")
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
+        .when(h["de"] >= h["fr"], "de")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+
+
+# --- text_fingerprint: position-weighted polynomial rolling hash over
+# tokens. Token hash = first 8 hex chars of md5 as an int (engine-portable,
+# unlike Spark's xxhash64 / DuckDB's hash()); position weight cycles 1..64;
+# fingerprint = weighted sum mod 2^31-1. Pure integer arithmetic → exact
+# hash match. Stays vectorized (higher-order functions, no explode shuffle).
+_FP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_sum([('0x' || substr(md5(toks[i]), 1, 8))::BIGINT
+                     * ((i - 1) % 64 + 1)
+                     FOR i IN range(1, len(toks) + 1)])
+           % 2147483647 AS fingerprint
+    FROM t
+"""
+
+
+@_q("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"""
+        aggregate(
+          zip_with(split(text, '{_WS_SQL}'),
+                   sequence(1, size(split(text, '{_WS_SQL}'))),
+                   (tok, i) -> CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)
+                               * CAST((i - 1) % 64 + 1 AS BIGINT)),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        % 2147483647
+        """
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
