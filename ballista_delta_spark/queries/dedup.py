@@ -1,3 +1,392 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Deduplication operators — training-data pipeline extensions beyond the
+reference surface (SURVEY.md §7 phase E). The reference has no dedup ops;
+these are the standard large-corpus family: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Engine-portable hashing: every hash here is ``first 8 hex chars of md5 as
+a bigint`` — identical in Spark (``conv(substring(md5(x),1,8),16,10)``)
+and DuckDB (``('0x'||substr(md5(x),1,8))::BIGINT``) — so the oracles are
+exact integer comparisons. Spark's ``xxhash64`` and DuckDB's ``hash()``
+would be faster but engine-specific; at production scale you'd swap one
+line to use ``F.xxhash64``.
+
+Scale design (the part that matters at 100 TB):
+- Shingling / signatures are higher-order array functions computed in a
+  single narrow pass (no explode until the inverted-index step).
+- Candidate generation is always *blocked*: LSH bands (MinHash), 8-bit
+  bands (SimHash), or a shared-shingle inverted index (Jaccard) — never an
+  all-pairs cross join. Pair enumeration shuffles on the block key; the
+  final verify joins only the candidate set.
+- Hot-key guard: shingles occurring in more than ``_SHINGLE_DF_CAP`` docs
+  are dropped from the inverted index (a stopword-shingle appearing in 1M
+  docs would otherwise create a quadratic join blow-up); the cap is applied
+  identically in the oracle so results stay comparable.
+- The only intentionally-brute op is ``dedup_embedding_cosine`` below the
+  blocked variants — see similarity.py for the LSH-bucketed scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+_WS_SQL = r"\\s+"  # inside Spark SQL string literals ('\s+' in DuckDB)
+_P = 2_038_074_743  # prime modulus < 2^31 for the MinHash permutations
+_K = 16  # MinHash signature length
+_BANDS_W = (1, 31, 961, 29791)  # 31^i weights combining 4 rows into a band sig
+_SHINGLE_DF_CAP = 100  # drop shingles present in more docs than this
+
+
+# ---------------------------------------------------------------- helpers
+def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): distinct 3-token shingles per document.
+
+    Shingling is a higher-order transform over the split array — one
+    codegen'd pass, the explode happens only when building the inverted
+    index. Docs with <3 tokens are excluded (no shingle exists).
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.split("text", r"\s+"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks)-3),"
+                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+# DuckDB mirror of _shingles_spark (1-based list indexing; range() is
+# end-exclusive, so range(1, len-1) = 1..len-2 and toks[i+2] stays in range).
+_SHINGLES_ORACLE = r"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN range(1, len(toks) - 1)])) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3)
+"""
+
+# Inverted index with the hot-shingle cap applied.
+_CAPPED_SH_ORACLE = f"""
+    capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_SHINGLE_DF_CAP})
+"""
+
+
+def _capped_shingles(sh: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    return sh.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= _SHINGLE_DF_CAP).drop("_df")
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Candidate pairs from the shared-shingle inverted index + exact
+    Jaccard. Shuffles on `shingle` (the blocking key), then on the pair."""
+    capped = _capped_shingles(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_JACCARD_PAIRS_ORACLE = f"""
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id)
+"""
+
+
+# ---------------------------------------------------------- dedup_exact
+# Exact dedup: hash-groupBy on md5(text); representative = min doc_id.
+# One shuffle on the 128-bit hash (never on the full text — at 100 TB the
+# shuffle payload is 16 bytes + ids per row, not documents).
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# -------------------------------------------------- dedup_ngram_jaccard
+# Exact 3-gram Jaccard over the inverted index; near-dup threshold 0.8.
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_spark(spark, sf_dir)
+    return _jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+
+
+# ---------------------------------------------------- dedup_minhash_lsh
+# MinHash signatures (K=16) + LSH banding (4 bands x 4 rows): candidates
+# collide on a band signature; candidates are then verified with exact
+# Jaccard >= 0.8. Both engines compute identical permutations
+# h_k(x) = ((2k+1)*x + 1299721*k) mod P over the md5-derived shingle int,
+# and combine each band's 4 rows into one bigint with 31^i weights — so
+# the candidate set (not just the final answer) is engine-identical.
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    hk AS (
+      SELECT doc_id, k,
+             min(((2*k + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+                  + 1299721*k) % {_P}) AS mh
+      FROM sh, unnest(range(0, {_K})) AS t(k)
+      GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, k // 4 AS band,
+             sum(mh * ([1,31,961,29791])[(k % 4) + 1]) AS bsig
+      FROM hk GROUP BY doc_id, k // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+    SELECT jac.doc_a, jac.doc_b, jac.jaccard
+    FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+    WHERE jac.jaccard >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_spark(spark, sf_dir)
+    hk = (
+        sh.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {_K - 1}), k ->
+                      (CAST(2*k + 1 AS BIGINT)
+                       * CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)
+                       + CAST(1299721 AS BIGINT)*k) % {_P})
+                    """
+                )
+            ).alias("k", "hv"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("hv").alias("mh"))
+    )
+    bands = hk.groupBy(
+        "doc_id", (F.col("k") / 4).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("mh")
+            * F.expr(f"element_at(array{_BANDS_W}, CAST(k % 4 AS INT) + 1)")
+        ).alias("bsig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_pairs(sh)
+        .join(cand, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------- dedup_simhash
+# 32-bit SimHash over distinct tokens, computed entirely with higher-order
+# array functions (no explode, no shuffle for the signature pass): bit b is
+# set iff more than half the token hashes have bit b set. Near-dup pairs
+# block on 4 bands of 8 bits and keep hamming distance <= 3.
+_SIMHASH_ORACLE = r"""
+    tokh AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(regexp_split_to_array(text, '\s+')),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+      FROM documents),
+    simh AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) % 2 = 1))
+                                 > len(hs)
+                            THEN (1::BIGINT << b) ELSE 0 END
+                       FOR b IN range(0, 32)]) AS simhash
+      FROM tokh)
+"""
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_ORACLE},
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (8 * band)) % 256 AS bval
+      FROM simh, unnest(range(0, 4)) AS t(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    simh = d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+              transform(sequence(0, 31), b ->
+                CASE WHEN 2 * size(filter(
+                         transform(array_distinct(split(text, '{_WS_SQL}')),
+                                   t -> CAST(conv(substring(md5(t), 1, 8), 16, 10)
+                                             AS BIGINT)),
+                         h -> shiftright(h, b) % 2 = 1))
+                       > size(array_distinct(split(text, '{_WS_SQL}')))
+                     THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)
+            """
+        ).alias("simhash"),
+    )
+    bands = simh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bval", F.expr("shiftright(simhash, 8 * band) % 256"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------- dedup_embedding_cosine
+# Near-dup by embedding cosine >= 0.4. This is the *verify* math; the
+# blocked/scale path is similarity.py::sim_lsh_bucketed (sign-LSH buckets).
+# Both engines fold the dot product strictly left-to-right in double
+# precision and round to 6 decimals before the threshold, so the pair set
+# is engine-identical.
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            FOR i IN range(1, len(embedding) + 1)])) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                           FOR i IN range(1, len(a.embedding) + 1)])
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                          FOR i IN range(1, len(a.embedding) + 1)])
+                / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr("aggregate(zip_with(emb, emb, (x, y) -> x*y), 0D, (a, x) -> a + x)")
+        ),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.emb, b.emb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )

@@ -1,3 +1,205 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Approximate-nearest-neighbor similarity search over the ``embeddings``
+table (``embedding: array<float>``, 64-dim) — training-data pipeline
+extensions beyond the reference surface (SURVEY.md §7 phase E).
+
+Two tiers, as a 100 TB pipeline would deploy them:
+
+- ``sim_cosine_topk``: brute-force cosine top-k — the exact baseline. The
+  query set is tiny (5 vectors) and explicitly ``F.broadcast``-joined, so
+  the plan is a single map-side pass over the corpus (no shuffle for the
+  join; one shuffle for the per-query top-k window). Brute force over N
+  corpus rows is the right plan when |queries| is small: it reads the
+  corpus once, which is the floor for exact search.
+- ``sim_lsh_bucketed``: the approximate scale path — random-hyperplane
+  sign-LSH. Every vector gets a bucket id from the sign pattern of 4
+  deterministic hyperplanes; candidates are corpus vectors sharing the
+  query's bucket (a hash-partitioned equi-join on ``bucket``, no cross
+  join anywhere); exact cosine re-ranks within the bucket. At 100 TB you
+  raise the plane count so buckets stay bounded, and the join stays
+  shuffle-on-bucket — cost is |bucket| per query, not N.
+
+Engine parity: the hyperplanes are pseudo-random integer literals
+``w(k, d) = ((37k + 61d) mod 7) - 3`` generated once in Python and pasted
+into BOTH the Spark expression and the DuckDB oracle, dot products fold
+left-to-right in double precision, and cosine is rounded to 6 decimals
+before ranking, with ``vec_id`` as the deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+_DIM = 64
+_N_QUERIES = 5  # query set = vec_id < 5
+_TOPK = 10
+_N_PLANES = 4  # 2^4 = 16 sign buckets
+
+
+def _planes() -> list[list[int]]:
+    return [
+        [((37 * k + 61 * d) % 7) - 3 for d in range(_DIM)]
+        for k in range(_N_PLANES)
+    ]
+
+
+def _planes_sql() -> str:
+    """The plane matrix as an array-of-arrays literal (valid in both
+    Spark SQL's array(...) and DuckDB's [...] after the swap below)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(w) for w in row) + ")" for row in _planes()
+        )
+        + ")"
+    )
+
+
+def _planes_duck() -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(w) for w in row) + "]" for row in _planes()
+        )
+        + "]"
+    )
+
+
+# Normalized corpus with per-row norm, shared by both queries.
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    return e.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr("aggregate(zip_with(emb, emb, (x, y) -> x*y), 0D, (a, x) -> a + x)")
+        ),
+    )
+
+
+_CORPUS_ORACLE = """
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            FOR i IN range(1, len(embedding) + 1)])) AS nrm
+      FROM embeddings)
+"""
+
+_COS_ORACLE = """
+    round(list_sum([q.emb[i] * c.emb[i] FOR i IN range(1, len(q.emb) + 1)])
+          / (q.nrm * c.nrm), 6)
+"""
+
+
+def _cos_spark() -> F.Column:
+    return F.round(
+        F.expr(
+            "aggregate(zip_with(q.emb, c.emb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
+        )
+        / (F.col("q.nrm") * F.col("c.nrm")),
+        6,
+    )
+
+
+# ------------------------------------------------------- sim_cosine_topk
+@_q(
+    "sim_cosine_topk",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _corpus(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("q")
+    c = e.alias("c")
+    scored = q.join(c, F.col("c.vec_id") != F.col("q.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        _cos_spark().alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+    )
+
+
+# ------------------------------------------------------ sim_lsh_bucketed
+# bucket = sum_k (plane_k . emb > 0) << k ; candidates share the bucket.
+_BUCKET_SPARK = f"""
+    aggregate(sequence(0, {_N_PLANES - 1}), CAST(0 AS BIGINT), (acc, k) ->
+      acc + CASE WHEN aggregate(
+                   zip_with(emb, element_at({_planes_sql()}, k + 1),
+                            (x, w) -> x * CAST(w AS DOUBLE)),
+                   0D, (a, x) -> a + x) > 0D
+                 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)
+"""
+
+_BUCKET_DUCK = f"""
+    list_sum([CASE WHEN list_sum([emb[i] * (({_planes_duck()})[k + 1][i])::DOUBLE
+                                  FOR i IN range(1, len(emb) + 1)]) > 0
+                   THEN (1::BIGINT << k) ELSE 0 END
+              FOR k IN range(0, {_N_PLANES})])
+"""
+
+
+@_q(
+    "sim_lsh_bucketed",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    eb AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eb = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = F.broadcast(eb.filter(F.col("vec_id") < _N_QUERIES)).alias("q")
+    c = eb.alias("c")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("vec_id"),
+            _cos_spark().alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+    )
