@@ -1,3 +1,132 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Multimodal (binary-payload) operators — training-data pipeline
+extensions beyond the reference surface (SURVEY.md §7 phase E).
+
+Model: image/audio/video are opaque ``binary`` columns with typed metadata
+alongside. Since no decode libraries ship in this container, the decode
+step is STUBBED (``decode_image`` below raises ``NotImplementedError``
+unless PIL appears), but everything Spark-side is real and tested: the
+binary column, the Arrow `mapInPandas` batch plumbing (payload crosses the
+JVM→Python boundary as Arrow binary arrays, processed a whole record-batch
+at a time), the typed output schema, and the deterministic fake
+feature-extraction the tests and oracles pin down.
+
+Scale notes:
+- Payload and metadata are separate columns so metadata-only queries prune
+  the binary column out of the parquet scan entirely (ReadSchema check).
+- ``mapInPandas`` is a narrow map — no shuffle; partition sizing for big
+  blobs is governed by ``spark.sql.files.maxPartitionBytes``, and the
+  iterator-of-batches signature means Python never materializes a whole
+  partition, only one Arrow batch at a time.
+- The corpus is ASCII text re-encoded as bytes, so the DuckDB oracle can
+  recompute every fake feature exactly with ``ascii()`` arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+_FRAME_STRIDE = 16  # "frame sample": every 16th byte of the payload
+
+
+def decode_image(data: bytes):
+    """Real image decode — STUB. The container has no imaging libraries;
+    at deployment, install pillow and this works unchanged. Tests assert
+    the NotImplementedError contract."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires pillow, which is not installed in this "
+            "environment; mm_* queries use the deterministic fake features"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(data))
+
+
+def _payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the text re-encoded as an opaque binary payload."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
+# ------------------------------------------------- mm_binary_features
+# Deterministic fake "decode": byte length, first byte, additive checksum.
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payload = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payload.map(len).astype("int64"),
+                "first_byte": payload.map(lambda b: b[0] if b else None).astype(
+                    "int64"
+                ),
+                "checksum": payload.map(lambda b: sum(b) % 65536).astype("int64"),
+            }
+        )
+
+
+@_q(
+    "mm_binary_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)])
+             % 65536 AS checksum
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _payload(spark, sf_dir).mapInPandas(
+        _extract_features,
+        "doc_id long, n_bytes long, first_byte long, checksum long",
+    )
+
+
+# --------------------------------------------------- mm_frame_sample
+# "Video frame sampling" over the payload: every 16th byte is a frame;
+# emit the frame count and the checksum of the sampled frames.
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        frames = pdf["payload"].map(lambda b: b[::_FRAME_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": frames.map(len).astype("int64"),
+                "frame_checksum": frames.map(lambda f: sum(f) % 65536).astype(
+                    "int64"
+                ),
+            }
+        )
+
+
+@_q(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id,
+           len(range(1, length(text) + 1, {_FRAME_STRIDE})) AS n_frames,
+           list_sum([ascii(text[i])
+                     FOR i IN range(1, length(text) + 1, {_FRAME_STRIDE})])
+             % 65536 AS frame_checksum
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _payload(spark, sf_dir).mapInPandas(
+        _sample_frames,
+        "doc_id long, n_frames long, frame_checksum long",
+    )
