@@ -95,7 +95,8 @@ def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_customers,
            count(DISTINCT o_orderpriority) AS n_priorities,
-           round(sum(DISTINCT CAST(round(o_totalprice, 0) AS BIGINT)), 2) AS sum_distinct_price
+           CAST(sum(DISTINCT CAST(round(o_totalprice, 0) AS BIGINT))
+                AS BIGINT) AS sum_distinct_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -108,9 +109,11 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
-            F.round(
-                F.sum_distinct(F.round(F.col("o_totalprice"), 0).cast("bigint")), 2
-            ).alias("sum_distinct_price"),
+            # Explicit BIGINT pin on both sides: DuckDB sum(BIGINT) is HUGEINT
+            # and round(BIGINT, 2) is DOUBLE — either would hash-mismatch.
+            F.sum_distinct(F.round(F.col("o_totalprice"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_distinct_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -111,18 +111,18 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            abs(p_retailprice - 1000) AS dev_1000,
-           sign(p_retailprice - 1000) AS sign_dev,
+           CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sign_dev,
            round(sqrt(p_retailprice), 6) AS sqrt_price,
            round(cbrt(p_retailprice), 6) AS cbrt_price,
-           ceil(p_retailprice / 100) AS price_ceil,
-           floor(p_retailprice / 100) AS price_floor,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
            round(exp(p_size / 25.0), 6) AS exp_size,
            round(ln(p_retailprice), 6) AS ln_price,
            round(log10(p_retailprice), 6) AS log10_price,
            round(log2(p_size), 6) AS log2_size,
            p_size % 7 AS size_mod,
            round(power(p_size, 2), 1) AS size_sq,
-           factorial(p_size % 10) AS fact_mod,
+           CAST(factorial(p_size % 10) AS BIGINT) AS fact_mod,
            round(sin(p_size) + cos(p_size) + atan(p_size), 6) AS trig_mix,
            round(degrees(p_size / 50.0), 6) AS deg,
            round(radians(p_size), 6) AS rad,

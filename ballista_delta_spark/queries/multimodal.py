@@ -85,8 +85,8 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            ascii(substr(text, 1, 1)) AS first_byte,
-           list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)])
-             % 65536 AS checksum
+           CAST(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)])
+                % 65536 AS BIGINT) AS checksum
     FROM documents
     """,
 )
@@ -119,9 +119,9 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     f"""
     SELECT doc_id,
            len(range(1, length(text) + 1, {_FRAME_STRIDE})) AS n_frames,
-           list_sum([ascii(text[i])
-                     FOR i IN range(1, length(text) + 1, {_FRAME_STRIDE})])
-             % 65536 AS frame_checksum
+           CAST(list_sum([ascii(text[i])
+                          FOR i IN range(1, length(text) + 1, {_FRAME_STRIDE})])
+                % 65536 AS BIGINT) AS frame_checksum
     FROM documents
     """,
 )

@@ -105,9 +105,10 @@ def filter_between_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS n_total,
            count(nullif(l_discount, 0.0)) AS n_discounted,
-           sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_free,
-           sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
-                    THEN 1 ELSE 0 END) AS n_nullsafe_eq
+           CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_free,
+           CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq
     FROM lineitem
     """,
 )

@@ -232,7 +232,7 @@ def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "sink_delta_insert",
     """
-    SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum
+    SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
     FROM (SELECT n_nationkey, n_regionkey FROM nation
           UNION ALL
           SELECT n_nationkey + 100 AS n_nationkey, n_regionkey FROM nation

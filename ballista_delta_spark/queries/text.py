@@ -164,10 +164,10 @@ _FP_ORACLE = f"""
     WITH t AS (SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS toks
                FROM documents)
     SELECT doc_id,
-           list_sum([('0x' || substr(md5(toks[i]), 1, 8))::BIGINT
-                     * ((i - 1) % 64 + 1)
-                     FOR i IN range(1, len(toks) + 1)])
-           % 2147483647 AS fingerprint
+           CAST(list_sum([('0x' || substr(md5(toks[i]), 1, 8))::BIGINT
+                          * ((i - 1) % 64 + 1)
+                          FOR i IN range(1, len(toks) + 1)])
+                % 2147483647 AS BIGINT) AS fingerprint
     FROM t
 """
 

@@ -31,9 +31,14 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
+        # Preserve the int-vs-float distinction: the driver's hash does (a
+        # DuckDB HUGEINT output lands as float64 in pandas and hashes as
+        # "5.0" against Spark's BIGINT "5"). Round-1 lesson: collapsing
+        # 5.0 -> "5" here masked exactly the 3 driver hash failures.
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(v).lower()
     if hasattr(v, "isoformat"):
@@ -49,6 +54,44 @@ def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
     return [",".join(r) for r in out]
+
+
+# Numeric-type portability gate (round-1 lesson). The driver materializes
+# both sides through pandas, where DuckDB HUGEINT (sum of any integer) and
+# DECIMAL coerce to float64/object while Spark's BIGINT stays int64 — an
+# automatic hash mismatch even for identical values. So: (a) no oracle may
+# OUTPUT a HUGEINT/DECIMAL column (CAST it), and (b) each shared column must
+# agree on int-ness vs float-ness between the Spark schema and DuckDB.
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_DUCK_BAD = {"HUGEINT", "UHUGEINT"}
+
+
+def type_problems(spark_dtypes, duck_cols, duck_types):
+    problems = []
+    duck_by_name = dict(zip(duck_cols, (str(t).upper() for t in duck_types)))
+    spark_by_name = dict(spark_dtypes)
+    for name, dt in duck_by_name.items():
+        if dt in _DUCK_BAD or dt.startswith("DECIMAL"):
+            problems.append(
+                f"oracle col {name} is {dt} (floats out via pandas) — CAST it"
+            )
+            continue
+        st = spark_by_name.get(name)
+        if st is None:
+            continue
+        if st in _SPARK_INT and dt in _DUCK_FLOAT:
+            problems.append(f"col {name}: spark {st} vs duckdb {dt}")
+        elif st in _SPARK_FLOAT and dt in _DUCK_INT:
+            problems.append(f"col {name}: spark {st} vs duckdb {dt}")
+        elif st is not None and st.startswith("decimal"):
+            problems.append(f"spark col {name} is {st} — cast to double/bigint")
+    return problems
 
 
 def main() -> int:
@@ -84,6 +127,7 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             s_cols = sdf.columns
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"{name}: SPARK ERROR\n{traceback.format_exc()}")
@@ -94,14 +138,15 @@ def main() -> int:
             rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception:
             print(f"{name}: ORACLE ERROR\n{traceback.format_exc()}")
             failed += 1
             continue
-        problems = []
+        problems = type_problems(s_dtypes, d_cols, d_types)
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
