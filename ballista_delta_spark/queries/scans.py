@@ -16,6 +16,7 @@ driver — matching the reference's niche HTTP object store, not a bulk path.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,47 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"bds-{prefix}-")
 
 
+# Derived artifacts (Delta/CSV/JSON copies of the star tables) are built once
+# per (sf_dir, key) and reused — per-id rebuilds were the main reason the
+# round-1 driver run timed out before reaching all ids. Mutating queries
+# (INSERT/append) never touch a shared artifact: they file-copy it first,
+# which is milliseconds vs seconds for a Spark write job.
+_ARTIFACTS: dict[tuple[str, str], str] = {}
+
+
+def _artifact(sf_dir: str, key: str, build) -> str:
+    cached = _ARTIFACTS.get((sf_dir, key))
+    if cached and os.path.exists(cached):
+        return cached
+    path = os.path.join(_tmp(key), key)
+    build(path)
+    _ARTIFACTS[(sf_dir, key)] = path
+    return path
+
+
+def _clone(src: str, prefix: str) -> str:
+    dst = os.path.join(_tmp(prefix), os.path.basename(src))
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _nation_delta(spark: SparkSession, sf_dir: str) -> str:
+    return _artifact(
+        sf_dir, "nation-delta",
+        lambda p: write_delta(load(spark, sf_dir, "nation"), p, mode="overwrite"),
+    )
+
+
+def _orders_delta_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    return _artifact(
+        sf_dir, "orders-delta",
+        lambda p: write_delta(
+            load(spark, sf_dir, "orders"), p,
+            mode="overwrite", partition_by=["o_orderstatus"],
+        ),
+    )
+
+
 # --- S1 scan_delta_register: programmatic Delta register + SQL over it
 # (reference README.md:51-57, examples/local_standalone.rs:30-35).
 @_q(
@@ -50,9 +92,7 @@ def _tmp(prefix: str) -> str:
     """,
 )
 def scan_delta_register(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_tmp("s1"), "nation_delta")
-    write_delta(load(spark, sf_dir, "nation"), path, mode="overwrite")
-    register_delta(spark, "nation_delta", path)
+    register_delta(spark, "nation_delta", _nation_delta(spark, sf_dir))
     return spark.sql(
         """
         SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
@@ -70,8 +110,10 @@ def scan_delta_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_delta_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_tmp("s2"), "region_delta")
-    write_delta(load(spark, sf_dir, "region"), path, mode="overwrite")
+    path = _artifact(
+        sf_dir, "region-delta",
+        lambda p: write_delta(load(spark, sf_dir, "region"), p, mode="overwrite"),
+    )
     bd_session.sql(spark, f"CREATE EXTERNAL TABLE region_ddl STORED AS DELTA LOCATION '{path}'")
     return spark.sql("SELECT r_name, r_regionkey FROM region_ddl")
 
@@ -87,11 +129,7 @@ def scan_delta_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_tmp("s3"), "orders_delta")
-    write_delta(
-        load(spark, sf_dir, "orders"), path, mode="overwrite", partition_by=["o_orderstatus"]
-    )
-    df = read_delta(spark, path)
+    df = read_delta(spark, _orders_delta_partitioned(spark, sf_dir))
     # The o_orderstatus='O' filter prunes to one Hive directory before listing.
     return (
         df.filter(F.col("o_orderstatus") == "O")
@@ -134,14 +172,16 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _tmp("s5")
     cust = load(spark, sf_dir, "customer")
-    csv_path = os.path.join(base, "customer_csv")
-    json_path = os.path.join(base, "customer_json")
-    cust.write.mode("overwrite").option("header", "true").csv(csv_path)
-    cust.write.mode("overwrite").json(json_path)
-    c = register_csv(spark, "customer_csv", csv_path)
-    del c
+    csv_path = _artifact(
+        sf_dir, "customer-csv",
+        lambda p: cust.write.mode("overwrite").option("header", "true").csv(p),
+    )
+    json_path = _artifact(
+        sf_dir, "customer-json",
+        lambda p: cust.write.mode("overwrite").json(p),
+    )
+    register_csv(spark, "customer_csv", csv_path, schema=cust.schema)
     register_json(spark, "customer_json", json_path, schema=cust.schema)
     return spark.sql(
         """
@@ -241,8 +281,9 @@ def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sink_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_tmp("s9"), "nation_delta")
-    write_delta(load(spark, sf_dir, "nation"), path, mode="overwrite")
+    # Clone the shared artifact: INSERT mutates, and each run must start from
+    # the pristine base for the oracle comparison to hold.
+    path = _clone(_nation_delta(spark, sf_dir), "s9")
     bd_session.sql(spark, f"CREATE EXTERNAL TABLE nation_ins STORED AS DELTA LOCATION '{path}'")
     bd_session.sql(
         spark,
@@ -273,9 +314,8 @@ def sink_delta_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sink_delta_write_local(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_tmp("s10"), "orders_delta")
+    path = _clone(_orders_delta_partitioned(spark, sf_dir), "s10")
     orders = load(spark, sf_dir, "orders")
-    write_delta(orders, path, mode="overwrite", partition_by=["o_orderstatus"])
     write_delta(orders.filter(F.col("o_totalprice") > 400000), path, mode="append")
     return (
         read_delta(spark, path)

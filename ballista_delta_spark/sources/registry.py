@@ -88,10 +88,19 @@ def register_parquet(spark: SparkSession, name: str, url: str) -> DataFrame:
     return df
 
 
-def register_csv(spark: SparkSession, name: str, url: str, **options) -> DataFrame:
-    """CSV source (reference links datafusion-datasource-csv, Cargo.lock:1980)."""
-    opts = {"header": "true", "inferSchema": "true", **options}
-    df = spark.read.options(**opts).csv(resolve_url(url))
+def register_csv(spark: SparkSession, name: str, url: str, schema=None, **options) -> DataFrame:
+    """CSV source (reference links datafusion-datasource-csv, Cargo.lock:1980).
+
+    Pass an explicit ``schema`` whenever one is known: ``inferSchema`` is a
+    second full pass over the data — fine at test scale, a disaster at 100 TB.
+    """
+    opts = {"header": "true", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(resolve_url(url))
     df.createOrReplaceTempView(name)
     return df
 
