@@ -3,24 +3,45 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {id: sec}, "sf": ...}.
 
-Headline set = the big relational shapes (scan-heavy agg, join pipeline,
-window, dedup/similarity once implemented) — the ones whose plans matter at
-100 TB. Each query runs once after a shared-session warm-up; timing is
-end-to-end (plan + execute + collect-to-count).
-"""
+Headline set = the big relational shapes whose plans matter at 100 TB:
+scan-heavy agg, join pipeline (shuffled + broadcast), window, subquery
+decorrelation, CTE, the dedup family, ANN top-k, and a full-corpus text
+pass. Per query: 1 warm-up run, then median of 3 timed runs
+(BASELINE.md contract). Execution is forced with a noop-format write,
+not count() — count() lets Catalyst prune every unused projection, which
+under-measures map-heavy queries (round-1 verdict)."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "agg_basic",
+    "agg_basic",          # TPC-H Q1: scan-heavy partial/final agg
+    "join_inner",         # orders x customer x nation pipeline
+    "join_broadcast_hint",
+    "win_row_number",     # shuffle + in-partition sort
+    "subq_scalar",        # decorrelated scalar subquery
+    "cte",                # multi-ref CTE
+    "dedup_exact",        # hash-groupBy on md5
+    "dedup_minhash_lsh",  # shingle -> signature -> band join -> verify
+    "sim_cosine_topk",    # broadcast brute-force ANN baseline
+    "text_fingerprint",   # full-corpus codegen'd text pass
 ]
+
+WARMUP = 1
+RUNS = 3
+
+
+def _execute(df) -> None:
+    # noop sink: full plan executes, rows are fully materialized and
+    # discarded executor-side — no collect bottleneck, no projection pruning.
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -32,19 +53,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm up the JVM + parquet footers with the flagship once.
-    qs["agg_basic"][0](spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         fn, _ = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        del n
+        for _i in range(WARMUP):
+            _execute(fn(spark, sf_dir))
+        samples = []
+        for _i in range(RUNS):
+            t0 = time.time()
+            _execute(fn(spark, sf_dir))
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
