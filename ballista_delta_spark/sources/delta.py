@@ -70,6 +70,10 @@ class Snapshot:
     partition_columns: list[str]
     files: dict[str, dict[str, Any]] = field(default_factory=dict)  # path -> add action
     configuration: dict[str, str] = field(default_factory=dict)
+    # path -> remove action; retained so checkpoints can carry the spec-
+    # required tombstones (readers of other engines replay them for VACUUM
+    # bookkeeping and concurrent-reader correctness).
+    tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -169,6 +173,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
 
     start_version = 0
     files: dict[str, dict[str, Any]] = {}
+    tombstones: dict[str, dict[str, Any]] = {}
     schema: T.StructType | None = None
     part_cols: list[str] = []
     config: dict[str, str] = {}
@@ -195,6 +200,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 files[add["path"]] = add
             if row.get("remove") and row["remove"].get("path"):
                 files.pop(row["remove"]["path"], None)
+                tombstones[row["remove"]["path"]] = dict(row["remove"])
         start_version = cv + 1
 
     v = start_version
@@ -215,13 +221,22 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     config = dict(md.get("configuration") or {})
                 elif "add" in act:
                     files[act["add"]["path"]] = act["add"]
+                    tombstones.pop(act["add"]["path"], None)
                 elif "remove" in act:
                     files.pop(act["remove"]["path"], None)
+                    tombstones[act["remove"]["path"]] = act["remove"]
                 elif "protocol" in act:
                     pr = act["protocol"]
                     if pr.get("minReaderVersion", 1) > 2:
                         raise ValueError(
                             f"unsupported Delta reader protocol {pr} (supported: ≤2)"
+                        )
+                    unsupported = set(pr.get("readerFeatures") or ()) - {
+                        "timestampNtz", "v2Checkpoint"
+                    }
+                    if pr.get("minReaderVersion", 1) >= 3 or unsupported:
+                        raise ValueError(
+                            f"unsupported Delta readerFeatures {sorted(unsupported)}"
                         )
         last_seen = v
         v += 1
@@ -230,9 +245,20 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {version} not found (latest {last_seen})")
     if schema is None:
         raise ValueError(f"no metaData action found in Delta log: {log}")
+    # Reader protocol 2 is only safe when column mapping is off: with
+    # delta.columnMapping.mode=name/id the LOGICAL schema names differ from
+    # the physical parquet column names, and applying them positionally
+    # would return all-null/wrong columns instead of erroring.
+    cm_mode = config.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("", "none"):
+        raise ValueError(
+            f"unsupported delta.columnMapping.mode={cm_mode!r} "
+            "(this reader resolves columns by physical name only)"
+        )
     return Snapshot(
         path=path, version=last_seen, schema=schema,
         partition_columns=part_cols, files=files, configuration=config,
+        tombstones=tombstones,
     )
 
 
@@ -325,11 +351,19 @@ def write_delta(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
             )
         partition_by = prev.partition_columns
-        # Schema enforcement, Delta-style: incoming columns must match.
-        incoming = {f.name for f in df.schema.fields}
-        expected = {f.name for f in prev.schema.fields}
-        if incoming != expected:
-            raise ValueError(f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}")
+        # Schema enforcement, Delta-style: incoming columns must match by
+        # name AND type (nullability-insensitive — simpleString drops it).
+        # Name-only checking would commit type-inconsistent parquet that
+        # breaks every later scan.
+        incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        expected = {f.name: f.dataType.simpleString() for f in prev.schema.fields}
+        if set(incoming) != set(expected):
+            raise ValueError(
+                f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}"
+            )
+        drift = {n: (incoming[n], expected[n]) for n in expected if incoming[n] != expected[n]}
+        if drift:
+            raise ValueError(f"schema type mismatch (incoming, table): {drift}")
         df = df.select(*[f.name for f in prev.schema.fields])
         schema_struct = prev.schema
     else:
@@ -431,10 +465,18 @@ def write_delta(
             fh.write(json.dumps(act) + "\n")
     # Optimistic-concurrency commit: O_EXCL link so two writers can't both
     # claim the same version (local-FS analogue of delta's put-if-absent).
+    # A losing writer must also remove its already-moved part-files —
+    # they are invisible to the log but would orphan-pollute the table dir
+    # (and a later VACUUM-less reader doing raw dir listing would see them).
     try:
         os.link(tmp_commit, commit_path)
     except FileExistsError as exc:
         os.unlink(tmp_commit)
+        for a in adds:
+            try:
+                os.unlink(os.path.join(path, a["path"]))
+            except OSError:
+                pass
         raise RuntimeError(f"concurrent commit at version {version}") from exc
     os.unlink(tmp_commit)
     return version
@@ -455,11 +497,16 @@ def create_checkpoint(path: str) -> int:
         {"protocol": PROTOCOL, "metaData": None, "add": None, "remove": None},
         {
             "protocol": None,
+            # Spec-required metaData shape (format + createdTime included):
+            # a checkpoint missing `format` is rejected by delta-rs/Spark,
+            # which would make our checkpoints engine-private.
             "metaData": {
                 "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": []},
                 "schemaString": json.dumps(snap.schema.jsonValue()),
                 "partitionColumns": snap.partition_columns,
                 "configuration": list(snap.configuration.items()),
+                "createdTime": int(time.time() * 1000),
             },
             "add": None,
             "remove": None,
@@ -473,14 +520,26 @@ def create_checkpoint(path: str) -> int:
             "add": {k: a.get(k) for k in
                     ("path", "partitionValues", "size", "modificationTime", "dataChange", "stats")},
         })
+    # Un-expired remove tombstones ride along per the protocol: other
+    # readers replay them so concurrently-running queries and VACUUM see
+    # the same file set whether they start from JSON or the checkpoint.
+    for rm in snap.tombstones.values():
+        rows.append({
+            "protocol": None, "metaData": None, "add": None,
+            "remove": {k: rm.get(k) for k in
+                       ("path", "deletionTimestamp", "dataChange")},
+        })
     ckpt_schema = pa.schema([
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
                                 ("minWriterVersion", pa.int32())])),
         ("metaData", pa.struct([
             ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", pa.map_(pa.string(), pa.string()))])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
             ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
         ])),
         ("add", pa.struct([
             ("path", pa.string()),

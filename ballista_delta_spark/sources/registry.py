@@ -41,15 +41,63 @@ def resolve_url(url: str) -> str:
     if scheme == "delta-rs":
         # delta-rs mangles `file:///a/b/c` into `delta-rs://file-...-a-b-c`
         # style host tokens; the reference re-derives the prefix store from
-        # the tail segments (src/object_store.rs:48-94). We reconstruct the
-        # original path from the url-encoded tail.
+        # the tail segments (src/object_store.rs:48-94). The encoding is
+        # LOSSY: both path separators and literal hyphens inside path
+        # components become '-'. We disambiguate by probing the local
+        # filesystem for a decoding that actually exists (preferring one
+        # holding a _delta_log); when nothing exists, fall back to the
+        # naive every-hyphen-is-a-separator decode.
         host = parsed.netloc
         if host.startswith("file-"):
-            tail = host[len("file-"):]
-            return "/" + tail.replace("-", "/")
+            return _decode_mangled_path(host[len("file-"):])
         if host.startswith("s3-"):
+            # No filesystem to probe against; S3 paths keep the naive
+            # decode (documented limitation shared with the reference).
             return "s3a://" + host[len("s3-"):].replace("-", "/")
     raise ValueError(f"unsupported object-store URL: {url}")
+
+
+def _decode_mangled_path(tail: str) -> str:
+    """Best-effort inverse of delta-rs's hyphen mangling for local paths.
+
+    Walks the '-'-separated segments left to right keeping every candidate
+    directory that exists, where each segment either starts a new path
+    component or extends the previous one with a literal hyphen. Returns
+    (in order of preference) an existing candidate with a _delta_log, any
+    existing candidate, else the naive all-separators decode.
+    """
+    import os
+
+    def plausible(c: str) -> bool:
+        # Either the path exists as-is, or its last component could still
+        # be mid-growth: some real entry in the parent starts with it
+        # (e.g. candidate /tmp/pytest while the dir is /tmp/pytest-of-x).
+        if os.path.exists(c):
+            return True
+        parent, last = os.path.split(c)
+        try:
+            return any(e.startswith(last) for e in os.listdir(parent))
+        except OSError:
+            return False
+
+    segs = tail.split("-")
+    candidates = {"/" + segs[0]}
+    for seg in segs[1:]:
+        nxt = set()
+        for cand in candidates:
+            nxt.add(cand + "/" + seg)  # '-' was a path separator
+            nxt.add(cand + "-" + seg)  # '-' was literal
+        # Prune to plausible prefixes to stay linear; if nothing on disk
+        # matches, carry only the naive form so the fallback materializes.
+        keep = {c for c in nxt if plausible(c)}
+        candidates = keep or {min(nxt, key=lambda c: c.count("-"))}
+    with_log = [c for c in sorted(candidates) if os.path.isdir(os.path.join(c, "_delta_log"))]
+    if with_log:
+        return with_log[0]
+    existing = [c for c in sorted(candidates) if os.path.exists(c)]
+    if existing:
+        return existing[0]
+    return "/" + tail.replace("-", "/")
 
 
 def configure_s3(

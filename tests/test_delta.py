@@ -162,3 +162,71 @@ def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
     assert kinds[0] == "commitInfo" and "protocol" in kinds and "metaData" in kinds
     md = next(a["metaData"] for a in actions if "metaData" in a)
     assert md["partitionColumns"] == ["country"]
+
+
+def test_column_mapping_mode_rejected(spark, tmp_path):
+    """A table with delta.columnMapping.mode=name must error, not silently
+    misread physical columns by their logical names."""
+    import json
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    # Retrofit a column-mapping config into the log metadata.
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        actions = [json.loads(line) for line in fh]
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    with pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, tbl)
+
+
+def test_write_type_enforcement(spark, tmp_path):
+    """Same column names but different types must be rejected."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    bad = src.withColumn("last_name", F.length("last_name"))
+    with pytest.raises(ValueError, match="type mismatch"):
+        write_delta(bad, tbl, mode="append")
+
+
+def test_checkpoint_carries_format_and_tombstones(spark, tmp_path):
+    """Checkpoints must be readable by OTHER engines: spec-required
+    metaData.format/createdTime present, remove tombstones carried."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    write_delta(src.limit(2), tbl, mode="overwrite")  # removes v0 files
+    v = create_checkpoint(tbl)
+    ckpt = pq.read_table(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    ).to_pylist()
+    md = next(r["metaData"] for r in ckpt if r.get("metaData"))
+    assert md["format"]["provider"] == "parquet"
+    assert md["createdTime"] is not None
+    removes = [r["remove"] for r in ckpt if r.get("remove")]
+    assert removes and all(rm["path"] for rm in removes)
+    # And our own reader replays it correctly.
+    assert read_delta(spark, tbl).count() == 2
+
+
+def test_mangled_url_decode_probes_hyphenated_dirs(tmp_path):
+    """delta-rs's '-' mangling is lossy; the decoder must recover a real
+    path whose components contain hyphens by probing the filesystem."""
+    from ballista_delta_spark.sources.registry import resolve_url
+
+    base = tmp_path / "my-data" / "my-table"
+    (base / "_delta_log").mkdir(parents=True)
+    mangled = "delta-rs://file-" + str(base).lstrip("/").replace("/", "-")
+    assert resolve_url(mangled) == str(base)
+    # Nothing on disk -> naive decode (documented fallback).
+    assert resolve_url("delta-rs://file-no-such-dir") == "/no/such/dir"
