@@ -265,6 +265,48 @@ def meta_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S8b meta_describe_columns: column-level catalog introspection
+# (reference src/lib.rs:19 with_information_schema implies columns/types;
+# Spark surface: spark.catalog.listColumns / DESCRIBE). Catalog metadata is
+# driver-side by nature — O(#columns), no data scan. Type names are
+# normalized to the ANSI/DuckDB spellings so the oracle is exact.
+_SPARK_TO_ANSI_TYPE = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+
+
+@_q(
+    "meta_describe_columns",
+    """
+    SELECT table_name, column_name,
+           CAST(ordinal_position AS BIGINT) AS pos,
+           data_type
+    FROM information_schema.columns
+    WHERE table_name IN ('nation', 'region', 'orders')
+    ORDER BY table_name, pos
+    """,
+)
+def meta_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "nation", "region", "orders")
+    rows = []
+    for t in ("nation", "region", "orders"):
+        for pos, col in enumerate(spark.catalog.listColumns(t), start=1):
+            rows.append(
+                (t, col.name, pos, _SPARK_TO_ANSI_TYPE.get(col.dataType, col.dataType.upper()))
+            )
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, pos bigint, data_type string"
+    ).orderBy("table_name", "pos")
+
+
 # --- S9 sink_delta_insert: INSERT INTO a Delta table. The reference DECLARES
 # this and asserts it FAILS ("Can't encode non-delta tables",
 # tests/local.rs:100-103). Here the same SQL shape commits a real Delta

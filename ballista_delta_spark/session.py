@@ -47,16 +47,25 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def get_spark(app_name: str = "ballista_delta_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) the tuned SparkSession.
+def build_spark(
+    app_name: str = "ballista_delta_spark",
+    cpus: int | None = None,
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+):
+    """SparkSession builder with the tuned defaults, master/conf overridable.
 
-    Mirrors the reference's session wiring (src/lib.rs:18-46) — there it turns
-    on DataFusion's full feature set; Spark has its feature set on by default,
-    so the work here is performance configuration only.
+    ``master`` is the analogue of the reference's remote entry point
+    (``SessionContext::remote_with_state("df://host:50050", ...)``, reference
+    examples/local_read_client.rs:31): pass ``spark://host:7077`` /
+    ``yarn`` / ``k8s://...`` to target a real cluster, or set
+    ``$SPARK_GRAFT_MASTER``. Defaults to ``local[cpus]``. ``conf`` entries
+    are applied last so callers can override any default.
     """
     n = cpus or default_cpus()
+    chosen = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{n}]"
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(chosen)
         .appName(app_name)
         # Shuffle sizing: ~cores for local tests. On a real cluster this is
         # sized to total cores (or left to AQE coalescing from a high initial).
@@ -75,7 +84,25 @@ def get_spark(app_name: str = "ballista_delta_spark", cpus: int | None = None) -
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
-    return builder.getOrCreate()
+    for k, v in (conf or {}).items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(
+    app_name: str = "ballista_delta_spark",
+    cpus: int | None = None,
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Mirrors the reference's session wiring (src/lib.rs:18-46) — there it turns
+    on DataFusion's full feature set; Spark has its feature set on by default,
+    so the work here is configuration only. Note ``getOrCreate`` returns the
+    existing session if one is live — master/conf apply to NEW sessions.
+    """
+    return build_spark(app_name, cpus, master, conf).getOrCreate()
 
 
 def sql(spark: SparkSession, statement: str) -> DataFrame:

@@ -26,3 +26,19 @@ def test_resolve_unknown_scheme_errors():
 def test_register_parquet(spark, sf_dir):
     register_parquet(spark, "nation_v", f"{sf_dir}/nation.parquet")
     assert spark.sql("SELECT count(*) AS n FROM nation_v").collect()[0].n == 25
+
+
+def test_build_spark_master_and_conf_override():
+    """Remote-cluster entry point (reference examples/local_read_client.rs:31
+    uses remote_with_state('df://...'); our analogue is the master= knob).
+    getOrCreate reuses a live session, so assert on the BUILDER options."""
+    from ballista_delta_spark.session import build_spark
+
+    b = build_spark("x", master="spark://host:7077", conf={"spark.executor.memory": "2g"})
+    opts = b._options
+    assert opts["spark.master"] == "spark://host:7077"
+    assert opts["spark.executor.memory"] == "2g"
+    # Defaults still present, conf overrides win over defaults.
+    assert opts["spark.sql.adaptive.enabled"] == "true"
+    b2 = build_spark("x", conf={"spark.sql.shuffle.partitions": "7"})
+    assert b2._options["spark.sql.shuffle.partitions"] == "7"
