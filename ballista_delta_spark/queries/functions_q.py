@@ -425,3 +425,29 @@ def tf_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.col("id")).alias("sq"),
         (F.col("id") % 5).alias("m"),
     )
+
+
+# --- fn_json (EXTENSION): JSON scalar functions over events.props.
+# DataFusion 50 core has none (SURVEY.md §2.8 — no datafusion-functions-json
+# in the reference's Cargo.lock); Spark's get_json_object / from_json are a
+# free superset, and a real event pipeline parses JSON payloads constantly.
+# Both extraction styles (path extract and schema-on-read struct) are
+# exercised and must agree.
+@_q(
+    "fn_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
+    )

@@ -1,3 +1,208 @@
-"""Placeholder — filled in as SURVEY.md §2 coverage widens."""
+"""Structured Streaming surface over the ``events`` table — an EXTENSION
+beyond the reference (it has no streaming operators: its only entry points
+are batch ``ctx.sql(...).show()/collect()``, reference README.md:57-64,
+tests/local.rs:45-54; SURVEY.md §2.10 documents the absence). A real
+training-data pipeline ingests events continuously, so the north-star
+extension set (SURVEY.md §7 phase E) includes the canonical streaming
+shapes: tumbling / sliding windowed aggregation and session windows.
+
+These are REAL streaming executions, not batch lookalikes: each query
+builds a ``spark.readStream`` file source over the events parquet, runs the
+stream to completion with ``Trigger.AvailableNow`` into an in-memory sink,
+and returns the sink table. On a cluster the same code tails a directory /
+Kafka topic forever; AvailableNow is the standard backfill/test trigger.
+Because the input is finite and processed exactly once, the results are
+deterministic and oracle-able in DuckDB (window algebra mirrored below).
+
+Scale notes:
+- Windowed aggregation is Spark's incremental stateful operator: state is
+  partitioned by (window, keys) in the state store, partial-aggregated
+  map-side per micro-batch — the streaming analogue of a two-phase agg.
+- ``withWatermark`` bounds state at production scale (late data beyond the
+  delay is dropped and closed windows evicted). Declared on the tumbling
+  query as the pattern; with complete/update output over a finite backfill
+  it does not change results, which keeps the oracle exact.
+- The memory sink is test plumbing only — production writes Delta/Kafka
+  via ``writeStream.format(...)``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._registry import make_registry
 
 QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+_GAP = "30 minutes"
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader needs an
+# explicit schema, so ts comes in as raw nanos (legacy long mode) and is
+# truncated to µs exactly like the batch loader (_tables._load_events).
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# The file source monitors DIRECTORIES (on a cluster: the landing dir new
+# files arrive in). The fixture is a single file, so stage a per-sf_dir
+# directory holding a symlink to it — built once and cached.
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_dir(sf_dir: str) -> str:
+    cached = _STREAM_DIRS.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bds-events-stream-")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    _STREAM_DIRS[sf_dir] = d
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_events_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_stream(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming frame to completion (AvailableNow) into a memory
+    sink and return the sink table."""
+    name = f"bds_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+# ----------------------------------------------------- stream_tumbling_agg
+# 1-day tumbling windows per event_type. Spark aligns window starts to the
+# epoch, so a 1-day tumble == date_trunc('day') in the oracle.
+@_q(
+    "stream_tumbling_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = _run_stream(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "total_value"
+    )
+
+
+# ------------------------------------------------------ stream_sliding_agg
+# 2-day windows sliding by 1 day: every event lands in exactly two windows,
+# starting at date_trunc('day', ts) and one day earlier (epoch-aligned).
+@_q(
+    "stream_sliding_agg",
+    """
+    SELECT win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_value
+    FROM (
+      SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                     date_trunc('day', ts)]) AS win_start,
+             value
+      FROM events)
+    GROUP BY win_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "2 days", "1 day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    out = _run_stream(agg, "complete")
+    return out.select(F.col("window.start").alias("win_start"), "n", "mean_value")
+
+
+# --------------------------------------------------- stream_session_window
+# Gap-based sessionization per user (30-minute inactivity gap) — the
+# custom-stateful-operator shape. Spark merges an event into the session
+# when ts < previous_end (= prev ts + gap), i.e. a NEW session starts when
+# the gap is >= 30 minutes; session end = last ts + gap. Session windows
+# only support APPEND output: a session is emitted once the watermark
+# (max event time - 1h) passes its end — exactly the state-eviction
+# behavior that bounds memory at scale. The oracle mirrors both the
+# session algebra (lag() + cumulative session counter) and the watermark
+# cutoff, so the comparison is exact on the finite backfill.
+@_q(
+    "stream_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL {_GAP.split()[0]} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL {_GAP.split()[0]} MINUTE AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions
+      GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", _GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_stream(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
