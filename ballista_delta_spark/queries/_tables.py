@@ -19,6 +19,11 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own SparkSession; timestamp collection goes
+    # through the session timezone, so pin UTC here (runtime conf, cheap)
+    # or every timestamp-bearing query would drift vs the UTC-naive oracle
+    # on a non-UTC host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

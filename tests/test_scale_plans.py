@@ -69,3 +69,55 @@ def test_lsh_bucket_spark_duck_dialects_agree(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_agg_basic_pushdown_and_pruning(spark, sf_dir):
+    """The Q1 filter must reach the parquet scan (PushedFilters) and the
+    scan must read only the referenced columns (ReadSchema pruned) — a
+    full-width scan is the difference between reading 7 and 100 TB."""
+    from ballista_delta_spark.queries.aggregates import QUERIES
+
+    fn, _ = QUERIES["agg_basic"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_orderkey" not in read, read
+
+
+def test_broadcast_hint_plans_broadcast_join(spark, sf_dir):
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_broadcast_hint"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_delta_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The o_orderstatus='O' predicate must become a PartitionFilter on the
+    Delta-backed scan — pruning whole Hive directories before file listing."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="bds-prune-"), "orders")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_delta(orders, tbl, mode="overwrite", partition_by=["o_orderstatus"])
+    df = read_delta(spark, tbl).filter(F.col("o_orderstatus") == "O")
+    plan = _physical_plan(df)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0], plan
+
+
+def test_text_ops_are_single_pass_no_shuffle(spark, sf_dir):
+    """Text analysis must stay one narrow codegen'd pass — any Exchange
+    means an unnecessary shuffle of the whole corpus."""
+    from ballista_delta_spark.queries.text import QUERIES
+
+    for name in ("text_token_count", "text_quality", "text_lang_id", "text_fingerprint"):
+        fn, _ = QUERIES[name]
+        plan = _physical_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        # '*(n)' is the whole-stage-codegen marker in the compact plan string.
+        assert "*(1)" in plan, f"{name} left codegen:\n{plan}"
