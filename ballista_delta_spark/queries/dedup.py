@@ -90,6 +90,13 @@ _CAPPED_SH_ORACLE = f"""
 
 
 def _capped_shingles(sh: DataFrame) -> DataFrame:
+    """Drop hot shingles (document frequency > cap) with a count window
+    over the shingle partition: ONE evaluation of the exploded index and
+    one shuffle. (The tempting alternative — broadcast ANTI join against
+    the hot set — avoids the sort but re-evaluates the shingling scan
+    twice, one per join branch; measured slower at sf0.1. Distinct
+    shingles are mostly unique, so map-side combine buys the groupBy
+    little.)"""
     from pyspark.sql import Window
 
     return sh.withColumn(

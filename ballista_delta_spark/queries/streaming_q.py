@@ -207,3 +207,49 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------- stream_stateful_user_stats
+# Custom stateful operator via applyInPandasWithState: per-user running
+# (count, sum) kept in the state store, rows arriving as Arrow-batched
+# pandas frames per key. This is the escape hatch for stateful logic the
+# built-in windows can't express (sessionizers with custom merge rules,
+# CUSUM detectors, per-entity model state); here the state logic is kept
+# deliberately oracle-able — on the finite single-batch backfill the final
+# emitted state per user equals a plain grouped aggregate.
+def _user_state_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    (user_id,) = key
+    n, s = state.get() if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(s, 4)]}
+    )
+
+
+@_q(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _user_state_fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_stream(out, "update")
