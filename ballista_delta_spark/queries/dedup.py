@@ -45,11 +45,16 @@ _SHINGLE_DF_CAP = 100  # drop shingles present in more docs than this
 
 # ---------------------------------------------------------------- helpers
 def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): distinct 3-token shingles per document.
+    """(doc_id, shingle): distinct 3-token shingles per document, as
+    md5-derived BIGINT hashes.
 
     Shingling is a higher-order transform over the split array — one
     codegen'd pass, the explode happens only when building the inverted
-    index. Docs with <3 tokens are excluded (no shingle exists).
+    index. The index carries 8-byte HASHES, not shingle strings: every
+    downstream shuffle/join/array op moves longs instead of ~30-byte
+    text (at 100 TB the inverted index IS the shuffle payload), and the
+    oracle computes the identical hash so comparisons stay exact. Docs
+    with <3 tokens are excluded (no shingle exists).
     """
     d = load(spark, sf_dir, "documents")
     return (
@@ -60,8 +65,9 @@ def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(0, size(toks)-3),"
-                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                        "transform(transform(sequence(0, size(toks)-3),"
+                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),"
+                        " s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
                     )
                 )
             ).alias("shingle"),
@@ -74,7 +80,8 @@ def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_ORACLE = r"""
     sh AS (
       SELECT doc_id, unnest(list_distinct(
-               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               [('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                          1, 8))::BIGINT
                 FOR i IN range(1, len(toks) - 1)])) AS shingle
       FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
             FROM documents)
@@ -258,8 +265,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
     hk AS (
       SELECT doc_id, k,
-             min(((2*k + 1) * (('0x' || substr(md5(shingle), 1, 8))::BIGINT)
-                  + 1299721*k) % {_P}) AS mh
+             min(((2*k + 1) * shingle + 1299721*k) % {_P}) AS mh
       FROM sh, unnest(range(0, {_K})) AS t(k)
       GROUP BY doc_id, k),
     bands AS (
@@ -299,41 +305,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("toks", F.split("text", r"\s+"))
         .filter(F.size("toks") >= 3)
     )
+    # Distinct-on-hash, matching _shingles_spark, so the signature input
+    # set is exactly the inverted index's row set.
+    _HASHED_SH = (
+        "array_distinct(transform(transform(sequence(0, size(toks) - 3),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),"
+        " s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)))"
+    )
     docsh = tokenized.select(
         "doc_id",
         F.expr(
-            f"""
-            element_at(transform(
-              array(transform(
-                array_distinct(transform(
-                  sequence(0, size(toks) - 3),
-                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))),
-                s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))),
-              hs -> array({band_sig})), 1)
-            """
+            f"element_at(transform(array({_HASHED_SH}), hs -> array({band_sig})), 1)"
         ).alias("bsigs"),
     )
-    # Uncapped distinct-shingle count per doc, in a narrow pass (no md5, no
+    # Uncapped distinct-shingle count per doc, in a narrow pass (no
     # explode) — matches the oracle's `sizes` CTE (count per doc over sh).
     doc_sizes = tokenized.select(
-        "doc_id",
-        F.size(
-            F.expr(
-                "array_distinct(transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-            )
-        ).alias("n_sh"),
+        "doc_id", F.size(F.expr(_HASHED_SH)).alias("n_sh")
     )
-    # The repartition IS the join shuffle (same keys), and it gives the
-    # self-join one shared exchange to reuse — without it each join side
-    # re-evaluates the full signature expression over every document.
-    bands = docsh.select(
-        "doc_id", F.posexplode("bsigs").alias("band", "bsig")
-    ).repartition("band", "bsig")
+    bands = docsh.select("doc_id", F.posexplode("bsigs").alias("band", "bsig"))
     a = bands.alias("a")
     b = bands.alias("b")
+    # shuffle_hash pins a shuffled hash join: both sides then share ONE
+    # exchange (ReusedExchange), so the signature expression is evaluated
+    # once. AQE's broadcast conversion looks cheaper (20k rows) but
+    # re-evaluates the whole signature chain per join side — measured ~2x
+    # slower at sf0.1.
     cand = (
-        a.join(b, ["band", "bsig"])
+        a.hint("shuffle_hash").join(b, ["band", "bsig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -39,9 +39,17 @@ RUNS = 3
 
 
 def _execute(df) -> None:
-    # noop sink: full plan executes, rows are fully materialized and
-    # discarded executor-side — no collect bottleneck, no projection pruning.
-    df.write.format("noop").mode("overwrite").save()
+    # Force EVERY output column through a hash-aggregate. count() lets
+    # Catalyst prune unused projections (round-1 verdict) — and so does the
+    # noop sink (its required schema is empty; measured: a projection-heavy
+    # plan "ran" 5x faster under noop than its real cost). Hashing a struct
+    # of all columns into one sum defeats pruning at O(row) cost and avoids
+    # a driver-side collect bottleneck.
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
+    ).agg(F.expr("bit_xor(h)")).collect()
 
 
 def main() -> None:
