@@ -161,9 +161,46 @@ class DeltaTable:
         return out
 
 
-def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """``spark.read.format("delta").load(path)`` analogue, with time travel."""
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """``spark.read.format("delta").load(path)`` analogue, with time travel
+    by version or by timestamp (latest commit whose commitInfo timestamp is
+    <= ``timestamp_ms``, the delta-rs ``load_with_datetime`` rule)."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(path, timestamp_ms)
     return DeltaTable(path, version=version).to_df(spark)
+
+
+def version_at_timestamp(path: str, timestamp_ms: int) -> int:
+    """Latest version committed at or before ``timestamp_ms``."""
+    log = _log_dir(_strip_file_scheme(path))
+    best: int | None = None
+    v = 0
+    while True:
+        fp = _version_file(log, v)
+        if not os.path.exists(fp):
+            break
+        commit_ts = None
+        with open(fp) as fh:
+            for line in fh:
+                act = json.loads(line) if line.strip() else {}
+                if "commitInfo" in act:
+                    commit_ts = act["commitInfo"].get("timestamp")
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(fp) * 1000)
+        if commit_ts <= timestamp_ms:
+            best = v
+        v += 1
+    if best is None:
+        raise ValueError(f"no commit at or before {timestamp_ms} in {path}")
+    return best
 
 
 def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
@@ -561,3 +598,143 @@ def create_checkpoint(path: str) -> int:
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
     return snap.version
+
+
+def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot whose
+    tombstones are older than the retention window — the delta-rs/delta-spark
+    ``VACUUM`` analogue. Returns the deleted relative paths.
+
+    Retention matters for the same reason as in every Delta engine: readers
+    of older versions (time travel) and in-flight queries may still reference
+    removed files; deleting before the window closes breaks them. Pass
+    ``retention_ms=0`` only in tests.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    now_ms = int(time.time() * 1000)
+    deleted: list[str] = []
+    for rel, rm in snap.tombstones.items():
+        ts = rm.get("deletionTimestamp") or 0
+        if now_ms - ts < retention_ms:
+            continue
+        abs_path = os.path.join(path, rel)
+        if os.path.exists(abs_path):
+            os.unlink(abs_path)
+            deleted.append(rel)
+    # Prune now-empty Hive partition dirs left behind.
+    for root, dirs, files in os.walk(path, topdown=False):
+        if "_delta_log" in root:
+            continue
+        if not dirs and not files and root != path:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return deleted
+
+
+def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) -> int:
+    """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
+    snapshot's files into fewer, larger ones and commit add/remove actions
+    with ``dataChange: false`` (readers see identical rows; streams must not
+    treat the rewrite as new data — the Delta spec's compaction contract).
+
+    At 100 TB the small-file problem is a top-3 operational cost: every scan
+    pays per-file open/footer overhead and the driver pays O(#files) planning.
+    Returns the committed version.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    if len(snap.files) <= 1:
+        return snap.version
+    df = DeltaTable(path).to_df(spark)
+    n_rows = sum(
+        json.loads(a["stats"]).get("numRecords", 0) if a.get("stats") else 0
+        for a in snap.files.values()
+    )
+    n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+
+    staging = os.path.join(path, f".tmp-optimize-{uuid.uuid4().hex}")
+    writer = df.coalesce(n_out).write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(staging)
+
+    data_fields = [
+        f for f in snap.schema.fields if f.name not in snap.partition_columns
+    ]
+    now_ms = int(time.time() * 1000)
+    adds: list[dict[str, Any]] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
+            dst = os.path.join(path, rel_final)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            stats = _file_stats(src, data_fields)
+            os.replace(src, dst)
+            adds.append(
+                {
+                    "path": rel_final.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                    "stats": stats,
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFileRows": str(target_file_rows)},
+                "operationMetrics": {
+                    "numRemovedFiles": str(len(snap.files)),
+                    "numAddedFiles": str(len(adds)),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    for rel in snap.files:
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
+        )
+    for a in adds:
+        actions.append({"add": a})
+
+    log = _log_dir(path)
+    version = _next_version(log)
+    commit_path = _version_file(log, version)
+    tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp_commit, "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+    try:
+        os.link(tmp_commit, commit_path)
+    except FileExistsError as exc:
+        os.unlink(tmp_commit)
+        for a in adds:
+            try:
+                os.unlink(os.path.join(path, a["path"]))
+            except OSError:
+                pass
+        raise RuntimeError(f"concurrent commit at version {version}") from exc
+    os.unlink(tmp_commit)
+    return version

@@ -230,3 +230,78 @@ def test_mangled_url_decode_probes_hyphenated_dirs(tmp_path):
     assert resolve_url(mangled) == str(base)
     # Nothing on disk -> naive decode (documented fallback).
     assert resolve_url("delta-rs://file-no-such-dir") == "/no/such/dir"
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """read_delta(timestamp_ms=...) resolves the latest commit at-or-before
+    the timestamp (delta-rs load_with_datetime rule)."""
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import version_at_timestamp
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")          # v0: 5 rows
+    write_delta(src.limit(2), tbl, mode="append")    # v1: 7 rows
+    # Pin distinct commit timestamps (writes within the same ms otherwise).
+    log = os.path.join(tbl, "_delta_log")
+    stamps = {0: 1000_000, 1: 2000_000}
+    for v, ts in stamps.items():
+        fp = os.path.join(log, f"{v:020d}.json")
+        acts = [_json.loads(line) for line in open(fp)]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(fp, "w") as fh:
+            fh.writelines(_json.dumps(a) + "\n" for a in acts)
+    assert version_at_timestamp(tbl, 1500_000) == 0
+    assert read_delta(spark, tbl, timestamp_ms=1500_000).count() == 5
+    assert read_delta(spark, tbl, timestamp_ms=2500_000).count() == 7
+    with pytest.raises(ValueError, match="no commit"):
+        version_at_timestamp(tbl, 999)
+
+
+def test_vacuum_removes_only_expired_unreferenced_files(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import vacuum
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    write_delta(src.limit(2), tbl, mode="overwrite")  # tombstones v0's files
+    # Within retention: nothing deleted.
+    assert vacuum(tbl, retention_ms=10 * 60 * 1000) == []
+    # Zero retention: tombstoned files go, current snapshot unaffected.
+    deleted = vacuum(tbl, retention_ms=0)
+    assert deleted
+    assert read_delta(spark, tbl).count() == 2
+    # Time travel to v0 is now (expectedly) broken — the retention contract.
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0).count()
+
+
+def test_optimize_compacts_files_without_changing_rows(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import optimize
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    write_delta(src.limit(1), tbl, mode="append")
+    write_delta(src.limit(1), tbl, mode="append")
+    before = DeltaTable(tbl).snapshot
+    assert len(before.files) > 1
+    rows_before = sorted(map(tuple, read_delta(spark, tbl).collect()))
+    v = optimize(spark, tbl)
+    after = DeltaTable(tbl).snapshot
+    assert after.version == v
+    assert len(after.files) == 1
+    assert sorted(map(tuple, read_delta(spark, tbl).collect())) == rows_before
+    # Compaction is dataChange=false on both sides of the commit.
+    import json as _json
+
+    acts = [
+        _json.loads(line)
+        for line in open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    ) and all(a["remove"]["dataChange"] is False for a in acts if "remove" in a)
