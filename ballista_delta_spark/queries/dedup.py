@@ -283,47 +283,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_spark(spark, sf_dir)
-    # Band signatures computed per-document with higher-order functions:
-    # one md5 pass over the shingle array (let-bound, see dedup_simhash),
-    # then K=16 array_min scans and a 4-term weighted sum per band. Round
-    # 1 exploded K rows per shingle and aggregated twice (two shuffles +
-    # 16x redundant md5); this form shuffles nothing until the 4-rows-per-
-    # doc band explode. Same bsig values — the oracle is unchanged.
-    band_sig = ", ".join(
-        "("
-        + " + ".join(
-            f"array_min(transform(hs, x -> "
-            f"(CAST({2 * k + 1} AS BIGINT) * x + CAST({1299721 * k} AS BIGINT))"
-            f" % {_P})) * CAST({_BANDS_W[j]} AS BIGINT)"
-            for j, k in ((j, 4 * band + j) for j in range(4))
-        )
-        + ")"
+    # Signatures as a plain 16-way min AGGREGATE over the exploded hashed
+    # index: min_k = min((2k+1)*h + 1299721k mod P) per doc. This stays
+    # entirely inside whole-stage codegen and shuffles only partial-min
+    # states (16 longs + a count per doc per partition). The earlier
+    # higher-order-function form (array_min×16 over a let-bound array) was
+    # interpreted expression evaluation — measured ~9s of the query at
+    # sf0.1 vs ~2s for this shape. The per-doc UNCAPPED size folds into
+    # the same aggregate (count(*)), eliminating a third md5 pass over
+    # the corpus. Same mh/bsig values — the oracle is unchanged.
+    mins = [
+        F.min(
+            (F.lit(2 * k + 1).cast("bigint") * F.col("shingle")
+             + F.lit(1299721 * k).cast("bigint")) % _P
+        ).alias(f"mh{k}")
+        for k in range(_K)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(
+        *mins, F.count(F.lit(1)).alias("n_sh")
+    )
+    doc_sizes = per_doc.select("doc_id", "n_sh")
+    bsigs = [
+        sum(
+            F.col(f"mh{4 * band + j}") * F.lit(_BANDS_W[j]).cast("bigint")
+            for j in range(4)
+        ).alias(f"bsig{band}")
         for band in range(_K // 4)
-    )
-    tokenized = (
-        load(spark, sf_dir, "documents")
-        .withColumn("toks", F.split("text", r"\s+"))
-        .filter(F.size("toks") >= 3)
-    )
-    # Distinct-on-hash, matching _shingles_spark, so the signature input
-    # set is exactly the inverted index's row set.
-    _HASHED_SH = (
-        "array_distinct(transform(transform(sequence(0, size(toks) - 3),"
-        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),"
-        " s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)))"
-    )
-    docsh = tokenized.select(
+    ]
+    bands = per_doc.select("doc_id", *bsigs).select(
         "doc_id",
-        F.expr(
-            f"element_at(transform(array({_HASHED_SH}), hs -> array({band_sig})), 1)"
-        ).alias("bsigs"),
+        F.posexplode(F.array(*[F.col(f"bsig{b}") for b in range(_K // 4)])).alias(
+            "band", "bsig"
+        ),
     )
-    # Uncapped distinct-shingle count per doc, in a narrow pass (no
-    # explode) — matches the oracle's `sizes` CTE (count per doc over sh).
-    doc_sizes = tokenized.select(
-        "doc_id", F.size(F.expr(_HASHED_SH)).alias("n_sh")
-    )
-    bands = docsh.select("doc_id", F.posexplode("bsigs").alias("band", "bsig"))
     a = bands.alias("a")
     b = bands.alias("b")
     # shuffle_hash pins a shuffled hash join: both sides then share ONE
