@@ -383,26 +383,37 @@ _SIMHASH_ORACLE = r"""
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # The token-hash array is let-bound via a single-element transform()
-    # (Spark SQL has no LET, and relying on a separate projection risks
-    # CollapseProject re-inlining it into all 64 lambda references — round
-    # 1 tokenized+md5'd every document 64 times here, ~8s -> <1s).
-    simh = d.select(
+    # Signature as a codegen'd aggregate (same move as dedup_minhash_lsh):
+    # explode the distinct token hashes once, then 32 sum(bit_b) columns +
+    # a count in ONE groupBy — partial aggregation shuffles 33 longs per
+    # doc per partition. The earlier higher-order-function form (32
+    # interpreted filter passes over a let-bound array) measured ~3x
+    # slower at sf0.1. Bit b of the simhash is set iff more than half the
+    # token hashes have bit b set — identical to the oracle's algebra.
+    tokh = d.select(
         "doc_id",
-        F.expr(
-            f"""
-            element_at(transform(
-              array(transform(array_distinct(split(text, '{_WS_SQL}')),
-                              t -> CAST(conv(substring(md5(t), 1, 8), 16, 10)
-                                        AS BIGINT))),
-              hs -> aggregate(
-                transform(sequence(0, 31), b ->
-                  CASE WHEN 2 * size(filter(hs, h -> shiftright(h, b) % 2 = 1))
-                            > size(hs)
-                       THEN shiftleft(CAST(1 AS BIGINT), b)
-                       ELSE CAST(0 AS BIGINT) END),
-                CAST(0 AS BIGINT), (acc, x) -> acc + x)), 1)
-            """
+        F.explode(
+            # distinct over token STRINGS then hash — the oracle's order
+            # (list_transform over list_distinct); hashing first would
+            # collapse md5-collided tokens differently.
+            F.expr(
+                f"transform(array_distinct(split(text, '{_WS_SQL}')),"
+                " t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+            )
+        ).alias("h"),
+    )
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(h, {b}) % 2")).alias(f"s{b}") for b in range(32)
+    ]
+    per_doc = tokh.groupBy("doc_id").agg(*bit_sums, F.count(F.lit(1)).alias("n_h"))
+    simh = per_doc.select(
+        "doc_id",
+        sum(
+            F.when(
+                2 * F.col(f"s{b}") > F.col("n_h"),
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(32)
         ).alias("simhash"),
     )
     bands = simh.select(
@@ -445,13 +456,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_probe_exprs() -> tuple[str, str]:
     from .similarity import lsh_bucket_expr
 
-    spark_b = lsh_bucket_expr(dialect="spark")
-    duck_b = lsh_bucket_expr(dialect="duckdb")
+    spark_b = lsh_bucket_expr(_EMB_N_PLANES, dialect="spark")
+    duck_b = lsh_bucket_expr(_EMB_N_PLANES, dialect="duckdb")
     return spark_b, duck_b
 
 
+# 8 planes = 256 buckets for the DEDUP blocking (vs 4 for the ANN top-k
+# query, whose broadcast-side is tiny). Candidate volume scales as
+# N^2 * (n_planes+1) / 2^n_planes with hamming-1 probing: at 4 planes that
+# is ~1/3 of ALL pairs — barely blocking at all (measured 660k candidate
+# pairs from 2,000 vectors); at 8 it is ~3.5%. The recall trade is the
+# standard LSH one and the oracle mirrors the blocking exactly.
+_EMB_N_PLANES = 8
 _EMB_BUCKET_SPARK, _EMB_BUCKET_DUCK = _emb_probe_exprs()
-_PROBE_BITS = (1, 2, 4, 8)  # single-bit flips of the 4-plane bucket
+_PROBE_BITS = tuple(1 << k for k in range(_EMB_N_PLANES))
 
 
 @_q(
@@ -480,24 +498,24 @@ _PROBE_BITS = (1, 2, 4, 8)  # single-bit flips of the 4-plane bucket
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import dot_expr
+
+    # NO higher-order functions: transform()/aggregate() are CodegenFallback
+    # and one in the corpus projection knocks the whole join stage — the
+    # 100k+-pair cosine hot loop — out of whole-stage codegen (measured 0
+    # codegen spans, ~2x end-to-end). Cast + unrolled dot keep identical
+    # values and fold order, fully codegen'd.
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    e = e.withColumn(
-        "nrm",
-        F.sqrt(
-            F.expr("aggregate(zip_with(emb, emb, (x, y) -> x*y), 0D, (a, x) -> a + x)")
-        ),
-    ).withColumn("bucket", F.expr(_EMB_BUCKET_SPARK))
+    e = e.withColumn("nrm", F.sqrt(F.expr(dot_expr("emb", "emb")))).withColumn(
+        "bucket", F.expr(_EMB_BUCKET_SPARK)
+    )
     probes = " , ".join(["bucket"] + [f"bucket ^ {b}" for b in _PROBE_BITS])
     a = e.withColumn("probe", F.explode(F.expr(f"array({probes})"))).alias("a")
     b = e.alias("b")
     cos = F.round(
-        F.expr(
-            "aggregate(zip_with(a.emb, b.emb, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
-        )
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        F.expr(dot_expr("a.emb", "b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     # Each qualifying pair differs from its match in exactly the flipped bit
