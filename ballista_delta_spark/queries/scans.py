@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .. import session as bd_session
 from ..sources.delta import read_delta, write_delta
+from ..sources.delta_dml import delete_delta, merge_delta, update_delta
 from ..sources.registry import (
     register_csv,
     register_delta,
@@ -365,3 +366,110 @@ def sink_delta_write_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")
     )
+
+
+# --- S11 sink_delta_delete: copy-on-write DELETE. No reference analogue at
+# all (its whole write surface errors, reference src/lib.rs:140-174) — this is
+# the delta-spark DELETE FROM path. The predicate spans a full partition
+# (o_orderstatus='F' -> every file in that Hive dir removed METADATA-ONLY,
+# zero rewrite I/O — the 100 TB retention-delete shape) plus a selective
+# in-partition predicate (P files partially rewritten).
+@_q(
+    "sink_delta_delete",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT coalesce(
+        o_orderstatus = 'F'
+        OR (o_orderstatus = 'P' AND o_totalprice > 150000), false)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_orders_delta_partitioned(spark, sf_dir), "s11")
+    delete_delta(
+        spark, path,
+        "o_orderstatus = 'F' OR (o_orderstatus = 'P' AND o_totalprice > 150000)",
+    )
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- S12 sink_delta_update: copy-on-write UPDATE ... SET ... WHERE. Only
+# files containing a matching row are rewritten; SET expressions see the
+# pre-update row (SQL semantics), checked by updating the key its own SET
+# references.
+@_q(
+    "sink_delta_update",
+    """
+    SELECT CASE WHEN n_regionkey IN (1, 3) THEN n_nationkey + 100
+                ELSE n_nationkey END AS n_nationkey,
+           CASE WHEN n_regionkey IN (1, 3) THEN n_name || '_EU'
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def sink_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s12")
+    update_delta(
+        spark, path,
+        "n_regionkey IN (1, 3)",
+        {"n_nationkey": "n_nationkey + 100", "n_name": "concat(n_name, '_EU')"},
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --- S13 sink_delta_merge: MERGE INTO (update + insert branches). Source =
+# derived updates for every 3rd nation + 3 brand-new keys; ambiguous
+# multi-match sources are rejected (tests). The oracle reconstructs the
+# post-merge table with LEFT JOIN + ANTI JOIN.
+@_q(
+    "sink_delta_merge",
+    """
+    WITH src AS (
+      SELECT n_nationkey, upper(n_name) AS new_name
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_nationkey + 30 AS n_nationkey, 'NEW_' || n_name AS new_name
+      FROM nation WHERE n_nationkey < 3)
+    SELECT t.n_nationkey,
+           CASE WHEN s.n_nationkey IS NOT NULL THEN s.new_name
+                ELSE t.n_name END AS n_name,
+           t.n_regionkey
+    FROM nation t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+    UNION ALL
+    SELECT s.n_nationkey, s.new_name AS n_name, 9 AS n_regionkey
+    FROM src s ANTI JOIN nation t ON t.n_nationkey = s.n_nationkey
+    """,
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s13")
+    nat = load(spark, sf_dir, "nation")
+    src = nat.filter("n_nationkey % 3 = 0").select(
+        "n_nationkey", F.upper("n_name").alias("new_name")
+    ).unionByName(
+        nat.filter("n_nationkey < 3").select(
+            (F.col("n_nationkey") + 30).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("new_name"),
+        )
+    )
+    merge_delta(
+        spark, path, src,
+        "t.n_nationkey = s.n_nationkey",
+        matched_update={"n_name": "s.new_name"},
+        not_matched_insert={
+            "n_nationkey": "s.n_nationkey",
+            "n_name": "s.new_name",
+            "n_regionkey": "9",
+        },
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")

@@ -406,49 +406,8 @@ def write_delta(
     else:
         schema_struct = df.schema
 
-    # Stage the distributed write into a temp dir inside the table, then move
-    # part-files into their final Hive locations and commit. (Object-store
-    # deployments would write final-named files directly + commit, as
-    # delta-spark does; rename is the local-FS equivalent.)
-    staging = os.path.join(path, f".tmp-write-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
-    adds: list[dict[str, Any]] = []
+    adds = _stage_adds(df, path, partition_by, schema_struct)
     now_ms = int(time.time() * 1000)
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            part_values: dict[str, str | None] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, val = seg.partition("=")
-                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
-            dst = os.path.join(path, rel_final)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            stats = _file_stats(src, data_fields)
-            os.replace(src, dst)
-            adds.append(
-                {
-                    "path": rel_final.replace(os.sep, "/"),
-                    "partitionValues": part_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "stats": stats,
-                }
-            )
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
 
     actions: list[dict[str, Any]] = []
     num_records = sum(json.loads(a["stats"])["numRecords"] for a in adds)
@@ -493,6 +452,74 @@ def write_delta(
     for a in adds:
         actions.append({"add": a})
 
+    return _try_commit(path, actions, adds)
+
+
+def _stage_adds(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    schema_struct: T.StructType,
+) -> list[dict[str, Any]]:
+    """Distributed-write ``df`` into the table dir and return its add actions.
+
+    Stages into a temp dir inside the table, then moves part-files into their
+    final Hive locations. (Object-store deployments would write final-named
+    files directly + commit, as delta-spark does; rename is the local-FS
+    equivalent.) The files are INVISIBLE until a commit references them —
+    callers must pass the returned adds to ``_try_commit``.
+    """
+    staging = os.path.join(path, f".tmp-write-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
+    adds: list[dict[str, Any]] = []
+    now_ms = int(time.time() * 1000)
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
+            dst = os.path.join(path, rel_final)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            stats = _file_stats(src, data_fields)
+            os.replace(src, dst)
+            adds.append(
+                {
+                    "path": rel_final.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _try_commit(
+    path: str, actions: list[dict[str, Any]], staged_adds: list[dict[str, Any]]
+) -> int:
+    """Optimistic-concurrency commit: O_EXCL link so two writers can't both
+    claim the same version (local-FS analogue of delta's put-if-absent).
+    A losing writer must also remove its already-moved part-files — they are
+    invisible to the log but would orphan-pollute the table dir (and a later
+    VACUUM-less reader doing raw dir listing would see them)."""
+    log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
     version = _next_version(log)
     commit_path = _version_file(log, version)
@@ -500,16 +527,11 @@ def write_delta(
     with open(tmp_commit, "w") as fh:
         for act in actions:
             fh.write(json.dumps(act) + "\n")
-    # Optimistic-concurrency commit: O_EXCL link so two writers can't both
-    # claim the same version (local-FS analogue of delta's put-if-absent).
-    # A losing writer must also remove its already-moved part-files —
-    # they are invisible to the log but would orphan-pollute the table dir
-    # (and a later VACUUM-less reader doing raw dir listing would see them).
     try:
         os.link(tmp_commit, commit_path)
     except FileExistsError as exc:
         os.unlink(tmp_commit)
-        for a in adds:
+        for a in staged_adds:
             try:
                 os.unlink(os.path.join(path, a["path"]))
             except OSError:

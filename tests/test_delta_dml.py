@@ -1,0 +1,214 @@
+"""Delta DML (DELETE / UPDATE / MERGE) — copy-on-write semantics.
+
+The reference has no working write path at all (its insert factory errors,
+reference src/lib.rs:140-174; tests/local.rs:100-103), so these pin OUR
+contract: SQL three-valued logic, metadata-only full-file deletes,
+pre-update-row SET semantics, merge ambiguity detection, and commit
+atomicity (a failed DML leaves no trace — no version, no orphan files).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_delta_spark.sources.delta import DeltaTable, read_delta, write_delta
+from ballista_delta_spark.sources.delta_dml import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+
+
+@pytest.fixture()
+def nation_tbl(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "nation_dml")
+    write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), p)
+    return p
+
+
+@pytest.fixture()
+def orders_tbl(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "orders_dml")
+    write_delta(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+        p,
+        partition_by=["o_orderstatus"],
+    )
+    return p
+
+
+def _table_files(path):
+    out = []
+    for root, _dirs, names in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        out += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    return out
+
+
+class TestDelete:
+    def test_partition_aligned_delete_is_metadata_only(self, spark, orders_tbl):
+        before = read_delta(spark, orders_tbl).count()
+        f_rows = read_delta(spark, orders_tbl).filter("o_orderstatus = 'F'").count()
+        m = delete_delta(spark, orders_tbl, "o_orderstatus = 'F'")
+        # Every matched file lived entirely inside the F partition: all are
+        # dropped by remove actions alone, nothing is rewritten.
+        assert m["numFullFilesRemoved"] == m["numRemovedFiles"] > 0
+        assert m["numAddedFiles"] == 0
+        assert m["numDeletedRows"] == f_rows
+        assert read_delta(spark, orders_tbl).count() == before - f_rows
+
+    def test_partial_delete_rewrites_only_matching_files(self, spark, nation_tbl):
+        m = delete_delta(spark, nation_tbl, "n_regionkey = 2")
+        assert m["numDeletedRows"] == 5
+        assert m["numAddedFiles"] >= 1
+        back = read_delta(spark, nation_tbl)
+        assert back.filter("n_regionkey = 2").count() == 0
+        assert back.count() == 20
+
+    def test_null_condition_rows_are_kept(self, spark, tmp_path):
+        p = str(tmp_path / "nulls")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10.0), (2, None), (3, 3.0)], "id int, v double"
+            ),
+            p,
+        )
+        m = delete_delta(spark, p, "v > 5")  # NULL > 5 is NULL -> keep
+        assert m["numDeletedRows"] == 1
+        assert sorted(r.id for r in read_delta(spark, p).collect()) == [2, 3]
+
+    def test_no_match_is_noop(self, spark, nation_tbl):
+        v0 = DeltaTable(nation_tbl).version
+        m = delete_delta(spark, nation_tbl, "n_regionkey = 999")
+        assert m["numDeletedRows"] == 0
+        assert DeltaTable(nation_tbl).version == v0
+
+    def test_time_travel_sees_pre_delete_state(self, spark, nation_tbl):
+        delete_delta(spark, nation_tbl, "n_regionkey = 0")
+        assert read_delta(spark, nation_tbl).count() == 20
+        assert read_delta(spark, nation_tbl, version=0).count() == 25
+
+
+class TestUpdate:
+    def test_set_sees_pre_update_row(self, spark, tmp_path):
+        p = str(tmp_path / "swap")
+        write_delta(
+            spark.createDataFrame([(1, 2), (10, 20)], "a int, b int"), p
+        )
+        update_delta(spark, p, "a = 1", {"a": "b", "b": "a"})
+        rows = {(r.a, r.b) for r in read_delta(spark, p).collect()}
+        assert rows == {(2, 1), (10, 20)}  # swapped, not a=b=2
+
+    def test_partition_column_update_rebuckets(self, spark, orders_tbl):
+        m = update_delta(
+            spark, orders_tbl, "o_orderstatus = 'P'", {"o_orderstatus": "'X'"}
+        )
+        assert m["repartitionedByUpdate"] is True
+        back = read_delta(spark, orders_tbl)
+        assert back.filter("o_orderstatus = 'P'").count() == 0
+        assert back.filter("o_orderstatus = 'X'").count() == m["numUpdatedRows"]
+        # The rewritten rows physically live in the new Hive directory.
+        assert any("o_orderstatus=X" in f for f in _table_files(orders_tbl))
+
+    def test_unknown_set_target_raises(self, spark, nation_tbl):
+        with pytest.raises(ValueError, match="not in table schema"):
+            update_delta(spark, nation_tbl, "true", {"nope": "1"})
+
+    def test_set_cast_back_to_declared_type(self, spark, nation_tbl):
+        update_delta(
+            spark, nation_tbl, "n_nationkey = 0", {"n_nationkey": "1000.7"}
+        )
+        f = {x.name: x.dataType.simpleString() for x in DeltaTable(nation_tbl).schema.fields}
+        assert f["n_nationkey"] == "int"
+        assert read_delta(spark, nation_tbl).filter("n_nationkey = 1000").count() == 1
+
+
+class TestMerge:
+    def test_update_and_insert_branches(self, spark, nation_tbl):
+        src = spark.createDataFrame(
+            [(1, "ONE"), (50, "NEW50")], "n_nationkey int, new_name string"
+        )
+        m = merge_delta(
+            spark, nation_tbl, src, "t.n_nationkey = s.n_nationkey",
+            matched_update={"n_name": "s.new_name"},
+            not_matched_insert={
+                "n_nationkey": "s.n_nationkey",
+                "n_name": "s.new_name",
+                "n_regionkey": "9",
+            },
+        )
+        assert m["numTargetRowsUpdated"] == 1
+        assert m["numTargetRowsInserted"] == 1
+        back = {r.n_nationkey: r.n_name for r in read_delta(spark, nation_tbl).collect()}
+        assert back[1] == "ONE" and back[50] == "NEW50"
+        assert len(back) == 26
+
+    def test_delete_branch(self, spark, nation_tbl):
+        src = spark.createDataFrame([(3,), (4,)], "n_nationkey int")
+        m = merge_delta(
+            spark, nation_tbl, src, "t.n_nationkey = s.n_nationkey",
+            matched_delete=True, not_matched_insert=False,
+        )
+        assert m["numTargetRowsDeleted"] == 2
+        assert read_delta(spark, nation_tbl).filter(
+            "n_nationkey in (3, 4)"
+        ).count() == 0
+
+    def test_ambiguous_multi_match_raises_and_commits_nothing(
+        self, spark, nation_tbl
+    ):
+        v0 = DeltaTable(nation_tbl).version
+        files0 = sorted(_table_files(nation_tbl))
+        src = spark.createDataFrame(
+            [(1, "A"), (1, "B")], "n_nationkey int, new_name string"
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            merge_delta(
+                spark, nation_tbl, src, "t.n_nationkey = s.n_nationkey",
+                matched_update={"n_name": "s.new_name"}, not_matched_insert=False,
+            )
+        assert DeltaTable(nation_tbl).version == v0
+        assert sorted(_table_files(nation_tbl)) == files0  # no orphans
+
+    def test_identical_duplicate_target_rows_survive(self, spark, tmp_path):
+        # Two byte-identical target rows are NOT an ambiguity (one source row
+        # matching both is Delta-legal); multiplicity must be preserved.
+        p = str(tmp_path / "dupes")
+        write_delta(
+            spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k int, v string"),
+            p,
+        )
+        src = spark.createDataFrame([(1, "upd")], "k int, nv string")
+        m = merge_delta(
+            spark, p, src, "t.k = s.k",
+            matched_update={"v": "s.nv"}, not_matched_insert=False,
+        )
+        assert m["numTargetRowsUpdated"] == 2
+        rows = sorted((r.k, r.v) for r in read_delta(spark, p).collect())
+        assert rows == [(1, "upd"), (1, "upd"), (2, "y")]
+
+    def test_insert_true_requires_full_source_schema(self, spark, nation_tbl):
+        src = spark.createDataFrame([(99,)], "n_nationkey int")
+        with pytest.raises(ValueError, match="source lacks"):
+            merge_delta(
+                spark, nation_tbl, src, "t.n_nationkey = s.n_nationkey",
+                not_matched_insert=True,
+            )
+
+    def test_partitioned_insert_lands_in_hive_dir(self, spark, orders_tbl):
+        src = spark.createDataFrame(
+            [(10_000_001, 7, "Z", 1.5, None, "1-URGENT")],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        m = merge_delta(
+            spark, orders_tbl, src, "t.o_orderkey = s.o_orderkey",
+            not_matched_insert=True,
+        )
+        assert m["numTargetRowsInserted"] == 1
+        assert any("o_orderstatus=Z" in f for f in _table_files(orders_tbl))
+        assert read_delta(spark, orders_tbl).filter(
+            "o_orderstatus = 'Z'"
+        ).count() == 1
