@@ -230,3 +230,126 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- J10 join_asof: as-of (most-recent-prior) join — the canonical
+# time-series enrichment op (no reference analogue; DataFusion gained no
+# ASOF either — extension per the round brief). For every click, the
+# latest view by the same user at-or-before the click.
+#
+# Scale shape: NOT a per-key nested loop and NOT a range theta join — the
+# union + carry-forward-window form shuffles each side ONCE on user_id and
+# resolves every match in a single ordered pass per partition:
+# O(n log n / partitions). Ties: a view at the exact click ts qualifies
+# (sorts before the click via the type flag); equal-ts views dedupe to the
+# max event_id on both sides so the oracle's ASOF is deterministic.
+@_q(
+    "join_asof",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "ts", "event_id", "value", F.lit(0).alias("is_click")
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_click"),
+    )
+    both = views.unionByName(clicks)
+    # Carry the latest view struct forward within each user's timeline.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+                F.col("value").alias("view_value"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        both.withColumn("v", carried)
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("v.view_id").alias("view_id"),
+            F.col("v.view_ts").alias("view_ts"),
+            F.col("v.view_value").alias("view_value"),
+        )
+    )
+
+
+# --- J11 join_range_banded: interval/range join via BANDING — clicks within
+# 2 hours after an error by the same user. The naive form is a theta join
+# (nested loop, O(n*m) per user); banding rounds both sides to fixed
+# 2-hour buckets, explodes each error to its (at most 2) covered buckets,
+# and equi-joins on (user_id, bucket) — the exact range predicate then
+# filters within buckets only. Band width == window length guarantees the
+# 2-bucket cover; the 2x left-side explode is the standard banding cost,
+# and the join parallelism is #(user, bucket), not #users.
+_BAND_SEC = 7200
+
+
+@_q(
+    "join_range_banded",
+    """
+    WITH err AS (SELECT event_id AS err_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, ts FROM events
+            WHERE event_type = 'click')
+    SELECT err.err_id, clk.click_id
+    FROM err JOIN clk ON err.user_id = clk.user_id
+     AND clk.ts >= err.ts AND clk.ts < err.ts + INTERVAL 2 HOUR
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / _BAND_SEC)
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+        .withColumn("b0", bucket)
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp("ts") / _BAND_SEC).alias("bucket"),
+    )
+    return (
+        err.join(clk, ["user_id", "bucket"])
+        .filter(
+            (F.col("cts") >= F.col("ts"))
+            & (F.col("cts") < F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .select("err_id", "click_id")
+    )

@@ -473,3 +473,34 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --- S14 scan_delta_time_travel: versioned reads (VERSION AS OF analogue;
+# delta-rs load_version). v0 = pristine table, v1 = after a DELETE — both
+# snapshots served from one log by replaying adds/removes up to the pinned
+# version. The oracle reconstructs each snapshot relationally.
+@_q(
+    "scan_delta_time_travel",
+    """
+    SELECT 'v0' AS snap, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'v1' AS snap, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE NOT coalesce(n_regionkey = 2, false)
+    """,
+)
+def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s14")
+    delete_delta(spark, path, "n_regionkey = 2")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        ).select(F.lit(tag).alias("snap"), "n", "key_sum")
+
+    return agg(read_delta(spark, path, version=0), "v0").unionByName(
+        agg(read_delta(spark, path), "v1")
+    )

@@ -216,3 +216,195 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+# ---------------------------------------------------------- sim_ivf_topk
+# IVF (inverted-file) ANN — the coarse-quantizer scale path the LSH variant
+# complements. K deterministic coarse centroids (the K lowest vec_ids; in a
+# real deployment k-means output — either way small driver/broadcast state,
+# exactly like FAISS), assignment metric dot/|c| (corpus-side norm constant
+# within the argmax, so it cancels; tie -> lowest centroid id).
+#
+# Scale shape: centroid state is INLINED as literal expressions, so cell
+# assignment is a pure map-side projection — the corpus is NEVER shuffled or
+# joined to assign cells (the naive corpus x centroids join is an 8x row
+# blow-up plus a shuffle). Queries probe their NPROBE nearest cells and only
+# those cells' vectors are scored: candidate volume ~ NPROBE/K of the
+# corpus per query vs brute force. Recall is the standard IVF trade —
+# a true neighbor assigned to an unprobed cell is missed; raise NPROBE to
+# buy recall with candidate volume.
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+# Centroid state per sf_dir — collected once per session, like a loaded
+# IVF index. Re-collecting per query run would re-scan the corpus twice
+# (centroids + queries) before any real work.
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+_IVF_PROBE_CACHE: dict[str, list] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    cached = _IVF_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _IVF_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    cents = [r.emb for r in sorted(rows, key=lambda r: r.vec_id)]
+    _IVF_CACHE[sf_dir] = cents
+    return cents
+
+
+def _with_centroid_dots(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Add ``__d0..__d{K-1}`` = dot(emb, c)/|c| per literal centroid.
+
+    One column per centroid, NOT one K-wide array expression: a single
+    512-term array literal blows janino's generated-method size (observed:
+    whole-stage codegen compile errors + interpreted fallback), while K
+    separate 64-term chains are each the shape ``dot_expr`` already
+    compiles. CollapseProject keeps the aliases as a separate projection
+    when they're re-referenced (non-cheap, multi-use), so downstream argmax
+    reads plain column refs. Fold order matches the oracle's cross-join
+    computation exactly: dots left-to-right over d, |c| = sqrt of the
+    left-to-right (NOT fsum) sum of squares; repr() round-trips doubles, so
+    the literals ARE the stored float32 values."""
+    import math
+
+    dcols = []
+    for i, c in enumerate(cents):
+        dot = " + ".join(f"emb[{d}] * {c[d]!r}D" for d in range(_DIM))
+        nrm = math.sqrt(sum((x * x for x in c), 0.0))
+        dcols.append(F.expr(f"({dot}) / {nrm!r}D").alias(f"__d{i}"))
+    return df.select("*", *dcols)
+
+
+def _dots_arr(k: int) -> str:
+    return "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+
+
+_IVF_ORACLE_CENTS = f"""
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            FOR i IN range(1, len(embedding) + 1)])) AS cnrm
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    assigned AS (
+      SELECT vec_id, emb, nrm, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, e.nrm, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum([e.emb[i] * c.cemb[i]
+                                    FOR i IN range(1, len(e.emb) + 1)]) / c.cnrm
+                          DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS probe_cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum([e.emb[i] * c.cemb[i]
+                                    FOR i IN range(1, len(e.emb) + 1)]) / c.cnrm
+                          DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c WHERE e.vec_id < {_N_QUERIES})
+      WHERE rn <= {_IVF_NPROBE})
+"""
+
+
+@_q(
+    "sim_ivf_topk",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    {_IVF_ORACLE_CENTS},
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_sum([q.emb[i] * c.emb[i]
+                             FOR i IN range(1, len(q.emb) + 1)])
+                   / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM probes p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN assigned c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    arr = _dots_arr(len(cents))
+    e = _corpus(spark, sf_dir)
+    # Cell assignment: map-side projections over literal centroids; the
+    # argmax reads the K dot COLUMNS (cheap refs), 1-based array_position
+    # tie-breaks to the lowest centroid id -> cid = i-1.
+    assigned = (
+        _with_centroid_dots(e, cents)
+        .withColumn(
+            "cell",
+            # coalesce(-1): provably non-null, so the join's inferred
+            # isnotnull(cell) folds to true instead of being pushed below
+            # the projection — pushdown would substitute the FULL argmax
+            # chain into a Filter and blow the stage past janino's method
+            # size (observed). -1 never equals a probe cell.
+            F.expr(
+                f"coalesce(array_position({arr}, array_max({arr})) - 1, -1)"
+            ).cast("bigint"),
+        )
+        .drop(*[f"__d{i}" for i in range(len(cents))])
+    )
+    # Probe list: |queries| x NPROBE rows, computed DRIVER-SIDE — exactly
+    # where an ANN service computes it (query planning against broadcast
+    # centroid state). Python's left-to-right float arithmetic is the same
+    # IEEE fold as the SQL chains, so ranks match the oracle bit-for-bit.
+    import math
+
+    probe_rows = _IVF_PROBE_CACHE.get(sf_dir)
+    if probe_rows is None:
+        qrows = (
+            e.filter(F.col("vec_id") < _N_QUERIES)
+            .select("vec_id", "emb", "nrm")
+            .collect()
+        )
+        cnrms = [math.sqrt(sum((x * x for x in c), 0.0)) for c in cents]
+        probe_rows = []
+        for r in qrows:
+            dots = [
+                (sum((r.emb[d] * c[d] for d in range(_DIM)), 0.0) / cn, cid)
+                for cid, (c, cn) in enumerate(zip(cents, cnrms))
+            ]
+            dots.sort(key=lambda t: (-t[0], t[1]))
+            for _dot, cid in dots[:_IVF_NPROBE]:
+                probe_rows.append((r.vec_id, r.emb, r.nrm, cid))
+        _IVF_PROBE_CACHE[sf_dir] = probe_rows
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id bigint, qemb array<double>, qnrm double, probe_cell bigint",
+    )
+    # Broadcast the probe rows (queries x NPROBE): the corpus-side join is
+    # then map-side on cell — the corpus is never shuffled end-to-end.
+    scored = (
+        F.broadcast(probes)
+        .join(
+            assigned.alias("c"),
+            (F.col("probe_cell") == F.col("c.cell"))
+            & (F.col("c.vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("vec_id"),
+            F.round(
+                F.expr(dot_expr("qemb", "c.emb")) / (F.col("qnrm") * F.col("c.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOPK
+    )

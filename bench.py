@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",        # hash-groupBy on md5
     "dedup_minhash_lsh",  # shingle -> signature -> band join -> verify
     "sim_cosine_topk",    # broadcast brute-force ANN baseline
+    "sim_ivf_topk",       # IVF ANN scale path (added round 2)
     "text_fingerprint",   # full-corpus codegen'd text pass
 ]
 

@@ -121,3 +121,29 @@ def test_text_ops_are_single_pass_no_shuffle(spark, sf_dir):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         # '*(n)' is the whole-stage-codegen marker in the compact plan string.
         assert "*(1)" in plan, f"{name} left codegen:\n{plan}"
+
+
+def test_ivf_assignment_is_map_side_and_join_broadcasts(spark, sf_dir):
+    """IVF scale contract: cell assignment must be a pure projection over
+    literal centroid state (no join, no shuffle of the corpus before the
+    probe join), the probe join must be a BroadcastHashJoin on the cell
+    key, and top-k must push a WindowGroupLimit below the final exchange.
+    A giant inlined argmax in a pushed-down Filter (the janino-overflow
+    regression) would show up as ERROR CodeGenerator + interpreted eval —
+    pinned here by asserting the cell expression stays out of Filters."""
+    from ballista_delta_spark.queries.similarity import QUERIES
+
+    fn, _ = QUERIES["sim_ivf_topk"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # Corpus side: exactly one exchange total (the 5-partition window
+    # shuffle of already-top-k-limited candidates); the assignment itself
+    # must not add one.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # The argmax lives in exactly one Project and in NO Filter: a Filter
+    # containing array_position means null-filter pushdown re-inlined it.
+    for line in plan.splitlines():
+        if "Filter" in line.split("(")[0] or line.strip(" :+-").startswith("Filter"):
+            assert "array_position" not in line, line[:200]
