@@ -23,6 +23,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         joins,
         multimodal,
         relational,
+        sampling,
         scans,
         similarity,
         streaming_q,
@@ -36,6 +37,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         scans, relational, joins, aggregates, windows, functions_q,
         subqueries, udfs, dedup, similarity, text, multimodal, streaming_q,
+        sampling,
     ):
         for key, pair in mod.QUERIES.items():
             if key in out:

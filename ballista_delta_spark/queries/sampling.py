@@ -1,0 +1,94 @@
+"""Deterministic sampling operators over the ``documents`` corpus —
+training-data pipeline extensions (no reference analogue; the round brief's
+"operations a large-scale training-data pipeline would need").
+
+Real pipelines sample by HASH, not by RNG: the same document must land in
+the same split on every run, on every executor, regardless of partitioning
+— reproducibility and join-stability (features computed for train docs
+must join back to the same train docs). Both operators here key on
+``md5(doc_id)`` exactly like the dedup family, so the DuckDB oracle is an
+exact integer comparison, and both are single narrow scans: a codegen'd
+hash-filter with NO shuffle before the final aggregate (sampling 100 TB
+costs one read of the hashed column set, not a sort or exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
+
+QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+# Percent-scale hash bucket shared by both engines: first 8 hex chars of
+# md5(doc_id) as an integer, mod 100. Uniform, engine-portable, stable.
+_HASH_SPARK = "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 100"
+_HASH_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
+# Per-stratum keep-rates (percent): downsample the over-represented head
+# language, keep the tail — the canonical language-balancing move.
+_RATES = {"en": 25, "zh": 80, "es": 80, "de": 80, "fr": 80}
+_DEFAULT_RATE = 50
+
+
+def _rate_case(dialect: str) -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in _RATES.items())
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+# ----------------------------------------------------- sample_stratified
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE {_HASH_DUCK} < {_rate_case("duckdb")}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rate sampling as one hash-filtered scan."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.expr(f"{_HASH_SPARK} < {_rate_case('spark')}"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------------ sample_train_test_split
+@_q(
+    "sample_train_test_split",
+    f"""
+    SELECT CASE WHEN {_HASH_DUCK} < 90 THEN 'train' ELSE 'test' END AS split,
+           lang, count(*) AS n,
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars
+    FROM documents
+    GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split; per-(split, lang) profile proves the
+    split is stable and language-balanced. The split column is derived,
+    never stored — any job re-derives the identical membership."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            F.expr(f"CASE WHEN {_HASH_SPARK} < 90 THEN 'train' ELSE 'test' END"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
