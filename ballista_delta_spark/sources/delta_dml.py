@@ -52,6 +52,26 @@ from .delta import (
 _FILE_COL = "__bds_file"
 
 
+def _retrying(once, retries: int):
+    """Re-EXECUTE (not re-commit) on optimistic-concurrency loss.
+
+    A losing DML cleaned up its staged files (`_try_commit`); blindly
+    re-claiming the next version would commit actions computed against a
+    stale snapshot (its removes may name files the winner already removed,
+    its rewrites may miss the winner's rows). Re-running the whole
+    operation re-reads the CURRENT snapshot — the delta-spark
+    WriteSerializable behavior for condition-based DML.
+    """
+    attempt = 0
+    while True:
+        try:
+            return once()
+        except RuntimeError as exc:
+            if "concurrent commit" not in str(exc) or attempt >= retries:
+                raise
+            attempt += 1
+
+
 def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     """Snapshot scan with a per-row relative-file-path column attached."""
     base = _strip_file_scheme(dt.path).rstrip("/")
@@ -121,13 +141,21 @@ def _num_records(dt: DeltaTable, rel: str) -> int | None:
         return None
 
 
-def delete_delta(spark: SparkSession, path: str, condition: str) -> dict[str, Any]:
+def delete_delta(
+    spark: SparkSession, path: str, condition: str, retries: int = 0
+) -> dict[str, Any]:
     """``DELETE FROM <path> WHERE condition``.
 
     SQL three-valued logic: rows where the condition is TRUE are deleted;
     FALSE and NULL rows are kept. Returns operation metrics including the
     committed version and how many files were removed without a rewrite.
     """
+    return _retrying(
+        lambda: _delete_once(spark, path, condition), retries
+    )
+
+
+def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, Any]:
     dt = DeltaTable(path)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     per_file = (
@@ -173,7 +201,11 @@ def delete_delta(spark: SparkSession, path: str, condition: str) -> dict[str, An
 
 
 def update_delta(
-    spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    retries: int = 0,
 ) -> dict[str, Any]:
     """``UPDATE <path> SET col = expr, ... WHERE condition``.
 
@@ -181,6 +213,14 @@ def update_delta(
     column; evaluated against the PRE-update row, as SQL requires). Only
     files containing at least one TRUE-condition row are rewritten.
     """
+    return _retrying(
+        lambda: _update_once(spark, path, condition, set_exprs), retries
+    )
+
+
+def _update_once(
+    spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
+) -> dict[str, Any]:
     dt = DeltaTable(path)
     cols = {f.name for f in dt.snapshot.schema.fields}
     unknown = set(set_exprs) - cols
@@ -247,6 +287,7 @@ def merge_delta(
     matched_update: dict[str, str] | None = None,
     matched_delete: bool = False,
     not_matched_insert: dict[str, str] | bool = True,
+    retries: int = 0,
 ) -> dict[str, Any]:
     """``MERGE INTO <path> t USING source s ON <on>`` (copy-on-write).
 
@@ -270,6 +311,24 @@ def merge_delta(
     """
     if matched_update and matched_delete:
         raise ValueError("matched_update and matched_delete are mutually exclusive")
+    return _retrying(
+        lambda: _merge_once(
+            spark, path, source, on, matched_update, matched_delete,
+            not_matched_insert,
+        ),
+        retries,
+    )
+
+
+def _merge_once(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_update: dict[str, str] | None,
+    matched_delete: bool,
+    not_matched_insert: dict[str, str] | bool,
+) -> dict[str, Any]:
     dt = DeltaTable(path)
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
@@ -317,23 +376,25 @@ def merge_delta(
         )
         joined = tgt.join(src, on_expr, "left").cache()
         try:
-            dup = (
-                joined.filter(F.col("__s_hit").isNotNull())
+            hit = F.col("__s_hit").isNotNull()
+            # ONE job: per-target-row match counts roll up into both the
+            # ambiguity count and the matched-row total.
+            stats = (
+                joined.filter(hit)
                 .groupBy(*[F.col(f"t.{c}") for c in tcols], "__m")
                 .agg(F.count(F.lit(1)).alias("__k"))
-                .filter(F.col("__k") > 1)
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    f"MERGE is ambiguous: {dup} target row(s) matched by "
-                    "multiple source rows"
+                .agg(
+                    F.sum(F.when(F.col("__k") > 1, 1).otherwise(0)).alias("dups"),
+                    F.sum("__m").alias("nm"),
                 )
-            hit = F.col("__s_hit").isNotNull()
-            counts = joined.agg(
-                F.sum(F.when(hit, F.col("__m")).otherwise(F.lit(0))).alias("nm")
-            ).collect()[0]
-            n_matched = int(counts["nm"] or 0)
+                .collect()[0]
+            )
+            if stats["dups"]:
+                raise ValueError(
+                    f"MERGE is ambiguous: {stats['dups']} target row(s) "
+                    "matched by multiple source rows"
+                )
+            n_matched = int(stats["nm"] or 0)
             if matched_delete:
                 survivors = joined.filter(~hit)
                 n_deleted = n_matched

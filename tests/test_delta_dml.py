@@ -212,3 +212,54 @@ class TestMerge:
         assert read_delta(spark, orders_tbl).filter(
             "o_orderstatus = 'Z'"
         ).count() == 1
+
+
+class TestConcurrency:
+    def test_losing_dml_retries_against_fresh_snapshot(
+        self, spark, nation_tbl, monkeypatch
+    ):
+        """Simulate a concurrent writer landing a commit between a DML's
+        snapshot read and its commit: with retries=1 the DML must re-execute
+        against the NEW snapshot and both effects must survive."""
+        from ballista_delta_spark.sources import delta as d
+        from ballista_delta_spark.sources import delta_dml as dml
+
+        real_commit = d._try_commit
+        state = {"raced": False}
+
+        def racing_commit(path, actions, staged_adds):
+            if not state["raced"]:
+                state["raced"] = True
+                # The "other writer": deletes region 4, claiming the version
+                # this DML was about to take.
+                dml.delete_delta(spark, nation_tbl, "n_regionkey = 4")
+                # Clean up our own staged files as the real loser would,
+                # then surface the conflict.
+                for a in staged_adds:
+                    try:
+                        os.unlink(os.path.join(path, a["path"]))
+                    except OSError:
+                        pass
+                raise RuntimeError("concurrent commit at version 1")
+            return real_commit(path, actions, staged_adds)
+
+        monkeypatch.setattr(dml, "_try_commit", racing_commit)
+        m = dml.update_delta(
+            spark, nation_tbl, "n_regionkey = 0",
+            {"n_name": "concat(n_name, '_U')"}, retries=1,
+        )
+        assert m["numUpdatedRows"] == 5
+        back = read_delta(spark, nation_tbl)
+        assert back.filter("n_regionkey = 4").count() == 0  # racer's delete
+        assert back.filter("n_name LIKE '%\\_U'").count() == 5  # our update
+        assert back.count() == 20
+
+    def test_no_retry_by_default(self, spark, nation_tbl, monkeypatch):
+        from ballista_delta_spark.sources import delta_dml as dml
+
+        def always_lose(path, actions, staged_adds):
+            raise RuntimeError("concurrent commit at version 1")
+
+        monkeypatch.setattr(dml, "_try_commit", always_lose)
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            dml.delete_delta(spark, nation_tbl, "n_regionkey = 1")
