@@ -147,3 +147,31 @@ def test_ivf_assignment_is_map_side_and_join_broadcasts(spark, sf_dir):
     for line in plan.splitlines():
         if "Filter" in line.split("(")[0] or line.strip(" :+-").startswith("Filter"):
             assert "array_position" not in line, line[:200]
+
+
+def test_asof_join_is_single_pass_no_nested_loop(spark, sf_dir):
+    """The as-of join must be the union + carry-forward-window form: no
+    join operator at all (in particular no per-key nested loop), exactly
+    one exchange of each side's rows (the user_id window shuffle) plus the
+    view-dedup window's exchange — never a range theta join."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_asof"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    for op in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
+               "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, f"{op} in as-of plan:\n{plan}"
+    assert plan.count("Window") >= 1
+
+
+def test_range_join_is_banded_equi_not_theta(spark, sf_dir):
+    """The range join must hit a hash-partitioned equi-join on
+    (user_id, bucket); the time-range predicate is a residual filter, not
+    the join strategy."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_range_banded"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
