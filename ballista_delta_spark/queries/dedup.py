@@ -27,7 +27,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._registry import make_registry
@@ -532,4 +532,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ------------------------------------------------------- dedup_clusters
+# Connected components over the verified near-dup pairs — the step every
+# dedup pipeline runs AFTER pair generation: pairs only say "a~b"; keeping
+# one doc per duplicate GROUP needs the transitive closure (a~b, b~c =>
+# {a,b,c} one cluster, canonical = min doc_id).
+#
+# Spark side: iterative min-label propagation — each round every vertex
+# takes the min of its own label and its neighbors' labels (one join + one
+# aggregate per round, all distributed), converging in diameter(G) rounds;
+# near-dup graphs are overwhelmingly tiny stars/cliques, so 2-3 rounds.
+# localCheckpoint truncates the growing lineage each round. At extreme
+# scale the same loop runs with the large-star/small-star optimization
+# (Kiveris et al.) — the round structure and convergence test stay as
+# written. The oracle computes the identical fixpoint as a recursive-CTE
+# transitive closure (exact, engine-independent).
+_CC_MAX_ITERS = 20
+
+
+def label_propagate_min(sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Min-label connected components over a symmetric edge list
+    ``(src, dst)``; returns ``(doc_id, cluster_id)``. Library entry point —
+    any near-dup pair set (minhash, simhash, embedding) can be clustered."""
+    # Seed = round 1 for free: label(v) = min(v, min(neighbors)) directly
+    # from the edge list (one aggregate, no join) — duplicate clusters are
+    # overwhelmingly stars/cliques, which converge immediately from this.
+    labels = (
+        sym.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # Convergence flag computed in the same pass (one action per round,
+        # against the just-checkpointed partitions — not a second join).
+        new_labels = (
+            labels.join(msgs, labels.doc_id == msgs.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("new_cluster_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                 < F.col("cluster_id")).alias("__chg"),
+            )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("__chg").count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE},
+    {_JACCARD_PAIRS_ORACLE},
+    edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+    reach(src, node) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node),
+    labels AS (
+      SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        _jaccard_pairs(_shingles_spark(spark, sf_dir))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = label_propagate_min(sym)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
