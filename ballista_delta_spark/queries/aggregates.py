@@ -387,3 +387,79 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
+
+
+# --- A15 agg_pivot: PIVOT — rows-to-columns reshaping (df.groupBy().pivot()
+# in Spark; the oracle expands to the equivalent conditional aggregation,
+# which is also exactly what Catalyst rewrites PIVOT into — one hash
+# aggregate, no extra shuffle vs a plain groupBy). Explicit value list
+# (O/F/P): an unlisted-values pivot needs a driver-side distinct pass,
+# which is why production pivots always pin the columns.
+@_q(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                        THEN o_totalprice END), 0), 2)
+                AS DOUBLE) AS status_o,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                        THEN o_totalprice END), 0), 2)
+                AS DOUBLE) AS status_f,
+           CAST(round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                        THEN o_totalprice END), 0), 2)
+                AS DOUBLE) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.round(F.coalesce(F.col(s), F.lit(0.0)), 2)
+            .cast("double")
+            .alias(f"status_{s.lower()}")
+            for s in ("O", "F", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+# --- A16 agg_unpivot: UNPIVOT/melt — columns-to-rows (df.unpivot in Spark;
+# oracle = UNION ALL of one projection per measure). Narrow-scan note: both
+# forms read each source column once; unpivot multiplies ROWS (k measures
+# -> k rows), never re-reads.
+@_q(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS measure,
+             l_extendedprice AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem) t
+    WHERE l_orderkey < 100
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.col("value").cast("double").alias("value"),
+    )
