@@ -34,7 +34,8 @@ _RATES = {"en": 25, "zh": 80, "es": 80, "de": 80, "fr": 80}
 _DEFAULT_RATE = 50
 
 
-def _rate_case(dialect: str) -> str:
+def _rate_case() -> str:
+    # Identical SQL in both dialects (plain CASE).
     whens = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in _RATES.items())
     return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
 
@@ -46,7 +47,7 @@ def _rate_case(dialect: str) -> str:
     SELECT lang, count(*) AS n_sampled,
            CAST(sum(n_chars) AS BIGINT) AS chars_sampled
     FROM documents
-    WHERE {_HASH_DUCK} < {_rate_case("duckdb")}
+    WHERE {_HASH_DUCK} < {_rate_case()}
     GROUP BY lang ORDER BY lang
     """,
 )
@@ -54,7 +55,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language keep-rate sampling as one hash-filtered scan."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.filter(F.expr(f"{_HASH_SPARK} < {_rate_case('spark')}"))
+        d.filter(F.expr(f"{_HASH_SPARK} < {_rate_case()}"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
