@@ -591,6 +591,18 @@ def label_propagate_min(sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataF
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # Exhausted max_iters with the last round still changing labels:
+        # component diameter > max_iters, so long-chain clusters would be
+        # silently SPLIT (diverging from the exact transitive closure).
+        # Raise rather than return wrong clusters; callers with genuinely
+        # deep graphs pass a larger max_iters (or switch to the
+        # large-star/small-star variant noted above).
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iters — raise max_iters"
+        )
     return labels
 
 

@@ -84,6 +84,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _await_completion(q, name: str, timeout: int = 300) -> None:
+    """Block until the query terminates; raise instead of letting a timed-out
+    or failed query hand back a silently-partial memory sink (which would
+    surface only as an unexplained oracle hash mismatch)."""
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        exc = q.exception()
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not terminate within {timeout}s"
+            + (f" (query exception: {exc})" if exc else "")
+        )
+    exc = q.exception()
+    if exc is not None:
+        # Terminated BY an error: the memory sink holds partial rows.
+        raise exc
+
+
 def _run_stream(df: DataFrame, output_mode: str) -> DataFrame:
     """Run the streaming frame to completion (AvailableNow) into a memory
     sink and return the sink table."""
@@ -95,7 +113,7 @@ def _run_stream(df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_completion(q, name)
     return df.sparkSession.table(name)
 
 

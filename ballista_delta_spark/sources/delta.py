@@ -264,17 +264,20 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     tombstones[act["remove"]["path"]] = act["remove"]
                 elif "protocol" in act:
                     pr = act["protocol"]
-                    if pr.get("minReaderVersion", 1) > 2:
-                        raise ValueError(
-                            f"unsupported Delta reader protocol {pr} (supported: ≤2)"
-                        )
-                    unsupported = set(pr.get("readerFeatures") or ()) - {
-                        "timestampNtz", "v2Checkpoint"
-                    }
-                    if pr.get("minReaderVersion", 1) >= 3 or unsupported:
-                        raise ValueError(
-                            f"unsupported Delta readerFeatures {sorted(unsupported)}"
-                        )
+                    mrv = pr.get("minReaderVersion", 1)
+                    if mrv >= 3:
+                        # Protocol v3: table is readable iff every advertised
+                        # readerFeature is one we implement (Delta PROTOCOL.md
+                        # "Reader Requirements"); the version number itself is
+                        # not a gate.
+                        unsupported = set(pr.get("readerFeatures") or ()) - {
+                            "timestampNtz", "v2Checkpoint"
+                        }
+                        if unsupported:
+                            raise ValueError(
+                                "unsupported Delta readerFeatures "
+                                f"{sorted(unsupported)}"
+                            )
         last_seen = v
         v += 1
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import time
 import uuid
 from typing import Any
@@ -73,17 +74,33 @@ def _retrying(once, retries: int):
 
 
 def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
-    """Snapshot scan with a per-row relative-file-path column attached."""
-    base = _strip_file_scheme(dt.path).rstrip("/")
-    return dt.to_df(spark).withColumn(
-        _FILE_COL,
-        # input_file_name() is URI-form (file:/... or file:///...); strip the
-        # scheme + base dir to recover the add-action's relative path.
-        F.expr(
-            "substring(regexp_replace(input_file_name(), '^file:(//)?', ''),"
-            f" {len(base) + 2})"
-        ),
+    """Snapshot scan with a per-row relative-file-path column attached.
+
+    input_file_name() is URI-form (file:/... or file:///...) with
+    percent-encoded specials, and reports the path as Spark resolved it —
+    which may be the absolute or the symlink-resolved form of ``dt.path``.
+    Try both prefixes; anything else raises rather than silently producing a
+    key that misses the add-action map (which would make DML a 0-row no-op).
+    """
+    stripped = _strip_file_scheme(dt.path).rstrip("/")
+    bases = {os.path.abspath(stripped), os.path.realpath(stripped)}
+    decoded = F.url_decode(
+        # Protect literal '+' first: url_decode is form-decoding ('+' ->
+        # space); we want pure percent-decoding of the URI path.
+        F.replace(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            F.lit("+"), F.lit("%2B"),
+        )
     )
+    rel = F.raise_error(
+        F.concat(F.lit(f"scanned file outside Delta root {stripped}: "), decoded)
+    )
+    for b in sorted(bases, key=len):
+        rel = F.when(
+            decoded.startswith(F.lit(b.rstrip("/") + "/")),
+            F.substr(decoded, F.lit(len(b.rstrip("/")) + 2)),
+        ).otherwise(rel)
+    return dt.to_df(spark).withColumn(_FILE_COL, rel)
 
 
 def _subset_df(spark: SparkSession, dt: DeltaTable, rels: list[str]) -> DataFrame:
@@ -345,7 +362,13 @@ def _merge_once(
                 f"not_matched_insert=True but source lacks {sorted(missing)}"
             )
 
-    affected = [
+    # Insert-only MERGE (no matched clauses) never touches existing rows:
+    # skip the affected-file scan AND the rewrite — matched target rows are
+    # left in place (so no spurious dataChange add/remove actions for CDC
+    # readers to misread), and duplicate source matches are NOT ambiguous
+    # (delta-spark semantics: ambiguity only applies to update/delete).
+    insert_only = not matched_update and not matched_delete
+    affected = [] if insert_only else [
         r[_FILE_COL]
         for r in (
             _attributed(spark, dt)

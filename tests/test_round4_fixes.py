@@ -1,0 +1,193 @@
+"""Round-4 defect fixes (VERDICT r3 "What's wrong" #1-#5).
+
+Each test pins a previously-wrong behavior path:
+1. Delta protocol v3 with supported readerFeatures must be READABLE.
+2. Insert-only MERGE must not scan/rewrite matched files nor raise ambiguity.
+3. Streaming run must raise on timeout / failed query, not return partials.
+4. DML file attribution must survive symlinked roots + percent-encoded paths.
+5. Label propagation must raise on non-convergence, not split clusters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballista_delta_spark.sources.delta import read_delta, write_delta
+from ballista_delta_spark.sources.delta_dml import delete_delta, merge_delta
+
+
+def _rewrite_protocol(tbl: str, protocol: dict) -> None:
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        actions = [json.loads(line) for line in fh]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = protocol
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+
+class TestReaderProtocolV3:
+    def test_v3_with_supported_features_is_readable(self, spark, sf_dir, tmp_path):
+        tbl = str(tmp_path / "t")
+        write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), tbl)
+        n = read_delta(spark, tbl).count()
+        _rewrite_protocol(tbl, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "v2Checkpoint"],
+            "writerFeatures": ["timestampNtz"],
+        })
+        assert read_delta(spark, tbl).count() == n
+
+    def test_v3_with_empty_features_is_readable(self, spark, sf_dir, tmp_path):
+        tbl = str(tmp_path / "t")
+        write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), tbl)
+        _rewrite_protocol(tbl, {"minReaderVersion": 3, "minWriterVersion": 7,
+                                "readerFeatures": []})
+        assert read_delta(spark, tbl).count() == 25
+
+    def test_v3_with_unsupported_feature_raises(self, spark, sf_dir, tmp_path):
+        tbl = str(tmp_path / "t")
+        write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), tbl)
+        _rewrite_protocol(tbl, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "timestampNtz"],
+        })
+        with pytest.raises(ValueError, match="deletionVectors"):
+            read_delta(spark, tbl)
+
+
+class TestInsertOnlyMerge:
+    @pytest.fixture()
+    def tbl(self, spark, sf_dir, tmp_path):
+        p = str(tmp_path / "nation_m")
+        write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), p)
+        return p
+
+    def test_no_rewrite_and_no_spurious_data_change(self, spark, tbl):
+        src = spark.createDataFrame(
+            [(3, "X", 1, "dup-of-existing"), (99, "NEWLAND", 1, "fresh")],
+            "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+        )
+        m = merge_delta(spark, tbl, src, "t.n_nationkey = s.n_nationkey")
+        assert m["numTargetRowsInserted"] == 1
+        assert m["numTargetRowsUpdated"] == 0
+        # The matched file is left in place: no removes, one insert add.
+        assert m["numRemovedFiles"] == 0
+        assert m["numAddedFiles"] == 1
+        back = read_delta(spark, tbl)
+        assert back.count() == 26
+        # Matched row untouched (not replaced by the source version).
+        assert back.filter("n_nationkey = 3").first()["n_name"] != "X"
+        # Commit log carries no remove actions (CDC readers see pure insert).
+        log1 = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+        with open(log1) as fh:
+            kinds = [next(iter(json.loads(ln))) for ln in fh if ln.strip()]
+        assert "remove" not in kinds
+
+    def test_duplicate_source_matches_are_not_ambiguous(self, spark, tbl):
+        # Two source rows match target nationkey=3: an update/delete merge
+        # must raise, but an insert-only merge just skips both (delta-spark
+        # whenNotMatchedInsert semantics).
+        src = spark.createDataFrame(
+            [(3, "A", 1, "c1"), (3, "B", 1, "c2"), (77, "NEW", 2, "c3")],
+            "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+        )
+        m = merge_delta(spark, tbl, src, "t.n_nationkey = s.n_nationkey")
+        assert m["numTargetRowsInserted"] == 1
+        assert read_delta(spark, tbl).count() == 26
+        # Same source WITH an update clause still raises.
+        with pytest.raises(ValueError, match="ambiguous"):
+            merge_delta(
+                spark, tbl, src, "t.n_nationkey = s.n_nationkey",
+                matched_update={"n_name": "s.n_name"},
+            )
+
+
+class TestStreamingAwait:
+    class _FakeQuery:
+        def __init__(self, finished: bool, exc: Exception | None = None):
+            self._finished, self._exc, self.stopped = finished, exc, False
+
+        def awaitTermination(self, timeout):
+            return self._finished
+
+        def exception(self):
+            return self._exc
+
+        def stop(self):
+            self.stopped = True
+
+    def test_timeout_raises_and_stops(self):
+        from ballista_delta_spark.queries.streaming_q import _await_completion
+
+        q = self._FakeQuery(finished=False)
+        with pytest.raises(TimeoutError, match="did not terminate"):
+            _await_completion(q, "q1", timeout=1)
+        assert q.stopped
+
+    def test_failed_query_raises_its_exception(self):
+        from ballista_delta_spark.queries.streaming_q import _await_completion
+
+        boom = RuntimeError("stream boom")
+        q = self._FakeQuery(finished=True, exc=boom)
+        with pytest.raises(RuntimeError, match="stream boom"):
+            _await_completion(q, "q2", timeout=1)
+
+    def test_clean_finish_is_silent(self):
+        from ballista_delta_spark.queries.streaming_q import _await_completion
+
+        _await_completion(self._FakeQuery(finished=True), "q3", timeout=1)
+
+
+class TestDmlPathAttribution:
+    def test_delete_in_dir_with_spaces(self, spark, tmp_path):
+        # input_file_name() percent-encodes the space; the old fixed-length
+        # slice produced keys missing the add-action map -> KeyError/no-op.
+        tbl = str(tmp_path / "my data" / "t")
+        write_delta(
+            spark.createDataFrame([(i, i % 3) for i in range(30)], "id int, k int"),
+            tbl,
+        )
+        m = delete_delta(spark, tbl, "k = 1")
+        assert m["numDeletedRows"] == 10
+        assert read_delta(spark, tbl).count() == 20
+
+    def test_delete_through_symlinked_root(self, spark, tmp_path):
+        real = tmp_path / "real_tbl"
+        write_delta(
+            spark.createDataFrame([(i, i % 2) for i in range(20)], "id int, k int"),
+            str(real),
+        )
+        link = tmp_path / "link_tbl"
+        os.symlink(real, link)
+        m = delete_delta(spark, str(link), "k = 0")
+        assert m["numDeletedRows"] == 10
+        assert read_delta(spark, str(link)).count() == 10
+
+
+class TestLabelPropagationConvergence:
+    def _chain(self, spark, n):
+        edges = [(i, i + 1) for i in range(1, n)]
+        sym = spark.createDataFrame(
+            edges + [(b, a) for a, b in edges], "src bigint, dst bigint"
+        )
+        return sym
+
+    def test_non_convergence_raises(self, spark):
+        from ballista_delta_spark.queries.dedup import label_propagate_min
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            label_propagate_min(self._chain(spark, 12), max_iters=2)
+
+    def test_chain_converges_to_single_cluster(self, spark):
+        from ballista_delta_spark.queries.dedup import label_propagate_min
+
+        labels = label_propagate_min(self._chain(spark, 12), max_iters=20)
+        rows = labels.collect()
+        assert len(rows) == 12
+        assert {r["cluster_id"] for r in rows} == {1}
