@@ -9,7 +9,11 @@ Two tiers, as a 100 TB pipeline would deploy them:
   the plan is a single map-side pass over the corpus (no shuffle for the
   join; one shuffle for the per-query top-k window). Brute force over N
   corpus rows is the right plan when |queries| is small: it reads the
-  corpus once, which is the floor for exact search.
+  corpus once, which is the floor for exact search. Bench note (r4
+  bisect, see BASELINE.md): at the 2000-row fixture this query is
+  PLANNING-bound, not data-bound — ~0.9 s of each fresh run is py4j tree
+  build + Catalyst optimization of the 64-term unrolled dots; execution
+  is 0.18 s. That fixed cost amortizes to zero at real scale.
 - ``sim_lsh_bucketed``: the approximate scale path — random-hyperplane
   sign-LSH. Every vector gets a bucket id from the sign pattern of 4
   deterministic hyperplanes; candidates are corpus vectors sharing the
