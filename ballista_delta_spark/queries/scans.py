@@ -226,9 +226,9 @@ def scan_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
     import http.server
-    import shutil
     import threading
-    import urllib.request
+
+    from ..sources.registry import register_http_parquet
 
     handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=sf_dir)
     httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
@@ -237,10 +237,7 @@ def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.start()
     try:
         url = f"http://127.0.0.1:{port}/region.parquet"
-        local = os.path.join(_tmp("s7"), "region.parquet")
-        with urllib.request.urlopen(url) as resp, open(local, "wb") as fh:
-            shutil.copyfileobj(resp, fh)
-        register_parquet(spark, "region_http", local)
+        register_http_parquet(spark, "region_http", url)
         return spark.sql("SELECT r_regionkey, r_name FROM region_http")
     finally:
         httpd.shutdown()

@@ -241,15 +241,28 @@ _IVF_K = 8
 _IVF_NPROBE = 2
 
 
-# Centroid state per sf_dir — collected once per session, like a loaded
-# IVF index. Re-collecting per query run would re-scan the corpus twice
-# (centroids + queries) before any real work.
-_IVF_CACHE: dict[str, list[list[float]]] = {}
-_IVF_PROBE_CACHE: dict[str, list] = {}
+# Centroid state per (sf_dir, table mtime+size) — collected once per
+# session, like a loaded IVF index. Re-collecting per query run would
+# re-scan the corpus twice (centroids + queries) before any real work.
+# The mtime/size in the key makes a rewritten embeddings table invalidate
+# the cached index instead of silently serving stale centroids.
+_IVF_CACHE: dict[tuple, list[list[float]]] = {}
+_IVF_PROBE_CACHE: dict[tuple, list] = {}
+
+
+def _ivf_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, None, None)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    cached = _IVF_CACHE.get(sf_dir)
+    cached = _IVF_CACHE.get(_ivf_cache_key(sf_dir))
     if cached is not None:
         return cached
     rows = (
@@ -259,7 +272,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         .collect()
     )
     cents = [r.emb for r in sorted(rows, key=lambda r: r.vec_id)]
-    _IVF_CACHE[sf_dir] = cents
+    _IVF_CACHE[_ivf_cache_key(sf_dir)] = cents
     return cents
 
 
@@ -368,7 +381,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE fold as the SQL chains, so ranks match the oracle bit-for-bit.
     import math
 
-    probe_rows = _IVF_PROBE_CACHE.get(sf_dir)
+    probe_rows = _IVF_PROBE_CACHE.get(_ivf_cache_key(sf_dir))
     if probe_rows is None:
         qrows = (
             e.filter(F.col("vec_id") < _N_QUERIES)
@@ -385,7 +398,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dots.sort(key=lambda t: (-t[0], t[1]))
             for _dot, cid in dots[:_IVF_NPROBE]:
                 probe_rows.append((r.vec_id, r.emb, r.nrm, cid))
-        _IVF_PROBE_CACHE[sf_dir] = probe_rows
+        _IVF_PROBE_CACHE[_ivf_cache_key(sf_dir)] = probe_rows
     probes = spark.createDataFrame(
         probe_rows,
         "query_id bigint, qemb array<double>, qnrm double, probe_cell bigint",

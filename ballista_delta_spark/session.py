@@ -32,8 +32,15 @@ _DELTA_DDL = re.compile(
     re.IGNORECASE,
 )
 
+# INSERT INTO <name> [(col, ...)] <SELECT ...|VALUES ...|WITH ...|TABLE t>
+# Name may be backquoted and/or qualified (catalog.db.table) — real users
+# write `INSERT INTO t VALUES (...)` constantly; the reference's factory
+# surface is shape-agnostic (src/lib.rs:140-174), so ours must be too.
 _DELTA_INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+(?P<select>SELECT\b.*)$",
+    r"^\s*INSERT\s+INTO\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -123,15 +130,78 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.sql(f"SELECT '{name}' AS registered_table")
 
     m = _DELTA_INSERT.match(statement)
-    if m and m.group("name") in _delta_views:
-        from .sources.delta import read_delta, write_delta
-
-        name = m.group("name")
-        loc = _delta_views[name]
-        rows = spark.sql(m.group("select"))
-        version = write_delta(rows, loc, mode="append")
-        # Refresh the view to the new snapshot (the reference errors here:
-        # "Can't encode non-delta tables", tests/local.rs:100-103 — we commit).
-        read_delta(spark, loc).createOrReplaceTempView(name)
-        return spark.sql(f"SELECT CAST({version} AS BIGINT) AS committed_version")
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            return _delta_insert(spark, name, m.group("cols"), m.group("body"))
     return spark.sql(statement)
+
+
+def _resolve_view(raw: str) -> str | None:
+    """Map the statement's table name to a registered Delta view: exact match
+    first, then the last dotted component (``db.t`` / `` `t` `` -> ``t``)."""
+    name = raw.strip().strip("`")
+    if name in _delta_views:
+        return name
+    tail = name.split(".")[-1]
+    return tail if tail in _delta_views else None
+
+
+def _delta_insert(
+    spark: SparkSession, name: str, cols: str | None, body: str
+) -> DataFrame:
+    """Append ``body``'s rows to the Delta table behind view ``name``.
+
+    - No column list: body must produce exactly the table's column count;
+      aligned positionally (names from the body are ignored), cast to the
+      declared types — Spark/delta-spark INSERT INTO semantics.
+    - Column list: body must produce exactly ``len(cols)`` columns; listed
+      columns map positionally, unlisted columns are filled with NULL.
+    """
+    from pyspark.sql import functions as F
+
+    from .sources.delta import read_delta, write_delta
+
+    loc = _delta_views[name]
+    # Spark SQL accepts top-level VALUES as an inline-table query, so every
+    # body shape (SELECT / VALUES / WITH / TABLE) runs as-is.
+    rows = spark.sql(body.strip())
+    fields = read_delta(spark, loc).schema.fields
+    if cols is not None:
+        listed = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+        by_lower = {f.name.lower(): f for f in fields}
+        unknown = [c for c in listed if c.lower() not in by_lower]
+        if unknown:
+            raise ValueError(
+                f"INSERT column(s) {unknown} not in table {name} "
+                f"({[f.name for f in fields]})"
+            )
+        if len(rows.columns) != len(listed):
+            raise ValueError(
+                f"INSERT INTO {name} ({len(listed)} columns) but the query "
+                f"produced {len(rows.columns)} columns"
+            )
+        src = {
+            by_lower[c.lower()].name: rows[rows.columns[i]]
+            for i, c in enumerate(listed)
+        }
+        out = rows.select(*[
+            (src[f.name] if f.name in src else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in fields
+        ])
+    else:
+        if len(rows.columns) != len(fields):
+            raise ValueError(
+                f"INSERT INTO {name}: table has {len(fields)} columns but the "
+                f"query produced {len(rows.columns)}"
+            )
+        out = rows.select(*[
+            rows[rows.columns[i]].cast(f.dataType).alias(f.name)
+            for i, f in enumerate(fields)
+        ])
+    version = write_delta(out, loc, mode="append")
+    # Refresh the view to the new snapshot (the reference errors here:
+    # "Can't encode non-delta tables", tests/local.rs:100-103 — we commit).
+    read_delta(spark, loc).createOrReplaceTempView(name)
+    return spark.sql(f"SELECT CAST({version} AS BIGINT) AS committed_version")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .delta import read_delta
 
 
-def resolve_url(url: str) -> str:
+def resolve_url(url: str, s3_probe=None) -> str:
     """Map the reference's URL schemes (src/object_store.rs:31-98) to the
     path Spark should scan.
 
@@ -51,10 +51,46 @@ def resolve_url(url: str) -> str:
         if host.startswith("file-"):
             return _decode_mangled_path(host[len("file-"):])
         if host.startswith("s3-"):
-            # No filesystem to probe against; S3 paths keep the naive
-            # decode (documented limitation shared with the reference).
-            return "s3a://" + host[len("s3-"):].replace("-", "/")
+            # Same candidate walk as the file- decoder, but the existence
+            # check is a caller-supplied ``s3_probe(prefix) -> bool``
+            # (production: ListObjectsV2 with the candidate as key prefix —
+            # prefix listing naturally matches mid-growth components).
+            # Without a probe we keep the naive every-hyphen-is-a-separator
+            # decode — exactly the reference's behavior
+            # (src/object_store.rs:54-60 ``.replace("-", "/")``).
+            return "s3a://" + _decode_mangled_s3(host[len("s3-"):], s3_probe)
     raise ValueError(f"unsupported object-store URL: {url}")
+
+
+def _decode_mangled_s3(tail: str, probe=None) -> str:
+    """Best-effort inverse of delta-rs's hyphen mangling for s3 paths.
+
+    The encoding is lossy (bucket and key hyphens become separators), so a
+    hyphenated bucket/key mis-resolves under the naive decode. With a
+    ``probe(candidate) -> bool`` (candidate = ``bucket[/key...]``, treated
+    as a prefix) the walk keeps every decoding the store says is plausible,
+    preferring one holding a ``_delta_log``; with no probe, naive decode.
+    """
+    segs = tail.split("-")
+    if probe is None or len(segs) == 1:
+        return tail.replace("-", "/")
+    candidates = {segs[0]}
+    for seg in segs[1:]:
+        nxt = set()
+        for cand in candidates:
+            nxt.add(cand + "/" + seg)  # '-' was a separator
+            nxt.add(cand + "-" + seg)  # '-' was literal
+        keep = {c for c in nxt if probe(c)}
+        # Prune to plausible prefixes to stay linear; if the store rejects
+        # everything, carry only the naive form so the fallback materializes.
+        candidates = keep or {min(nxt, key=lambda c: c.count("-"))}
+    with_log = [c for c in sorted(candidates) if probe(c + "/_delta_log")]
+    if with_log:
+        return with_log[0]
+    live = [c for c in sorted(candidates) if probe(c)]
+    if live:
+        return live[0]
+    return tail.replace("-", "/")
 
 
 def _decode_mangled_path(tail: str) -> str:
@@ -119,6 +155,73 @@ def configure_s3(
     if secret_key:
         conf.set("fs.s3a.secret.key", secret_key)
     conf.set("fs.s3a.path.style.access", "true" if path_style else "false")
+
+
+# HTTP(S) localization guard. The reference's HTTP object store streams any
+# table distributed (src/object_store.rs:36-41); Spark has no stock http
+# Hadoop FS, so HTTP tables localize THROUGH THE DRIVER — fine for a config
+# file or a small dim table, a silent single-node bottleneck for anything
+# big. These caps turn that cliff into a hard, actionable error.
+_HTTP_MAX_FILES = 16
+_HTTP_MAX_BYTES = 256 * 1024 * 1024
+
+
+def register_http_parquet(
+    spark: SparkSession,
+    name: str,
+    urls: str | list[str],
+    max_files: int = _HTTP_MAX_FILES,
+    max_bytes: int = _HTTP_MAX_BYTES,
+) -> DataFrame:
+    """Register parquet served over HTTP(S) as a temp view.
+
+    Files are fetched by the driver into one local directory and scanned as
+    a normal (pruned, pushed-down) parquet read. Refuses more than
+    ``max_files`` files or ``max_bytes`` total bytes: above that, localizing
+    through one machine is the wrong plan — mirror the data to an object
+    store (s3a/abfs/gs) or mount an http-capable Hadoop FS instead.
+    """
+    import os
+    import tempfile
+    import urllib.request
+
+    url_list = [urls] if isinstance(urls, str) else list(urls)
+    if len(url_list) > max_files:
+        raise ValueError(
+            f"refusing to localize {len(url_list)} HTTP files through the "
+            f"driver (max {max_files}); mirror the table to an object store"
+        )
+    # Size pre-check via HEAD where the server reports it; the streaming
+    # loop below re-enforces the budget for servers that don't.
+    total = 0
+    for u in url_list:
+        try:
+            req = urllib.request.Request(u, method="HEAD")
+            with urllib.request.urlopen(req) as resp:
+                total += int(resp.headers.get("Content-Length") or 0)
+        except OSError:
+            pass
+    if total > max_bytes:
+        raise ValueError(
+            f"refusing to localize ~{total} HTTP bytes through the driver "
+            f"(max {max_bytes}); mirror the table to an object store"
+        )
+    d = tempfile.mkdtemp(prefix="bds-http-")
+    fetched = 0
+    for i, u in enumerate(url_list):
+        dst = os.path.join(d, f"part-{i:05d}.parquet")
+        with urllib.request.urlopen(u) as resp, open(dst, "wb") as fh:
+            while chunk := resp.read(1 << 20):
+                fetched += len(chunk)
+                if fetched > max_bytes:
+                    raise ValueError(
+                        f"HTTP localization exceeded {max_bytes} bytes at "
+                        f"{u}; mirror the table to an object store"
+                    )
+                fh.write(chunk)
+    df = spark.read.parquet(d)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def register_delta(spark: SparkSession, name: str, url: str, version: int | None = None) -> DataFrame:

@@ -143,6 +143,55 @@ def test_insert_into_delta_sql(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM people_ins").collect()[0].n == 7
 
 
+def test_insert_values_column_lists_and_qualified_names(spark, tmp_path):
+    """INSERT INTO shapes beyond bare-name SELECT (reference tests/local.rs:
+    62-106 exercises the factory with these shapes and asserts failure; we
+    assert each commits): VALUES lists, explicit column lists with NULL
+    fill, backquoted and qualified names."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [("Ann", "Lee", "China", "Asia")],
+            "first_name string, last_name string, country string, continent string",
+        ),
+        tbl, mode="overwrite",
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE people_v STORED AS DELTA LOCATION '{tbl}'")
+
+    # VALUES list, multiple rows.
+    out = sql(
+        spark,
+        "INSERT INTO people_v VALUES "
+        "('Bo', 'Chan', 'China', 'Asia'), ('Cy', 'Diaz', 'Peru', 'South America')",
+    )
+    assert out.collect()[0].committed_version == 1
+    assert spark.sql("SELECT count(*) n FROM people_v").collect()[0].n == 3
+
+    # Column list: unlisted columns fill with NULL; order is the list's.
+    sql(
+        spark,
+        "INSERT INTO people_v (last_name, first_name) VALUES ('Er', 'Dana')",
+    )
+    row = spark.sql(
+        "SELECT * FROM people_v WHERE first_name = 'Dana'"
+    ).collect()[0]
+    assert row.last_name == "Er" and row.country is None and row.continent is None
+
+    # Backquoted + qualified names resolve to the registered view.
+    sql(spark, "INSERT INTO `people_v` VALUES ('Fay', 'Gu', 'Kenya', 'Africa')")
+    sql(spark, "INSERT INTO spark_catalog.default.people_v "
+               "SELECT 'Hal', 'Ito', 'Japan', 'Asia'")
+    assert spark.sql("SELECT count(*) n FROM people_v").collect()[0].n == 6
+
+    # Arity mismatch raises, committing nothing.
+    with pytest.raises(ValueError, match="columns"):
+        sql(spark, "INSERT INTO people_v VALUES ('only', 'three', 'cols')")
+    # Unknown column in the list raises.
+    with pytest.raises(ValueError, match="not in table"):
+        sql(spark, "INSERT INTO people_v (nope) VALUES ('x')")
+    assert spark.sql("SELECT count(*) n FROM people_v").collect()[0].n == 6
+
+
 def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
     """Re-create the reference fixture with our writer and golden-check it
     (mirror of reference tests/local.rs:31-41)."""

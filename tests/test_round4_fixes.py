@@ -170,6 +170,38 @@ class TestDmlPathAttribution:
         assert read_delta(spark, str(link)).count() == 10
 
 
+class TestIvfCacheStaleness:
+    def test_rewritten_embeddings_refresh_centroids(self, spark, sf_dir, tmp_path):
+        """The IVF centroid cache is keyed on the table's mtime/size, so
+        rewriting embeddings.parquet must yield fresh centroids, not the
+        cached index of the old data."""
+        import os
+        import shutil
+        import time
+
+        from ballista_delta_spark.queries.similarity import _ivf_centroids
+
+        d = str(tmp_path / "sf")
+        os.makedirs(d)
+        shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), d)
+        first = _ivf_centroids(spark, d)
+
+        # Rewrite with shifted vectors (vec_id < K picks the centroids).
+        df = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        from pyspark.sql import functions as F
+
+        shifted = df.withColumn(
+            "embedding", F.transform("embedding", lambda x: x + F.lit(1.0))
+        )
+        pdf = shifted.toPandas()
+        time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
+        pdf.to_parquet(os.path.join(d, "embeddings.parquet"))
+
+        second = _ivf_centroids(spark, d)
+        assert first != second
+        assert abs(second[0][0] - (first[0][0] + 1.0)) < 1e-6
+
+
 class TestLabelPropagationConvergence:
     def _chain(self, spark, n):
         edges = [(i, i + 1) for i in range(1, n)]
