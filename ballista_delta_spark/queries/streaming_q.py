@@ -102,19 +102,38 @@ def _await_completion(q, name: str, timeout: int = 300) -> None:
         raise exc
 
 
+# Streaming state partitions: the state-store partition count is captured
+# at the first checkpoint and should be sized to KEY CARDINALITY and
+# throughput, not inherited from the batch shuffle width — every state
+# partition costs a store instance plus (for applyInPandasWithState) a
+# Python worker per microbatch. 8 fits the 150-user fixture with headroom;
+# a production deployment sets this per-stream to its own key scale.
+_STREAM_STATE_PARTITIONS = 8
+
+
 def _run_stream(df: DataFrame, output_mode: str) -> DataFrame:
     """Run the streaming frame to completion (AvailableNow) into a memory
     sink and return the sink table."""
     name = f"bds_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
     )
-    _await_completion(q, name)
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_completion(q, name)
+    finally:
+        # The stream captured the width at start(); batch queries get the
+        # session's original value back.
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
 
 
 # ----------------------------------------------------- stream_tumbling_agg
