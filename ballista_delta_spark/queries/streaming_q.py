@@ -290,3 +290,82 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_stream(out, "update")
+
+
+# --------------------------------------------------------- stream_dedup
+# Streaming deduplication — the ingest-side half of the dedup pipeline
+# (queries/dedup.py is the batch half): drop repeat (user_id, event_type)
+# observations as they arrive. State = one entry per distinct key in the
+# state store; production bounds it with dropDuplicatesWithinWatermark
+# (same call + a watermark), which evicts keys once the watermark passes —
+# unbounded-history dedup at 100 TB needs the batch MinHash path instead.
+# Projecting to the dedup keys FIRST keeps the result deterministic (any
+# kept occurrence is identical), which is what makes the oracle exact.
+@_q(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    return _run_stream(ev.dropDuplicates(["user_id", "event_type"]), "append")
+
+
+# --------------------------------------------------- stream_stream_join
+# Stream-stream interval join — view→click attribution: for each view,
+# clicks by the same user within the next 30 minutes. Both sides are
+# watermarked and the join predicate carries the event-time bound, which is
+# what lets Spark EVICT buffered view-side state once the click-side
+# watermark passes ts + 30min — the state-bounding contract that makes
+# stream-stream joins viable at scale (an unbounded-time join would buffer
+# both streams forever). Inner joins emit exactly the matched pairs, so the
+# finite backfill is oracle-exact as a batch self-join.
+@_q(
+    "stream_stream_join",
+    """
+    SELECT a.user_id AS user_id,
+           a.event_id AS view_id,
+           b.event_id AS click_id,
+           a.ts AS view_ts,
+           b.ts AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND "
+            "click_ts >= view_ts AND "
+            "click_ts <= view_ts + interval 30 minutes"
+        ),
+    )
+    out = _run_stream(joined, "append")
+    return out.select(
+        F.col("v_user").alias("user_id"),
+        "view_id", "click_id", "view_ts", "click_ts",
+    )
