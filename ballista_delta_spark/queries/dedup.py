@@ -44,7 +44,9 @@ _SHINGLE_DF_CAP = 100  # drop shingles present in more docs than this
 
 
 # ---------------------------------------------------------------- helpers
-def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_spark(
+    spark: SparkSession, sf_dir: str, repartition: int | None = None
+) -> DataFrame:
     """(doc_id, shingle): distinct 3-token shingles per document, as
     md5-derived BIGINT hashes.
 
@@ -57,6 +59,8 @@ def _shingles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     with <3 tokens are excluded (no shingle exists).
     """
     d = load(spark, sf_dir, "documents")
+    if repartition:
+        d = d.repartition(repartition)
     return (
         d.withColumn("toks", F.split("text", r"\s+"))
         .filter(F.size("toks") >= 3)
@@ -282,16 +286,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shingling is CPU-bound (an md5 per 3-gram per doc) and a small corpus
+    # arrives as ONE input partition (single parquet file under
+    # maxPartitionBytes), serializing the pass on one core (measured 1.1 s
+    # single-task at sf0.1). Spread it to cluster width — safe HERE because
+    # the checkpoint below guarantees the spread pass runs exactly once
+    # (in _jaccard_pairs-style multi-branch plans the same repartition is
+    # re-evaluated per branch and measured 10x slower). Guarded so an
+    # already-well-partitioned 100 TB corpus keeps its layout.
+    par = spark.sparkContext.defaultParallelism
     sh = _shingles_spark(spark, sf_dir)
+    if sh.rdd.getNumPartitions() < par:
+        sh = _shingles_spark(spark, sf_dir, repartition=par)
     # Signatures as a plain 16-way min AGGREGATE over the exploded hashed
     # index: min_k = min((2k+1)*h + 1299721k mod P) per doc. This stays
     # entirely inside whole-stage codegen and shuffles only partial-min
     # states (16 longs + a count per doc per partition). The earlier
     # higher-order-function form (array_min×16 over a let-bound array) was
     # interpreted expression evaluation — measured ~9s of the query at
-    # sf0.1 vs ~2s for this shape. The per-doc UNCAPPED size folds into
-    # the same aggregate (count(*)), eliminating a third md5 pass over
-    # the corpus. Same mh/bsig values — the oracle is unchanged.
+    # sf0.1 vs ~2s for this shape. Same mh/bsig values — oracle unchanged.
     mins = [
         F.min(
             (F.lit(2 * k + 1).cast("bigint") * F.col("shingle")
@@ -299,10 +312,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{k}")
         for k in range(_K)
     ]
-    per_doc = sh.groupBy("doc_id").agg(
-        *mins, F.count(F.lit(1)).alias("n_sh")
+    # ONE pass builds the whole per-doc signature table: 16 MinHash mins
+    # (over ALL shingles), the uncapped size, and the capped shingle array
+    # (hot shingles nulled by the window df-count, skipped by collect_list).
+    # localCheckpoint materializes it — the production shape is exactly
+    # this: the signature table is computed once (often persisted to
+    # storage) and then served to BOTH band-pair generation and verify.
+    # Without it Catalyst re-derives the table from the raw corpus for
+    # every join branch — the r3 plan ran the md5 shingling scan SIX times
+    # (6 parquet scans, 0 reused exchanges; measured 2.7 s executing at
+    # sf0.1 vs ~1.3 s with the checkpoint). Size: one ~1 KB row per doc —
+    # executor-local storage, spill-safe, O(docs) not O(index).
+    per_doc = (
+        sh.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            *mins,
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_list(
+                F.when(F.col("_df") <= _SHINGLE_DF_CAP, F.col("shingle"))
+            ).alias("csh"),
+        )
+        .localCheckpoint(eager=False)
     )
-    doc_sizes = per_doc.select("doc_id", "n_sh")
     bsigs = [
         sum(
             F.col(f"mh{4 * band + j}") * F.lit(_BANDS_W[j]).cast("bigint")
@@ -318,11 +352,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    # shuffle_hash pins a shuffled hash join: both sides then share ONE
-    # exchange (ReusedExchange), so the signature expression is evaluated
-    # once. AQE's broadcast conversion looks cheaper (20k rows) but
-    # re-evaluates the whole signature chain per join side — measured ~2x
-    # slower at sf0.1.
+    # shuffle_hash keeps the band join a shuffled hash join over the
+    # checkpointed table (AQE's broadcast conversion would be fine too now
+    # that the input is materialized, but the shuffled form scales).
     cand = (
         a.hint("shuffle_hash").join(b, ["band", "bsig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -331,8 +363,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Verify: join the (small) candidate set back to the signature table's
+    # capped arrays and intersect — no pair enumeration (the inverted-index
+    # self-join form measured 18.8 s at sf0.1 producing identical numbers).
+    # Numerator = |capped_a ∩ capped_b| (docs whose shingles are ALL hot
+    # have an empty array -> n_common 0 -> filtered, same as the oracle's
+    # no-shared-capped-shingle case); denominators use uncapped sizes.
+    sides = {
+        s: per_doc.select(
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.col("csh").alias(f"sh_{s}"),
+            F.col("n_sh").alias(f"n{s}"),
+        )
+        for s in ("a", "b")
+    }
     return (
-        _jaccard_verify(sh, doc_sizes, cand)
+        cand.join(sides["a"], "doc_a")
+        .join(sides["b"], "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(F.col("n_common") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )
