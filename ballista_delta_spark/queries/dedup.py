@@ -147,63 +147,6 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_verify(sh: DataFrame, doc_sizes: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for an (already small) candidate pair set.
-
-    Unlike :func:`_jaccard_pairs` (which enumerates every shared-shingle
-    pair — the right tool when the inverted index IS the candidate
-    generator, as in dedup_ngram_jaccard), this joins the candidates to
-    per-doc capped-shingle ARRAYS and intersects them. No pair
-    enumeration: at sf0.1 the inverted-index self-join took 18.8s inside
-    dedup_minhash_lsh while producing the same numbers this computes in
-    ~2s, and at real scale the difference is the job finishing or not.
-
-    ``doc_sizes`` must carry the UNCAPPED distinct-shingle count per doc
-    (doc_id, n_sh); the caller computes it in a narrow no-shuffle pass —
-    measured faster than riding it through the exploded index as a window
-    count, which shuffles the shingle strings twice. Numerator =
-    |capped_a ∩ capped_b| — identical to the oracle's count of shared
-    capped shingles; denominator matches the oracle's uncapped sizes.
-    """
-    capped_arr = (
-        _capped_shingles(sh)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("csh"))
-    )
-    sizes = doc_sizes
-    return (
-        cand.join(
-            capped_arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("csh").alias("sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            capped_arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("csh").alias("sh_b")
-            ),
-            "doc_b",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .filter(F.col("n_common") > 0)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-
 
 _JACCARD_PAIRS_ORACLE = f"""
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

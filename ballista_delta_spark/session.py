@@ -32,15 +32,31 @@ _DELTA_DDL = re.compile(
     re.IGNORECASE,
 )
 
-# INSERT INTO <name> [(col, ...)] <SELECT ...|VALUES ...|WITH ...|TABLE t>
+# INSERT INTO/OVERWRITE <name> [(col, ...)] <SELECT|VALUES|WITH|TABLE ...>
 # Name may be backquoted and/or qualified (catalog.db.table) — real users
 # write `INSERT INTO t VALUES (...)` constantly; the reference's factory
 # surface is shape-agnostic (src/lib.rs:140-174), so ours must be too.
 _DELTA_INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+"
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s*(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# DELETE FROM <name> [WHERE cond] — no WHERE deletes every row (SQL).
+_DELTA_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*(?:WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# UPDATE <name> SET col = expr[, ...] [WHERE cond]
+_DELTA_UPDATE = re.compile(
+    r"^\s*UPDATE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -133,7 +149,27 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name = _resolve_view(m.group("name"))
         if name is not None:
-            return _delta_insert(spark, name, m.group("cols"), m.group("body"))
+            return _delta_insert(
+                spark, name, m.group("cols"), m.group("body"),
+                overwrite=m.group("mode").upper() == "OVERWRITE",
+            )
+
+    m = _DELTA_DELETE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            return _delta_dml(
+                spark, name, "delete", cond=m.group("cond") or "true"
+            )
+
+    m = _DELTA_UPDATE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            return _delta_dml(
+                spark, name, "update",
+                cond=m.group("cond") or "true", sets=m.group("sets"),
+            )
     return spark.sql(statement)
 
 
@@ -148,15 +184,19 @@ def _resolve_view(raw: str) -> str | None:
 
 
 def _delta_insert(
-    spark: SparkSession, name: str, cols: str | None, body: str
+    spark: SparkSession, name: str, cols: str | None, body: str,
+    overwrite: bool = False,
 ) -> DataFrame:
-    """Append ``body``'s rows to the Delta table behind view ``name``.
+    """Append (or, for INSERT OVERWRITE, replace) rows of the Delta table
+    behind view ``name`` with ``body``'s result.
 
     - No column list: body must produce exactly the table's column count;
       aligned positionally (names from the body are ignored), cast to the
       declared types — Spark/delta-spark INSERT INTO semantics.
     - Column list: body must produce exactly ``len(cols)`` columns; listed
       columns map positionally, unlisted columns are filled with NULL.
+    - OVERWRITE replaces the full table contents in one commit (remove all
+      + add new — the delta-spark static-overwrite mode).
     """
     from pyspark.sql import functions as F
 
@@ -200,8 +240,63 @@ def _delta_insert(
             rows[rows.columns[i]].cast(f.dataType).alias(f.name)
             for i, f in enumerate(fields)
         ])
-    version = write_delta(out, loc, mode="append")
+    version = write_delta(out, loc, mode="overwrite" if overwrite else "append")
     # Refresh the view to the new snapshot (the reference errors here:
     # "Can't encode non-delta tables", tests/local.rs:100-103 — we commit).
     read_delta(spark, loc).createOrReplaceTempView(name)
     return spark.sql(f"SELECT CAST({version} AS BIGINT) AS committed_version")
+
+
+def _split_set_clauses(sets: str) -> dict[str, str]:
+    """Parse ``col = expr, col2 = expr2`` splitting only at top-level commas
+    (commas inside parens or string literals belong to the expression)."""
+    parts, depth, in_str, cur = [], 0, None, []
+    for ch in sets:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"malformed SET clause: {p.strip()!r}")
+        out[col.strip().strip("`")] = expr.strip()
+    return out
+
+
+def _delta_dml(
+    spark: SparkSession, name: str, op: str, cond: str, sets: str | None = None
+) -> DataFrame:
+    """Run DELETE/UPDATE SQL against the Delta table behind view ``name``
+    via the copy-on-write DML engine (sources/delta_dml), refresh the view,
+    and return the operation metrics as a one-row DataFrame. MERGE has no
+    SQL form here — use :func:`ballista_delta_spark.sources.delta_dml
+    .merge_delta` (its clause structure doesn't regex cleanly)."""
+    from pyspark.sql import Row
+
+    from .sources.delta import read_delta
+    from .sources import delta_dml
+
+    loc = _delta_views[name]
+    if op == "delete":
+        metrics = delta_dml.delete_delta(spark, loc, cond)
+    else:
+        metrics = delta_dml.update_delta(
+            spark, loc, cond, _split_set_clauses(sets or "")
+        )
+    read_delta(spark, loc).createOrReplaceTempView(name)
+    return spark.createDataFrame([Row(**metrics)])

@@ -192,6 +192,48 @@ def test_insert_values_column_lists_and_qualified_names(spark, tmp_path):
     assert spark.sql("SELECT count(*) n FROM people_v").collect()[0].n == 6
 
 
+def test_sql_delete_update_and_insert_overwrite(spark, tmp_path):
+    """DELETE FROM / UPDATE ... SET / INSERT OVERWRITE through the SQL
+    surface route to the copy-on-write DML engine and refresh the view."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)], "id int, k int, v double"
+        ),
+        tbl,
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE dmlv STORED AS DELTA LOCATION '{tbl}'")
+
+    out = sql(spark, "DELETE FROM dmlv WHERE k = 1").collect()[0]
+    assert out.numDeletedRows == 10
+    assert spark.sql("SELECT count(*) n FROM dmlv").collect()[0].n == 20
+
+    # SET expressions see the pre-update row; commas inside calls are kept.
+    out = sql(
+        spark,
+        "UPDATE dmlv SET v = round(v + 0.5, 1), k = k + 10 WHERE id < 6",
+    ).collect()[0]
+    assert out.numUpdatedRows == 4  # ids 0,2,3,5 survive (1,4 had k=1)
+    row = spark.sql("SELECT k, v FROM dmlv WHERE id = 0").collect()[0]
+    assert row.k == 10 and row.v == 0.5
+
+    # UPDATE without WHERE touches every row.
+    out = sql(spark, "UPDATE dmlv SET v = 0.0").collect()[0]
+    assert out.numUpdatedRows == 20
+    assert spark.sql("SELECT sum(v) s FROM dmlv").collect()[0].s == 0.0
+
+    # INSERT OVERWRITE replaces the contents in one commit.
+    sql(spark, "INSERT OVERWRITE dmlv VALUES (100, 1, 1.5), (101, 2, 2.5)")
+    assert spark.sql("SELECT count(*) n FROM dmlv").collect()[0].n == 2
+    # DELETE with no WHERE empties the table.
+    out = sql(spark, "DELETE FROM dmlv").collect()[0]
+    assert out.numDeletedRows == 2
+    assert spark.sql("SELECT count(*) n FROM dmlv").collect()[0].n == 0
+    # Unregistered tables fall through to Spark SQL untouched.
+    with pytest.raises(Exception):
+        sql(spark, "DELETE FROM not_a_delta_view WHERE 1=1")
+
+
 def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
     """Re-create the reference fixture with our writer and golden-check it
     (mirror of reference tests/local.rs:31-41)."""
