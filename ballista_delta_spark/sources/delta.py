@@ -74,10 +74,29 @@ class Snapshot:
     # required tombstones (readers of other engines replay them for VACUUM
     # bookkeeping and concurrent-reader correctness).
     tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # logical name -> physical parquet name (columnMapping.mode=name only;
+    # empty = identity).
+    column_mapping: dict[str, str] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
         return T.StructType([f for f in self.schema.fields if f.name not in self.partition_columns])
+
+    def physical(self, logical: str) -> str:
+        return self.column_mapping.get(logical, logical)
+
+    @property
+    def physical_schema(self) -> T.StructType:
+        """The schema as the parquet files spell it (identity when column
+        mapping is off)."""
+        return T.StructType([
+            T.StructField(self.physical(f.name), f.dataType, f.nullable)
+            for f in self.schema.fields
+        ])
+
+    @property
+    def physical_partition_columns(self) -> list[str]:
+        return [self.physical(c) for c in self.partition_columns]
 
 
 class DeltaTable:
@@ -108,33 +127,45 @@ class DeltaTable:
         snap = self.snapshot
         if not snap.files:
             return spark.createDataFrame([], snap.schema)
+        # Scans resolve the PHYSICAL schema (identical to the logical one
+        # unless columnMapping.mode=name), then alias back to logical names
+        # — column mapping never reaches the caller.
+        logical = [
+            F.col(snap.physical(f.name)).alias(f.name)
+            for f in snap.schema.fields
+        ]
         paths = [os.path.join(self.path, p) for p in snap.files]
         if snap.partition_columns and all(self._hive_pathed(p) for p in snap.files):
             df = (
                 spark.read.option("basePath", self.path)
-                .schema(snap.schema)
+                .schema(snap.physical_schema)
                 .parquet(*paths)
             )
-            return df.select(*[f.name for f in snap.schema.fields])
+            return df.select(*logical)
         if not snap.partition_columns:
-            return spark.read.schema(snap.schema).parquet(*paths).select(
-                *[f.name for f in snap.schema.fields]
+            return spark.read.schema(snap.physical_schema).parquet(*paths).select(
+                *logical
             )
         # Fallback for non-Hive file layouts (legal in the protocol): group
         # files by identical partitionValues and union per-group scans with
-        # the partition literals attached.
+        # the partition literals attached. partitionValues keys are PHYSICAL
+        # names per the spec.
         by_pv: dict[tuple, list[str]] = {}
         for rel, add in self.snapshot.files.items():
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
             by_pv.setdefault(key, []).append(os.path.join(self.path, rel))
         parts = []
-        ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        ptypes = {snap.physical(f.name): f.dataType for f in snap.schema.fields}
+        phys_data_schema = T.StructType([
+            T.StructField(snap.physical(f.name), f.dataType, f.nullable)
+            for f in snap.data_schema.fields
+        ])
         for key, group in sorted(by_pv.items()):
-            df = spark.read.schema(snap.data_schema).parquet(*group)
+            df = spark.read.schema(phys_data_schema).parquet(*group)
             for col, val in key:
                 lit = F.lit(None) if val is None else F.lit(val)
                 df = df.withColumn(col, lit.cast(ptypes[col]))
-            parts.append(df.select(*[f.name for f in snap.schema.fields]))
+            parts.append(df.select(*logical))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -143,7 +174,7 @@ class DeltaTable:
     def _hive_pathed(self, rel_path: str) -> bool:
         parts = rel_path.split("/")[:-1]
         cols = [seg.split("=", 1)[0] for seg in parts if "=" in seg]
-        return cols == self.snapshot.partition_columns
+        return cols == self.snapshot.physical_partition_columns
 
     def history(self) -> list[dict[str, Any]]:
         """commitInfo per version (DESCRIBE HISTORY analogue)."""
@@ -271,7 +302,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         # "Reader Requirements"); the version number itself is
                         # not a gate.
                         unsupported = set(pr.get("readerFeatures") or ()) - {
-                            "timestampNtz", "v2Checkpoint"
+                            "timestampNtz", "v2Checkpoint", "columnMapping"
                         }
                         if unsupported:
                             raise ValueError(
@@ -285,20 +316,32 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {version} not found (latest {last_seen})")
     if schema is None:
         raise ValueError(f"no metaData action found in Delta log: {log}")
-    # Reader protocol 2 is only safe when column mapping is off: with
-    # delta.columnMapping.mode=name/id the LOGICAL schema names differ from
-    # the physical parquet column names, and applying them positionally
-    # would return all-null/wrong columns instead of erroring.
+    # Column mapping: 'name' mode (the RENAME/DROP COLUMN enabler) is
+    # supported for READS — each logical field carries its parquet name in
+    # metadata 'delta.columnMapping.physicalName', and the scan resolves
+    # physical names then aliases back (to_df). 'id' mode would need
+    # parquet field-id resolution, which Spark's DataFrame reader doesn't
+    # expose — still rejected rather than misread.
     cm_mode = config.get("delta.columnMapping.mode", "none")
-    if cm_mode not in ("", "none"):
+    column_mapping: dict[str, str] = {}
+    if cm_mode == "name":
+        for f in schema.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise ValueError(
+                    f"columnMapping.mode=name but field {f.name!r} has no "
+                    "delta.columnMapping.physicalName metadata"
+                )
+            column_mapping[f.name] = phys
+    elif cm_mode not in ("", "none"):
         raise ValueError(
             f"unsupported delta.columnMapping.mode={cm_mode!r} "
-            "(this reader resolves columns by physical name only)"
+            "(supported: none, name)"
         )
     return Snapshot(
         path=path, version=last_seen, schema=schema,
         partition_columns=part_cols, files=files, configuration=config,
-        tombstones=tombstones,
+        tombstones=tombstones, column_mapping=column_mapping,
     )
 
 
@@ -386,6 +429,13 @@ def write_delta(
     partition_by = list(partition_by or [])
     if exists:
         prev = _load_snapshot(path)
+        if prev.column_mapping:
+            # Writing would emit logical-named parquet into a table whose
+            # readers resolve physical names — silent data corruption.
+            raise ValueError(
+                "writing to a columnMapping table is not supported "
+                "(reads are); use delta-spark for writes to this table"
+            )
         if partition_by and partition_by != prev.partition_columns:
             raise ValueError(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"

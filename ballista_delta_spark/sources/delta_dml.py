@@ -73,6 +73,17 @@ def _retrying(once, retries: int):
             attempt += 1
 
 
+def _check_writable(dt: DeltaTable) -> None:
+    """Copy-on-write DML rewrites files with the logical schema; a
+    columnMapping table's readers resolve PHYSICAL names, so a rewrite
+    would silently corrupt it (reads are supported, writes are not)."""
+    if dt.snapshot.column_mapping:
+        raise ValueError(
+            "DML on a columnMapping table is not supported (reads are); "
+            "use delta-spark for writes to this table"
+        )
+
+
 def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     """Snapshot scan with a per-row relative-file-path column attached.
 
@@ -174,6 +185,7 @@ def delete_delta(
 
 def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, Any]:
     dt = DeltaTable(path)
+    _check_writable(dt)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     per_file = (
         _attributed(spark, dt)
@@ -239,6 +251,7 @@ def _update_once(
     spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
+    _check_writable(dt)
     cols = {f.name for f in dt.snapshot.schema.fields}
     unknown = set(set_exprs) - cols
     if unknown:
@@ -347,6 +360,7 @@ def _merge_once(
     not_matched_insert: dict[str, str] | bool,
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
+    _check_writable(dt)
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
     # Validate BEFORE any staging writes — a late raise would orphan the

@@ -255,23 +255,62 @@ def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
     assert md["partitionColumns"] == ["country"]
 
 
-def test_column_mapping_mode_rejected(spark, tmp_path):
-    """A table with delta.columnMapping.mode=name must error, not silently
-    misread physical columns by their logical names."""
+def _retrofit_column_mapping(tbl: str, mode: str, renames: dict[str, str]) -> None:
+    """Rewrite log0's metaData to columnMapping ``mode``: physical names stay
+    as written on disk; logical names come from ``renames`` (physical ->
+    logical), mimicking what RENAME COLUMN leaves behind."""
     import json
 
-    tbl = str(tmp_path / "t")
-    src = read_delta(spark, FIXTURE)
-    write_delta(src, tbl, mode="overwrite")
-    # Retrofit a column-mapping config into the log metadata.
     log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
     with open(log0) as fh:
         actions = [json.loads(line) for line in fh]
     for a in actions:
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+            schema = json.loads(a["metaData"]["schemaString"])
+            for i, f in enumerate(schema["fields"], start=1):
+                phys = f["name"]
+                f["name"] = renames.get(phys, phys)
+                f["metadata"] = {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": phys,
+                }
+            a["metaData"]["schemaString"] = json.dumps(schema)
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": mode}
     with open(log0, "w") as fh:
         fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+
+def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
+    """columnMapping.mode=name: scans resolve the parquet's physical names
+    and serve the log's LOGICAL names — the post-RENAME-COLUMN layout."""
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite", partition_by=["country"])
+    _retrofit_column_mapping(
+        tbl, "name", {"first_name": "given_name", "country": "nation"}
+    )
+    df = read_delta(spark, tbl)
+    assert set(df.columns) == {"given_name", "last_name", "nation", "continent"}
+    assert df.count() == src.count()
+    # Values travel: the renamed partition column still filters/prunes.
+    assert (
+        df.filter("nation = 'China'").count()
+        == src.filter("country = 'China'").count()
+    )
+    # Writes and DML must refuse rather than emit logical-named parquet.
+    with pytest.raises(ValueError, match="columnMapping"):
+        write_delta(df, tbl, mode="append")
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    with pytest.raises(ValueError, match="columnMapping"):
+        delete_delta(spark, tbl, "last_name = 'x'")
+
+
+def test_column_mapping_id_mode_still_rejected(spark, tmp_path):
+    """id mode needs parquet field-id resolution — reject, never misread."""
+    tbl = str(tmp_path / "t")
+    write_delta(read_delta(spark, FIXTURE), tbl, mode="overwrite")
+    _retrofit_column_mapping(tbl, "id", {})
     with pytest.raises(ValueError, match="columnMapping"):
         read_delta(spark, tbl)
 
