@@ -26,6 +26,19 @@ def test_embedding_dedup_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_minhash_signature_table_is_materialized_once(spark, sf_dir):
+    """dedup_minhash_lsh must serve band-join AND verify from the
+    checkpointed signature table. If the checkpoint regresses, the raw
+    corpus scan (and its md5 shingling) reappears in the final plan —
+    the r3 plan ran it SIX times."""
+    from ballista_delta_spark.queries.dedup import dedup_minhash_lsh
+
+    plan = _physical_plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+    assert "md5" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed table
+
+
 def test_lsh_bucket_count_grows_with_planes(spark, sf_dir):
     """2^n_planes is the parallelism ceiling of the bucket join; the plane
     count must actually widen the bucket space when raised (the round-1
