@@ -60,6 +60,21 @@ _DELTA_UPDATE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# VACUUM <name> [RETAIN n HOURS] / OPTIMIZE <name> — delta-spark's
+# maintenance SQL, routed to the table-maintenance functions.
+_DELTA_VACUUM = re.compile(
+    r"^\s*VACUUM\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+)\s+HOURS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DELTA_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # Delta-backed view name -> table path, populated by the DDL interceptor and
 # register_delta so INSERT INTO can resolve its target (the analogue of the
 # reference's DELTA_INSERT table factory, src/lib.rs:140-174).
@@ -169,6 +184,35 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             return _delta_dml(
                 spark, name, "update",
                 cond=m.group("cond") or "true", sets=m.group("sets"),
+            )
+
+    m = _DELTA_VACUUM.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import vacuum
+
+            hours = m.group("hours")
+            kwargs = (
+                {"retention_ms": int(hours) * 3600 * 1000}
+                if hours is not None else {}
+            )
+            removed = vacuum(_delta_views[name], **kwargs)
+            return spark.sql(
+                f"SELECT CAST({len(removed)} AS BIGINT) AS files_deleted"
+            )
+
+    m = _DELTA_OPTIMIZE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import optimize, read_delta
+
+            loc = _delta_views[name]
+            version = optimize(spark, loc)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
     return spark.sql(statement)
 

@@ -234,6 +234,25 @@ def test_sql_delete_update_and_insert_overwrite(spark, tmp_path):
         sql(spark, "DELETE FROM not_a_delta_view WHERE 1=1")
 
 
+def test_sql_vacuum_and_optimize(spark, tmp_path):
+    """VACUUM [RETAIN n HOURS] and OPTIMIZE through the SQL surface."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id int")
+    # Many small commits -> many small files for OPTIMIZE to compact.
+    write_delta(df.repartition(4), tbl)
+    write_delta(df.repartition(4), tbl, mode="append")
+    sql(spark, f"CREATE EXTERNAL TABLE maintv STORED AS DELTA LOCATION '{tbl}'")
+
+    out = sql(spark, "OPTIMIZE maintv").collect()[0]
+    assert out.committed_version >= 2
+    assert spark.sql("SELECT count(*) n FROM maintv").collect()[0].n == 200
+
+    # RETAIN 0 HOURS releases the files the optimize tombstoned.
+    out = sql(spark, "VACUUM maintv RETAIN 0 HOURS").collect()[0]
+    assert out.files_deleted >= 8
+    assert spark.sql("SELECT count(*) n FROM maintv").collect()[0].n == 200
+
+
 def test_spark_written_fixture_matches_reference_shape(spark, tmp_path):
     """Re-create the reference fixture with our writer and golden-check it
     (mirror of reference tests/local.rs:31-41)."""
