@@ -186,6 +186,12 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 cond=m.group("cond") or "true", sets=m.group("sets"),
             )
 
+    m = _DELTA_MERGE_HEAD.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            return _sql_merge(spark, statement, name, statement[m.end():])
+
     m = _DELTA_VACUUM.match(statement)
     if m:
         name = _resolve_view(m.group("name"))
@@ -291,11 +297,140 @@ def _delta_insert(
     return spark.sql(f"SELECT CAST({version} AS BIGINT) AS committed_version")
 
 
-def _split_set_clauses(sets: str) -> dict[str, str]:
-    """Parse ``col = expr, col2 = expr2`` splitting only at top-level commas
-    (commas inside parens or string literals belong to the expression)."""
+_DELTA_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s+USING\s+",
+    re.IGNORECASE,
+)
+
+
+def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
+    """Parse the canonical MERGE grammar and route to merge_delta:
+
+        MERGE INTO t USING (<subquery>)|<table> [AS] s ON <cond>
+          [WHEN MATCHED THEN UPDATE SET c = e, ... | DELETE]
+          [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+
+    Aliases are normalized to the engine's fixed ``t`` / ``s`` names by a
+    word-boundary rewrite in the condition and expressions. Conditional
+    clauses (``WHEN MATCHED AND ...``) are not supported — raise rather
+    than silently mis-merge.
+    """
+    m = _DELTA_MERGE_HEAD.match(statement)
+    talias = m.group("talias")
+    # USING source: balanced-paren subquery or a table/view name.
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth, in_str, i = 0, None, 0
+        for i, ch in enumerate(rest):
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        source = spark.sql(rest[1:i])
+        rest = rest[i + 1:]
+    else:
+        mt = re.match(r"(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)", rest)
+        source = spark.table(mt.group(1).strip("`"))
+        rest = rest[mt.end():]
+    ma = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+(?=ON\b)", rest,
+                  re.IGNORECASE)
+    salias = None
+    if ma:
+        salias = ma.group(1)
+        rest = rest[ma.end():]
+    mo = re.match(r"\s*ON\s+", rest, re.IGNORECASE)
+    if not mo:
+        raise ValueError("MERGE: expected ON <condition>")
+    rest = rest[mo.end():]
+    # Condition runs until the first top-level WHEN.
+    parts = re.split(r"(?i)\bWHEN\b", rest)
+    on = parts[0].strip().rstrip(";").strip()
+    clauses = [p.strip().rstrip(";").strip() for p in parts[1:]]
+
+    def norm(expr: str) -> str:
+        for alias, fixed in ((talias, "t"), (salias, "s")):
+            if alias and alias not in ("t", "s"):
+                expr = re.sub(rf"\b{re.escape(alias)}\s*\.", f"{fixed}.", expr)
+        return expr
+
+    matched_update = None
+    matched_delete = False
+    not_matched_insert: dict | bool = False
+    for cl in clauses:
+        mu = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", cl,
+                      re.IGNORECASE | re.DOTALL)
+        md = re.match(r"MATCHED\s+THEN\s+DELETE$", cl, re.IGNORECASE)
+        mi = re.match(
+            r"NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?"
+            r"VALUES\s*\((?P<vals>.*)\))\s*$",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
+        if mu:
+            # SET targets may be alias-qualified (t.col = ...): strip the
+            # target prefix — merge_delta wants bare column names.
+            tprefix = re.compile(
+                rf"^(?:t|{re.escape(talias)})\." if talias else r"^t\."
+            )
+            matched_update = {
+                tprefix.sub("", c): norm(e)
+                for c, e in _split_set_clauses(mu.group(1)).items()
+            }
+        elif md:
+            matched_delete = True
+        elif mi:
+            if mi.group("star"):
+                not_matched_insert = True
+            else:
+                vals = _split_top_level(mi.group("vals"))
+                if mi.group("cols") is None:
+                    raise ValueError(
+                        "MERGE INSERT without a column list requires INSERT *"
+                    )
+                cols = [
+                    c.strip().strip("`")
+                    for c in mi.group("cols").split(",") if c.strip()
+                ]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"MERGE INSERT: {len(cols)} columns vs {len(vals)} values"
+                    )
+                not_matched_insert = {
+                    c: norm(v.strip()) for c, v in zip(cols, vals)
+                }
+        else:
+            raise ValueError(f"unsupported MERGE clause: WHEN {cl[:60]}...")
+
+    from pyspark.sql import Row
+
+    from .sources.delta import read_delta
+    from .sources.delta_dml import merge_delta
+
+    loc = _delta_views[name]
+    metrics = merge_delta(
+        spark, loc, source, norm(on),
+        matched_update=matched_update,
+        matched_delete=matched_delete,
+        not_matched_insert=not_matched_insert,
+    )
+    read_delta(spark, loc).createOrReplaceTempView(name)
+    return spark.createDataFrame([Row(**metrics)])
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/brackets/string literals."""
     parts, depth, in_str, cur = [], 0, None, []
-    for ch in sets:
+    for ch in s:
         if in_str:
             cur.append(ch)
             if ch == in_str:
@@ -313,8 +448,14 @@ def _split_set_clauses(sets: str) -> dict[str, str]:
             continue
         cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _split_set_clauses(sets: str) -> dict[str, str]:
+    """Parse ``col = expr, col2 = expr2`` splitting only at top-level commas
+    (commas inside parens or string literals belong to the expression)."""
     out: dict[str, str] = {}
-    for p in parts:
+    for p in _split_top_level(sets):
         col, eq, expr = p.partition("=")
         if not eq or not col.strip() or not expr.strip():
             raise ValueError(f"malformed SET clause: {p.strip()!r}")

@@ -234,6 +234,58 @@ def test_sql_delete_update_and_insert_overwrite(spark, tmp_path):
         sql(spark, "DELETE FROM not_a_delta_view WHERE 1=1")
 
 
+def test_sql_merge_forms(spark, tmp_path):
+    """MERGE INTO through the SQL surface: update+insert with aliases and a
+    subquery source, the delete form, and INSERT *."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "id int, name string, v double",
+        ),
+        tbl,
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE mrg STORED AS DELTA LOCATION '{tbl}'")
+
+    # Subquery source, custom aliases, qualified SET targets, expressions
+    # with commas inside calls, explicit INSERT column list.
+    out = sql(spark, """
+        MERGE INTO mrg AS tgt
+        USING (SELECT * FROM VALUES (2, 'B', 20.0), (9, 'Z', 90.0)
+               AS src(id, name, v)) AS upd
+        ON tgt.id = upd.id
+        WHEN MATCHED THEN UPDATE SET tgt.name = upper(upd.name),
+                                     tgt.v = round(upd.v + 0.05, 1)
+        WHEN NOT MATCHED THEN INSERT (id, name, v)
+             VALUES (upd.id, upd.name, upd.v)
+    """).collect()[0]
+    assert out.numTargetRowsUpdated == 1 and out.numTargetRowsInserted == 1
+    rows = {r.id: r for r in spark.sql("SELECT * FROM mrg").collect()}
+    assert rows[2].name == "B" and rows[2].v == 20.1
+    assert rows[9].name == "Z" and len(rows) == 4
+
+    # Delete form with a plain registered view as source.
+    spark.createDataFrame([(9,)], "id int").createOrReplaceTempView("kill")
+    out = sql(spark, "MERGE INTO mrg t USING kill s ON t.id = s.id "
+                     "WHEN MATCHED THEN DELETE").collect()[0]
+    assert out.numTargetRowsDeleted == 1
+    assert spark.sql("SELECT count(*) n FROM mrg").collect()[0].n == 3
+
+    # INSERT * (source must carry all target columns).
+    sql(spark, """
+        MERGE INTO mrg t
+        USING (SELECT 7 AS id, 'g' AS name, 7.0 AS v) s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert spark.sql("SELECT count(*) n FROM mrg").collect()[0].n == 4
+
+    # Conditional clauses are unsupported — loud error, no commit.
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        sql(spark, "MERGE INTO mrg t USING kill s ON t.id = s.id "
+                   "WHEN MATCHED AND t.id > 5 THEN DELETE")
+
+
 def test_sql_vacuum_and_optimize(spark, tmp_path):
     """VACUUM [RETAIN n HOURS] and OPTIMIZE through the SQL surface."""
     tbl = str(tmp_path / "t")
