@@ -721,6 +721,12 @@ def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) 
     """
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
+    if snap.column_mapping:
+        # Compaction rewrites files with logical names; a mapped table's
+        # readers resolve physical names — refuse, don't corrupt.
+        raise ValueError(
+            "OPTIMIZE on a columnMapping table is not supported (reads are)"
+        )
     if len(snap.files) <= 1:
         return snap.version
     df = DeltaTable(path).to_df(spark)

@@ -368,13 +368,18 @@ def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
         df.filter("nation = 'China'").count()
         == src.filter("country = 'China'").count()
     )
-    # Writes and DML must refuse rather than emit logical-named parquet.
+    # Writes, DML, and compaction must all refuse rather than emit
+    # logical-named parquet into a physical-name table.
     with pytest.raises(ValueError, match="columnMapping"):
         write_delta(df, tbl, mode="append")
     from ballista_delta_spark.sources.delta_dml import delete_delta
 
     with pytest.raises(ValueError, match="columnMapping"):
         delete_delta(spark, tbl, "last_name = 'x'")
+    from ballista_delta_spark.sources.delta import optimize
+
+    with pytest.raises(ValueError, match="columnMapping"):
+        optimize(spark, tbl)
 
 
 def test_column_mapping_id_mode_still_rejected(spark, tmp_path):
