@@ -336,9 +336,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both sides derive from ONE stream definition (streaming self-join):
+    # a single file-source tracks progress once, and on a cluster the same
+    # shape joins two filters of one Kafka topic without double-reading it.
+    ev = _events_stream(spark, sf_dir)
     views = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        ev.filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -347,8 +350,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "1 hour")
     )
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
