@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the pure-Python primitives.
+
+These target the hand-rolled parsers and graph algorithms where example
+tests miss edge shapes: SQL clause splitting, delta-rs URL decode, and
+connected-components label propagation (checked against a union-find
+reference implementation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings, strategies as st
+
+from ballista_delta_spark.session import _split_set_clauses, _split_top_level
+
+# Expression fragments that stress the splitter: nested calls, string
+# literals containing commas/parens, brackets.
+_FRAGMENTS = st.sampled_from([
+    "a", "col1", "f(x, y)", "round(v + 0.5, 2)", "'lit,eral'",
+    "'par(en'", "arr[1]", "map('k,1', 2)", "g(h(i, j), k)", "x + y",
+    '"dq,uote"', "CASE WHEN a THEN 1 ELSE 2 END",
+])
+
+
+class TestSplitTopLevel:
+    @given(st.lists(_FRAGMENTS, min_size=1, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_join_then_split_roundtrips(self, parts):
+        joined = ",".join(parts)
+        assert _split_top_level(joined) == parts
+
+    @given(st.lists(_FRAGMENTS, min_size=1, max_size=4))
+    @settings(max_examples=100, deadline=None)
+    def test_set_clause_parse_roundtrips(self, exprs):
+        cols = [f"c{i}" for i in range(len(exprs))]
+        sets = ", ".join(f"{c} = {e}" for c, e in zip(cols, exprs))
+        parsed = _split_set_clauses(sets)
+        assert parsed == dict(zip(cols, exprs))
+
+
+class TestMangledPathDecode:
+    @given(
+        st.lists(
+            st.from_regex(r"[a-z]{1,6}(-[a-z]{1,4}){0,2}", fullmatch=True),
+            min_size=1, max_size=4,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_existing_paths_are_recovered(self, comps):
+        """Any on-disk path (components may contain hyphens) must decode
+        from its lossy mangled form when the directory actually exists."""
+        import tempfile
+
+        from ballista_delta_spark.sources.registry import resolve_url
+
+        base = tempfile.mkdtemp(prefix="bds-prop-")
+        real = os.path.join(base, *comps, "_delta_log")
+        os.makedirs(real, exist_ok=True)
+        table = os.path.dirname(real)
+        mangled = "delta-rs://file-" + table.lstrip("/").replace("/", "-")
+        assert resolve_url(mangled) == table
+
+    @given(
+        st.lists(
+            st.from_regex(r"[a-z]{1,6}(-[a-z]{1,4}){0,2}", fullmatch=True),
+            min_size=2, max_size=4,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_s3_probe_decode_recovers_layout(self, comps):
+        from ballista_delta_spark.sources.registry import _decode_mangled_s3
+
+        real_key = "/".join(comps)
+        universe = {real_key, real_key + "/_delta_log"}
+
+        def probe(prefix):
+            return any(u.startswith(prefix) for u in universe)
+
+        mangled = real_key.replace("/", "-")
+        assert _decode_mangled_s3(mangled, probe) == real_key
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Canonical label = min node id in the component.
+    labels = {}
+    for v in range(n_nodes):
+        r = find(v)
+        labels.setdefault(r, min(v, labels.get(r, v)))
+    return {v: labels[find(v)] for v in range(n_nodes)}
+
+
+class TestLabelPropagationMatchesUnionFind:
+    @given(
+        st.integers(min_value=2, max_value=10).flatmap(
+            lambda n: st.tuples(
+                st.just(n),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, n - 1), st.integers(0, n - 1)
+                    ).filter(lambda e: e[0] != e[1]),
+                    min_size=1, max_size=12,
+                ),
+            )
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_random_graphs(self, spark, case):
+        from ballista_delta_spark.queries.dedup import label_propagate_min
+
+        n, edges = case
+        sym = spark.createDataFrame(
+            [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+            "src bigint, dst bigint",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in label_propagate_min(sym, max_iters=30).collect()
+        }
+        expected = _union_find_components(n, edges)
+        touched = {v for e in edges for v in e}
+        assert got == {v: expected[v] for v in touched}
