@@ -224,6 +224,39 @@ def register_http_parquet(
     return df
 
 
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Materialize ``df`` as a hash-bucketed (and sorted) parquet table.
+
+    The co-located-join primitive at scale: two tables bucketed the same
+    way on the join key are joined WITHOUT any Exchange — each task reads
+    matching buckets from both sides (plan shape pinned in
+    tests/test_scale_plans.py). The one-time bucketing shuffle is paid at
+    WRITE time, amortized over every subsequent join/aggregation on the
+    key — the standard layout for a fact table joined daily on the same
+    key at 100 TB. ``sortBy`` additionally makes the merge join's sort
+    free. ``path`` makes it an external table (metadata in the session
+    catalog, data at the path).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
 def register_delta(spark: SparkSession, name: str, url: str, version: int | None = None) -> DataFrame:
     """``deltalake::open_table(url)`` + ``ctx.register_table(name, table)``
     (reference examples/local_standalone.rs:30-32)."""

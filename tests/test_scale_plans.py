@@ -177,6 +177,39 @@ def test_asof_join_is_single_pass_no_nested_loop(spark, sf_dir):
     assert plan.count("Window") >= 1
 
 
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key must join with NO
+    Exchange on either side — the co-located join that makes repeated
+    fact-table joins affordable at 100 TB. (Broadcast disabled so the plan
+    can't sidestep the property.)"""
+    from ballista_delta_spark.sources.registry import register_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    register_bucketed(
+        spark, "orders_b", orders, ["o_custkey"], 4,
+        path=str(tmp_path / "orders_b"),
+    )
+    register_bucketed(
+        spark, "cust_b", cust, ["c_custkey"], 4,
+        path=str(tmp_path / "cust_b"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _physical_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # And the bucket layout is real: selectedBucketsCount shows on the scan.
+    assert "Bucketed: true" in plan, plan
+
+
 def test_range_join_is_banded_equi_not_theta(spark, sf_dir):
     """The range join must hit a hash-partitioned equi-join on
     (user_id, bucket); the time-range predicate is a residual filter, not
