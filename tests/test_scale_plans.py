@@ -210,6 +210,35 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     assert "Bucketed: true" in plan, plan
 
 
+def test_salted_join_matches_plain_join_and_partitions_on_salt(spark, sf_dir):
+    """salted_join must return exactly the plain join's rows while
+    shuffling on (key, salt) — the hot key spreads over n_salts tasks."""
+    from ballista_delta_spark.operators import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Salting only matters when the right side can't broadcast — force the
+    # shuffle path the helper exists for.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(orders, cust, "o_custkey", n_salts=8)
+        plain = orders.join(cust, "o_custkey")
+        assert salted.count() == plain.count()
+        assert (
+            salted.agg(F.sum("o_totalprice")).first()[0]
+            == plain.agg(F.sum("o_totalprice")).first()[0]
+        )
+        plan = _physical_plan(salted)
+        assert "__salt" in plan.split("Exchange hashpartitioning")[1], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_range_join_is_banded_equi_not_theta(spark, sf_dir):
     """The range join must hit a hash-partitioned equi-join on
     (user_id, bucket); the time-range predicate is a residual filter, not
