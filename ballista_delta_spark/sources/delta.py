@@ -77,6 +77,9 @@ class Snapshot:
     # logical name -> physical parquet name (columnMapping.mode=name only;
     # empty = identity).
     column_mapping: dict[str, str] = field(default_factory=dict)
+    # Writer protocol (gates OUR writes; reads don't care).
+    min_writer_version: int = 1
+    writer_features: list[str] = field(default_factory=list)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -245,6 +248,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     schema: T.StructType | None = None
     part_cols: list[str] = []
     config: dict[str, str] = {}
+    min_writer_version = 1
+    writer_features: list[str] = []
 
     # Checkpoint fast path: _last_checkpoint names a parquet snapshot of all
     # actions ≤ its version; replay only the JSON commits after it.
@@ -269,6 +274,11 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
             if row.get("remove") and row["remove"].get("path"):
                 files.pop(row["remove"]["path"], None)
                 tombstones[row["remove"]["path"]] = dict(row["remove"])
+            if row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                min_writer_version = row["protocol"].get("minWriterVersion", 1)
+                writer_features = list(
+                    row["protocol"].get("writerFeatures") or []
+                )
         start_version = cv + 1
 
     v = start_version
@@ -309,6 +319,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                                 "unsupported Delta readerFeatures "
                                 f"{sorted(unsupported)}"
                             )
+                    min_writer_version = pr.get("minWriterVersion", 1)
+                    writer_features = list(pr.get("writerFeatures") or [])
         last_seen = v
         v += 1
 
@@ -342,6 +354,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         path=path, version=last_seen, schema=schema,
         partition_columns=part_cols, files=files, configuration=config,
         tombstones=tombstones, column_mapping=column_mapping,
+        min_writer_version=min_writer_version,
+        writer_features=writer_features,
     )
 
 
@@ -403,6 +417,58 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
     )
 
 
+# Writer features we actually implement. 'invariants' is supported only
+# vacuously (allowed when no column declares one — checked below);
+# 'appendOnly' is enforced via check_write_protocol's removes_files gate.
+_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "timestampNtz"}
+
+
+def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
+    """Delta PROTOCOL.md "Writer Requirements": refuse to commit to a table
+    whose writer protocol demands behavior this writer doesn't implement —
+    committing anyway could silently break the table's contract for every
+    other engine (unenforced constraints, missed CDF rows, ...).
+
+    - v1-v2: allowed; column invariants (v2) are honored by refusing when
+      any column actually declares one.
+    - v3-v6: bundle CHECK constraints / CDF / generated + identity columns
+      unconditionally — not implemented, refuse.
+    - v7: feature-gated — allowed iff every advertised writerFeature is
+      supported.
+    - ``delta.appendOnly=true`` forbids commits that remove files with
+      dataChange (DELETE/UPDATE/overwrite); pass removes_files=False for
+      pure appends and dataChange=false compaction, which stay legal.
+    """
+    if snap.min_writer_version >= 7:
+        unsupported = set(snap.writer_features) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"unsupported Delta writerFeatures {sorted(unsupported)}"
+            )
+    elif snap.min_writer_version > 2:
+        raise ValueError(
+            f"unsupported Delta writer protocol v{snap.min_writer_version} "
+            "(constraints/CDF/generated columns are not implemented)"
+        )
+    for f in snap.schema.fields:
+        if (f.metadata or {}).get("delta.invariants"):
+            raise ValueError(
+                f"column {f.name!r} declares a Delta invariant this writer "
+                "does not enforce — refusing to write"
+            )
+    if any(k.startswith("delta.constraints.") for k in snap.configuration):
+        raise ValueError(
+            "table declares CHECK constraints this writer does not enforce"
+        )
+    if removes_files and (
+        snap.configuration.get("delta.appendOnly", "").lower() == "true"
+    ):
+        raise ValueError(
+            "table is append-only (delta.appendOnly=true): DELETE/UPDATE/"
+            "overwrite are forbidden"
+        )
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -436,6 +502,7 @@ def write_delta(
                 "writing to a columnMapping table is not supported "
                 "(reads are); use delta-spark for writes to this table"
             )
+        check_write_protocol(prev, removes_files=(mode == "overwrite"))
         if partition_by and partition_by != prev.partition_columns:
             raise ValueError(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
@@ -727,6 +794,9 @@ def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) 
         raise ValueError(
             "OPTIMIZE on a columnMapping table is not supported (reads are)"
         )
+    # removes_files=False: compaction commits dataChange=false actions,
+    # which the appendOnly contract explicitly permits.
+    check_write_protocol(snap, removes_files=False)
     if len(snap.files) <= 1:
         return snap.version
     df = DeltaTable(path).to_df(spark)

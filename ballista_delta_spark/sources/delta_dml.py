@@ -48,6 +48,7 @@ from .delta import (
     _stage_adds,
     _strip_file_scheme,
     _try_commit,
+    check_write_protocol,
 )
 
 _FILE_COL = "__bds_file"
@@ -73,15 +74,19 @@ def _retrying(once, retries: int):
             attempt += 1
 
 
-def _check_writable(dt: DeltaTable) -> None:
+def _check_writable(dt: DeltaTable, removes_files: bool = True) -> None:
     """Copy-on-write DML rewrites files with the logical schema; a
     columnMapping table's readers resolve PHYSICAL names, so a rewrite
-    would silently corrupt it (reads are supported, writes are not)."""
+    would silently corrupt it (reads are supported, writes are not).
+    Also enforces the writer protocol: unsupported writer versions/
+    features refuse, and appendOnly tables reject file-removing DML
+    (insert-only MERGE passes removes_files=False and stays legal)."""
     if dt.snapshot.column_mapping:
         raise ValueError(
             "DML on a columnMapping table is not supported (reads are); "
             "use delta-spark for writes to this table"
         )
+    check_write_protocol(dt.snapshot, removes_files=removes_files)
 
 
 def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
@@ -360,7 +365,10 @@ def _merge_once(
     not_matched_insert: dict[str, str] | bool,
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
-    _check_writable(dt)
+    # Insert-only MERGE removes no files — legal on appendOnly tables.
+    _check_writable(
+        dt, removes_files=bool(matched_update or matched_delete)
+    )
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
     # Validate BEFORE any staging writes — a late raise would orphan the

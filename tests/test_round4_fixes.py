@@ -170,6 +170,89 @@ class TestDmlPathAttribution:
         assert read_delta(spark, str(link)).count() == 10
 
 
+class TestWriterProtocolGate:
+    def _patch_log0(self, tbl, protocol=None, config=None):
+        log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+        with open(log0) as fh:
+            actions = [json.loads(line) for line in fh]
+        for a in actions:
+            if protocol and "protocol" in a:
+                a["protocol"] = protocol
+            if config is not None and "metaData" in a:
+                a["metaData"]["configuration"] = config
+        with open(log0, "w") as fh:
+            fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+    @pytest.fixture()
+    def tbl(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(i, i % 2) for i in range(10)], "id int, k int"),
+            p,
+        )
+        return p
+
+    def test_append_only_blocks_delete_update_allows_insert(self, spark, tbl):
+        self._patch_log0(tbl, config={"delta.appendOnly": "true"})
+        with pytest.raises(ValueError, match="append-only"):
+            delete_delta(spark, tbl, "k = 0")
+        from ballista_delta_spark.sources.delta_dml import update_delta
+
+        with pytest.raises(ValueError, match="append-only"):
+            update_delta(spark, tbl, "k = 0", {"id": "id + 1"})
+        with pytest.raises(ValueError, match="append-only"):
+            write_delta(
+                spark.createDataFrame([(99, 9)], "id int, k int"),
+                tbl, mode="overwrite",
+            )
+        # Appends and insert-only MERGE stay legal.
+        write_delta(
+            spark.createDataFrame([(99, 9)], "id int, k int"), tbl
+        )
+        src = spark.createDataFrame([(100, 0)], "id int, k int")
+        m = merge_delta(spark, tbl, src, "t.id = s.id")
+        assert m["numTargetRowsInserted"] == 1
+        assert read_delta(spark, tbl).count() == 12
+        # MERGE with a matched clause is file-removing -> blocked.
+        with pytest.raises(ValueError, match="append-only"):
+            merge_delta(
+                spark, tbl, src, "t.id = s.id", matched_update={"k": "s.k"}
+            )
+
+    def test_unsupported_writer_version_refuses_write(self, spark, tbl):
+        self._patch_log0(
+            tbl, protocol={"minReaderVersion": 1, "minWriterVersion": 4}
+        )
+        with pytest.raises(ValueError, match="writer protocol v4"):
+            write_delta(
+                spark.createDataFrame([(99, 9)], "id int, k int"), tbl
+            )
+        # Reads stay fine.
+        assert read_delta(spark, tbl).count() == 10
+
+    def test_v7_writer_features_gate(self, spark, tbl):
+        self._patch_log0(tbl, protocol={
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants"],
+        })
+        write_delta(spark.createDataFrame([(99, 9)], "id int, k int"), tbl)
+        self._patch_log0(tbl, protocol={
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["deletionVectors"],
+        })
+        with pytest.raises(ValueError, match="deletionVectors"):
+            write_delta(
+                spark.createDataFrame([(98, 8)], "id int, k int"), tbl
+            )
+
+    def test_check_constraints_refuse_write(self, spark, tbl):
+        self._patch_log0(
+            tbl, config={"delta.constraints.positive_id": "id > 0"}
+        )
+        with pytest.raises(ValueError, match="CHECK constraints"):
+            delete_delta(spark, tbl, "k = 0")
+
+
 class TestIvfCacheStaleness:
     def test_rewritten_embeddings_refresh_centroids(self, spark, sf_dir, tmp_path):
         """The IVF centroid cache is keyed on the table's mtime/size, so
