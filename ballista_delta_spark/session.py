@@ -19,6 +19,7 @@ Arrow on the Python boundary.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -70,6 +71,22 @@ _DELTA_VACUUM = re.compile(
 )
 _DELTA_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# RESTORE [TABLE] <name> TO VERSION AS OF <n> — delta-spark rollback SQL.
+_DELTA_RESTORE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# DESCRIBE HISTORY <name> — commitInfo per version.
+_DELTA_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s*;?\s*$",
     re.IGNORECASE,
@@ -219,6 +236,42 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_RESTORE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from pyspark.sql import Row
+
+            from .sources.delta import read_delta, restore_delta
+
+            loc = _delta_views[name]
+            metrics = restore_delta(loc, int(m.group("v")))
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.createDataFrame([Row(**metrics)])
+
+    m = _DELTA_HISTORY.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import DeltaTable
+
+            hist = DeltaTable(_delta_views[name]).history()
+            rows = [
+                (
+                    h["version"],
+                    h.get("timestamp"),
+                    h.get("operation"),
+                    json.dumps(h.get("operationParameters") or {}),
+                    json.dumps(h.get("operationMetrics") or {}),
+                )
+                for h in hist
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version bigint, timestamp bigint, operation string, "
+                "operationParameters string, operationMetrics string",
             )
     return spark.sql(statement)
 

@@ -742,6 +742,86 @@ def create_checkpoint(path: str) -> int:
     return snap.version
 
 
+def restore_delta(path: str, version: int) -> dict[str, Any]:
+    """``RESTORE TABLE t TO VERSION AS OF v`` — roll the table back to an
+    earlier snapshot as a NEW commit (history is preserved; time travel to
+    the pre-restore state keeps working, exactly delta-spark's RESTORE).
+
+    Metadata-only: the commit re-adds the target version's files and
+    removes the current version's extras — zero data rewrite, O(#files)
+    driver work. Refuses when a required file has already been VACUUMed
+    (the same guard delta-spark applies).
+    """
+    path = _strip_file_scheme(path)
+    current = _load_snapshot(path)
+    target = _load_snapshot(path, version=version)
+    check_write_protocol(current, removes_files=True)
+
+    missing = [
+        rel for rel in target.files
+        if rel not in current.files
+        and not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE to version {version}: {len(missing)} required "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+
+    now_ms = int(time.time() * 1000)
+    re_adds = [
+        {"add": {**add, "modificationTime": now_ms, "dataChange": True}}
+        for rel, add in target.files.items() if rel not in current.files
+    ]
+    removes = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size"),
+            }
+        }
+        for rel, add in current.files.items() if rel not in target.files
+    ]
+    metrics = {
+        "numRestoredFiles": len(re_adds),
+        "numRemovedFiles": len(removes),
+        "restoredVersion": version,
+    }
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "operationMetrics": {k: str(v) for k, v in metrics.items()},
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    if target.schema.jsonValue() != current.schema.jsonValue() or (
+        target.configuration != current.configuration
+    ):
+        # Schema/config evolved since the target version: restore those too.
+        actions.append({
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(target.schema.jsonValue()),
+                "partitionColumns": target.partition_columns,
+                "configuration": target.configuration,
+                "createdTime": now_ms,
+            }
+        })
+    actions += removes
+    actions += re_adds
+    committed = _try_commit(path, actions, [])
+    return {"version": committed, **metrics}
+
+
 def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot whose
     tombstones are older than the retention window — the delta-rs/delta-spark

@@ -286,6 +286,60 @@ def test_sql_merge_forms(spark, tmp_path):
                    "WHEN MATCHED AND t.id > 5 THEN DELETE")
 
 
+def test_restore_to_version_is_metadata_only(spark, tmp_path):
+    """RESTORE rolls back as a NEW commit reusing the old files: contents
+    match the target version, history is preserved, nothing is rewritten."""
+    from ballista_delta_spark.sources.delta import restore_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(i,) for i in range(10)], "id int"), tbl)
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(10, 20)], "id int"),
+        tbl, mode="append",
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    delete_delta(spark, tbl, "id < 5")  # v2
+    files_before = {
+        f for f in os.listdir(tbl) if f.endswith(".parquet")
+    }
+    m = restore_delta(tbl, 0)
+    assert m["version"] == 3 and m["restoredVersion"] == 0
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == list(range(10))
+    # No data files written by the restore itself.
+    files_after = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert files_after == files_before
+    # Time travel still sees every pre-restore state.
+    assert read_delta(spark, tbl, version=1).count() == 20
+    assert read_delta(spark, tbl, version=2).count() == 15
+
+
+def test_sql_restore_and_describe_history(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,), (2,)], "id int"), tbl)
+    write_delta(spark.createDataFrame([(3,)], "id int"), tbl, mode="append")
+    sql(spark, f"CREATE EXTERNAL TABLE restv STORED AS DELTA LOCATION '{tbl}'")
+
+    out = sql(spark, "RESTORE TABLE restv TO VERSION AS OF 0").collect()[0]
+    assert out.restoredVersion == 0
+    assert spark.sql("SELECT count(*) n FROM restv").collect()[0].n == 2
+
+    hist = sql(spark, "DESCRIBE HISTORY restv").collect()
+    assert [h.version for h in hist] == [0, 1, 2]
+    assert hist[-1].operation == "RESTORE"
+
+
+def test_restore_refuses_when_files_vacuumed(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import restore_delta, vacuum
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
+    write_delta(spark.createDataFrame([(2,)], "id int"), tbl, mode="overwrite")
+    vacuum(tbl, retention_ms=0)  # v0's file is gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(tbl, 0)
+
+
 def test_sql_vacuum_and_optimize(spark, tmp_path):
     """VACUUM [RETAIN n HOURS] and OPTIMIZE through the SQL surface."""
     tbl = str(tmp_path / "t")
