@@ -329,6 +329,42 @@ def test_sql_restore_and_describe_history(spark, tmp_path):
     assert hist[-1].operation == "RESTORE"
 
 
+def test_read_delta_changes_row_level_diff(spark, tmp_path):
+    """CDC between versions: inserts/deletes from the file-level diff; a
+    copy-on-write UPDATE shows as delete+insert; compaction shows nothing."""
+    from ballista_delta_spark.sources.delta import optimize, read_delta_changes
+    from ballista_delta_spark.sources.delta_dml import delete_delta, update_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i, float(i)) for i in range(6)], "id int, v double"),
+        tbl,
+    )                                            # v0
+    update_delta(spark, tbl, "id = 2", {"v": "20.0"})   # v1
+    delete_delta(spark, tbl, "id = 5")                  # v2
+
+    ch = {
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changes(spark, tbl, 0, 2).collect()
+    }
+    assert ch == {
+        (2, 2.0, "delete"), (2, 20.0, "insert"),  # the update pair
+        (5, 5.0, "delete"),
+    }
+    # Sub-range: v1 -> v2 sees only the delete.
+    ch12 = {
+        (r.id, r._change_type)
+        for r in read_delta_changes(spark, tbl, 1, 2).collect()
+    }
+    assert ch12 == {(5, "delete")}
+    # Compaction (dataChange=false rewrite) produces zero changes.
+    write_delta(
+        spark.createDataFrame([(9, 9.0)], "id int, v double"), tbl, mode="append"
+    )                                            # v3 (forces >1 file)
+    v4 = optimize(spark, tbl)
+    assert read_delta_changes(spark, tbl, 3, v4).count() == 0
+
+
 def test_restore_refuses_when_files_vacuumed(spark, tmp_path):
     from ballista_delta_spark.sources.delta import restore_delta, vacuum
 
