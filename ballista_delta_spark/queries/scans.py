@@ -472,6 +472,67 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S15 sink_delta_restore: RESTORE TO VERSION AS OF — metadata-only
+# rollback committed as a NEW version (delta-spark RESTORE semantics; no
+# reference analogue, its write surface errors). The query reads BOTH the
+# restored current state (== pristine v0) and the pre-restore v1 snapshot,
+# proving history survives the rollback.
+@_q(
+    "sink_delta_restore",
+    """
+    SELECT 'restored' AS snap, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'pre_restore' AS snap, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE NOT coalesce(n_regionkey = 2, false)
+    """,
+)
+def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import restore_delta
+
+    path = _clone(_nation_delta(spark, sf_dir), "s15")
+    delete_delta(spark, path, "n_regionkey = 2")  # v1
+    restore_delta(path, 0)                        # v2: back to pristine
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        ).select(F.lit(tag).alias("snap"), "n", "key_sum")
+
+    return agg(read_delta(spark, path), "restored").unionByName(
+        agg(read_delta(spark, path, version=1), "pre_restore")
+    )
+
+
+# --- S16 sink_delta_changes: row-level change feed between versions (CDC
+# from the file-level snapshot diff; copy-on-write UPDATE = delete+insert
+# pair). Only changed files are scanned — O(churn) incremental consumption.
+@_q(
+    "sink_delta_changes",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+    FROM nation WHERE n_regionkey IN (1, 3)
+    UNION ALL
+    SELECT n_nationkey, n_name || '_EU' AS n_name, n_regionkey, 'insert'
+    FROM nation WHERE n_regionkey IN (1, 3)
+    """,
+)
+def sink_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta_changes
+
+    path = _clone(_nation_delta(spark, sf_dir), "s16")
+    update_delta(
+        spark, path, "n_regionkey IN (1, 3)",
+        {"n_name": "concat(n_name, '_EU')"},
+    )
+    return read_delta_changes(spark, path, 0, 1).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+
+
 # --- S14 scan_delta_time_travel: versioned reads (VERSION AS OF analogue;
 # delta-rs load_version). v0 = pristine table, v1 = after a DELETE — both
 # snapshots served from one log by replaying adds/removes up to the pinned
