@@ -92,6 +92,45 @@ _DELTA_HISTORY = re.compile(
     re.IGNORECASE,
 )
 
+# <view> VERSION AS OF n / TIMESTAMP AS OF 'ts' inside any SELECT —
+# delta-spark's time-travel SQL. Rewritten to a snapshot temp view before
+# Spark parses the statement.
+_DELTA_ASOF_REF = re.compile(
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
+    """Replace ``view VERSION|TIMESTAMP AS OF x`` references to registered
+    Delta views with temp views pinned to that snapshot."""
+    from .sources.delta import read_delta
+
+    def sub(m: re.Match) -> str:
+        name = _resolve_view(m.group("name"))
+        if name is None:
+            return m.group(0)
+        loc = _delta_views[name]
+        if m.group("v") is not None:
+            version = int(m.group("v"))
+            snap_name = f"{name}__asof_v{version}"
+            df = read_delta(spark, loc, version=version)
+        else:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(m.group("ts"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
+            snap_name = f"{name}__asof_t{ts_ms}"
+            df = read_delta(spark, loc, timestamp_ms=ts_ms)
+        df.createOrReplaceTempView(snap_name)
+        return snap_name
+
+    return _DELTA_ASOF_REF.sub(sub, statement)
+
 # Delta-backed view name -> table path, populated by the DDL interceptor and
 # register_delta so INSERT INTO can resolve its target (the analogue of the
 # reference's DELTA_INSERT table factory, src/lib.rs:140-174).
@@ -273,6 +312,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 "version bigint, timestamp bigint, operation string, "
                 "operationParameters string, operationMetrics string",
             )
+    if _DELTA_ASOF_REF.search(statement):
+        statement = _rewrite_time_travel(spark, statement)
     return spark.sql(statement)
 
 

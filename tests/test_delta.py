@@ -365,6 +365,44 @@ def test_read_delta_changes_row_level_diff(spark, tmp_path):
     assert read_delta_changes(spark, tbl, 3, v4).count() == 0
 
 
+def test_sql_time_travel_version_and_timestamp_as_of(spark, tmp_path):
+    """SELECT ... FROM <view> VERSION AS OF n / TIMESTAMP AS OF 'ts' —
+    delta-spark's time-travel SQL, rewritten to snapshot views."""
+    import json as _json
+
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(i,) for i in range(8)], "id int"), tbl)
+    delete_delta(spark, tbl, "id >= 4")  # v1
+    sql(spark, f"CREATE EXTERNAL TABLE ttv STORED AS DELTA LOCATION '{tbl}'")
+
+    assert sql(spark, "SELECT count(*) n FROM ttv").collect()[0].n == 4
+    assert sql(
+        spark, "SELECT count(*) n FROM ttv VERSION AS OF 0"
+    ).collect()[0].n == 8
+    # Mixed: current joined against an old snapshot in one statement.
+    row = sql(spark, """
+        SELECT count(*) n FROM ttv VERSION AS OF 0 a
+        LEFT ANTI JOIN ttv b ON a.id = b.id
+    """).collect()[0]
+    assert row.n == 4  # the deleted ids only exist in v0
+
+    # TIMESTAMP AS OF: pin to v0's commit time.
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        ts0 = next(
+            a["commitInfo"]["timestamp"]
+            for a in map(_json.loads, fh) if "commitInfo" in a
+        )
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts0 / 1000, tz=timezone.utc).isoformat()
+    assert sql(
+        spark, f"SELECT count(*) n FROM ttv TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n == 8
+
+
 def test_restore_refuses_when_files_vacuumed(spark, tmp_path):
     from ballista_delta_spark.sources.delta import restore_delta, vacuum
 
