@@ -254,13 +254,30 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     # Checkpoint fast path: _last_checkpoint names a parquet snapshot of all
     # actions ≤ its version; replay only the JSON commits after it.
     ckpt_file = os.path.join(log, "_last_checkpoint")
+    classic_ckpt = None
     if os.path.exists(ckpt_file) and version is None:
         with open(ckpt_file) as fh:
             ckpt = json.loads(fh.read())
         cv = int(ckpt["version"])
+        classic_ckpt = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
+        if not os.path.exists(classic_ckpt):
+            # v2 (UUID-named + sidecars) or multi-part checkpoint — formats
+            # this reader doesn't parse. A checkpoint is only an
+            # OPTIMIZATION: fall back to full JSON replay when the log is
+            # complete from version 0; error clearly when it isn't (the
+            # log was cleaned and the checkpoint is required).
+            if os.path.exists(_version_file(log, 0)):
+                classic_ckpt = None
+            else:
+                raise ValueError(
+                    f"checkpoint at version {cv} uses an unsupported format "
+                    "(v2/multi-part) and the JSON log is incomplete — "
+                    "cannot reconstruct the snapshot"
+                )
+    if classic_ckpt is not None:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(os.path.join(log, f"{cv:020d}.checkpoint.parquet"))
+        tbl = pq.read_table(classic_ckpt)
         for row in tbl.to_pylist():
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 md = row["metaData"]

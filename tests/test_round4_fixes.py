@@ -253,6 +253,32 @@ class TestWriterProtocolGate:
             delete_delta(spark, tbl, "k = 0")
 
 
+class TestUnsupportedCheckpointFallback:
+    def test_v2_checkpoint_falls_back_to_json_replay(self, spark, tmp_path):
+        """A _last_checkpoint naming a v2/multi-part checkpoint (no classic
+        {v}.checkpoint.parquet file) must fall back to full JSON replay when
+        the log is complete — checkpoints are an optimization, not truth."""
+        from ballista_delta_spark.sources.delta import create_checkpoint
+
+        tbl = str(tmp_path / "t")
+        df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+        write_delta(df, tbl)
+        write_delta(df, tbl, mode="append")
+        v = create_checkpoint(tbl)
+        # Simulate a v2 checkpoint: rename the classic file to a UUID form.
+        log = os.path.join(tbl, "_delta_log")
+        classic = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        os.rename(classic, os.path.join(
+            log, f"{v:020d}.checkpoint.0000000000000000000a.parquet"
+        ))
+        assert read_delta(spark, tbl).count() == 20  # JSON replay
+
+        # Cleaned log (v0 json gone) -> the checkpoint is required -> error.
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        with pytest.raises(ValueError, match="unsupported format"):
+            read_delta(spark, tbl)
+
+
 class TestIvfCacheStaleness:
     def test_rewritten_embeddings_refresh_centroids(self, spark, sf_dir, tmp_path):
         """The IVF centroid cache is keyed on the table's mtime/size, so
