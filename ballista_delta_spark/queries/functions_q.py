@@ -410,6 +410,66 @@ def fn_union_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fn_bitwise: bitwise operators (DataFusion supports &,|,^,<<,>>,~ as
+# binary exprs; both engines agree on two's-complement BIGINT semantics).
+@_q(
+    "fn_bitwise",
+    """
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT) AS low_byte,
+           CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(p_partkey, 170) AS BIGINT) AS xored,
+           CAST(p_partkey << 3 AS BIGINT) AS shl,
+           CAST(p_partkey >> 2 AS BIGINT) AS shr,
+           CAST(~p_partkey AS BIGINT) AS inv,
+           CAST(bit_count(p_partkey::BIGINT) AS INTEGER) AS popcnt
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey").cast("bigint")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.expr("CAST(~CAST(p_partkey AS BIGINT) AS BIGINT)").alias("inv"),
+        F.bit_count(k).cast("int").alias("popcnt"),
+    )
+
+
+# --- fn_string_agg: ordered string aggregation (LISTAGG ... WITHIN GROUP /
+# DuckDB string_agg ORDER BY). The ORDER BY key is the unique p_partkey so
+# the concatenation is deterministic — an unordered listagg would
+# hash-mismatch between engines run to run.
+@_q(
+    "fn_string_agg",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(substr(p_name, 1, 6), '|' ORDER BY p_partkey) AS names
+    FROM part WHERE p_partkey <= 200
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "listagg(substring(p_name, 1, 6), '|') "
+                "WITHIN GROUP (ORDER BY p_partkey)"
+            ).alias("names"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # --- T1 tf_generate_series: table-function row generation
 # (DataFusion generate_series/range, Cargo.lock:2209 → spark.range).
 @_q(
