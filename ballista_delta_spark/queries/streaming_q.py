@@ -371,3 +371,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         "view_id", "click_id", "view_ts", "click_ts",
     )
+
+
+# --------------------------------------------------- stream_delta_source
+# readStream FROM A DELTA TABLE — the incremental-ingest entry point
+# (delta-spark's streaming source), implemented as a Spark 4 Python Data
+# Source tailing the transaction log: offsets are log versions, each
+# micro-batch is one-or-more commits' appended files (O(churn)), replay
+# between offsets is exact, and non-append commits raise unless
+# ignoreChanges is set (sources/delta_stream.py).
+@_q(
+    "stream_delta_source",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS n_nationkey,
+           'NEW_' || n_name AS n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+)
+def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import write_delta
+    from ..sources.delta_stream import register_delta_stream_source
+    from ._tables import load
+    from .scans import _clone, _nation_delta
+
+    register_delta_stream_source(spark)
+    path = _clone(_nation_delta(spark, sf_dir), "sds")
+    nat = load(spark, sf_dir, "nation")
+    write_delta(
+        nat.filter("n_regionkey = 2").select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+            *[c for c in nat.columns if c not in
+              ("n_nationkey", "n_name", "n_regionkey")],
+        ).select(*nat.columns),
+        path, mode="append",
+    )
+    stream = (
+        spark.readStream.format("delta_stream").option("path", path).load()
+    )
+    out = _run_stream(
+        stream.select("n_nationkey", "n_name", "n_regionkey"), "append"
+    )
+    return out

@@ -1,0 +1,94 @@
+"""Delta streaming source (Spark 4 Python Data Source) — offset/replay
+semantics and the non-append guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ballista_delta_spark.sources.delta import write_delta
+from ballista_delta_spark.sources.delta_stream import (
+    _DeltaSimpleStreamReader,
+    register_delta_stream_source,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), p)
+    return p
+
+
+def _reader(spark, tbl, **kw):
+    from ballista_delta_spark.sources.delta import _load_snapshot
+
+    return _DeltaSimpleStreamReader(tbl, _load_snapshot(tbl).schema, **kw)
+
+
+def test_end_to_end_available_now(spark, tbl):
+    write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+                mode="append")
+    register_delta_stream_source(spark)
+    df = spark.readStream.format("delta_stream").option("path", tbl).load()
+    q = (
+        df.writeStream.format("memory").queryName("t_ds")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted((r.id, r.s) for r in spark.table("t_ds").collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_offsets_advance_per_commit_and_replay_is_exact(spark, tbl):
+    r = _reader(spark, tbl)
+    rows0, off0 = r.read(r.initialOffset())
+    assert off0 == {"version": 0} and len(list(rows0)) == 2
+    # No new commits: empty batch, offset unchanged.
+    rows1, off1 = r.read(off0)
+    assert off1 == {"version": 0} and list(rows1) == []
+    write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+                mode="append")
+    rows2, off2 = r.read(off0)
+    assert off2 == {"version": 1}
+    assert [t[0] for t in rows2] == [3]
+    # Replay between offsets re-reads exactly that commit's rows.
+    assert [t[0] for t in r.readBetweenOffsets(off0, off2)] == [3]
+
+
+def test_starting_version_skips_history(spark, tbl):
+    write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+                mode="append")
+    r = _reader(spark, tbl, starting_version=1)
+    rows, off = r.read(r.initialOffset())
+    assert [t[0] for t in rows] == [3] and off == {"version": 1}
+
+
+def test_non_append_commit_raises_unless_ignore_changes(spark, tbl):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    delete_delta(spark, tbl, "id = 1")  # v1: dataChange remove
+    r = _reader(spark, tbl)
+    with pytest.raises(ValueError, match="not append-only"):
+        r.read(r.initialOffset())  # scans through v1 -> raises
+    r2 = _reader(spark, tbl, ignore_changes=True)
+    rows, off = r2.read(r2.initialOffset())
+    # With ignoreChanges the rewrite's ADD files still stream (replayed
+    # rows), removes are skipped — delta-spark ignoreChanges semantics.
+    assert off == {"version": 1}
+    assert all(isinstance(t, tuple) for t in rows)
+
+
+def test_partitioned_table_injects_typed_partition_values(spark, tmp_path):
+    p = str(tmp_path / "tp")
+    write_delta(
+        spark.createDataFrame([(1, "x", 7), (2, "y", 8)], "id int, s string, k int"),
+        p, partition_by=["k"],
+    )
+    r = _reader(spark, p)
+    rows, _ = r.read(r.initialOffset())
+    got = sorted(rows)
+    assert got == [(1, "x", 7), (2, "y", 8)]
+    assert all(isinstance(t[2], int) for t in got)
