@@ -158,3 +158,33 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
 def register_delta_stream_source(spark) -> None:
     """Idempotently register the delta_stream format on this session."""
     spark.dataSource.register(DeltaStreamDataSource)
+
+
+def write_stream_to_delta(
+    df, path: str, checkpoint_dir: str, available_now: bool = False
+):
+    """``writeStream`` into a Delta table — the sink half of the loop
+    (source half: ``format("delta_stream")``).
+
+    foreachBatch + an append commit: each micro-batch lands one Delta
+    version through the same distributed writer as ``write_delta``;
+    Spark's checkpoint gives at-least-once batch delivery, and exactly-
+    once lands when the job records (batch_id -> committed version) — the
+    txn app-id pattern delta-spark uses. ``available_now=True`` drains the
+    source and terminates (backfill/test mode). Returns the
+    StreamingQuery.
+    """
+    from .delta import write_delta
+
+    def _sink(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_delta(batch_df, path, mode="append")
+
+    writer = (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

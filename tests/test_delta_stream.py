@@ -81,6 +81,34 @@ def test_non_append_commit_raises_unless_ignore_changes(spark, tbl):
     assert all(isinstance(t, tuple) for t in rows)
 
 
+def test_write_stream_to_delta_roundtrip(spark, tmp_path):
+    """Source -> transform -> Delta sink: the full incremental loop. Each
+    micro-batch commits one version; the sink table equals the source."""
+    from pyspark.sql import functions as F
+
+    from ballista_delta_spark.sources.delta import read_delta
+    from ballista_delta_spark.sources.delta_stream import write_stream_to_delta
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), src_tbl
+    )
+    write_delta(
+        spark.createDataFrame([(3, "c")], "id int, s string"), src_tbl,
+        mode="append",
+    )
+    register_delta_stream_source(spark)
+    stream = spark.readStream.format("delta_stream").option("path", src_tbl).load()
+    q = write_stream_to_delta(
+        stream.select("id", F.upper("s").alias("s")),
+        dst_tbl, str(tmp_path / "ckpt"), available_now=True,
+    )
+    assert q.awaitTermination(120)
+    got = sorted((r.id, r.s) for r in read_delta(spark, dst_tbl).collect())
+    assert got == [(1, "A"), (2, "B"), (3, "C")]
+
+
 def test_partitioned_table_injects_typed_partition_values(spark, tmp_path):
     p = str(tmp_path / "tp")
     write_delta(
