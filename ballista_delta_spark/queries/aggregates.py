@@ -273,6 +273,38 @@ def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- agg_regression: linear-regression aggregates (DataFusion regr_* family;
+# both engines compute via the same covar/var decomposition, so rounding to
+# 6 decimals absorbs parallel-summation noise).
+@_q(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 6
+            ).alias("icept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity")
+            .cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- A10 agg_first_last: ordered first/last via min_by/max_by (Spark's plain
 # first/last are order-nondeterministic; min_by over the unique key is the
 # deterministic form — DataFusion's first_value(x ORDER BY k) equivalent).
