@@ -185,3 +185,35 @@ def win_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg3"),
         F.count(F.lit(1)).over(whole).alias("n_orders"),
     )
+
+
+# --- win_range_frame: VALUE-based RANGE frames (vs W7's row-count ROWS
+# frames): the frame holds every peer within a price distance of the
+# current row's ORDER BY value. RANGE frames are deterministic even under
+# order ties (peers enter by value, not position), so no tiebreaker column
+# is needed — the one window family where that's true.
+@_q(
+    "win_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_within_10k_below,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING), 2)
+             AS near_price_mass
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_custkey").orderBy("o_totalprice")
+    below = by_price.rangeBetween(-10000, W.currentRow)
+    around = by_price.rangeBetween(-5000, 5000)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(below).cast("bigint").alias("n_within_10k_below"),
+        F.round(F.sum("o_totalprice").over(around), 2).alias("near_price_mass"),
+    )
