@@ -103,3 +103,25 @@ ORDER BY v.tier
 def derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     return spark.sql(_Q4)
+
+
+# --- Q5 subq_lateral: LATERAL correlated derived table — each customer row
+# drives a per-row subquery over its own orders. Catalyst decorrelates this
+# to a left outer aggregate-join (DataFusion's lateral planning does the
+# same rewrite); the cap keeps the gate fast while the DECORRELATION is
+# what's exercised — the plan must not contain a per-row nested loop.
+_Q5 = """
+SELECT c.c_custkey,
+       round(t.max_price, 2) AS max_price,
+       CAST(t.n AS BIGINT) AS n_orders
+FROM customer c,
+LATERAL (SELECT max(o_totalprice) AS max_price, count(*) AS n
+         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+WHERE c.c_custkey <= 300
+"""
+
+
+@_q("subq_lateral", _Q5)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q5)
