@@ -353,3 +353,39 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("err_id", "click_id")
     )
+
+
+# --- join_null_safe: null-safe equality join (`<=>` / IS NOT DISTINCT
+# FROM) — NULL keys MATCH each other instead of vanishing, the semantics
+# dedup/entity-resolution pipelines need when "unknown" is a joinable
+# bucket. Still a plain hash-partitioned equi-join (NULL hashes like any
+# value under <=>), not a filter-after-cross.
+@_q(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k
+      FROM nation),
+    b AS (
+      SELECT r_name,
+             CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS k
+      FROM region)
+    SELECT a.n_nationkey, a.n_name, b.r_name
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        F.when(F.col("n_regionkey") == 2, F.lit(None))
+        .otherwise(F.col("n_regionkey")).alias("k"),
+    )
+    reg = load(spark, sf_dir, "region").select(
+        "r_name",
+        F.when(F.col("r_regionkey") == 2, F.lit(None))
+        .otherwise(F.col("r_regionkey")).alias("k"),
+    )
+    return nat.join(reg, nat["k"].eqNullSafe(reg["k"])).select(
+        "n_nationkey", "n_name", "r_name"
+    )

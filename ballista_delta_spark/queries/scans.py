@@ -193,6 +193,33 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scan_orc: ORC source round-trip (BEYOND the reference — DataFusion 50
+# core has no ORC datasource; Spark's reader/writer are built in, and
+# warehouse migrations hit ORC constantly). Written once from the parquet
+# fixture, then scanned with predicate/projection pushdown like any
+# columnar source; the oracle reads the same rows from parquet.
+@_q(
+    "scan_orc",
+    """
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    orc_path = _artifact(
+        sf_dir, "nation-orc",
+        lambda p: nat.write.mode("overwrite").orc(p),
+    )
+    spark.read.orc(orc_path).createOrReplaceTempView("nation_orc")
+    return spark.sql(
+        """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation_orc GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
 # --- S6 scan_s3: the S3/MinIO path (reference src/object_store.rs:42-47,
 # examples/s3_standalone.rs:15-18). No MinIO/docker in this container, so the
 # query exercises the same code path — resolve_url scheme routing + registry —
