@@ -30,16 +30,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
-    (TimestampType is µs). Read nanos as long and truncate to µs — the same
-    ns→µs truncation DuckDB applies when casting its TIMESTAMP_NS, so the
-    oracle comparison sees identical values (FIXTURES.md flags this edge)."""
+    """events.ts has shipped in two physical forms across testdata
+    generations: TIMESTAMP(NANOS) (Spark rejects; read nanos-as-long and
+    truncate to µs, matching DuckDB's TIMESTAMP_NS cast) and plain µs
+    TIMESTAMP (isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ).
+    Detect which we got and normalize to TimestampType — the session TZ is
+    pinned UTC in ``load`` so the NTZ→TZ cast is value-preserving and the
+    DuckDB oracle (naive TIMESTAMP) sees identical values."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # Integer division: a float path here loses ±1µs at 1e18-ns magnitudes.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # Integer division: a float path loses ±1µs at 1e18-ns magnitudes.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -27,6 +27,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +46,29 @@ _SHINGLE_DF_CAP = 100  # drop shingles present in more docs than this
 
 
 # ---------------------------------------------------------------- helpers
+def _shingle_spread(spark: SparkSession, sf_dir: str) -> int | None:
+    """Target partition count for the shingling pass, from driver-side file
+    metadata only (no Spark job, no plan→RDD conversion). A corpus whose
+    parquet footprint is under one ``maxPartitionBytes`` per core would scan
+    on fewer cores than the cluster has — spread it to full width so the
+    md5-per-shingle compute parallelizes. A big corpus (≥1 split per core)
+    already scans wide; return None and keep its layout."""
+    import glob
+
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        .lower().removesuffix("b")
+    )
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(sf_dir, "documents.parquet"))
+        + glob.glob(os.path.join(sf_dir, "documents.parquet", "*.parquet"))
+        if os.path.isfile(f)
+    )
+    return par if total < max_split * par else None
+
+
 def _shingles_spark(
     spark: SparkSession, sf_dir: str, repartition: int | None = None
 ) -> DataFrame:
@@ -235,12 +260,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task at sf0.1). Spread it to cluster width — safe HERE because
     # the checkpoint below guarantees the spread pass runs exactly once
     # (in _jaccard_pairs-style multi-branch plans the same repartition is
-    # re-evaluated per branch and measured 10x slower). Guarded so an
-    # already-well-partitioned 100 TB corpus keeps its layout.
-    par = spark.sparkContext.defaultParallelism
-    sh = _shingles_spark(spark, sf_dir)
-    if sh.rdd.getNumPartitions() < par:
-        sh = _shingles_spark(spark, sf_dir, repartition=par)
+    # re-evaluated per branch and measured 10x slower). The guard is a
+    # driver-side file-size heuristic (_shingle_spread) so an
+    # already-well-partitioned 100 TB corpus keeps its layout; the old
+    # ``sh.rdd.getNumPartitions()`` probe forced a full AQE plan→RDD
+    # conversion per build (~1-3 s, ×4 under bench's warmup+median-of-3).
+    sh = _shingles_spark(
+        spark, sf_dir, repartition=_shingle_spread(spark, sf_dir)
+    )
     # Signatures as a plain 16-way min AGGREGATE over the exploded hashed
     # index: min_k = min((2k+1)*h + 1299721k mod P) per doc. This stays
     # entirely inside whole-stage codegen and shuffles only partial-min

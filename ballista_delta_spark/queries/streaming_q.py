@@ -42,19 +42,39 @@ _q = make_registry(QUERIES)
 
 _GAP = "30 minutes"
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader needs an
-# explicit schema, so ts comes in as raw nanos (legacy long mode) and is
-# truncated to µs exactly like the batch loader (_tables._load_events).
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The streaming file source needs an explicit schema, and events.ts has
+# shipped in two physical forms across testdata generations (see
+# _tables._load_events): TIMESTAMP(NANOS) — read as raw nanos via legacy
+# long mode and truncated to µs — or plain µs TIMESTAMP (TIMESTAMP_NTZ to
+# Spark). Probe the file's batch schema once per sf_dir to build the right
+# stream schema; both normalize to TimestampType under the UTC session TZ.
+def _raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+_TS_TYPES: dict[str, T.DataType] = {}
+
+
+def _events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
+    cached = _TS_TYPES.get(sf_dir)
+    if cached is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        cached = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .schema["ts"]
+            .dataType
+        )
+        _TS_TYPES[sf_dir] = cached
+    return cached
 
 
 # The file source monitors DIRECTORIES (on a cluster: the landing dir new
@@ -80,8 +100,17 @@ def _events_dir(sf_dir: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _tables.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_events_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = _events_ts_type(spark, sf_dir)
+    raw = spark.readStream.schema(_raw_schema(ts_type)).parquet(
+        _events_dir(sf_dir)
+    )
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _await_completion(q, name: str, timeout: int = 300) -> None:
