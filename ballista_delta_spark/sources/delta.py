@@ -237,6 +237,76 @@ def version_at_timestamp(path: str, timestamp_ms: int) -> int:
     return best
 
 
+def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
+    """Resolve and read the checkpoint for version ``cv`` in any of the
+    three layouts the Delta protocol defines (PROTOCOL.md "Checkpoints"):
+
+    - classic:     ``{cv}.checkpoint.parquet``
+    - multi-part:  ``{cv}.checkpoint.{part:010d}.{parts:010d}.parquet``
+    - v2 (UUID):   ``{cv}.checkpoint.{uuid}.parquet`` or ``.json`` — a
+      manifest holding protocol/metaData plus ``sidecar`` actions whose
+      files (under ``_delta_log/_sidecars/``) carry the add/remove set.
+
+    Returns the flat action-row list (manifest rows first, then sidecar
+    rows, preserving file order) or None when no checkpoint file exists.
+    Reads go through pyarrow — the log is driver-side metadata; the data
+    files it points at are what Spark's executors scan.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    prefix = os.path.join(log, f"{cv:020d}.checkpoint")
+
+    classic = f"{prefix}.parquet"
+    if os.path.exists(classic):
+        return pq.read_table(classic).to_pylist()
+
+    parts = sorted(_glob.glob(f"{prefix}.??????????.??????????.parquet"))
+    if parts:
+        # Validate completeness: every file advertises the same N parts.
+        n = int(parts[0].rsplit(".", 2)[1])
+        if len(parts) != n:
+            raise ValueError(
+                f"multi-part checkpoint at version {cv} is incomplete: "
+                f"found {len(parts)} of {n} parts"
+            )
+        rows: list[dict[str, Any]] = []
+        for p in parts:
+            rows.extend(pq.read_table(p).to_pylist())
+        return rows
+
+    v2 = sorted(_glob.glob(f"{prefix}.*.parquet") + _glob.glob(f"{prefix}.*.json"))
+    if not v2:
+        return None
+    manifest = v2[-1]  # any complete manifest works; take the latest UUID
+    if manifest.endswith(".json"):
+        rows = []
+        with open(manifest) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(json.loads(line))
+    else:
+        rows = pq.read_table(manifest).to_pylist()
+    out: list[dict[str, Any]] = []
+    sidecars: list[str] = []
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            # Spec: sidecar paths are file names relative to _sidecars/.
+            sidecars.append(os.path.join(log, "_sidecars", sc["path"]))
+        else:
+            out.append(row)
+    for sc_path in sidecars:
+        if not os.path.exists(sc_path):
+            raise ValueError(
+                f"v2 checkpoint at version {cv} references missing sidecar "
+                f"{sc_path}"
+            )
+        out.extend(pq.read_table(sc_path).to_pylist())
+    return out
+
+
 def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     log = _log_dir(path)
     if not os.path.isdir(log):
@@ -251,34 +321,31 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     min_writer_version = 1
     writer_features: list[str] = []
 
-    # Checkpoint fast path: _last_checkpoint names a parquet snapshot of all
-    # actions ≤ its version; replay only the JSON commits after it.
+    # Checkpoint fast path: _last_checkpoint names a snapshot of all actions
+    # ≤ its version; replay only the JSON commits after it. All three
+    # checkpoint layouts in the Delta spec resolve here (classic single-file,
+    # classic multi-part, v2 UUID manifest + sidecars); only if NO checkpoint
+    # file can be found do we fall back to full JSON replay — and error
+    # clearly when the JSON log was cleaned and the checkpoint is required.
     ckpt_file = os.path.join(log, "_last_checkpoint")
-    classic_ckpt = None
+    ckpt_rows = None
     if os.path.exists(ckpt_file) and version is None:
         with open(ckpt_file) as fh:
             ckpt = json.loads(fh.read())
         cv = int(ckpt["version"])
-        classic_ckpt = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
-        if not os.path.exists(classic_ckpt):
-            # v2 (UUID-named + sidecars) or multi-part checkpoint — formats
-            # this reader doesn't parse. A checkpoint is only an
-            # OPTIMIZATION: fall back to full JSON replay when the log is
-            # complete from version 0; error clearly when it isn't (the
-            # log was cleaned and the checkpoint is required).
+        ckpt_rows = _checkpoint_rows(log, cv)
+        if ckpt_rows is None:
             if os.path.exists(_version_file(log, 0)):
-                classic_ckpt = None
+                pass  # checkpoint files missing but log complete: JSON replay
             else:
                 raise ValueError(
-                    f"checkpoint at version {cv} uses an unsupported format "
-                    "(v2/multi-part) and the JSON log is incomplete — "
-                    "cannot reconstruct the snapshot"
+                    f"_last_checkpoint names version {cv} but no checkpoint "
+                    "file (classic, multi-part, or v2+sidecar) was found and "
+                    "the JSON log is incomplete — cannot reconstruct the "
+                    "snapshot"
                 )
-    if classic_ckpt is not None:
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(classic_ckpt)
-        for row in tbl.to_pylist():
+    if ckpt_rows is not None:
+        for row in ckpt_rows:
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 md = row["metaData"]
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
@@ -292,10 +359,20 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 files.pop(row["remove"]["path"], None)
                 tombstones[row["remove"]["path"]] = dict(row["remove"])
             if row.get("protocol") and row["protocol"].get("minReaderVersion"):
-                min_writer_version = row["protocol"].get("minWriterVersion", 1)
-                writer_features = list(
-                    row["protocol"].get("writerFeatures") or []
-                )
+                pr = row["protocol"]
+                if pr.get("minReaderVersion", 1) >= 3:
+                    # Same reader-feature allowlist as the JSON-replay path:
+                    # a cleaned log surfaces protocol ONLY via checkpoint.
+                    unsupported = set(pr.get("readerFeatures") or ()) - {
+                        "timestampNtz", "v2Checkpoint", "columnMapping"
+                    }
+                    if unsupported:
+                        raise ValueError(
+                            "unsupported Delta readerFeatures "
+                            f"{sorted(unsupported)}"
+                        )
+                min_writer_version = pr.get("minWriterVersion", 1)
+                writer_features = list(pr.get("writerFeatures") or [])
         start_version = cv + 1
 
     v = start_version

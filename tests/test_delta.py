@@ -639,3 +639,162 @@ def test_optimize_compacts_files_without_changing_rows(spark, tmp_path):
     assert all(
         a["add"]["dataChange"] is False for a in acts if "add" in a
     ) and all(a["remove"]["dataChange"] is False for a in acts if "remove" in a)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint layout coverage (Delta PROTOCOL.md "Checkpoints"): a 100 TB
+# production table's normal state is "checkpoint present, old JSON cleaned",
+# so snapshot construction must work from all three checkpoint layouts with
+# no JSON log before the checkpoint version.
+def _build_checkpointed_table(spark, tmp_path):
+    """Table with 3 commits + classic checkpoint at v2; JSON ≤ v2 deleted."""
+    import glob
+    import json as _json
+
+    tbl = str(tmp_path / "ckpt_tbl")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    write_delta(src.limit(2), tbl, mode="append")
+    write_delta(src.limit(1), tbl, mode="append")
+    cv = create_checkpoint(tbl)
+    assert cv == 2
+    log = os.path.join(tbl, "_delta_log")
+    for f in glob.glob(os.path.join(log, "*.json")):
+        os.remove(f)
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        meta = _json.loads(fh.read())
+    return tbl, log, meta
+
+
+def test_multipart_checkpoint_read_with_cleaned_log(spark, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tbl, log, meta = _build_checkpointed_table(spark, tmp_path)
+    cv = meta["version"]
+    classic = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
+    t = pq.read_table(classic)
+    mid = max(1, t.num_rows // 2)
+    pq.write_table(
+        t.slice(0, mid),
+        os.path.join(log, f"{cv:020d}.checkpoint.0000000001.0000000002.parquet"),
+    )
+    pq.write_table(
+        t.slice(mid),
+        os.path.join(log, f"{cv:020d}.checkpoint.0000000002.0000000002.parquet"),
+    )
+    os.remove(classic)
+    meta["parts"] = 2
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps(meta))
+    assert read_delta(spark, tbl).count() == 8  # 5 + 2 + 1
+
+
+def test_multipart_checkpoint_incomplete_raises(spark, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tbl, log, meta = _build_checkpointed_table(spark, tmp_path)
+    cv = meta["version"]
+    classic = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
+    t = pq.read_table(classic)
+    pq.write_table(
+        t.slice(0, 1),
+        os.path.join(log, f"{cv:020d}.checkpoint.0000000001.0000000002.parquet"),
+    )
+    os.remove(classic)
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, tbl)
+
+
+def test_v2_checkpoint_parquet_manifest_with_sidecars(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl, log, meta = _build_checkpointed_table(spark, tmp_path)
+    cv = meta["version"]
+    classic = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
+    t = pq.read_table(classic)
+    rows = t.to_pylist()
+    file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+    other_rows = [r for r in rows if not (r.get("add") or r.get("remove"))]
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+    # Two sidecars, split the file actions between them (spec: sidecars
+    # carry ONLY file actions; paths in the manifest are _sidecars-relative
+    # file names).
+    mid = max(1, len(file_rows) // 2)
+    names = ["11111111-aaaa-4bbb-8ccc-000000000001.parquet",
+             "11111111-aaaa-4bbb-8ccc-000000000002.parquet"]
+    for name, chunk in zip(names, [file_rows[:mid], file_rows[mid:]]):
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=t.schema),
+            os.path.join(log, "_sidecars", name),
+        )
+    manifest = [
+        {"checkpointMetadata": {"version": cv, "tags": None}},
+        *other_rows,
+        *({"sidecar": {"path": n, "sizeInBytes": 1, "modificationTime": 0}}
+          for n in names),
+    ]
+    # from_pylist infers the schema from leading rows; be explicit so the
+    # manifest keeps the metaData/protocol columns alongside the v2 actions.
+    manifest_schema = pa.schema(
+        [
+            *t.schema,
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", pa.string())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(manifest, schema=manifest_schema),
+        os.path.join(
+            log, f"{cv:020d}.checkpoint.22222222-aaaa-4bbb-8ccc-333333333333.parquet"
+        ),
+    )
+    os.remove(classic)
+    assert read_delta(spark, tbl).count() == 8
+
+
+def test_v2_checkpoint_json_manifest_and_missing_sidecar(spark, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tbl, log, meta = _build_checkpointed_table(spark, tmp_path)
+    cv = meta["version"]
+    classic = os.path.join(log, f"{cv:020d}.checkpoint.parquet")
+    rows = pq.read_table(classic).to_pylist()
+    manifest_path = os.path.join(
+        log, f"{cv:020d}.checkpoint.44444444-aaaa-4bbb-8ccc-555555555555.json"
+    )
+    with open(manifest_path, "w") as fh:
+        fh.write(_json.dumps({"checkpointMetadata": {"version": cv}}) + "\n")
+        for r in rows:
+            act = {k: v for k, v in r.items() if v is not None}
+            fh.write(_json.dumps(act) + "\n")
+        fh.write(
+            _json.dumps({"sidecar": {"path": "missing.parquet"}}) + "\n"
+        )
+    os.remove(classic)
+    with pytest.raises(ValueError, match="missing sidecar"):
+        read_delta(spark, tbl)
+    # Drop the dangling sidecar line: JSON manifest alone must reconstruct.
+    with open(manifest_path) as fh:
+        lines = fh.readlines()[:-1]
+    with open(manifest_path, "w") as fh:
+        fh.writelines(lines)
+    assert read_delta(spark, tbl).count() == 8
