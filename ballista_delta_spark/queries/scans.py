@@ -499,6 +499,63 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S18 sink_delta_merge_conditional: MERGE with per-clause conditions
+# (WHEN MATCHED AND ... THEN DELETE / UPDATE, WHEN NOT MATCHED AND ... THEN
+# INSERT), delta-spark first-match-wins semantics. Beyond the reference
+# (whose write surface errors) AND beyond our own r4 MERGE, which raised on
+# conditional clauses. The oracle reconstructs the post-merge state: a
+# matched row is deleted if clause 1 holds, updated if clause 2 holds,
+# otherwise untouched; unmatched source rows insert only under the insert
+# clause's condition.
+@_q(
+    "sink_delta_merge_conditional",
+    """
+    WITH src AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey + 30 AS n_nationkey, 'NEW_' || n_name AS n_name
+      FROM nation WHERE n_nationkey < 5)
+    SELECT t.n_nationkey,
+           CASE WHEN s.n_nationkey IS NOT NULL
+                     AND NOT t.n_regionkey IN (1, 3)
+                     AND s.n_nationkey % 2 = 0
+                THEN lower(s.n_name) ELSE t.n_name END AS n_name,
+           t.n_regionkey
+    FROM nation t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+    WHERE NOT (s.n_nationkey IS NOT NULL AND t.n_regionkey IN (1, 3))
+    UNION ALL
+    SELECT s.n_nationkey, s.n_name, 9 AS n_regionkey
+    FROM src s ANTI JOIN nation t ON t.n_nationkey = s.n_nationkey
+    WHERE s.n_nationkey >= 32
+    """,
+)
+def sink_delta_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s18")
+    nat = load(spark, sf_dir, "nation")
+    src = nat.filter("n_nationkey < 10").select("n_nationkey", "n_name").unionByName(
+        nat.filter("n_nationkey < 5").select(
+            (F.col("n_nationkey") + 30).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+        )
+    )
+    merge_delta(
+        spark, path, src,
+        "t.n_nationkey = s.n_nationkey",
+        matched_clauses=[
+            ("t.n_regionkey IN (1, 3)", "delete", None),
+            ("s.n_nationkey % 2 = 0", "update", {"n_name": "lower(s.n_name)"}),
+        ],
+        not_matched_clauses=[
+            ("s.n_nationkey >= 32", {
+                "n_nationkey": "s.n_nationkey",
+                "n_name": "s.n_name",
+                "n_regionkey": "9",
+            }),
+        ],
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --- S15 sink_delta_restore: RESTORE TO VERSION AS OF — metadata-only
 # rollback committed as a NEW version (delta-spark RESTORE semantics; no
 # reference analogue, its write surface errors). The query reads BOTH the

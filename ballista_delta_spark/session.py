@@ -404,13 +404,17 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     """Parse the canonical MERGE grammar and route to merge_delta:
 
         MERGE INTO t USING (<subquery>)|<table> [AS] s ON <cond>
-          [WHEN MATCHED THEN UPDATE SET c = e, ... | DELETE]
-          [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+          [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE]...
+          [WHEN NOT MATCHED [AND <cond>] THEN
+               INSERT * | INSERT (cols) VALUES (exprs)]...
 
     Aliases are normalized to the engine's fixed ``t`` / ``s`` names by a
-    word-boundary rewrite in the condition and expressions. Conditional
-    clauses (``WHEN MATCHED AND ...``) are not supported — raise rather
-    than silently mis-merge.
+    word-boundary rewrite in the condition and expressions. Clauses keep
+    statement order; delta-spark semantics (first matching clause wins, a
+    row qualifying for no clause is untouched / not inserted) are applied
+    by merge_delta. Known limitation: a ``WHEN`` inside a clause condition
+    (CASE WHEN ...) confuses the top-level clause split — use a subquery
+    column instead.
     """
     m = _DELTA_MERGE_HEAD.match(statement)
     talias = m.group("talias")
@@ -457,34 +461,42 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
                 expr = re.sub(rf"\b{re.escape(alias)}\s*\.", f"{fixed}.", expr)
         return expr
 
-    matched_update = None
-    matched_delete = False
-    not_matched_insert: dict | bool = False
+    matched_clauses: list[tuple[str | None, str, dict | None]] = []
+    not_matched_clauses: list[tuple[str | None, dict | bool]] = []
     for cl in clauses:
-        mu = re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", cl,
-                      re.IGNORECASE | re.DOTALL)
-        md = re.match(r"MATCHED\s+THEN\s+DELETE$", cl, re.IGNORECASE)
+        mu = re.match(
+            r"MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+UPDATE\s+SET\s+"
+            r"(?P<sets>.*)$",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
+        md = re.match(
+            r"MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+DELETE$",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
         mi = re.match(
-            r"NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+            r"NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+INSERT\s*"
             r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?"
             r"VALUES\s*\((?P<vals>.*)\))\s*$",
             cl, re.IGNORECASE | re.DOTALL,
         )
         if mu:
+            cond = norm(mu.group("cond")) if mu.group("cond") else None
             # SET targets may be alias-qualified (t.col = ...): strip the
             # target prefix — merge_delta wants bare column names.
             tprefix = re.compile(
                 rf"^(?:t|{re.escape(talias)})\." if talias else r"^t\."
             )
-            matched_update = {
+            matched_clauses.append((cond, "update", {
                 tprefix.sub("", c): norm(e)
-                for c, e in _split_set_clauses(mu.group(1)).items()
-            }
+                for c, e in _split_set_clauses(mu.group("sets")).items()
+            }))
         elif md:
-            matched_delete = True
+            cond = norm(md.group("cond")) if md.group("cond") else None
+            matched_clauses.append((cond, "delete", None))
         elif mi:
+            cond = norm(mi.group("cond")) if mi.group("cond") else None
             if mi.group("star"):
-                not_matched_insert = True
+                not_matched_clauses.append((cond, True))
             else:
                 vals = _split_top_level(mi.group("vals"))
                 if mi.group("cols") is None:
@@ -499,9 +511,9 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
                     raise ValueError(
                         f"MERGE INSERT: {len(cols)} columns vs {len(vals)} values"
                     )
-                not_matched_insert = {
-                    c: norm(v.strip()) for c, v in zip(cols, vals)
-                }
+                not_matched_clauses.append(
+                    (cond, {c: norm(v.strip()) for c, v in zip(cols, vals)})
+                )
         else:
             raise ValueError(f"unsupported MERGE clause: WHEN {cl[:60]}...")
 
@@ -513,9 +525,8 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     loc = _delta_views[name]
     metrics = merge_delta(
         spark, loc, source, norm(on),
-        matched_update=matched_update,
-        matched_delete=matched_delete,
-        not_matched_insert=not_matched_insert,
+        matched_clauses=matched_clauses,
+        not_matched_clauses=not_matched_clauses,
     )
     read_delta(spark, loc).createOrReplaceTempView(name)
     return spark.createDataFrame([Row(**metrics)])

@@ -323,6 +323,8 @@ def merge_delta(
     matched_delete: bool = False,
     not_matched_insert: dict[str, str] | bool = True,
     retries: int = 0,
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] | None = None,
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]] | None = None,
 ) -> dict[str, Any]:
     """``MERGE INTO <path> t USING source s ON <on>`` (copy-on-write).
 
@@ -333,23 +335,51 @@ def merge_delta(
     - ``not_matched_insert``: ``True`` inserts source rows positionally by
       name (source must carry all target columns); a dict maps target-col ->
       expr over ``s.``; ``False`` disables inserts.
+    - ``matched_clauses`` / ``not_matched_clauses``: the general conditional
+      form (``WHEN [NOT] MATCHED AND <cond> THEN ...``), superseding the
+      three legacy kwargs when given. ``matched_clauses`` is an ordered list
+      of ``(condition | None, "update" | "delete", update_map | None)``;
+      ``not_matched_clauses`` of ``(condition | None, insert_map | True)``.
+      delta-spark semantics: clauses are evaluated in order, the FIRST whose
+      condition holds applies, and a row qualifying for no clause is left
+      as-is (matched) or not inserted (not-matched).
 
     Duplicate-match rule (Delta semantics): if any single target row matches
-    more than one source row, the merge is ambiguous and raises.
+    more than one source row and an update/delete clause exists, the merge
+    is ambiguous and raises — regardless of clause conditions.
 
     Plan shape: target rows never leave executors except per-file match
     counts; the target side of every join is only the AFFECTED-file subset;
     the source is typically the small side (broadcast candidate). Identical
     target rows are merged via a (row-values, multiplicity) representation —
     groupBy all columns — so the duplicate-source check needs no synthetic
-    row id and stays a plain aggregate.
+    row id and stays a plain aggregate. When EVERY matched clause is
+    conditional, the affected-file scan predicate is narrowed to
+    ``on AND (cond1 OR cond2 ...)`` so files whose matches all fail the
+    conditions are never rewritten.
     """
-    if matched_update and matched_delete:
-        raise ValueError("matched_update and matched_delete are mutually exclusive")
+    if matched_clauses is None:
+        if matched_update and matched_delete:
+            raise ValueError(
+                "matched_update and matched_delete are mutually exclusive"
+            )
+        matched_clauses = []
+        if matched_update:
+            matched_clauses.append((None, "update", matched_update))
+        elif matched_delete:
+            matched_clauses.append((None, "delete", None))
+    if not_matched_clauses is None:
+        not_matched_clauses = (
+            [(None, not_matched_insert)] if not_matched_insert else []
+        )
+    for _c, kind, upd in matched_clauses:
+        if kind not in ("update", "delete"):
+            raise ValueError(f"unknown matched-clause kind: {kind!r}")
+        if kind == "update" and not upd:
+            raise ValueError("update clause requires a SET map")
     return _retrying(
         lambda: _merge_once(
-            spark, path, source, on, matched_update, matched_delete,
-            not_matched_insert,
+            spark, path, source, on, matched_clauses, not_matched_clauses,
         ),
         retries,
     )
@@ -360,42 +390,50 @@ def _merge_once(
     path: str,
     source: DataFrame,
     on: str,
-    matched_update: dict[str, str] | None,
-    matched_delete: bool,
-    not_matched_insert: dict[str, str] | bool,
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
     # Insert-only MERGE removes no files — legal on appendOnly tables.
-    _check_writable(
-        dt, removes_files=bool(matched_update or matched_delete)
-    )
+    _check_writable(dt, removes_files=bool(matched_clauses))
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
     # Validate BEFORE any staging writes — a late raise would orphan the
     # already-moved rewrite part-files.
-    if matched_update:
-        bad = set(matched_update) - set(tcols)
-        if bad:
-            raise ValueError(f"matched_update targets not in table schema: {sorted(bad)}")
-    if not_matched_insert is True:
-        missing = set(tcols) - set(source.columns)
-        if missing:
-            raise ValueError(
-                f"not_matched_insert=True but source lacks {sorted(missing)}"
-            )
+    for _c, kind, upd in matched_clauses:
+        if kind == "update":
+            bad = set(upd) - set(tcols)
+            if bad:
+                raise ValueError(
+                    f"matched_update targets not in table schema: {sorted(bad)}"
+                )
+    for _c, spec in not_matched_clauses:
+        if spec is True:
+            missing = set(tcols) - set(source.columns)
+            if missing:
+                raise ValueError(
+                    f"not_matched_insert=True but source lacks {sorted(missing)}"
+                )
 
     # Insert-only MERGE (no matched clauses) never touches existing rows:
     # skip the affected-file scan AND the rewrite — matched target rows are
     # left in place (so no spurious dataChange add/remove actions for CDC
     # readers to misread), and duplicate source matches are NOT ambiguous
     # (delta-spark semantics: ambiguity only applies to update/delete).
-    insert_only = not matched_update and not matched_delete
+    insert_only = not matched_clauses
+    # All-conditional matched clauses narrow the affected-file predicate:
+    # a file whose matches all fail every clause condition is untouched.
+    affected_pred = on_expr
+    m_conds = [c for c, _k, _u in matched_clauses]
+    if matched_clauses and all(c is not None for c in m_conds):
+        any_cond = " OR ".join(f"({c})" for c in m_conds)
+        affected_pred = F.expr(f"({on}) AND ({any_cond})")
     affected = [] if insert_only else [
         r[_FILE_COL]
         for r in (
             _attributed(spark, dt)
             .alias("t")
-            .join(source.alias("s"), on_expr, "left_semi")
+            .join(source.alias("s"), affected_pred, "left_semi")
             .select(_FILE_COL)
             .distinct()
             .collect()
@@ -419,18 +457,39 @@ def _merge_once(
             .agg(F.count(F.lit(1)).alias("__m"))
             .alias("t")
         )
-        joined = tgt.join(src, on_expr, "left").cache()
+        # First-match-wins clause id per row: __act = index of the first
+        # clause whose condition holds (for a matched row), -1 = no clause
+        # applies (row kept as-is). Computed BEFORE cache so every
+        # downstream job sees one consistent assignment.
+        hit = F.col("__s_hit").isNotNull()
+        act = F.lit(-1)
+        for i in reversed(range(len(matched_clauses))):
+            cond_sql, _kind, _upd = matched_clauses[i]
+            cc = hit & (F.expr(cond_sql) if cond_sql is not None else F.lit(True))
+            act = F.when(cc, F.lit(i)).otherwise(act)
+        joined = tgt.join(src, on_expr, "left").withColumn("__act", act).cache()
         try:
-            hit = F.col("__s_hit").isNotNull()
-            # ONE job: per-target-row match counts roll up into both the
-            # ambiguity count and the matched-row total.
+            # ONE job: per-target-row match counts roll up into the
+            # ambiguity count and the per-clause matched-row totals.
+            per_clause = [
+                F.sum(
+                    F.when(F.col("__a") == i, F.col("__m")).otherwise(0)
+                ).alias(f"n{i}")
+                for i in range(len(matched_clauses))
+            ]
+            # Group on target identity ONLY (a row matched by two source
+            # rows must land in one group for the dup check); __k == 1
+            # after the check, so max(__act) IS the row's single act.
             stats = (
                 joined.filter(hit)
                 .groupBy(*[F.col(f"t.{c}") for c in tcols], "__m")
-                .agg(F.count(F.lit(1)).alias("__k"))
+                .agg(
+                    F.count(F.lit(1)).alias("__k"),
+                    F.max("__act").alias("__a"),
+                )
                 .agg(
                     F.sum(F.when(F.col("__k") > 1, 1).otherwise(0)).alias("dups"),
-                    F.sum("__m").alias("nm"),
+                    *per_clause,
                 )
                 .collect()[0]
             )
@@ -439,22 +498,31 @@ def _merge_once(
                     f"MERGE is ambiguous: {stats['dups']} target row(s) "
                     "matched by multiple source rows"
                 )
-            n_matched = int(stats["nm"] or 0)
-            if matched_delete:
-                survivors = joined.filter(~hit)
-                n_deleted = n_matched
-            elif matched_update:
-                survivors = joined
-                n_updated = n_matched
-            else:
-                survivors = joined
+            delete_ids = [
+                i for i, (_c, k, _u) in enumerate(matched_clauses)
+                if k == "delete"
+            ]
+            n_updated = sum(
+                int(stats[f"n{i}"] or 0)
+                for i, (_c, k, _u) in enumerate(matched_clauses)
+                if k == "update"
+            )
+            n_deleted = sum(int(stats[f"n{i}"] or 0) for i in delete_ids)
+            survivors = joined
+            if delete_ids:
+                survivors = joined.filter(~F.col("__act").isin(delete_ids))
             out_cols = []
+            typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
             for c in tcols:
                 col = F.col(f"t.{c}")
-                if matched_update and c in matched_update:
-                    col = F.when(hit, F.expr(matched_update[c])).otherwise(col)
-                typ = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)[c]
-                out_cols.append(col.cast(typ).alias(c))
+                # Chain per-clause updates innermost-last so clause order is
+                # irrelevant (each row carries exactly one __act).
+                for i, (_c0, kind, upd) in enumerate(matched_clauses):
+                    if kind == "update" and c in upd:
+                        col = F.when(
+                            F.col("__act") == i, F.expr(upd[c])
+                        ).otherwise(col)
+                out_cols.append(col.cast(typed[c]).alias(c))
             rewritten = (
                 survivors.select(*out_cols, "__m")
                 # Re-expand multiplicities dropped by the groupBy.
@@ -470,25 +538,40 @@ def _merge_once(
         removes = _removes(dt, affected, now_ms)
 
     n_inserted = 0
-    if not_matched_insert:
-        # Anti-join against the affected subset suffices: a source row that
-        # matches ANY target row matches an affected-file row by definition.
+    if not_matched_clauses:
+        # Anti-join base: when affected == every file with ANY match, a
+        # source row matching any target row matches an affected-file row,
+        # so the (small) affected subset suffices. When the affected scan
+        # was narrowed by clause conditions that guarantee no longer holds
+        # — fall back to the full target.
+        narrowed = affected_pred is not on_expr
         anti_base = (
-            _subset_df(spark, dt, affected).alias("t") if affected
+            _subset_df(spark, dt, affected).alias("t")
+            if affected and not narrowed
             else dt.to_df(spark).alias("t")
         )
         unmatched = src.join(anti_base, on_expr, "left_anti")
-        if not_matched_insert is True:
-            ins = unmatched.select(*tcols)
-        else:
-            ins = unmatched.select(
-                *[
-                    F.expr(not_matched_insert[c]).alias(c)
-                    if c in not_matched_insert
-                    else F.lit(None).alias(c)
-                    for c in tcols
-                ]
-            )
+        # First-match-wins across insert clauses; a source row qualifying
+        # for none is not inserted.
+        iact = F.lit(-1)
+        for i in reversed(range(len(not_matched_clauses))):
+            cond_sql, _spec = not_matched_clauses[i]
+            cc = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+            iact = F.when(cc, F.lit(i)).otherwise(iact)
+        unmatched = (
+            unmatched.withColumn("__iact", iact).filter(F.col("__iact") >= 0)
+        )
+        out = []
+        for c in tcols:
+            col = F.lit(None)
+            for i, (_c0, spec) in enumerate(not_matched_clauses):
+                val = (
+                    F.col(f"s.{c}") if spec is True
+                    else (F.expr(spec[c]) if c in spec else F.lit(None))
+                )
+                col = F.when(F.col("__iact") == i, val).otherwise(col)
+            out.append(col.alias(c))
+        ins = unmatched.select(*out)
         typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
         ins = ins.select(*[F.col(c).cast(typed[c]).alias(c) for c in tcols])
         n_inserted = ins.count()

@@ -280,10 +280,12 @@ def test_sql_merge_forms(spark, tmp_path):
     """)
     assert spark.sql("SELECT count(*) n FROM mrg").collect()[0].n == 4
 
-    # Conditional clauses are unsupported — loud error, no commit.
+    # Conditional clauses are supported since round 6
+    # (TestConditionalMerge in test_delta_dml.py); a malformed clause is
+    # still a loud error with no commit.
     with pytest.raises(ValueError, match="unsupported MERGE clause"):
         sql(spark, "MERGE INTO mrg t USING kill s ON t.id = s.id "
-                   "WHEN MATCHED AND t.id > 5 THEN DELETE")
+                   "WHEN MATCHED THEN FROBNICATE")
 
 
 def test_restore_to_version_is_metadata_only(spark, tmp_path):

@@ -263,3 +263,142 @@ class TestConcurrency:
         monkeypatch.setattr(dml, "_try_commit", always_lose)
         with pytest.raises(RuntimeError, match="concurrent commit"):
             dml.delete_delta(spark, nation_tbl, "n_regionkey = 1")
+
+
+# ---------------------------------------------------------------------------
+# Conditional MERGE clauses (round-4 punch list #3): WHEN MATCHED AND <cond>,
+# multiple clauses in order, first match wins — delta-spark semantics.
+class TestConditionalMerge:
+    def _table(self, spark, tmp_path, name="t"):
+        tbl = str(tmp_path / name)
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+                "id int, name string, v double",
+            ),
+            tbl,
+        )
+        return tbl
+
+    def test_update_if_delete_if_clause_order(self, spark, tmp_path):
+        tbl = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, 5.0), (2, 500.0), (3, 7.0)], "id int, nv double"
+        )
+        m = merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_clauses=[
+                ("s.nv > 100", "delete", None),
+                ("s.nv < 10", "update", {"v": "s.nv"}),
+            ],
+            not_matched_clauses=[],
+        )
+        assert m["numTargetRowsDeleted"] == 1   # id=2 (nv 500)
+        assert m["numTargetRowsUpdated"] == 2   # ids 1, 3
+        rows = {
+            r["id"]: (r["name"], r["v"])
+            for r in read_delta(spark, tbl).collect()
+        }
+        assert rows == {1: ("a", 5.0), 3: ("c", 7.0), 4: ("d", 40.0)}
+
+    def test_first_match_wins_and_unqualified_row_kept(self, spark, tmp_path):
+        tbl = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 1000.0)], "id int, nv double"
+        )
+        # Both clauses' conditions hold for ids 1,2 -> FIRST clause applies.
+        # id=3 fails both conditions -> row untouched.
+        m = merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_clauses=[
+                ("s.nv <= 2", "update", {"name": "'low'"}),
+                ("s.nv <= 2", "update", {"name": "'never'"}),
+            ],
+            not_matched_clauses=[],
+        )
+        assert m["numTargetRowsUpdated"] == 2
+        rows = {r["id"]: r["name"] for r in read_delta(spark, tbl).collect()}
+        assert rows == {1: "low", 2: "low", 3: "c", 4: "d"}
+
+    def test_conditional_insert_clauses(self, spark, tmp_path):
+        tbl = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(8, "hi", 80.0), (9, "lo", 1.0), (10, "skip", -1.0)],
+            "id int, name string, v double",
+        )
+        m = merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_clauses=[],
+            not_matched_clauses=[
+                ("s.v >= 50", {"id": "s.id", "name": "upper(s.name)", "v": "s.v"}),
+                ("s.v > 0", True),
+            ],
+        )
+        assert m["numTargetRowsInserted"] == 2  # -1.0 row qualifies nowhere
+        rows = {r["id"]: r["name"] for r in read_delta(spark, tbl).collect()}
+        assert rows[8] == "HI" and rows[9] == "lo" and 10 not in rows
+
+    def test_all_conditional_clauses_narrow_file_rewrite(self, spark, tmp_path):
+        """Two single-row-group files; matches in one file all fail the
+        clause condition -> that file must NOT be rewritten."""
+        tbl = str(tmp_path / "narrow")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "id int, v double"
+            ).coalesce(1),
+            tbl,
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(3, 3.0), (4, 4.0)], "id int, v double"
+            ).coalesce(1),
+            tbl, mode="append",
+        )
+        files_before = set(DeltaTable(tbl).snapshot.files)
+        assert len(files_before) == 2
+        src = spark.createDataFrame([(1, 100.0), (3, 0.0)], "id int, nv double")
+        m = merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_clauses=[("s.nv > 50", "update", {"v": "s.nv"})],
+            not_matched_clauses=[],
+        )
+        assert m["numTargetRowsUpdated"] == 1
+        snap = DeltaTable(tbl).snapshot
+        # The file holding ids 3,4 (its only match fails the condition)
+        # survives; the file holding ids 1,2 was rewritten.
+        assert len(files_before & set(snap.files)) == 1
+        rows = {r["id"]: r["v"] for r in read_delta(spark, tbl).collect()}
+        assert rows == {1: 100.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+    def test_sql_conditional_merge(self, spark, tmp_path):
+        from ballista_delta_spark.session import sql
+
+        tbl = self._table(spark, tmp_path, "sqlcond")
+        sql(spark, f"CREATE EXTERNAL TABLE mrgc STORED AS DELTA LOCATION '{tbl}'")
+        out = sql(spark, """
+            MERGE INTO mrgc AS tgt
+            USING (SELECT * FROM VALUES (1, 0.5), (2, 999.0), (7, 70.0)
+                   AS s(id, nv)) AS src
+            ON tgt.id = src.id
+            WHEN MATCHED AND src.nv > 100 THEN DELETE
+            WHEN MATCHED AND src.nv < 1 THEN UPDATE SET tgt.v = src.nv
+            WHEN NOT MATCHED AND src.nv > 50 THEN
+                INSERT (id, name, v) VALUES (src.id, 'new', src.nv)
+        """).collect()[0]
+        assert out["numTargetRowsDeleted"] == 1
+        assert out["numTargetRowsUpdated"] == 1
+        assert out["numTargetRowsInserted"] == 1
+        rows = {r["id"]: r["v"] for r in read_delta(spark, tbl).collect()}
+        assert rows == {1: 0.5, 3: 30.0, 4: 40.0, 7: 70.0}
+
+    def test_ambiguous_multi_match_still_raises(self, spark, tmp_path):
+        tbl = self._table(spark, tmp_path, "amb")
+        src = spark.createDataFrame(
+            [(1, 1.0), (1, 2.0)], "id int, nv double"
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            merge_delta(
+                spark, tbl, src, "t.id = s.id",
+                matched_clauses=[("s.nv > 0", "update", {"v": "s.nv"})],
+                not_matched_clauses=[],
+            )

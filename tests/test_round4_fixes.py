@@ -254,10 +254,13 @@ class TestWriterProtocolGate:
 
 
 class TestUnsupportedCheckpointFallback:
-    def test_v2_checkpoint_falls_back_to_json_replay(self, spark, tmp_path):
-        """A _last_checkpoint naming a v2/multi-part checkpoint (no classic
-        {v}.checkpoint.parquet file) must fall back to full JSON replay when
-        the log is complete — checkpoints are an optimization, not truth."""
+    def test_v2_checkpoint_is_read_and_absent_checkpoint_errors(
+        self, spark, tmp_path
+    ):
+        """Round 6 upgraded the r4 fallback: a UUID-named (v2) checkpoint is
+        now PARSED directly — including after the JSON log is cleaned. Only
+        a _last_checkpoint pointing at no file at all, with an incomplete
+        log, is an error."""
         from ballista_delta_spark.sources.delta import create_checkpoint
 
         tbl = str(tmp_path / "t")
@@ -268,14 +271,19 @@ class TestUnsupportedCheckpointFallback:
         # Simulate a v2 checkpoint: rename the classic file to a UUID form.
         log = os.path.join(tbl, "_delta_log")
         classic = os.path.join(log, f"{v:020d}.checkpoint.parquet")
-        os.rename(classic, os.path.join(
+        uuid_ckpt = os.path.join(
             log, f"{v:020d}.checkpoint.0000000000000000000a.parquet"
-        ))
-        assert read_delta(spark, tbl).count() == 20  # JSON replay
+        )
+        os.rename(classic, uuid_ckpt)
+        assert read_delta(spark, tbl).count() == 20
 
-        # Cleaned log (v0 json gone) -> the checkpoint is required -> error.
+        # Cleaned log (v0 json gone): the v2 checkpoint alone reconstructs.
         os.remove(os.path.join(log, f"{0:020d}.json"))
-        with pytest.raises(ValueError, match="unsupported format"):
+        assert read_delta(spark, tbl).count() == 20
+
+        # No checkpoint file at all + incomplete log -> clear error.
+        os.remove(uuid_ckpt)
+        with pytest.raises(ValueError, match="no checkpoint file"):
             read_delta(spark, tbl)
 
 
