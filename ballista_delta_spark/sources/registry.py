@@ -187,10 +187,9 @@ def register_http_parquet(
 
     url_list = [urls] if isinstance(urls, str) else list(urls)
     if len(url_list) > max_files:
-        raise ValueError(
-            f"refusing to localize {len(url_list)} HTTP files through the "
-            f"driver (max {max_files}); mirror the table to an object store"
-        )
+        # Above the driver-localization budget: route to the executor-side
+        # fetch instead of failing (round-4 punch list #4).
+        return register_http_parquet_distributed(spark, name, url_list)
     # Size pre-check via HEAD where the server reports it; the streaming
     # loop below re-enforces the budget for servers that don't.
     total = 0
@@ -202,10 +201,7 @@ def register_http_parquet(
         except OSError:
             pass
     if total > max_bytes:
-        raise ValueError(
-            f"refusing to localize ~{total} HTTP bytes through the driver "
-            f"(max {max_bytes}); mirror the table to an object store"
-        )
+        return register_http_parquet_distributed(spark, name, url_list)
     d = tempfile.mkdtemp(prefix="bds-http-")
     fetched = 0
     for i, u in enumerate(url_list):
@@ -220,6 +216,60 @@ def register_http_parquet(
                     )
                 fh.write(chunk)
     df = spark.read.parquet(d)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_http_parquet_distributed(
+    spark: SparkSession,
+    name: str,
+    urls: str | list[str],
+    schema=None,
+) -> DataFrame:
+    """Executor-side HTTP(S) parquet scan — the distributed analogue of the
+    reference's HTTP object store (reference src/object_store.rs:36-41),
+    with no driver funnel and no file-count/byte caps.
+
+    The URL list becomes a one-column DataFrame partitioned one-file-per-
+    task; ``mapInPandas`` tasks download their file and parse it with
+    pyarrow, so transfer parallelism is O(files) across the cluster and
+    each byte moves straight from the HTTP server to the executor that
+    scans it. The driver fetches exactly ONE file to infer the schema
+    (skipped when ``schema`` is passed).
+
+    Trade-off vs a native parquet scan: filters and column pruning do not
+    reach the remote footer — every task reads its whole file. Right for
+    one-shot ingest of many medium files; for a table scanned repeatedly,
+    mirror it to an object store (s3a/abfs/gs) and use a real parquet scan.
+    """
+    import io
+    import urllib.request
+
+    url_list = [urls] if isinstance(urls, str) else list(urls)
+    if not url_list:
+        raise ValueError("register_http_parquet_distributed: empty URL list")
+    if schema is None:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        with urllib.request.urlopen(url_list[0]) as resp:
+            buf = io.BytesIO(resp.read())
+        schema = from_arrow_schema(pq.read_schema(buf))
+    cols = [f.name for f in schema.fields]
+
+    def _fetch(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for u in pdf["url"]:
+                with urllib.request.urlopen(u) as resp:
+                    data = io.BytesIO(resp.read())
+                yield _pq.read_table(data).to_pandas()[cols]
+
+    urls_df = spark.createDataFrame(
+        [(u,) for u in url_list], "url string"
+    ).repartition(len(url_list), "url")
+    df = urls_df.mapInPandas(_fetch, schema=schema)
     df.createOrReplaceTempView(name)
     return df
 

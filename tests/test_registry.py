@@ -58,10 +58,13 @@ def _serve(directory: str):
     return httpd, httpd.server_address[1]
 
 
-def test_register_http_parquet_multi_file_and_guards(spark, sf_dir, tmp_path):
-    """Multi-file HTTP tables work under the caps; above the size or
-    file-count guard the fetch refuses with an actionable error instead of
-    silently funneling terabytes through the driver."""
+def test_register_http_parquet_multi_file_and_distributed_routing(
+    spark, sf_dir, tmp_path
+):
+    """Multi-file HTTP tables work under the caps via driver localization;
+    above the size or file-count budget the call now auto-routes to the
+    executor-side mapInPandas fetch (round-6 upgrade of the r3 hard caps),
+    so results are identical either way."""
     import os
     import shutil
 
@@ -79,15 +82,47 @@ def test_register_http_parquet_multi_file_and_guards(spark, sf_dir, tmp_path):
         )
         assert df.count() == 10  # 5 regions x 2 files
 
-        with pytest.raises(ValueError, match="max 1"):
-            register_http_parquet(
-                spark, "x", [f"{base}/r1.parquet", f"{base}/r2.parquet"],
-                max_files=1,
-            )
-        with pytest.raises(ValueError, match="bytes"):
-            register_http_parquet(
-                spark, "x", f"{base}/r1.parquet", max_bytes=100
-            )
+        # Over the file cap: routed to the distributed path, same rows.
+        df = register_http_parquet(
+            spark, "region_httpd", [f"{base}/r1.parquet", f"{base}/r2.parquet"],
+            max_files=1,
+        )
+        assert df.count() == 10
+        # Over the byte budget: same routing.
+        df = register_http_parquet(
+            spark, "region_httpb", f"{base}/r1.parquet", max_bytes=100
+        )
+        assert df.count() == 5
+    finally:
+        httpd.shutdown()
+
+
+def test_register_http_parquet_distributed_above_old_cap(spark, sf_dir, tmp_path):
+    """20 files (> the 16-file driver cap) through the executor-side fetch:
+    one task per file, rows and values intact, schema from one footer."""
+    import os
+    import shutil
+
+    from ballista_delta_spark.sources.registry import (
+        register_http_parquet_distributed,
+    )
+
+    d = tmp_path / "srv20"
+    d.mkdir()
+    for i in range(20):
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), d / f"r{i:02d}.parquet")
+    httpd, port = _serve(str(d))
+    try:
+        base = f"http://127.0.0.1:{port}"
+        urls = [f"{base}/r{i:02d}.parquet" for i in range(20)]
+        df = register_http_parquet_distributed(spark, "region_http20", urls)
+        assert df.count() == 100  # 5 regions x 20 files
+        assert df.schema["r_regionkey"].dataType.simpleString() == "int"
+        got = spark.sql(
+            "SELECT r_name, count(*) AS n FROM region_http20 "
+            "GROUP BY r_name ORDER BY r_name"
+        ).collect()
+        assert len(got) == 5 and all(r.n == 20 for r in got)
     finally:
         httpd.shutdown()
 
