@@ -16,41 +16,46 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Driver-coverage rotation (see ROTATION.md). The driver's correctness gate
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
-# not cosmetics. Round 4 window = the 47 ids never driver-tested in rounds
-# 1-3 (functions/windows/subqueries/UDFs + the whole dedup/ANN/text/
-# multimodal/streaming/sampling surface) + 3 regression repeats from the
-# r1-only group. Streaming sits last inside the window (slowest family —
-# if the driver budget-truncates, it truncates there, not on the cheap
-# never-tested ids). Everything after position 50 keeps the original module
-# order so nothing is lost for tools/check.py full runs.
+# not cosmetics.
+#
+# Round-6 window (round 5 recorded no work, so the r4 window simply re-ran
+# in r5 — every id below is either NEVER driver-tested or stale since r1/r3):
+#   1. the 14 r4-new ids that have never had a driver row,
+#   2. the 2 r6-new ids (conditional MERGE, watermarked stream dedup),
+#   3. the 4 ids green only in r1,
+#   4. the whole scans/meta/sinks family — r3-green but the Delta layer is
+#      the most-changed code since (checkpoints, DML, protocol, SQL routing),
+#   5. fill from the r3-green joins family.
+# Slow ids (delta sinks ~2-14 s each at the gate) sit mid-window; streaming
+# ids sit LAST as the budget-truncation buffer (slowest, and weakest check
+# anyway for the three rows-only ones). Everything after position ~50 keeps
+# module order so nothing is lost for tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- scalar-function sweep (F1-F11, T1, fn_json): cheap, never tested
-    "fn_string", "fn_regex", "fn_math", "fn_datetime", "fn_interval",
-    "fn_conditional", "fn_hash_enc", "fn_array", "fn_unnest",
-    "fn_struct_map", "fn_union_misc", "tf_generate_series", "fn_json",
-    # -- window tail (W4-W7)
-    "win_ntile", "win_lag_lead", "win_value", "win_agg_frame",
-    # -- reshaping (A15-A16)
-    "agg_pivot", "agg_unpivot",
-    # -- subqueries (Q1-Q4)
-    "subq_scalar", "subq_in_exists", "cte", "derived_table",
-    # -- UDF surface (X1-X2 + applyInPandas)
-    "udf_python", "pandas_udf_grouped_agg", "udf_apply_in_pandas",
-    # -- regression repeats: 3 of the 7 r1-only ids (rest rotate in r5)
-    "agg_bool", "agg_rollup", "win_rank",
-    # -- dedup / similarity / text / sampling
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
-    "sim_cosine_topk", "sim_lsh_bucketed", "sim_ivf_topk",
-    "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
-    "sample_stratified", "sample_train_test_split",
-    # -- multimodal + streaming last (heaviest; budget-truncation buffer)
-    "mm_binary_features", "mm_frame_sample",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_stateful_user_stats",
-    # -- positions 51-54: the other 4 r1-only ids, next in line if the
-    #    driver window ever widens; due back in the r5 window.
+    # -- never driver-tested: cheap relational/function ids first
+    "scan_orc", "join_null_safe", "agg_regression", "win_range_frame",
+    "subq_lateral", "fn_bitwise", "fn_string_agg",
+    "emb_normalize", "emb_quantize_int8",
+    # -- r1-stale quartet
     "agg_grouping_sets", "agg_cube", "win_row_number", "win_percent",
+    # -- scans/meta (r3-green, most-changed code since)
+    "scan_delta_register", "scan_delta_ddl", "scan_delta_partitioned",
+    "scan_parquet", "scan_csv_json", "scan_s3", "scan_http",
+    "meta_information_schema", "meta_describe_columns",
+    "scan_delta_time_travel",
+    # -- delta sinks (slowest non-streaming family; merge fixtures trimmed)
+    "sink_delta_insert", "sink_delta_write_local", "sink_delta_delete",
+    "sink_delta_update", "sink_delta_merge", "sink_delta_merge_conditional",
+    "sink_delta_restore", "sink_delta_changes",
+    # -- joins fill (r3-green)
+    "join_inner", "join_left", "join_right", "join_full", "join_semi",
+    "join_anti", "join_cross", "join_theta", "join_broadcast_hint",
+    "join_asof", "join_range_banded",
+    # -- agg core fill (r3-green)
+    "agg_basic", "agg_count", "agg_distinct", "agg_having",
+    # -- streaming last (budget-truncation buffer); the two new stream ids
+    #    lead so truncation hits the r4-green repeats first
+    "stream_dedup", "stream_dedup_watermarked", "stream_stream_join",
+    "stream_delta_source", "stream_tumbling_agg",
 )
 
 

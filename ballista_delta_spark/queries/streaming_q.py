@@ -341,6 +341,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(ev.dropDuplicates(["user_id", "event_type"]), "append")
 
 
+# --------------------------------------------- stream_dedup_watermarked
+# The production form of stream_dedup: dropDuplicatesWithinWatermark
+# bounds the state store — a key's entry is EVICTED once the watermark
+# passes its event time, so state is O(keys per watermark window), not
+# O(keys ever seen). The price is the matching relaxation of semantics: a
+# key may be re-emitted after eviction. The fixture is one parquet file =
+# one AvailableNow micro-batch, so no eviction happens mid-run and the
+# result is exactly DISTINCT — which keeps the oracle precise while the
+# plan (pinned in tests/test_scale_plans.py) proves the bounded-state
+# operator is the one running.
+@_q(
+    "stream_dedup_watermarked",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_stream(ev, "append")
+
+
 # --------------------------------------------------- stream_stream_join
 # Stream-stream interval join — view→click attribution: for each view,
 # clicks by the same user within the next 30 minutes. Both sides are

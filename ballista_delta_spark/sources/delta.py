@@ -74,9 +74,16 @@ class Snapshot:
     # required tombstones (readers of other engines replay them for VACUUM
     # bookkeeping and concurrent-reader correctness).
     tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
-    # logical name -> physical parquet name (columnMapping.mode=name only;
+    # logical name -> physical parquet name (columnMapping.mode=name or id;
     # empty = identity).
     column_mapping: dict[str, str] = field(default_factory=dict)
+    # columnMapping.mode as declared ("none" | "name" | "id").
+    column_mapping_mode: str = "none"
+    # logical name -> parquet field id (columnMapping.mode=id only). Scans
+    # resolve by FIELD ID via spark.sql.parquet.fieldId.read.enabled, the
+    # authoritative resolution rule for id mode — physical names are kept
+    # only for partitionValues keys.
+    field_ids: dict[str, int] = field(default_factory=dict)
     # Writer protocol (gates OUR writes; reads don't care).
     min_writer_version: int = 1
     writer_features: list[str] = field(default_factory=list)
@@ -91,9 +98,19 @@ class Snapshot:
     @property
     def physical_schema(self) -> T.StructType:
         """The schema as the parquet files spell it (identity when column
-        mapping is off)."""
+        mapping is off). In id mode each field also carries
+        ``parquet.field.id`` metadata so Spark's reader matches parquet
+        columns by field id rather than by name."""
         return T.StructType([
-            T.StructField(self.physical(f.name), f.dataType, f.nullable)
+            T.StructField(
+                self.physical(f.name), f.dataType, f.nullable,
+                metadata=(
+                    {"parquet.field.id": self.field_ids[f.name]}
+                    if self.column_mapping_mode == "id"
+                    and f.name in self.field_ids
+                    else None
+                ),
+            )
             for f in self.schema.fields
         ])
 
@@ -131,8 +148,15 @@ class DeltaTable:
         if not snap.files:
             return spark.createDataFrame([], snap.schema)
         # Scans resolve the PHYSICAL schema (identical to the logical one
-        # unless columnMapping.mode=name), then alias back to logical names
-        # — column mapping never reaches the caller.
+        # unless column mapping is on), then alias back to logical names
+        # — column mapping never reaches the caller. In id mode the read
+        # schema carries parquet.field.id metadata and resolution is by
+        # field id; the conf below makes Spark's parquet reader honor it.
+        # (Runtime conf, left enabled: it only affects reads whose
+        # requested schema carries field-id metadata, and the returned
+        # DataFrame is lazy so flipping it back would break this scan.)
+        if snap.column_mapping_mode == "id":
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         logical = [
             F.col(snap.physical(f.name)).alias(f.name)
             for f in snap.schema.fields
@@ -422,32 +446,47 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise ValueError(f"version {version} not found (latest {last_seen})")
     if schema is None:
         raise ValueError(f"no metaData action found in Delta log: {log}")
-    # Column mapping: 'name' mode (the RENAME/DROP COLUMN enabler) is
-    # supported for READS — each logical field carries its parquet name in
-    # metadata 'delta.columnMapping.physicalName', and the scan resolves
-    # physical names then aliases back (to_df). 'id' mode would need
-    # parquet field-id resolution, which Spark's DataFrame reader doesn't
-    # expose — still rejected rather than misread.
+    # Column mapping, both modes supported for READS:
+    # - 'name' (the RENAME/DROP COLUMN enabler): each logical field carries
+    #   its parquet name in 'delta.columnMapping.physicalName'; the scan
+    #   resolves physical names then aliases back (to_df).
+    # - 'id': resolution is by parquet FIELD ID — the scan schema carries
+    #   'parquet.field.id' metadata and to_df enables
+    #   spark.sql.parquet.fieldId.read.enabled, so the parquet columns'
+    #   names are irrelevant (the spec's rule; physical names are kept only
+    #   for partitionValues keys).
     cm_mode = config.get("delta.columnMapping.mode", "none")
     column_mapping: dict[str, str] = {}
-    if cm_mode == "name":
+    field_ids: dict[str, int] = {}
+    if cm_mode in ("name", "id"):
         for f in schema.fields:
-            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName")
             if not phys:
                 raise ValueError(
-                    f"columnMapping.mode=name but field {f.name!r} has no "
-                    "delta.columnMapping.physicalName metadata"
+                    f"columnMapping.mode={cm_mode} but field {f.name!r} has "
+                    "no delta.columnMapping.physicalName metadata"
                 )
             column_mapping[f.name] = phys
+            if cm_mode == "id":
+                fid = md.get("delta.columnMapping.id")
+                if fid is None:
+                    raise ValueError(
+                        f"columnMapping.mode=id but field {f.name!r} has no "
+                        "delta.columnMapping.id metadata"
+                    )
+                field_ids[f.name] = int(fid)
     elif cm_mode not in ("", "none"):
         raise ValueError(
             f"unsupported delta.columnMapping.mode={cm_mode!r} "
-            "(supported: none, name)"
+            "(supported: none, name, id)"
         )
     return Snapshot(
         path=path, version=last_seen, schema=schema,
         partition_columns=part_cols, files=files, configuration=config,
         tombstones=tombstones, column_mapping=column_mapping,
+        column_mapping_mode=cm_mode if cm_mode else "none",
+        field_ids=field_ids,
         min_writer_version=min_writer_version,
         writer_features=writer_features,
     )

@@ -574,14 +574,26 @@ def _merge_once(
         ins = unmatched.select(*out)
         typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
         ins = ins.select(*[F.col(c).cast(typed[c]).alias(c) for c in tcols])
-        n_inserted = ins.count()
-        if n_inserted:
-            # Inserts: ~1M rows per file (numRecords is the only size signal
-            # available pre-write; delta-spark sizes by bytes via AQE).
-            adds += _stage_adds(
-                _sized(ins, (n_inserted + 999_999) // 1_000_000),
-                dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
-            )
+        # Stage directly and read numTargetRowsInserted off the add-action
+        # stats (every add carries numRecords) instead of running a separate
+        # count() job first — one Spark job instead of two per MERGE. File
+        # sizing is delegated to AQE partition coalescing (the insert set is
+        # post-join shuffle output, so AQE already packs it into
+        # advisory-sized partitions); zero-row part files are dropped from
+        # the commit and the table dir.
+        ins_adds = _stage_adds(
+            ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+        )
+        for a in ins_adds:
+            n_rec = json.loads(a.get("stats") or "{}").get("numRecords", 0)
+            if n_rec:
+                n_inserted += n_rec
+                adds.append(a)
+            else:
+                try:
+                    os.remove(os.path.join(dt.path, a["path"]))
+                except OSError:
+                    pass
 
     if not removes and not adds:
         return {

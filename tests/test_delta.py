@@ -512,13 +512,57 @@ def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
         optimize(spark, tbl)
 
 
-def test_column_mapping_id_mode_still_rejected(spark, tmp_path):
-    """id mode needs parquet field-id resolution — reject, never misread."""
+def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
+    """columnMapping.mode=id (round 6): scans resolve parquet columns by
+    FIELD ID, the spec's rule. Proven the hard way — the parquet files'
+    column names are scrambled to junk (so any name-based resolution,
+    physical or logical, would fail) and only the field-id metadata links
+    them back to the log schema."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     tbl = str(tmp_path / "t")
-    write_delta(read_delta(spark, FIXTURE), tbl, mode="overwrite")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    # Scramble every data file: junk column names + field_id metadata.
+    logical_names = None
+    for f in glob.glob(os.path.join(tbl, "*.parquet")):
+        t = pq.read_table(f)
+        logical_names = t.schema.names
+        scrambled = pa.schema(
+            [
+                pa.field(
+                    f"junk_{i}", t.schema.field(i).type,
+                    metadata={b"PARQUET:field_id": str(i + 1).encode()},
+                )
+                for i in range(len(t.schema))
+            ]
+        )
+        pq.write_table(t.rename_columns([f"junk_{i}" for i in range(len(t.schema))]).cast(scrambled), f)
+    # Retrofit the log: mode=id, ids 1..n in file order, physicalName kept
+    # as the ORIGINAL names — which no longer exist in the files, so only
+    # id resolution can succeed.
     _retrofit_column_mapping(tbl, "id", {})
+    df = read_delta(spark, tbl)
+    assert set(df.columns) == set(logical_names)
+    rows = [
+        (r.first_name, r.last_name, r.continent, r.country)
+        for r in df.orderBy("first_name").collect()
+    ]
+    assert rows == GOLDEN
+    # Stats preserved in the log refer to physical names; the snapshot's
+    # field-id map must cover every field.
+    from ballista_delta_spark.sources.delta import DeltaTable
+
+    snap = DeltaTable(tbl).snapshot
+    assert snap.column_mapping_mode == "id"
+    assert set(snap.field_ids.values()) == set(range(1, len(logical_names) + 1))
+    # Writes still refuse: emitting unmapped parquet would corrupt.
     with pytest.raises(ValueError, match="columnMapping"):
-        read_delta(spark, tbl)
+        write_delta(df, tbl, mode="append")
 
 
 def test_write_type_enforcement(spark, tmp_path):

@@ -250,3 +250,46 @@ def test_range_join_is_banded_equi_not_theta(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_emb_normalize_keeps_single_norm_subtree(spark, sf_dir):
+    """emb_normalize/emb_quantize_int8 must keep the 64-term norm as ONE
+    sqrt() referenced by a higher-order transform — if a refactor unrolls
+    the output array, CollapseProject inlines the norm into every element
+    (64 copies of a 64-term sum; measured 55 s of planning at sf0.01).
+    Pin: exactly one sqrt in the optimized plan, transform() present."""
+    from ballista_delta_spark.queries.similarity import (
+        emb_normalize,
+        emb_quantize_int8,
+    )
+
+    for fn in (emb_normalize, emb_quantize_int8):
+        df = fn(spark, sf_dir)
+        optimized = (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert optimized.lower().count("sqrt") == 1, (
+            f"{fn.__name__}: norm subtree duplicated "
+            f"({optimized.lower().count('sqrt')} sqrt nodes)"
+        )
+        assert "lambdafunction" in optimized.lower(), optimized
+
+
+def test_stream_dedup_watermarked_uses_bounded_state_operator(spark, sf_dir):
+    """stream_dedup_watermarked must run the DeduplicateWithinWatermark
+    operator (state evicted as the watermark passes), not the unbounded
+    Deduplicate — at 100 TB of events the difference is a state store
+    bounded by the watermark window vs one that grows forever."""
+    from ballista_delta_spark.queries.streaming_q import _events_stream
+
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    logical = ev._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in logical, logical
+    assert "EventTimeWatermark" in logical.replace(
+        "DeduplicateWithinWatermark", ""
+    ), logical
