@@ -556,6 +556,29 @@ def sink_delta_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
+# clustering rewrite (dataChange=false). The query proves the rewrite is
+# content-preserving (rows identical to the source table) AND actually
+# clustered: it recomputes per-file stats tightness driver-side in the
+# implementation's test (tests/test_delta.py); here the oracle checks the
+# data contract, which is what a reader of the table observes.
+@_q(
+    "sink_delta_zorder",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import optimize
+
+    path = _clone(_nation_delta(spark, sf_dir), "s19")
+    optimize(
+        spark, path, target_file_rows=8,
+        zorder_by=["n_nationkey", "n_regionkey"],
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --- S15 sink_delta_restore: RESTORE TO VERSION AS OF — metadata-only
 # rollback committed as a NEW version (delta-spark RESTORE semantics; no
 # reference analogue, its write surface errors). The query reads BOTH the

@@ -72,6 +72,7 @@ _DELTA_VACUUM = re.compile(
 _DELTA_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+)\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -271,7 +272,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from .sources.delta import optimize, read_delta
 
             loc = _delta_views[name]
-            version = optimize(spark, loc)
+            zcols = [
+                c.strip().strip("`")
+                for c in (m.group("zcols") or "").split(",") if c.strip()
+            ]
+            version = optimize(spark, loc, zorder_by=zcols or None)
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

@@ -1036,11 +1036,102 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
     return deleted
 
 
-def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) -> int:
+_Z_BITS = 8  # 256 buckets per z-order column
+
+
+def _zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    snap: Snapshot,
+    cols: list[str],
+    n_out: int,
+) -> DataFrame:
+    """Range-repartition + sort ``df`` by the Morton code of ``cols``.
+
+    Bucket bounds come from the snapshot's per-file minValues/maxValues
+    stats (driver-side JSON — no Spark job); a single agg job is the
+    fallback when any file lacks stats for a column. Numeric columns only:
+    width_bucket needs a linear domain, and the point of z-order is
+    multi-column range pruning — for strings use a plain sort key instead.
+    """
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"ZORDER BY column {c!r} not in table schema")
+        if not isinstance(types[c], numeric):
+            raise ValueError(
+                f"ZORDER BY supports numeric columns only; {c!r} is "
+                f"{types[c].simpleString()} (use a sort-based rewrite)"
+            )
+    bounds: dict[str, tuple[float, float]] = {}
+    try:
+        for c in cols:
+            mns, mxs = [], []
+            for a in snap.files.values():
+                st = json.loads(a["stats"]) if a.get("stats") else {}
+                mns.append(float(st["minValues"][c]))
+                mxs.append(float(st["maxValues"][c]))
+            bounds[c] = (min(mns), max(mxs))
+    except (KeyError, TypeError, ValueError):
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        bounds = {
+            c: (row[f"mn_{i}"], row[f"mx_{i}"]) for i, c in enumerate(cols)
+        }
+    k = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        mn, mx = bounds[c]
+        if mn is None or mx is None or mx <= mn:
+            continue  # constant/all-null column contributes nothing
+        b = (
+            f"least(greatest(width_bucket(CAST(`{c}` AS DOUBLE), "
+            f"{mn!r}, {mx!r}, {1 << _Z_BITS}) - 1, 0), {(1 << _Z_BITS) - 1})"
+        )
+        bucket = f"CASE WHEN `{c}` IS NULL THEN 0 ELSE {b} END"
+        for i in range(_Z_BITS):
+            terms.append(f"((({bucket}) >> {i}) & 1) << {i * k + j}")
+    if not terms:
+        return df.coalesce(n_out)
+    orig = df.columns
+    return (
+        df.withColumn("__z", F.expr(" + ".join(f"({t})" for t in terms)))
+        .repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(*orig)
+    )
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    zorder_by: list[str] | None = None,
+) -> int:
     """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
     snapshot's files into fewer, larger ones and commit add/remove actions
     with ``dataChange: false`` (readers see identical rows; streams must not
     treat the rewrite as new data — the Delta spec's compaction contract).
+
+    ``zorder_by`` additionally clusters rows on the Morton (Z-order) curve
+    over the given numeric/date/timestamp columns before the rewrite
+    (``OPTIMIZE ... ZORDER BY`` analogue): each column is bucketed to 8 bits
+    with ``width_bucket`` over its GLOBAL min/max — taken from the
+    snapshot's per-file stats, so bucketing costs ZERO extra Spark jobs —
+    and the bucket bits are interleaved into one z-value that drives a
+    range repartition + in-partition sort. Result: every output file covers
+    a small hyper-rectangle of the key space, so per-file min/max stats
+    prune scans on ANY prefix/subset of the z-order columns, not just the
+    leading sort key. (delta-spark uses sampled range-partition ids per
+    column — skew-adaptive; uniform width_bucket keeps this a single
+    codegen'd pass and is the right default for roughly-uniform keys. A
+    skewed column costs pruning efficiency, never correctness.)
 
     At 100 TB the small-file problem is a top-3 operational cost: every scan
     pays per-file open/footer overhead and the driver pays O(#files) planning.
@@ -1057,7 +1148,7 @@ def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) 
     # removes_files=False: compaction commits dataChange=false actions,
     # which the appendOnly contract explicitly permits.
     check_write_protocol(snap, removes_files=False)
-    if len(snap.files) <= 1:
+    if len(snap.files) <= 1 and not zorder_by:
         return snap.version
     df = DeltaTable(path).to_df(spark)
     n_rows = sum(
@@ -1066,8 +1157,13 @@ def optimize(spark: SparkSession, path: str, target_file_rows: int = 1_000_000) 
     )
     n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
 
+    if zorder_by:
+        clustered = _zorder(spark, df, snap, zorder_by, n_out)
+    else:
+        clustered = df.coalesce(n_out)
+
     staging = os.path.join(path, f".tmp-optimize-{uuid.uuid4().hex}")
-    writer = df.coalesce(n_out).write.mode("overwrite")
+    writer = clustered.write.mode("overwrite")
     if snap.partition_columns:
         writer = writer.partitionBy(*snap.partition_columns)
     writer.parquet(staging)

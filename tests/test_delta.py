@@ -844,3 +844,68 @@ def test_v2_checkpoint_json_manifest_and_missing_sidecar(spark, tmp_path):
     with open(manifest_path, "w") as fh:
         fh.writelines(lines)
     assert read_delta(spark, tbl).count() == 8
+
+
+def test_optimize_zorder_clusters_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the rewrite, every file's min/max
+    hyper-rectangle must be tight on BOTH columns — that is what makes
+    per-file stats prune scans filtering on either one. A plain sort would
+    be tight on x only; unclustered data on neither."""
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import optimize
+
+    tbl = str(tmp_path / "z")
+    # 32x32 uniform grid, written row-major so y is unclustered.
+    grid = spark.createDataFrame(
+        [(x, y, x * 32 + y) for x in range(32) for y in range(32)],
+        "x int, y int, payload int",
+    ).coalesce(1)
+    write_delta(grid, tbl)
+    v = optimize(spark, tbl, target_file_rows=256, zorder_by=["x", "y"])
+    assert v == 1
+    snap = DeltaTable(tbl).snapshot
+    assert len(snap.files) == 4
+    total = 0
+    for add in snap.files.values():
+        st = _json.loads(add["stats"])
+        total += st["numRecords"]
+        for c in ("x", "y"):
+            spread = int(st["maxValues"][c]) - int(st["minValues"][c])
+            # A perfect 4-file Morton split gives quadrants of spread 15;
+            # allow boundary slack but require REAL clustering on both
+            # axes (unclustered spread would be 31).
+            assert spread <= 23, (c, st)
+    assert total == 1024
+    # dataChange=false + identical rows.
+    assert read_delta(spark, tbl).count() == 1024
+    assert {
+        (r.x, r.y) for r in read_delta(spark, tbl).select("x", "y").collect()
+    } == {(x, y) for x in range(32) for y in range(32)}
+
+
+def test_sql_optimize_zorder_by(spark, tmp_path):
+    from ballista_delta_spark.session import sql
+
+    tbl = str(tmp_path / "zq")
+    write_delta(
+        spark.createDataFrame(
+            [(i % 16, i // 16, i) for i in range(256)],
+            "a int, b int, v int",
+        ).coalesce(1),
+        tbl,
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE zq STORED AS DELTA LOCATION '{tbl}'")
+    out = sql(spark, "OPTIMIZE zq ZORDER BY (a, b)").collect()[0]
+    assert out.committed_version == 1
+    assert spark.sql("SELECT count(*) n FROM zq").collect()[0].n == 256
+
+    from ballista_delta_spark.sources.delta import optimize
+
+    with pytest.raises(ValueError, match="not in table schema"):
+        optimize(spark, tbl, zorder_by=["v", "nope"])
+    # Non-numeric columns refuse (width_bucket needs a linear domain).
+    tbl2 = str(tmp_path / "zs")
+    write_delta(read_delta(spark, FIXTURE), tbl2)
+    with pytest.raises(ValueError, match="numeric"):
+        optimize(spark, tbl2, zorder_by=["first_name"])
