@@ -161,6 +161,7 @@ class DeltaTable:
             F.col(snap.physical(f.name)).alias(f.name)
             for f in snap.schema.fields
         ]
+        dv_filter = self._dv_filter(spark)
         paths = [os.path.join(self.path, p) for p in snap.files]
         if snap.partition_columns and all(self._hive_pathed(p) for p in snap.files):
             df = (
@@ -168,15 +169,20 @@ class DeltaTable:
                 .schema(snap.physical_schema)
                 .parquet(*paths)
             )
-            return df.select(*logical)
+            return dv_filter(df).select(*logical)
         if not snap.partition_columns:
-            return spark.read.schema(snap.physical_schema).parquet(*paths).select(
-                *logical
-            )
+            return dv_filter(
+                spark.read.schema(snap.physical_schema).parquet(*paths)
+            ).select(*logical)
         # Fallback for non-Hive file layouts (legal in the protocol): group
         # files by identical partitionValues and union per-group scans with
         # the partition literals attached. partitionValues keys are PHYSICAL
         # names per the spec.
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            raise ValueError(
+                "deletion vectors on a non-Hive partition layout are not "
+                "supported"
+            )
         by_pv: dict[tuple, list[str]] = {}
         for rel, add in self.snapshot.files.items():
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
@@ -197,6 +203,53 @@ class DeltaTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _dv_filter(self, spark: SparkSession):
+        """Identity when no active file carries a deletion vector; otherwise
+        a closure that drops DV-marked rows via a distributed ANTI-JOIN on
+        (file, row_index).
+
+        The driver parses each file's compressed bitmap (metadata-scale —
+        delta-spark holds the same bitmaps in task memory) into a
+        (file_path, row_index) relation; the scan gains Spark's
+        ``_metadata.file_path`` / ``_metadata.row_index`` columns and
+        anti-joins it. Join planning broadcasts the deleted set when small
+        (the overwhelmingly common case) and shuffles when a table carries
+        giant DVs — correct either way, and the data files are never
+        rewritten, which is the point of merge-on-read.
+        """
+        snap = self.snapshot
+        dv_adds = {
+            rel: a for rel, a in snap.files.items() if a.get("deletionVector")
+        }
+        if not dv_adds:
+            return lambda df: df
+        from . import dv as _dv
+
+        pairs = []
+        for rel, a in dv_adds.items():
+            abs_path = os.path.abspath(os.path.join(self.path, rel))
+            for idx in _dv.read_deletion_vector(
+                self.path, _as_dict(a["deletionVector"])
+            ):
+                pairs.append((abs_path, idx))
+        deleted = spark.createDataFrame(
+            pairs, "__dv_fp string, __dv_ri long"
+        )
+
+        def apply(df: DataFrame) -> DataFrame:
+            # _metadata.file_path spells the scheme as file:/x or file:///x
+            # depending on FS/Spark version — normalize to a plain path.
+            withmeta = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            return withmeta.join(deleted, ["__dv_fp", "__dv_ri"], "left_anti")
+
+        return apply
 
     def _hive_pathed(self, rel_path: str) -> bool:
         parts = rel_path.split("/")[:-1]
@@ -388,7 +441,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     # Same reader-feature allowlist as the JSON-replay path:
                     # a cleaned log surfaces protocol ONLY via checkpoint.
                     unsupported = set(pr.get("readerFeatures") or ()) - {
-                        "timestampNtz", "v2Checkpoint", "columnMapping"
+                        "timestampNtz", "v2Checkpoint", "columnMapping",
+                        "deletionVectors",
                     }
                     if unsupported:
                         raise ValueError(
@@ -430,7 +484,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         # "Reader Requirements"); the version number itself is
                         # not a gate.
                         unsupported = set(pr.get("readerFeatures") or ()) - {
-                            "timestampNtz", "v2Checkpoint", "columnMapping"
+                            "timestampNtz", "v2Checkpoint", "columnMapping",
+                            "deletionVectors",
                         }
                         if unsupported:
                             raise ValueError(
@@ -582,6 +637,14 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
         raise ValueError(
             f"unsupported Delta writer protocol v{snap.min_writer_version} "
             "(constraints/CDF/generated columns are not implemented)"
+        )
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        # Reads honor DVs (to_df anti-joins them out); writing would need
+        # every commit to preserve/supersede per-file DV descriptors —
+        # refuse rather than silently resurrect deleted rows.
+        raise ValueError(
+            "writing to a table with active deletion vectors is not "
+            "supported (reads are)"
         )
     for f in snap.schema.fields:
         if (f.metadata or {}).get("delta.invariants"):

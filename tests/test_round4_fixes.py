@@ -51,13 +51,15 @@ class TestReaderProtocolV3:
         assert read_delta(spark, tbl).count() == 25
 
     def test_v3_with_unsupported_feature_raises(self, spark, sf_dir, tmp_path):
+        # deletionVectors moved to the supported set in round 6 (dv.py) —
+        # a genuinely-unknown feature must still refuse the read.
         tbl = str(tmp_path / "t")
         write_delta(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")), tbl)
         _rewrite_protocol(tbl, {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "timestampNtz"],
+            "readerFeatures": ["variantType-preview", "timestampNtz"],
         })
-        with pytest.raises(ValueError, match="deletionVectors"):
+        with pytest.raises(ValueError, match="variantType"):
             read_delta(spark, tbl)
 
 
