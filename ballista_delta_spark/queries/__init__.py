@@ -46,6 +46,7 @@ ROTATION: tuple[str, ...] = (
     "sink_delta_insert", "sink_delta_write_local", "sink_delta_delete",
     "sink_delta_update", "sink_delta_merge", "sink_delta_merge_conditional",
     "sink_delta_restore", "sink_delta_changes", "sink_delta_zorder",
+    "sink_delta_delete_dv",
     # -- joins fill (r3-green)
     "join_inner", "join_left", "join_right", "join_full", "join_semi",
     "join_anti", "join_cross", "join_theta", "join_broadcast_hint",

@@ -556,6 +556,31 @@ def sink_delta_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S20 sink_delta_delete_dv: merge-on-read DELETE — rows recorded in a
+# per-file DELETION VECTOR (sources/dv.py), no data file rewritten; cost is
+# O(deleted rows) vs copy-on-write's O(rewritten bytes) — the delta-spark
+# default for point deletes at 100 TB. First DV commit upgrades the table
+# to reader v3 / writer v7 + deletionVectors, like delta-spark. The oracle
+# is the surviving-row relation; the DV mechanics (same files, bitmap
+# content, protocol bump, purge-on-OPTIMIZE) are pinned in
+# tests/test_deletion_vectors.py.
+@_q(
+    "sink_delta_delete_dv",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE NOT coalesce(n_regionkey IN (0, 2) AND n_nationkey % 2 = 1, false)
+    """,
+)
+def sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s20")
+    delete_delta(
+        spark, path,
+        "n_regionkey IN (0, 2) AND n_nationkey % 2 = 1",
+        mode="dv",
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

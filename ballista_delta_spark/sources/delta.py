@@ -135,7 +135,9 @@ class DeltaTable:
     def schema(self) -> T.StructType:
         return self.snapshot.schema
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
+    def to_df(
+        self, spark: SparkSession, with_location: bool = False
+    ) -> DataFrame:
         """Distributed scan of the snapshot's active files.
 
         One parquet scan over the explicit file list; ``basePath`` makes Spark
@@ -143,9 +145,15 @@ class DeltaTable:
         are cast to the log schema's declared types (partition values in Delta
         are stored as strings in ``partitionValues``; the dir names carry the
         same strings).
+
+        ``with_location`` appends ``__src_fp`` (normalized absolute file
+        path) and ``__src_ri`` (parquet row index) columns — the physical
+        row identity the DV-writing DELETE needs.
         """
         snap = self.snapshot
         if not snap.files:
+            if with_location:
+                raise ValueError("with_location on an empty snapshot")
             return spark.createDataFrame([], snap.schema)
         # Scans resolve the PHYSICAL schema (identical to the logical one
         # unless column mapping is on), then alias back to logical names
@@ -161,7 +169,9 @@ class DeltaTable:
             F.col(snap.physical(f.name)).alias(f.name)
             for f in snap.schema.fields
         ]
-        dv_filter = self._dv_filter(spark)
+        if with_location:
+            logical += [F.col("__src_fp"), F.col("__src_ri")]
+        dv_filter = self._dv_filter(spark, keep_location=with_location)
         paths = [os.path.join(self.path, p) for p in snap.files]
         if snap.partition_columns and all(self._hive_pathed(p) for p in snap.files):
             df = (
@@ -181,6 +191,11 @@ class DeltaTable:
         if any(a.get("deletionVector") for a in snap.files.values()):
             raise ValueError(
                 "deletion vectors on a non-Hive partition layout are not "
+                "supported"
+            )
+        if with_location:
+            raise ValueError(
+                "with_location on a non-Hive partition layout is not "
                 "supported"
             )
         by_pv: dict[tuple, list[str]] = {}
@@ -204,10 +219,11 @@ class DeltaTable:
             out = out.unionByName(p)
         return out
 
-    def _dv_filter(self, spark: SparkSession):
-        """Identity when no active file carries a deletion vector; otherwise
-        a closure that drops DV-marked rows via a distributed ANTI-JOIN on
-        (file, row_index).
+    def _dv_filter(self, spark: SparkSession, keep_location: bool = False):
+        """Identity when no active file carries a deletion vector (plus the
+        ``__src_fp``/``__src_ri`` location columns when requested);
+        otherwise a closure that drops DV-marked rows via a distributed
+        ANTI-JOIN on (file, row_index).
 
         The driver parses each file's compressed bitmap (metadata-scale —
         delta-spark holds the same bitmaps in task memory) into a
@@ -222,8 +238,20 @@ class DeltaTable:
         dv_adds = {
             rel: a for rel, a in snap.files.items() if a.get("deletionVector")
         }
+
+        def attach_location(df: DataFrame) -> DataFrame:
+            # _metadata.file_path spells the scheme as file:/x or file:///x
+            # depending on FS/Spark version — normalize to a plain path.
+            return df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__src_fp"),
+                F.col("_metadata.row_index").alias("__src_ri"),
+            )
+
         if not dv_adds:
-            return lambda df: df
+            return attach_location if keep_location else (lambda df: df)
         from . import dv as _dv
 
         pairs = []
@@ -234,20 +262,13 @@ class DeltaTable:
             ):
                 pairs.append((abs_path, idx))
         deleted = spark.createDataFrame(
-            pairs, "__dv_fp string, __dv_ri long"
+            pairs, "__src_fp string, __src_ri long"
         )
 
         def apply(df: DataFrame) -> DataFrame:
-            # _metadata.file_path spells the scheme as file:/x or file:///x
-            # depending on FS/Spark version — normalize to a plain path.
-            withmeta = df.select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__dv_fp"),
-                F.col("_metadata.row_index").alias("__dv_ri"),
+            return attach_location(df).join(
+                deleted, ["__src_fp", "__src_ri"], "left_anti"
             )
-            return withmeta.join(deleted, ["__dv_fp", "__dv_ri"], "left_anti")
 
         return apply
 
@@ -608,7 +629,9 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
 # Writer features we actually implement. 'invariants' is supported only
 # vacuously (allowed when no column declares one — checked below);
 # 'appendOnly' is enforced via check_write_protocol's removes_files gate.
-_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "timestampNtz"}
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "invariants", "timestampNtz", "deletionVectors",
+}
 
 
 def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
@@ -638,14 +661,11 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
             f"unsupported Delta writer protocol v{snap.min_writer_version} "
             "(constraints/CDF/generated columns are not implemented)"
         )
-    if any(a.get("deletionVector") for a in snap.files.values()):
-        # Reads honor DVs (to_df anti-joins them out); writing would need
-        # every commit to preserve/supersede per-file DV descriptors —
-        # refuse rather than silently resurrect deleted rows.
-        raise ValueError(
-            "writing to a table with active deletion vectors is not "
-            "supported (reads are)"
-        )
+    # Active deletion vectors do NOT block writes: every write path reads
+    # the table through to_df (which anti-joins DV'd rows out) and replaces
+    # files it touches whole — removing a file retires its DV with it, so
+    # copy-on-write DML and OPTIMIZE on a DV table are purges, never
+    # resurrections. The DV-writing DELETE lives in delta_dml (mode="dv").
     for f in snap.schema.fields:
         if (f.metadata or {}).get("delta.invariants"):
             raise ValueError(
@@ -1282,10 +1302,15 @@ def optimize(
             }
         }
     ]
-    for rel in snap.files:
-        actions.append(
-            {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
-        )
+    for rel, old_add in snap.files.items():
+        rm: dict[str, Any] = {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": False,
+        }
+        if old_add.get("deletionVector"):
+            # Compaction PURGES the DV: the rewrite materialized only live
+            # rows, so the remove names the retired DV for vacuum.
+            rm["deletionVector"] = old_add["deletionVector"]
+        actions.append({"remove": rm})
     for a in adds:
         actions.append({"add": a})
 

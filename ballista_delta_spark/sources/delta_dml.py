@@ -100,13 +100,21 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     """
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = {os.path.abspath(stripped), os.path.realpath(stripped)}
+    has_dv = any(
+        a.get("deletionVector") for a in dt.snapshot.files.values()
+    )
+    if has_dv:
+        # input_file_name() goes blank after the DV anti-join inside
+        # to_df; the metadata-derived __src_fp survives it.
+        df = dt.to_df(spark, with_location=True)
+        src = F.col("__src_fp")
+    else:
+        df = dt.to_df(spark)
+        src = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
     decoded = F.url_decode(
         # Protect literal '+' first: url_decode is form-decoding ('+' ->
         # space); we want pure percent-decoding of the URI path.
-        F.replace(
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-            F.lit("+"), F.lit("%2B"),
-        )
+        F.replace(src, F.lit("+"), F.lit("%2B"))
     )
     rel = F.raise_error(
         F.concat(F.lit(f"scanned file outside Delta root {stripped}: "), decoded)
@@ -116,7 +124,8 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
             decoded.startswith(F.lit(b.rstrip("/") + "/")),
             F.substr(decoded, F.lit(len(b.rstrip("/")) + 2)),
         ).otherwise(rel)
-    return dt.to_df(spark).withColumn(_FILE_COL, rel)
+    out = df.withColumn(_FILE_COL, rel)
+    return out.drop("__src_fp", "__src_ri") if has_dv else out
 
 
 def _subset_df(spark: SparkSession, dt: DeltaTable, rels: list[str]) -> DataFrame:
@@ -137,18 +146,21 @@ def _sized(df: DataFrame, n_input_files: int) -> DataFrame:
 
 
 def _removes(dt: DeltaTable, rels: list[str], now_ms: int) -> list[dict[str, Any]]:
-    return [
-        {
-            "remove": {
-                "path": r,
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
-                "partitionValues": dt.snapshot.files[r].get("partitionValues") or {},
-                "size": dt.snapshot.files[r].get("size"),
-            }
+    out = []
+    for r in rels:
+        rm: dict[str, Any] = {
+            "path": r,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": dt.snapshot.files[r].get("partitionValues") or {},
+            "size": dt.snapshot.files[r].get("size"),
         }
-        for r in rels
-    ]
+        # Spec: a remove of a file version that carried a DV names it, so
+        # other engines can reconcile/vacuum the .bin.
+        if dt.snapshot.files[r].get("deletionVector"):
+            rm["deletionVector"] = dt.snapshot.files[r]["deletionVector"]
+        out.append({"remove": rm})
+    return out
 
 
 def _commit_info(operation: str, params: dict, metrics: dict, now_ms: int) -> dict:
@@ -175,14 +187,33 @@ def _num_records(dt: DeltaTable, rel: str) -> int | None:
 
 
 def delete_delta(
-    spark: SparkSession, path: str, condition: str, retries: int = 0
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    retries: int = 0,
+    mode: str = "cow",
 ) -> dict[str, Any]:
     """``DELETE FROM <path> WHERE condition``.
 
     SQL three-valued logic: rows where the condition is TRUE are deleted;
     FALSE and NULL rows are kept. Returns operation metrics including the
     committed version and how many files were removed without a rewrite.
+
+    ``mode="cow"`` (default) is copy-on-write: files fully covered by the
+    predicate are dropped metadata-only, partially-covered files are
+    rewritten. ``mode="dv"`` is merge-on-read: matching rows are recorded
+    in per-file DELETION VECTORS (sources/dv.py) and no data file is
+    touched — cost is O(deleted rows) instead of O(rewritten bytes), the
+    delta-spark default for point deletes on huge tables. The first DV
+    commit upgrades the table protocol to reader v3 / writer v7 with the
+    deletionVectors feature, exactly as delta-spark does.
     """
+    if mode == "dv":
+        return _retrying(
+            lambda: _delete_dv_once(spark, path, condition), retries
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r} (cow | dv)")
     return _retrying(
         lambda: _delete_once(spark, path, condition), retries
     )
@@ -231,6 +262,103 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
     actions += _removes(dt, full + partial, now_ms)
     actions += [{"add": a} for a in adds]
     version = _try_commit(dt.path, actions, adds)
+    return {"version": version, **metrics}
+
+
+def _delete_dv_once(
+    spark: SparkSession, path: str, condition: str
+) -> dict[str, Any]:
+    from .delta import _as_dict
+    from . import dv as _dv
+
+    dt = DeltaTable(path)
+    # DV delete removes ROWS (appendOnly must refuse) without removing
+    # data files; the add/remove pair it commits is dataChange=true.
+    _check_writable(dt)
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    # Matching LIVE rows by physical identity: to_df applies existing DVs,
+    # so re-deleting an already-deleted row is impossible by construction.
+    # Per-file row indexes aggregate executor-side; only the final
+    # (file -> sorted indexes) lists land on the driver, which serializes
+    # the bitmaps and writes one .bin — the same driver-side metadata role
+    # it plays for the commit JSON itself.
+    per_file = (
+        dt.to_df(spark, with_location=True)
+        .filter(cond)
+        .groupBy("__src_fp")
+        .agg(F.sort_array(F.collect_list("__src_ri")).alias("idxs"))
+        .collect()
+    )
+    if not per_file:
+        return {
+            "version": dt.version,
+            "numDeletedRows": 0,
+            "numDeletionVectorsAdded": 0,
+        }
+    stripped = _strip_file_scheme(dt.path).rstrip("/")
+    bases = sorted(
+        {os.path.abspath(stripped), os.path.realpath(stripped)}, key=len
+    )
+    new_per_file: dict[str, list[int]] = {}
+    for r in per_file:
+        fp = r["__src_fp"]
+        rel = None
+        for b in bases:
+            if fp.startswith(b + "/"):
+                rel = fp[len(b) + 1:]
+        if rel is None or rel not in dt.snapshot.files:
+            raise ValueError(f"scanned file outside Delta root: {fp}")
+        new_per_file[rel] = list(r["idxs"])
+    n_deleted = sum(len(v) for v in new_per_file.values())
+    # Merge with any existing DV on the same file (union of row indexes).
+    for rel in new_per_file:
+        old = dt.snapshot.files[rel].get("deletionVector")
+        if old:
+            new_per_file[rel] = sorted(
+                set(new_per_file[rel])
+                | set(_dv.read_deletion_vector(dt.path, _as_dict(old)))
+            )
+    descriptors = _dv.write_deletion_vectors(dt.path, new_per_file)
+
+    now_ms = int(time.time() * 1000)
+    metrics = {
+        "numDeletedRows": n_deleted,
+        "numDeletionVectorsAdded": len(descriptors),
+        "numRemovedFiles": len(descriptors),
+        "numAddedFiles": len(descriptors),
+    }
+    actions: list[dict[str, Any]] = [
+        _commit_info("DELETE", {"predicate": condition}, metrics, now_ms)
+    ]
+    snap = dt.snapshot
+    if (
+        snap.min_writer_version < 7
+        or "deletionVectors" not in snap.writer_features
+    ):
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": sorted(
+                set(snap.writer_features) | {"deletionVectors"}
+            ),
+        }})
+    actions += _removes(dt, list(new_per_file), now_ms)
+    for rel, desc in descriptors.items():
+        add = dict(snap.files[rel])
+        add["path"] = rel
+        add["deletionVector"] = desc
+        add["dataChange"] = True
+        if add.get("stats"):
+            # numRecords stays the PHYSICAL row count (spec); min/max are
+            # now a superset of the live rows -> flag them wide.
+            st = json.loads(add["stats"])
+            st["tightBounds"] = False
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
+    # No staged part-files: the adds reference EXISTING data files. A lost
+    # commit race orphans only the .bin (vacuum-able), never data.
+    version = _try_commit(dt.path, actions, [])
     return {"version": version, **metrics}
 
 

@@ -1,10 +1,11 @@
-"""Deletion-vector reading (Delta protocol "Deletion Vectors").
+"""Deletion-vector reading and writing (Delta protocol "Deletion Vectors").
 
 A deletion vector (DV) marks individual rows of one parquet data file as
 deleted without rewriting the file — the merge-on-read half of Delta's DML
 story (delta-spark writes DVs by default for DELETE/UPDATE/MERGE since 3.x;
 the reference has no DV support at all, its write surface errors). This
-module implements the READ side:
+module implements both directions — parsing for scans, serialization for
+the DV-writing DELETE path (delta_dml.delete_delta mode="dv"):
 
 - the Z85 decoding the descriptor uses for UUIDs and inline bitmaps,
 - the portable 64-bit RoaringBitmapArray format the bitmap data uses
@@ -201,3 +202,73 @@ def read_deletion_vector(table_path: str, descriptor: dict[str, Any]) -> list[in
             f"{len(idx)}"
         )
     return idx
+
+
+# ------------------------------------------------------------- write side
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """Standard 32-bit roaring serialization (RoaringFormatSpec), writer
+    side: array containers for cardinality <= 4096, bitmap containers
+    above. Run containers are parsed but never emitted (matches common
+    writer behavior; they are an optional optimization)."""
+    chunks: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        chunks.setdefault(v >> 16, []).append(v & 0xFFFF)
+    size = len(chunks)
+    out = bytearray()
+    out += struct.pack("<I", 12346)
+    out += struct.pack("<I", size)
+    for key, vals in sorted(chunks.items()):
+        out += struct.pack("<HH", key, len(vals) - 1)
+    pos = len(out) + 4 * size
+    for _key, vals in sorted(chunks.items()):
+        out += struct.pack("<I", pos)
+        pos += 2 * len(vals) if len(vals) <= 4096 else 8192
+    for _key, vals in sorted(chunks.items()):
+        if len(vals) <= 4096:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v // 8] |= 1 << (v % 8)
+            out += bits
+    return bytes(out)
+
+
+def serialize_roaring_bitmap_array(indexes: list[int]) -> bytes:
+    """Portable 64-bit RoaringBitmapArray bytes for sorted row indexes."""
+    by_high: dict[int, list[int]] = {}
+    for i in sorted(set(indexes)):
+        by_high.setdefault(i >> 32, []).append(i & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iq", _MAGIC, len(by_high)))
+    for high, vals in sorted(by_high.items()):
+        out += struct.pack("<I", high)
+        out += _serialize_roaring32(vals)
+    return bytes(out)
+
+
+def write_deletion_vectors(
+    table_path: str, per_file_indexes: dict[str, list[int]]
+) -> dict[str, dict[str, Any]]:
+    """Write ONE UUID-named .bin holding a DV per file (the delta-spark
+    layout: many DVs share a file, distinguished by offset) and return
+    rel_data_path -> descriptor."""
+    u = _uuid.uuid4()
+    name = f"deletion_vector_{u}.bin"
+    descriptors: dict[str, dict[str, Any]] = {}
+    with open(os.path.join(table_path, name), "wb") as fh:
+        fh.write(b"\x01")  # format version byte
+        offset = 1
+        for rel, idxs in sorted(per_file_indexes.items()):
+            data = serialize_roaring_bitmap_array(idxs)
+            fh.write(struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            descriptors[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(set(idxs)),
+            }
+            offset += 4 + len(data) + 4
+    return descriptors

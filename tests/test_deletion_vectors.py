@@ -187,11 +187,11 @@ def test_read_table_with_deletion_vector(spark, tmp_path):
     assert ids == set(range(100)) - {0, 7, 99}
     # Time travel BEFORE the DV commit still sees every row.
     assert read_delta(spark, tbl, version=0).count() == 100
-    # Writes refuse while a DV is active — the writerFeatures gate fires
-    # first; the active-DV guard in check_write_protocol backstops tables
-    # whose protocol was not feature-bumped.
-    with pytest.raises(ValueError, match="deletionVectors|deletion vector"):
-        write_delta(df, tbl, mode="append")
+    # Appending to a DV table is legal (new files never disturb existing
+    # DVs) and must not resurrect the deleted rows.
+    write_delta(spark.range(100, 110).selectExpr("id", "id * 2 AS v"), tbl,
+                mode="append")
+    assert read_delta(spark, tbl).count() == 107
 
 
 def test_dv_on_partitioned_table_and_multiple_files(spark, tmp_path):
@@ -207,3 +207,108 @@ def test_dv_on_partitioned_table_and_multiple_files(spark, tmp_path):
     assert got.count() == 97
     assert got.filter("k = 'b'").count() == 50
     assert got.filter("k = 'a'").count() == 47
+
+
+# ---------------------------------------------------------- DV write path
+def test_dv_delete_writes_vector_not_files(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "mor")
+    write_delta(spark.range(1000).selectExpr("id", "id % 7 AS k").coalesce(2), tbl)
+    files_before = set(DeltaTable(tbl).snapshot.files)
+    m = delete_delta(spark, tbl, "id % 100 = 0", mode="dv")
+    assert m["numDeletedRows"] == 10
+    assert m["numDeletionVectorsAdded"] >= 1
+    snap = DeltaTable(tbl).snapshot
+    # Same data files, now carrying DV descriptors; nothing rewritten.
+    assert set(snap.files) == files_before
+    assert all(
+        a.get("deletionVector")
+        for a in snap.files.values()
+        if json.loads(a["stats"])["numRecords"]
+    ) or any(a.get("deletionVector") for a in snap.files.values())
+    got = read_delta(spark, tbl)
+    assert got.count() == 990
+    assert got.filter("id % 100 = 0").count() == 0
+    # Protocol upgraded like delta-spark's first DV commit.
+    assert snap.min_writer_version == 7
+    assert "deletionVectors" in snap.writer_features
+    # Time travel to v0 sees all rows.
+    assert read_delta(spark, tbl, version=0).count() == 1000
+    # Stats flagged wide on DV'd adds.
+    for a in snap.files.values():
+        if a.get("deletionVector"):
+            assert json.loads(a["stats"])["tightBounds"] is False
+
+
+def test_dv_delete_merges_with_existing_vector(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "mor2")
+    write_delta(spark.range(100).selectExpr("id").coalesce(1), tbl)
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    m2 = delete_delta(spark, tbl, "id >= 90", mode="dv")
+    assert m2["numDeletedRows"] == 10
+    got = read_delta(spark, tbl)
+    assert got.count() == 80
+    assert {r.id for r in got.collect()} == set(range(10, 90))
+    snap = DeltaTable(tbl).snapshot
+    (add,) = snap.files.values()
+    assert add["deletionVector"]["cardinality"] == 20
+
+
+def test_cow_update_on_dv_table_purges_vector(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import delete_delta, update_delta
+
+    tbl = str(tmp_path / "mix")
+    write_delta(spark.range(100).selectExpr("id", "id AS v").coalesce(1), tbl)
+    delete_delta(spark, tbl, "id < 50", mode="dv")
+    m = update_delta(spark, tbl, "id >= 90", {"v": "v + 1000"})
+    assert m["numUpdatedRows"] == 10
+    got = read_delta(spark, tbl)
+    # Deleted rows stay deleted through the rewrite; updates applied.
+    assert got.count() == 50
+    assert got.filter("id < 50").count() == 0
+    assert got.filter("v >= 1000").count() == 10
+    # The rewritten file replaced the DV'd one: no DV remains.
+    snap = DeltaTable(tbl).snapshot
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+
+
+def test_optimize_purges_deletion_vectors(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import optimize
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "purge")
+    write_delta(spark.range(200).selectExpr("id").coalesce(2), tbl)
+    delete_delta(spark, tbl, "id % 2 = 0", mode="dv")
+    assert read_delta(spark, tbl).count() == 100
+    v = optimize(spark, tbl)
+    snap = DeltaTable(tbl).snapshot
+    assert snap.version == v
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    got = read_delta(spark, tbl)
+    assert got.count() == 100
+    assert got.filter("id % 2 = 0").count() == 0
+    # The remove actions named the retired DVs (spec: vacuum bookkeeping).
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    rm_dvs = [a["remove"].get("deletionVector") for a in acts if "remove" in a]
+    assert any(rm_dvs)
+
+
+def test_dv_delete_refused_on_append_only(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "ao")
+    write_delta(spark.range(10), tbl)
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        acts = [json.loads(line) for line in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    with open(log, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in acts)
+    with pytest.raises(ValueError, match="appendOnly|append-only"):
+        delete_delta(spark, tbl, "id = 1", mode="dv")

@@ -238,11 +238,13 @@ class TestWriterProtocolGate:
             "writerFeatures": ["appendOnly", "invariants"],
         })
         write_delta(spark.createDataFrame([(99, 9)], "id int, k int"), tbl)
+        # deletionVectors joined the supported writer features in round 6
+        # (sources/dv.py); a genuinely-unimplemented feature still gates.
         self._patch_log0(tbl, protocol={
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["deletionVectors"],
+            "writerFeatures": ["identityColumns"],
         })
-        with pytest.raises(ValueError, match="deletionVectors"):
+        with pytest.raises(ValueError, match="identityColumns"):
             write_delta(
                 spark.createDataFrame([(98, 8)], "id int, k int"), tbl
             )
