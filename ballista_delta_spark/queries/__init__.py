@@ -51,8 +51,8 @@ ROTATION: tuple[str, ...] = (
     "join_inner", "join_left", "join_right", "join_full", "join_semi",
     "join_anti", "join_cross", "join_theta", "join_broadcast_hint",
     "join_asof", "join_range_banded",
-    # -- agg core fill (r3-green)
-    "agg_basic", "agg_count", "agg_distinct", "agg_having",
+    # -- agg canary (r3-green; also the bench headline query)
+    "agg_basic",
     # -- streaming last (budget-truncation buffer); the two new stream ids
     #    lead so truncation hits the r4-green repeats first
     "stream_dedup", "stream_dedup_watermarked", "stream_stream_join",
