@@ -634,48 +634,123 @@ _SUPPORTED_WRITER_FEATURES = {
 }
 
 
+def active_constraints(snap: Snapshot) -> list[tuple[str, str]]:
+    """(name, SQL expression) of every enforced write-time predicate:
+    CHECK constraints (``delta.constraints.<name>`` configuration, writer
+    v3 / checkConstraints feature) and column invariants (v2 field
+    metadata ``delta.invariants``, a JSON-wrapped expression)."""
+    out: list[tuple[str, str]] = []
+    for k, v in sorted(snap.configuration.items()):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], v))
+    for f in snap.schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise ValueError(
+                    f"unparseable delta.invariants on column {f.name!r}: "
+                    f"{inv!r}"
+                ) from None
+            out.append((f"invariant({f.name})", expr))
+    return out
+
+
+def enforce_constraints(df: DataFrame, snap: Snapshot) -> None:
+    """Refuse the write if any row violates a CHECK constraint/invariant.
+
+    SQL CHECK semantics: NULL satisfies. One aggregate job evaluates ALL
+    predicates in a single pass over the written rows (delta-spark runs
+    the same null-coalesced metric aggregation); tables without
+    constraints pay nothing — callers gate on ``active_constraints``.
+    """
+    cons = active_constraints(snap)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(f"c{i}")
+        for i, (_n, e) in enumerate(cons)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = [
+        f"{n} CHECK ({e})"
+        for i, (n, e) in enumerate(cons)
+        if (row[f"c{i}"] or 0) > 0
+    ]
+    if bad:
+        raise ValueError(
+            f"write violates table constraints: {'; '.join(bad)}"
+        )
+
+
+def _schema_declares(snap: Snapshot, meta_key: str) -> list[str]:
+    return [
+        f.name for f in snap.schema.fields if (f.metadata or {}).get(meta_key)
+    ]
+
+
 def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
     """Delta PROTOCOL.md "Writer Requirements": refuse to commit to a table
     whose writer protocol demands behavior this writer doesn't implement —
     committing anyway could silently break the table's contract for every
     other engine (unenforced constraints, missed CDF rows, ...).
 
-    - v1-v2: allowed; column invariants (v2) are honored by refusing when
-      any column actually declares one.
-    - v3-v6: bundle CHECK constraints / CDF / generated + identity columns
-      unconditionally — not implemented, refuse.
-    - v7: feature-gated — allowed iff every advertised writerFeature is
-      supported.
+    - v1-v3: allowed — column invariants (v2) and CHECK constraints (v3)
+      are ENFORCED at write time (``enforce_constraints``), not refused.
+    - v4-v6: allowed iff the bundled features are INACTIVE on this table —
+      no ``delta.enableChangeDataFeed=true``, no generated columns, no
+      identity columns. An active one refuses (we'd miss CDF rows or write
+      wrong generated values).
+    - v7: feature-gated — every advertised writerFeature must be either
+      implemented or inactive by the same rules.
     - ``delta.appendOnly=true`` forbids commits that remove files with
       dataChange (DELETE/UPDATE/overwrite); pass removes_files=False for
       pure appends and dataChange=false compaction, which stay legal.
     """
+    cdf_active = (
+        snap.configuration.get("delta.enableChangeDataFeed", "").lower()
+        == "true"
+    )
+    generated = _schema_declares(snap, "delta.generationExpression")
+    identity = _schema_declares(snap, "delta.identity.start") + _schema_declares(
+        snap, "delta.identity.allowExplicitInsert"
+    )
     if snap.min_writer_version >= 7:
-        unsupported = set(snap.writer_features) - _SUPPORTED_WRITER_FEATURES
+        # Features implemented outright, or safe because provably inactive.
+        inactive_ok = set()
+        if not cdf_active:
+            inactive_ok.add("changeDataFeed")
+        if not generated:
+            inactive_ok.add("generatedColumns")
+        if not identity:
+            inactive_ok.add("identityColumns")
+        supported = _SUPPORTED_WRITER_FEATURES | {"checkConstraints"} | inactive_ok
+        unsupported = set(snap.writer_features) - supported
         if unsupported:
             raise ValueError(
                 f"unsupported Delta writerFeatures {sorted(unsupported)}"
             )
-    elif snap.min_writer_version > 2:
-        raise ValueError(
-            f"unsupported Delta writer protocol v{snap.min_writer_version} "
-            "(constraints/CDF/generated columns are not implemented)"
-        )
-    # Active deletion vectors do NOT block writes: every write path reads
-    # the table through to_df (which anti-joins DV'd rows out) and replaces
-    # files it touches whole — removing a file retires its DV with it, so
-    # copy-on-write DML and OPTIMIZE on a DV table are purges, never
-    # resurrections. The DV-writing DELETE lives in delta_dml (mode="dv").
-    for f in snap.schema.fields:
-        if (f.metadata or {}).get("delta.invariants"):
+    elif snap.min_writer_version >= 4:
+        if cdf_active:
             raise ValueError(
-                f"column {f.name!r} declares a Delta invariant this writer "
-                "does not enforce — refusing to write"
+                "delta.enableChangeDataFeed=true: this writer does not emit "
+                "_change_data — refusing to write"
             )
-    if any(k.startswith("delta.constraints.") for k in snap.configuration):
-        raise ValueError(
-            "table declares CHECK constraints this writer does not enforce"
-        )
+        if generated:
+            raise ValueError(
+                f"generated columns {generated} are not computed by this "
+                "writer — refusing to write"
+            )
+        if identity:
+            raise ValueError(
+                f"identity columns {identity} are not maintained by this "
+                "writer — refusing to write"
+            )
     if removes_files and (
         snap.configuration.get("delta.appendOnly", "").lower() == "true"
     ):
@@ -738,6 +813,9 @@ def write_delta(
         if drift:
             raise ValueError(f"schema type mismatch (incoming, table): {drift}")
         df = df.select(*[f.name for f in prev.schema.fields])
+        # CHECK constraints / invariants: one aggregate pass over the
+        # incoming rows; free when the table declares none.
+        enforce_constraints(df, prev)
         schema_struct = prev.schema
     else:
         schema_struct = df.schema

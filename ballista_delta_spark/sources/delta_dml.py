@@ -48,7 +48,9 @@ from .delta import (
     _stage_adds,
     _strip_file_scheme,
     _try_commit,
+    active_constraints,
     check_write_protocol,
+    enforce_constraints,
 )
 
 _FILE_COL = "__bds_file"
@@ -419,6 +421,19 @@ def _update_once(
         updated = updated.withColumn(c, F.col(c).cast(typ))
 
     n_updated = sub.filter(cond).count()
+    # Only rows the SET actually touched can newly violate a constraint.
+    # Filter on PRE-update values (cond references those), THEN apply the
+    # SET projection unconditionally.
+    if active_constraints(dt.snapshot):
+        typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
+        changed = sub.filter(cond).select(
+            *[
+                F.expr(set_exprs[c]).cast(typed[c]).alias(c)
+                if c in set_exprs else F.col(c)
+                for c in sub.columns
+            ]
+        )
+        enforce_constraints(changed, dt.snapshot)
     now_ms = int(time.time() * 1000)
     adds = _stage_adds(
         _sized(updated, len(affected)),
@@ -657,6 +672,8 @@ def _merge_once(
                 .withColumn("__i", F.explode(F.expr("sequence(1, __m)")))
                 .select(*tcols)
             )
+            if active_constraints(dt.snapshot):
+                enforce_constraints(rewritten, dt.snapshot)
             adds += _stage_adds(
                 _sized(rewritten, len(affected)),
                 dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
@@ -709,6 +726,8 @@ def _merge_once(
         # post-join shuffle output, so AQE already packs it into
         # advisory-sized partitions); zero-row part files are dropped from
         # the commit and the table dir.
+        if active_constraints(dt.snapshot):
+            enforce_constraints(ins, dt.snapshot)
         ins_adds = _stage_adds(
             ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
         )

@@ -1,0 +1,184 @@
+"""CHECK constraints + column invariants are ENFORCED at write time
+(round 6) instead of refusing every v2-invariant / v3-constraint table,
+and writer v4-v6 tables are writable when their bundled features are
+inactive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ballista_delta_spark.sources.delta import (
+    DeltaTable,
+    read_delta,
+    write_delta,
+)
+from ballista_delta_spark.sources.delta_dml import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+
+
+def _patch_log0(tbl, *, configuration=None, protocol=None, field_meta=None):
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [json.loads(line) for line in fh]
+    for a in acts:
+        if configuration is not None and "metaData" in a:
+            a["metaData"]["configuration"] = configuration
+        if field_meta is not None and "metaData" in a:
+            schema = json.loads(a["metaData"]["schemaString"])
+            for f in schema["fields"]:
+                if f["name"] in field_meta:
+                    f["metadata"] = field_meta[f["name"]]
+            a["metaData"]["schemaString"] = json.dumps(schema)
+        if protocol is not None and "protocol" in a:
+            a["protocol"] = protocol
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in acts)
+
+
+@pytest.fixture()
+def ctbl(spark, tmp_path):
+    """v3 table with CHECK constraint v >= 0 and invariant id < 1000."""
+    tbl = str(tmp_path / "c")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double"),
+        tbl,
+    )
+    _patch_log0(
+        tbl,
+        configuration={"delta.constraints.nonneg": "v >= 0"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 3},
+        field_meta={"id": {"delta.invariants": json.dumps(
+            {"expression": {"expression": "id < 1000"}}
+        )}},
+    )
+    return tbl
+
+
+def test_append_enforces_check_constraint(spark, ctbl):
+    # Satisfying rows commit.
+    write_delta(
+        spark.createDataFrame([(3, 30.0)], "id int, v double"), ctbl,
+        mode="append",
+    )
+    assert read_delta(spark, ctbl).count() == 3
+    # Violating CHECK refuses and commits nothing.
+    with pytest.raises(ValueError, match="nonneg"):
+        write_delta(
+            spark.createDataFrame([(4, -1.0)], "id int, v double"), ctbl,
+            mode="append",
+        )
+    # Violating the column invariant refuses too.
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta(
+            spark.createDataFrame([(5000, 1.0)], "id int, v double"), ctbl,
+            mode="append",
+        )
+    # NULL satisfies (SQL CHECK semantics).
+    write_delta(
+        spark.createDataFrame([(4, None)], "id int, v double"), ctbl,
+        mode="append",
+    )
+    assert read_delta(spark, ctbl).count() == 4
+
+
+def test_update_enforces_constraints_on_changed_rows_only(spark, ctbl):
+    with pytest.raises(ValueError, match="nonneg"):
+        update_delta(spark, ctbl, "id = 1", {"v": "-5.0"})
+    m = update_delta(spark, ctbl, "id = 1", {"v": "v + 1"})
+    assert m["numUpdatedRows"] == 1
+    got = {r.id: r.v for r in read_delta(spark, ctbl).collect()}
+    assert got[1] == 11.0
+
+
+def test_merge_enforces_constraints_on_inserts_and_updates(spark, ctbl):
+    bad_src = spark.createDataFrame([(9, -3.0)], "id int, nv double")
+    with pytest.raises(ValueError, match="nonneg"):
+        merge_delta(
+            spark, ctbl, bad_src, "t.id = s.id",
+            not_matched_insert={"id": "s.id", "v": "s.nv"},
+        )
+    with pytest.raises(ValueError, match="nonneg"):
+        merge_delta(
+            spark, ctbl,
+            spark.createDataFrame([(1, -3.0)], "id int, nv double"),
+            "t.id = s.id",
+            matched_update={"v": "s.nv"}, not_matched_insert=False,
+        )
+    # Delete never violates.
+    m = delete_delta(spark, ctbl, "id = 2")
+    assert m["numDeletedRows"] == 1
+
+
+def test_writer_v4_inactive_features_allow_write(spark, tmp_path):
+    tbl = str(tmp_path / "v4")
+    write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
+    _patch_log0(
+        tbl,
+        configuration={"delta.enableChangeDataFeed": "false"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+    )
+    write_delta(
+        spark.createDataFrame([(2,)], "id int"), tbl, mode="append"
+    )
+    assert read_delta(spark, tbl).count() == 2
+
+
+def test_writer_v4_active_cdf_refuses(spark, tmp_path):
+    tbl = str(tmp_path / "v4cdf")
+    write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
+    _patch_log0(
+        tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+    )
+    with pytest.raises(ValueError, match="ChangeDataFeed"):
+        write_delta(
+            spark.createDataFrame([(2,)], "id int"), tbl, mode="append"
+        )
+
+
+def test_writer_v4_generated_column_refuses(spark, tmp_path):
+    tbl = str(tmp_path / "v4gen")
+    write_delta(spark.createDataFrame([(1, 2)], "id int, twice int"), tbl)
+    _patch_log0(
+        tbl,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+        field_meta={"twice": {"delta.generationExpression": "id * 2"}},
+    )
+    with pytest.raises(ValueError, match="generated"):
+        write_delta(
+            spark.createDataFrame([(2, 4)], "id int, twice int"), tbl,
+            mode="append",
+        )
+    # Reads are unaffected.
+    assert read_delta(spark, tbl).count() == 1
+
+
+def test_v7_checkConstraints_feature_enforced_not_refused(spark, tmp_path):
+    tbl = str(tmp_path / "v7c")
+    write_delta(spark.createDataFrame([(1, 5.0)], "id int, v double"), tbl)
+    _patch_log0(
+        tbl,
+        configuration={"delta.constraints.pos": "v > 0"},
+        protocol={
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["checkConstraints"],
+        },
+    )
+    write_delta(
+        spark.createDataFrame([(2, 1.0)], "id int, v double"), tbl,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="pos"):
+        write_delta(
+            spark.createDataFrame([(3, 0.0)], "id int, v double"), tbl,
+            mode="append",
+        )
+    assert read_delta(spark, tbl).count() == 2

@@ -221,16 +221,15 @@ class TestWriterProtocolGate:
                 spark, tbl, src, "t.id = s.id", matched_update={"k": "s.k"}
             )
 
-    def test_unsupported_writer_version_refuses_write(self, spark, tbl):
+    def test_v4_writes_allowed_when_features_inactive(self, spark, tbl):
+        # Round 6: v4-v6 gate on ACTIVE features, not the version number —
+        # this table has no CDF/generated/identity so the write commits.
+        # Active-feature refusals are pinned in tests/test_constraints.py.
         self._patch_log0(
             tbl, protocol={"minReaderVersion": 1, "minWriterVersion": 4}
         )
-        with pytest.raises(ValueError, match="writer protocol v4"):
-            write_delta(
-                spark.createDataFrame([(99, 9)], "id int, k int"), tbl
-            )
-        # Reads stay fine.
-        assert read_delta(spark, tbl).count() == 10
+        write_delta(spark.createDataFrame([(99, 9)], "id int, k int"), tbl)
+        assert read_delta(spark, tbl).count() == 11
 
     def test_v7_writer_features_gate(self, spark, tbl):
         self._patch_log0(tbl, protocol={
@@ -238,23 +237,28 @@ class TestWriterProtocolGate:
             "writerFeatures": ["appendOnly", "invariants"],
         })
         write_delta(spark.createDataFrame([(99, 9)], "id int, k int"), tbl)
-        # deletionVectors joined the supported writer features in round 6
-        # (sources/dv.py); a genuinely-unimplemented feature still gates.
+        # deletionVectors/checkConstraints joined the supported writer
+        # features in round 6, and inactive CDF/generated/identity pass —
+        # a feature we neither implement nor can prove inactive still
+        # gates (rowTracking demands per-commit row-id maintenance).
         self._patch_log0(tbl, protocol={
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["identityColumns"],
+            "writerFeatures": ["rowTracking"],
         })
-        with pytest.raises(ValueError, match="identityColumns"):
+        with pytest.raises(ValueError, match="rowTracking"):
             write_delta(
                 spark.createDataFrame([(98, 8)], "id int, k int"), tbl
             )
 
-    def test_check_constraints_refuse_write(self, spark, tbl):
+    def test_check_constraints_enforced_not_refused(self, spark, tbl):
+        # Round 6: constraints are ENFORCED (tests/test_constraints.py),
+        # so a DELETE on a constrained table commits — deletes cannot
+        # introduce a violation.
         self._patch_log0(
             tbl, config={"delta.constraints.positive_id": "id > 0"}
         )
-        with pytest.raises(ValueError, match="CHECK constraints"):
-            delete_delta(spark, tbl, "k = 0")
+        m = delete_delta(spark, tbl, "k = 0")
+        assert m["numDeletedRows"] > 0
 
 
 class TestUnsupportedCheckpointFallback:
