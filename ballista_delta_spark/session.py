@@ -77,6 +77,16 @@ _DELTA_OPTIMIZE = re.compile(
     re.IGNORECASE,
 )
 
+# ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (<expr>) / DROP CONSTRAINT <c>
+# — delta-spark constraint DDL, routed to alter_constraints.
+_DELTA_ALTER_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+(?P<op>ADD|DROP)\s+CONSTRAINT\s+(?P<cname>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+CHECK\s*\((?P<expr>.+)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # RESTORE [TABLE] <name> TO VERSION AS OF <n> — delta-spark rollback SQL.
 _DELTA_RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?"
@@ -277,6 +287,30 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
             version = optimize(spark, loc, zorder_by=zcols or None)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_ALTER_CONSTRAINT.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import alter_constraints, read_delta
+
+            loc = _delta_views[name]
+            if m.group("op").upper() == "ADD":
+                if not m.group("expr"):
+                    raise ValueError(
+                        "ADD CONSTRAINT requires CHECK (<expression>)"
+                    )
+                version = alter_constraints(
+                    spark, loc, add={m.group("cname"): m.group("expr").strip()}
+                )
+            else:
+                version = alter_constraints(
+                    spark, loc, drop=[m.group("cname")]
+                )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

@@ -87,6 +87,10 @@ class Snapshot:
     # Writer protocol (gates OUR writes; reads don't care).
     min_writer_version: int = 1
     writer_features: list[str] = field(default_factory=list)
+    # The latest raw metaData action as committed (id/createdTime/format
+    # preserved verbatim) — metadata-changing commits (ALTER TABLE) must
+    # re-emit the SAME table id, not invent one.
+    metadata_raw: dict[str, Any] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -411,6 +415,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
 
     start_version = 0
+    metadata_raw: dict[str, Any] = {}
     files: dict[str, dict[str, Any]] = {}
     tombstones: dict[str, dict[str, Any]] = {}
     schema: T.StructType | None = None
@@ -449,6 +454,11 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                 part_cols = list(md.get("partitionColumns") or [])
                 config = _as_dict(md.get("configuration"))
+                metadata_raw = {
+                    k: (_as_dict(v) if k in ("configuration", "format") else v)
+                    for k, v in md.items() if v is not None
+                }
+                metadata_raw["configuration"] = config
             if row.get("add") and row["add"].get("path"):
                 add = dict(row["add"])
                 add["partitionValues"] = _as_dict(add.get("partitionValues"))
@@ -490,6 +500,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                     part_cols = list(md.get("partitionColumns") or [])
                     config = dict(md.get("configuration") or {})
+                    metadata_raw = dict(md)
                 elif "add" in act:
                     files[act["add"]["path"]] = act["add"]
                     tombstones.pop(act["add"]["path"], None)
@@ -565,6 +576,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         field_ids=field_ids,
         min_writer_version=min_writer_version,
         writer_features=writer_features,
+        metadata_raw=metadata_raw,
     )
 
 
@@ -953,6 +965,84 @@ def _try_commit(
         raise RuntimeError(f"concurrent commit at version {version}") from exc
     os.unlink(tmp_commit)
     return version
+
+
+def alter_constraints(
+    spark: SparkSession,
+    path: str,
+    add: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> int:
+    """``ALTER TABLE ADD/DROP CONSTRAINT`` (delta-spark semantics): a
+    metadata-only commit that re-emits the current metaData action with the
+    ``delta.constraints.<name>`` configuration updated. ADD validates the
+    whole EXISTING table against the new predicate first (one distributed
+    filter-count; delta-spark scans the same way) and bumps the writer
+    protocol to v3 when the table is below it — the floor at which other
+    engines are obliged to enforce the constraint. Returns the committed
+    version."""
+    path = _strip_file_scheme(path)
+    dt = DeltaTable(path)
+    snap = dt.snapshot
+    check_write_protocol(snap, removes_files=False)
+    cfg = dict(snap.configuration)
+    for name, expr in (add or {}).items():
+        key = f"delta.constraints.{name}"
+        if key in cfg:
+            raise ValueError(f"constraint {name!r} already exists")
+        viol = (
+            dt.to_df(spark)
+            .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+            .count()
+        )
+        if viol:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {viol} existing row(s) "
+                f"violate CHECK ({expr})"
+            )
+        cfg[key] = expr
+    for name in drop or []:
+        key = f"delta.constraints.{name}"
+        if key not in cfg:
+            raise ValueError(f"no such constraint {name!r}")
+        del cfg[key]
+
+    now_ms = int(time.time() * 1000)
+    md = dict(snap.metadata_raw) or {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(snap.schema.jsonValue()),
+        "partitionColumns": snap.partition_columns,
+        "createdTime": now_ms,
+    }
+    md["configuration"] = cfg
+    op = "ADD CONSTRAINT" if add else "DROP CONSTRAINT"
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": {
+                    k: v for k, v in {
+                        "added": json.dumps(add) if add else None,
+                        "dropped": json.dumps(drop) if drop else None,
+                    }.items() if v
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    if add and snap.min_writer_version < 3:
+        actions.append({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 3,
+        }})
+    # (v7 tables: the checkConstraints writerFeature is not auto-declared —
+    # the snapshot does not retain the reader-feature list, and re-emitting
+    # a protocol action without it would downgrade the table. Enforcement
+    # here does not depend on the declaration.)
+    actions.append({"metaData": md})
+    return _try_commit(path, actions, [])
 
 
 def create_checkpoint(path: str) -> int:

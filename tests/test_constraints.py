@@ -182,3 +182,49 @@ def test_v7_checkConstraints_feature_enforced_not_refused(spark, tmp_path):
             mode="append",
         )
     assert read_delta(spark, tbl).count() == 2
+
+
+def test_alter_table_add_drop_constraint_sql(spark, tmp_path):
+    from ballista_delta_spark.session import sql
+    from ballista_delta_spark.sources.delta import alter_constraints
+
+    tbl = str(tmp_path / "alter")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double"), tbl
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE alt STORED AS DELTA LOCATION '{tbl}'")
+    out = sql(spark, "ALTER TABLE alt ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    assert out.collect()[0].committed_version == 1
+    snap = DeltaTable(tbl).snapshot
+    assert snap.configuration["delta.constraints.nonneg"] == "v >= 0"
+    assert snap.min_writer_version == 3
+    # Now enforced on writes.
+    with pytest.raises(ValueError, match="nonneg"):
+        write_delta(
+            spark.createDataFrame([(3, -1.0)], "id int, v double"), tbl,
+            mode="append",
+        )
+    # Adding a constraint existing data violates refuses, commits nothing.
+    with pytest.raises(ValueError, match="existing row"):
+        sql(spark, "ALTER TABLE alt ADD CONSTRAINT big CHECK (v > 100)")
+    assert DeltaTable(tbl).version == 1
+    # Duplicate name refuses.
+    with pytest.raises(ValueError, match="already exists"):
+        alter_constraints(spark, tbl, add={"nonneg": "v >= 0"})
+    # DROP removes enforcement; unknown name refuses.
+    out = sql(spark, "ALTER TABLE alt DROP CONSTRAINT nonneg")
+    assert out.collect()[0].committed_version == 2
+    write_delta(
+        spark.createDataFrame([(3, -1.0)], "id int, v double"), tbl,
+        mode="append",
+    )
+    assert read_delta(spark, tbl).count() == 3
+    with pytest.raises(ValueError, match="no such constraint"):
+        alter_constraints(spark, tbl, drop=["nope"])
+    # Table id survives metadata commits (same table, not a new one).
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        id0 = next(
+            json.loads(ln)["metaData"]["id"] for ln in fh
+            if "metaData" in json.loads(ln)
+        )
+    assert DeltaTable(tbl).snapshot.metadata_raw["id"] == id0
