@@ -734,11 +734,9 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
     )
     if snap.min_writer_version >= 7:
         # Features implemented outright, or safe because provably inactive.
-        inactive_ok = set()
+        inactive_ok = {"generatedColumns"}  # computed by write_delta
         if not cdf_active:
             inactive_ok.add("changeDataFeed")
-        if not generated:
-            inactive_ok.add("generatedColumns")
         if not identity:
             inactive_ok.add("identityColumns")
         supported = _SUPPORTED_WRITER_FEATURES | {"checkConstraints"} | inactive_ok
@@ -753,11 +751,9 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
                 "delta.enableChangeDataFeed=true: this writer does not emit "
                 "_change_data — refusing to write"
             )
-        if generated:
-            raise ValueError(
-                f"generated columns {generated} are not computed by this "
-                "writer — refusing to write"
-            )
+        # Generated columns are computed/validated by write_delta; only
+        # identity columns (which need transactional high-water marks)
+        # still refuse.
         if identity:
             raise ValueError(
                 f"identity columns {identity} are not maintained by this "
@@ -811,6 +807,45 @@ def write_delta(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
             )
         partition_by = prev.partition_columns
+        # Generated columns (delta.generationExpression, writer v4):
+        # compute when omitted from the input; validate when provided
+        # (delta-spark semantics — a provided value must null-safely equal
+        # the expression, checked below in one aggregate with the
+        # constraints pass).
+        gen_exprs = {
+            f.name: (f.metadata or {}).get("delta.generationExpression")
+            for f in prev.schema.fields
+            if (f.metadata or {}).get("delta.generationExpression")
+        }
+        gen_validate: list[tuple[str, str]] = []
+        for c, expr in gen_exprs.items():
+            typ = dict(
+                (f.name, f.dataType) for f in prev.schema.fields
+            )[c]
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr).cast(typ))
+            else:
+                gen_validate.append((c, expr))
+        if gen_validate:
+            checks = [
+                F.sum(
+                    F.when(
+                        ~F.col(c).eqNullSafe(F.expr(e).cast(df.schema[c].dataType)), 1
+                    ).otherwise(0)
+                ).alias(f"g{i}")
+                for i, (c, e) in enumerate(gen_validate)
+            ]
+            row = df.agg(*checks).collect()[0]
+            bad = [
+                f"{c} != ({e})"
+                for i, (c, e) in enumerate(gen_validate)
+                if (row[f"g{i}"] or 0) > 0
+            ]
+            if bad:
+                raise ValueError(
+                    "provided values disagree with generated-column "
+                    f"expressions: {'; '.join(bad)}"
+                )
         # Schema enforcement, Delta-style: incoming columns must match by
         # name AND type (nullability-insensitive — simpleString drops it).
         # Name-only checking would commit type-inconsistent parquet that

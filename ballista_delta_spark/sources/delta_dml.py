@@ -88,6 +88,19 @@ def _check_writable(dt: DeltaTable, removes_files: bool = True) -> None:
             "DML on a columnMapping table is not supported (reads are); "
             "use delta-spark for writes to this table"
         )
+    gen = [
+        f.name for f in dt.snapshot.schema.fields
+        if (f.metadata or {}).get("delta.generationExpression")
+    ]
+    if gen:
+        # write_delta computes/validates generated columns on append and
+        # overwrite; row-level DML would have to RE-generate them whenever
+        # a referenced base column changes — refuse rather than commit
+        # stale generated values.
+        raise ValueError(
+            f"DML on a table with generated columns {gen} is not supported "
+            "(appends/overwrites are)"
+        )
     check_write_protocol(dt.snapshot, removes_files=removes_files)
 
 

@@ -144,7 +144,7 @@ def test_writer_v4_active_cdf_refuses(spark, tmp_path):
         )
 
 
-def test_writer_v4_generated_column_refuses(spark, tmp_path):
+def test_writer_v4_generated_columns_computed_and_validated(spark, tmp_path):
     tbl = str(tmp_path / "v4gen")
     write_delta(spark.createDataFrame([(1, 2)], "id int, twice int"), tbl)
     _patch_log0(
@@ -152,13 +152,29 @@ def test_writer_v4_generated_column_refuses(spark, tmp_path):
         protocol={"minReaderVersion": 1, "minWriterVersion": 4},
         field_meta={"twice": {"delta.generationExpression": "id * 2"}},
     )
-    with pytest.raises(ValueError, match="generated"):
+    # Omitted generated column -> computed from the expression.
+    write_delta(
+        spark.createDataFrame([(5,)], "id int"), tbl, mode="append"
+    )
+    got = {r.id: r.twice for r in read_delta(spark, tbl).collect()}
+    assert got[5] == 10
+    # Provided and consistent -> accepted.
+    write_delta(
+        spark.createDataFrame([(6, 12)], "id int, twice int"), tbl,
+        mode="append",
+    )
+    # Provided but WRONG -> refused, nothing committed.
+    with pytest.raises(ValueError, match="generated-column"):
         write_delta(
-            spark.createDataFrame([(2, 4)], "id int, twice int"), tbl,
+            spark.createDataFrame([(7, 99)], "id int, twice int"), tbl,
             mode="append",
         )
-    # Reads are unaffected.
-    assert read_delta(spark, tbl).count() == 1
+    assert read_delta(spark, tbl).count() == 3
+    # Row-level DML refuses (it would commit stale generated values).
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    with pytest.raises(ValueError, match="generated columns"):
+        delete_delta(spark, tbl, "id = 1")
 
 
 def test_v7_checkConstraints_feature_enforced_not_refused(spark, tmp_path):
