@@ -1310,6 +1310,25 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         if os.path.exists(abs_path):
             os.unlink(abs_path)
             deleted.append(rel)
+    # Deletion-vector .bin files: delete the ones no ACTIVE add references
+    # once past the retention window (a superseded or purged DV is exactly
+    # a tombstoned file: time travel may still need it inside the window).
+    live_bins = set()
+    for a in snap.files.values():
+        dvd = _as_dict(a.get("deletionVector") or {})
+        if dvd.get("storageType") == "u":
+            from . import dv as _dv
+
+            live_bins.add(os.path.abspath(_dv.dv_file_path(path, dvd)))
+    import glob as _glob
+
+    for bin_path in _glob.glob(os.path.join(path, "deletion_vector_*.bin")):
+        if os.path.abspath(bin_path) in live_bins:
+            continue
+        if now_ms - os.path.getmtime(bin_path) * 1000 < retention_ms:
+            continue
+        os.unlink(bin_path)
+        deleted.append(os.path.relpath(bin_path, path))
     # Prune now-empty Hive partition dirs left behind.
     for root, dirs, files in os.walk(path, topdown=False):
         if "_delta_log" in root:

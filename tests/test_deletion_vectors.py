@@ -312,3 +312,30 @@ def test_dv_delete_refused_on_append_only(spark, tmp_path):
         fh.writelines(json.dumps(a) + "\n" for a in acts)
     with pytest.raises(ValueError, match="appendOnly|append-only"):
         delete_delta(spark, tbl, "id = 1", mode="dv")
+
+
+def test_vacuum_removes_orphaned_dv_bins(spark, tmp_path):
+    import glob
+
+    from ballista_delta_spark.sources.delta import optimize, vacuum
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "vac")
+    # Two data files: OPTIMIZE early-returns on single-file tables, and the
+    # point here is that compaction orphans the bins.
+    write_delta(spark.range(100).selectExpr("id").coalesce(2), tbl)
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    assert len(glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))) == 1
+    # A second DV delete supersedes the first .bin; OPTIMIZE purges DVs
+    # entirely -> both bins are orphans afterwards.
+    delete_delta(spark, tbl, "id >= 95", mode="dv")
+    optimize(spark, tbl)
+    assert len(glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))) == 2
+    # Inside the retention window nothing is touched...
+    vacuum(tbl)
+    assert len(glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))) == 2
+    # ...outside it the orphaned bins go; live data is intact.
+    removed = vacuum(tbl, retention_ms=0)
+    assert len(glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))) == 0
+    assert any(r.startswith("deletion_vector_") for r in removed)
+    assert read_delta(spark, tbl).count() == 85
