@@ -706,6 +706,48 @@ def _schema_declares(snap: Snapshot, meta_key: str) -> list[str]:
     ]
 
 
+def identity_columns(snap: Snapshot) -> dict[str, dict]:
+    """field name -> metadata for every IDENTITY column (any
+    ``delta.identity.*`` key present, writer v6 / identityColumns)."""
+    out: dict[str, dict] = {}
+    for f in snap.schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            out[f.name] = md
+    return out
+
+
+def _assign_identity(df: DataFrame, col: str, base: int, step: int, dtype):
+    """Assign ``base + step * k`` over a compact global row index, fully
+    distributed: one count-per-input-partition job fixes each partition's
+    range offset (driver holds O(#partitions) numbers), then a per-partition
+    row_number hands out positions inside the range — no global sort, no
+    single-partition bottleneck. Values are unique and step-aligned;
+    contiguity is best-effort (the spec allows gaps)."""
+    pid_df = df.withColumn("__idpid", F.spark_partition_id())
+    counts = {
+        r["__idpid"]: r["cnt"]
+        for r in pid_df.groupBy("__idpid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    off_expr = F.lit(0)
+    acc = 0
+    for p in sorted(counts):
+        off_expr = F.when(F.col("__idpid") == p, F.lit(acc)).otherwise(off_expr)
+        acc += counts[p]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__idpid").orderBy(F.monotonically_increasing_id())
+    idx = off_expr + F.row_number().over(w) - 1
+    return (
+        pid_df.withColumn(
+            col, (F.lit(base) + F.lit(step) * idx).cast(dtype)
+        ).drop("__idpid"),
+        base + step * (acc - 1) if acc else None,
+    )
+
+
 def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
     """Delta PROTOCOL.md "Writer Requirements": refuse to commit to a table
     whose writer protocol demands behavior this writer doesn't implement —
@@ -734,11 +776,10 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
     )
     if snap.min_writer_version >= 7:
         # Features implemented outright, or safe because provably inactive.
-        inactive_ok = {"generatedColumns"}  # computed by write_delta
+        # generated/identity columns are computed by write_delta.
+        inactive_ok = {"generatedColumns", "identityColumns"}
         if not cdf_active:
             inactive_ok.add("changeDataFeed")
-        if not identity:
-            inactive_ok.add("identityColumns")
         supported = _SUPPORTED_WRITER_FEATURES | {"checkConstraints"} | inactive_ok
         unsupported = set(snap.writer_features) - supported
         if unsupported:
@@ -751,14 +792,9 @@ def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
                 "delta.enableChangeDataFeed=true: this writer does not emit "
                 "_change_data — refusing to write"
             )
-        # Generated columns are computed/validated by write_delta; only
-        # identity columns (which need transactional high-water marks)
-        # still refuse.
-        if identity:
-            raise ValueError(
-                f"identity columns {identity} are not maintained by this "
-                "writer — refusing to write"
-            )
+        # Generated columns are computed/validated and identity columns
+        # generated (with high-water-mark tracking) by write_delta — the
+        # version gate no longer refuses them.
     if removes_files and (
         snap.configuration.get("delta.appendOnly", "").lower() == "true"
     ):
@@ -807,6 +843,34 @@ def write_delta(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
             )
         partition_by = prev.partition_columns
+        # Identity columns (delta.identity.*, writer v6): GENERATED ALWAYS
+        # columns refuse explicit values and get step-aligned ids past the
+        # high-water mark (tracked in the SAME commit's metaData action,
+        # read back from the staged adds' max stats — no extra job);
+        # allowExplicitInsert columns accept caller values.
+        id_cols = identity_columns(prev)
+        gen_id_cols: list[str] = []
+        new_hwms: dict[str, int] = {}
+        typed_prev = dict((f.name, f.dataType) for f in prev.schema.fields)
+        for c, md_ic in id_cols.items():
+            allow = str(
+                md_ic.get("delta.identity.allowExplicitInsert", "")
+            ).lower() == "true"
+            if c in df.columns:
+                if not allow:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS — "
+                        "explicit values are not allowed"
+                    )
+                continue
+            start = int(md_ic.get("delta.identity.start", 1))
+            step = int(md_ic.get("delta.identity.step", 1))
+            hwm = md_ic.get("delta.identity.highWaterMark")
+            base = int(hwm) + step if hwm is not None else start
+            df, top = _assign_identity(df, c, base, step, typed_prev[c])
+            if top is not None:
+                new_hwms[c] = top
+            gen_id_cols.append(c)
         # Generated columns (delta.generationExpression, writer v4):
         # compute when omitted from the input; validate when provided
         # (delta-spark semantics — a provided value must null-safely equal
@@ -905,6 +969,19 @@ def write_delta(
                 }
             }
         )
+    elif new_hwms:
+        # Identity generation moves the high-water mark: re-emit the
+        # metaData action (same table id) with the updated field metadata
+        # in the SAME commit, as the spec requires.
+        md = dict(prev.metadata_raw)
+        schema_json = json.loads(md["schemaString"])
+        for f_json in schema_json["fields"]:
+            if f_json["name"] in new_hwms:
+                meta = dict(f_json.get("metadata") or {})
+                meta["delta.identity.highWaterMark"] = new_hwms[f_json["name"]]
+                f_json["metadata"] = meta
+        md["schemaString"] = json.dumps(schema_json)
+        actions.append({"metaData": md})
     if mode == "overwrite" and exists:
         for rel in prev.files:
             actions.append(

@@ -51,6 +51,7 @@ from .delta import (
     active_constraints,
     check_write_protocol,
     enforce_constraints,
+    identity_columns,
 )
 
 _FILE_COL = "__bds_file"
@@ -404,6 +405,12 @@ def _update_once(
     unknown = set(set_exprs) - cols
     if unknown:
         raise ValueError(f"SET targets not in table schema: {sorted(unknown)}")
+    id_hit = set(set_exprs) & set(identity_columns(dt.snapshot))
+    if id_hit:
+        # delta-spark semantics: identity columns can never be UPDATEd.
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {sorted(id_hit)}"
+        )
     part_updates = set(set_exprs) & set(dt.snapshot.partition_columns)
     cond = F.coalesce(F.expr(condition), F.lit(False))
 
@@ -556,12 +563,29 @@ def _merge_once(
     on_expr = F.expr(on)
     # Validate BEFORE any staging writes — a late raise would orphan the
     # already-moved rewrite part-files.
+    ids = identity_columns(dt.snapshot)
+    always_ids = [
+        c for c, md in ids.items()
+        if str(md.get("delta.identity.allowExplicitInsert", "")).lower()
+        != "true"
+    ]
+    if always_ids and not_matched_clauses:
+        raise ValueError(
+            "MERGE INSERT on a table with GENERATED ALWAYS identity "
+            f"column(s) {always_ids} is not supported — append via "
+            "write_delta generates them"
+        )
     for _c, kind, upd in matched_clauses:
         if kind == "update":
             bad = set(upd) - set(tcols)
             if bad:
                 raise ValueError(
                     f"matched_update targets not in table schema: {sorted(bad)}"
+                )
+            id_hit = set(upd) & set(ids)
+            if id_hit:
+                raise ValueError(
+                    f"cannot UPDATE identity column(s) {sorted(id_hit)}"
                 )
     for _c, spec in not_matched_clauses:
         if spec is True:

@@ -244,3 +244,75 @@ def test_alter_table_add_drop_constraint_sql(spark, tmp_path):
             if "metaData" in json.loads(ln)
         )
     assert DeltaTable(tbl).snapshot.metadata_raw["id"] == id0
+
+
+def test_identity_columns_generated_with_high_water_mark(spark, tmp_path):
+    tbl = str(tmp_path / "ident")
+    write_delta(spark.createDataFrame([(100, "seed")], "uid long, s string"), tbl)
+    _patch_log0(
+        tbl,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 6},
+        field_meta={"uid": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.highWaterMark": 100,
+        }},
+    )
+    # Append WITHOUT the identity column: values generated past the mark.
+    write_delta(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "s string"),
+        tbl, mode="append",
+    )
+    got = sorted(r.uid for r in read_delta(spark, tbl).collect())
+    assert got == [100, 110, 120, 130]
+    # The high-water mark advanced in the same commit...
+    from ballista_delta_spark.sources.delta import identity_columns
+
+    snap = DeltaTable(tbl).snapshot
+    assert snap.metadata_raw["id"]  # same table id preserved
+    assert int(
+        identity_columns(snap)["uid"]["delta.identity.highWaterMark"]
+    ) == 130
+    # ...so the NEXT append continues beyond it.
+    write_delta(
+        spark.createDataFrame([("d",)], "s string"), tbl, mode="append"
+    )
+    got = sorted(r.uid for r in read_delta(spark, tbl).collect())
+    assert got == [100, 110, 120, 130, 140]
+    # GENERATED ALWAYS: explicit values refuse.
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.createDataFrame([(999, "x")], "uid long, s string"), tbl,
+            mode="append",
+        )
+    # UPDATE of the identity column refuses; other columns fine.
+    with pytest.raises(ValueError, match="identity column"):
+        update_delta(spark, tbl, "s = 'a'", {"uid": "1"})
+    m = update_delta(spark, tbl, "s = 'a'", {"s": "'A'"})
+    assert m["numUpdatedRows"] == 1
+    # MERGE INSERT refuses on GENERATED ALWAYS tables.
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        merge_delta(
+            spark, tbl,
+            spark.createDataFrame([(1, "z")], "uid long, s string"),
+            "t.uid = s.uid",
+        )
+
+
+def test_identity_allow_explicit_insert(spark, tmp_path):
+    tbl = str(tmp_path / "identx")
+    write_delta(spark.createDataFrame([(1, "a")], "uid long, s string"), tbl)
+    _patch_log0(
+        tbl,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 6},
+        field_meta={"uid": {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": True,
+        }},
+    )
+    write_delta(
+        spark.createDataFrame([(50, "b")], "uid long, s string"), tbl,
+        mode="append",
+    )
+    assert sorted(r.uid for r in read_delta(spark, tbl).collect()) == [1, 50]
