@@ -700,10 +700,67 @@ def enforce_constraints(df: DataFrame, snap: Snapshot) -> None:
         )
 
 
-def _schema_declares(snap: Snapshot, meta_key: str) -> list[str]:
-    return [
-        f.name for f in snap.schema.fields if (f.metadata or {}).get(meta_key)
-    ]
+def cdf_enabled(snap: Snapshot) -> bool:
+    return (
+        snap.configuration.get("delta.enableChangeDataFeed", "").lower()
+        == "true"
+    )
+
+
+def _stage_cdc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> list[dict[str, Any]]:
+    """Distributed-write change rows (table columns + ``_change_type``)
+    under ``<table>/_change_data/`` and return their ``cdc`` actions.
+
+    Mirrors ``_stage_adds``: stage into a temp dir, move into final
+    Hive-pathed locations, files invisible until a commit references them.
+    cdc actions carry ``dataChange: false`` (the spec's marker that these
+    files feed CDF readers, not table scans); no stats are required.
+    """
+    cd_root = os.path.join(path, "_change_data")
+    staging = os.path.join(path, f".tmp-cdc-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    actions: list[dict[str, Any]] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    )
+            final_name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            rel_final = (
+                os.path.join(rel_dir, final_name)
+                if rel_dir != "." else final_name
+            )
+            dst = os.path.join(cd_root, rel_final)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            actions.append({
+                "path": os.path.join("_change_data", rel_final).replace(
+                    os.sep, "/"
+                ),
+                "partitionValues": part_values,
+                "size": os.path.getsize(dst),
+                "dataChange": False,
+            })
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
 
 
 def identity_columns(snap: Snapshot) -> dict[str, dict]:
@@ -748,53 +805,49 @@ def _assign_identity(df: DataFrame, col: str, base: int, step: int, dtype):
     )
 
 
-def check_write_protocol(snap: Snapshot, removes_files: bool) -> None:
+def check_write_protocol(
+    snap: Snapshot, removes_files: bool, cdf_capable: bool = False
+) -> None:
     """Delta PROTOCOL.md "Writer Requirements": refuse to commit to a table
     whose writer protocol demands behavior this writer doesn't implement —
     committing anyway could silently break the table's contract for every
     other engine (unenforced constraints, missed CDF rows, ...).
 
-    - v1-v3: allowed — column invariants (v2) and CHECK constraints (v3)
-      are ENFORCED at write time (``enforce_constraints``), not refused.
-    - v4-v6: allowed iff the bundled features are INACTIVE on this table —
-      no ``delta.enableChangeDataFeed=true``, no generated columns, no
-      identity columns. An active one refuses (we'd miss CDF rows or write
-      wrong generated values).
-    - v7: feature-gated — every advertised writerFeature must be either
-      implemented or inactive by the same rules.
+    - v1-v3: column invariants (v2) and CHECK constraints (v3) are
+      ENFORCED at write time (``enforce_constraints``), not refused.
+    - v4-v6: generated columns are computed/validated and identity columns
+      generated (high-water-mark tracked) by ``write_delta``.
+    - Active change data feed: legal only for operations that emit
+      ``_change_data`` (``cdf_capable=True`` — appends, UPDATE, DELETE,
+      dataChange=false maintenance); others refuse rather than starve CDF
+      readers of rows.
+    - v7: feature-gated — every advertised writerFeature must be
+      implemented (all of the above are); unknown features refuse.
     - ``delta.appendOnly=true`` forbids commits that remove files with
       dataChange (DELETE/UPDATE/overwrite); pass removes_files=False for
       pure appends and dataChange=false compaction, which stay legal.
     """
-    cdf_active = (
-        snap.configuration.get("delta.enableChangeDataFeed", "").lower()
-        == "true"
-    )
-    generated = _schema_declares(snap, "delta.generationExpression")
-    identity = _schema_declares(snap, "delta.identity.start") + _schema_declares(
-        snap, "delta.identity.allowExplicitInsert"
-    )
+    cdf_active = cdf_enabled(snap)
     if snap.min_writer_version >= 7:
-        # Features implemented outright, or safe because provably inactive.
-        # generated/identity columns are computed by write_delta.
-        inactive_ok = {"generatedColumns", "identityColumns"}
-        if not cdf_active:
-            inactive_ok.add("changeDataFeed")
-        supported = _SUPPORTED_WRITER_FEATURES | {"checkConstraints"} | inactive_ok
+        # v4-v6 obligations are all implemented now: constraints enforced,
+        # generated/identity columns computed by write_delta, CDF emitted
+        # by the capable operations (gated version-independently below) —
+        # so the feature gate refuses only genuinely-unknown features.
+        supported = _SUPPORTED_WRITER_FEATURES | {
+            "checkConstraints", "generatedColumns", "identityColumns",
+            "changeDataFeed",
+        }
         unsupported = set(snap.writer_features) - supported
         if unsupported:
             raise ValueError(
                 f"unsupported Delta writerFeatures {sorted(unsupported)}"
             )
-    elif snap.min_writer_version >= 4:
-        if cdf_active:
-            raise ValueError(
-                "delta.enableChangeDataFeed=true: this writer does not emit "
-                "_change_data — refusing to write"
-            )
-        # Generated columns are computed/validated and identity columns
-        # generated (with high-water-mark tracking) by write_delta — the
-        # version gate no longer refuses them.
+    if cdf_active and not cdf_capable:
+        raise ValueError(
+            "delta.enableChangeDataFeed=true: this operation does not emit "
+            "_change_data — refusing to write (appends, UPDATE and DELETE "
+            "do emit it)"
+        )
     if removes_files and (
         snap.configuration.get("delta.appendOnly", "").lower() == "true"
     ):
@@ -837,7 +890,13 @@ def write_delta(
                 "writing to a columnMapping table is not supported "
                 "(reads are); use delta-spark for writes to this table"
             )
-        check_write_protocol(prev, removes_files=(mode == "overwrite"))
+        check_write_protocol(
+            prev,
+            removes_files=(mode == "overwrite"),
+            # A pure append needs no _change_data (CDF readers derive
+            # inserts from its dataChange adds); overwrite would.
+            cdf_capable=(mode == "append"),
+        )
         if partition_by and partition_by != prev.partition_columns:
             raise ValueError(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
@@ -1096,7 +1155,8 @@ def alter_constraints(
     path = _strip_file_scheme(path)
     dt = DeltaTable(path)
     snap = dt.snapshot
-    check_write_protocol(snap, removes_files=False)
+    # Metadata-only commit: no data changes, nothing for CDF to record.
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
     cfg = dict(snap.configuration)
     for name, expr in (add or {}).items():
         key = f"delta.constraints.{name}"
@@ -1271,9 +1331,76 @@ def read_delta_changes(
         }
         return sub.to_df(spark)
 
+    cols = [f.name for f in new.schema.fields]
+
+    # Spec: when a commit carries cdc actions, CDF readers use THEM for
+    # that commit instead of deriving from add/remove. Assemble
+    # per-version when any commit in range has them; otherwise keep the
+    # one-shot snapshot diff (cheaper for multi-version ranges).
+    log = _log_dir(path)
+    per_version_cdc: dict[int, list[dict[str, Any]]] = {}
+    for v in range(from_version + 1, new.version + 1):
+        fp = _version_file(log, v)
+        if not os.path.exists(fp):
+            continue
+        cdc = []
+        with open(fp) as fh:
+            for ln in fh:
+                if ln.strip():
+                    act = json.loads(ln)
+                    if "cdc" in act:
+                        cdc.append(act["cdc"])
+        if cdc:
+            per_version_cdc[v] = cdc
+    if per_version_cdc:
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, new.version + 1):
+            if v in per_version_cdc:
+                files = [
+                    os.path.join(path, a["path"]) for a in per_version_cdc[v]
+                ]
+                cdf = (
+                    spark.read.option(
+                        "basePath", os.path.join(path, "_change_data")
+                    )
+                    .parquet(*files)
+                )
+                parts.append(cdf.select(*cols, "_change_type"))
+            else:
+                # Derivable commit: diff its endpoints the usual way.
+                prev_s = _load_snapshot(path, version=v - 1)
+                this_s = _load_snapshot(path, version=v)
+                rm = set(prev_s.files) - set(this_s.files)
+                ad = set(this_s.files) - set(prev_s.files)
+                o_rows = _subset(prev_s, rm).select(*cols)
+                n_rows = _subset(this_s, ad).select(*cols)
+                parts.append(
+                    n_rows.exceptAll(o_rows).withColumn(
+                        "_change_type", F.lit("insert")
+                    ).unionByName(
+                        o_rows.exceptAll(n_rows).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        return out
+
     removed = set(old.files) - set(new.files)
     added = set(new.files) - set(old.files)
-    cols = [f.name for f in new.schema.fields]
+    # A path present in BOTH snapshots whose deletion vector changed has
+    # different CONTENT — file identity alone would miss a DV delete.
+    # Scanning it on both sides (each side applies its own DV) makes the
+    # EXCEPT ALL diff surface exactly the newly-deleted rows.
+    dv_changed = {
+        r for r in set(old.files) & set(new.files)
+        if old.files[r].get("deletionVector")
+        != new.files[r].get("deletionVector")
+    }
+    removed |= dv_changed
+    added |= dv_changed
     old_rows = _subset(old, removed).select(*cols)
     new_rows = _subset(new, added).select(*cols)
     deletes = old_rows.exceptAll(new_rows).withColumn(
@@ -1528,8 +1655,9 @@ def optimize(
             "OPTIMIZE on a columnMapping table is not supported (reads are)"
         )
     # removes_files=False: compaction commits dataChange=false actions,
-    # which the appendOnly contract explicitly permits.
-    check_write_protocol(snap, removes_files=False)
+    # which the appendOnly contract explicitly permits; dataChange=false
+    # also means CDF readers ignore the commit entirely (cdf_capable).
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
     if len(snap.files) <= 1 and not zorder_by:
         return snap.version
     df = DeltaTable(path).to_df(spark)

@@ -48,7 +48,9 @@ from .delta import (
     _stage_adds,
     _strip_file_scheme,
     _try_commit,
+    _stage_cdc,
     active_constraints,
+    cdf_enabled,
     check_write_protocol,
     enforce_constraints,
     identity_columns,
@@ -77,7 +79,9 @@ def _retrying(once, retries: int):
             attempt += 1
 
 
-def _check_writable(dt: DeltaTable, removes_files: bool = True) -> None:
+def _check_writable(
+    dt: DeltaTable, removes_files: bool = True, cdf_capable: bool = False
+) -> None:
     """Copy-on-write DML rewrites files with the logical schema; a
     columnMapping table's readers resolve PHYSICAL names, so a rewrite
     would silently corrupt it (reads are supported, writes are not).
@@ -102,7 +106,9 @@ def _check_writable(dt: DeltaTable, removes_files: bool = True) -> None:
             f"DML on a table with generated columns {gen} is not supported "
             "(appends/overwrites are)"
         )
-    check_write_protocol(dt.snapshot, removes_files=removes_files)
+    check_write_protocol(
+        dt.snapshot, removes_files=removes_files, cdf_capable=cdf_capable
+    )
 
 
 def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
@@ -237,7 +243,7 @@ def delete_delta(
 
 def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, Any]:
     dt = DeltaTable(path)
-    _check_writable(dt)
+    _check_writable(dt, cdf_capable=True)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     per_file = (
         _attributed(spark, dt)
@@ -277,6 +283,20 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
     actions = [_commit_info("DELETE", {"predicate": condition}, metrics, now_ms)]
     actions += _removes(dt, full + partial, now_ms)
     actions += [{"add": a} for a in adds]
+    if cdf_enabled(dt.snapshot):
+        # CDF: record every deleted row (a commit mixing removes and adds
+        # is not derivable by readers, so cover full-file removes too).
+        deleted_rows = (
+            _subset_df(spark, dt, full + partial)
+            .filter(cond)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions += [
+            {"cdc": c}
+            for c in _stage_cdc(
+                deleted_rows, dt.path, dt.snapshot.partition_columns
+            )
+        ]
     version = _try_commit(dt.path, actions, adds)
     return {"version": version, **metrics}
 
@@ -290,7 +310,7 @@ def _delete_dv_once(
     dt = DeltaTable(path)
     # DV delete removes ROWS (appendOnly must refuse) without removing
     # data files; the add/remove pair it commits is dataChange=true.
-    _check_writable(dt)
+    _check_writable(dt, cdf_capable=True)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     # Matching LIVE rows by physical identity: to_df applies existing DVs,
     # so re-deleting an already-deleted row is impossible by construction.
@@ -372,6 +392,21 @@ def _delete_dv_once(
             st["tightBounds"] = False
             add["stats"] = json.dumps(st)
         actions.append({"add": add})
+    if cdf_enabled(snap):
+        # CDF: the remove/add pair on the same file is not derivable by
+        # readers — record the deleted rows explicitly.
+        deleted_rows = (
+            dt.to_df(spark, with_location=True)
+            .filter(cond)
+            .drop("__src_fp", "__src_ri")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions += [
+            {"cdc": c}
+            for c in _stage_cdc(
+                deleted_rows, dt.path, snap.partition_columns
+            )
+        ]
     # No staged part-files: the adds reference EXISTING data files. A lost
     # commit race orphans only the .bin (vacuum-able), never data.
     version = _try_commit(dt.path, actions, [])
@@ -400,7 +435,7 @@ def _update_once(
     spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
-    _check_writable(dt)
+    _check_writable(dt, cdf_capable=True)
     cols = {f.name for f in dt.snapshot.schema.fields}
     unknown = set(set_exprs) - cols
     if unknown:
@@ -473,6 +508,28 @@ def _update_once(
     ]
     actions += _removes(dt, affected, now_ms)
     actions += [{"add": a} for a in adds]
+    if cdf_enabled(dt.snapshot):
+        # Change data feed: one _change_data write carrying the pre- and
+        # post-image of every updated row (spec: a commit with cdc actions
+        # is read EXCLUSIVELY through them).
+        typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
+        pre = sub.filter(cond).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = sub.filter(cond).select(
+            *[
+                F.expr(set_exprs[c]).cast(typed[c]).alias(c)
+                if c in set_exprs else F.col(c)
+                for c in sub.columns
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        actions += [
+            {"cdc": c}
+            for c in _stage_cdc(
+                pre.unionByName(post), dt.path,
+                dt.snapshot.partition_columns,
+            )
+        ]
     version = _try_commit(dt.path, actions, adds)
     return {"version": version, **metrics}
 

@@ -130,7 +130,10 @@ def test_writer_v4_inactive_features_allow_write(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 2
 
 
-def test_writer_v4_active_cdf_refuses(spark, tmp_path):
+def test_writer_v4_active_cdf_gates_incapable_ops(spark, tmp_path):
+    # Round 6: CDF-capable operations (append, UPDATE, DELETE — see
+    # tests/test_cdf.py) write to CDF-active tables; an operation that
+    # cannot emit _change_data (overwrite) still refuses.
     tbl = str(tmp_path / "v4cdf")
     write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
     _patch_log0(
@@ -138,9 +141,11 @@ def test_writer_v4_active_cdf_refuses(spark, tmp_path):
         configuration={"delta.enableChangeDataFeed": "true"},
         protocol={"minReaderVersion": 1, "minWriterVersion": 4},
     )
+    write_delta(spark.createDataFrame([(2,)], "id int"), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 2
     with pytest.raises(ValueError, match="ChangeDataFeed"):
         write_delta(
-            spark.createDataFrame([(2,)], "id int"), tbl, mode="append"
+            spark.createDataFrame([(3,)], "id int"), tbl, mode="overwrite"
         )
 
 
