@@ -615,7 +615,11 @@ def _merge_once(
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
     # Insert-only MERGE removes no files — legal on appendOnly tables.
-    _check_writable(dt, removes_files=bool(matched_clauses))
+    _check_writable(
+        dt, removes_files=bool(matched_clauses), cdf_capable=True
+    )
+    cdf = cdf_enabled(dt.snapshot)
+    cdc_actions: list[dict[str, Any]] = []
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
     # Validate BEFORE any staging writes — a late raise would orphan the
@@ -772,6 +776,40 @@ def _merge_once(
                 _sized(rewritten, len(affected)),
                 dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
             )
+            if cdf:
+                # CDF images for the matched side, staged while ``joined``
+                # is still cached: update pre/post pairs and delete rows,
+                # multiplicities re-expanded like the rewrite.
+                def _img(frame, ct, cols_sel):
+                    return (
+                        frame.select(*cols_sel, "__m")
+                        .withColumn("__i", F.explode(F.expr("sequence(1, __m)")))
+                        .select(*tcols)
+                        .withColumn("_change_type", F.lit(ct))
+                    )
+
+                t_cols_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
+                upd_ids = [
+                    i for i, (_c1, k, _u) in enumerate(matched_clauses)
+                    if k == "update"
+                ]
+                parts = []
+                if upd_ids:
+                    hit_upd = joined.filter(F.col("__act").isin(upd_ids))
+                    parts.append(_img(hit_upd, "update_preimage", t_cols_sel))
+                    parts.append(_img(hit_upd, "update_postimage", out_cols))
+                if delete_ids:
+                    parts.append(_img(
+                        joined.filter(F.col("__act").isin(delete_ids)),
+                        "delete", t_cols_sel,
+                    ))
+                if parts:
+                    u = parts[0]
+                    for p_df in parts[1:]:
+                        u = u.unionByName(p_df)
+                    cdc_actions += _stage_cdc(
+                        u, dt.path, dt.snapshot.partition_columns
+                    )
         finally:
             joined.unpersist()
         removes = _removes(dt, affected, now_ms)
@@ -851,8 +889,17 @@ def _merge_once(
         "numRemovedFiles": len(removes),
         "numAddedFiles": len(adds),
     }
+    if cdf and n_inserted and (removes or cdc_actions):
+        # A commit that mixes inserts with removes/updates is read
+        # exclusively through cdc — the inserted rows must be in it too.
+        # (A pure-insert MERGE commit stays derivable; no cdc needed.)
+        cdc_actions += _stage_cdc(
+            ins.withColumn("_change_type", F.lit("insert")),
+            dt.path, dt.snapshot.partition_columns,
+        )
     actions = [_commit_info("MERGE", {"predicate": on}, metrics, now_ms)]
     actions += removes
     actions += [{"add": a} for a in adds]
+    actions += [{"cdc": c} for c in cdc_actions]
     version = _try_commit(dt.path, actions, adds)
     return {"version": version, **metrics}

@@ -115,16 +115,49 @@ def test_mixed_range_cdc_plus_derivable_commits(spark, cdf_tbl):
     ]
 
 
-def test_overwrite_and_merge_refuse_on_cdf(spark, cdf_tbl):
+def test_overwrite_refuses_on_cdf(spark, cdf_tbl):
     df = spark.createDataFrame([(1, 1.0)], "id int, v double")
     with pytest.raises(ValueError, match="ChangeDataFeed"):
         write_delta(df, cdf_tbl, mode="overwrite")
-    with pytest.raises(ValueError, match="ChangeDataFeed"):
-        merge_delta(
-            spark, cdf_tbl,
-            spark.createDataFrame([(1, 7.0)], "id int, nv double"),
-            "t.id = s.id", matched_update={"v": "s.nv"},
-        )
+
+
+def test_merge_emits_full_change_set(spark, cdf_tbl):
+    src = spark.createDataFrame(
+        [(1, 111.0), (2, -1.0), (77, 7.7)], "id int, nv double"
+    )
+    m = merge_delta(
+        spark, cdf_tbl, src, "t.id = s.id",
+        matched_clauses=[
+            ("s.nv < 0", "delete", None),
+            (None, "update", {"v": "s.nv"}),
+        ],
+        not_matched_clauses=[(None, {"id": "s.id", "v": "s.nv"})],
+    )
+    assert m["numTargetRowsUpdated"] == 1
+    assert m["numTargetRowsDeleted"] == 1
+    assert m["numTargetRowsInserted"] == 1
+    ch = read_delta_changes(spark, cdf_tbl, 0, 1)
+    got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+    assert got == [
+        (1, 1.0, "update_preimage"),
+        (1, 111.0, "update_postimage"),
+        (2, 2.0, "delete"),
+        (77, 7.7, "insert"),
+    ]
+    # Table state agrees with the feed.
+    rows = {r.id: r.v for r in read_delta(spark, cdf_tbl).collect()}
+    assert rows[1] == 111.0 and 2 not in rows and rows[77] == 7.7
+
+
+def test_insert_only_merge_on_cdf_stays_derivable(spark, cdf_tbl):
+    src = spark.createDataFrame([(200, 2.0)], "id int, v double")
+    merge_delta(spark, cdf_tbl, src, "t.id = s.id")
+    # No cdc actions (pure insert), but the feed still reports the row.
+    with open(os.path.join(cdf_tbl, "_delta_log", f"{1:020d}.json")) as fh:
+        kinds = [next(iter(json.loads(ln))) for ln in fh if ln.strip()]
+    assert "cdc" not in kinds
+    ch = read_delta_changes(spark, cdf_tbl, 0, 1)
+    assert [(r.id, r._change_type) for r in ch.collect()] == [(200, "insert")]
 
 
 def test_dv_change_visible_without_cdf(spark, tmp_path):
