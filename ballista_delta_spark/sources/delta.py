@@ -327,7 +327,10 @@ def version_at_timestamp(path: str, timestamp_ms: int) -> int:
             for line in fh:
                 act = json.loads(line) if line.strip() else {}
                 if "commitInfo" in act:
-                    commit_ts = act["commitInfo"].get("timestamp")
+                    # Spec: with enableInCommitTimestamps the authoritative
+                    # commit time is inCommitTimestamp, not file time.
+                    ci = act["commitInfo"]
+                    commit_ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                     break
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(fp) * 1000)
@@ -643,6 +646,7 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
 # 'appendOnly' is enforced via check_write_protocol's removes_files gate.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "timestampNtz", "deletionVectors",
+    "inCommitTimestamp",
 }
 
 
@@ -761,6 +765,13 @@ def _stage_cdc(
 
     shutil.rmtree(staging, ignore_errors=True)
     return actions
+
+
+def ict_enabled(snap: Snapshot) -> bool:
+    return (
+        snap.configuration.get("delta.enableInCommitTimestamps", "").lower()
+        == "true"
+    )
 
 
 def identity_columns(snap: Snapshot) -> dict[str, dict]:
@@ -1049,7 +1060,10 @@ def write_delta(
     for a in adds:
         actions.append({"add": a})
 
-    return _try_commit(path, actions, adds)
+    return _try_commit(
+        path, actions, adds,
+        enable_ict=exists and ict_enabled(prev),
+    )
 
 
 def _stage_adds(
@@ -1109,16 +1123,42 @@ def _stage_adds(
 
 
 def _try_commit(
-    path: str, actions: list[dict[str, Any]], staged_adds: list[dict[str, Any]]
+    path: str,
+    actions: list[dict[str, Any]],
+    staged_adds: list[dict[str, Any]],
+    enable_ict: bool = False,
 ) -> int:
     """Optimistic-concurrency commit: O_EXCL link so two writers can't both
     claim the same version (local-FS analogue of delta's put-if-absent).
     A losing writer must also remove its already-moved part-files — they are
     invisible to the log but would orphan-pollute the table dir (and a later
-    VACUUM-less reader doing raw dir listing would see them)."""
+    VACUUM-less reader doing raw dir listing would see them).
+
+    ``enable_ict`` (delta.enableInCommitTimestamps): stamp the commitInfo
+    with a MONOTONIC ``inCommitTimestamp`` — max(wall clock, previous
+    commit's stamp + 1) — so timestamp time travel is immune to clock skew
+    and log-file mtime churn, per the inCommitTimestamp writer feature."""
     log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
     version = _next_version(log)
+    if enable_ict:
+        prev_ict = 0
+        if version > 0:
+            with open(_version_file(log, version - 1)) as fh:
+                for line in fh:
+                    if line.strip():
+                        act = json.loads(line)
+                        if "commitInfo" in act:
+                            ci = act["commitInfo"]
+                            prev_ict = ci.get(
+                                "inCommitTimestamp", ci.get("timestamp", 0)
+                            ) or 0
+                            break
+        ict = max(int(time.time() * 1000), int(prev_ict) + 1)
+        for act in actions:
+            if "commitInfo" in act:
+                act["commitInfo"]["inCommitTimestamp"] = ict
+                break
     commit_path = _version_file(log, version)
     tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp_commit, "w") as fh:
@@ -1214,7 +1254,7 @@ def alter_constraints(
     # a protocol action without it would downgrade the table. Enforcement
     # here does not depend on the declaration.)
     actions.append({"metaData": md})
-    return _try_commit(path, actions, [])
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
 def create_checkpoint(path: str) -> int:
@@ -1488,7 +1528,7 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
         })
     actions += removes
     actions += re_adds
-    committed = _try_commit(path, actions, [])
+    committed = _try_commit(path, actions, [], enable_ict=ict_enabled(current))
     return {"version": committed, **metrics}
 
 
@@ -1741,22 +1781,4 @@ def optimize(
     for a in adds:
         actions.append({"add": a})
 
-    log = _log_dir(path)
-    version = _next_version(log)
-    commit_path = _version_file(log, version)
-    tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp_commit, "w") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-    try:
-        os.link(tmp_commit, commit_path)
-    except FileExistsError as exc:
-        os.unlink(tmp_commit)
-        for a in adds:
-            try:
-                os.unlink(os.path.join(path, a["path"]))
-            except OSError:
-                pass
-        raise RuntimeError(f"concurrent commit at version {version}") from exc
-    os.unlink(tmp_commit)
-    return version
+    return _try_commit(path, actions, adds, enable_ict=ict_enabled(snap))

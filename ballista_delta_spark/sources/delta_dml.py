@@ -52,6 +52,7 @@ from .delta import (
     active_constraints,
     cdf_enabled,
     check_write_protocol,
+    ict_enabled,
     enforce_constraints,
     identity_columns,
 )
@@ -297,7 +298,9 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
                 deleted_rows, dt.path, dt.snapshot.partition_columns
             )
         ]
-    version = _try_commit(dt.path, actions, adds)
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+    )
     return {"version": version, **metrics}
 
 
@@ -409,7 +412,9 @@ def _delete_dv_once(
         ]
     # No staged part-files: the adds reference EXISTING data files. A lost
     # commit race orphans only the .bin (vacuum-able), never data.
-    version = _try_commit(dt.path, actions, [])
+    version = _try_commit(
+        dt.path, actions, [], enable_ict=ict_enabled(dt.snapshot)
+    )
     return {"version": version, **metrics}
 
 
@@ -530,7 +535,9 @@ def _update_once(
                 dt.snapshot.partition_columns,
             )
         ]
-    version = _try_commit(dt.path, actions, adds)
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+    )
     return {"version": version, **metrics}
 
 
@@ -901,5 +908,7 @@ def _merge_once(
     actions += removes
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdc_actions]
-    version = _try_commit(dt.path, actions, adds)
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+    )
     return {"version": version, **metrics}

@@ -909,3 +909,44 @@ def test_sql_optimize_zorder_by(spark, tmp_path):
     write_delta(read_delta(spark, FIXTURE), tbl2)
     with pytest.raises(ValueError, match="numeric"):
         optimize(spark, tbl2, zorder_by=["first_name"])
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """delta.enableInCommitTimestamps: commitInfo carries a monotonic
+    inCommitTimestamp and timestamp time travel prefers it over wall-clock
+    timestamps or file mtimes."""
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import version_at_timestamp
+
+    tbl = str(tmp_path / "ict")
+    write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
+    # Enable via log0 configuration (delta-spark would ALTER TBLPROPERTIES).
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [_json.loads(ln) for ln in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableInCommitTimestamps": "true"
+            }
+    with open(log0, "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+
+    write_delta(spark.createDataFrame([(2,)], "id int"), tbl, mode="append")
+    write_delta(spark.createDataFrame([(3,)], "id int"), tbl, mode="append")
+
+    def ict(v):
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+            for ln in fh:
+                a = _json.loads(ln)
+                if "commitInfo" in a:
+                    return a["commitInfo"].get("inCommitTimestamp")
+
+    t1, t2 = ict(1), ict(2)
+    assert t1 is not None and t2 is not None and t2 > t1
+    # Timestamp time travel resolves through the stamps.
+    assert version_at_timestamp(tbl, t1) == 1
+    assert version_at_timestamp(tbl, t2 - 1) == 1
+    assert version_at_timestamp(tbl, t2) == 2
+    assert read_delta(spark, tbl, timestamp_ms=t1).count() == 2

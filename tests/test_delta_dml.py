@@ -227,7 +227,7 @@ class TestConcurrency:
         real_commit = d._try_commit
         state = {"raced": False}
 
-        def racing_commit(path, actions, staged_adds):
+        def racing_commit(path, actions, staged_adds, **kw):
             if not state["raced"]:
                 state["raced"] = True
                 # The "other writer": deletes region 4, claiming the version
@@ -241,7 +241,7 @@ class TestConcurrency:
                     except OSError:
                         pass
                 raise RuntimeError("concurrent commit at version 1")
-            return real_commit(path, actions, staged_adds)
+            return real_commit(path, actions, staged_adds, **kw)
 
         monkeypatch.setattr(dml, "_try_commit", racing_commit)
         m = dml.update_delta(
@@ -257,7 +257,7 @@ class TestConcurrency:
     def test_no_retry_by_default(self, spark, nation_tbl, monkeypatch):
         from ballista_delta_spark.sources import delta_dml as dml
 
-        def always_lose(path, actions, staged_adds):
+        def always_lose(path, actions, staged_adds, **kw):
             raise RuntimeError("concurrent commit at version 1")
 
         monkeypatch.setattr(dml, "_try_commit", always_lose)
