@@ -581,6 +581,57 @@ def sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S21 sink_delta_cdf: change data feed — UPDATE and DELETE on a
+# delta.enableChangeDataFeed=true table stage _change_data files
+# (update_preimage/update_postimage/delete) with cdc actions, and
+# read_delta_changes consumes them per the spec (a commit with cdc actions
+# is read exclusively through them). The oracle reconstructs the exact
+# change set; the delete runs AFTER the update, so deleted region-1 rows
+# carry their post-update names.
+@_q(
+    "sink_delta_cdf",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           'update_preimage' AS _change_type
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey,
+           'update_postimage' AS _change_type
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 1 THEN upper(n_name) ELSE n_name END
+             AS n_name,
+           n_regionkey, 'delete' AS _change_type
+    FROM nation WHERE n_nationkey >= 20
+    """,
+)
+def sink_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import read_delta_changes
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    path = _clone(_nation_delta(spark, sf_dir), "s21")
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [_json.loads(ln) for ln in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(log0, "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+    update_delta(
+        spark, path, "n_regionkey = 1", {"n_name": "upper(n_name)"}
+    )
+    delete_delta(spark, path, "n_nationkey >= 20")
+    return read_delta_changes(spark, path, 0, 2).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually
