@@ -87,6 +87,18 @@ _DELTA_ALTER_CONSTRAINT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# ALTER TABLE <name> SET TBLPROPERTIES (k=v, ...) / UNSET TBLPROPERTIES
+# (k, ...) — the metadata DDL users run to flip delta.appendOnly /
+# enableChangeDataFeed / enableInCommitTimestamps, routed to
+# alter_properties.
+_DELTA_TBLPROPS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+(?P<op>SET|UNSET)\s+TBLPROPERTIES\s*\(\s*(?P<body>.+?)\s*\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # RESTORE [TABLE] <name> TO VERSION AS OF <n> — delta-spark rollback SQL.
 _DELTA_RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?"
@@ -287,6 +299,35 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
             version = optimize(spark, loc, zorder_by=zcols or None)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_TBLPROPS.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import alter_properties, read_delta
+
+            loc = _delta_views[name]
+            body = m.group("body")
+            if m.group("op").upper() == "SET":
+                props = {}
+                for part in _split_top_level(body):
+                    k, eq, v = part.partition("=")
+                    if not eq:
+                        raise ValueError(
+                            f"SET TBLPROPERTIES expects k = v, got {part!r}"
+                        )
+                    props[k.strip().strip("'\"`")] = v.strip().strip("'\"")
+                version = alter_properties(spark, loc, set_props=props)
+            else:
+                keys = [
+                    p.strip().strip("'\"`")
+                    for p in _split_top_level(body) if p.strip()
+                ]
+                version = alter_properties(spark, loc, unset_keys=keys)
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

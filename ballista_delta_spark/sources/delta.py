@@ -1257,6 +1257,67 @@ def alter_constraints(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
+def alter_properties(
+    spark: SparkSession,
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset_keys: list[str] | None = None,
+) -> int:
+    """``ALTER TABLE SET/UNSET TBLPROPERTIES`` — the metadata commit users
+    run to flip table behavior (delta.appendOnly,
+    delta.enableChangeDataFeed, delta.enableInCommitTimestamps, ...).
+    Same shape as ``alter_constraints``: re-emit the current metaData
+    action (table id preserved) with the configuration updated. Protocol
+    upgrades implied by a property (CDF needs writer v4+) are committed
+    alongside."""
+    path = _strip_file_scheme(path)
+    dt = DeltaTable(path)
+    snap = dt.snapshot
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    touched = set(set_props or {}) | set(unset_keys or [])
+    if any(k.startswith("delta.constraints.") for k in touched):
+        raise ValueError(
+            "use ALTER TABLE ADD/DROP CONSTRAINT for delta.constraints.*"
+        )
+    cfg = dict(snap.configuration)
+    for k, v in (set_props or {}).items():
+        cfg[k] = str(v)
+    for k in unset_keys or []:
+        cfg.pop(k, None)
+    now_ms = int(time.time() * 1000)
+    md = dict(snap.metadata_raw) or {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(snap.schema.jsonValue()),
+        "partitionColumns": snap.partition_columns,
+        "createdTime": now_ms,
+    }
+    md["configuration"] = cfg
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES"
+                if set_props else "UNSET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(set_props or unset_keys or {}),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    if (
+        cfg.get("delta.enableChangeDataFeed", "").lower() == "true"
+        and snap.min_writer_version < 4
+    ):
+        actions.append({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4,
+        }})
+    actions.append({"metaData": md})
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
 def create_checkpoint(path: str) -> int:
     """Write a parquet checkpoint of the current snapshot + _last_checkpoint.
 

@@ -321,3 +321,43 @@ def test_identity_allow_explicit_insert(spark, tmp_path):
         mode="append",
     )
     assert sorted(r.uid for r in read_delta(spark, tbl).collect()) == [1, 50]
+
+
+def test_alter_table_set_unset_tblproperties(spark, tmp_path):
+    from ballista_delta_spark.session import sql
+    from ballista_delta_spark.sources.delta import write_delta as _wd
+
+    tbl = str(tmp_path / "props")
+    _wd(spark.createDataFrame([(1, 1.0)], "id int, v double"), tbl)
+    sql(spark, f"CREATE EXTERNAL TABLE props STORED AS DELTA LOCATION '{tbl}'")
+    out = sql(spark, "ALTER TABLE props SET TBLPROPERTIES ("
+                     "'delta.enableChangeDataFeed' = 'true', "
+                     "'delta.enableInCommitTimestamps' = 'true')")
+    assert out.collect()[0].committed_version == 1
+    snap = DeltaTable(tbl).snapshot
+    assert snap.configuration["delta.enableChangeDataFeed"] == "true"
+    # CDF property pulled the writer protocol to v4.
+    assert snap.min_writer_version >= 4
+    # The flipped behaviors are live: UPDATE emits _change_data and the
+    # commit carries a monotonic inCommitTimestamp.
+    update_delta(spark, tbl, "id = 1", {"v": "2.0"})
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(tbl, "_change_data", "cdc-*.parquet"))
+    with open(os.path.join(tbl, "_delta_log", f"{2:020d}.json")) as fh:
+        ci = next(
+            json.loads(ln)["commitInfo"] for ln in fh
+            if "commitInfo" in json.loads(ln)
+        )
+    assert "inCommitTimestamp" in ci
+    # UNSET turns CDF back off; appendOnly via property is enforced.
+    sql(spark, "ALTER TABLE props UNSET TBLPROPERTIES "
+               "('delta.enableChangeDataFeed')")
+    sql(spark, "ALTER TABLE props SET TBLPROPERTIES "
+               "('delta.appendOnly' = 'true')")
+    with pytest.raises(ValueError, match="append-only"):
+        delete_delta(spark, tbl, "id = 1")
+    # Constraint namespace is fenced off.
+    with pytest.raises(ValueError, match="ADD/DROP CONSTRAINT"):
+        sql(spark, "ALTER TABLE props SET TBLPROPERTIES "
+                   "('delta.constraints.x' = 'v > 0')")
