@@ -435,21 +435,27 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of an unrolled array (64x64 = 4096 terms; measured 55 s of planning/
 # codegen at sf0.01) — the higher-order form keeps nrm single-use, and a
 # map-only op over arrays has no codegen'd hot loop to protect anyway.
-# Per-element division uses identical operands in both engines: exact
-# match, no rounding.
+# Output shape: posexplode to (vec_id, i, x) scalar rows — the driver's
+# canonicalizer sorts result rows through pandas, where a raw array column
+# is unhashable (r6 driver-red for exactly this reason); scalar doubles
+# hash, and per-element division uses identical operands in both engines:
+# exact match, no rounding.
 @_q(
     "emb_normalize",
     f"""
     WITH {_CORPUS_ORACLE}
-    SELECT vec_id, [emb[i] / nrm FOR i IN range(1, {_DIM} + 1)] AS unit
-    FROM e WHERE vec_id < 100
+    SELECT vec_id, CAST(gs.i - 1 AS INTEGER) AS i, emb[gs.i] / nrm AS x
+    FROM e, range(1, {_DIM} + 1) gs(i)
+    WHERE vec_id < 100
     """,
 )
 def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _corpus(spark, sf_dir).filter(F.col("vec_id") < 100)
     return e.select(
         "vec_id",
-        F.transform("emb", lambda x: x / F.col("nrm")).alias("unit"),
+        F.posexplode(F.transform("emb", lambda x: x / F.col("nrm"))).alias(
+            "i", "x"
+        ),
     )
 
 
@@ -458,24 +464,27 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x in [-1, 1]) — the 4x storage/bandwidth cut ANN indexes ship to disk.
 # floor(x + 0.5) instead of round(): both engines define floor identically,
 # while round() half-even vs half-away-from-zero would desync the oracle
-# exactly at the .5 boundaries quantization constantly hits.
+# exactly at the .5 boundaries quantization constantly hits. Same
+# posexplode-to-scalars output shape as emb_normalize (driver-hashable).
 @_q(
     "emb_quantize_int8",
     f"""
     WITH {_CORPUS_ORACLE}
-    SELECT vec_id,
-           [CAST(floor(127.0 * emb[i] / nrm + 0.5) AS INTEGER)
-            FOR i IN range(1, {_DIM} + 1)] AS q
-    FROM e WHERE vec_id < 100
+    SELECT vec_id, CAST(gs.i - 1 AS INTEGER) AS i,
+           CAST(floor(127.0 * emb[gs.i] / nrm + 0.5) AS INTEGER) AS q
+    FROM e, range(1, {_DIM} + 1) gs(i)
+    WHERE vec_id < 100
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _corpus(spark, sf_dir).filter(F.col("vec_id") < 100)
     return e.select(
         "vec_id",
-        F.transform(
-            "emb",
-            lambda x: F.floor(F.lit(127.0) * x / F.col("nrm") + F.lit(0.5))
-            .cast("int"),
-        ).alias("q"),
+        F.posexplode(
+            F.transform(
+                "emb",
+                lambda x: F.floor(F.lit(127.0) * x / F.col("nrm") + F.lit(0.5))
+                .cast("int"),
+            )
+        ).alias("i", "q"),
     )
