@@ -18,45 +18,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-6 window (round 5 recorded no work, so the r4 window simply re-ran
-# in r5 — every id below is either NEVER driver-tested or stale since r1/r3):
-#   1. the 14 r4-new ids that have never had a driver row,
-#   2. the 2 r6-new ids (conditional MERGE, watermarked stream dedup),
-#   3. the 4 ids green only in r1,
-#   4. the whole scans/meta/sinks family — r3-green but the Delta layer is
-#      the most-changed code since (checkpoints, DML, protocol, SQL routing),
-#   5. fill from the r3-green joins family.
-# Slow ids (delta sinks ~2-14 s each at the gate) sit mid-window; streaming
-# ids sit LAST as the budget-truncation buffer (slowest, and weakest check
-# anyway for the three rows-only ones). Everything after position ~50 keeps
-# module order so nothing is lost for tools/check.py full runs.
+# Round-7 window (r6 went 48/50 green; the 2 reds were the emb array-shape
+# bug, fixed this round):
+#   1. the 4 ids with no driver row ever: sink_delta_cdf (registered past
+#      position 50 in r6), the two emb ids (driver-red r6, output shape now
+#      scalar rows), fn_union_misc (rows-only by design),
+#   2. the 23 relational/agg-core ids last green in r3 (4 rounds stale),
+#   3. the 5 non-streaming r4-green ids (3 rounds stale),
+#   4. sink_delta_delete_dv — r6-green but its apply path is rewritten this
+#      round (executor-side bitmap decode), so it needs a re-green,
+#   5. fill from the r5-green families (2 rounds stale),
+#   6. streaming LAST as the budget-truncation buffer, the two r4-stale
+#      stream ids leading so truncation hits the r5-green repeat first.
+# Everything after position ~50 keeps module order so nothing is lost for
+# tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- never driver-tested: cheap relational/function ids first
-    "scan_orc", "join_null_safe", "agg_regression", "win_range_frame",
-    "subq_lateral", "fn_bitwise", "fn_string_agg",
-    "emb_normalize", "emb_quantize_int8",
-    # -- r1-stale quartet
-    "agg_grouping_sets", "agg_cube", "win_row_number", "win_percent",
-    # -- scans/meta (r3-green, most-changed code since)
-    "scan_delta_register", "scan_delta_ddl", "scan_delta_partitioned",
-    "scan_parquet", "scan_csv_json", "scan_s3", "scan_http",
-    "meta_information_schema", "meta_describe_columns",
-    "scan_delta_time_travel",
-    # -- delta sinks (slowest non-streaming family; merge fixtures trimmed)
-    "sink_delta_insert", "sink_delta_write_local", "sink_delta_delete",
-    "sink_delta_update", "sink_delta_merge", "sink_delta_merge_conditional",
-    "sink_delta_restore", "sink_delta_changes", "sink_delta_zorder",
+    # -- never driver-green
+    "sink_delta_cdf", "emb_normalize", "emb_quantize_int8", "fn_union_misc",
+    # -- r3-stale relational core
+    "project_select", "project_expr", "project_cast", "project_distinct",
+    "filter_predicate", "filter_null", "filter_between_in_like",
+    "sort_multi", "limit_offset", "topk",
+    "set_union", "set_union_all", "set_intersect", "set_except",
+    # -- r3-stale agg core
+    "agg_count", "agg_distinct", "agg_having", "agg_stats", "agg_median",
+    "agg_approx_distinct", "agg_approx_percentile", "agg_array_agg",
+    "agg_first_last",
+    # -- r4-stale (non-streaming)
+    "win_lag_lead", "fn_interval", "fn_json", "pandas_udf_grouped_agg",
+    "udf_apply_in_pandas",
+    # -- DV apply path rewritten this round: re-green
     "sink_delta_delete_dv",
-    # -- joins fill (r3-green)
-    "join_inner", "join_left", "join_right", "join_full", "join_semi",
-    "join_anti", "join_cross", "join_theta", "join_broadcast_hint",
-    "join_asof", "join_range_banded",
-    # -- agg canary (r3-green; also the bench headline query)
-    "agg_basic",
-    # -- streaming last (budget-truncation buffer); the two new stream ids
-    #    lead so truncation hits the r4-green repeats first
-    "stream_dedup", "stream_dedup_watermarked", "stream_stream_join",
-    "stream_delta_source", "stream_tumbling_agg",
+    # -- r5 fill (cheap single-job ids first)
+    "win_rank", "win_ntile", "win_value", "win_agg_frame",
+    "agg_bool", "agg_rollup", "agg_pivot", "agg_unpivot",
+    "cte", "derived_table", "subq_in_exists", "subq_scalar",
+    "tf_generate_series", "udf_python",
+    # -- streaming last (budget-truncation buffer)
+    "stream_sliding_agg", "stream_session_window",
+    "stream_stateful_user_stats",
 )
 
 
