@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import urlparse
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,6 +88,11 @@ class Snapshot:
     # Writer protocol (gates OUR writes; reads don't care).
     min_writer_version: int = 1
     writer_features: list[str] = field(default_factory=list)
+    # Reader protocol AS DECLARED — retained so protocol-upgrading commits
+    # re-emit the full feature lists instead of dropping features other
+    # engines depend on (e.g. a DV upgrade must not lose timestampNtz).
+    min_reader_version: int = 1
+    reader_features: list[str] = field(default_factory=list)
     # The latest raw metaData action as committed (id/createdTime/format
     # preserved verbatim) — metadata-changing commits (ALTER TABLE) must
     # re-emit the SAME table id, not invent one.
@@ -229,14 +235,18 @@ class DeltaTable:
         otherwise a closure that drops DV-marked rows via a distributed
         ANTI-JOIN on (file, row_index).
 
-        The driver parses each file's compressed bitmap (metadata-scale —
-        delta-spark holds the same bitmaps in task memory) into a
-        (file_path, row_index) relation; the scan gains Spark's
-        ``_metadata.file_path`` / ``_metadata.row_index`` columns and
-        anti-joins it. Join planning broadcasts the deleted set when small
-        (the overwhelmingly common case) and shuffles when a table carries
-        giant DVs — correct either way, and the data files are never
-        rewritten, which is the point of merge-on-read.
+        The driver only READS each file's compressed bitmap (metadata-scale
+        — delta-spark holds the same bitmaps in task memory) and ships a
+        (file_path, bitmap_bytes) relation; row-index EXPANSION happens
+        executor-side in an Arrow-batched pandas UDF (a merge-on-read
+        DELETE of 10^8 rows must never materialize 10^8 tuples on the
+        driver). The scan gains Spark's ``_metadata.file_path`` /
+        ``_metadata.row_index`` columns and anti-joins the expanded set.
+        Join planning broadcasts the deleted set when small (the
+        overwhelmingly common case, and AQE sizes it POST-expansion) and
+        shuffles when a table carries giant DVs — correct either way, and
+        the data files are never rewritten, which is the point of
+        merge-on-read.
         """
         snap = self.snapshot
         dv_adds = {
@@ -258,16 +268,15 @@ class DeltaTable:
             return attach_location if keep_location else (lambda df: df)
         from . import dv as _dv
 
-        pairs = []
-        for rel, a in dv_adds.items():
-            abs_path = os.path.abspath(os.path.join(self.path, rel))
-            for idx in _dv.read_deletion_vector(
-                self.path, _as_dict(a["deletionVector"])
-            ):
-                pairs.append((abs_path, idx))
-        deleted = spark.createDataFrame(
-            pairs, "__src_fp string, __src_ri long"
-        )
+        bitmaps = [
+            (
+                os.path.abspath(os.path.join(self.path, rel)),
+                _dv.read_dv_bytes(self.path, _as_dict(a["deletionVector"])),
+                int(_as_dict(a["deletionVector"]).get("cardinality") or 0),
+            )
+            for rel, a in dv_adds.items()
+        ]
+        deleted = _expand_dv_bitmaps(spark, bitmaps)
 
         def apply(df: DataFrame) -> DataFrame:
             return attach_location(df).join(
@@ -295,6 +304,46 @@ class DeltaTable:
                     if "commitInfo" in act:
                         out.append({"version": v, **act["commitInfo"]})
         return out
+
+
+def _expand_dv_bitmaps(
+    spark: SparkSession, bitmaps: list[tuple[str, bytes, int]]
+) -> DataFrame:
+    """(abs_file_path, bitmap_bytes, cardinality) rows -> a distributed
+    ``(__src_fp, __src_ri)`` relation of deleted row indexes.
+
+    The input is metadata-sized (one compressed roaring bitmap per file);
+    the O(deleted rows) expansion runs executor-side — an Arrow-batched
+    pandas UDF decodes each bitmap to an index array and ``explode``
+    generates the rows inside the same stage, so the driver never holds a
+    per-row collection. Files are spread with a repartition so a table
+    whose DVs concentrate in few commits still decodes in parallel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def decode(dv: pd.Series, card: pd.Series) -> pd.Series:
+        from ballista_delta_spark.sources.dv import parse_roaring_bitmap_array
+
+        out = []
+        for data, c in zip(dv, card):
+            idx = parse_roaring_bitmap_array(bytes(data))
+            if c and c != len(idx):
+                raise ValueError(
+                    f"DV cardinality mismatch: descriptor says {c}, "
+                    f"bitmap has {len(idx)}"
+                )
+            out.append(idx)
+        return pd.Series(out)
+
+    rel = spark.createDataFrame(
+        [(fp, bytearray(data), card) for fp, data, card in bitmaps],
+        "__src_fp string, __dv binary, __card long",
+    )
+    n_slices = min(len(bitmaps), spark.sparkContext.defaultParallelism)
+    return rel.repartition(max(n_slices, 1)).select(
+        "__src_fp",
+        F.explode(decode("__dv", "__card")).alias("__src_ri"),
+    )
 
 
 def read_delta(
@@ -426,6 +475,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     config: dict[str, str] = {}
     min_writer_version = 1
     writer_features: list[str] = []
+    min_reader_version = 1
+    reader_features: list[str] = []
 
     # Checkpoint fast path: _last_checkpoint names a snapshot of all actions
     # ≤ its version; replay only the JSON commits after it. All three
@@ -485,6 +536,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         )
                 min_writer_version = pr.get("minWriterVersion", 1)
                 writer_features = list(pr.get("writerFeatures") or [])
+                min_reader_version = pr.get("minReaderVersion", 1)
+                reader_features = list(pr.get("readerFeatures") or [])
         start_version = cv + 1
 
     v = start_version
@@ -529,6 +582,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                             )
                     min_writer_version = pr.get("minWriterVersion", 1)
                     writer_features = list(pr.get("writerFeatures") or [])
+                    min_reader_version = mrv
+                    reader_features = list(pr.get("readerFeatures") or [])
         last_seen = v
         v += 1
 
@@ -579,6 +634,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         field_ids=field_ids,
         min_writer_version=min_writer_version,
         writer_features=writer_features,
+        min_reader_version=min_reader_version,
+        reader_features=reader_features,
         metadata_raw=metadata_raw,
     )
 
@@ -648,6 +705,54 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "timestampNtz", "deletionVectors",
     "inCommitTimestamp",
 }
+
+# Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
+# by Protocol Version"): upgrading a legacy table to the feature-list
+# protocol must enumerate everything the old version number granted, or
+# other engines lose those gates.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def protocol_upgrade_action(
+    snap: "Snapshot",
+    min_writer: int,
+    writer_feature: str | None = None,
+    reader_feature: str | None = None,
+) -> dict[str, Any]:
+    """A protocol action that NEVER downgrades: versions are max'd against
+    the snapshot's declared protocol, previously declared reader/writer
+    features are re-emitted (Snapshot retains them through log replay), and
+    an upgrade to the feature-list versions (reader 3 / writer 7) also
+    enumerates the features the legacy version number implied."""
+    mrv = max(snap.min_reader_version, 3 if reader_feature else 1)
+    mwv = max(snap.min_writer_version, min_writer)
+    pr: dict[str, Any] = {"minReaderVersion": mrv, "minWriterVersion": mwv}
+    if mwv >= 7:
+        wf = set(snap.writer_features)
+        if snap.min_writer_version < 7:
+            for v, feats in _LEGACY_WRITER_FEATURES.items():
+                if snap.min_writer_version >= v:
+                    wf.update(feats)
+        if writer_feature:
+            wf.add(writer_feature)
+        pr["writerFeatures"] = sorted(wf)
+    if mrv >= 3:
+        rf = set(snap.reader_features)
+        if snap.min_reader_version < 3:
+            for v, feats in _LEGACY_READER_FEATURES.items():
+                if snap.min_reader_version >= v:
+                    rf.update(feats)
+        if reader_feature:
+            rf.add(reader_feature)
+        pr["readerFeatures"] = sorted(rf)
+    return {"protocol": pr}
 
 
 def active_constraints(snap: Snapshot) -> list[tuple[str, str]]:
@@ -847,6 +952,10 @@ def check_write_protocol(
         supported = _SUPPORTED_WRITER_FEATURES | {
             "checkConstraints", "generatedColumns", "identityColumns",
             "changeDataFeed",
+            # Vacuously supported: tables with ACTIVE column mapping refuse
+            # all writes earlier (column_mapping check); the feature can
+            # still be declared (legacy v5 upgrades enumerate it).
+            "columnMapping",
         }
         unsupported = set(snap.writer_features) - supported
         if unsupported:
@@ -1245,14 +1354,19 @@ def alter_constraints(
             }
         }
     ]
-    if add and snap.min_writer_version < 3:
-        actions.append({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 3,
-        }})
-    # (v7 tables: the checkConstraints writerFeature is not auto-declared —
-    # the snapshot does not retain the reader-feature list, and re-emitting
-    # a protocol action without it would downgrade the table. Enforcement
-    # here does not depend on the declaration.)
+    if add and (
+        snap.min_writer_version < 3
+        or (
+            snap.min_writer_version >= 7
+            and "checkConstraints" not in snap.writer_features
+        )
+    ):
+        # Union-preserving (Snapshot retains the declared feature lists):
+        # legacy tables get writer v3, v7 tables get the checkConstraints
+        # writerFeature declared without dropping anything else.
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=3, writer_feature="checkConstraints"
+        ))
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
@@ -1307,13 +1421,16 @@ def alter_properties(
             }
         }
     ]
-    if (
-        cfg.get("delta.enableChangeDataFeed", "").lower() == "true"
-        and snap.min_writer_version < 4
+    if cfg.get("delta.enableChangeDataFeed", "").lower() == "true" and (
+        snap.min_writer_version < 4
+        or (
+            snap.min_writer_version >= 7
+            and "changeDataFeed" not in snap.writer_features
+        )
     ):
-        actions.append({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 4,
-        }})
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=4, writer_feature="changeDataFeed"
+        ))
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 

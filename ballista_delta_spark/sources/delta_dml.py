@@ -55,6 +55,7 @@ from .delta import (
     ict_enabled,
     enforce_constraints,
     identity_columns,
+    protocol_upgrade_action,
 )
 
 _FILE_COL = "__bds_file"
@@ -373,15 +374,17 @@ def _delete_dv_once(
     if (
         snap.min_writer_version < 7
         or "deletionVectors" not in snap.writer_features
+        or snap.min_reader_version < 3
+        or "deletionVectors" not in snap.reader_features
     ):
-        actions.append({"protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": sorted(
-                set(snap.writer_features) | {"deletionVectors"}
-            ),
-        }})
+        # Union-preserving: re-emits previously declared reader/writer
+        # features (timestampNtz, v2Checkpoint, ...) and enumerates what a
+        # legacy version number implied — never drops another engine's gate.
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=7,
+            writer_feature="deletionVectors",
+            reader_feature="deletionVectors",
+        ))
     actions += _removes(dt, list(new_per_file), now_ms)
     for rel, desc in descriptors.items():
         add = dict(snap.files[rel])

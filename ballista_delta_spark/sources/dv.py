@@ -165,13 +165,16 @@ def dv_file_path(table_path: str, descriptor: dict[str, Any]) -> str:
     )
 
 
-def read_deletion_vector(table_path: str, descriptor: dict[str, Any]) -> list[int]:
-    """Deleted row indexes for one file's DV descriptor (storage u/i/p)."""
+def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
+    """The serialized RoaringBitmapArray bytes for one DV descriptor
+    (storage u/i/p), framing and checksum verified. Metadata-sized: this is
+    the compressed bitmap, NOT the expanded row indexes — safe to hold (and
+    ship to executors) per file."""
     st = descriptor.get("storageType")
     size = int(descriptor["sizeInBytes"])
     if st == "i":
-        data = z85_decode(descriptor["pathOrInlineDv"])[:size]
-    elif st in ("u", "p"):
+        return z85_decode(descriptor["pathOrInlineDv"])[:size]
+    if st in ("u", "p"):
         path = (
             dv_file_path(table_path, descriptor)
             if st == "u"
@@ -192,8 +195,13 @@ def read_deletion_vector(table_path: str, descriptor: dict[str, Any]) -> list[in
             (crc,) = struct.unpack(">I", fh.read(4))
             if crc != (zlib.crc32(data) & 0xFFFFFFFF):
                 raise ValueError(f"DV checksum mismatch at {path}:{offset}")
-    else:
-        raise ValueError(f"unsupported DV storageType {st!r}")
+        return data
+    raise ValueError(f"unsupported DV storageType {st!r}")
+
+
+def read_deletion_vector(table_path: str, descriptor: dict[str, Any]) -> list[int]:
+    """Deleted row indexes for one file's DV descriptor (storage u/i/p)."""
+    data = read_dv_bytes(table_path, descriptor)
     idx = parse_roaring_bitmap_array(data)
     card = int(descriptor.get("cardinality") or 0)
     if card and card != len(idx):

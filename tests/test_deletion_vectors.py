@@ -339,3 +339,83 @@ def test_vacuum_removes_orphaned_dv_bins(spark, tmp_path):
     assert len(glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))) == 0
     assert any(r.startswith("deletion_vector_") for r in removed)
     assert read_delta(spark, tbl).count() == 85
+
+
+def test_dv_expansion_runs_executor_side_at_scale(spark, tmp_path):
+    """The 100-TB-scale contract of the apply path: the driver ships only
+    the compressed bitmap, never the expanded per-row index list. Proven by
+    breaking the decoder IN THE DRIVER PROCESS — Python workers are
+    separate processes, so the scan only survives if expansion happens
+    there — with a DV big enough (1e6 indexes) that driver-side expansion
+    would also be a visible memory event."""
+    from ballista_delta_spark.sources import dv as dv_mod
+
+    tbl = str(tmp_path / "big")
+    # 2^20 physical rows in one file; delete every even row via a DV.
+    write_delta(
+        spark.range(1 << 20).selectExpr("id").coalesce(1), tbl
+    )
+    (rel,) = DeltaTable(tbl).snapshot.files
+    deleted = list(range(0, 1 << 20, 2))
+    _attach_dv_file(tbl, rel, deleted)
+
+    real_parse = dv_mod.parse_roaring_bitmap_array
+
+    def driver_must_not_expand(data):
+        raise AssertionError(
+            "parse_roaring_bitmap_array called in the DRIVER process — "
+            "DV row-index expansion must happen executor-side"
+        )
+
+    dv_mod.parse_roaring_bitmap_array = driver_must_not_expand
+    try:
+        got = read_delta(spark, tbl)
+        assert got.count() == (1 << 20) - len(deleted)
+        # Spot-check values, not just counts: all survivors are odd.
+        assert got.filter("id % 2 = 0").count() == 0
+    finally:
+        dv_mod.parse_roaring_bitmap_array = real_parse
+
+
+def test_dv_protocol_upgrade_preserves_declared_features(spark, tmp_path):
+    """The first DV commit on a table already at reader v3 must emit the
+    UNION of the declared readerFeatures plus deletionVectors — dropping
+    e.g. timestampNtz would make other engines misread the table."""
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "feat")
+    write_delta(spark.range(20).selectExpr("id").coalesce(1), tbl)
+    snap = DeltaTable(tbl).snapshot
+    log = os.path.join(tbl, "_delta_log")
+    with open(os.path.join(log, f"{snap.version + 1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "v2Checkpoint"],
+            "writerFeatures": ["timestampNtz", "appendOnly", "invariants"],
+        }}) + "\n")
+    delete_delta(spark, tbl, "id < 5", mode="dv")
+    after = DeltaTable(tbl).snapshot
+    assert set(after.reader_features) >= {
+        "timestampNtz", "v2Checkpoint", "deletionVectors"
+    }
+    assert set(after.writer_features) >= {
+        "timestampNtz", "appendOnly", "invariants", "deletionVectors"
+    }
+    assert after.min_reader_version == 3 and after.min_writer_version == 7
+
+
+def test_dv_protocol_upgrade_enumerates_legacy_features(spark, tmp_path):
+    """Upgrading a legacy (1,2) table to (3,7) must enumerate the features
+    the old writer version number implied (appendOnly, invariants), per
+    PROTOCOL.md — or other engines lose those gates."""
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "legacy")
+    write_delta(spark.range(20).selectExpr("id").coalesce(1), tbl)
+    assert DeltaTable(tbl).snapshot.min_writer_version == 2
+    delete_delta(spark, tbl, "id < 5", mode="dv")
+    after = DeltaTable(tbl).snapshot
+    assert set(after.writer_features) >= {
+        "appendOnly", "invariants", "deletionVectors"
+    }
+    assert after.reader_features == ["deletionVectors"]
