@@ -1446,20 +1446,37 @@ def create_checkpoint(path: str) -> int:
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
     log = _log_dir(path)
+    # The checkpoint must record the table's ACTUAL protocol — writing the
+    # baseline constant would downgrade a v3/v7 table for every reader that
+    # replays from the checkpoint (feature gates silently lost).
+    proto_row: dict[str, Any] = {
+        "minReaderVersion": snap.min_reader_version,
+        "minWriterVersion": snap.min_writer_version,
+        "readerFeatures":
+            sorted(snap.reader_features)
+            if snap.min_reader_version >= 3 else None,
+        "writerFeatures":
+            sorted(snap.writer_features)
+            if snap.min_writer_version >= 7 else None,
+    }
+    md_raw = snap.metadata_raw
     rows: list[dict[str, Any]] = [
-        {"protocol": PROTOCOL, "metaData": None, "add": None, "remove": None},
+        {"protocol": proto_row, "metaData": None, "add": None, "remove": None},
         {
             "protocol": None,
             # Spec-required metaData shape (format + createdTime included):
             # a checkpoint missing `format` is rejected by delta-rs/Spark,
-            # which would make our checkpoints engine-private.
+            # which would make our checkpoints engine-private. The table id
+            # is the REAL one from log replay — inventing an id per
+            # checkpoint breaks streaming readers that key state on it.
             "metaData": {
-                "id": str(uuid.uuid4()),
+                "id": md_raw.get("id") or str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": []},
                 "schemaString": json.dumps(snap.schema.jsonValue()),
                 "partitionColumns": snap.partition_columns,
                 "configuration": list(snap.configuration.items()),
-                "createdTime": int(time.time() * 1000),
+                "createdTime": md_raw.get("createdTime")
+                or int(time.time() * 1000),
             },
             "add": None,
             "remove": None,
@@ -1468,10 +1485,23 @@ def create_checkpoint(path: str) -> int:
     for add in snap.files.values():
         a = dict(add)
         a["partitionValues"] = list(_as_dict(a.get("partitionValues")).items())
+        dvd = _as_dict(a.get("deletionVector"))
         rows.append({
             "protocol": None, "metaData": None, "remove": None,
-            "add": {k: a.get(k) for k in
-                    ("path", "partitionValues", "size", "modificationTime", "dataChange", "stats")},
+            "add": {
+                **{k: a.get(k) for k in
+                   ("path", "partitionValues", "size", "modificationTime",
+                    "dataChange", "stats")},
+                # A checkpoint that drops the DV descriptor RESURRECTS the
+                # deleted rows for checkpoint-replaying readers.
+                "deletionVector": {
+                    "storageType": dvd["storageType"],
+                    "pathOrInlineDv": dvd["pathOrInlineDv"],
+                    "offset": int(dvd.get("offset") or 0),
+                    "sizeInBytes": int(dvd["sizeInBytes"]),
+                    "cardinality": int(dvd.get("cardinality") or 0),
+                } if dvd else None,
+            },
         })
     # Un-expired remove tombstones ride along per the protocol: other
     # readers replay them so concurrently-running queries and VACUUM see
@@ -1484,7 +1514,9 @@ def create_checkpoint(path: str) -> int:
         })
     ckpt_schema = pa.schema([
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
-                                ("minWriterVersion", pa.int32())])),
+                                ("minWriterVersion", pa.int32()),
+                                ("readerFeatures", pa.list_(pa.string())),
+                                ("writerFeatures", pa.list_(pa.string()))])),
         ("metaData", pa.struct([
             ("id", pa.string()),
             ("format", pa.struct([("provider", pa.string()),
@@ -1501,6 +1533,13 @@ def create_checkpoint(path: str) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
         ("remove", pa.struct([
             ("path", pa.string()),

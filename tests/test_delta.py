@@ -950,3 +950,33 @@ def test_in_commit_timestamps(spark, tmp_path):
     assert version_at_timestamp(tbl, t2 - 1) == 1
     assert version_at_timestamp(tbl, t2) == 2
     assert read_delta(spark, tbl, timestamp_ms=t1).count() == 2
+
+
+def test_checkpoint_preserves_protocol_dv_and_table_id(spark, tmp_path):
+    """A checkpoint must record the table's REAL state: its protocol (a
+    v3/v7 DV table checkpointed as (1,2) loses every feature gate), its
+    deletion vectors (dropping the descriptor resurrects deleted rows for
+    checkpoint-replaying readers), and its original table id (streaming
+    readers key state on it). Proven by replaying from the checkpoint
+    ALONE — pre-checkpoint JSON commits deleted."""
+    from ballista_delta_spark.sources.delta import _load_snapshot
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "ckdv")
+    write_delta(spark.range(100).selectExpr("id").coalesce(1), tbl)
+    before_id = DeltaTable(tbl).snapshot.metadata_raw["id"]
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    v = create_checkpoint(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for j in range(v + 1):
+        p = os.path.join(log, f"{j:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap = _load_snapshot(tbl)
+    assert snap.min_reader_version == 3 and snap.min_writer_version == 7
+    assert "deletionVectors" in snap.reader_features
+    assert "deletionVectors" in snap.writer_features
+    assert snap.metadata_raw["id"] == before_id
+    got = read_delta(spark, tbl)
+    assert got.count() == 90
+    assert got.filter("id < 10").count() == 0
