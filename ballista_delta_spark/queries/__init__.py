@@ -47,13 +47,13 @@ ROTATION: tuple[str, ...] = (
     # -- r4-stale (non-streaming)
     "win_lag_lead", "fn_interval", "fn_json", "pandas_udf_grouped_agg",
     "udf_apply_in_pandas",
-    # -- DV apply path rewritten this round: re-green
-    "sink_delta_delete_dv",
+    # -- DV apply path rewritten this round (re-green) + the two NEW
+    #    r7 merge-on-read DML ids (never driver-tested)
+    "sink_delta_delete_dv", "sink_delta_update_dv", "sink_delta_merge_dv",
     # -- r5 fill (cheap single-job ids first)
     "win_rank", "win_ntile", "win_value", "win_agg_frame",
     "agg_bool", "agg_rollup", "agg_pivot", "agg_unpivot",
     "cte", "derived_table", "subq_in_exists", "subq_scalar",
-    "tf_generate_series", "udf_python",
     # -- streaming last (budget-truncation buffer)
     "stream_sliding_agg", "stream_session_window",
     "stream_stateful_user_stats",

@@ -581,6 +581,88 @@ def sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+# --- S22 sink_delta_update_dv: merge-on-read UPDATE — pre-image rows die
+# in per-file deletion vectors, only post-image rows are appended as new
+# files (delta-spark's default since 3.1). Cost O(updated rows), not
+# O(rewritten bytes): on a 100 TB table a low-selectivity wide UPDATE
+# stops paying full copy-on-write rewrites. Oracle = the post-update
+# relation; DV mechanics (files kept, bitmap merge, second-update
+# remarking, CDF images) are pinned in tests/test_deletion_vectors.py.
+@_q(
+    "sink_delta_update_dv",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 AND n_nationkey % 2 = 0
+                THEN lower(n_name) ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def sink_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s22")
+    update_delta(
+        spark, path,
+        "n_regionkey = 2 AND n_nationkey % 2 = 0",
+        {"n_name": "lower(n_name)"},
+        mode="dv",
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --- S23 sink_delta_merge_dv: merge-on-read MERGE — matched update/delete
+# pre-images recorded in deletion vectors, post-images + inserts appended;
+# no target file rewritten. The (file, row_index) identity the DV needs
+# doubles as the duplicate-match key. Same relational contract as the
+# copy-on-write MERGE, so the oracle has the same LEFT JOIN + ANTI JOIN
+# shape (delete clause filtered, update applied, unmatched inserted).
+@_q(
+    "sink_delta_merge_dv",
+    """
+    WITH src AS (
+      SELECT n_nationkey, upper(n_name) AS new_name
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_nationkey + 30 AS n_nationkey, 'NEW_' || n_name AS new_name
+      FROM nation WHERE n_nationkey < 3)
+    SELECT t.n_nationkey,
+           CASE WHEN s.n_nationkey IS NOT NULL THEN s.new_name
+                ELSE t.n_name END AS n_name,
+           t.n_regionkey
+    FROM nation t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+    WHERE NOT (s.n_nationkey IS NOT NULL AND t.n_regionkey = 4)
+    UNION ALL
+    SELECT s.n_nationkey, s.new_name AS n_name, 9 AS n_regionkey
+    FROM src s ANTI JOIN nation t ON t.n_nationkey = s.n_nationkey
+    """,
+)
+def sink_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clone(_nation_delta(spark, sf_dir), "s23")
+    nat = load(spark, sf_dir, "nation")
+    src = nat.filter("n_nationkey % 3 = 0").select(
+        "n_nationkey", F.upper("n_name").alias("new_name")
+    ).unionByName(
+        nat.filter("n_nationkey < 3").select(
+            (F.col("n_nationkey") + 30).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("new_name"),
+        )
+    )
+    merge_delta(
+        spark, path, src,
+        "t.n_nationkey = s.n_nationkey",
+        matched_clauses=[
+            ("t.n_regionkey = 4", "delete", None),
+            (None, "update", {"n_name": "s.new_name"}),
+        ],
+        not_matched_clauses=[(None, {
+            "n_nationkey": "s.n_nationkey",
+            "n_name": "s.new_name",
+            "n_regionkey": "9",
+        })],
+        mode="dv",
+    )
+    return read_delta(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --- S21 sink_delta_cdf: change data feed — UPDATE and DELETE on a
 # delta.enableChangeDataFeed=true table stage _change_data files
 # (update_preimage/update_postimage/delete) with cdc actions, and

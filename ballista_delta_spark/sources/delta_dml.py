@@ -305,36 +305,26 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
     return {"version": version, **metrics}
 
 
-def _delete_dv_once(
-    spark: SparkSession, path: str, condition: str
-) -> dict[str, Any]:
+def _dv_mark_rows(
+    spark: SparkSession, dt: DeltaTable, located: DataFrame
+) -> tuple[dict[str, list[int]], int]:
+    """Aggregate a located row set (must carry ``__src_fp``/``__src_ri``)
+    into rel_file -> sorted deleted row indexes, merged with any existing
+    DV on the same file. Per-file indexes aggregate executor-side; only the
+    final (file -> sorted indexes) lists land on the driver, which
+    serializes the bitmaps — the same driver-side metadata role it plays
+    for the commit JSON itself. Returns ({}, 0) when nothing matched."""
     from .delta import _as_dict
     from . import dv as _dv
 
-    dt = DeltaTable(path)
-    # DV delete removes ROWS (appendOnly must refuse) without removing
-    # data files; the add/remove pair it commits is dataChange=true.
-    _check_writable(dt, cdf_capable=True)
-    cond = F.coalesce(F.expr(condition), F.lit(False))
-    # Matching LIVE rows by physical identity: to_df applies existing DVs,
-    # so re-deleting an already-deleted row is impossible by construction.
-    # Per-file row indexes aggregate executor-side; only the final
-    # (file -> sorted indexes) lists land on the driver, which serializes
-    # the bitmaps and writes one .bin — the same driver-side metadata role
-    # it plays for the commit JSON itself.
     per_file = (
-        dt.to_df(spark, with_location=True)
-        .filter(cond)
+        located
         .groupBy("__src_fp")
         .agg(F.sort_array(F.collect_list("__src_ri")).alias("idxs"))
         .collect()
     )
     if not per_file:
-        return {
-            "version": dt.version,
-            "numDeletedRows": 0,
-            "numDeletionVectorsAdded": 0,
-        }
+        return {}, 0
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = sorted(
         {os.path.abspath(stripped), os.path.realpath(stripped)}, key=len
@@ -349,7 +339,7 @@ def _delete_dv_once(
         if rel is None or rel not in dt.snapshot.files:
             raise ValueError(f"scanned file outside Delta root: {fp}")
         new_per_file[rel] = list(r["idxs"])
-    n_deleted = sum(len(v) for v in new_per_file.values())
+    n_marked = sum(len(v) for v in new_per_file.values())
     # Merge with any existing DV on the same file (union of row indexes).
     for rel in new_per_file:
         old = dt.snapshot.files[rel].get("deletionVector")
@@ -358,19 +348,21 @@ def _delete_dv_once(
                 set(new_per_file[rel])
                 | set(_dv.read_deletion_vector(dt.path, _as_dict(old)))
             )
-    descriptors = _dv.write_deletion_vectors(dt.path, new_per_file)
+    return new_per_file, n_marked
 
-    now_ms = int(time.time() * 1000)
-    metrics = {
-        "numDeletedRows": n_deleted,
-        "numDeletionVectorsAdded": len(descriptors),
-        "numRemovedFiles": len(descriptors),
-        "numAddedFiles": len(descriptors),
-    }
-    actions: list[dict[str, Any]] = [
-        _commit_info("DELETE", {"predicate": condition}, metrics, now_ms)
-    ]
+
+def _dv_protocol_and_file_actions(
+    dt: DeltaTable, new_per_file: dict[str, list[int]], now_ms: int
+) -> list[dict[str, Any]]:
+    """The action set shared by every DV-writing DML op: the (union-
+    preserving) protocol upgrade when the table lacks the deletionVectors
+    feature, plus the remove/re-add pair per DV'd file — the re-add names
+    the SAME data file with the new descriptor and wide stats bounds."""
+    from . import dv as _dv
+
+    descriptors = _dv.write_deletion_vectors(dt.path, new_per_file)
     snap = dt.snapshot
+    actions: list[dict[str, Any]] = []
     if (
         snap.min_writer_version < 7
         or "deletionVectors" not in snap.writer_features
@@ -398,6 +390,41 @@ def _delete_dv_once(
             st["tightBounds"] = False
             add["stats"] = json.dumps(st)
         actions.append({"add": add})
+    return actions
+
+
+def _delete_dv_once(
+    spark: SparkSession, path: str, condition: str
+) -> dict[str, Any]:
+    dt = DeltaTable(path)
+    # DV delete removes ROWS (appendOnly must refuse) without removing
+    # data files; the add/remove pair it commits is dataChange=true.
+    _check_writable(dt, cdf_capable=True)
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    # Matching LIVE rows by physical identity: to_df applies existing DVs,
+    # so re-deleting an already-deleted row is impossible by construction.
+    new_per_file, n_deleted = _dv_mark_rows(
+        spark, dt, dt.to_df(spark, with_location=True).filter(cond)
+    )
+    if not new_per_file:
+        return {
+            "version": dt.version,
+            "numDeletedRows": 0,
+            "numDeletionVectorsAdded": 0,
+        }
+
+    now_ms = int(time.time() * 1000)
+    metrics = {
+        "numDeletedRows": n_deleted,
+        "numDeletionVectorsAdded": len(new_per_file),
+        "numRemovedFiles": len(new_per_file),
+        "numAddedFiles": len(new_per_file),
+    }
+    actions: list[dict[str, Any]] = [
+        _commit_info("DELETE", {"predicate": condition}, metrics, now_ms)
+    ]
+    snap = dt.snapshot
+    actions += _dv_protocol_and_file_actions(dt, new_per_file, now_ms)
     if cdf_enabled(snap):
         # CDF: the remove/add pair on the same file is not derivable by
         # readers — record the deleted rows explicitly.
@@ -427,23 +454,36 @@ def update_delta(
     condition: str,
     set_exprs: dict[str, str],
     retries: int = 0,
+    mode: str = "cow",
 ) -> dict[str, Any]:
     """``UPDATE <path> SET col = expr, ... WHERE condition``.
 
     ``set_exprs`` maps column name -> SQL expression (may reference any table
-    column; evaluated against the PRE-update row, as SQL requires). Only
-    files containing at least one TRUE-condition row are rewritten.
+    column; evaluated against the PRE-update row, as SQL requires).
+
+    ``mode="cow"`` (default) is copy-on-write: only files containing at
+    least one TRUE-condition row are rewritten. ``mode="dv"`` is
+    merge-on-read, delta-spark's default since 3.1: the PRE-image rows are
+    recorded in per-file deletion vectors and only the POST-image rows are
+    appended as new files — cost O(updated rows), not O(rewritten bytes),
+    which is the difference between minutes and hours for a
+    low-selectivity UPDATE on a 100 TB table.
     """
+    if mode == "dv":
+        return _retrying(
+            lambda: _update_dv_once(spark, path, condition, set_exprs),
+            retries,
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown update mode {mode!r} (cow | dv)")
     return _retrying(
         lambda: _update_once(spark, path, condition, set_exprs), retries
     )
 
 
-def _update_once(
-    spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
-) -> dict[str, Any]:
-    dt = DeltaTable(path)
-    _check_writable(dt, cdf_capable=True)
+def _validate_update_targets(
+    dt: DeltaTable, set_exprs: dict[str, str]
+) -> None:
     cols = {f.name for f in dt.snapshot.schema.fields}
     unknown = set(set_exprs) - cols
     if unknown:
@@ -454,6 +494,86 @@ def _update_once(
         raise ValueError(
             f"cannot UPDATE identity column(s) {sorted(id_hit)}"
         )
+
+
+def _update_dv_once(
+    spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
+) -> dict[str, Any]:
+    dt = DeltaTable(path)
+    _check_writable(dt, cdf_capable=True)
+    _validate_update_targets(dt, set_exprs)
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
+    tcols = [f.name for f in dt.snapshot.schema.fields]
+
+    # Matching LIVE rows with physical identity (existing DVs applied by
+    # to_df, so an already-deleted row can't be re-marked).
+    located = dt.to_df(spark, with_location=True).filter(cond)
+    new_per_file, n_updated = _dv_mark_rows(spark, dt, located)
+    if not new_per_file:
+        return {
+            "version": dt.version,
+            "numUpdatedRows": 0,
+            "numDeletionVectorsAdded": 0,
+            "numAddedFiles": 0,
+        }
+    # POST-image rows (every located row matches cond, so the SET applies
+    # unconditionally), appended as NEW files; pre-images die via the DVs.
+    post = located.select(
+        *[
+            (F.expr(set_exprs[c]) if c in set_exprs else F.col(c))
+            .cast(typed[c])
+            .alias(c)
+            for c in tcols
+        ]
+    )
+    if active_constraints(dt.snapshot):
+        enforce_constraints(post, dt.snapshot)
+    now_ms = int(time.time() * 1000)
+    adds = _stage_adds(
+        _sized(post, len(new_per_file)),
+        dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+    )
+    metrics = {
+        "numUpdatedRows": n_updated,
+        "numDeletionVectorsAdded": len(new_per_file),
+        "numRemovedFiles": len(new_per_file),
+        "numAddedFiles": len(adds),
+    }
+    actions: list[dict[str, Any]] = [
+        _commit_info(
+            "UPDATE", {"predicate": condition, "set": json.dumps(set_exprs)},
+            metrics, now_ms,
+        )
+    ]
+    actions += _dv_protocol_and_file_actions(dt, new_per_file, now_ms)
+    actions += [{"add": a} for a in adds]
+    if cdf_enabled(dt.snapshot):
+        pre = located.drop("__src_fp", "__src_ri").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post_img = post.withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        actions += [
+            {"cdc": c}
+            for c in _stage_cdc(
+                pre.unionByName(post_img), dt.path,
+                dt.snapshot.partition_columns,
+            )
+        ]
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+    )
+    return {"version": version, **metrics}
+
+
+def _update_once(
+    spark: SparkSession, path: str, condition: str, set_exprs: dict[str, str]
+) -> dict[str, Any]:
+    dt = DeltaTable(path)
+    _check_writable(dt, cdf_capable=True)
+    _validate_update_targets(dt, set_exprs)
     part_updates = set(set_exprs) & set(dt.snapshot.partition_columns)
     cond = F.coalesce(F.expr(condition), F.lit(False))
 
@@ -544,96 +664,15 @@ def _update_once(
     return {"version": version, **metrics}
 
 
-def merge_delta(
-    spark: SparkSession,
-    path: str,
+def _validate_merge_clauses(
+    dt: DeltaTable,
     source: DataFrame,
-    on: str,
-    matched_update: dict[str, str] | None = None,
-    matched_delete: bool = False,
-    not_matched_insert: dict[str, str] | bool = True,
-    retries: int = 0,
-    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] | None = None,
-    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]] | None = None,
-) -> dict[str, Any]:
-    """``MERGE INTO <path> t USING source s ON <on>`` (copy-on-write).
-
-    - ``on``: join condition; reference target columns as ``t.col`` and
-      source columns as ``s.col``.
-    - ``matched_update``: target-col -> SQL expr (``t.``/``s.`` visible);
-      mutually exclusive with ``matched_delete``.
-    - ``not_matched_insert``: ``True`` inserts source rows positionally by
-      name (source must carry all target columns); a dict maps target-col ->
-      expr over ``s.``; ``False`` disables inserts.
-    - ``matched_clauses`` / ``not_matched_clauses``: the general conditional
-      form (``WHEN [NOT] MATCHED AND <cond> THEN ...``), superseding the
-      three legacy kwargs when given. ``matched_clauses`` is an ordered list
-      of ``(condition | None, "update" | "delete", update_map | None)``;
-      ``not_matched_clauses`` of ``(condition | None, insert_map | True)``.
-      delta-spark semantics: clauses are evaluated in order, the FIRST whose
-      condition holds applies, and a row qualifying for no clause is left
-      as-is (matched) or not inserted (not-matched).
-
-    Duplicate-match rule (Delta semantics): if any single target row matches
-    more than one source row and an update/delete clause exists, the merge
-    is ambiguous and raises — regardless of clause conditions.
-
-    Plan shape: target rows never leave executors except per-file match
-    counts; the target side of every join is only the AFFECTED-file subset;
-    the source is typically the small side (broadcast candidate). Identical
-    target rows are merged via a (row-values, multiplicity) representation —
-    groupBy all columns — so the duplicate-source check needs no synthetic
-    row id and stays a plain aggregate. When EVERY matched clause is
-    conditional, the affected-file scan predicate is narrowed to
-    ``on AND (cond1 OR cond2 ...)`` so files whose matches all fail the
-    conditions are never rewritten.
-    """
-    if matched_clauses is None:
-        if matched_update and matched_delete:
-            raise ValueError(
-                "matched_update and matched_delete are mutually exclusive"
-            )
-        matched_clauses = []
-        if matched_update:
-            matched_clauses.append((None, "update", matched_update))
-        elif matched_delete:
-            matched_clauses.append((None, "delete", None))
-    if not_matched_clauses is None:
-        not_matched_clauses = (
-            [(None, not_matched_insert)] if not_matched_insert else []
-        )
-    for _c, kind, upd in matched_clauses:
-        if kind not in ("update", "delete"):
-            raise ValueError(f"unknown matched-clause kind: {kind!r}")
-        if kind == "update" and not upd:
-            raise ValueError("update clause requires a SET map")
-    return _retrying(
-        lambda: _merge_once(
-            spark, path, source, on, matched_clauses, not_matched_clauses,
-        ),
-        retries,
-    )
-
-
-def _merge_once(
-    spark: SparkSession,
-    path: str,
-    source: DataFrame,
-    on: str,
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
-) -> dict[str, Any]:
-    dt = DeltaTable(path)
-    # Insert-only MERGE removes no files — legal on appendOnly tables.
-    _check_writable(
-        dt, removes_files=bool(matched_clauses), cdf_capable=True
-    )
-    cdf = cdf_enabled(dt.snapshot)
-    cdc_actions: list[dict[str, Any]] = []
-    tcols = [f.name for f in dt.snapshot.schema.fields]
-    on_expr = F.expr(on)
-    # Validate BEFORE any staging writes — a late raise would orphan the
-    # already-moved rewrite part-files.
+    tcols: list[str],
+) -> None:
+    """Shared cow/dv validation — BEFORE any staging writes, so a late
+    raise can't orphan already-moved part-files."""
     ids = identity_columns(dt.snapshot)
     always_ids = [
         c for c, md in ids.items()
@@ -665,6 +704,182 @@ def _merge_once(
                 raise ValueError(
                     f"not_matched_insert=True but source lacks {sorted(missing)}"
                 )
+
+
+def _merge_insert_rows(
+    dt: DeltaTable,
+    src: DataFrame,
+    anti_base: DataFrame,
+    on_expr,
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
+    tcols: list[str],
+) -> DataFrame:
+    """Source rows qualifying for a WHEN NOT MATCHED clause (first-match-
+    wins; a row qualifying for none is not inserted), projected and cast to
+    the target schema."""
+    unmatched = src.join(anti_base, on_expr, "left_anti")
+    iact = F.lit(-1)
+    for i in reversed(range(len(not_matched_clauses))):
+        cond_sql, _spec = not_matched_clauses[i]
+        cc = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+        iact = F.when(cc, F.lit(i)).otherwise(iact)
+    unmatched = (
+        unmatched.withColumn("__iact", iact).filter(F.col("__iact") >= 0)
+    )
+    out = []
+    for c in tcols:
+        col = F.lit(None)
+        for i, (_c0, spec) in enumerate(not_matched_clauses):
+            val = (
+                F.col(f"s.{c}") if spec is True
+                else (F.expr(spec[c]) if c in spec else F.lit(None))
+            )
+            col = F.when(F.col("__iact") == i, val).otherwise(col)
+        out.append(col.alias(c))
+    ins = unmatched.select(*out)
+    typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
+    return ins.select(*[F.col(c).cast(typed[c]).alias(c) for c in tcols])
+
+
+def _stage_insert_adds(
+    dt: DeltaTable, ins: DataFrame
+) -> tuple[list[dict[str, Any]], int]:
+    """Stage insert rows and read numTargetRowsInserted off the add-action
+    stats (every add carries numRecords) instead of running a separate
+    count() job first — one Spark job instead of two per MERGE. File sizing
+    is delegated to AQE partition coalescing (the insert set is post-join
+    shuffle output, so AQE already packs it into advisory-sized
+    partitions); zero-row part files are dropped from the commit and the
+    table dir."""
+    if active_constraints(dt.snapshot):
+        enforce_constraints(ins, dt.snapshot)
+    ins_adds = _stage_adds(
+        ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+    )
+    adds: list[dict[str, Any]] = []
+    n_inserted = 0
+    for a in ins_adds:
+        n_rec = json.loads(a.get("stats") or "{}").get("numRecords", 0)
+        if n_rec:
+            n_inserted += n_rec
+            adds.append(a)
+        else:
+            try:
+                os.remove(os.path.join(dt.path, a["path"]))
+            except OSError:
+                pass
+    return adds, n_inserted
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_update: dict[str, str] | None = None,
+    matched_delete: bool = False,
+    not_matched_insert: dict[str, str] | bool = True,
+    retries: int = 0,
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] | None = None,
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]] | None = None,
+    mode: str = "cow",
+) -> dict[str, Any]:
+    """``MERGE INTO <path> t USING source s ON <on>``.
+
+    - ``on``: join condition; reference target columns as ``t.col`` and
+      source columns as ``s.col``.
+    - ``matched_update``: target-col -> SQL expr (``t.``/``s.`` visible);
+      mutually exclusive with ``matched_delete``.
+    - ``not_matched_insert``: ``True`` inserts source rows positionally by
+      name (source must carry all target columns); a dict maps target-col ->
+      expr over ``s.``; ``False`` disables inserts.
+    - ``matched_clauses`` / ``not_matched_clauses``: the general conditional
+      form (``WHEN [NOT] MATCHED AND <cond> THEN ...``), superseding the
+      three legacy kwargs when given. ``matched_clauses`` is an ordered list
+      of ``(condition | None, "update" | "delete", update_map | None)``;
+      ``not_matched_clauses`` of ``(condition | None, insert_map | True)``.
+      delta-spark semantics: clauses are evaluated in order, the FIRST whose
+      condition holds applies, and a row qualifying for no clause is left
+      as-is (matched) or not inserted (not-matched).
+
+    Duplicate-match rule (Delta semantics): if any single target row matches
+    more than one source row and an update/delete clause exists, the merge
+    is ambiguous and raises — regardless of clause conditions.
+
+    ``mode="cow"`` (default) rewrites every affected file. ``mode="dv"``
+    is merge-on-read: matched update/delete pre-images are recorded in
+    per-file deletion vectors, and only updated post-images plus inserts
+    are appended — delta-spark's default MERGE strategy since 3.1, and the
+    difference between O(changed rows) and O(rewritten bytes) on a 100 TB
+    target.
+
+    Plan shape: target rows never leave executors except per-file match
+    counts; the target side of every join is only the AFFECTED-file subset;
+    the source is typically the small side (broadcast candidate). Identical
+    target rows are merged via a (row-values, multiplicity) representation —
+    groupBy all columns — so the duplicate-source check needs no synthetic
+    row id and stays a plain aggregate. When EVERY matched clause is
+    conditional, the affected-file scan predicate is narrowed to
+    ``on AND (cond1 OR cond2 ...)`` so files whose matches all fail the
+    conditions are never rewritten.
+    """
+    if matched_clauses is None:
+        if matched_update and matched_delete:
+            raise ValueError(
+                "matched_update and matched_delete are mutually exclusive"
+            )
+        matched_clauses = []
+        if matched_update:
+            matched_clauses.append((None, "update", matched_update))
+        elif matched_delete:
+            matched_clauses.append((None, "delete", None))
+    if not_matched_clauses is None:
+        not_matched_clauses = (
+            [(None, not_matched_insert)] if not_matched_insert else []
+        )
+    for _c, kind, upd in matched_clauses:
+        if kind not in ("update", "delete"):
+            raise ValueError(f"unknown matched-clause kind: {kind!r}")
+        if kind == "update" and not upd:
+            raise ValueError("update clause requires a SET map")
+    if mode == "dv":
+        return _retrying(
+            lambda: _merge_dv_once(
+                spark, path, source, on, matched_clauses,
+                not_matched_clauses,
+            ),
+            retries,
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode {mode!r} (cow | dv)")
+    return _retrying(
+        lambda: _merge_once(
+            spark, path, source, on, matched_clauses, not_matched_clauses,
+        ),
+        retries,
+    )
+
+
+def _merge_once(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
+) -> dict[str, Any]:
+    dt = DeltaTable(path)
+    # Insert-only MERGE removes no files — legal on appendOnly tables.
+    _check_writable(
+        dt, removes_files=bool(matched_clauses), cdf_capable=True
+    )
+    cdf = cdf_enabled(dt.snapshot)
+    cdc_actions: list[dict[str, Any]] = []
+    tcols = [f.name for f in dt.snapshot.schema.fields]
+    on_expr = F.expr(on)
+    _validate_merge_clauses(
+        dt, source, matched_clauses, not_matched_clauses, tcols
+    )
 
     # Insert-only MERGE (no matched clauses) never touches existing rows:
     # skip the affected-file scan AND the rewrite — matched target rows are
@@ -837,52 +1052,11 @@ def _merge_once(
             if affected and not narrowed
             else dt.to_df(spark).alias("t")
         )
-        unmatched = src.join(anti_base, on_expr, "left_anti")
-        # First-match-wins across insert clauses; a source row qualifying
-        # for none is not inserted.
-        iact = F.lit(-1)
-        for i in reversed(range(len(not_matched_clauses))):
-            cond_sql, _spec = not_matched_clauses[i]
-            cc = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
-            iact = F.when(cc, F.lit(i)).otherwise(iact)
-        unmatched = (
-            unmatched.withColumn("__iact", iact).filter(F.col("__iact") >= 0)
+        ins = _merge_insert_rows(
+            dt, src, anti_base, on_expr, not_matched_clauses, tcols
         )
-        out = []
-        for c in tcols:
-            col = F.lit(None)
-            for i, (_c0, spec) in enumerate(not_matched_clauses):
-                val = (
-                    F.col(f"s.{c}") if spec is True
-                    else (F.expr(spec[c]) if c in spec else F.lit(None))
-                )
-                col = F.when(F.col("__iact") == i, val).otherwise(col)
-            out.append(col.alias(c))
-        ins = unmatched.select(*out)
-        typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
-        ins = ins.select(*[F.col(c).cast(typed[c]).alias(c) for c in tcols])
-        # Stage directly and read numTargetRowsInserted off the add-action
-        # stats (every add carries numRecords) instead of running a separate
-        # count() job first — one Spark job instead of two per MERGE. File
-        # sizing is delegated to AQE partition coalescing (the insert set is
-        # post-join shuffle output, so AQE already packs it into
-        # advisory-sized partitions); zero-row part files are dropped from
-        # the commit and the table dir.
-        if active_constraints(dt.snapshot):
-            enforce_constraints(ins, dt.snapshot)
-        ins_adds = _stage_adds(
-            ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
-        )
-        for a in ins_adds:
-            n_rec = json.loads(a.get("stats") or "{}").get("numRecords", 0)
-            if n_rec:
-                n_inserted += n_rec
-                adds.append(a)
-            else:
-                try:
-                    os.remove(os.path.join(dt.path, a["path"]))
-                except OSError:
-                    pass
+        ins_adds, n_inserted = _stage_insert_adds(dt, ins)
+        adds += ins_adds
 
     if not removes and not adds:
         return {
@@ -910,6 +1084,187 @@ def _merge_once(
     actions = [_commit_info("MERGE", {"predicate": on}, metrics, now_ms)]
     actions += removes
     actions += [{"add": a} for a in adds]
+    actions += [{"cdc": c} for c in cdc_actions]
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+    )
+    return {"version": version, **metrics}
+
+
+def _merge_dv_once(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
+    not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
+) -> dict[str, Any]:
+    """Merge-on-read MERGE: matched update/delete pre-images die via
+    per-file deletion vectors; updated post-images and inserts are
+    appended as new files. No data file is rewritten.
+
+    The physical row identity (``__src_fp``, ``__src_ri``) the DV path
+    needs anyway doubles as the duplicate-match key, so the ambiguity
+    check is a plain groupBy — no (values, multiplicity) representation
+    like the copy-on-write path."""
+    dt = DeltaTable(path)
+    # Matched clauses remove ROWS (appendOnly must refuse them).
+    _check_writable(
+        dt, removes_files=bool(matched_clauses), cdf_capable=True
+    )
+    cdf = cdf_enabled(dt.snapshot)
+    cdc_actions: list[dict[str, Any]] = []
+    tcols = [f.name for f in dt.snapshot.schema.fields]
+    typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
+    on_expr = F.expr(on)
+    _validate_merge_clauses(
+        dt, source, matched_clauses, not_matched_clauses, tcols
+    )
+
+    now_ms = int(time.time() * 1000)
+    src = source.withColumn("__s_hit", F.lit(True)).alias("s")
+    n_updated = n_deleted = 0
+    adds: list[dict[str, Any]] = []
+    new_per_file: dict[str, list[int]] = {}
+
+    if matched_clauses:
+        tgt = dt.to_df(spark, with_location=True).alias("t")
+        hit = F.col("__s_hit").isNotNull()
+        # First-match-wins clause id per row (-1 = no clause applies, row
+        # kept as-is), computed BEFORE cache for one consistent assignment.
+        act = F.lit(-1)
+        for i in reversed(range(len(matched_clauses))):
+            cond_sql, _kind, _upd = matched_clauses[i]
+            cc = hit & (
+                F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+            )
+            act = F.when(cc, F.lit(i)).otherwise(act)
+        joined = (
+            tgt.join(src, on_expr, "left").withColumn("__act", act).cache()
+        )
+        try:
+            per_clause = [
+                F.sum(
+                    F.when(F.col("__a") == i, 1).otherwise(0)
+                ).alias(f"n{i}")
+                for i in range(len(matched_clauses))
+            ]
+            stats = (
+                joined.filter(hit)
+                .groupBy("t.__src_fp", "t.__src_ri")
+                .agg(
+                    F.count(F.lit(1)).alias("__k"),
+                    F.max("__act").alias("__a"),
+                )
+                .agg(
+                    F.sum(
+                        F.when(F.col("__k") > 1, 1).otherwise(0)
+                    ).alias("dups"),
+                    *per_clause,
+                )
+                .collect()[0]
+            )
+            if stats["dups"]:
+                raise ValueError(
+                    f"MERGE is ambiguous: {stats['dups']} target row(s) "
+                    "matched by multiple source rows"
+                )
+            upd_ids = [
+                i for i, (_c, k, _u) in enumerate(matched_clauses)
+                if k == "update"
+            ]
+            delete_ids = [
+                i for i, (_c, k, _u) in enumerate(matched_clauses)
+                if k == "delete"
+            ]
+            n_updated = sum(int(stats[f"n{i}"] or 0) for i in upd_ids)
+            n_deleted = sum(int(stats[f"n{i}"] or 0) for i in delete_ids)
+            # Every row a clause touched (update OR delete) dies in a DV;
+            # updates come back as appended post-images.
+            touched = joined.filter(F.col("__act") >= 0)
+            new_per_file, _n = _dv_mark_rows(
+                spark, dt,
+                touched.select("t.__src_fp", "t.__src_ri"),
+            )
+            if upd_ids:
+                out_cols = []
+                for c in tcols:
+                    col = F.col(f"t.{c}")
+                    for i, (_c0, kind, upd) in enumerate(matched_clauses):
+                        if kind == "update" and c in upd:
+                            col = F.when(
+                                F.col("__act") == i, F.expr(upd[c])
+                            ).otherwise(col)
+                    out_cols.append(col.cast(typed[c]).alias(c))
+                hit_upd = joined.filter(F.col("__act").isin(upd_ids))
+                post = hit_upd.select(*out_cols)
+                if active_constraints(dt.snapshot):
+                    enforce_constraints(post, dt.snapshot)
+                adds += _stage_adds(
+                    _sized(post, max(len(new_per_file), 1)),
+                    dt.path, dt.snapshot.partition_columns,
+                    dt.snapshot.schema,
+                )
+                if cdf:
+                    t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
+                    pre = hit_upd.select(*t_sel).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post_img = post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    cdc_actions += _stage_cdc(
+                        pre.unionByName(post_img), dt.path,
+                        dt.snapshot.partition_columns,
+                    )
+            if cdf and delete_ids:
+                t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
+                cdc_actions += _stage_cdc(
+                    joined.filter(F.col("__act").isin(delete_ids))
+                    .select(*t_sel)
+                    .withColumn("_change_type", F.lit("delete")),
+                    dt.path, dt.snapshot.partition_columns,
+                )
+        finally:
+            joined.unpersist()
+
+    n_inserted = 0
+    ins = None
+    if not_matched_clauses:
+        ins = _merge_insert_rows(
+            dt, src, dt.to_df(spark).alias("t"), on_expr,
+            not_matched_clauses, tcols,
+        )
+        ins_adds, n_inserted = _stage_insert_adds(dt, ins)
+        adds += ins_adds
+
+    if not new_per_file and not adds:
+        return {
+            "version": dt.version,
+            "numTargetRowsUpdated": 0,
+            "numTargetRowsDeleted": 0,
+            "numTargetRowsInserted": 0,
+            "numDeletionVectorsAdded": 0,
+        }
+
+    metrics = {
+        "numTargetRowsUpdated": n_updated,
+        "numTargetRowsDeleted": n_deleted,
+        "numTargetRowsInserted": n_inserted,
+        "numDeletionVectorsAdded": len(new_per_file),
+        "numAddedFiles": len(adds),
+    }
+    actions = [_commit_info("MERGE", {"predicate": on}, metrics, now_ms)]
+    if new_per_file:
+        actions += _dv_protocol_and_file_actions(dt, new_per_file, now_ms)
+    actions += [{"add": a} for a in adds]
+    if cdf and n_inserted and (new_per_file or cdc_actions):
+        # A commit that mixes inserts with DV'd updates/deletes is read
+        # exclusively through cdc — the inserted rows must be in it too.
+        cdc_actions += _stage_cdc(
+            ins.withColumn("_change_type", F.lit("insert")),
+            dt.path, dt.snapshot.partition_columns,
+        )
     actions += [{"cdc": c} for c in cdc_actions]
     version = _try_commit(
         dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)

@@ -419,3 +419,183 @@ def test_dv_protocol_upgrade_enumerates_legacy_features(spark, tmp_path):
         "appendOnly", "invariants", "deletionVectors"
     }
     assert after.reader_features == ["deletionVectors"]
+
+
+
+def _set_config(tbl: str, cfg: dict) -> None:
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [json.loads(ln) for ln in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = cfg
+        if "protocol" in a and "delta.enableChangeDataFeed" in cfg:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in acts)
+
+
+# --------------------------------------------------- DV UPDATE and MERGE
+def test_dv_update_writes_vector_and_appends(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import update_delta
+
+    tbl = str(tmp_path / "updv")
+    write_delta(
+        spark.range(1000).selectExpr("id", "id % 7 AS k").coalesce(2), tbl
+    )
+    files_before = set(DeltaTable(tbl).snapshot.files)
+    m = update_delta(spark, tbl, "id % 100 = 0", {"k": "k + 100"}, mode="dv")
+    assert m["numUpdatedRows"] == 10
+    assert m["numDeletionVectorsAdded"] >= 1
+    assert m["numAddedFiles"] >= 1
+    snap = DeltaTable(tbl).snapshot
+    # Original data files all still present (DV'd, not rewritten) plus the
+    # appended post-image file(s).
+    assert files_before <= set(snap.files)
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    got = read_delta(spark, tbl)
+    assert got.count() == 1000
+    assert got.filter("id % 100 = 0").filter("k < 100").count() == 0
+    assert got.filter("id = 300").collect()[0].k == 300 % 7 + 100
+    # Untouched rows intact.
+    assert got.filter("id = 5").collect()[0].k == 5 % 7
+    # Protocol upgraded; time travel sees pre-update values.
+    assert snap.min_writer_version == 7
+    assert "deletionVectors" in snap.writer_features
+    assert read_delta(spark, tbl, version=0).filter(
+        "id = 300 AND k = 300 % 7"
+    ).count() == 1
+
+
+def test_dv_update_merges_with_existing_vector(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "updv2")
+    write_delta(spark.range(100).selectExpr("id", "id AS v").coalesce(1), tbl)
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    m = update_delta(spark, tbl, "id >= 90", {"v": "v * 2"}, mode="dv")
+    assert m["numUpdatedRows"] == 10
+    got = read_delta(spark, tbl)
+    assert got.count() == 90
+    assert got.filter("id >= 90 AND v = id * 2").count() == 10
+    assert got.filter("id < 10").count() == 0
+    # A second DV update re-marks POST-IMAGE rows (they live in the
+    # appended file), never double-deletes.
+    m2 = update_delta(spark, tbl, "id >= 90", {"v": "v + 1"}, mode="dv")
+    assert m2["numUpdatedRows"] == 10
+    got2 = read_delta(spark, tbl)
+    assert got2.filter("id >= 90 AND v = id * 2 + 1").count() == 10
+    assert got2.count() == 90
+
+
+def test_dv_merge_updates_deletes_inserts(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "mgdv")
+    write_delta(
+        spark.range(100).selectExpr("id", "id AS v").coalesce(2), tbl
+    )
+    files_before = set(DeltaTable(tbl).snapshot.files)
+    src = spark.createDataFrame(
+        [(5, 500), (6, 600), (200, 2000), (7, -1)], "id long, v long"
+    )
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id",
+        matched_clauses=[
+            ("s.v < 0", "delete", None),
+            (None, "update", {"v": "s.v"}),
+        ],
+        not_matched_clauses=[(None, True)],
+        mode="dv",
+    )
+    assert m["numTargetRowsUpdated"] == 2
+    assert m["numTargetRowsDeleted"] == 1
+    assert m["numTargetRowsInserted"] == 1
+    assert m["numDeletionVectorsAdded"] >= 1
+    snap = DeltaTable(tbl).snapshot
+    assert files_before <= set(snap.files)  # nothing rewritten
+    got = read_delta(spark, tbl)
+    assert got.count() == 100  # 100 - 1 deleted + 1 inserted
+    rows = {r.id: r.v for r in got.collect()}
+    assert rows[5] == 500 and rows[6] == 600
+    assert 7 not in rows
+    assert rows[200] == 2000
+    assert rows[8] == 8  # untouched
+
+
+def test_dv_merge_ambiguous_raises(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "mgdvamb")
+    write_delta(spark.range(10).selectExpr("id", "id AS v").coalesce(1), tbl)
+    src = spark.createDataFrame(
+        [(5, 1), (5, 2)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_update={"v": "s.v"}, not_matched_insert=False,
+            mode="dv",
+        )
+
+
+def test_dv_update_emits_cdf(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import read_delta_changes
+    from ballista_delta_spark.sources.delta_dml import update_delta
+
+    tbl = str(tmp_path / "updvcdf")
+    write_delta(
+        spark.range(20).selectExpr("id", "id AS v").coalesce(1), tbl
+    )
+    _set_config(tbl, {"delta.enableChangeDataFeed": "true"})
+    v0 = DeltaTable(tbl).version
+    update_delta(spark, tbl, "id < 3", {"v": "v + 100"}, mode="dv")
+    ch = read_delta_changes(spark, tbl, v0).collect()
+    kinds = sorted(r["_change_type"] for r in ch)
+    assert kinds == ["update_postimage"] * 3 + ["update_preimage"] * 3
+    post = {r.id: r.v for r in ch if r["_change_type"] == "update_postimage"}
+    assert post == {0: 100, 1: 101, 2: 102}
+
+
+def test_dv_merge_emits_cdf_including_inserts(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import read_delta_changes
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "mgdvcdf")
+    write_delta(
+        spark.range(10).selectExpr("id", "id AS v").coalesce(1), tbl
+    )
+    _set_config(tbl, {"delta.enableChangeDataFeed": "true"})
+    v0 = DeltaTable(tbl).version
+    src = spark.createDataFrame([(3, 300), (50, 5000)], "id long, v long")
+    merge_delta(
+        spark, tbl, src, "t.id = s.id",
+        matched_update={"v": "s.v"}, not_matched_insert=True, mode="dv",
+    )
+    ch = read_delta_changes(spark, tbl, v0).collect()
+    by_kind: dict[str, list] = {}
+    for r in ch:
+        by_kind.setdefault(r["_change_type"], []).append((r.id, r.v))
+    assert by_kind["update_preimage"] == [(3, 3)]
+    assert by_kind["update_postimage"] == [(3, 300)]
+    assert by_kind["insert"] == [(50, 5000)]
+
+
+def test_dv_merge_refused_on_append_only(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "mgdvao")
+    write_delta(
+        spark.range(10).selectExpr("id", "id AS v").coalesce(1), tbl
+    )
+    _set_config(tbl, {"delta.appendOnly": "true"})
+    src = spark.createDataFrame([(1, 10)], "id long, v long")
+    with pytest.raises(ValueError, match="appendOnly|append-only"):
+        merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            matched_update={"v": "s.v"}, not_matched_insert=False,
+            mode="dv",
+        )
