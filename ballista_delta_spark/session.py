@@ -197,6 +197,11 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Pin session TZ so timestamp semantics match the UTC-naive oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # carries no usable parquet footer stats, which starves Delta
+        # per-file minValues/maxValues (and thus scan pruning + ZORDER
+        # bounds) for every staged timestamp column.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")

@@ -1805,6 +1805,23 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
 _Z_BITS = 8  # 256 buckets per z-order column
 
 
+def _lin_stat_bound(val: Any, dtype: T.DataType) -> float:
+    """A JSON stats min/max value -> the SAME linear double domain as the
+    _zorder SQL expressions: epoch days for dates, epoch micros for
+    timestamps, plain float otherwise."""
+    import datetime as _dt
+
+    if isinstance(dtype, T.DateType):
+        return float(_dt.date.fromisoformat(str(val)).toordinal() - 719163)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        s = str(val).replace("T", " ").replace("Z", "+00:00")
+        d = _dt.datetime.fromisoformat(s)
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (d - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+    return float(val)
+
+
 def _zorder(
     spark: SparkSession,
     df: DataFrame,
@@ -1816,22 +1833,40 @@ def _zorder(
 
     Bucket bounds come from the snapshot's per-file minValues/maxValues
     stats (driver-side JSON — no Spark job); a single agg job is the
-    fallback when any file lacks stats for a column. Numeric columns only:
-    width_bucket needs a linear domain, and the point of z-order is
-    multi-column range pruning — for strings use a plain sort key instead.
+    fallback when any file lacks stats for a column. Columns with a LINEAR
+    domain only — numeric, date (epoch days via ``unix_date``) and
+    timestamp (epoch micros via ``unix_micros``), the most common z-order
+    keys in practice; width_bucket needs a linear domain, and the point of
+    z-order is multi-column range pruning — for strings use a plain sort
+    key instead.
     """
     numeric = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     )
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
     types = {f.name: f.dataType for f in snap.schema.fields}
+    # Linear-domain SQL expression per column (double-valued); its units
+    # MUST match _lin_stat_bound's parse of the JSON stats strings.
+    linear: dict[str, str] = {}
     for c in cols:
         if c not in types:
             raise ValueError(f"ZORDER BY column {c!r} not in table schema")
-        if not isinstance(types[c], numeric):
+        if isinstance(types[c], numeric):
+            linear[c] = f"CAST(`{c}` AS DOUBLE)"
+        elif isinstance(types[c], T.DateType):
+            linear[c] = f"CAST(unix_date(`{c}`) AS DOUBLE)"
+        elif isinstance(types[c], temporal):
+            # Session tz is pinned UTC, so the NTZ->TIMESTAMP cast is a
+            # consistent linearization within the rewrite.
+            linear[c] = (
+                f"CAST(unix_micros(CAST(`{c}` AS TIMESTAMP)) AS DOUBLE)"
+            )
+        else:
             raise ValueError(
-                f"ZORDER BY supports numeric columns only; {c!r} is "
-                f"{types[c].simpleString()} (use a sort-based rewrite)"
+                "ZORDER BY supports numeric/date/timestamp columns only; "
+                f"{c!r} is {types[c].simpleString()} "
+                "(use a sort-based rewrite)"
             )
     bounds: dict[str, tuple[float, float]] = {}
     try:
@@ -1839,13 +1874,13 @@ def _zorder(
             mns, mxs = [], []
             for a in snap.files.values():
                 st = json.loads(a["stats"]) if a.get("stats") else {}
-                mns.append(float(st["minValues"][c]))
-                mxs.append(float(st["maxValues"][c]))
+                mns.append(_lin_stat_bound(st["minValues"][c], types[c]))
+                mxs.append(_lin_stat_bound(st["maxValues"][c], types[c]))
             bounds[c] = (min(mns), max(mxs))
     except (KeyError, TypeError, ValueError):
         row = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+            *[F.min(F.expr(linear[c])).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(F.expr(linear[c])).alias(f"mx_{i}") for i, c in enumerate(cols)],
         ).collect()[0]
         bounds = {
             c: (row[f"mn_{i}"], row[f"mx_{i}"]) for i, c in enumerate(cols)
@@ -1857,7 +1892,7 @@ def _zorder(
         if mn is None or mx is None or mx <= mn:
             continue  # constant/all-null column contributes nothing
         b = (
-            f"least(greatest(width_bucket(CAST(`{c}` AS DOUBLE), "
+            f"least(greatest(width_bucket({linear[c]}, "
             f"{mn!r}, {mx!r}, {1 << _Z_BITS}) - 1, 0), {(1 << _Z_BITS) - 1})"
         )
         bucket = f"CASE WHEN `{c}` IS NULL THEN 0 ELSE {b} END"

@@ -980,3 +980,57 @@ def test_checkpoint_preserves_protocol_dv_and_table_id(spark, tmp_path):
     got = read_delta(spark, tbl)
     assert got.count() == 90
     assert got.filter("id < 10").count() == 0
+
+
+def test_optimize_zorder_timestamp_and_date(spark, tmp_path):
+    """ZORDER BY over (timestamp, numeric) — time is the single most
+    common z-order key in practice. Linearized to epoch micros, so the
+    same tight-hyper-rectangle contract as the numeric test holds: after
+    the rewrite every file is range-tight on BOTH ts and value."""
+    import datetime as _dt
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import optimize
+
+    tbl = str(tmp_path / "zts")
+    base = _dt.datetime(2024, 1, 1)
+    # 32x32 grid over (hour-of-year, value), row-major on ts.
+    rows = [
+        (base + _dt.timedelta(hours=h), v, h * 32 + v)
+        for h in range(32)
+        for v in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, value int, payload int"
+    ).coalesce(1)
+    write_delta(df, tbl)
+    v = optimize(spark, tbl, target_file_rows=256, zorder_by=["ts", "value"])
+    assert v == 1
+    snap = DeltaTable(tbl).snapshot
+    assert len(snap.files) == 4
+    for add in snap.files.values():
+        st = _json.loads(add["stats"])
+        ts_mn = _dt.datetime.fromisoformat(
+            st["minValues"]["ts"].replace("T", " ").replace("Z", "")
+        )
+        ts_mx = _dt.datetime.fromisoformat(
+            st["maxValues"]["ts"].replace("T", " ").replace("Z", "")
+        )
+        spread_h = (ts_mx - ts_mn).total_seconds() / 3600
+        assert spread_h <= 23, st
+        spread_v = int(st["maxValues"]["value"]) - int(st["minValues"]["value"])
+        assert spread_v <= 23, st
+    assert read_delta(spark, tbl).count() == 1024
+
+    # DATE columns linearize via epoch days.
+    tbl2 = str(tmp_path / "zdate")
+    rows2 = [
+        (base.date() + _dt.timedelta(days=d), d) for d in range(256)
+    ]
+    write_delta(
+        spark.createDataFrame(rows2, "d date, v int").coalesce(1), tbl2
+    )
+    assert optimize(spark, tbl2, target_file_rows=128, zorder_by=["d"]) == 1
+    assert read_delta(spark, tbl2).count() == 256
+    with pytest.raises(ValueError, match="not in table schema"):
+        optimize(spark, tbl2, zorder_by=["nope"])
