@@ -202,6 +202,12 @@ def build_spark(
         # per-file minValues/maxValues (and thus scan pruning + ZORDER
         # bounds) for every staged timestamp column.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Python-worker connect-back window (default 15s): on a loaded
+        # 32-core box a full pytest run can fork workers slower than that,
+        # killing streaming tests with "Timed out while waiting for the
+        # Python worker to connect back" — an environment flake, not a
+        # logic failure.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
