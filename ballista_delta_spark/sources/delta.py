@@ -896,7 +896,15 @@ def _assign_identity(df: DataFrame, col: str, base: int, step: int, dtype):
     range offset (driver holds O(#partitions) numbers), then a per-partition
     row_number hands out positions inside the range — no global sort, no
     single-partition bottleneck. Values are unique and step-aligned;
-    contiguity is best-effort (the spec allows gaps)."""
+    contiguity is best-effort (the spec allows gaps).
+
+    The count job and the later staging write must see ONE materialization
+    of the input — a nondeterministic upstream (sample, shuffle-order-
+    dependent row assignment) re-executed between the two jobs could put
+    more rows in a partition than its allocated range, duplicating values
+    or exceeding the committed high-water mark. ``localCheckpoint`` pins
+    the row-to-partition assignment before either job runs."""
+    df = df.localCheckpoint(eager=False)
     pid_df = df.withColumn("__idpid", F.spark_partition_id())
     counts = {
         r["__idpid"]: r["cnt"]
@@ -1252,7 +1260,10 @@ def _try_commit(
     version = _next_version(log)
     if enable_ict:
         prev_ict = 0
-        if version > 0:
+        # The previous JSON commit may have been cleaned after a
+        # checkpoint; monotonicity then falls back to the wall clock
+        # (which can only move the stamp forward, never backward).
+        if version > 0 and os.path.exists(_version_file(log, version - 1)):
             with open(_version_file(log, version - 1)) as fh:
                 for line in fh:
                     if line.strip():
@@ -1622,7 +1633,19 @@ def read_delta_changes(
                     )
                     .parquet(*files)
                 )
-                parts.append(cdf.select(*cols, "_change_type"))
+                # Partition-column types are inferred from directory names
+                # here (e.g. '01' -> int); cast every column back to the
+                # declared log-schema type so the unionByName with
+                # derivable-commit parts can't mismatch.
+                typed = {f.name: f.dataType for f in new.schema.fields}
+                parts.append(
+                    cdf.select(
+                        *[
+                            F.col(c).cast(typed[c]).alias(c) for c in cols
+                        ],
+                        "_change_type",
+                    )
+                )
             else:
                 # Derivable commit: diff its endpoints the usual way.
                 prev_s = _load_snapshot(path, version=v - 1)
