@@ -187,3 +187,156 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- text_pii_redact: regex PII masking (emails / phones / IPv4).
+# The synthetic corpus carries no PII, so the query first APPENDS a
+# deterministic, doc_id-derived contact line — the redaction regexes are
+# then genuinely exercised on every row (a zero-match pass would prove
+# nothing). Counts come from the pre-redaction text; the redacted text is
+# md5'd so the compare stays row-sized. Regexes are written in the common
+# Java-regex/RE2 subset (no lookarounds, no backrefs) so Spark and DuckDB
+# match identically; DuckDB needs the 'g' flag (its regexp_replace is
+# first-match-only by default — Spark's replaces all).
+#
+# 100 TB shape: one codegen'd narrow pass over the scan, zero shuffle —
+# same cost envelope as text_token_count.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_IP_RE}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+"""
+
+
+@_q("text_pii_redact", _PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_PHONE_RE), F.lit("<PHONE>"),
+        ),
+        F.lit(_IP_RE), F.lit("<IP>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(aug, F.lit(_IP_RE)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- text_gopher_quality: Gopher-style (Rae et al. 2021, published rule
+# set) document-quality gates: word-count bounds, mean-word-length
+# bounds, and minimum stopword evidence. Mean word length is total
+# non-whitespace chars / word count (exact integer inputs, rounded to 4
+# decimals in BOTH engines). One codegen'd pass, no shuffle.
+_GOPHER_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '{_WS}')) AS n_words,
+             length(regexp_replace(text, '{_WS}', '', 'g')) AS n_chars_nws,
+             len(list_filter(regexp_split_to_array(text, '{_WS}'),
+                             t -> t IN {_sql_in(_PROFILES["en"])})) AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_words,
+           round(n_chars_nws * 1.0 / n_words, 4) AS mean_word_len,
+           stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND n_chars_nws * 1.0 / n_words BETWEEN 3 AND 10
+            AND stop_hits >= 2) AS keep
+    FROM s
+"""
+
+
+@_q("text_gopher_quality", _GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", _WS))
+    n_chars_nws = F.length(F.regexp_replace("text", _WS, ""))
+    mean_wl = n_chars_nws * 1.0 / n_words
+    stop_hits = _hits("en")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        (
+            n_words.between(50, 100000)
+            & mean_wl.between(3, 10)
+            & (stop_hits >= 2)
+        ).alias("keep"),
+    )
+
+
+# --- text_bigram_topk: corpus-level top-25 token bigrams. The one text
+# operator here that SHOULD shuffle: explode to (bigram) then a two-phase
+# hash aggregate. 100 TB shape: the map side pre-aggregates per partition
+# (partial_count), so the exchange carries one row per DISTINCT bigram per
+# partition — vocabulary-sized, not token-count-sized; the final top-25 is
+# a TakeOrderedAndProject (no global sort materialization). Deterministic
+# tie-break on the bigram text keeps the driver hash stable.
+_BIGRAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS t
+      FROM documents),
+    grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, range(1, 10000) r(i)
+      WHERE i < len(t))
+    SELECT bigram, count(*) AS cnt
+    FROM grams
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 25
+"""
+
+
+@_q("text_bigram_topk", _BIGRAM_ORACLE)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(
+            F.expr(
+                f"""
+                zip_with(slice(split(text, '{_WS_SQL}'), 1,
+                               size(split(text, '{_WS_SQL}')) - 1),
+                         slice(split(text, '{_WS_SQL}'), 2,
+                               size(split(text, '{_WS_SQL}')) - 1),
+                         (a, b) -> concat(a, ' ', b))
+                """
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(25)
+    )

@@ -293,3 +293,23 @@ def test_stream_dedup_watermarked_uses_bounded_state_operator(spark, sf_dir):
     assert "EventTimeWatermark" in logical.replace(
         "DeduplicateWithinWatermark", ""
     ), logical
+
+
+def test_new_text_ops_scale_shapes(spark, sf_dir):
+    """text_pii_redact / text_gopher_quality: one narrow pass, no shuffle.
+    text_bigram_topk: exactly ONE exchange carrying a partially-aggregated
+    (bigram, count) relation — vocabulary-sized, not token-count-sized —
+    and the top-25 must be TakeOrderedAndProject (no global sort
+    materialization)."""
+    from ballista_delta_spark.queries.text import QUERIES
+
+    for name in ("text_pii_redact", "text_gopher_quality"):
+        fn, _ = QUERIES[name]
+        plan = _physical_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+    fn, _ = QUERIES["text_bigram_topk"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan  # map-side combine
+    assert "TakeOrderedAndProject" in plan, plan
