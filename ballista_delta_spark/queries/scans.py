@@ -714,6 +714,33 @@ def sink_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S24 sink_delta_rename_column: ALTER TABLE RENAME/DROP COLUMN via
+# columnMapping=name (round 7). O(1) metadata commits — no data rewrite —
+# then an APPEND that must stage parquet under the ORIGINAL physical name
+# for the mapped reads to stay consistent. The oracle replays the logical
+# outcome: renamed header, appended rows, dropped column gone.
+@_q(
+    "sink_delta_rename_column",
+    """
+    SELECT n_nationkey, n_name AS nation_name FROM nation
+    UNION ALL SELECT 90, 'ATLANTIS'
+    UNION ALL SELECT 91, 'LEMURIA'
+    """,
+)
+def sink_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import alter_columns
+
+    path = _clone(_nation_delta(spark, sf_dir), "s24")
+    alter_columns(path, renames={"n_name": "nation_name"})
+    extra = spark.createDataFrame(
+        [(90, "ATLANTIS", 9), (91, "LEMURIA", 9)],
+        "n_nationkey int, nation_name string, n_regionkey int",
+    )
+    write_delta(extra, path, mode="append")
+    alter_columns(path, drops=["n_regionkey"])
+    return read_delta(spark, path).select("n_nationkey", "nation_name")
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

@@ -99,6 +99,19 @@ _DELTA_TBLPROPS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# ALTER TABLE <name> RENAME COLUMN <a> TO <b> / DROP COLUMN[S] (a, b) —
+# metadata-only schema evolution, routed to alter_columns (auto-upgrades
+# the table to columnMapping=name, delta-spark parity).
+_DELTA_ALTER_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+(?:RENAME\s+COLUMN\s+(?P<old>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+TO\s+(?P<new>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"|DROP\s+COLUMNS?\s*\(?\s*(?P<dropcols>[^)]+?)\s*\)?)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # RESTORE [TABLE] <name> TO VERSION AS OF <n> — delta-spark rollback SQL.
 _DELTA_RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?"
@@ -362,6 +375,33 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             else:
                 version = alter_constraints(
                     spark, loc, drop=[m.group("cname")]
+                )
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_ALTER_COLUMN.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import alter_columns, read_delta
+
+            loc = _delta_views[name]
+            if m.group("old"):
+                version = alter_columns(
+                    loc,
+                    renames={
+                        m.group("old").strip("`"): m.group("new").strip("`")
+                    },
+                )
+            else:
+                version = alter_columns(
+                    loc,
+                    drops=[
+                        c.strip().strip("`")
+                        for c in m.group("dropcols").split(",") if c.strip()
+                    ],
                 )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(

@@ -725,13 +725,21 @@ def protocol_upgrade_action(
     min_writer: int,
     writer_feature: str | None = None,
     reader_feature: str | None = None,
+    min_reader: int | None = None,
 ) -> dict[str, Any]:
     """A protocol action that NEVER downgrades: versions are max'd against
     the snapshot's declared protocol, previously declared reader/writer
     features are re-emitted (Snapshot retains them through log replay), and
     an upgrade to the feature-list versions (reader 3 / writer 7) also
-    enumerates the features the legacy version number implied."""
-    mrv = max(snap.min_reader_version, 3 if reader_feature else 1)
+    enumerates the features the legacy version number implied.
+
+    ``min_reader`` sets a LEGACY reader-version floor (e.g. columnMapping's
+    reader 2) without forcing the feature-list version 3; ``reader_feature``
+    then only lands in ``readerFeatures`` when the table is already (or
+    becomes) a reader-3 table — a legacy reader 2 implies it instead."""
+    if min_reader is None:
+        min_reader = 3 if reader_feature else 1
+    mrv = max(snap.min_reader_version, min_reader)
     mwv = max(snap.min_writer_version, min_writer)
     pr: dict[str, Any] = {"minReaderVersion": mrv, "minWriterVersion": mwv}
     if mwv >= 7:
@@ -820,6 +828,7 @@ def _stage_cdc(
     df: DataFrame,
     path: str,
     partition_by: list[str],
+    snap: "Snapshot | None" = None,
 ) -> list[dict[str, Any]]:
     """Distributed-write change rows (table columns + ``_change_type``)
     under ``<table>/_change_data/`` and return their ``cdc`` actions.
@@ -828,7 +837,12 @@ def _stage_cdc(
     Hive-pathed locations, files invisible until a commit references them.
     cdc actions carry ``dataChange: false`` (the spec's marker that these
     files feed CDF readers, not table scans); no stats are required.
+    Column-mapping tables write CDC parquet under physical names too
+    (``_change_type`` is spec-reserved and passes through unmapped).
     """
+    if snap is not None and snap.column_mapping:
+        df = _to_physical(df, snap, extra_cols=("_change_type",))
+        partition_by = [snap.physical(c) for c in partition_by]
     cd_root = os.path.join(path, "_change_data")
     staging = os.path.join(path, f".tmp-cdc-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -960,9 +974,9 @@ def check_write_protocol(
         supported = _SUPPORTED_WRITER_FEATURES | {
             "checkConstraints", "generatedColumns", "identityColumns",
             "changeDataFeed",
-            # Vacuously supported: tables with ACTIVE column mapping refuse
-            # all writes earlier (column_mapping check); the feature can
-            # still be declared (legacy v5 upgrades enumerate it).
+            # Genuinely supported: every file-writing path stages under
+            # physical names when the snapshot declares a mapping
+            # (_stage_adds/_stage_cdc/optimize via _to_physical).
             "columnMapping",
         }
         unsupported = set(snap.writer_features) - supported
@@ -1011,13 +1025,6 @@ def write_delta(
     partition_by = list(partition_by or [])
     if exists:
         prev = _load_snapshot(path)
-        if prev.column_mapping:
-            # Writing would emit logical-named parquet into a table whose
-            # readers resolve physical names — silent data corruption.
-            raise ValueError(
-                "writing to a columnMapping table is not supported "
-                "(reads are); use delta-spark for writes to this table"
-            )
         check_write_protocol(
             prev,
             removes_files=(mode == "overwrite"),
@@ -1118,7 +1125,10 @@ def write_delta(
     else:
         schema_struct = df.schema
 
-    adds = _stage_adds(df, path, partition_by, schema_struct)
+    adds = _stage_adds(
+        df, path, partition_by, schema_struct,
+        snap=prev if exists else None,
+    )
     now_ms = int(time.time() * 1000)
 
     actions: list[dict[str, Any]] = []
@@ -1183,11 +1193,31 @@ def write_delta(
     )
 
 
+def _to_physical(
+    df: DataFrame, snap: "Snapshot", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Rename table columns logical -> physical for a columnMapping table
+    (id mode also attaches ``parquet.field.id`` so Spark writes parquet
+    field ids). ``extra_cols`` (e.g. ``_change_type``) pass through — the
+    spec reserves them as physical names."""
+    cols = []
+    for f in snap.schema.fields:
+        md = (
+            {"parquet.field.id": snap.field_ids[f.name]}
+            if snap.column_mapping_mode == "id" and f.name in snap.field_ids
+            else None
+        )
+        cols.append(F.col(f.name).alias(snap.physical(f.name), metadata=md))
+    cols.extend(F.col(c) for c in extra_cols)
+    return df.select(*cols)
+
+
 def _stage_adds(
     df: DataFrame,
     path: str,
     partition_by: list[str],
     schema_struct: T.StructType,
+    snap: "Snapshot | None" = None,
 ) -> list[dict[str, Any]]:
     """Distributed-write ``df`` into the table dir and return its add actions.
 
@@ -1196,7 +1226,16 @@ def _stage_adds(
     files directly + commit, as delta-spark does; rename is the local-FS
     equivalent.) The files are INVISIBLE until a commit references them —
     callers must pass the returned adds to ``_try_commit``.
+
+    When ``snap`` declares column mapping, the parquet files (and therefore
+    stats keys, Hive directory names, and partitionValues keys) are written
+    under PHYSICAL column names, per the spec — callers keep working in
+    logical names throughout.
     """
+    if snap is not None and snap.column_mapping:
+        df = _to_physical(df, snap)
+        partition_by = [snap.physical(c) for c in partition_by]
+        schema_struct = snap.physical_schema
     staging = os.path.join(path, f".tmp-write-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -1446,6 +1485,115 @@ def alter_properties(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
+def alter_columns(
+    path: str,
+    renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
+) -> int:
+    """ALTER TABLE RENAME COLUMN / DROP COLUMN — metadata-only (no data
+    files touched), which requires column mapping: parquet keeps the
+    ORIGINAL (physical) column name forever; only the logical schema in the
+    Delta log changes. delta-spark parity: the first rename/drop on a plain
+    table auto-upgrades it to ``delta.columnMapping.mode=name`` — every
+    existing field's physicalName is pinned to its current name (that IS
+    what the data files spell), fields get stable ids, and the protocol is
+    raised to the columnMapping floor (reader 2 / writer 5, legacy form; a
+    feature-list table gets the ``columnMapping`` reader feature instead).
+
+    100 TB shape: renames and drops on a billion-file table are O(1) — one
+    JSON commit, zero data jobs. That is the entire point of column
+    mapping.
+
+    Exceeds the reference: its ALTER surface is DataFusion's (in-memory
+    catalog only, no Delta metadata evolution — reference src/lib.rs:36).
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    names = [f.name for f in snap.schema.fields]
+    for old in list(renames) + drops:
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+    for old, new in renames.items():
+        if new in set(names) - {old}:
+            raise ValueError(f"rename target {new!r} already exists")
+    if set(drops) & set(renames):
+        raise ValueError("cannot rename and drop the same column")
+    for c in drops:
+        if c in snap.partition_columns:
+            raise ValueError(f"cannot drop partition column {c!r}")
+    if set(drops) == set(names):
+        raise ValueError("cannot drop every column")
+
+    schema_json = json.loads(
+        snap.metadata_raw.get("schemaString")
+        or json.dumps(snap.schema.jsonValue())
+    )
+    cfg = dict(snap.configuration)
+    actions: list[dict[str, Any]] = []
+    enabling = snap.column_mapping_mode == "none"
+    if enabling:
+        # Pin physical names to the CURRENT names and hand out field ids.
+        max_id = 0
+        for f_json in schema_json["fields"]:
+            max_id += 1
+            meta = dict(f_json.get("metadata") or {})
+            meta.setdefault(
+                "delta.columnMapping.physicalName", f_json["name"]
+            )
+            meta.setdefault("delta.columnMapping.id", max_id)
+            f_json["metadata"] = meta
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        if snap.min_reader_version < 2 or snap.min_writer_version < 5 or (
+            snap.min_writer_version >= 7
+            and "columnMapping" not in snap.writer_features
+        ):
+            actions.append(protocol_upgrade_action(
+                snap, min_writer=5,
+                writer_feature="columnMapping",
+                reader_feature="columnMapping",
+                min_reader=2,
+            ))
+
+    schema_json["fields"] = [
+        f_json for f_json in schema_json["fields"]
+        if f_json["name"] not in drops
+    ]
+    for f_json in schema_json["fields"]:
+        if f_json["name"] in renames:
+            f_json["name"] = renames[f_json["name"]]
+
+    now_ms = int(time.time() * 1000)
+    md = dict(snap.metadata_raw) or {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "createdTime": now_ms,
+    }
+    md["schemaString"] = json.dumps(schema_json)
+    md["partitionColumns"] = [
+        renames.get(c, c) for c in snap.partition_columns
+    ]
+    md["configuration"] = cfg
+    op = "RENAME COLUMN" if renames else "DROP COLUMNS"
+    actions.insert(0, {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": op,
+            "operationParameters": {
+                "renames": json.dumps(renames),
+                "drops": json.dumps(drops),
+            },
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    })
+    actions.append({"metaData": md})
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
 def create_checkpoint(path: str) -> int:
     """Write a parquet checkpoint of the current snapshot + _last_checkpoint.
 
@@ -1636,12 +1784,15 @@ def read_delta_changes(
                 # Partition-column types are inferred from directory names
                 # here (e.g. '01' -> int); cast every column back to the
                 # declared log-schema type so the unionByName with
-                # derivable-commit parts can't mismatch.
+                # derivable-commit parts can't mismatch. CDC parquet spells
+                # PHYSICAL names on a columnMapping table — resolve back to
+                # logical exactly as to_df does.
                 typed = {f.name: f.dataType for f in new.schema.fields}
                 parts.append(
                     cdf.select(
                         *[
-                            F.col(c).cast(typed[c]).alias(c) for c in cols
+                            F.col(new.physical(c)).cast(typed[c]).alias(c)
+                            for c in cols
                         ],
                         "_change_type",
                     )
@@ -1897,8 +2048,11 @@ def _zorder(
             mns, mxs = [], []
             for a in snap.files.values():
                 st = json.loads(a["stats"]) if a.get("stats") else {}
-                mns.append(_lin_stat_bound(st["minValues"][c], types[c]))
-                mxs.append(_lin_stat_bound(st["maxValues"][c], types[c]))
+                # Stats are keyed by PHYSICAL name (identity when column
+                # mapping is off).
+                pc = snap.physical(c)
+                mns.append(_lin_stat_bound(st["minValues"][pc], types[c]))
+                mxs.append(_lin_stat_bound(st["maxValues"][pc], types[c]))
             bounds[c] = (min(mns), max(mxs))
     except (KeyError, TypeError, ValueError):
         row = df.agg(
@@ -1963,12 +2117,6 @@ def optimize(
     """
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
-    if snap.column_mapping:
-        # Compaction rewrites files with logical names; a mapped table's
-        # readers resolve physical names — refuse, don't corrupt.
-        raise ValueError(
-            "OPTIMIZE on a columnMapping table is not supported (reads are)"
-        )
     # removes_files=False: compaction commits dataChange=false actions,
     # which the appendOnly contract explicitly permits; dataChange=false
     # also means CDF readers ignore the commit entirely (cdf_capable).
@@ -1988,13 +2136,22 @@ def optimize(
         clustered = df.coalesce(n_out)
 
     staging = os.path.join(path, f".tmp-optimize-{uuid.uuid4().hex}")
+    # Column-mapping tables compact under PHYSICAL names, like every other
+    # file-writing path here.
+    part_cols = snap.partition_columns
+    if snap.column_mapping:
+        clustered = _to_physical(clustered, snap)
+        part_cols = snap.physical_partition_columns
     writer = clustered.write.mode("overwrite")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
 
     data_fields = [
-        f for f in snap.schema.fields if f.name not in snap.partition_columns
+        f for f in (
+            snap.physical_schema if snap.column_mapping else snap.schema
+        ).fields
+        if f.name not in part_cols
     ]
     now_ms = int(time.time() * 1000)
     adds: list[dict[str, Any]] = []

@@ -84,17 +84,11 @@ def _retrying(once, retries: int):
 def _check_writable(
     dt: DeltaTable, removes_files: bool = True, cdf_capable: bool = False
 ) -> None:
-    """Copy-on-write DML rewrites files with the logical schema; a
-    columnMapping table's readers resolve PHYSICAL names, so a rewrite
-    would silently corrupt it (reads are supported, writes are not).
-    Also enforces the writer protocol: unsupported writer versions/
+    """Enforces the writer protocol: unsupported writer versions/
     features refuse, and appendOnly tables reject file-removing DML
-    (insert-only MERGE passes removes_files=False and stays legal)."""
-    if dt.snapshot.column_mapping:
-        raise ValueError(
-            "DML on a columnMapping table is not supported (reads are); "
-            "use delta-spark for writes to this table"
-        )
+    (insert-only MERGE passes removes_files=False and stays legal).
+    columnMapping tables ARE writable — every staging call passes the
+    snapshot so ``_stage_adds``/``_stage_cdc`` spell physical names."""
     gen = [
         f.name for f in dt.snapshot.schema.fields
         if (f.metadata or {}).get("delta.generationExpression")
@@ -272,7 +266,7 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
     if partial:
         kept = _sized(_subset_df(spark, dt, partial).filter(~cond), len(partial))
         adds = _stage_adds(
-            kept, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema
+            kept, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema, snap=dt.snapshot
         )
 
     n_deleted = sum(matched.values())
@@ -296,7 +290,7 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
         actions += [
             {"cdc": c}
             for c in _stage_cdc(
-                deleted_rows, dt.path, dt.snapshot.partition_columns
+                deleted_rows, dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
             )
         ]
     version = _try_commit(
@@ -437,7 +431,7 @@ def _delete_dv_once(
         actions += [
             {"cdc": c}
             for c in _stage_cdc(
-                deleted_rows, dt.path, snap.partition_columns
+                deleted_rows, dt.path, snap.partition_columns, snap=snap
             )
         ]
     # No staged part-files: the adds reference EXISTING data files. A lost
@@ -532,7 +526,7 @@ def _update_dv_once(
     now_ms = int(time.time() * 1000)
     adds = _stage_adds(
         _sized(post, len(new_per_file)),
-        dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+        dt.path, dt.snapshot.partition_columns, dt.snapshot.schema, snap=dt.snapshot
     )
     metrics = {
         "numUpdatedRows": n_updated,
@@ -559,7 +553,7 @@ def _update_dv_once(
             {"cdc": c}
             for c in _stage_cdc(
                 pre.unionByName(post_img), dt.path,
-                dt.snapshot.partition_columns,
+                dt.snapshot.partition_columns, snap=dt.snapshot
             )
         ]
     version = _try_commit(
@@ -620,7 +614,7 @@ def _update_once(
     now_ms = int(time.time() * 1000)
     adds = _stage_adds(
         _sized(updated, len(affected)),
-        dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+        dt.path, dt.snapshot.partition_columns, dt.snapshot.schema, snap=dt.snapshot
     )
     metrics = {
         "numUpdatedRows": n_updated,
@@ -655,7 +649,7 @@ def _update_once(
             {"cdc": c}
             for c in _stage_cdc(
                 pre.unionByName(post), dt.path,
-                dt.snapshot.partition_columns,
+                dt.snapshot.partition_columns, snap=dt.snapshot
             )
         ]
     version = _try_commit(
@@ -754,7 +748,7 @@ def _stage_insert_adds(
     if active_constraints(dt.snapshot):
         enforce_constraints(ins, dt.snapshot)
     ins_adds = _stage_adds(
-        ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+        ins, dt.path, dt.snapshot.partition_columns, dt.snapshot.schema, snap=dt.snapshot
     )
     adds: list[dict[str, Any]] = []
     n_inserted = 0
@@ -999,7 +993,7 @@ def _merge_once(
                 enforce_constraints(rewritten, dt.snapshot)
             adds += _stage_adds(
                 _sized(rewritten, len(affected)),
-                dt.path, dt.snapshot.partition_columns, dt.snapshot.schema,
+                dt.path, dt.snapshot.partition_columns, dt.snapshot.schema, snap=dt.snapshot
             )
             if cdf:
                 # CDF images for the matched side, staged while ``joined``
@@ -1033,7 +1027,7 @@ def _merge_once(
                     for p_df in parts[1:]:
                         u = u.unionByName(p_df)
                     cdc_actions += _stage_cdc(
-                        u, dt.path, dt.snapshot.partition_columns
+                        u, dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
                     )
         finally:
             joined.unpersist()
@@ -1079,7 +1073,7 @@ def _merge_once(
         # (A pure-insert MERGE commit stays derivable; no cdc needed.)
         cdc_actions += _stage_cdc(
             ins.withColumn("_change_type", F.lit("insert")),
-            dt.path, dt.snapshot.partition_columns,
+            dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
         )
     actions = [_commit_info("MERGE", {"predicate": on}, metrics, now_ms)]
     actions += removes
@@ -1203,7 +1197,7 @@ def _merge_dv_once(
                 adds += _stage_adds(
                     _sized(post, max(len(new_per_file), 1)),
                     dt.path, dt.snapshot.partition_columns,
-                    dt.snapshot.schema,
+                    dt.snapshot.schema, snap=dt.snapshot
                 )
                 if cdf:
                     t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
@@ -1215,7 +1209,7 @@ def _merge_dv_once(
                     )
                     cdc_actions += _stage_cdc(
                         pre.unionByName(post_img), dt.path,
-                        dt.snapshot.partition_columns,
+                        dt.snapshot.partition_columns, snap=dt.snapshot
                     )
             if cdf and delete_ids:
                 t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
@@ -1223,7 +1217,7 @@ def _merge_dv_once(
                     joined.filter(F.col("__act").isin(delete_ids))
                     .select(*t_sel)
                     .withColumn("_change_type", F.lit("delete")),
-                    dt.path, dt.snapshot.partition_columns,
+                    dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
                 )
         finally:
             joined.unpersist()
@@ -1263,7 +1257,7 @@ def _merge_dv_once(
         # exclusively through cdc — the inserted rows must be in it too.
         cdc_actions += _stage_cdc(
             ins.withColumn("_change_type", F.lit("insert")),
-            dt.path, dt.snapshot.partition_columns,
+            dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
         )
     actions += [{"cdc": c} for c in cdc_actions]
     version = _try_commit(

@@ -498,18 +498,12 @@ def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
         df.filter("nation = 'China'").count()
         == src.filter("country = 'China'").count()
     )
-    # Writes, DML, and compaction must all refuse rather than emit
-    # logical-named parquet into a physical-name table.
-    with pytest.raises(ValueError, match="columnMapping"):
-        write_delta(df, tbl, mode="append")
-    from ballista_delta_spark.sources.delta_dml import delete_delta
-
-    with pytest.raises(ValueError, match="columnMapping"):
-        delete_delta(spark, tbl, "last_name = 'x'")
-    from ballista_delta_spark.sources.delta import optimize
-
-    with pytest.raises(ValueError, match="columnMapping"):
-        optimize(spark, tbl)
+    # Writes, DML, and compaction all stage PHYSICAL-named parquet (round
+    # 7; full coverage in tests/test_column_mapping.py) — a quick append
+    # round-trip here proves the retrofit table stays consistent.
+    n = df.count()
+    write_delta(df.limit(2), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == n + 2
 
 
 def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
@@ -560,9 +554,13 @@ def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
     snap = DeltaTable(tbl).snapshot
     assert snap.column_mapping_mode == "id"
     assert set(snap.field_ids.values()) == set(range(1, len(logical_names) + 1))
-    # Writes still refuse: emitting unmapped parquet would corrupt.
-    with pytest.raises(ValueError, match="columnMapping"):
-        write_delta(df, tbl, mode="append")
+    # Writes stage under the junk physical names WITH parquet field ids,
+    # so id-resolution keeps working over the appended files too.
+    n = df.count()
+    write_delta(df.limit(3), tbl, mode="append")
+    out = read_delta(spark, tbl)
+    assert out.count() == n + 3
+    assert set(out.columns) == set(logical_names)
 
 
 def test_write_type_enforcement(spark, tmp_path):
