@@ -741,6 +741,37 @@ def sink_delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, path).select("n_nationkey", "nation_name")
 
 
+# --- S25 sink_delta_clone: SHALLOW CLONE (round 7) — zero-copy fork whose
+# version-0 commit references the source's files by absolute path, then
+# independent DML on the clone. The oracle replays the logical outcome;
+# the final SELECT also implicitly proves the source survived (the clone's
+# non-region-2 rows must equal the source's, which the nation view is).
+@_q(
+    "sink_delta_clone",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey <> 2
+    UNION ALL SELECT 99, 'CLONETOPIA', 2
+    """,
+)
+def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import clone_delta
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = _nation_delta(spark, sf_dir)
+    dst = os.path.join(_tmp("s25"), "clone")
+    clone_delta(src, dst)
+    delete_delta(spark, dst, "n_regionkey = 2")
+    extra = spark.createDataFrame(
+        [(99, "CLONETOPIA", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    write_delta(extra, dst, mode="append")
+    return read_delta(spark, dst).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

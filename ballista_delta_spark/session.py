@@ -112,6 +112,18 @@ _DELTA_ALTER_COLUMN = re.compile(
     re.IGNORECASE,
 )
 
+# CREATE TABLE <name> SHALLOW CLONE <src> LOCATION '<dst>' — zero-copy
+# table fork (delta-spark clone DDL), routed to clone_delta. <src> is a
+# registered delta view name or a quoted path.
+_DELTA_CLONE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+SHALLOW\s+CLONE\s+"
+    r"(?P<src>`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
+    r"\s+LOCATION\s+'(?P<dst>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # RESTORE [TABLE] <name> TO VERSION AS OF <n> — delta-spark rollback SQL.
 _DELTA_RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?"
@@ -380,6 +392,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
+
+    m = _DELTA_CLONE.match(statement)
+    if m:
+        from .sources.delta import clone_delta, read_delta
+
+        raw_src = m.group("src")
+        if raw_src.startswith("'"):
+            src_loc = raw_src.strip("'")
+        else:
+            src_name = _resolve_view(raw_src)
+            if src_name is None:
+                raise ValueError(
+                    f"SHALLOW CLONE source {raw_src!r} is not a registered "
+                    "Delta table (use a quoted path or register it first)"
+                )
+            src_loc = _delta_views[src_name]
+        dst = m.group("dst")
+        clone_delta(src_loc, dst)
+        name = m.group("name").strip("`")
+        read_delta(spark, dst).createOrReplaceTempView(name)
+        _delta_views[name] = dst
+        return spark.sql("SELECT CAST(0 AS BIGINT) AS committed_version")
 
     m = _DELTA_ALTER_COLUMN.match(statement)
     if m:

@@ -183,7 +183,14 @@ class DeltaTable:
             logical += [F.col("__src_fp"), F.col("__src_ri")]
         dv_filter = self._dv_filter(spark, keep_location=with_location)
         paths = [os.path.join(self.path, p) for p in snap.files]
-        if snap.partition_columns and all(self._hive_pathed(p) for p in snap.files):
+        # Absolute add paths (shallow clones) can live OUTSIDE the table
+        # root, where Spark's basePath partition recovery would refuse the
+        # scan — those take the partitionValues-literal union path below.
+        if (
+            snap.partition_columns
+            and all(self._hive_pathed(p) for p in snap.files)
+            and not any(os.path.isabs(p) for p in snap.files)
+        ):
             df = (
                 spark.read.option("basePath", self.path)
                 .schema(snap.physical_schema)
@@ -1592,6 +1599,87 @@ def alter_columns(
     })
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
+def clone_delta(src: str, dst: str) -> int:
+    """SHALLOW CLONE: a new, independent Delta table whose version-0 commit
+    REFERENCES the source's current data files by absolute path — zero data
+    copied, O(#files) metadata. Writes/DML/OPTIMIZE on the clone never
+    touch the source (removes only drop the clone's log references;
+    ``vacuum`` walks only the clone's own directory, so out-of-root
+    referenced files are untouchable by design). The clone gets a fresh
+    table id; schema, partitioning, configuration, and protocol carry over
+    verbatim, per delta-spark's CREATE TABLE ... SHALLOW CLONE.
+
+    At 100 TB this is the standard way to fork a table for experiments or
+    staged migrations: a billion-file clone is one JSON commit.
+
+    DV descriptors with table-relative storage (type 'u') are rewritten to
+    absolute-path descriptors (type 'p') pointing at the source's bin
+    files, so merge-on-read state survives the re-rooting.
+    """
+    src = _strip_file_scheme(src)
+    dst = _strip_file_scheme(dst)
+    snap = _load_snapshot(src)
+    if os.path.isdir(_log_dir(dst)) and _next_version(_log_dir(dst)) > 0:
+        raise ValueError(f"clone destination already a Delta table: {dst}")
+    src_abs = os.path.abspath(src)
+    now_ms = int(time.time() * 1000)
+
+    proto: dict[str, Any] = {
+        "minReaderVersion": snap.min_reader_version,
+        "minWriterVersion": snap.min_writer_version,
+    }
+    if snap.reader_features:
+        proto["readerFeatures"] = sorted(snap.reader_features)
+    if snap.writer_features:
+        proto["writerFeatures"] = sorted(snap.writer_features)
+
+    md = dict(snap.metadata_raw) or {
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(snap.schema.jsonValue()),
+        "partitionColumns": snap.partition_columns,
+        "configuration": dict(snap.configuration),
+    }
+    md["id"] = str(uuid.uuid4())
+    md["createdTime"] = now_ms
+
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "sourceVersion": str(snap.version),
+                },
+                "operationMetrics": {
+                    "numCopiedFiles": "0",
+                    "numReferencedFiles": str(len(snap.files)),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        },
+        {"protocol": proto},
+        {"metaData": md},
+    ]
+    from . import dv as _dv
+
+    for rel, a in snap.files.items():
+        add = dict(a)
+        add["path"] = (
+            rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+        )
+        add["dataChange"] = False
+        desc = _as_dict(a.get("deletionVector") or {})
+        if desc and desc.get("storageType") == "u":
+            new_desc = dict(desc)
+            new_desc["storageType"] = "p"
+            new_desc["pathOrInlineDv"] = _dv.dv_file_path(src_abs, desc)
+            add["deletionVector"] = new_desc
+        actions.append({"add": add})
+    return _try_commit(dst, actions, [])
 
 
 def create_checkpoint(path: str) -> int:

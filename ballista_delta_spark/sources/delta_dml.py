@@ -115,9 +115,15 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     which may be the absolute or the symlink-resolved form of ``dt.path``.
     Try both prefixes; anything else raises rather than silently producing a
     key that misses the add-action map (which would make DML a 0-row no-op).
+
+    Shallow-clone exception: the snapshot may reference files OUTSIDE the
+    table root by absolute path — then the add-action key IS the absolute
+    path, so the decoded path passes through unchanged (and the raise
+    guard only covers roots that reference no external file).
     """
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = {os.path.abspath(stripped), os.path.realpath(stripped)}
+    has_external = any(os.path.isabs(r) for r in dt.snapshot.files)
     has_dv = any(
         a.get("deletionVector") for a in dt.snapshot.files.values()
     )
@@ -134,9 +140,15 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
         # space); we want pure percent-decoding of the URI path.
         F.replace(src, F.lit("+"), F.lit("%2B"))
     )
-    rel = F.raise_error(
-        F.concat(F.lit(f"scanned file outside Delta root {stripped}: "), decoded)
-    )
+    if has_external:
+        rel = decoded
+    else:
+        rel = F.raise_error(
+            F.concat(
+                F.lit(f"scanned file outside Delta root {stripped}: "),
+                decoded,
+            )
+        )
     for b in sorted(bases, key=len):
         rel = F.when(
             decoded.startswith(F.lit(b.rstrip("/") + "/")),
