@@ -83,6 +83,43 @@ def _orders_delta_partitioned(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _orders_delta_ranged(spark: SparkSession, sf_dir: str) -> str:
+    """orders as Delta with range-disjoint files on o_orderkey — the layout
+    that makes min/max data skipping effective (what OPTIMIZE ZORDER or a
+    sorted ingest produces)."""
+    return _artifact(
+        sf_dir, "orders-delta-ranged",
+        lambda p: write_delta(
+            load(spark, sf_dir, "orders").repartitionByRange(
+                8, "o_orderkey"
+            ),
+            p, mode="overwrite",
+        ),
+    )
+
+
+# --- S26 scan_delta_skipping: file-level DATA SKIPPING from add-action
+# min/max stats (round 7) — eligible conjuncts prune provably-dead files
+# DRIVER-side before Spark ever lists them (delta-spark PrepareDeltaScan
+# parity; the pruning itself is pinned in tests/test_data_skipping.py —
+# here the oracle checks exactness of the skipped scan).
+@_q(
+    "scan_delta_skipping",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 2000 AND o_totalprice > 150000
+    """,
+)
+def scan_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orders_delta_ranged(spark, sf_dir)
+    return read_delta(
+        spark, path,
+        where="o_orderkey >= 1000 AND o_orderkey < 2000 "
+              "AND o_totalprice > 150000",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 # --- S1 scan_delta_register: programmatic Delta register + SQL over it
 # (reference README.md:51-57, examples/local_standalone.rs:30-35).
 @_q(

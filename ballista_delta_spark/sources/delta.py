@@ -30,8 +30,10 @@ since last checkpoint).
 
 from __future__ import annotations
 
+import copy as copy_mod
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -358,15 +360,144 @@ def read_delta(
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """``spark.read.format("delta").load(path)`` analogue, with time travel
     by version or by timestamp (latest commit whose commitInfo timestamp is
-    <= ``timestamp_ms``, the delta-rs ``load_with_datetime`` rule)."""
+    <= ``timestamp_ms``, the delta-rs ``load_with_datetime`` rule).
+
+    ``where`` additionally enables Delta DATA SKIPPING: eligible conjuncts
+    (``col <op> literal``) are evaluated against each add action's
+    min/max stats DRIVER-side and provably-dead files never reach the scan
+    at all — the same file-level pruning delta-spark's PrepareDeltaScan
+    does, and the layer Spark's own parquet row-group pruning can't reach
+    (Spark still sees every file's footer; this skips the file open
+    entirely). The full predicate is then applied exactly in the scan, so
+    ``where`` is never weaker than ``.filter(where)``. At 100 TB with a
+    Z-ordered or sorted layout this is the difference between opening a
+    million footers and a few hundred.
+    """
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
         version = version_at_timestamp(path, timestamp_ms)
-    return DeltaTable(path, version=version).to_df(spark)
+    dt = DeltaTable(path, version=version)
+    if where:
+        keep = skip_files(dt.snapshot, where)
+        dt.snapshot = copy_mod.copy(dt.snapshot)
+        dt.snapshot.files = keep
+        if not keep:
+            return spark.createDataFrame([], dt.snapshot.schema)
+        return dt.to_df(spark).filter(where)
+    return dt.to_df(spark)
+
+
+# Eligible data-skipping conjunct: <col> <op> <literal> (or reversed).
+_SKIP_CMP = re.compile(
+    r"^\s*(?:(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|=|==|<|>)\s*"
+    r"(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)"
+    r"|(?P<lit2>'[^']*'|-?\d+(?:\.\d+)?)\s*(?P<op2>>=|<=|=|==|<|>)\s*"
+    r"(?P<col2>[A-Za-z_][A-Za-z0-9_]*))\s*$"
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _split_and(pred: str) -> list[str]:
+    """Split on top-level AND (case-insensitive), respecting parens and
+    single-quoted strings. An OR at top level makes the WHOLE predicate
+    ineligible for skipping (file-level pruning must be provably sound)."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
+    upper = pred.upper()
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            j = pred.index("'", i + 1) if "'" in pred[i + 1:] else n - 1
+            buf.append(pred[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            if upper[i:i + 4] == " OR " or upper[i:i + 3] == "OR(":
+                return []  # top-level OR: no sound conjunct split
+            if upper[i:i + 5] == " AND ":
+                parts.append("".join(buf))
+                buf = []
+                i += 5
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
+    """The subset of ``snap.files`` that might contain rows matching
+    ``where``, judged from per-file min/max stats. Sound by construction:
+    only simple ``col <op> literal`` conjuncts prune; anything else (ORs,
+    functions, casts, unknown columns, missing stats) keeps the file."""
+    conjuncts = []
+    for part in _split_and(where):
+        m = _SKIP_CMP.match(part.strip().strip("()"))
+        if not m:
+            continue
+        col = m.group("col") or m.group("col2")
+        op = m.group("op") or _FLIP[m.group("op2")]
+        lit = m.group("lit") or m.group("lit2")
+        val: Any = lit[1:-1] if lit.startswith("'") else (
+            float(lit) if "." in lit else int(lit)
+        )
+        conjuncts.append((col, op, val))
+    if not conjuncts:
+        return dict(snap.files)
+
+    types = {f.name: f.dataType for f in snap.schema.fields}
+
+    def may_match(a: dict[str, Any]) -> bool:
+        st = json.loads(a["stats"]) if a.get("stats") else None
+        for col, op, val in conjuncts:
+            pcol = snap.physical(col)
+            if col in snap.partition_columns:
+                pv = (a.get("partitionValues") or {}).get(pcol)
+                if pv is None:
+                    continue
+                dt_ = types.get(col)
+                cur: Any = pv
+                if isinstance(dt_, (T.IntegerType, T.LongType, T.ShortType)):
+                    cur = int(pv)
+                elif isinstance(dt_, (T.DoubleType, T.FloatType, T.DecimalType)):
+                    cur = float(pv)
+                mn = mx = cur
+            else:
+                if not st:
+                    continue
+                try:
+                    mn = st["minValues"][pcol]
+                    mx = st["maxValues"][pcol]
+                except (KeyError, TypeError):
+                    continue
+                if mn is None or mx is None:
+                    continue
+            if isinstance(val, (int, float)) and isinstance(mn, str):
+                continue  # type mismatch — don't judge
+            try:
+                if op in ("=", "==") and (val < mn or val > mx):
+                    return False
+                if op == "<" and mn >= val:
+                    return False
+                if op == "<=" and mn > val:
+                    return False
+                if op == ">" and mx <= val:
+                    return False
+                if op == ">=" and mx < val:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    return {r: a for r, a in snap.files.items() if may_match(a)}
 
 
 def version_at_timestamp(path: str, timestamp_ms: int) -> int:

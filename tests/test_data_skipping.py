@@ -1,0 +1,97 @@
+"""File-level data skipping from Delta add-action min/max stats.
+
+delta-spark PrepareDeltaScan parity: eligible ``col <op> literal``
+conjuncts prune provably-dead files driver-side; everything else keeps
+files (soundness over aggressiveness). No reference analogue — the
+reference's scan layer is DataFusion's parquet pruning only.
+"""
+
+import pytest
+
+from ballista_delta_spark.sources.delta import (
+    _load_snapshot,
+    read_delta,
+    skip_files,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def ranged(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id AS k", "id % 7 AS v", "concat('u', lpad(id, 5, '0')) AS s"
+    ).repartitionByRange(10, "k")
+    write_delta(df, path, mode="overwrite")
+    return path
+
+
+def test_skipping_prunes_files_and_stays_exact(spark, ranged):
+    snap = _load_snapshot(ranged)
+    assert len(snap.files) == 10
+    kept = skip_files(snap, "k >= 9000")
+    assert 1 <= len(kept) <= 2  # range-disjoint layout → ~1 file
+    out = read_delta(spark, ranged, where="k >= 9000")
+    assert out.count() == 1000
+    assert out.agg({"k": "min"}).collect()[0][0] == 9000
+
+
+def test_point_lookup_hits_one_file(spark, ranged):
+    snap = _load_snapshot(ranged)
+    assert len(skip_files(snap, "k = 500")) == 1
+    got = read_delta(spark, ranged, where="k = 500").collect()
+    assert len(got) == 1 and got[0]["v"] == 500 % 7
+
+
+def test_string_stats_prune(spark, ranged):
+    snap = _load_snapshot(ranged)
+    kept = skip_files(snap, "s = 'u00500'")
+    assert len(kept) == 1
+
+
+def test_unsupported_predicates_keep_everything(spark, ranged):
+    snap = _load_snapshot(ranged)
+    # Top-level OR, functions, and non-literal comparisons must not prune.
+    assert len(skip_files(snap, "k = 5 OR k = 9999")) == 10
+    assert len(skip_files(snap, "abs(k) = 5")) == 10
+    assert len(skip_files(snap, "k = v")) == 10
+    # ...but remain EXACT through the residual filter.
+    assert read_delta(spark, ranged, where="k = 5 OR k = 9999").count() == 2
+
+
+def test_empty_result_without_any_scan(spark, ranged):
+    snap = _load_snapshot(ranged)
+    assert skip_files(snap, "k > 1000000") == {}
+    out = read_delta(spark, ranged, where="k > 1000000")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v", "s"]
+
+
+def test_partition_values_prune(spark, tmp_path):
+    path = str(tmp_path / "p")
+    write_delta(
+        spark.range(100).selectExpr("id AS k", "CAST(id % 5 AS INT) AS p"),
+        path, mode="overwrite", partition_by=["p"],
+    )
+    snap = _load_snapshot(path)
+    kept = skip_files(snap, "p = 3")
+    assert all(a["partitionValues"]["p"] == "3" for a in kept.values())
+    assert read_delta(spark, path, where="p = 3").count() == 20
+
+
+def test_skipping_respects_column_mapping(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import alter_columns
+
+    path = str(tmp_path / "cm")
+    write_delta(
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(5, "k"),
+        path, mode="overwrite",
+    )
+    alter_columns(path, renames={"k": "key"})
+    snap = _load_snapshot(path)
+    # Stats are keyed by the physical name 'k'; the logical predicate on
+    # 'key' must still prune through the mapping.
+    kept = skip_files(snap, "key >= 800")
+    assert 1 <= len(kept) <= 2
+    assert read_delta(spark, path, where="key >= 800").count() == 200
