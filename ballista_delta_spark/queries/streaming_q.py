@@ -472,3 +472,107 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("n_nationkey", "n_name", "n_regionkey"), "append"
     )
     return out
+
+
+# ------------------------------------------------- stream_upsert_delta
+# The canonical production sink pattern: readStream -> foreachBatch ->
+# MERGE INTO a Delta rollup table (streaming upsert / "silver table"
+# maintenance). The events fixture is staged as FOUR files and consumed
+# with maxFilesPerTrigger=1, so AvailableNow really executes multiple
+# micro-batches and the MERGE's matched-accumulate path (t.n + s.n) is
+# genuinely exercised across batches — not a single-batch lookalike.
+#
+# Exactness across batch boundaries: value totals accumulate in
+# DECIMAL(28,6) (associative, order-independent), then round once at the
+# end — a double sum would be micro-batch-order dependent and could
+# hash-mismatch the oracle.
+#
+# Scale notes: each micro-batch aggregates map-side BEFORE the merge (the
+# merge's source is per-user rows, not raw events), so the per-batch merge
+# cost is O(distinct users in batch); the Delta merge only rewrites files
+# containing matched users. State lives in the TABLE, not the stream —
+# restarts resume from the checkpoint + committed table, delta-spark's
+# standard exactly-once upsert recipe.
+@_q(
+    "stream_upsert_delta",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28, 6))), 4) AS DOUBLE) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta import read_delta, write_delta
+    from ..sources.delta_dml import merge_delta
+    from ._tables import load
+
+    # Stage events as 4 range-disjoint files (cached per sf_dir).
+    from .scans import _artifact
+
+    chunks = _artifact(
+        sf_dir, "events-4chunks",
+        lambda p: load(spark, sf_dir, "events")
+        .repartitionByRange(4, "event_id")
+        .write.parquet(p),
+    )
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="bds-upsert-"), "user_rollup")
+    target_schema = (
+        "user_id bigint, n_events bigint, "
+        "total_value decimal(28,6), last_ts timestamp"
+    )
+    write_delta(
+        spark.createDataFrame([], target_schema), tbl, mode="overwrite"
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = _events_ts_type(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_raw_schema(ts_type))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunks)
+    )
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast(
+                "decimal(28,6)"
+            ).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        merge_delta(
+            spark, tbl, agg,
+            on="t.user_id = s.user_id",
+            matched_update={
+                "n_events": "t.n_events + s.n_events",
+                "total_value": "CAST(t.total_value + s.total_value "
+                               "AS DECIMAL(28,6))",
+                "last_ts": "greatest(t.last_ts, s.last_ts)",
+            },
+            not_matched_insert=True,
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="bds-upsert-ckpt-")
+    q = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_completion(q, "stream_upsert_delta")
+
+    return read_delta(spark, tbl).select(
+        "user_id", "n_events",
+        F.round("total_value", 4).cast("double").alias("total_value"),
+        "last_ts",
+    )

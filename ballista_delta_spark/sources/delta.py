@@ -829,6 +829,11 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
                         continue
                 if hasattr(mn, "isoformat"):
                     mn, mx = mn.isoformat(), mx.isoformat()
+                import decimal as _decimal
+
+                if isinstance(mn, _decimal.Decimal):
+                    # Delta stats spell decimals as JSON numbers.
+                    mn, mx = float(mn), float(mx)
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return json.dumps(

