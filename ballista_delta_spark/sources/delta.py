@@ -624,14 +624,29 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     # clearly when the JSON log was cleaned and the checkpoint is required.
     ckpt_file = os.path.join(log, "_last_checkpoint")
     ckpt_rows = None
-    if os.path.exists(ckpt_file) and version is None:
+    # Versioned loads may use the checkpoint too, as long as it does not
+    # overshoot the requested version — after log cleanup the checkpoint
+    # is the ONLY way to time-travel to post-checkpoint versions.
+    if os.path.exists(ckpt_file):
         with open(ckpt_file) as fh:
             ckpt = json.loads(fh.read())
         cv = int(ckpt["version"])
-        ckpt_rows = _checkpoint_rows(log, cv)
+        use_ckpt = version is None or cv <= version
+        # Prefer pure JSON replay for versioned loads when the full log
+        # still exists (cheaper than parquet for small logs, and exercises
+        # the exact historical actions).
+        if version is not None and os.path.exists(_version_file(log, 0)):
+            use_ckpt = False
+        ckpt_rows = _checkpoint_rows(log, cv) if use_ckpt else None
         if ckpt_rows is None:
             if os.path.exists(_version_file(log, 0)):
                 pass  # checkpoint files missing but log complete: JSON replay
+            elif version is not None and version < cv:
+                raise ValueError(
+                    f"version {version} predates checkpoint {cv} and its "
+                    "JSON commits were cleaned (log retention) — that "
+                    "history is no longer reconstructable"
+                )
             else:
                 raise ValueError(
                     f"_last_checkpoint names version {cv} but no checkpoint "
@@ -2197,6 +2212,72 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
                 os.rmdir(root)
             except OSError:
                 pass
+    return deleted
+
+
+def cleanup_log(
+    path: str, retention_ms: int = 30 * 24 * 3600 * 1000
+) -> list[str]:
+    """Metadata retention (delta.logRetentionDuration analogue): delete
+    JSON commits — and superseded checkpoint parts — that are BOTH older
+    than the retention window AND covered by a newer checkpoint, exactly
+    delta-spark's MetadataCleanup rule. Time travel to cleaned versions
+    correctly fails afterwards (the spec's documented trade); the
+    checkpoint + later commits reconstruct every surviving version.
+
+    At 100 TB a busy table commits thousands of times a day — an unbounded
+    ``_delta_log`` eventually dominates LIST cost on object stores; this
+    bounds it. Returns deleted file names (relative to ``_delta_log``).
+
+    Age is judged by each commit's own timestamp (in-commit timestamp when
+    present, else commitInfo.timestamp, else file mtime), never by
+    object-store mtime alone — clock churn on copies must not resurrect or
+    prematurely reap history.
+    """
+    path = _strip_file_scheme(path)
+    log = _log_dir(path)
+    ckpt_file = os.path.join(log, "_last_checkpoint")
+    if not os.path.exists(ckpt_file):
+        return []  # nothing covers the tail — never delete
+    with open(ckpt_file) as fh:
+        cv = int(json.load(fh)["version"])
+    now_ms = int(time.time() * 1000)
+    deleted: list[str] = []
+    for name in sorted(os.listdir(log)):
+        full = os.path.join(log, name)
+        stem = name.split(".")[0]
+        if not (stem.isdigit() and len(stem) == 20):
+            continue
+        v = int(stem)
+        if v >= cv:
+            continue  # not covered by the checkpoint
+        is_json = name.endswith(".json")
+        if is_json:
+            ts = 0
+            try:
+                with open(full) as fh:
+                    for line in fh:
+                        if line.strip():
+                            act = json.loads(line)
+                            if "commitInfo" in act:
+                                ci = act["commitInfo"]
+                                ts = ci.get(
+                                    "inCommitTimestamp",
+                                    ci.get("timestamp", 0),
+                                ) or 0
+                                break
+            except (OSError, ValueError):
+                pass
+            if not ts:
+                ts = int(os.path.getmtime(full) * 1000)
+        else:
+            # Older checkpoint parts (.checkpoint*.parquet / sidecars
+            # stay keyed under their version stem too).
+            ts = int(os.path.getmtime(full) * 1000)
+        if now_ms - ts < retention_ms:
+            continue
+        os.unlink(full)
+        deleted.append(name)
     return deleted
 
 

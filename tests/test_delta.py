@@ -1032,3 +1032,39 @@ def test_optimize_zorder_timestamp_and_date(spark, tmp_path):
     assert read_delta(spark, tbl2).count() == 256
     with pytest.raises(ValueError, match="not in table schema"):
         optimize(spark, tbl2, zorder_by=["nope"])
+
+
+def test_cleanup_log_respects_checkpoint_and_retention(spark, tmp_path):
+    """Metadata retention: only commits BOTH older than the window AND
+    covered by a newer checkpoint are reaped; the table stays readable and
+    time travel to surviving versions still works."""
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        cleanup_log,
+        create_checkpoint,
+        read_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id AS k")
+    write_delta(df, tbl, mode="overwrite")
+    for i in range(3):
+        write_delta(spark.range(5 * (i + 1), 5 * (i + 2)).selectExpr("id AS k"), tbl, mode="append")
+    # No checkpoint yet -> nothing may be deleted, regardless of age.
+    assert cleanup_log(tbl, retention_ms=0) == []
+    cv = create_checkpoint(tbl)
+    assert cv == 3
+    # Inside the retention window -> still nothing.
+    assert cleanup_log(tbl) == []
+    # Zero retention -> commits 0..2 reaped, checkpoint version kept.
+    gone = cleanup_log(tbl, retention_ms=0)
+    assert [g.split(".")[0] for g in gone] == [f"{v:020d}" for v in range(3)]
+    log = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{3:020d}.json"))
+    # Table still reads fully (checkpoint replay) and accepts new commits.
+    assert read_delta(spark, tbl).count() == 20
+    write_delta(spark.range(100, 101).selectExpr("id AS k"), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 21
+    # Time travel to a reaped version fails loudly, to a surviving one works.
+    assert read_delta(spark, tbl, version=3).count() == 20
