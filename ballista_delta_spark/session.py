@@ -99,15 +99,19 @@ _DELTA_TBLPROPS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-# ALTER TABLE <name> RENAME COLUMN <a> TO <b> / DROP COLUMN[S] (a, b) —
-# metadata-only schema evolution, routed to alter_columns (auto-upgrades
-# the table to columnMapping=name, delta-spark parity).
+# ALTER TABLE <name> RENAME COLUMN <a> TO <b> / DROP COLUMN[S] (a, b) /
+# ADD COLUMN[S] (a type, b type) — metadata-only schema evolution, routed
+# to alter_columns (rename/drop auto-upgrade the table to
+# columnMapping=name, delta-spark parity; pure ADD stays plain).
 _DELTA_ALTER_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s+(?:RENAME\s+COLUMN\s+(?P<old>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
     r"\s+TO\s+(?P<new>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
-    r"|DROP\s+COLUMNS?\s*\(?\s*(?P<dropcols>[^)]+?)\s*\)?)"
+    r"|DROP\s+COLUMNS?\s*\(?\s*(?P<dropcols>[^)]+?)\s*\)?"
+    # nested parens (decimal(10,2)) live inside the add list, so capture
+    # everything and strip one outer paren pair in the handler
+    r"|ADD\s+COLUMNS?\s+(?P<addcols>.+?))"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -429,7 +433,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         m.group("old").strip("`"): m.group("new").strip("`")
                     },
                 )
-            else:
+            elif m.group("dropcols"):
                 version = alter_columns(
                     loc,
                     drops=[
@@ -437,6 +441,20 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         for c in m.group("dropcols").split(",") if c.strip()
                     ],
                 )
+            else:
+                adds: dict[str, str] = {}
+                addcols = m.group("addcols").strip()
+                if addcols.startswith("(") and addcols.endswith(")"):
+                    addcols = addcols[1:-1]
+                # split on commas OUTSIDE parens so decimal(10,2) survives
+                for spec in re.split(r",(?![^(]*\))", addcols):
+                    parts = spec.strip().split(None, 1)
+                    if len(parts) != 2:
+                        raise ValueError(
+                            f"ADD COLUMNS expects '<name> <type>': {spec!r}"
+                        )
+                    adds[parts[0].strip("`")] = parts[1]
+                version = alter_columns(loc, adds=adds)
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

@@ -1157,13 +1157,69 @@ def check_write_protocol(
         )
 
 
+def _widen_snapshot(
+    snap: "Snapshot", new_fields: list[T.StructField]
+) -> "Snapshot":
+    """A copy of ``snap`` with ``new_fields`` appended (mergeSchema): the
+    schema, the metaData's schemaString, and — on a columnMapping table —
+    fresh ``col-<uuid>`` physical names + next field ids, exactly what the
+    widening commit must record."""
+    import copy as _copy
+
+    s = _copy.copy(snap)
+    s.schema = T.StructType(list(snap.schema.fields) + list(new_fields))
+    md = dict(snap.metadata_raw)
+    schema_json = json.loads(
+        md.get("schemaString") or json.dumps(snap.schema.jsonValue())
+    )
+    cfg = dict(snap.configuration)
+    mapping_on = snap.column_mapping_mode != "none"
+    max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+    cm = dict(snap.column_mapping)
+    fids = dict(snap.field_ids)
+    for f in new_fields:
+        f_json: dict[str, Any] = {
+            "name": f.name,
+            "type": f.dataType.jsonValue(),
+            "nullable": True,
+            "metadata": {},
+        }
+        if mapping_on:
+            max_id += 1
+            phys = f"col-{uuid.uuid4().hex}"
+            f_json["metadata"] = {
+                "delta.columnMapping.physicalName": phys,
+                "delta.columnMapping.id": max_id,
+            }
+            cm[f.name] = phys
+            fids[f.name] = max_id
+        schema_json["fields"].append(f_json)
+    if mapping_on:
+        cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        s.column_mapping = cm
+        s.field_ids = fids
+    md["schemaString"] = json.dumps(schema_json)
+    md["configuration"] = cfg
+    s.metadata_raw = md
+    s.configuration = cfg
+    return s
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """``df.write.format("delta").mode(mode).save(path)`` analogue.
+
+    ``merge_schema`` is the ``.option("mergeSchema", "true")`` analogue:
+    incoming columns NOT in the table schema are appended to it (nullable)
+    in the same commit's metaData action, and table columns missing from
+    the input are filled with typed nulls (only legal for nullable,
+    non-partition columns). Type drift on shared columns still errors —
+    mergeSchema widens the schema, it never rewrites history.
 
     Exceeds the reference: its insert factory raises ("At the moment INSERT
     does not work", reference examples/local_standalone.rs:38-47) and its
@@ -1265,21 +1321,54 @@ def write_delta(
         # Schema enforcement, Delta-style: incoming columns must match by
         # name AND type (nullability-insensitive — simpleString drops it).
         # Name-only checking would commit type-inconsistent parquet that
-        # breaks every later scan.
+        # breaks every later scan. mergeSchema relaxes the SET check only:
+        # extra incoming columns widen the table schema, missing nullable
+        # columns are null-filled; shared-column type drift always errors.
         incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         expected = {f.name: f.dataType.simpleString() for f in prev.schema.fields}
+        evolved_fields: list[T.StructField] = []
         if set(incoming) != set(expected):
-            raise ValueError(
-                f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}"
-            )
-        drift = {n: (incoming[n], expected[n]) for n in expected if incoming[n] != expected[n]}
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}"
+                    " (pass merge_schema=True to evolve)"
+                )
+            for f_prev in prev.schema.fields:
+                if f_prev.name in incoming:
+                    continue
+                if f_prev.name in prev.partition_columns:
+                    raise ValueError(
+                        f"cannot omit partition column {f_prev.name!r}"
+                    )
+                if not f_prev.nullable:
+                    raise ValueError(
+                        f"cannot omit non-nullable column {f_prev.name!r}"
+                    )
+                df = df.withColumn(
+                    f_prev.name, F.lit(None).cast(f_prev.dataType)
+                )
+            evolved_fields = [
+                T.StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if f.name not in expected
+            ]
+        drift = {
+            n: (incoming[n], expected[n])
+            for n in expected
+            if n in incoming and incoming[n] != expected[n]
+        }
         if drift:
             raise ValueError(f"schema type mismatch (incoming, table): {drift}")
-        df = df.select(*[f.name for f in prev.schema.fields])
+        merged_schema = T.StructType(
+            list(prev.schema.fields) + evolved_fields
+        )
+        if evolved_fields:
+            prev = _widen_snapshot(prev, evolved_fields)
+        df = df.select(*[f.name for f in merged_schema.fields])
         # CHECK constraints / invariants: one aggregate pass over the
         # incoming rows; free when the table declares none.
         enforce_constraints(df, prev)
-        schema_struct = prev.schema
+        schema_struct = merged_schema
     else:
         schema_struct = df.schema
 
@@ -1324,10 +1413,12 @@ def write_delta(
                 }
             }
         )
-    elif new_hwms:
-        # Identity generation moves the high-water mark: re-emit the
-        # metaData action (same table id) with the updated field metadata
-        # in the SAME commit, as the spec requires.
+    elif new_hwms or evolved_fields:
+        # Identity generation moves the high-water mark, and mergeSchema
+        # widens the schema: either way re-emit the metaData action (same
+        # table id) in the SAME commit, as the spec requires. A widened
+        # prev (``_widen_snapshot``) already carries the merged
+        # schemaString, so one re-emit covers both.
         md = dict(prev.metadata_raw)
         schema_json = json.loads(md["schemaString"])
         for f_json in schema_json["fields"]:
@@ -1647,9 +1738,10 @@ def alter_columns(
     path: str,
     renames: dict[str, str] | None = None,
     drops: list[str] | None = None,
+    adds: dict[str, str] | None = None,
 ) -> int:
-    """ALTER TABLE RENAME COLUMN / DROP COLUMN — metadata-only (no data
-    files touched), which requires column mapping: parquet keeps the
+    """ALTER TABLE RENAME / DROP / ADD COLUMN — metadata-only (no data
+    files touched). Rename/drop require column mapping: parquet keeps the
     ORIGINAL (physical) column name forever; only the logical schema in the
     Delta log changes. delta-spark parity: the first rename/drop on a plain
     table auto-upgrades it to ``delta.columnMapping.mode=name`` — every
@@ -1658,9 +1750,18 @@ def alter_columns(
     raised to the columnMapping floor (reader 2 / writer 5, legacy form; a
     feature-list table gets the ``columnMapping`` reader feature instead).
 
-    100 TB shape: renames and drops on a billion-file table are O(1) — one
-    JSON commit, zero data jobs. That is the entire point of column
-    mapping.
+    ``adds`` maps new column name -> type string (e.g. ``{"note": "string"}``).
+    ADD COLUMN needs NO mapping upgrade (new columns are appended nullable;
+    every existing file simply lacks them and the explicit-schema scan in
+    ``Snapshot.to_df`` reads them back as null) — so a pure ADD leaves a
+    plain table plain, matching delta-spark. On a table that already has
+    column mapping the new field is minted a fresh ``col-<uuid>`` physical
+    name and the next field id, per the spec's requirement that physical
+    names never collide with any past or present field.
+
+    100 TB shape: renames, drops, and adds on a billion-file table are
+    O(1) — one JSON commit, zero data jobs. That is the entire point of
+    metadata-only schema evolution.
 
     Exceeds the reference: its ALTER surface is DataFusion's (in-memory
     catalog only, no Delta metadata evolution — reference src/lib.rs:36).
@@ -1670,6 +1771,9 @@ def alter_columns(
     check_write_protocol(snap, removes_files=False, cdf_capable=True)
     renames = dict(renames or {})
     drops = list(drops or [])
+    adds = dict(adds or {})
+    if not (renames or drops or adds):
+        raise ValueError("nothing to alter")
     names = [f.name for f in snap.schema.fields]
     for old in list(renames) + drops:
         if old not in names:
@@ -1684,6 +1788,13 @@ def alter_columns(
             raise ValueError(f"cannot drop partition column {c!r}")
     if set(drops) == set(names):
         raise ValueError("cannot drop every column")
+    post_names = {
+        renames.get(n, n) for n in names if n not in drops
+    }
+    for new_col in adds:
+        if new_col in post_names:
+            raise ValueError(f"column {new_col!r} already exists")
+        post_names.add(new_col)
 
     schema_json = json.loads(
         snap.metadata_raw.get("schemaString")
@@ -1691,7 +1802,11 @@ def alter_columns(
     )
     cfg = dict(snap.configuration)
     actions: list[dict[str, Any]] = []
-    enabling = snap.column_mapping_mode == "none"
+    # Only rename/drop force the mapping upgrade; a pure ADD COLUMN keeps
+    # a plain table plain (delta-spark behavior).
+    enabling = (
+        snap.column_mapping_mode == "none" and bool(renames or drops)
+    )
     if enabling:
         # Pin physical names to the CURRENT names and hand out field ids.
         max_id = 0
@@ -1724,6 +1839,29 @@ def alter_columns(
         if f_json["name"] in renames:
             f_json["name"] = renames[f_json["name"]]
 
+    if adds:
+        mapping_on = snap.column_mapping_mode != "none" or enabling
+        max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+        for new_col, type_str in adds.items():
+            dtype = T._parse_datatype_string(type_str)
+            f_json: dict[str, Any] = {
+                "name": new_col,
+                "type": dtype.jsonValue(),
+                "nullable": True,
+                "metadata": {},
+            }
+            if mapping_on:
+                max_id += 1
+                f_json["metadata"] = {
+                    "delta.columnMapping.physicalName": (
+                        f"col-{uuid.uuid4().hex}"
+                    ),
+                    "delta.columnMapping.id": max_id,
+                }
+            schema_json["fields"].append(f_json)
+        if mapping_on:
+            cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+
     now_ms = int(time.time() * 1000)
     md = dict(snap.metadata_raw) or {
         "id": str(uuid.uuid4()),
@@ -1735,7 +1873,11 @@ def alter_columns(
         renames.get(c, c) for c in snap.partition_columns
     ]
     md["configuration"] = cfg
-    op = "RENAME COLUMN" if renames else "DROP COLUMNS"
+    op = (
+        "RENAME COLUMN" if renames
+        else "DROP COLUMNS" if drops
+        else "ADD COLUMNS"
+    )
     actions.insert(0, {
         "commitInfo": {
             "timestamp": now_ms,
@@ -1743,6 +1885,7 @@ def alter_columns(
             "operationParameters": {
                 "renames": json.dumps(renames),
                 "drops": json.dumps(drops),
+                "adds": json.dumps(adds),
             },
             "engineInfo": ENGINE_INFO,
             "txnId": str(uuid.uuid4()),

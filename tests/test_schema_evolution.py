@@ -1,0 +1,163 @@
+"""ALTER TABLE ADD COLUMN + mergeSchema append (schema widening).
+
+Reference context: the reference has no schema-evolution surface at all
+(its ALTER is DataFusion's in-memory catalog, reference src/lib.rs:36);
+this mirrors delta-spark's metadata-only ADD COLUMNS and
+``.option("mergeSchema", "true")`` append behavior: existing files are
+never touched, new columns read back as null for old rows, and on a
+column-mapped table the new field is minted a fresh physical name + id.
+"""
+
+import json
+
+import pytest
+
+from ballista_delta_spark.sources.delta import (
+    _load_snapshot,
+    alter_columns,
+    read_delta,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id % 3 AS INT) AS p"
+    )
+    write_delta(df, path, mode="overwrite", partition_by=["p"])
+    return path
+
+
+def test_add_column_is_metadata_only(spark, tbl):
+    before = set(_load_snapshot(tbl).files)
+    v = alter_columns(tbl, adds={"note": "string"})
+    assert v == 1
+    snap = _load_snapshot(tbl)
+    assert set(snap.files) == before  # zero data jobs
+    # A pure ADD must NOT drag the table into column mapping.
+    assert snap.column_mapping_mode == "none"
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "p", "note"]
+    out = read_delta(spark, tbl)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["note"] is None for r in rows)
+
+
+def test_add_column_types_and_validation(spark, tbl):
+    alter_columns(tbl, adds={"d": "decimal(10,2)", "arr": "array<int>"})
+    snap = _load_snapshot(tbl)
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["d"] == "decimal(10,2)"
+    assert types["arr"] == "array<int>"
+    with pytest.raises(ValueError, match="already exists"):
+        alter_columns(tbl, adds={"k": "long"})
+    with pytest.raises(ValueError, match="nothing to alter"):
+        alter_columns(tbl)
+
+
+def test_add_column_on_mapped_table_gets_physical_name(spark, tbl):
+    alter_columns(tbl, renames={"v": "value"})  # enables mapping
+    alter_columns(tbl, adds={"note": "string"})
+    snap = _load_snapshot(tbl)
+    phys = snap.column_mapping["note"]
+    assert phys.startswith("col-") and phys != "note"
+    fields = json.loads(snap.metadata_raw["schemaString"])["fields"]
+    note_id = next(
+        f["metadata"]["delta.columnMapping.id"]
+        for f in fields
+        if f["name"] == "note"
+    )
+    assert int(
+        snap.configuration["delta.columnMapping.maxColumnId"]
+    ) == note_id == len(fields)
+    # writes after the add land under the physical name and read back
+    df = spark.createDataFrame(
+        [(100, 200, 1, "x")], "k long, value long, p int, note string"
+    )
+    write_delta(df, tbl, mode="append")
+    out = read_delta(spark, tbl)
+    assert out.filter("note = 'x'").count() == 1
+    assert out.filter("note IS NULL").count() == 10
+
+
+def test_add_column_sql_ddl(spark, tbl):
+    from ballista_delta_spark.session import sql as bd_sql
+
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE evo_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    bd_sql(spark, "ALTER TABLE evo_t ADD COLUMNS (note string, d decimal(10,2))")
+    snap = _load_snapshot(tbl)
+    names = [f.name for f in snap.schema.fields]
+    assert names == ["k", "v", "p", "note", "d"]
+    assert snap.schema["d"].dataType.simpleString() == "decimal(10,2)"
+    spark.catalog.dropTempView("evo_t")
+
+
+def test_merge_schema_append_new_column(spark, tbl):
+    df = spark.createDataFrame(
+        [(100, 200, 1, "x")], "k long, v long, p int, note string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(df, tbl, mode="append")
+    v = write_delta(df, tbl, mode="append", merge_schema=True)
+    snap = _load_snapshot(tbl)
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "p", "note"]
+    assert snap.schema["note"].nullable
+    out = read_delta(spark, tbl)
+    assert out.count() == 11
+    assert out.filter("note = 'x'").count() == 1
+    assert out.filter("note IS NULL").count() == 10
+    # the widening commit re-emitted metaData with the SAME table id
+    with open(f"{tbl}/_delta_log/{v:020d}.json") as fh:
+        acts = [json.loads(line) for line in fh]
+    mds = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(mds) == 1
+    assert mds[0]["id"] == snap.metadata_raw["id"]
+
+
+def test_merge_schema_append_missing_nullable_column(spark, tmp_path, tbl):
+    # nullable-v table (the shared fixture's v is non-nullable via range())
+    path = str(tmp_path / "nullable")
+    base = spark.createDataFrame(
+        [(i, i * 2, i % 3) for i in range(10)], "k long, v long, p int"
+    )
+    write_delta(base, path, mode="overwrite", partition_by=["p"])
+    # input omits v entirely — filled with typed nulls
+    df = spark.createDataFrame([(100, 1)], "k long, p int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(df, path, mode="append")
+    write_delta(df, path, mode="append", merge_schema=True)
+    out = read_delta(spark, path)
+    assert out.filter("v IS NULL").count() == 1
+    assert out.count() == 11
+    # partition columns can never be omitted
+    df2 = spark.createDataFrame([(7, 7)], "k long, v long")
+    with pytest.raises(ValueError, match="partition column"):
+        write_delta(df2, path, mode="append", merge_schema=True)
+    # nor can non-nullable ones (the fixture's v came from range())
+    df3 = spark.createDataFrame([(7, 1)], "k long, p int")
+    with pytest.raises(ValueError, match="non-nullable"):
+        write_delta(df3, tbl, mode="append", merge_schema=True)
+
+
+def test_merge_schema_type_drift_still_errors(spark, tbl):
+    df = spark.createDataFrame([(1.5, 2, 1)], "k double, v long, p int")
+    with pytest.raises(ValueError, match="type mismatch"):
+        write_delta(df, tbl, mode="append", merge_schema=True)
+
+
+def test_merge_schema_on_mapped_table(spark, tbl):
+    alter_columns(tbl, renames={"v": "value"})
+    df = spark.createDataFrame(
+        [(100, 200, 1, 3.5)], "k long, value long, p int, score double"
+    )
+    write_delta(df, tbl, mode="append", merge_schema=True)
+    snap = _load_snapshot(tbl)
+    assert snap.column_mapping["score"].startswith("col-")
+    out = read_delta(spark, tbl)
+    assert out.filter("score IS NOT NULL").count() == 1
+    assert out.count() == 11
