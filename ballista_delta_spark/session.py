@@ -77,6 +77,16 @@ _DELTA_OPTIMIZE = re.compile(
     re.IGNORECASE,
 )
 
+# REORG TABLE <name> APPLY (PURGE) — rewrite only DV-carrying files so no
+# active file references a deletion vector (delta-spark REORG parity).
+_DELTA_REORG = re.compile(
+    r"^\s*REORG\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (<expr>) / DROP CONSTRAINT <c>
 # — delta-spark constraint DDL, routed to alter_constraints.
 _DELTA_ALTER_CONSTRAINT = re.compile(
@@ -342,6 +352,20 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_REORG.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import read_delta, reorg_purge
+
+            loc = _delta_views[name]
+            metrics = reorg_purge(spark, loc)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({metrics['version']} AS BIGINT) AS committed_version, "
+                f"CAST({metrics['numFilesRewritten']} AS BIGINT) AS files_rewritten"
             )
 
     m = _DELTA_TBLPROPS.match(statement)

@@ -1467,6 +1467,7 @@ def _stage_adds(
     partition_by: list[str],
     schema_struct: T.StructType,
     snap: "Snapshot | None" = None,
+    data_change: bool = True,
 ) -> list[dict[str, Any]]:
     """Distributed-write ``df`` into the table dir and return its add actions.
 
@@ -1517,7 +1518,7 @@ def _stage_adds(
                     "partitionValues": part_values,
                     "size": os.path.getsize(dst),
                     "modificationTime": now_ms,
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": stats,
                 }
             )
@@ -2583,56 +2584,14 @@ def optimize(
     else:
         clustered = df.coalesce(n_out)
 
-    staging = os.path.join(path, f".tmp-optimize-{uuid.uuid4().hex}")
-    # Column-mapping tables compact under PHYSICAL names, like every other
-    # file-writing path here.
-    part_cols = snap.partition_columns
-    if snap.column_mapping:
-        clustered = _to_physical(clustered, snap)
-        part_cols = snap.physical_partition_columns
-    writer = clustered.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-
-    data_fields = [
-        f for f in (
-            snap.physical_schema if snap.column_mapping else snap.schema
-        ).fields
-        if f.name not in part_cols
-    ]
+    # _stage_adds handles the physical-name mapping for column-mapping
+    # tables, the Hive-dir staging walk, and per-file stats; dataChange=
+    # False marks the rewrite as reader-invisible.
+    adds = _stage_adds(
+        clustered, path, snap.partition_columns, snap.schema,
+        snap=snap, data_change=False,
+    )
     now_ms = int(time.time() * 1000)
-    adds: list[dict[str, Any]] = []
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            part_values: dict[str, str | None] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, val = seg.partition("=")
-                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
-            dst = os.path.join(path, rel_final)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            stats = _file_stats(src, data_fields)
-            os.replace(src, dst)
-            adds.append(
-                {
-                    "path": rel_final.replace(os.sep, "/"),
-                    "partitionValues": part_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": False,
-                    "stats": stats,
-                }
-            )
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
 
     actions: list[dict[str, Any]] = [
         {
@@ -2662,3 +2621,96 @@ def optimize(
         actions.append({"add": a})
 
     return _try_commit(path, actions, adds, enable_ict=ict_enabled(snap))
+
+
+def reorg_purge(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+) -> dict[str, Any]:
+    """``REORG TABLE ... APPLY (PURGE)`` analogue: rewrite ONLY the files
+    that carry deletion vectors, materializing their surviving rows into
+    fresh DV-free files, and commit dataChange=false add/remove actions
+    (table contents are unchanged — streams must not see the rewrite as
+    new data). After the commit no active file references a DV, so a
+    subsequent VACUUM can reclaim both the soft-deleted parquet and the
+    DV bins — and the table can be protocol-downgraded by engines that
+    do that.
+
+    Scale shape vs OPTIMIZE: a 100 TB table with 0.1% of its files DV'd
+    rewrites ONLY that 0.1% — the scan is the DV'd-file subset (one job,
+    the anti-join applies inside ``to_df``), untouched files are never
+    read. ``delta-spark``'s REORG is the same operation (an OPTIMIZE
+    restricted to files needing materialization).
+
+    Returns ``{"version", "numFilesRewritten", "numFilesAdded"}``;
+    a no-DV table is a metadata no-op (no commit).
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    dv_rels = {
+        rel for rel, a in snap.files.items() if a.get("deletionVector")
+    }
+    if not dv_rels:
+        return {
+            "version": snap.version,
+            "numFilesRewritten": 0,
+            "numFilesAdded": 0,
+        }
+    import copy as _copy
+
+    sub = DeltaTable.__new__(DeltaTable)
+    sub.path = path
+    sub.snapshot = _copy.copy(snap)
+    sub.snapshot.files = {
+        rel: a for rel, a in snap.files.items() if rel in dv_rels
+    }
+    df = sub.to_df(spark)
+
+    live_rows = 0
+    for rel in dv_rels:
+        a = snap.files[rel]
+        n = json.loads(a["stats"]).get("numRecords", 0) if a.get("stats") else 0
+        dv_card = int(_as_dict(a["deletionVector"]).get("cardinality") or 0)
+        live_rows += max(0, n - dv_card)
+    n_out = max(1, (live_rows + target_file_rows - 1) // target_file_rows)
+
+    adds = _stage_adds(
+        df.coalesce(n_out), path, snap.partition_columns, snap.schema,
+        snap=snap, data_change=False,
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": "true"},
+                "operationMetrics": {
+                    "numRemovedFiles": str(len(dv_rels)),
+                    "numAddedFiles": str(len(adds)),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    for rel in sorted(dv_rels):
+        actions.append({
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+                # name the retired DV so VACUUM reclaims its bin
+                "deletionVector": snap.files[rel]["deletionVector"],
+            }
+        })
+    for a in adds:
+        actions.append({"add": a})
+    version = _try_commit(path, actions, adds, enable_ict=ict_enabled(snap))
+    return {
+        "version": version,
+        "numFilesRewritten": len(dv_rels),
+        "numFilesAdded": len(adds),
+    }

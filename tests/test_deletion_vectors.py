@@ -8,6 +8,7 @@ size/CRC framing, and inline Z85), and the reader-feature gate.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import struct
@@ -599,3 +600,84 @@ def test_dv_merge_refused_on_append_only(spark, tmp_path):
             matched_update={"v": "s.v"}, not_matched_insert=False,
             mode="dv",
         )
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import reorg_purge
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "reorg")
+    # two files; the DELETE below only touches rows in one of them
+    write_delta(spark.range(200).selectExpr("id").repartitionByRange(2, "id"), tbl)
+    files_v0 = dict(DeltaTable(tbl).snapshot.files)
+    assert len(files_v0) == 2
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    snap = DeltaTable(tbl).snapshot
+    dv_files = {r for r, a in snap.files.items() if a.get("deletionVector")}
+    clean_files = set(snap.files) - dv_files
+    assert dv_files and clean_files
+
+    m = reorg_purge(spark, tbl)
+    assert m["numFilesRewritten"] == len(dv_files)
+    after = DeltaTable(tbl).snapshot
+    assert after.version == m["version"]
+    # no active file carries a DV any more
+    assert not any(a.get("deletionVector") for a in after.files.values())
+    # files WITHOUT DVs were not touched
+    assert clean_files <= set(after.files)
+    assert not (dv_files & set(after.files))
+    got = read_delta(spark, tbl)
+    assert got.count() == 190
+    assert got.filter("id < 10").count() == 0
+    # REORG is dataChange=false end to end (stream-invisible)
+    with open(os.path.join(tbl, "_delta_log", f"{m['version']:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(
+        not a["remove"]["dataChange"] for a in acts if "remove" in a
+    )
+    # the retired DVs are named on the removes for VACUUM bookkeeping
+    assert any(a["remove"].get("deletionVector") for a in acts if "remove" in a)
+
+
+def test_reorg_purge_noop_without_dvs(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import reorg_purge
+
+    tbl = str(tmp_path / "reorg_noop")
+    write_delta(spark.range(10).selectExpr("id"), tbl)
+    v_before = DeltaTable(tbl).snapshot.version
+    m = reorg_purge(spark, tbl)
+    assert m == {
+        "version": v_before, "numFilesRewritten": 0, "numFilesAdded": 0,
+    }
+    assert DeltaTable(tbl).snapshot.version == v_before  # no commit
+
+
+def test_reorg_purge_sql_ddl_and_vacuum(spark, tmp_path):
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import vacuum
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "reorg_sql")
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        tbl, partition_by=["p"],
+    )
+    delete_delta(spark, tbl, "id % 10 = 0", mode="dv")
+    assert glob.glob(os.path.join(tbl, "deletion_vector*.bin"))
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE reorg_sql_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    out = bd_sql(spark, "REORG TABLE reorg_sql_t APPLY (PURGE)").collect()[0]
+    assert out["files_rewritten"] >= 1
+    got = spark.table("reorg_sql_t")
+    assert got.count() == 90
+    # partition values survive the rewrite (deleted ids are all even → p=0)
+    assert got.filter("p = 1").count() == 50
+    assert got.filter("p = 0").count() == 40
+    # after REORG + VACUUM(0) the DV bins are reclaimable
+    vacuum(tbl, retention_ms=0)
+    assert not glob.glob(os.path.join(tbl, "deletion_vector*.bin"))
+    spark.catalog.dropTempView("reorg_sql_t")
