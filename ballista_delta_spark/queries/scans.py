@@ -809,6 +809,66 @@ def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S27 sink_delta_reorg: REORG TABLE APPLY (PURGE) (round 7) — after a
+# merge-on-read DELETE leaves deletion vectors behind, REORG rewrites ONLY
+# the DV-carrying files (dataChange=false), leaving untouched files alone;
+# afterwards no active file references a DV. 100 TB shape: the rewrite
+# scan is the DV'd-file subset, not the table. The oracle is the
+# surviving-row relation (REORG must be content-preserving); the
+# file-level contract (clean files untouched, DVs gone, stream-invisible)
+# is pinned in tests/test_deletion_vectors.py.
+@_q(
+    "sink_delta_reorg",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE NOT coalesce(n_nationkey % 5 = 0, false)
+    """,
+)
+def sink_delta_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import DeltaTable, reorg_purge
+
+    path = _clone(_nation_delta(spark, sf_dir), "s27")
+    delete_delta(spark, path, "n_nationkey % 5 = 0", mode="dv")
+    reorg_purge(spark, path)
+    snap = DeltaTable(path).snapshot
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        raise AssertionError("REORG left an active deletion vector")
+    return read_delta(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+# --- S28 sink_delta_evolve: schema evolution (round 7) — metadata-only
+# ALTER TABLE ADD COLUMN (old files read the new column as null; zero
+# data jobs) followed by a mergeSchema append that widens the schema with
+# a second new column in the same commit as its data. The oracle replays
+# the logical outcome over the nation view.
+@_q(
+    "sink_delta_evolve",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS VARCHAR) AS note,
+           CAST(NULL AS BIGINT) AS pop
+    FROM nation
+    UNION ALL SELECT 95, 'NOVA', 9, 'added', 7
+    """,
+)
+def sink_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import alter_columns
+
+    path = _clone(_nation_delta(spark, sf_dir), "s28")
+    alter_columns(path, adds={"note": "string"})
+    extra = spark.createDataFrame(
+        [(95, "NOVA", 9, "added", 7)],
+        "n_nationkey int, n_name string, n_regionkey int, "
+        "note string, pop bigint",
+    )
+    write_delta(extra, path, mode="append", merge_schema=True)
+    return read_delta(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey", "note", "pop"
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

@@ -474,6 +474,70 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------- stream_delta_cdf_source
+# Streaming CHANGE DATA FEED — readStream with readChangeFeed=true
+# (delta-spark's streaming CDF): each micro-batch emits the row-level
+# changes of one-or-more commits (insert / update_preimage /
+# update_postimage / delete + _commit_version), sourced from the cdc
+# files CDF-enabled DML writes under _change_data/. This is the
+# incremental-materialized-view primitive: downstream jobs apply deltas
+# instead of re-reading the table — O(churn) per batch, not O(table).
+# The oracle reconstructs the exact change history: v0 all rows insert,
+# v2 pre/post images of the UPDATE, v3 delete rows reflecting the
+# post-update state.
+@_q(
+    "stream_delta_cdf_source",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'update_preimage',
+           CAST(2 AS BIGINT)
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT n_nationkey, n_name || '_X', n_regionkey, 'update_postimage',
+           CAST(2 AS BIGINT)
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN n_name || '_X' ELSE n_name END,
+           n_regionkey, 'delete', CAST(3 AS BIGINT)
+    FROM nation WHERE n_nationkey >= 20
+    """,
+)
+def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import alter_properties
+    from ..sources.delta_dml import delete_delta, update_delta
+    from ..sources.delta_stream import register_delta_stream_source
+    from .scans import _clone, _nation_delta
+
+    register_delta_stream_source(spark)
+    path = _clone(_nation_delta(spark, sf_dir), "scdf")
+    alter_properties(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )                                                                # v1
+    update_delta(
+        spark, path, "n_regionkey = 2",
+        {"n_name": "concat(n_name, '_X')"},
+    )                                                                # v2
+    delete_delta(spark, path, "n_nationkey >= 20")                   # v3
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    return _run_stream(
+        stream.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            "_change_type", "_commit_version",
+        ),
+        "append",
+    )
+
+
 # ------------------------------------------------- stream_upsert_delta
 # The canonical production sink pattern: readStream -> foreachBatch ->
 # MERGE INTO a Delta rollup table (streaming upsert / "silver table"

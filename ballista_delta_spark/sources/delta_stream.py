@@ -46,15 +46,37 @@ def _pv_caster(dt: T.DataType):
 
 
 class DeltaStreamDataSource(DataSource):
-    """``format("delta_stream").option("path", <table>)``."""
+    """``format("delta_stream").option("path", <table>)``.
+
+    ``option("readChangeFeed", "true")`` switches the source to the
+    CHANGE-FEED mode (delta-spark's streaming CDF): each micro-batch
+    emits row-level changes — table columns plus ``_change_type``
+    (insert / update_preimage / update_postimage / delete) and
+    ``_commit_version`` — sourced from the commits' ``cdc`` actions
+    (written under ``_change_data/`` by CDF-enabled DML) or, for
+    append-only commits, derived from their add actions as inserts.
+    """
 
     @classmethod
     def name(cls) -> str:
         return "delta_stream"
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true"
+
     def schema(self):
         snap = _load_snapshot(_strip_file_scheme(self.options["path"]))
-        return snap.schema
+        if not self._cdf():
+            return snap.schema
+        return T.StructType(
+            list(snap.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
 
     def simpleStreamReader(self, schema: T.StructType):
         return _DeltaSimpleStreamReader(
@@ -64,6 +86,7 @@ class DeltaStreamDataSource(DataSource):
             ignore_changes=str(
                 self.options.get("ignorechanges", "false")
             ).lower() == "true",
+            read_change_feed=self._cdf(),
         )
 
 
@@ -74,11 +97,21 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
         schema: T.StructType,
         starting_version: int = 0,
         ignore_changes: bool = False,
+        read_change_feed: bool = False,
     ):
         self.path = _strip_file_scheme(path)
         self.schema = schema
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
+        self.read_change_feed = read_change_feed
+        # logical -> physical parquet name (identity unless the table
+        # declares columnMapping); cdc partitionValues keys are PHYSICAL
+        # per the spec, so keep the reverse map too.
+        snap = _load_snapshot(self.path)
+        self._phys = {
+            f.name: snap.physical(f.name) for f in snap.schema.fields
+        }
+        self._logical = {v: k for k, v in self._phys.items()}
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -138,18 +171,99 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
                         for n in names
                     )
 
+    def _commit_actions(self, v: int) -> list[dict[str, Any]]:
+        acts = []
+        with open(_version_file(_log_dir(self.path), v)) as fh:
+            for line in fh:
+                if line.strip():
+                    acts.append(json.loads(line))
+        return acts
+
+    def _cdf_rows_for(self, versions: range) -> Iterator[tuple]:
+        """Change rows for the commits in range, spec rule: a commit WITH
+        ``cdc`` actions is described by them alone (they carry pre/post
+        images and insert rows); a commit without them streams its
+        dataChange adds as inserts — but only if it removes nothing (a
+        remove without cdc means DML ran while CDF was off, which cannot
+        be reconstructed row-level)."""
+        import pyarrow.parquet as pq
+
+        data_names = [
+            f.name for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        casters = {
+            f.name: _pv_caster(f.dataType) for f in self.schema.fields
+        }
+
+        def emit(add_like: dict, v: int, fixed_type: str | None):
+            root = self.path
+            fp = os.path.join(root, add_like["path"])
+            tbl = pq.read_table(fp)
+            pv = {
+                self._logical.get(k, k): (
+                    casters.get(self._logical.get(k, k), str)(val)
+                    if val is not None else None
+                )
+                for k, val in (add_like.get("partitionValues") or {}).items()
+            }
+            file_cols = set(tbl.column_names)
+            for row in tbl.to_pylist():
+                ct = fixed_type if fixed_type else row.get("_change_type")
+                yield tuple(
+                    [
+                        row[self._phys.get(n, n)]
+                        if self._phys.get(n, n) in file_cols
+                        else pv.get(n)
+                        for n in data_names
+                    ]
+                    + [ct, v]
+                )
+
+        for v in versions:
+            acts = self._commit_actions(v)
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                for c in cdc:
+                    yield from emit(c, v, None)
+                continue
+            adds = [
+                a["add"] for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"] for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes or any(a.get("deletionVector") for a in adds):
+                raise ValueError(
+                    f"commit {v} changes existing rows but carries no cdc "
+                    "files — it predates delta.enableChangeDataFeed=true; "
+                    "start the stream at a later startingVersion"
+                )
+            for add in adds:
+                yield from emit(add, v, "insert")
+
     # Both entry points materialize the batch as a list: the runtime's
     # prefetch cache copy.copy()s the iterator (generators can't be
     # copied), and a micro-batch is churn-sized by construction.
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         latest = self._latest_version()
         lo = int(start["version"]) + 1
-        return list(self._rows_for(range(lo, latest + 1))), {"version": latest}
+        rows = (
+            self._cdf_rows_for(range(lo, latest + 1))
+            if self.read_change_feed
+            else self._rows_for(range(lo, latest + 1))
+        )
+        return list(rows), {"version": latest}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return list(self._rows_for(
-            range(int(start["version"]) + 1, int(end["version"]) + 1)
-        ))
+        rng = range(int(start["version"]) + 1, int(end["version"]) + 1)
+        return list(
+            self._cdf_rows_for(rng)
+            if self.read_change_feed
+            else self._rows_for(rng)
+        )
 
     def commit(self, end: dict) -> None:
         pass

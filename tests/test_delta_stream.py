@@ -152,3 +152,93 @@ def test_stream_upsert_delta_runs_multiple_batches(spark, sf_dir):
     # >1 micro-batch committed (offset log has one entry per batch).
     chunk_dirs = glob.glob("/tmp/bds-events-4chunks-*/")
     assert chunk_dirs  # staging existed
+
+
+def _cdf_reader(tbl, **kw):
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import _load_snapshot
+
+    schema = T.StructType(
+        list(_load_snapshot(tbl).schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+    )
+    return _DeltaSimpleStreamReader(tbl, schema, read_change_feed=True, **kw)
+
+
+def test_cdf_stream_emits_inserts_updates_deletes(spark, tbl):
+    from ballista_delta_spark.sources.delta import alter_properties
+    from ballista_delta_spark.sources.delta_dml import delete_delta, update_delta
+
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})  # v1
+    update_delta(spark, tbl, "id = 1", {"s": "'A'"})               # v2
+    delete_delta(spark, tbl, "id = 2")                             # v3
+    r = _cdf_reader(tbl)
+    rows, end = r.read(r.initialOffset())
+    assert end == {"version": 3}
+    got = sorted(rows)
+    assert got == sorted([
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (1, "a", "update_preimage", 2),
+        (1, "A", "update_postimage", 2),
+        (2, "b", "delete", 3),
+    ])
+    # replay between offsets is exact
+    replay = list(r.readBetweenOffsets({"version": 1}, {"version": 3}))
+    assert sorted(replay) == sorted([
+        (1, "a", "update_preimage", 2),
+        (1, "A", "update_postimage", 2),
+        (2, "b", "delete", 3),
+    ])
+
+
+def test_cdf_stream_pre_enablement_dml_raises(spark, tbl):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    delete_delta(spark, tbl, "id = 2")  # v1, CDF off -> no cdc files
+    r = _cdf_reader(tbl)
+    with pytest.raises(ValueError, match="no cdc"):
+        r.read(r.initialOffset())
+    # startingVersion past the gap works (append after the DML)
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id int, s string"), tbl,
+        mode="append",
+    )  # v2
+    r2 = _cdf_reader(tbl, starting_version=2)
+    rows, _ = r2.read(r2.initialOffset())
+    assert rows == [(9, "z", "insert", 2)]
+
+
+def test_cdf_stream_end_to_end_available_now(spark, tbl):
+    from ballista_delta_spark.sources.delta import alter_properties
+    from ballista_delta_spark.sources.delta_dml import update_delta
+
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})
+    update_delta(spark, tbl, "id = 2", {"s": "'B'"})
+    register_delta_stream_source(spark)
+    df = (
+        spark.readStream.format("delta_stream")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert df.columns == ["id", "s", "_change_type", "_commit_version"]
+    q = (
+        df.writeStream.format("memory").queryName("t_cdf")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.id, r.s, r._change_type, r._commit_version)
+        for r in spark.table("t_cdf").collect()
+    }
+    assert got == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 2),
+        (2, "B", "update_postimage", 2),
+    }
