@@ -67,6 +67,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         functions_q,
         joins,
         multimodal,
+        pipeline,
         relational,
         sampling,
         scans,
@@ -81,8 +82,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     collected: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
         scans, relational, joins, aggregates, windows, functions_q,
-        subqueries, udfs, dedup, similarity, text, multimodal, streaming_q,
-        sampling,
+        subqueries, udfs, dedup, similarity, text, pipeline, multimodal,
+        streaming_q, sampling,
     ):
         for key, pair in mod.QUERIES.items():
             if key in collected:

@@ -1,0 +1,297 @@
+"""Training-data pipeline operators over ``documents`` — chunking,
+TF-IDF keywords, corpus mixing, and sequence packing (no reference
+analogue; the round brief's "operations a large-scale training-data
+pipeline would need").
+
+Scale shapes, per operator:
+
+- ``doc_chunk``: one narrow scan; the chunk expansion is a per-row
+  ``posexplode`` (no shuffle — output partitioning inherits the scan).
+  At 100 TB chunking is embarrassingly parallel; the only cost is the
+  write amplification of overlap, which is the configured 16/64 = 25%.
+- ``text_tfidf_topk``: the classic two-shuffle shape — one exchange keyed
+  by term (document frequencies; vocabulary-sized, NOT corpus-sized,
+  thanks to map-side partial aggregation) and one keyed by doc (per-doc
+  top-k via window). The df relation is broadcast back (vocabulary ≪
+  corpus), so the big side is shuffled ONCE.
+- ``corpus_mix``: pure hash arithmetic — a codegen'd filter (downsample)
+  plus a per-row ``explode(sequence())`` (upsample/epochs); zero joins,
+  zero pre-aggregation shuffles. Exactly how production mixture recipes
+  run: membership is DERIVED from a hash, never stored, so re-runs and
+  restarts agree for free.
+- ``seq_pack``: running-total packing per (lang) stream — one shuffle to
+  co-locate each stream, a window cumsum, integer division into packs.
+  At 100 TB the stream key needs enough cardinality to spread (lang
+  alone would skew; production uses (lang, shard) — noted inline).
+
+All four are paired with exact DuckDB oracles: token splitting uses the
+same regex, hashes are md5-based (engine-portable), floats are rounded
+identically before comparison or ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._registry import make_registry
+from ._tables import load
+
+QUERIES: dict = {}
+_q = make_registry(QUERIES)
+
+# Same whitespace tokenizer as queries/text.py (and its SQL-literal form).
+_WS = r"\s+"
+_WS_SQL = r"\\s+"
+
+# Chunking geometry: 64-token windows, 16-token overlap -> stride 48.
+_CHUNK = 64
+_STRIDE = 48
+
+# ---------------------------------------------------------- doc_chunk
+# Sliding-window chunking: every document becomes ceil-spread fixed-size
+# token windows (the prep step before tokenization/embedding). chunk 0
+# covers tokens [1, 64], chunk i covers [i*48+1, i*48+64]. Chunks are
+# emitted as (doc_id, chunk_id, token count, md5 of the chunk text) —
+# the hash stands in for the chunk body so the oracle compare stays
+# compact while still pinning the exact content.
+@_q(
+    "doc_chunk",
+    f"""
+    SELECT doc_id, chunk_id,
+           len(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}])
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}],
+               ' ')) AS chunk_hash
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(
+                   CAST(ceil((len(toks) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT),
+                   0))) AS chunk_id
+        FROM (
+            SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS toks
+            FROM documents
+        )
+    )
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", _WS).alias("toks"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - F.lit(_CHUNK)) / F.lit(float(_STRIDE))),
+        F.lit(0),
+    )
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+# ----------------------------------------------------- text_tfidf_topk
+# Per-document top-3 keywords by TF-IDF over the whitespace vocabulary.
+# Deterministic across engines: the score is ROUNDED to 6 decimals BEFORE
+# ranking and ties break on the term itself, so float noise can't flip
+# the cutoff.
+_TFIDF_K = 3
+
+
+@_q(
+    "text_tfidf_topk",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '{_WS}')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk
+    FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar: one count job, reused as a literal
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", _WS)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_rel = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # vocabulary ≪ corpus: broadcast the df relation so the tf side (the
+    # big one) is never reshuffled for the join
+    scored = tf.join(F.broadcast(df_rel), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+# --------------------------------------------------------- corpus_mix
+# Weighted corpus mixture: per-source sampling rates (downsample) plus
+# integer epoch factors (upsample) — the recipe step that turns N raw
+# corpora into one training mix. Membership and repetition are both
+# DERIVED (hash + CASE), never materialized.
+_MIX_HASH_SPARK = (
+    "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 100"
+)
+_MIX_HASH_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+# keep-rate percent by source bucket; epochs by source bucket
+_RATE_CASE = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 100 "
+    "WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 60 ELSE 30 END"
+)
+_EPOCH_CASE = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 2 ELSE 1 END"
+)
+
+
+@_q(
+    "corpus_mix",
+    f"""
+    SELECT source,
+           count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_in_mix
+    FROM (
+        SELECT source, doc_id, n_chars,
+               unnest(generate_series(1, {_EPOCH_CASE})) AS epoch
+        FROM documents
+        WHERE {_MIX_HASH_DUCK} < {_RATE_CASE}
+    )
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = d.filter(F.expr(f"{_MIX_HASH_SPARK} < {_RATE_CASE}"))
+    repeated = kept.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(1), F.expr(_EPOCH_CASE))
+        ).alias("epoch"),
+    )
+    return (
+        repeated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_in_mix"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------------- seq_pack
+# Sequence packing: stream documents (ordered by doc_id within each lang)
+# into fixed token-budget packs — the batch-construction step before
+# training. Pack membership is the running token total divided by the
+# budget: doc d lands in pack floor(tokens_before_d / B). A document
+# starting inside pack p but overflowing it stays in p (the tokenizer
+# truncates/continues at the boundary); this is the standard
+# "contiguous fill" packing and is exactly window-expressible — no UDF,
+# no recursion, identical in both engines.
+#
+# 100 TB note: PARTITION BY lang alone would funnel each language through
+# one task; production packs per (lang, shard) with shard = hash(doc_id)
+# % n_shards, which keeps the same semantics per shard and spreads the
+# cumsum. The lang-only form here matches the oracle exactly.
+_PACK_BUDGET = 512
+
+
+@_q(
+    "seq_pack",
+    f"""
+    WITH sized AS (
+        SELECT lang, doc_id,
+               len(regexp_split_to_array(text, '{_WS}')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(floor(
+                   (sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / {_PACK_BUDGET}.0
+               ) AS BIGINT) AS pack_id
+        FROM sized
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM placed
+    GROUP BY lang, pack_id ORDER BY lang, pack_id
+    """,
+)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(F.split("text", _WS)).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(_PACK_BUDGET))
+        ),
+    )
+    return (
+        placed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )

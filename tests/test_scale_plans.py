@@ -313,3 +313,45 @@ def test_new_text_ops_scale_shapes(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan, plan  # map-side combine
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pipeline_ops_scale_shapes(spark, sf_dir):
+    """Pins for the r7 pipeline family (queries/pipeline.py):
+
+    - doc_chunk expands chunks per-row — ZERO exchanges (a shuffle here
+      would mean the explode got re-keyed, paying a corpus-wide move for
+      a purely local expansion);
+    - corpus_mix's sampling/epoch arms are pure derivation — no joins at
+      all (membership must never be materialized via a join against a
+      stored membership table);
+    - text_tfidf_topk broadcasts the vocabulary-sized df relation — the
+      corpus-sized tf side must not be re-shuffled for the join;
+    - seq_pack's window and aggregate reuse ONE partitioning of the lang
+      stream (cumsum shuffle + output sort only).
+    """
+    from ballista_delta_spark.queries.pipeline import (
+        corpus_mix,
+        doc_chunk,
+        seq_pack,
+        text_tfidf_topk,
+    )
+
+    chunk_plan = _physical_plan(doc_chunk(spark, sf_dir))
+    assert "Exchange" not in chunk_plan, chunk_plan
+    assert "Generate explode" in chunk_plan, chunk_plan
+
+    mix_plan = _physical_plan(corpus_mix(spark, sf_dir))
+    assert "Join" not in mix_plan, mix_plan
+
+    tfidf_plan = _physical_plan(text_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in tfidf_plan, tfidf_plan
+    assert "SortMergeJoin" not in tfidf_plan, tfidf_plan
+    assert "BroadcastNestedLoopJoin" not in tfidf_plan, tfidf_plan
+
+    pack_plan = _physical_plan(seq_pack(spark, sf_dir))
+    # one hash exchange for the lang stream + one range exchange for the
+    # ordered output — anything more means the window/agg partitioning
+    # stopped being reused
+    n_ex = pack_plan.count("Exchange")
+    assert n_ex <= 2, pack_plan
+    assert "RunningWindowFunction" in pack_plan or "Window" in pack_plan
