@@ -77,6 +77,18 @@ _DELTA_OPTIMIZE = re.compile(
     re.IGNORECASE,
 )
 
+# ALTER TABLE <name> ALTER COLUMN <c> SET DEFAULT <expr> / DROP DEFAULT —
+# the allowColumnDefaults writer feature (appends omitting the column
+# fill it with the expression).
+_DELTA_COLUMN_DEFAULT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # REORG TABLE <name> APPLY (PURGE) — rewrite only DV-carrying files so no
 # active file references a deletion vector (delta-spark REORG parity).
 _DELTA_REORG = re.compile(
@@ -349,6 +361,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
             version = optimize(spark, loc, zorder_by=zcols or None)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_COLUMN_DEFAULT.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import alter_column_default, read_delta
+
+            loc = _delta_views[name]
+            version = alter_column_default(
+                loc,
+                m.group("col").strip("`"),
+                None if m.group("drop") else m.group("expr"),
+            )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

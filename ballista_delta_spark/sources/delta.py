@@ -861,7 +861,7 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
 # 'appendOnly' is enforced via check_write_protocol's removes_files gate.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "timestampNtz", "deletionVectors",
-    "inCommitTimestamp",
+    "inCommitTimestamp", "allowColumnDefaults",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -1317,6 +1317,17 @@ def write_delta(
                 raise ValueError(
                     "provided values disagree with generated-column "
                     f"expressions: {'; '.join(bad)}"
+                )
+        # Column defaults (allowColumnDefaults, writer v7): a column the
+        # input OMITS whose field carries CURRENT_DEFAULT metadata fills
+        # with the default expression — SQL INSERT semantics, evaluated
+        # per-row inside the write's own codegen (constant-foldable per
+        # the spec, so effectively a literal).
+        for f_prev in prev.schema.fields:
+            dflt = (f_prev.metadata or {}).get("CURRENT_DEFAULT")
+            if dflt is not None and f_prev.name not in df.columns:
+                df = df.withColumn(
+                    f_prev.name, F.expr(dflt).cast(f_prev.dataType)
                 )
         # Schema enforcement, Delta-style: incoming columns must match by
         # name AND type (nullability-insensitive — simpleString drops it).
@@ -1887,6 +1898,82 @@ def alter_columns(
                 "renames": json.dumps(renames),
                 "drops": json.dumps(drops),
                 "adds": json.dumps(adds),
+            },
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    })
+    actions.append({"metaData": md})
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
+def alter_column_default(
+    path: str, col: str, default: str | None
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN <col> SET DEFAULT <expr>`` (or
+    ``DROP DEFAULT`` with ``default=None``) — the ``allowColumnDefaults``
+    writer feature. The default lands in the field's ``CURRENT_DEFAULT``
+    metadata (the spec's key); appends that OMIT the column then fill it
+    with the expression instead of erroring (SQL INSERT semantics —
+    ``write_delta`` applies it). Setting the first default upgrades the
+    table to writer v7 + allowColumnDefaults; it is a writer-only feature,
+    so readers are untouched. Per the spec the expression must be
+    constant-foldable (no column references) — enforced by rejecting
+    expressions that mention other table columns.
+
+    Exceeds the reference (no ALTER surface, reference src/lib.rs:36);
+    delta-spark parity for the defaults half of schema evolution.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise ValueError(f"no such column: {col!r}")
+    if col in snap.partition_columns:
+        raise ValueError(f"cannot default partition column {col!r}")
+    if default is not None:
+        import re as _re
+
+        toks = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", default))
+        refs = toks & (set(names) - {col})
+        if refs:
+            raise ValueError(
+                "column default must be constant-foldable; it references "
+                f"table columns {sorted(refs)}"
+            )
+
+    schema_json = json.loads(
+        snap.metadata_raw.get("schemaString")
+        or json.dumps(snap.schema.jsonValue())
+    )
+    for f_json in schema_json["fields"]:
+        if f_json["name"] == col:
+            meta = dict(f_json.get("metadata") or {})
+            if default is None:
+                meta.pop("CURRENT_DEFAULT", None)
+            else:
+                meta["CURRENT_DEFAULT"] = default
+            f_json["metadata"] = meta
+
+    actions: list[dict[str, Any]] = []
+    if default is not None and (
+        snap.min_writer_version < 7
+        or "allowColumnDefaults" not in snap.writer_features
+    ):
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=7, writer_feature="allowColumnDefaults",
+        ))
+    now_ms = int(time.time() * 1000)
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(schema_json)
+    actions.insert(0, {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "ALTER COLUMN",
+            "operationParameters": {
+                "column": col,
+                "default": json.dumps(default),
             },
             "engineInfo": ENGINE_INFO,
             "txnId": str(uuid.uuid4()),

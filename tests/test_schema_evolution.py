@@ -161,3 +161,65 @@ def test_merge_schema_on_mapped_table(spark, tbl):
     out = read_delta(spark, tbl)
     assert out.filter("score IS NOT NULL").count() == 1
     assert out.count() == 11
+
+
+def test_column_default_fills_omitted_column(spark, tbl):
+    from ballista_delta_spark.sources.delta import alter_column_default
+
+    alter_columns(tbl, adds={"note": "string"})
+    alter_column_default(tbl, "note", "'n/a'")
+    snap = _load_snapshot(tbl)
+    assert snap.min_writer_version == 7
+    assert "allowColumnDefaults" in snap.writer_features
+    assert snap.schema["note"].metadata["CURRENT_DEFAULT"] == "'n/a'"
+    # append omitting the defaulted column -> filled with the default
+    df = spark.createDataFrame([(100, 200, 1)], "k long, v long, p int")
+    write_delta(df, tbl, mode="append")
+    out = read_delta(spark, tbl)
+    assert out.filter("note = 'n/a'").count() == 1
+    # pre-existing rows predate the default and stay null
+    assert out.filter("note IS NULL").count() == 10
+    # an explicit value still wins
+    df2 = spark.createDataFrame(
+        [(101, 202, 1, "real")], "k long, v long, p int, note string"
+    )
+    write_delta(df2, tbl, mode="append")
+    assert read_delta(spark, tbl).filter("note = 'real'").count() == 1
+
+
+def test_column_default_drop_and_validation(spark, tbl):
+    from ballista_delta_spark.sources.delta import alter_column_default
+
+    alter_columns(tbl, adds={"note": "string"})
+    alter_column_default(tbl, "note", "'x'")
+    alter_column_default(tbl, "note", None)  # DROP DEFAULT
+    snap = _load_snapshot(tbl)
+    assert "CURRENT_DEFAULT" not in (snap.schema["note"].metadata or {})
+    # with the default gone, omitting the column is a schema mismatch again
+    df = spark.createDataFrame([(1, 2, 1)], "k long, v long, p int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(df, tbl, mode="append")
+    with pytest.raises(ValueError, match="no such column"):
+        alter_column_default(tbl, "ghost", "'x'")
+    with pytest.raises(ValueError, match="partition column"):
+        alter_column_default(tbl, "p", "0")
+    with pytest.raises(ValueError, match="constant-foldable"):
+        alter_column_default(tbl, "note", "concat(k, '!')")
+
+
+def test_column_default_sql_ddl(spark, tbl):
+    from ballista_delta_spark.session import sql as bd_sql
+
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE dflt_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    bd_sql(spark, "ALTER TABLE dflt_t ADD COLUMNS (score int)")
+    bd_sql(spark, "ALTER TABLE dflt_t ALTER COLUMN score SET DEFAULT 7")
+    df = spark.createDataFrame([(100, 200, 1)], "k long, v long, p int")
+    write_delta(df, tbl, mode="append")
+    assert read_delta(spark, tbl).filter("score = 7").count() == 1
+    bd_sql(spark, "ALTER TABLE dflt_t ALTER COLUMN score DROP DEFAULT")
+    snap = _load_snapshot(tbl)
+    assert "CURRENT_DEFAULT" not in (snap.schema["score"].metadata or {})
+    spark.catalog.dropTempView("dflt_t")
