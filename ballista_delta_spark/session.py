@@ -89,6 +89,17 @@ _DELTA_COLUMN_DEFAULT = re.compile(
     re.IGNORECASE,
 )
 
+# ALTER TABLE <name> DROP FEATURE <f> [TRUNCATE HISTORY] — protocol
+# downgrade once no trace of the feature remains (delta-spark parity).
+_DELTA_DROP_FEATURE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+DROP\s+FEATURE\s+(?P<feature>`[^`]+`|[A-Za-z][A-Za-z0-9]*)"
+    r"(?:\s+(?P<trunc>TRUNCATE\s+HISTORY))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # REORG TABLE <name> APPLY (PURGE) — rewrite only DV-carrying files so no
 # active file references a deletion vector (delta-spark REORG parity).
 _DELTA_REORG = re.compile(
@@ -361,6 +372,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
             version = optimize(spark, loc, zorder_by=zcols or None)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_DROP_FEATURE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import drop_feature, read_delta
+
+            loc = _delta_views[name]
+            version = drop_feature(
+                loc,
+                m.group("feature").strip("`"),
+                truncate_history=bool(m.group("trunc")),
+            )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

@@ -1983,6 +1983,124 @@ def alter_column_default(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
+def drop_feature(
+    path: str, feature: str, truncate_history: bool = False
+) -> int:
+    """``ALTER TABLE ... DROP FEATURE <f> [TRUNCATE HISTORY]`` — remove a
+    table feature from the protocol so lower-capability engines can write
+    (or read) the table again. Per the spec's drop protocol a feature may
+    only be dropped when NO TRACE of it remains:
+
+    - current-version traces always refuse (e.g. an active deletion
+      vector → run ``REORG TABLE ... APPLY (PURGE)`` first; a field with
+      ``CURRENT_DEFAULT`` → ``DROP DEFAULT`` first);
+    - historical traces (old commits readable via time travel) refuse
+      unless ``truncate_history=True``, which writes a checkpoint of the
+      current snapshot and reaps ALL older JSON commits (retention 0) —
+      delta-spark's TRUNCATE HISTORY clause.
+
+    Reader+writer features (deletionVectors) leave both lists; writer-only
+    features (allowColumnDefaults, inCommitTimestamp, changeDataFeed,
+    appendOnly, invariants, checkConstraints) leave writerFeatures only.
+    Version numbers stay at the feature-list tier (7/3) — the spec keys
+    capability on the LISTS at that tier, and delta-spark does the same.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    if snap.min_writer_version < 7:
+        raise ValueError(
+            "DROP FEATURE needs a feature-list protocol (writer v7); "
+            f"this table declares writer v{snap.min_writer_version}"
+        )
+    reader_also = feature in set(snap.reader_features)
+    if feature not in set(snap.writer_features):
+        raise ValueError(f"feature {feature!r} is not declared")
+
+    # ---- current-version trace checks (always enforced)
+    if feature == "deletionVectors":
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            raise ValueError(
+                "active deletion vectors remain — run REORG TABLE ... "
+                "APPLY (PURGE) first"
+            )
+    elif feature == "allowColumnDefaults":
+        with_default = [
+            f.name for f in snap.schema.fields
+            if (f.metadata or {}).get("CURRENT_DEFAULT") is not None
+        ]
+        if with_default:
+            raise ValueError(
+                f"columns {with_default} still declare defaults — "
+                "DROP DEFAULT first"
+            )
+    elif feature == "changeDataFeed":
+        if cdf_enabled(snap):
+            raise ValueError(
+                "delta.enableChangeDataFeed is still true — unset it first"
+            )
+    elif feature == "inCommitTimestamp":
+        if ict_enabled(snap):
+            raise ValueError(
+                "delta.enableInCommitTimestamps is still true — unset it "
+                "first"
+            )
+    elif feature == "columnMapping":
+        if snap.column_mapping_mode != "none":
+            raise ValueError(
+                "delta.columnMapping.mode is still active — column mapping "
+                "cannot be dropped from a mapped table"
+            )
+    elif feature in ("appendOnly", "invariants", "checkConstraints",
+                     "generatedColumns", "identityColumns", "timestampNtz"):
+        pass  # config/schema-level features; history is the only trace
+    else:
+        raise ValueError(f"don't know how to drop feature {feature!r}")
+
+    # ---- historical traces: any pre-drop commit an engine could still
+    # time-travel to may carry the feature — spec requires truncation
+    log = _log_dir(path)
+    has_history = any(
+        os.path.exists(_version_file(log, v)) for v in range(snap.version)
+    )
+    if has_history:
+        if not truncate_history:
+            raise ValueError(
+                "older commits may carry traces of the feature — pass "
+                "truncate_history=True (TRUNCATE HISTORY) to checkpoint "
+                "and reap them"
+            )
+        create_checkpoint(path)
+        cleanup_log(path, retention_ms=0)
+
+    pr: dict[str, Any] = {
+        "minReaderVersion": snap.min_reader_version,
+        "minWriterVersion": snap.min_writer_version,
+        "writerFeatures": sorted(set(snap.writer_features) - {feature}),
+    }
+    if snap.min_reader_version >= 3:
+        pr["readerFeatures"] = sorted(
+            set(snap.reader_features) - ({feature} if reader_also else set())
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP FEATURE",
+                "operationParameters": {
+                    "feature": feature,
+                    "truncateHistory": json.dumps(truncate_history),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        },
+        {"protocol": pr},
+    ]
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
 def clone_delta(src: str, dst: str) -> int:
     """SHALLOW CLONE: a new, independent Delta table whose version-0 commit
     REFERENCES the source's current data files by absolute path — zero data

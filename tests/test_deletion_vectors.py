@@ -681,3 +681,86 @@ def test_reorg_purge_sql_ddl_and_vacuum(spark, tmp_path):
     vacuum(tbl, retention_ms=0)
     assert not glob.glob(os.path.join(tbl, "deletion_vector*.bin"))
     spark.catalog.dropTempView("reorg_sql_t")
+
+
+def test_drop_feature_deletion_vectors_lifecycle(spark, tmp_path):
+    """Full DV lifecycle: DV DELETE -> REORG PURGE -> DROP FEATURE
+    TRUNCATE HISTORY -> feature gone from both protocol lists."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        drop_feature,
+        reorg_purge,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "lifecycle")
+    write_delta(spark.range(100).selectExpr("id").coalesce(1), tbl)
+    delete_delta(spark, tbl, "id < 10", mode="dv")
+    # active DV -> refuse
+    with pytest.raises(ValueError, match="REORG"):
+        drop_feature(tbl, "deletionVectors")
+    reorg_purge(spark, tbl)
+    # history still carries DV commits -> refuse without TRUNCATE HISTORY
+    with pytest.raises(ValueError, match="truncate_history"):
+        drop_feature(tbl, "deletionVectors")
+    v = drop_feature(tbl, "deletionVectors", truncate_history=True)
+    snap = _load_snapshot(tbl)
+    assert snap.version == v
+    assert "deletionVectors" not in snap.writer_features
+    assert "deletionVectors" not in snap.reader_features
+    # table still reads fine (from checkpoint + drop commit)
+    assert read_delta(spark, tbl).count() == 90
+    # pre-truncation history is gone
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0)
+
+
+def test_drop_feature_validation(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        alter_column_default,
+        alter_columns,
+        drop_feature,
+    )
+
+    tbl = str(tmp_path / "dropf")
+    write_delta(spark.range(5).selectExpr("id").coalesce(1), tbl)
+    # legacy-protocol table has no feature lists
+    with pytest.raises(ValueError, match="writer v"):
+        drop_feature(tbl, "deletionVectors")
+    alter_columns(tbl, adds={"note": "string"})
+    alter_column_default(tbl, "note", "'x'")
+    with pytest.raises(ValueError, match="not declared"):
+        drop_feature(tbl, "deletionVectors")
+    # a column still declares a default -> refuse
+    with pytest.raises(ValueError, match="DROP DEFAULT"):
+        drop_feature(tbl, "allowColumnDefaults")
+    alter_column_default(tbl, "note", None)
+    v = drop_feature(tbl, "allowColumnDefaults", truncate_history=True)
+    from ballista_delta_spark.sources.delta import _load_snapshot
+
+    snap = _load_snapshot(tbl)
+    assert snap.version == v
+    assert "allowColumnDefaults" not in snap.writer_features
+
+
+def test_drop_feature_sql_ddl(spark, tmp_path):
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import _load_snapshot, reorg_purge
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "dropsql")
+    write_delta(spark.range(50).selectExpr("id").coalesce(1), tbl)
+    delete_delta(spark, tbl, "id < 5", mode="dv")
+    reorg_purge(spark, tbl)
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE dropf_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    bd_sql(
+        spark,
+        "ALTER TABLE dropf_t DROP FEATURE deletionVectors TRUNCATE HISTORY",
+    )
+    snap = _load_snapshot(tbl)
+    assert "deletionVectors" not in snap.writer_features
+    assert spark.table("dropf_t").count() == 45
+    spark.catalog.dropTempView("dropf_t")
