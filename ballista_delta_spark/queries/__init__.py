@@ -50,13 +50,18 @@ ROTATION: tuple[str, ...] = (
     # -- DV apply path rewritten this round (re-green) + the two NEW
     #    r7 merge-on-read DML ids (never driver-tested)
     "sink_delta_delete_dv", "sink_delta_update_dv", "sink_delta_merge_dv",
-    # -- r5 fill (cheap single-job ids first)
-    "win_rank", "win_ntile", "win_value", "win_agg_frame",
-    "agg_bool", "agg_rollup", "agg_pivot", "agg_unpivot",
-    "cte", "derived_table", "subq_in_exists", "subq_scalar",
-    # -- streaming last (budget-truncation buffer)
-    "stream_sliding_agg", "stream_session_window",
-    "stream_stateful_user_stats",
+    # -- r7-registered ids with NO driver row ever: the r6-tail batch
+    #    (registered past position 50 last round) then this round's new
+    #    Delta-lifecycle + pipeline families. Never-judged beats
+    #    refreshing r4+r5-green fills a round early (those lead r8).
+    "text_pii_redact", "text_gopher_quality", "text_bigram_topk",
+    "sink_delta_rename_column", "sink_delta_clone", "scan_delta_skipping",
+    "sink_delta_reorg", "sink_delta_evolve",
+    "doc_chunk", "text_tfidf_topk", "corpus_mix", "seq_pack",
+    # -- streaming last (budget-truncation buffer); the two never-judged
+    #    stream ids lead so truncation hits the r5-green repeat first
+    "stream_upsert_delta", "stream_delta_cdf_source",
+    "stream_sliding_agg",
 )
 
 

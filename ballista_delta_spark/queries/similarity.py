@@ -459,6 +459,56 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ emb_project
+# Random-projection dimensionality reduction (64 -> 8): proj_k = p_k . emb
+# over the same deterministic integer plane family the sign-LSH uses —
+# sparse Achlioptas-style weights in {-3..3}, derived from (k, d) alone,
+# so every executor (and the oracle) regenerates the matrix without
+# shipping it. This is the scale path UNDER the ANN ids: at 100 TB you
+# project once (map-only, zero shuffle — pinned), store 8 doubles instead
+# of 64 floats, and brute-force/IVF the reduced space; production uses
+# k≈128 with the identical construction. Both dialects evaluate the same
+# unrolled multiply-add chain (fold order included) -> exact hash match,
+# no rounding.
+_PROJ_K = 8
+
+
+def _proj_dots(dialect: str) -> list[str]:
+    dots = []
+    for row in _planes(_PROJ_K):
+        if dialect == "spark":
+            dots.append(" + ".join(
+                f"emb[{d}] * ({w}.0D)" for d, w in enumerate(row) if w
+            ))
+        else:
+            dots.append(" + ".join(
+                f"emb[{d + 1}] * ({w}.0)" for d, w in enumerate(row) if w
+            ))
+    return dots
+
+
+@_q(
+    "emb_project",
+    f"""
+    WITH {_CORPUS_ORACLE}
+    SELECT vec_id, CAST(gs.k AS INTEGER) AS k,
+           CASE gs.k
+               {" ".join(f"WHEN {k} THEN ({dot})" for k, dot in enumerate(_proj_dots("duckdb")))}
+           END AS p
+    FROM e, range(0, {_PROJ_K}) gs(k)
+    WHERE vec_id < 200
+    """,
+)
+def emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _corpus(spark, sf_dir).filter(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(dot) for dot in _proj_dots("spark")])
+        ).alias("k", "p"),
+    )
+
+
 # ----------------------------------------------------- emb_quantize_int8
 # Symmetric int8 quantization of the unit vector (q = floor(127*x + 0.5),
 # x in [-1, 1]) — the 4x storage/bandwidth cut ANN indexes ship to disk.

@@ -355,3 +355,14 @@ def test_pipeline_ops_scale_shapes(spark, sf_dir):
     n_ex = pack_plan.count("Exchange")
     assert n_ex <= 2, pack_plan
     assert "RunningWindowFunction" in pack_plan or "Window" in pack_plan
+
+
+def test_emb_project_is_map_only(spark, sf_dir):
+    """The random-projection reduce must stay a map-only pass: weights are
+    regenerated from (k, d), never shipped — an Exchange (or a join) here
+    means the matrix got materialized as a relation."""
+    from ballista_delta_spark.queries.similarity import emb_project
+
+    plan = _physical_plan(emb_project(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
