@@ -1447,9 +1447,18 @@ def write_delta(
     for a in adds:
         actions.append({"add": a})
 
+    # A pure append whose commit carries no metaData/protocol action of
+    # its own (no identity high-water-mark move, no schema widening) is a
+    # BLIND APPEND: losing a commit race against conflict-free winners
+    # rebases the same staged files onto the next version instead of
+    # failing — parallel ingest succeeds from every writer.
+    blind = mode == "append" and exists and not any(
+        "metaData" in a or "protocol" in a for a in actions
+    )
     return _try_commit(
         path, actions, adds,
         enable_ict=exists and ict_enabled(prev),
+        op_kind="blind_append" if blind else "other",
     )
 
 
@@ -1539,63 +1548,121 @@ def _stage_adds(
     return adds
 
 
+class ConcurrentWriteException(RuntimeError):
+    """A concurrent commit logically conflicts with this one (delta-spark's
+    ConcurrentAppend/Delete/Transaction exceptions, collapsed)."""
+
+
+def _rebase_safe(log: str, version: int) -> bool:
+    """True when the commit that won ``version`` cannot logically conflict
+    with a BLIND APPEND: it may add files (append vs append never
+    conflicts under WriteSerializable) but must not change metaData or
+    protocol (our rows were validated against the old schema/constraints)
+    and must not remove data (it might have flipped semantics, e.g. an
+    overwrite or a RESTORE we should not silently append after)."""
+    try:
+        with open(_version_file(log, version)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "metaData" in act or "protocol" in act:
+                    return False
+                if "remove" in act and act["remove"].get("dataChange", True):
+                    return False
+    except OSError:
+        return False
+    return True
+
+
 def _try_commit(
     path: str,
     actions: list[dict[str, Any]],
     staged_adds: list[dict[str, Any]],
     enable_ict: bool = False,
+    op_kind: str = "other",
 ) -> int:
     """Optimistic-concurrency commit: O_EXCL link so two writers can't both
     claim the same version (local-FS analogue of delta's put-if-absent).
-    A losing writer must also remove its already-moved part-files — they are
-    invisible to the log but would orphan-pollute the table dir (and a later
-    VACUUM-less reader doing raw dir listing would see them).
+
+    ``op_kind="blind_append"`` enables delta-spark's conflict-resolution
+    retry: a commit that only ADDS data (no reads, no metaData/protocol
+    actions of its own) losing the race re-checks the winning commits —
+    if they are conflict-free for an append (no metaData/protocol change,
+    no dataChange removes), the SAME staged files are re-committed at the
+    next version. Parallel ingest into one table therefore succeeds from
+    both writers instead of failing one. Any logical conflict (or any
+    other op_kind) raises ``ConcurrentWriteException`` and the losing
+    writer removes its already-moved part-files — they are invisible to
+    the log but would orphan-pollute the table dir.
 
     ``enable_ict`` (delta.enableInCommitTimestamps): stamp the commitInfo
     with a MONOTONIC ``inCommitTimestamp`` — max(wall clock, previous
     commit's stamp + 1) — so timestamp time travel is immune to clock skew
-    and log-file mtime churn, per the inCommitTimestamp writer feature."""
+    and log-file mtime churn, per the inCommitTimestamp writer feature.
+    Recomputed per retry attempt so a rebased commit stays monotonic."""
     log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
     version = _next_version(log)
-    if enable_ict:
-        prev_ict = 0
-        # The previous JSON commit may have been cleaned after a
-        # checkpoint; monotonicity then falls back to the wall clock
-        # (which can only move the stamp forward, never backward).
-        if version > 0 and os.path.exists(_version_file(log, version - 1)):
-            with open(_version_file(log, version - 1)) as fh:
-                for line in fh:
-                    if line.strip():
-                        act = json.loads(line)
-                        if "commitInfo" in act:
-                            ci = act["commitInfo"]
-                            prev_ict = ci.get(
-                                "inCommitTimestamp", ci.get("timestamp", 0)
-                            ) or 0
-                            break
-        ict = max(int(time.time() * 1000), int(prev_ict) + 1)
-        for act in actions:
-            if "commitInfo" in act:
-                act["commitInfo"]["inCommitTimestamp"] = ict
-                break
-    commit_path = _version_file(log, version)
-    tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp_commit, "w") as fh:
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
-    try:
-        os.link(tmp_commit, commit_path)
-    except FileExistsError as exc:
-        os.unlink(tmp_commit)
-        for a in staged_adds:
-            try:
-                os.unlink(os.path.join(path, a["path"]))
-            except OSError:
-                pass
-        raise RuntimeError(f"concurrent commit at version {version}") from exc
-    os.unlink(tmp_commit)
-    return version
+    max_retries = 20
+    for _attempt in range(max_retries + 1):
+        if enable_ict:
+            prev_ict = 0
+            # The previous JSON commit may have been cleaned after a
+            # checkpoint; monotonicity then falls back to the wall clock
+            # (which can only move the stamp forward, never backward).
+            if version > 0 and os.path.exists(_version_file(log, version - 1)):
+                with open(_version_file(log, version - 1)) as fh:
+                    for line in fh:
+                        if line.strip():
+                            act = json.loads(line)
+                            if "commitInfo" in act:
+                                ci = act["commitInfo"]
+                                prev_ict = ci.get(
+                                    "inCommitTimestamp",
+                                    ci.get("timestamp", 0),
+                                ) or 0
+                                break
+            ict = max(int(time.time() * 1000), int(prev_ict) + 1)
+            for act in actions:
+                if "commitInfo" in act:
+                    act["commitInfo"]["inCommitTimestamp"] = ict
+                    break
+        commit_path = _version_file(log, version)
+        tmp_commit = commit_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp_commit, "w") as fh:
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+        try:
+            os.link(tmp_commit, commit_path)
+            os.unlink(tmp_commit)
+            return version
+        except FileExistsError:
+            os.unlink(tmp_commit)
+        # Lost the race. Walk every commit that won a version we wanted
+        # and decide whether a rebase is logically sound.
+        next_free = _next_version(log)
+        conflict_free = op_kind == "blind_append" and all(
+            _rebase_safe(log, v) for v in range(version, next_free)
+        )
+        if not conflict_free:
+            for a in staged_adds:
+                try:
+                    os.unlink(os.path.join(path, a["path"]))
+                except OSError:
+                    pass
+            raise ConcurrentWriteException(
+                f"concurrent commit at version {version}"
+                + (
+                    " conflicts with this append"
+                    if op_kind == "blind_append"
+                    else f" ({op_kind} does not rebase)"
+                )
+            )
+        version = next_free
+    raise ConcurrentWriteException(
+        f"gave up after {max_retries} rebase attempts at version {version}"
+    )
 
 
 def alter_constraints(

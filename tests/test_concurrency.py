@@ -1,0 +1,170 @@
+"""Optimistic-concurrency commit: blind-append rebase vs logical conflicts.
+
+delta-spark's ConflictChecker, collapsed to the WriteSerializable rules
+that matter for this writer: append vs append never conflicts (the loser
+re-commits the same staged files at the next version); anything that saw
+a metaData/protocol change or a dataChange remove in the winning commits
+fails with ConcurrentWriteException; non-append operations never rebase.
+
+The race is simulated EXACTLY where it happens: ``os.link`` is wrapped so
+the "winning" writer's commit file appears an instant before ours tries
+to claim the same version — the loser then takes the retry path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from ballista_delta_spark.sources.delta import (
+    ConcurrentWriteException,
+    read_delta,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), p
+    )
+    return p
+
+
+def _inject_winner(monkeypatch, winner_actions: list[dict]):
+    """Make the NEXT commit attempt lose the race: just before our
+    os.link claims a _delta_log version, the winner's actions are written
+    to that exact path."""
+    real_link = os.link
+    state = {"armed": True}
+
+    def fake(src: str, dst: str):
+        if (
+            state["armed"]
+            and "_delta_log" in dst
+            and dst.endswith(".json")
+        ):
+            state["armed"] = False
+            with open(dst, "w") as fh:
+                for a in winner_actions:
+                    fh.write(json.dumps(a) + "\n")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", fake)
+
+
+def _reuse_v0_add(tbl: str) -> dict:
+    """An add action replaying a REAL v0 file (so post-rebase reads work)."""
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act:
+                return {"add": act["add"]}
+    raise AssertionError("no add in v0")
+
+
+def test_blind_append_rebases_over_concurrent_append(
+    spark, tbl, monkeypatch
+):
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        _reuse_v0_add(tbl),
+    ])
+    v = write_delta(
+        spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+        mode="append",
+    )
+    assert v == 2  # v1 went to the winner; we rebased onto v2
+    got = read_delta(spark, tbl)
+    assert got.filter("s = 'c'").count() == 1
+    assert got.count() == 3
+
+
+def test_blind_append_conflicts_with_concurrent_remove(
+    spark, tbl, monkeypatch
+):
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "DELETE"}},
+        {"remove": {"path": "nope.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}},
+    ])
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(tbl) for f in fs
+        if f.endswith(".parquet")
+    )
+    with pytest.raises(ConcurrentWriteException, match="conflicts"):
+        write_delta(
+            spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+            mode="append",
+        )
+    # the losing writer cleaned up its staged part-files
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(tbl) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_after == n_before
+
+
+def test_blind_append_conflicts_with_concurrent_metadata_change(
+    spark, tbl, monkeypatch
+):
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "ADD COLUMNS"}},
+        {"metaData": {"id": "x", "schemaString": "{}",
+                      "partitionColumns": [], "configuration": {},
+                      "format": {"provider": "parquet", "options": {}}}},
+    ])
+    with pytest.raises(ConcurrentWriteException):
+        write_delta(
+            spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+            mode="append",
+        )
+
+
+def test_overwrite_never_rebases(spark, tbl, monkeypatch):
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        _reuse_v0_add(tbl),
+    ])
+    with pytest.raises(ConcurrentWriteException, match="does not rebase"):
+        write_delta(
+            spark.createDataFrame([(9, "z")], "id int, s string"), tbl,
+            mode="overwrite",
+        )
+
+
+def test_parallel_appends_both_succeed(spark, tmp_path):
+    """Integration: two threads appending at once — whatever the
+    interleaving, both commits land and every row is readable."""
+    p = str(tmp_path / "par")
+    write_delta(
+        spark.createDataFrame([(0, "base")], "id int, s string"), p
+    )
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender(tag: str):
+        df = spark.createDataFrame(
+            [(hash(tag) % 1000 + 10, tag)], "id int, s string"
+        )
+        barrier.wait()
+        try:
+            write_delta(df, p, mode="append")
+        except Exception as exc:  # pragma: no cover - must not happen
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(t,)) for t in ("x", "y")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    got = read_delta(spark, p)
+    assert got.count() == 3
+    assert {r.s for r in got.collect()} == {"base", "x", "y"}
