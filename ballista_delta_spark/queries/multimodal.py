@@ -130,3 +130,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_frames,
         "doc_id long, n_frames long, frame_checksum long",
     )
+
+
+# ------------------------------------------------------ mm_resize_pool
+# "Resize" over the opaque payload: mean-pool the byte stream into a
+# fixed THUMB-cell thumbnail (cell k covers bytes [k*n/T, (k+1)*n/T));
+# the real-image analogue is area-interpolation resize, and the Spark
+# plumbing (Arrow batch in, exploded typed rows out, narrow map) is
+# exactly what a pillow-backed resize would use. Cells are integer means
+# (floor), so the DuckDB oracle matches bit-for-bit; payloads shorter
+# than THUMB bytes leave their empty cells NULL.
+_THUMB = 32
+
+
+def _resize_pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows: dict[str, list] = {"doc_id": [], "cell": [], "v": []}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for k in range(_THUMB):
+                lo = (k * n) // _THUMB
+                hi = ((k + 1) * n) // _THUMB
+                rows["doc_id"].append(doc_id)
+                rows["cell"].append(k)
+                rows["v"].append(
+                    sum(payload[lo:hi]) // (hi - lo) if hi > lo else None
+                )
+        yield pd.DataFrame(rows)
+        rows = {"doc_id": [], "cell": [], "v": []}
+
+
+@_q(
+    "mm_resize_pool",
+    f"""
+    SELECT doc_id, cell,
+           CASE WHEN hi > lo
+                THEN CAST(list_sum([ascii(text[i])
+                                    FOR i IN range(lo + 1, hi + 1)])
+                          // (hi - lo) AS BIGINT)
+           END AS v
+    FROM (
+        SELECT doc_id, text, cell,
+               (cell * length(text)) // {_THUMB} AS lo,
+               ((cell + 1) * length(text)) // {_THUMB} AS hi
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, {_THUMB} - 1)) AS cell
+            FROM documents
+        )
+    )
+    """,
+)
+def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _payload(spark, sf_dir).mapInPandas(
+        _resize_pool, "doc_id long, cell int, v long"
+    )
