@@ -862,6 +862,9 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "timestampNtz", "deletionVectors",
     "inCommitTimestamp", "allowColumnDefaults",
+    # create_checkpoint honors delta.checkpointPolicy=v2 (manifest +
+    # sidecar layout), satisfying the feature's writer requirement.
+    "v2Checkpoint",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -1809,6 +1812,18 @@ def alter_properties(
         actions.append(protocol_upgrade_action(
             snap, min_writer=4, writer_feature="changeDataFeed"
         ))
+    if cfg.get("delta.checkpointPolicy", "") == "v2" and (
+        snap.min_reader_version < 3
+        or "v2Checkpoint" not in snap.reader_features
+    ):
+        # v2 checkpoints are feature-gated on BOTH sides: readers must
+        # know to resolve the manifest+sidecar layout.
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=7,
+            writer_feature="v2Checkpoint",
+            reader_feature="v2Checkpoint",
+            min_reader=3,
+        ))
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
@@ -2249,17 +2264,54 @@ def clone_delta(src: str, dst: str) -> int:
     return _try_commit(dst, actions, [])
 
 
-def create_checkpoint(path: str) -> int:
+def create_checkpoint(
+    path: str,
+    parts: int | None = None,
+    checkpoint_format: str | None = None,
+) -> int:
     """Write a parquet checkpoint of the current snapshot + _last_checkpoint.
+
+    Three layouts, matching what the reader already replays:
+
+    - **classic** (default): one ``{v}.checkpoint.parquet``.
+    - **classic multi-part** (``parts=N``): ``{v}.checkpoint.{i}.{N}.parquet``
+      slices with ``_last_checkpoint`` carrying ``parts`` — at 100 TB a
+      million-add checkpoint splits so readers fetch slices in parallel
+      and no single parquet file balloons.
+    - **v2** (``checkpoint_format="v2"``): a UUID-named manifest holding
+      protocol/metaData/checkpointMetadata plus ``sidecar`` pointers whose
+      files (under ``_delta_log/_sidecars/``) carry the add/remove set —
+      the layout delta-spark writes for v2Checkpoint tables. Requires the
+      table to declare the ``v2Checkpoint`` reader feature (set
+      ``delta.checkpointPolicy=v2`` via ALTER TABLE SET TBLPROPERTIES).
 
     At 100 TB / millions of files this bounds snapshot reconstruction cost.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if checkpoint_format not in (None, "classic", "v2"):
+        raise ValueError(f"unknown checkpoint format {checkpoint_format!r}")
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
     log = _log_dir(path)
+    if checkpoint_format is None:
+        # The v2Checkpoint writer feature REQUIRES v2-format checkpoints
+        # once the policy property says so; default to the policy.
+        checkpoint_format = (
+            "v2"
+            if snap.configuration.get("delta.checkpointPolicy") == "v2"
+            else "classic"
+        )
+    if checkpoint_format == "v2" and (
+        snap.min_reader_version < 3
+        or "v2Checkpoint" not in snap.reader_features
+    ):
+        raise ValueError(
+            "v2 checkpoints need the v2Checkpoint reader feature — "
+            "ALTER TABLE ... SET TBLPROPERTIES "
+            "('delta.checkpointPolicy'='v2') first"
+        )
     # The checkpoint must record the table's ACTUAL protocol — writing the
     # baseline constant would downgrade a v3/v7 table for every reader that
     # replays from the checkpoint (feature gates silently lost).
@@ -2361,12 +2413,68 @@ def create_checkpoint(path: str) -> int:
             ("dataChange", pa.bool_()),
         ])),
     ])
-    tbl = pa.Table.from_pylist(rows, schema=ckpt_schema)
-    out = os.path.join(log, f"{snap.version:020d}.checkpoint.parquet")
-    pq.write_table(tbl, out)
+    v = snap.version
+    last_ckpt: dict[str, Any] = {"version": v, "size": len(rows)}
+    if checkpoint_format == "v2":
+        # Manifest (protocol/metaData/checkpointMetadata + sidecar refs)
+        # + one sidecar parquet carrying the add/remove set.
+        sc_dir = os.path.join(log, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        sc_rows = [
+            {"add": r["add"], "remove": r["remove"]}
+            for r in rows[2:]
+        ]
+        sc_schema = pa.schema([
+            ckpt_schema.field("add"), ckpt_schema.field("remove"),
+        ])
+        pq.write_table(
+            pa.Table.from_pylist(sc_rows, schema=sc_schema),
+            os.path.join(sc_dir, sc_name),
+        )
+        manifest_schema = pa.schema([
+            ckpt_schema.field("protocol"),
+            ckpt_schema.field("metaData"),
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        sc_full = os.path.join(sc_dir, sc_name)
+        manifest_rows = [
+            {"protocol": rows[0]["protocol"]},
+            {"metaData": rows[1]["metaData"]},
+            {"checkpointMetadata": {"version": v}},
+            {"sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(sc_full),
+                "modificationTime": int(os.path.getmtime(sc_full) * 1000),
+            }},
+        ]
+        out = os.path.join(log, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(manifest_rows, schema=manifest_schema), out
+        )
+    elif parts and parts > 1:
+        n = min(parts, len(rows))
+        per = (len(rows) + n - 1) // n
+        for i in range(n):
+            chunk = rows[i * per:(i + 1) * per]
+            out = os.path.join(
+                log, f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
+            )
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=ckpt_schema), out
+            )
+        last_ckpt["parts"] = n
+    else:
+        out = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=ckpt_schema), out)
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
-        fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
-    return snap.version
+        fh.write(json.dumps(last_ckpt))
+    return v
 
 
 def read_delta_changes(

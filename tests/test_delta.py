@@ -1068,3 +1068,59 @@ def test_cleanup_log_respects_checkpoint_and_retention(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 21
     # Time travel to a reaped version fails loudly, to a surviving one works.
     assert read_delta(spark, tbl, version=3).count() == 20
+
+
+def test_write_multipart_checkpoint_and_replay(spark, tmp_path):
+    import glob as _glob
+
+    from ballista_delta_spark.sources.delta import cleanup_log
+
+    tbl = str(tmp_path / "mp")
+    write_delta(spark.range(30).selectExpr("id").repartition(3), tbl)
+    write_delta(spark.range(30, 40).selectExpr("id"), tbl, mode="append")
+    v = create_checkpoint(tbl, parts=3)
+    parts = _glob.glob(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.*.*.parquet")
+    )
+    assert len(parts) == 3
+    import json as _json
+
+    with open(os.path.join(tbl, "_delta_log", "_last_checkpoint")) as fh:
+        lc = _json.load(fh)
+    assert lc["parts"] == 3 and lc["version"] == v
+    # replay works with every pre-checkpoint JSON commit reaped
+    cleanup_log(tbl, retention_ms=0)
+    assert read_delta(spark, tbl).count() == 40
+
+
+def test_write_v2_checkpoint_and_replay(spark, tmp_path):
+    import glob as _glob
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        cleanup_log,
+    )
+
+    tbl = str(tmp_path / "v2")
+    write_delta(spark.range(25).selectExpr("id", "id % 3 AS k"), tbl)
+    # v2 checkpoints are feature-gated
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        create_checkpoint(tbl, checkpoint_format="v2")
+    alter_properties(spark, tbl, {"delta.checkpointPolicy": "v2"})
+    snap = _load_snapshot(tbl)
+    assert "v2Checkpoint" in snap.reader_features
+    assert "v2Checkpoint" in snap.writer_features
+    # auto format: the policy makes plain create_checkpoint write v2
+    v = create_checkpoint(tbl)
+    manifests = _glob.glob(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.*.parquet")
+    )
+    assert len(manifests) == 1
+    assert _glob.glob(os.path.join(tbl, "_delta_log", "_sidecars", "*.parquet"))
+    cleanup_log(tbl, retention_ms=0)
+    got = read_delta(spark, tbl)
+    assert got.count() == 25
+    # protocol/features survived the checkpoint replay
+    snap2 = _load_snapshot(tbl)
+    assert "v2Checkpoint" in snap2.reader_features
