@@ -389,3 +389,48 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.join(reg, nat["k"].eqNullSafe(reg["k"])).select(
         "n_nationkey", "n_name", "r_name"
     )
+
+
+# --- join_salted: explicit skew-salted shuffle join (operators.salted_join)
+# registered as a driver-verified query: the salted plan must return
+# EXACTLY the plain join's relation (oracle = plain join + aggregate),
+# while shuffling on (key, salt) so a hot customer's rows spread over
+# n_salts tasks instead of one. The broadcast threshold is disabled for
+# the build so the helper's shuffle path actually runs; the plan pin
+# lives in tests/test_scale_plans.py.
+@_q(
+    "join_salted",
+    """
+    SELECT c_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_name
+    HAVING count(*) >= 10
+    ORDER BY c_name
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(orders, cust, "o_custkey", n_salts=8)
+        return (
+            joined.groupBy("c_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .filter(F.col("n_orders") >= 10)
+            .orderBy("c_name")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -340,3 +340,106 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(25)
     )
+
+
+# --- text_repetition: Gopher-style repetition gates — the third leg of
+# the quality family (text_quality = shape ratios, text_gopher_quality =
+# bounds, this = repetition). Three per-doc signals: distinct-token
+# fraction, top-token fraction, top-BIGRAM fraction (the strongest
+# boilerplate detector), and a keep flag on thresholds evaluated against
+# the ROUNDED fractions so float noise can't flip the gate across
+# engines. Scale shape: two explode -> two-phase agg branches whose
+# exchanges carry per-doc distinct token/bigram counts (vocabulary-sized
+# per doc, not corpus-sized), joined on doc_id. Single-token docs have no
+# bigrams and drop identically in both engines (inner join after an
+# empty unnest).
+@_q(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS toks
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+        GROUP BY doc_id, t
+    ),
+    ts AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS top_tok
+        FROM tc GROUP BY doc_id
+    ),
+    bc AS (
+        SELECT doc_id, b, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN range(1, len(toks))]) AS b
+            FROM toks
+        )
+        GROUP BY doc_id, b
+    ),
+    bs AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               max(c) AS top_big
+        FROM bc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           distinct_frac, top_token_frac, top_bigram_frac,
+           (distinct_frac >= 0.25 AND top_bigram_frac <= 0.2) AS keep
+    FROM (
+        SELECT ts.doc_id AS doc_id, ts.n_tokens AS n_tokens,
+               round(ts.n_distinct * 1.0 / ts.n_tokens, 4) AS distinct_frac,
+               round(ts.top_tok * 1.0 / ts.n_tokens, 4) AS top_token_frac,
+               round(bs.top_big * 1.0 / bs.n_bigrams, 4) AS top_bigram_frac
+        FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", _WS).alias("toks"))
+    ts = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(t, i) -> concat(t, ' ', toks[i + 1]))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big"))
+    )
+    scored = ts.join(bs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") * 1.0 / F.col("n_tokens"), 4).alias(
+            "distinct_frac"
+        ),
+        F.round(F.col("top_tok") * 1.0 / F.col("n_tokens"), 4).alias(
+            "top_token_frac"
+        ),
+        F.round(F.col("top_big") * 1.0 / F.col("n_bigrams"), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("distinct_frac") >= 0.25) & (F.col("top_bigram_frac") <= 0.2),
+    )
