@@ -99,6 +99,10 @@ class Snapshot:
     # preserved verbatim) — metadata-changing commits (ALTER TABLE) must
     # re-emit the SAME table id, not invent one.
     metadata_raw: dict[str, Any] = field(default_factory=dict)
+    # appId -> latest committed transaction version (SetTransaction / txn
+    # actions): the spec's idempotent-writer ledger — a streaming sink
+    # replaying a micro-batch checks its appId's version here and skips.
+    app_transactions: dict[str, int] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -615,6 +619,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     writer_features: list[str] = []
     min_reader_version = 1
     reader_features: list[str] = []
+    app_transactions: dict[str, int] = {}
 
     # Checkpoint fast path: _last_checkpoint names a snapshot of all actions
     # ≤ its version; replay only the JSON commits after it. All three
@@ -673,6 +678,10 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
             if row.get("remove") and row["remove"].get("path"):
                 files.pop(row["remove"]["path"], None)
                 tombstones[row["remove"]["path"]] = dict(row["remove"])
+            if row.get("txn") and row["txn"].get("appId"):
+                app_transactions[row["txn"]["appId"]] = int(
+                    row["txn"]["version"]
+                )
             if row.get("protocol") and row["protocol"].get("minReaderVersion"):
                 pr = row["protocol"]
                 if pr.get("minReaderVersion", 1) >= 3:
@@ -716,6 +725,10 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 elif "remove" in act:
                     files.pop(act["remove"]["path"], None)
                     tombstones[act["remove"]["path"]] = act["remove"]
+                elif "txn" in act:
+                    app_transactions[act["txn"]["appId"]] = int(
+                        act["txn"]["version"]
+                    )
                 elif "protocol" in act:
                     pr = act["protocol"]
                     mrv = pr.get("minReaderVersion", 1)
@@ -790,6 +803,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         min_reader_version=min_reader_version,
         reader_features=reader_features,
         metadata_raw=metadata_raw,
+        app_transactions=app_transactions,
     )
 
 
@@ -1214,8 +1228,18 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """``df.write.format("delta").mode(mode).save(path)`` analogue.
+
+    ``txn_app``/``txn_version`` are the ``.option("txnAppId"/"txnVersion")``
+    idempotent-write analogue (SetTransaction): the commit records a
+    ``txn`` action, and a write whose version is <= the appId's last
+    committed version is SKIPPED entirely (returns the current table
+    version) — the contract that makes foreachBatch micro-batch replays
+    exactly-once. txn-bearing commits never rebase on conflict (a
+    concurrent commit may have carried the same appId).
 
     ``merge_schema`` is the ``.option("mergeSchema", "true")`` analogue:
     incoming columns NOT in the table schema are appended to it (nullable)
@@ -1236,6 +1260,8 @@ def write_delta(
     path = _strip_file_scheme(path)
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be set together")
     log = _log_dir(path)
     exists = os.path.isdir(log) and _next_version(log) > 0
 
@@ -1254,6 +1280,12 @@ def write_delta(
                 f"partition columns {partition_by} != table's {prev.partition_columns}"
             )
         partition_by = prev.partition_columns
+        if (
+            txn_app is not None
+            and prev.app_transactions.get(txn_app, -1) >= txn_version
+        ):
+            # Idempotent replay: this (appId, version) already committed.
+            return prev.version
         # Identity columns (delta.identity.*, writer v6): GENERATED ALWAYS
         # columns refuse explicit values and get step-aligned ids past the
         # high-water mark (tracked in the SAME commit's metaData action,
@@ -1447,6 +1479,12 @@ def write_delta(
             actions.append(
                 {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
             )
+    if txn_app is not None:
+        actions.append({"txn": {
+            "appId": txn_app,
+            "version": int(txn_version),
+            "lastUpdated": now_ms,
+        }})
     for a in adds:
         actions.append({"add": a})
 
@@ -1455,8 +1493,9 @@ def write_delta(
     # BLIND APPEND: losing a commit race against conflict-free winners
     # rebases the same staged files onto the next version instead of
     # failing — parallel ingest succeeds from every writer.
-    blind = mode == "append" and exists and not any(
-        "metaData" in a or "protocol" in a for a in actions
+    blind = (
+        mode == "append" and exists and txn_app is None
+        and not any("metaData" in a or "protocol" in a for a in actions)
     )
     return _try_commit(
         path, actions, adds,
@@ -2378,6 +2417,13 @@ def create_checkpoint(
             "remove": {k: rm.get(k) for k in
                        ("path", "deletionTimestamp", "dataChange")},
         })
+    # SetTransaction ledger: the spec requires checkpoints to carry the
+    # latest txn version per appId, or idempotent writers replaying from
+    # a cleaned log would lose their dedupe state and double-commit.
+    txn_rows = [
+        {"txn": {"appId": app_id, "version": tv}}
+        for app_id, tv in sorted(snap.app_transactions.items())
+    ]
     ckpt_schema = pa.schema([
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
                                 ("minWriterVersion", pa.int32()),
@@ -2412,9 +2458,15 @@ def create_checkpoint(
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
         ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+        ])),
     ])
     v = snap.version
-    last_ckpt: dict[str, Any] = {"version": v, "size": len(rows)}
+    last_ckpt: dict[str, Any] = {
+        "version": v, "size": len(rows) + len(txn_rows),
+    }
     if checkpoint_format == "v2":
         # Manifest (protocol/metaData/checkpointMetadata + sidecar refs)
         # + one sidecar parquet carrying the add/remove set.
@@ -2435,6 +2487,7 @@ def create_checkpoint(
         manifest_schema = pa.schema([
             ckpt_schema.field("protocol"),
             ckpt_schema.field("metaData"),
+            ckpt_schema.field("txn"),
             ("checkpointMetadata", pa.struct([("version", pa.int64())])),
             ("sidecar", pa.struct([
                 ("path", pa.string()),
@@ -2447,6 +2500,7 @@ def create_checkpoint(
             {"protocol": rows[0]["protocol"]},
             {"metaData": rows[1]["metaData"]},
             {"checkpointMetadata": {"version": v}},
+            *txn_rows,
             {"sidecar": {
                 "path": sc_name,
                 "sizeInBytes": os.path.getsize(sc_full),
@@ -2458,6 +2512,7 @@ def create_checkpoint(
             pa.Table.from_pylist(manifest_rows, schema=manifest_schema), out
         )
     elif parts and parts > 1:
+        rows = rows + txn_rows
         n = min(parts, len(rows))
         per = (len(rows) + n - 1) // n
         for i in range(n):
@@ -2471,7 +2526,9 @@ def create_checkpoint(
         last_ckpt["parts"] = n
     else:
         out = os.path.join(log, f"{v:020d}.checkpoint.parquet")
-        pq.write_table(pa.Table.from_pylist(rows, schema=ckpt_schema), out)
+        pq.write_table(
+            pa.Table.from_pylist(rows + txn_rows, schema=ckpt_schema), out
+        )
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps(last_ckpt))
     return v

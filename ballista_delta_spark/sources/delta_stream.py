@@ -281,19 +281,32 @@ def write_stream_to_delta(
     (source half: ``format("delta_stream")``).
 
     foreachBatch + an append commit: each micro-batch lands one Delta
-    version through the same distributed writer as ``write_delta``;
-    Spark's checkpoint gives at-least-once batch delivery, and exactly-
-    once lands when the job records (batch_id -> committed version) — the
-    txn app-id pattern delta-spark uses. ``available_now=True`` drains the
+    version through the same distributed writer as ``write_delta``.
+    Spark's checkpoint gives at-least-once batch delivery; EXACTLY-once
+    comes from the SetTransaction ledger — every batch commits with
+    ``txn_app`` derived from the checkpoint location and ``txn_version =
+    batch_id``, so a replayed batch (restart after a crash between the
+    Delta commit and the Spark checkpoint write) is recognized in the
+    table's own log and skipped. This is delta-spark's txnAppId/
+    txnVersion idempotent-sink recipe. ``available_now=True`` drains the
     source and terminates (backfill/test mode). Returns the
     StreamingQuery.
     """
+    import hashlib
+
     from .delta import write_delta
 
-    def _sink(batch_df, _batch_id: int) -> None:
+    app_id = "bds-stream-" + hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+    def _sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_delta(batch_df, path, mode="append")
+        write_delta(
+            batch_df, path, mode="append",
+            txn_app=app_id, txn_version=int(batch_id),
+        )
 
     writer = (
         df.writeStream.foreachBatch(_sink)

@@ -242,3 +242,79 @@ def test_cdf_stream_end_to_end_available_now(spark, tbl):
         (2, "b", "update_preimage", 2),
         (2, "B", "update_postimage", 2),
     }
+
+
+def test_idempotent_txn_writes(spark, tmp_path):
+    """SetTransaction ledger: a replayed (appId, version) write is skipped
+    entirely; higher versions commit; the ledger survives checkpoint
+    replay after log truncation."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cleanup_log,
+        create_checkpoint,
+        read_delta,
+    )
+
+    tbl = str(tmp_path / "txn")
+    write_delta(spark.createDataFrame([(0, "base")], "id int, s string"), tbl)
+    df1 = spark.createDataFrame([(1, "b1")], "id int, s string")
+    v1 = write_delta(df1, tbl, mode="append", txn_app="job", txn_version=1)
+    # exact replay of batch 1 -> skipped, version unchanged, no dup rows
+    v_replay = write_delta(
+        df1, tbl, mode="append", txn_app="job", txn_version=1
+    )
+    assert v_replay == v1
+    assert read_delta(spark, tbl).count() == 2
+    # an OLDER version is also skipped (restart from a stale checkpoint)
+    assert write_delta(
+        df1, tbl, mode="append", txn_app="job", txn_version=0
+    ) == v1
+    # the next batch commits
+    write_delta(
+        spark.createDataFrame([(2, "b2")], "id int, s string"), tbl,
+        mode="append", txn_app="job", txn_version=2,
+    )
+    snap = _load_snapshot(tbl)
+    assert snap.app_transactions == {"job": 2}
+    # ledger survives checkpoint + log truncation
+    create_checkpoint(tbl)
+    cleanup_log(tbl, retention_ms=0)
+    snap2 = _load_snapshot(tbl)
+    assert snap2.app_transactions == {"job": 2}
+    assert write_delta(
+        df1, tbl, mode="append", txn_app="job", txn_version=2
+    ) == snap2.version  # still deduped post-truncation
+    with pytest.raises(ValueError, match="together"):
+        write_delta(df1, tbl, mode="append", txn_app="job")
+
+
+def test_stream_sink_replayed_batch_is_skipped(spark, tmp_path):
+    """Restart the same stream over the same source with a FRESH Spark
+    checkpoint (worst case: Spark forgot everything) — the Delta-side txn
+    ledger still dedupes the replayed micro-batches."""
+    from ballista_delta_spark.sources.delta import read_delta
+    from ballista_delta_spark.sources.delta_stream import write_stream_to_delta
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(
+        1
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(checkpoint):
+        stream = spark.readStream.schema("id long, s string").parquet(src)
+        q = write_stream_to_delta(
+            stream, out, checkpoint, available_now=True
+        )
+        assert q.awaitTermination(120)
+
+    run(ckpt)
+    assert read_delta(spark, out).count() == 10
+    # same checkpoint LOCATION (same appId), fresh checkpoint STATE ->
+    # Spark replays batch 0; the txn ledger must skip it
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run(ckpt)
+    assert read_delta(spark, out).count() == 10
