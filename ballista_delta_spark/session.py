@@ -89,6 +89,16 @@ _DELTA_COLUMN_DEFAULT = re.compile(
     re.IGNORECASE,
 )
 
+# ALTER TABLE <name> CLUSTER BY (a, b) / CLUSTER BY NONE — liquid
+# clustering metadata; plain OPTIMIZE then clusters on the declared set.
+_DELTA_CLUSTER_BY = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+CLUSTER\s+BY\s*(?:\(\s*(?P<cols>[^)]+?)\s*\)|(?P<none>NONE))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ALTER TABLE <name> DROP FEATURE <f> [TRUNCATE HISTORY] — protocol
 # downgrade once no trace of the feature remains (delta-spark parity).
 _DELTA_DROP_FEATURE = re.compile(
@@ -372,6 +382,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
             version = optimize(spark, loc, zorder_by=zcols or None)
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_CLUSTER_BY.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import cluster_by, read_delta
+
+            loc = _delta_views[name]
+            cols = None if m.group("none") else [
+                c.strip().strip("`")
+                for c in m.group("cols").split(",") if c.strip()
+            ]
+            version = cluster_by(loc, cols)
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

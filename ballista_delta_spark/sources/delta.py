@@ -103,6 +103,10 @@ class Snapshot:
     # actions): the spec's idempotent-writer ledger — a streaming sink
     # replaying a micro-batch checks its appId's version here and skips.
     app_transactions: dict[str, int] = field(default_factory=dict)
+    # domain -> configuration string (domainMetadata actions, spec's
+    # per-domain table metadata; e.g. delta.clustering holds the liquid
+    # clustering column set). Removed domains are dropped during replay.
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     @property
     def data_schema(self) -> T.StructType:
@@ -620,6 +624,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
     min_reader_version = 1
     reader_features: list[str] = []
     app_transactions: dict[str, int] = {}
+    domain_metadata: dict[str, str] = {}
 
     # Checkpoint fast path: _last_checkpoint names a snapshot of all actions
     # ≤ its version; replay only the JSON commits after it. All three
@@ -682,6 +687,16 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 app_transactions[row["txn"]["appId"]] = int(
                     row["txn"]["version"]
                 )
+            if row.get("domainMetadata") and row["domainMetadata"].get(
+                "domain"
+            ):
+                dm = row["domainMetadata"]
+                if dm.get("removed"):
+                    domain_metadata.pop(dm["domain"], None)
+                else:
+                    domain_metadata[dm["domain"]] = dm.get(
+                        "configuration"
+                    ) or ""
             if row.get("protocol") and row["protocol"].get("minReaderVersion"):
                 pr = row["protocol"]
                 if pr.get("minReaderVersion", 1) >= 3:
@@ -729,6 +744,14 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     app_transactions[act["txn"]["appId"]] = int(
                         act["txn"]["version"]
                     )
+                elif "domainMetadata" in act:
+                    dm = act["domainMetadata"]
+                    if dm.get("removed"):
+                        domain_metadata.pop(dm["domain"], None)
+                    else:
+                        domain_metadata[dm["domain"]] = dm.get(
+                            "configuration"
+                        ) or ""
                 elif "protocol" in act:
                     pr = act["protocol"]
                     mrv = pr.get("minReaderVersion", 1)
@@ -804,6 +827,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         reader_features=reader_features,
         metadata_raw=metadata_raw,
         app_transactions=app_transactions,
+        domain_metadata=domain_metadata,
     )
 
 
@@ -879,6 +903,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # create_checkpoint honors delta.checkpointPolicy=v2 (manifest +
     # sidecar layout), satisfying the feature's writer requirement.
     "v2Checkpoint",
+    # domainMetadata actions are replayed + checkpointed; clustering's
+    # column set lives in the delta.clustering domain and OPTIMIZE
+    # honors it by default.
+    "domainMetadata", "clustering",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -2104,6 +2132,93 @@ def alter_column_default(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
+def clustering_columns(snap: "Snapshot") -> list[str]:
+    """Liquid-clustering column set from the ``delta.clustering`` domain
+    metadata ([] when the table is not clustered)."""
+    conf = snap.domain_metadata.get("delta.clustering")
+    if not conf:
+        return []
+    cols = json.loads(conf).get("clusteringColumns") or []
+    return [c[0] if isinstance(c, list) else c for c in cols]
+
+
+def cluster_by(path: str, columns: list[str] | None) -> int:
+    """``ALTER TABLE ... CLUSTER BY (cols)`` / ``CLUSTER BY NONE`` —
+    liquid clustering, metadata-only: the column set lands in the
+    ``delta.clustering`` domainMetadata (spec shape:
+    ``{"clusteringColumns": [["col"], ...]}`` — nested arrays are column
+    paths) and ``optimize`` then clusters on it BY DEFAULT, no
+    ``zorder_by`` needed. delta-spark divergence, documented: its
+    incremental clustering uses a Hilbert curve and ZCube tracking; this
+    engine's OPTIMIZE applies the same Morton (Z-order) curve it uses
+    for explicit ZORDER — the same multi-dimensional data-skipping
+    contract, linearized differently.
+
+    100 TB shape: changing the clustering key is one metadata commit;
+    data migrates lazily as OPTIMIZE runs — exactly why liquid clustering
+    replaced static partitioning for high-cardinality keys.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    actions: list[dict[str, Any]] = []
+    if columns:
+        names = [f.name for f in snap.schema.fields]
+        for c in columns:
+            if c not in names:
+                raise ValueError(f"no such column: {c!r}")
+            if c in snap.partition_columns:
+                raise ValueError(
+                    f"cannot cluster on partition column {c!r}"
+                )
+        missing = {"domainMetadata", "clustering"} - set(
+            snap.writer_features
+        )
+        if snap.min_writer_version < 7 or missing:
+            for feat in sorted(missing or {"domainMetadata", "clustering"}):
+                actions.append(protocol_upgrade_action(
+                    snap, min_writer=7, writer_feature=feat,
+                ))
+            # collapse to one protocol action carrying every feature
+            if len(actions) > 1:
+                merged = actions[-1]["protocol"]
+                for a in actions[:-1]:
+                    merged["writerFeatures"] = sorted(
+                        set(merged.get("writerFeatures") or [])
+                        | set(a["protocol"].get("writerFeatures") or [])
+                    )
+                actions = [{"protocol": merged}]
+        dm: dict[str, Any] = {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in columns]}
+            ),
+            "removed": False,
+        }
+    else:
+        if "delta.clustering" not in snap.domain_metadata:
+            return snap.version  # CLUSTER BY NONE on an unclustered table
+        dm = {
+            "domain": "delta.clustering",
+            "configuration": "",
+            "removed": True,
+        }
+    now_ms = int(time.time() * 1000)
+    actions.insert(0, {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "CLUSTER BY",
+            "operationParameters": {
+                "clusterBy": json.dumps(columns or []),
+            },
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    })
+    actions.append({"domainMetadata": dm})
+    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
 def drop_feature(
     path: str, feature: str, truncate_history: bool = False
 ) -> int:
@@ -2423,6 +2538,13 @@ def create_checkpoint(
     txn_rows = [
         {"txn": {"appId": app_id, "version": tv}}
         for app_id, tv in sorted(snap.app_transactions.items())
+    ] + [
+        # live domainMetadata rides along (spec: checkpoints contain all
+        # non-removed domains) — e.g. the liquid-clustering column set.
+        {"domainMetadata": {
+            "domain": dom, "configuration": conf, "removed": False,
+        }}
+        for dom, conf in sorted(snap.domain_metadata.items())
     ]
     ckpt_schema = pa.schema([
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
@@ -2462,6 +2584,11 @@ def create_checkpoint(
             ("appId", pa.string()),
             ("version", pa.int64()),
         ])),
+        ("domainMetadata", pa.struct([
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ])),
     ])
     v = snap.version
     last_ckpt: dict[str, Any] = {
@@ -2488,6 +2615,7 @@ def create_checkpoint(
             ckpt_schema.field("protocol"),
             ckpt_schema.field("metaData"),
             ckpt_schema.field("txn"),
+            ckpt_schema.field("domainMetadata"),
             ("checkpointMetadata", pa.struct([("version", pa.int64())])),
             ("sidecar", pa.struct([
                 ("path", pa.string()),
@@ -3007,6 +3135,10 @@ def optimize(
     # which the appendOnly contract explicitly permits; dataChange=false
     # also means CDF readers ignore the commit entirely (cdf_capable).
     check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    if zorder_by is None:
+        # Liquid clustering: a declared delta.clustering column set makes
+        # plain OPTIMIZE a clustering rewrite (delta-spark behavior).
+        zorder_by = clustering_columns(snap) or None
     if len(snap.files) <= 1 and not zorder_by:
         return snap.version
     df = DeltaTable(path).to_df(spark)

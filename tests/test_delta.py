@@ -1124,3 +1124,75 @@ def test_write_v2_checkpoint_and_replay(spark, tmp_path):
     # protocol/features survived the checkpoint replay
     snap2 = _load_snapshot(tbl)
     assert "v2Checkpoint" in snap2.reader_features
+
+
+def test_cluster_by_and_optimize_defaults_to_clustering(spark, tmp_path):
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cleanup_log,
+        cluster_by,
+        clustering_columns,
+        optimize,
+    )
+
+    tbl = str(tmp_path / "liquid")
+    write_delta(
+        spark.range(1000).selectExpr(
+            "id", "id % 37 AS a", "CAST(id % 11 AS DOUBLE) AS b"
+        ).repartition(4),
+        tbl,
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        cluster_by(tbl, ["ghost"])
+    v = cluster_by(tbl, ["a", "b"])
+    snap = _load_snapshot(tbl)
+    assert snap.version == v
+    assert clustering_columns(snap) == ["a", "b"]
+    assert {"domainMetadata", "clustering"} <= set(snap.writer_features)
+    # the domain config uses the spec's nested-path shape
+    conf = _json.loads(snap.domain_metadata["delta.clustering"])
+    assert conf["clusteringColumns"] == [["a"], ["b"]]
+    # plain OPTIMIZE (no zorder_by) clusters on the declared columns
+    v2 = optimize(spark, tbl, target_file_rows=250)
+    snap2 = _load_snapshot(tbl)
+    assert snap2.version == v2
+    assert len(snap2.files) >= 2
+    got = read_delta(spark, tbl)
+    assert got.count() == 1000
+    # clustered files cover narrow `a` ranges -> per-file min/max spans
+    # must be far below the global 0..36 span on average
+    spans = []
+    for add in snap2.files.values():
+        st = _json.loads(add["stats"])
+        spans.append(int(st["maxValues"]["a"]) - int(st["minValues"]["a"]))
+    assert sum(spans) / len(spans) < 36 * 0.75
+    # domain metadata survives checkpoint + log truncation
+    from ballista_delta_spark.sources.delta import create_checkpoint
+
+    create_checkpoint(tbl)
+    cleanup_log(tbl, retention_ms=0)
+    assert clustering_columns(_load_snapshot(tbl)) == ["a", "b"]
+    # CLUSTER BY NONE removes the domain
+    cluster_by(tbl, None)
+    assert clustering_columns(_load_snapshot(tbl)) == []
+
+
+def test_cluster_by_sql_ddl(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        clustering_columns,
+    )
+
+    tbl = str(tmp_path / "liquid_sql")
+    write_delta(spark.range(20).selectExpr("id", "id % 3 AS a"), tbl)
+    sql(
+        spark,
+        f"CREATE EXTERNAL TABLE liq_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    sql(spark, "ALTER TABLE liq_t CLUSTER BY (a)")
+    assert clustering_columns(_load_snapshot(tbl)) == ["a"]
+    sql(spark, "ALTER TABLE liq_t CLUSTER BY NONE")
+    assert clustering_columns(_load_snapshot(tbl)) == []
+    spark.catalog.dropTempView("liq_t")
