@@ -400,6 +400,61 @@ def read_delta(
     return dt.to_df(spark)
 
 
+def read_delta_with_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan with MATERIALIZED row tracking columns: ``row_id`` (the
+    file's ``baseRowId`` + the parquet row index) and
+    ``row_commit_version`` (the file's ``defaultRowCommitVersion``) —
+    the spec's fresh-row-id read rule. Row ids are stable across
+    dataChange=false rewrites only when the engine re-materializes them;
+    this engine assigns FRESH ids on rewrite (documented divergence from
+    delta-spark's materialized-column carryover) — within one file
+    lifetime they are the stable row identity CDC/ML-feature pipelines
+    key on.
+
+    Scale shape: the (file -> baseRowId) map is metadata-sized and
+    broadcast; the row index comes from the scan's own ``_metadata``
+    column — no extra job, no shuffle beyond the broadcast.
+    """
+    path = _strip_file_scheme(path)
+    dt = DeltaTable(path, version=version)
+    snap = dt.snapshot
+    if "rowTracking" not in snap.writer_features:
+        raise ValueError(
+            "row tracking is not enabled — ALTER TABLE ... SET "
+            "TBLPROPERTIES ('delta.enableRowTracking'='true') first"
+        )
+    base = dt.to_df(spark, with_location=True)
+    rows = [
+        (
+            os.path.abspath(os.path.join(path, rel)),
+            int(a["baseRowId"]),
+            int(a.get("defaultRowCommitVersion") or 0),
+        )
+        for rel, a in snap.files.items()
+        if a.get("baseRowId") is not None
+    ]
+    if len(rows) != len(snap.files):
+        missing = len(snap.files) - len(rows)
+        raise ValueError(
+            f"{missing} file(s) lack baseRowId despite rowTracking — "
+            "corrupt enablement commit"
+        )
+    id_map = F.broadcast(spark.createDataFrame(
+        rows, "__src_fp string, __base long, __dcv long"
+    ))
+    out_cols = [f.name for f in snap.schema.fields]
+    return (
+        base.join(id_map, "__src_fp")
+        .select(
+            *out_cols,
+            (F.col("__base") + F.col("__src_ri")).alias("row_id"),
+            F.col("__dcv").alias("row_commit_version"),
+        )
+    )
+
+
 # Eligible data-skipping conjunct: <col> <op> <literal> (or reversed).
 _SKIP_CMP = re.compile(
     r"^\s*(?:(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|=|==|<|>)\s*"
@@ -677,7 +732,11 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 }
                 metadata_raw["configuration"] = config
             if row.get("add") and row["add"].get("path"):
-                add = dict(row["add"])
+                # drop parquet-struct nulls (absent optional fields) so
+                # re-emitted adds don't spray "key": null into JSON
+                add = {
+                    k: v for k, v in row["add"].items() if v is not None
+                }
                 add["partitionValues"] = _as_dict(add.get("partitionValues"))
                 files[add["path"]] = add
             if row.get("remove") and row["remove"].get("path"):
@@ -907,6 +966,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # column set lives in the delta.clustering domain and OPTIMIZE
     # honors it by default.
     "domainMetadata", "clustering",
+    # every add-committing path routes through _try_commit, which assigns
+    # baseRowId/defaultRowCommitVersion and advances the high-water mark.
+    "rowTracking",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -1523,12 +1585,16 @@ def write_delta(
     # failing — parallel ingest succeeds from every writer.
     blind = (
         mode == "append" and exists and txn_app is None
+        # row tracking allocates ids from the snapshot's high-water mark;
+        # a rebase over a concurrent allocator would collide — no rebase.
+        and not _row_tracking_enabled(prev)
         and not any("metaData" in a or "protocol" in a for a in actions)
     )
     return _try_commit(
         path, actions, adds,
         enable_ict=exists and ict_enabled(prev),
         op_kind="blind_append" if blind else "other",
+        snap=prev if exists else None,
     )
 
 
@@ -1645,12 +1711,17 @@ def _rebase_safe(log: str, version: int) -> bool:
     return True
 
 
+def _row_tracking_enabled(snap: "Snapshot | None") -> bool:
+    return snap is not None and "rowTracking" in snap.writer_features
+
+
 def _try_commit(
     path: str,
     actions: list[dict[str, Any]],
     staged_adds: list[dict[str, Any]],
     enable_ict: bool = False,
     op_kind: str = "other",
+    snap: "Snapshot | None" = None,
 ) -> int:
     """Optimistic-concurrency commit: O_EXCL link so two writers can't both
     claim the same version (local-FS analogue of delta's put-if-absent).
@@ -1676,6 +1747,41 @@ def _try_commit(
     version = _next_version(log)
     max_retries = 20
     for _attempt in range(max_retries + 1):
+        if _row_tracking_enabled(snap):
+            # Row tracking (writer feature): every NEW add gets fresh row
+            # ids (baseRowId .. baseRowId + numRecords - 1) and the commit
+            # version as defaultRowCommitVersion; the high-water mark
+            # advances in the same commit's delta.rowTracking domain.
+            # Re-run per retry attempt: a rebase shifts the version.
+            hwm = int(json.loads(
+                snap.domain_metadata.get("delta.rowTracking") or "{}"
+            ).get("rowIdHighWaterMark", -1))
+            assigned = False
+            for act in actions:
+                add = act.get("add")
+                if add is None:
+                    continue
+                if add.get("baseRowId") is None:
+                    n = int(json.loads(
+                        add.get("stats") or "{}"
+                    ).get("numRecords") or 0)
+                    add["baseRowId"] = hwm + 1
+                    hwm += max(n, 1)
+                    assigned = True
+                add["defaultRowCommitVersion"] = version
+            if assigned:
+                actions = [
+                    a for a in actions
+                    if a.get("domainMetadata", {}).get("domain")
+                    != "delta.rowTracking"
+                ]
+                actions.append({"domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }})
         if enable_ict:
             prev_ict = 0
             # The previous JSON commit may have been cleaned after a
@@ -1891,6 +1997,36 @@ def alter_properties(
             reader_feature="v2Checkpoint",
             min_reader=3,
         ))
+    if cfg.get("delta.enableRowTracking", "").lower() == "true" and (
+        "rowTracking" not in snap.writer_features
+    ):
+        # Row tracking enablement BACKFILLS the current files: every
+        # active add is re-committed (dataChange=false) with its fresh
+        # baseRowId range, and the high-water mark lands in the
+        # delta.rowTracking domain — the spec's requirement that every
+        # add on a rowTracking table carries row ids.
+        pr = protocol_upgrade_action(
+            snap, min_writer=7, writer_feature="rowTracking",
+        )
+        pr["protocol"]["writerFeatures"] = sorted(
+            set(pr["protocol"]["writerFeatures"]) | {"domainMetadata"}
+        )
+        actions.append(pr)
+        hwm = -1
+        for rel in sorted(snap.files):
+            add = dict(snap.files[rel])
+            n = int(json.loads(
+                add.get("stats") or "{}"
+            ).get("numRecords") or 0)
+            add["baseRowId"] = hwm + 1
+            add["dataChange"] = False
+            hwm += max(n, 1)
+            actions.append({"add": add})
+        actions.append({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }})
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
@@ -2511,7 +2647,8 @@ def create_checkpoint(
             "add": {
                 **{k: a.get(k) for k in
                    ("path", "partitionValues", "size", "modificationTime",
-                    "dataChange", "stats")},
+                    "dataChange", "stats", "baseRowId",
+                    "defaultRowCommitVersion")},
                 # A checkpoint that drops the DV descriptor RESURRECTS the
                 # deleted rows for checkpoint-replaying readers.
                 "deletionVector": {
@@ -2567,6 +2704,8 @@ def create_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
             ("deletionVector", pa.struct([
                 ("storageType", pa.string()),
                 ("pathOrInlineDv", pa.string()),
@@ -3189,7 +3328,9 @@ def optimize(
     for a in adds:
         actions.append({"add": a})
 
-    return _try_commit(path, actions, adds, enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, adds, enable_ict=ict_enabled(snap), snap=snap,
+    )
 
 
 def reorg_purge(
@@ -3277,7 +3418,9 @@ def reorg_purge(
         })
     for a in adds:
         actions.append({"add": a})
-    version = _try_commit(path, actions, adds, enable_ict=ict_enabled(snap))
+    version = _try_commit(
+        path, actions, adds, enable_ict=ict_enabled(snap), snap=snap,
+    )
     return {
         "version": version,
         "numFilesRewritten": len(dv_rels),

@@ -306,7 +306,8 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
             )
         ]
     version = _try_commit(
-        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}
 
@@ -449,7 +450,8 @@ def _delete_dv_once(
     # No staged part-files: the adds reference EXISTING data files. A lost
     # commit race orphans only the .bin (vacuum-able), never data.
     version = _try_commit(
-        dt.path, actions, [], enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, [], enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}
 
@@ -569,7 +571,8 @@ def _update_dv_once(
             )
         ]
     version = _try_commit(
-        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}
 
@@ -665,7 +668,8 @@ def _update_once(
             )
         ]
     version = _try_commit(
-        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}
 
@@ -1092,7 +1096,8 @@ def _merge_once(
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdc_actions]
     version = _try_commit(
-        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}
 
@@ -1273,6 +1278,7 @@ def _merge_dv_once(
         )
     actions += [{"cdc": c} for c in cdc_actions]
     version = _try_commit(
-        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot)
+        dt.path, actions, adds, enable_ict=ict_enabled(dt.snapshot),
+        snap=dt.snapshot,
     )
     return {"version": version, **metrics}

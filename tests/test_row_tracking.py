@@ -1,0 +1,116 @@
+"""Row tracking (writer feature rowTracking): fresh row ids on every add,
+high-water mark in the delta.rowTracking domain, materialized read.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ballista_delta_spark.sources.delta import (
+    _load_snapshot,
+    alter_properties,
+    cleanup_log,
+    create_checkpoint,
+    read_delta,
+    read_delta_with_row_ids,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.range(100).selectExpr("id", "id * 2 AS v").repartition(2), p
+    )
+    return p
+
+
+def _hwm(snap) -> int:
+    return json.loads(snap.domain_metadata["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ]
+
+
+def test_enable_backfills_existing_files(spark, tbl):
+    with pytest.raises(ValueError, match="not enabled"):
+        read_delta_with_row_ids(spark, tbl)
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    snap = _load_snapshot(tbl)
+    assert "rowTracking" in snap.writer_features
+    assert "domainMetadata" in snap.writer_features
+    assert all(
+        a.get("baseRowId") is not None for a in snap.files.values()
+    )
+    assert _hwm(snap) == 99  # 100 rows -> ids 0..99
+    got = read_delta_with_row_ids(spark, tbl)
+    ids = [r.row_id for r in got.select("row_id").collect()]
+    assert sorted(ids) == list(range(100))
+
+
+def test_append_allocates_past_high_water_mark(spark, tbl):
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    v = write_delta(
+        spark.range(100, 110).selectExpr("id", "id * 2 AS v"), tbl,
+        mode="append",
+    )
+    snap = _load_snapshot(tbl)
+    assert _hwm(snap) == 109
+    new_adds = [
+        a for a in snap.files.values()
+        if a.get("defaultRowCommitVersion") == v
+    ]
+    assert new_adds and all(a["baseRowId"] >= 100 for a in new_adds)
+    got = read_delta_with_row_ids(spark, tbl)
+    assert got.count() == 110
+    assert got.select("row_id").distinct().count() == 110
+    # the new rows carry the append's commit version
+    assert got.filter(f"row_commit_version = {v}").count() == 10
+
+
+def test_dml_rewrite_gets_fresh_ids(spark, tbl):
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    hwm_before = _hwm(_load_snapshot(tbl))
+    delete_delta(spark, tbl, "id < 10")  # copy-on-write rewrite
+    snap = _load_snapshot(tbl)
+    assert _hwm(snap) > hwm_before  # rewrite allocated fresh ids
+    got = read_delta_with_row_ids(spark, tbl)
+    assert got.count() == 90
+    assert got.select("row_id").distinct().count() == 90
+
+
+def test_row_ids_survive_checkpoint_truncation(spark, tbl):
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    write_delta(
+        spark.range(100, 105).selectExpr("id", "id * 2 AS v"), tbl,
+        mode="append",
+    )
+    before = {
+        r.id: r.row_id
+        for r in read_delta_with_row_ids(spark, tbl).collect()
+    }
+    create_checkpoint(tbl)
+    cleanup_log(tbl, retention_ms=0)
+    snap = _load_snapshot(tbl)
+    # >= : an empty staged part-file still claims a 1-id range
+    assert _hwm(snap) >= 104
+    after = {
+        r.id: r.row_id
+        for r in read_delta_with_row_ids(spark, tbl).collect()
+    }
+    assert after == before
+
+
+def test_optimize_preserves_row_count_and_uniqueness(spark, tbl):
+    from ballista_delta_spark.sources.delta import optimize
+
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    optimize(spark, tbl)
+    got = read_delta_with_row_ids(spark, tbl)
+    assert got.count() == 100
+    assert got.select("row_id").distinct().count() == 100
+    assert read_delta(spark, tbl).count() == 100
