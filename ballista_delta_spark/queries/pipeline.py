@@ -295,3 +295,159 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+# ----------------------------------------------- text_decontaminate
+# Eval-set decontamination: flag training documents sharing any 13-gram
+# with the benchmark set (docs 0..9 stand in for the eval benchmark) —
+# the standard leakage gate run before every training job. Shingles are
+# md5-hashed (16 bytes each, not the text), DISTINCT per doc, and the
+# benchmark's shingle set is BROADCAST — at 100 TB the train side is
+# never shuffled for the probe; cost is one scan + a map-side hash probe.
+_DECON_N = 13
+
+
+def _shingle_expr(dialect: str) -> str:
+    n = _DECON_N
+    if dialect == "spark":
+        # sequence(1, 0) counts DOWN in Spark — guard docs shorter than
+        # one shingle with an explicit empty array
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> md5(array_join(slice(toks, i, {n}), ' '))) "
+            "ELSE array() END"
+        )
+    return (
+        f"[md5(array_to_string(toks[i:i+{n - 1}], ' ')) "
+        f"FOR i IN range(1, greatest(len(toks) - {n - 2}, 1))]"
+    )
+
+
+@_q(
+    "text_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (
+            SELECT doc_id, unnest({_shingle_expr("duckdb")}) AS s
+            FROM toks
+        )
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    hits AS (
+        SELECT sh.doc_id, count(*) AS n_shared_shingles
+        FROM sh JOIN bench USING (s)
+        WHERE sh.doc_id >= 10
+        GROUP BY sh.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(h.n_shared_shingles, 0) AS n_shared_shingles,
+           coalesce(h.n_shared_shingles, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", _WS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_shingle_expr("spark"))).alias("s"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    train = d.filter(F.col("doc_id") >= 10).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_shingles", F.lit(0)).alias(
+            "n_shared_shingles"
+        ),
+        (F.coalesce("n_shared_shingles", F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )
+
+
+# --------------------------------------------------- events_sessionize
+# Batch sessionization: per-user event streams cut at 30-minute
+# inactivity gaps (the batch twin of the streaming session window id).
+# One window pass computes the gap flags, a running sum numbers the
+# sessions, and the aggregate REUSES the same (user) partitioning — two
+# exchanges total (hash by user + output sort). Tie-break on event_id
+# makes the ordering total, so both engines cut identical sessions.
+_SESSION_GAP_S = 30 * 60
+
+
+@_q(
+    "events_sessionize",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - epoch_us(
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )
+               ) AS gap_us
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               sum(CASE WHEN gap_us IS NULL
+                        OR gap_us > {_SESSION_GAP_S} * 1000000
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+               AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_order))
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(
+            F.when(
+                gap.isNull() | (gap > _SESSION_GAP_S * 1_000_000), 1
+            ).otherwise(0)
+        ).over(w_run).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
