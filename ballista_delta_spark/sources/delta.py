@@ -496,24 +496,67 @@ def _split_and(pred: str) -> list[str]:
     return parts
 
 
+_SKIP_IN = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(\s*(?P<vals>[^)]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_SKIP_NULL = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+
+
+def _skip_lit(lit: str) -> Any:
+    return lit[1:-1] if lit.startswith("'") else (
+        float(lit) if "." in lit else int(lit)
+    )
+
+
 def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     """The subset of ``snap.files`` that might contain rows matching
-    ``where``, judged from per-file min/max stats. Sound by construction:
-    only simple ``col <op> literal`` conjuncts prune; anything else (ORs,
-    functions, casts, unknown columns, missing stats) keeps the file."""
+    ``where``, judged from per-file min/max/nullCount stats. Sound by
+    construction: only ``col <op> literal``, ``col IN (literals)``, and
+    ``col IS [NOT] NULL`` conjuncts prune; anything else (ORs, functions,
+    casts, unknown columns, missing stats) keeps the file. An IN list
+    prunes when EVERY value falls outside [min, max]; IS NULL prunes on
+    nullCount=0; IS NOT NULL prunes when nullCount equals the file's
+    numRecords (an all-null column chunk).
+    """
     conjuncts = []
+    null_conjuncts: list[tuple[str, bool]] = []
     for part in _split_and(where):
-        m = _SKIP_CMP.match(part.strip().strip("()"))
-        if not m:
-            continue
-        col = m.group("col") or m.group("col2")
-        op = m.group("op") or _FLIP[m.group("op2")]
-        lit = m.group("lit") or m.group("lit2")
-        val: Any = lit[1:-1] if lit.startswith("'") else (
-            float(lit) if "." in lit else int(lit)
+        raw = part.strip()
+        stripped = raw.strip("()")
+        # a parenthesized conjunct "(id IN (5, 7))" unwraps ONE layer;
+        # naive strip("()") would eat the IN-list's own closing paren
+        inner = (
+            raw[1:-1].strip()
+            if raw.startswith("(") and raw.endswith(")")
+            else raw
         )
-        conjuncts.append((col, op, val))
-    if not conjuncts:
+        m = _SKIP_CMP.match(stripped)
+        if m:
+            col = m.group("col") or m.group("col2")
+            op = m.group("op") or _FLIP[m.group("op2")]
+            lit = m.group("lit") or m.group("lit2")
+            conjuncts.append((col, op, _skip_lit(lit)))
+            continue
+        m = _SKIP_IN.match(raw) or _SKIP_IN.match(inner)
+        if m:
+            lits = [
+                v.strip() for v in m.group("vals").split(",") if v.strip()
+            ]
+            if all(
+                re.fullmatch(r"'[^']*'|-?\d+(?:\.\d+)?", v) for v in lits
+            ):
+                conjuncts.append(
+                    (m.group("col"), "in", [_skip_lit(v) for v in lits])
+                )
+            continue
+        m = _SKIP_NULL.match(stripped)
+        if m:
+            null_conjuncts.append((m.group("col"), bool(m.group("not"))))
+    if not conjuncts and not null_conjuncts:
         return dict(snap.files)
 
     types = {f.name: f.dataType for f in snap.schema.fields}
@@ -546,6 +589,8 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
             if isinstance(val, (int, float)) and isinstance(mn, str):
                 continue  # type mismatch — don't judge
             try:
+                if op == "in" and all(v < mn or v > mx for v in val):
+                    return False
                 if op in ("=", "==") and (val < mn or val > mx):
                     return False
                 if op == "<" and mn >= val:
@@ -558,6 +603,27 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                     return False
             except TypeError:
                 continue
+        for col, is_not in null_conjuncts:
+            pcol = snap.physical(col)
+            if col in snap.partition_columns:
+                pv_all = a.get("partitionValues") or {}
+                if pcol in pv_all:
+                    pv = pv_all[pcol]
+                    if not is_not and pv is not None:
+                        return False
+                    if is_not and pv is None:
+                        return False
+                continue
+            if not st:
+                continue
+            nc = (st.get("nullCount") or {}).get(pcol)
+            nrec = st.get("numRecords")
+            if nc is None or nrec is None:
+                continue
+            if not is_not and int(nc) == 0:
+                return False
+            if is_not and int(nc) == int(nrec):
+                return False
         return True
 
     return {r: a for r, a in snap.files.items() if may_match(a)}

@@ -95,3 +95,52 @@ def test_skipping_respects_column_mapping(spark, tmp_path):
     kept = skip_files(snap, "key >= 800")
     assert 1 <= len(kept) <= 2
     assert read_delta(spark, path, where="key >= 800").count() == 200
+
+
+def test_in_list_prunes_files(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        skip_files,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "in_skip")
+    # 4 range-disjoint files over id 0..399
+    write_delta(
+        spark.range(400).selectExpr("id").repartitionByRange(4, "id"), tbl
+    )
+    snap = _load_snapshot(tbl)
+    assert len(snap.files) == 4
+    kept = skip_files(snap, "id IN (5, 7)")
+    assert len(kept) == 1  # both values live in one 100-row range
+    kept2 = skip_files(snap, "id IN (5, 305)")
+    assert len(kept2) == 2
+    # non-literal IN member -> ineligible, keeps everything
+    assert len(skip_files(snap, "id IN (5, id)")) == 4
+    got = read_delta(spark, tbl, where="id IN (5, 305)")
+    assert {r.id for r in got.collect()} == {5, 305}
+
+
+def test_is_null_prunes_on_nullcount(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        skip_files,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "null_skip")
+    # file A: no nulls; file B: all null v
+    a = spark.range(50).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    b = spark.range(50, 100).selectExpr("id", "CAST(NULL AS DOUBLE) AS v")
+    write_delta(a.coalesce(1), tbl)
+    write_delta(b.coalesce(1), tbl, mode="append")
+    snap = _load_snapshot(tbl)
+    assert len(snap.files) == 2
+    assert len(skip_files(snap, "v IS NULL")) == 1      # drops the no-null file
+    assert len(skip_files(snap, "v IS NOT NULL")) == 1  # drops the all-null file
+    got = read_delta(spark, tbl, where="v IS NULL")
+    assert got.count() == 50
+    assert {r.id for r in got.collect()} == set(range(50, 100))
+    assert read_delta(spark, tbl, where="v IS NOT NULL").count() == 50
