@@ -369,6 +369,48 @@ def meta_describe_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "pos")
 
 
+# --- meta_describe_detail: DESCRIBE DETAIL — one row of table-level
+# metadata (format, partition/clustering columns, file count, protocol,
+# features); the deterministic subset is oracle-checked as literals:
+# the table is built fresh with a pinned file layout (coalesce(1) per
+# region partition -> 5 files) and then CLUSTER BY upgrades the protocol
+# to writer 7 with a fully-predictable feature list.
+@_q(
+    "meta_describe_detail",
+    """
+    SELECT 'delta' AS format,
+           'n_regionkey' AS partition_cols,
+           'n_nationkey' AS clustering_cols,
+           CAST(5 AS BIGINT) AS num_files,
+           1 AS min_reader, 7 AS min_writer,
+           'appendOnly,clustering,domainMetadata,invariants' AS features
+    """,
+)
+def meta_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import (
+        cluster_by,
+        describe_detail,
+    )
+    from ._tables import load
+
+    path = os.path.join(_tmp("mdd"), "t")
+    nat = load(spark, sf_dir, "nation")
+    write_delta(
+        nat.repartition("n_regionkey").coalesce(1), path,
+        partition_by=["n_regionkey"],
+    )
+    cluster_by(path, ["n_nationkey"])
+    return describe_detail(spark, path).select(
+        "format",
+        F.array_join("partitionColumns", ",").alias("partition_cols"),
+        F.array_join("clusteringColumns", ",").alias("clustering_cols"),
+        F.col("numFiles").alias("num_files"),
+        F.col("minReaderVersion").alias("min_reader"),
+        F.col("minWriterVersion").alias("min_writer"),
+        F.array_join("tableFeatures", ",").alias("features"),
+    )
+
+
 # --- S9 sink_delta_insert: INSERT INTO a Delta table. The reference DECLARES
 # this and asserts it FAILS ("Can't encode non-delta tables",
 # tests/local.rs:100-103). Here the same SQL shape commits a real Delta

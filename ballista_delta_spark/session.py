@@ -187,6 +187,14 @@ _DELTA_HISTORY = re.compile(
     re.IGNORECASE,
 )
 
+# DESCRIBE DETAIL <name> — one row of table-level metadata.
+_DELTA_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # <view> VERSION AS OF n / TIMESTAMP AS OF 'ts' inside any SELECT —
 # delta-spark's time-travel SQL. Rewritten to a snapshot temp view before
 # Spark parses the statement.
@@ -580,6 +588,14 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             metrics = restore_delta(loc, int(m.group("v")))
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.createDataFrame([Row(**metrics)])
+
+    m = _DELTA_DETAIL.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import describe_detail
+
+            return describe_detail(spark, _delta_views[name])
 
     m = _DELTA_HISTORY.match(statement)
     if m:

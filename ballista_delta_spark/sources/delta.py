@@ -400,6 +400,39 @@ def read_delta(
     return dt.to_df(spark)
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` analogue: one row of table-level metadata
+    (format, id, location, partition/clustering columns, file count and
+    bytes, properties, protocol) — delta-spark's operational-introspection
+    entry point. All driver-side metadata: zero data jobs.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    num_bytes = sum(int(a.get("size") or 0) for a in snap.files.values())
+    row = (
+        "delta",
+        snap.metadata_raw.get("id") or "",
+        os.path.abspath(path),
+        int(snap.metadata_raw.get("createdTime") or 0),
+        list(snap.partition_columns),
+        clustering_columns(snap),
+        len(snap.files),
+        num_bytes,
+        json.dumps(dict(sorted(snap.configuration.items()))),
+        snap.min_reader_version,
+        snap.min_writer_version,
+        sorted(set(snap.reader_features) | set(snap.writer_features)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, location string, createdAt bigint, "
+        "partitionColumns array<string>, clusteringColumns array<string>, "
+        "numFiles bigint, sizeInBytes bigint, properties string, "
+        "minReaderVersion int, minWriterVersion int, "
+        "tableFeatures array<string>",
+    )
+
+
 def read_delta_with_row_ids(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

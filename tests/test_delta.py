@@ -1196,3 +1196,24 @@ def test_cluster_by_sql_ddl(spark, tmp_path):
     sql(spark, "ALTER TABLE liq_t CLUSTER BY NONE")
     assert clustering_columns(_load_snapshot(tbl)) == []
     spark.catalog.dropTempView("liq_t")
+
+
+def test_describe_detail_sql(spark, tmp_path):
+    tbl = str(tmp_path / "detail")
+    write_delta(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+        .coalesce(1),
+        tbl, partition_by=["p"],
+    )
+    sql(
+        spark,
+        f"CREATE EXTERNAL TABLE det_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    row = sql(spark, "DESCRIBE DETAIL det_t").collect()[0]
+    assert row.format == "delta"
+    assert row.partitionColumns == ["p"]
+    assert row.numFiles == 2
+    assert row.sizeInBytes > 0
+    assert row.minReaderVersion == 1 and row.minWriterVersion == 2
+    assert row.location.endswith("detail")
+    spark.catalog.dropTempView("det_t")
