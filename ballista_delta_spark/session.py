@@ -110,6 +110,24 @@ _DELTA_DROP_FEATURE = re.compile(
     re.IGNORECASE,
 )
 
+# CONVERT TO DELTA parquet.`<path>` / '<path>' — in-place conversion of a
+# parquet directory (files referenced, never moved).
+_DELTA_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+DELTA\s+"
+    r"(?:parquet\s*\.\s*)?(?P<path>`[^`]+`|'[^']+')"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# FSCK REPAIR TABLE <name> [DRY RUN] — drop references to missing files.
+_DELTA_FSCK = re.compile(
+    r"^\s*FSCK\s+REPAIR\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # REORG TABLE <name> APPLY (PURGE) — rewrite only DV-carrying files so no
 # active file references a deletion vector (delta-spark REORG parity).
 _DELTA_REORG = re.compile(
@@ -444,6 +462,31 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
+            )
+
+    m = _DELTA_CONVERT.match(statement)
+    if m:
+        from .sources.delta import convert_to_delta
+
+        loc = m.group("path").strip("`'")
+        version = convert_to_delta(spark, loc)
+        return spark.sql(
+            f"SELECT CAST({version} AS BIGINT) AS committed_version"
+        )
+
+    m = _DELTA_FSCK.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import fsck_repair, read_delta
+
+            loc = _delta_views[name]
+            res = fsck_repair(loc, dry_run=bool(m.group("dry")))
+            if not m.group("dry"):
+                read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({res['version']} AS BIGINT) AS committed_version, "
+                f"CAST({res['numMissingFiles']} AS BIGINT) AS files_removed"
             )
 
     m = _DELTA_REORG.match(statement)

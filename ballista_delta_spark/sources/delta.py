@@ -400,6 +400,136 @@ def read_delta(
     return dt.to_df(spark)
 
 
+def convert_to_delta(spark: SparkSession, path: str) -> int:
+    """``CONVERT TO DELTA parquet.`<path>``` — turn a plain (optionally
+    Hive-partitioned) parquet directory into a Delta table IN PLACE: data
+    files are never moved or rewritten; a version-0 commit references
+    them with per-file footer stats. Schema (incl. typed partition
+    columns) comes from Spark's own directory read, so the converted
+    table scans identically to the directory it was.
+
+    100 TB shape: the only cost is one footer read per file for stats —
+    exactly what delta-spark's CONVERT pays — plus one O(#files) commit;
+    zero data jobs.
+    """
+    path = _strip_file_scheme(path)
+    if os.path.isdir(_log_dir(path)):
+        raise ValueError(f"already a Delta table: {path}")
+    df = spark.read.option("basePath", path).parquet(path)
+    schema = df.schema
+    rel_files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                rel_files.append(
+                    os.path.relpath(os.path.join(root, name), path)
+                )
+    if not rel_files:
+        raise ValueError(f"no parquet files under {path}")
+    # partition columns = the key= dirs of the first file's path (Spark's
+    # directory read already validated layout consistency)
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in rel_files[0].split(os.sep)[:-1]
+        if "=" in seg
+    ]
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": str(len(rel_files)),
+                    "partitionedBy": json.dumps(part_cols),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        },
+        {"protocol": PROTOCOL},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel in rel_files:
+        full = os.path.join(path, rel)
+        part_values: dict[str, str | None] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                part_values[k] = (
+                    None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                )
+        actions.append({
+            "add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": part_values,
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+                "stats": _file_stats(full, data_fields),
+            }
+        })
+    return _try_commit(path, actions, [])
+
+
+def fsck_repair(path: str, dry_run: bool = False) -> dict[str, Any]:
+    """``FSCK REPAIR TABLE`` — drop log references to data files that no
+    longer exist on storage (manual deletion, failed restore, cloud
+    lifecycle policy). The commit removes ONLY the missing references
+    (dataChange=true: rows really disappeared); intact files are
+    untouched. ``dry_run`` reports without committing.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=True)
+    missing = [
+        rel for rel in sorted(snap.files)
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+    out = {"numMissingFiles": len(missing), "missing": missing}
+    if dry_run or not missing:
+        out["version"] = snap.version
+        return out
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "FSCK",
+                "operationParameters": {"dryRun": "false"},
+                "operationMetrics": {
+                    "numRemovedFiles": str(len(missing)),
+                },
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+    ]
+    for rel in missing:
+        actions.append({
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        })
+    out["version"] = _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap)
+    )
+    return out
+
+
 def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """``DESCRIBE DETAIL`` analogue: one row of table-level metadata
     (format, id, location, partition/clustering columns, file count and

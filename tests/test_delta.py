@@ -1217,3 +1217,76 @@ def test_describe_detail_sql(spark, tmp_path):
     assert row.minReaderVersion == 1 and row.minWriterVersion == 2
     assert row.location.endswith("detail")
     spark.catalog.dropTempView("det_t")
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        convert_to_delta,
+    )
+
+    src = str(tmp_path / "plain")
+    spark.range(100).selectExpr(
+        "id", "id * 2 AS v", "CAST(id % 3 AS INT) AS p"
+    ).repartition(2).write.partitionBy("p").parquet(src)
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    v = convert_to_delta(spark, src)
+    assert v == 0
+    # files untouched, in place
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(src) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert files_after == files_before
+    snap = _load_snapshot(src)
+    assert snap.partition_columns == ["p"]
+    assert snap.schema["p"].dataType.simpleString() == "int"
+    got = read_delta(spark, src)
+    assert got.count() == 100
+    assert got.filter("p = 1").count() == 33
+    # stats landed -> data skipping works on the converted table
+    assert all(a.get("stats") for a in snap.files.values())
+    # converted table is writable like any other
+    write_delta(
+        spark.createDataFrame([(1000, 2000, 1)], "id long, v long, p int"),
+        src, mode="append",
+    )
+    assert read_delta(spark, src).count() == 101
+    with pytest.raises(ValueError, match="already a Delta table"):
+        convert_to_delta(spark, src)
+
+
+def test_convert_to_delta_sql(spark, tmp_path):
+    src = str(tmp_path / "plain_sql")
+    spark.range(10).selectExpr("id").coalesce(1).write.parquet(src)
+    out = sql(spark, f"CONVERT TO DELTA parquet.`{src}`").collect()[0]
+    assert out.committed_version == 0
+    assert read_delta(spark, src).count() == 10
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    import glob as _glob
+
+    from ballista_delta_spark.sources.delta import fsck_repair
+
+    tbl = str(tmp_path / "fsck")
+    write_delta(
+        spark.range(100).selectExpr("id").repartitionByRange(4, "id"), tbl
+    )
+    victim = sorted(_glob.glob(os.path.join(tbl, "*.parquet")))[0]
+    os.unlink(victim)
+    # the damaged table can't scan
+    with pytest.raises(Exception):
+        read_delta(spark, tbl).count()
+    dry = fsck_repair(tbl, dry_run=True)
+    assert dry["numMissingFiles"] == 1
+    res = fsck_repair(tbl)
+    assert res["numMissingFiles"] == 1
+    got = read_delta(spark, tbl)
+    assert got.count() == 75  # the missing quarter is gone, rest scans
+    # idempotent: nothing left to repair
+    assert fsck_repair(tbl)["numMissingFiles"] == 0
