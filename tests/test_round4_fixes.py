@@ -238,14 +238,14 @@ class TestWriterProtocolGate:
         })
         write_delta(spark.createDataFrame([(99, 9)], "id int, k int"), tbl)
         # deletionVectors/checkConstraints joined the supported writer
-        # features in round 6, and inactive CDF/generated/identity pass —
-        # a feature we neither implement nor can prove inactive still
-        # gates (rowTracking demands per-commit row-id maintenance).
+        # features in round 6, rowTracking in round 7 (per-commit row-id
+        # allocation in _try_commit) — a feature we neither implement nor
+        # can prove inactive still gates.
         self._patch_log0(tbl, protocol={
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["someFutureFeature"],
         })
-        with pytest.raises(ValueError, match="rowTracking"):
+        with pytest.raises(ValueError, match="someFutureFeature"):
             write_delta(
                 spark.createDataFrame([(98, 8)], "id int, k int"), tbl
             )
