@@ -2204,6 +2204,13 @@ def alter_properties(
             }
         }
     ]
+    # Property-implied protocol upgrades. Each required upgrade is FOLDED
+    # over an evolving protocol view so one SET TBLPROPERTIES call that
+    # triggers several features (e.g. CDF + rowTracking) emits ONE
+    # protocol action carrying all of them — stacked actions computed
+    # from the same stale snapshot would each drop the others' features
+    # (replay takes the last protocol action).
+    upgrades: list[dict[str, Any]] = []
     if cfg.get("delta.enableChangeDataFeed", "").lower() == "true" and (
         snap.min_writer_version < 4
         or (
@@ -2211,36 +2218,48 @@ def alter_properties(
             and "changeDataFeed" not in snap.writer_features
         )
     ):
-        actions.append(protocol_upgrade_action(
-            snap, min_writer=4, writer_feature="changeDataFeed"
-        ))
+        upgrades.append(
+            {"min_writer": 4, "writer_feature": "changeDataFeed"}
+        )
     if cfg.get("delta.checkpointPolicy", "") == "v2" and (
         snap.min_reader_version < 3
         or "v2Checkpoint" not in snap.reader_features
     ):
         # v2 checkpoints are feature-gated on BOTH sides: readers must
         # know to resolve the manifest+sidecar layout.
-        actions.append(protocol_upgrade_action(
-            snap, min_writer=7,
-            writer_feature="v2Checkpoint",
-            reader_feature="v2Checkpoint",
-            min_reader=3,
-        ))
-    if cfg.get("delta.enableRowTracking", "").lower() == "true" and (
-        "rowTracking" not in snap.writer_features
-    ):
+        upgrades.append({
+            "min_writer": 7,
+            "writer_feature": "v2Checkpoint",
+            "reader_feature": "v2Checkpoint",
+            "min_reader": 3,
+        })
+    enabling_row_tracking = (
+        cfg.get("delta.enableRowTracking", "").lower() == "true"
+        and "rowTracking" not in snap.writer_features
+    )
+    if enabling_row_tracking:
+        upgrades.append({"min_writer": 7, "writer_feature": "rowTracking"})
+        upgrades.append({"min_writer": 7, "writer_feature": "domainMetadata"})
+    if upgrades:
+        import copy as _copy
+
+        psnap = snap
+        proto_action: dict[str, Any] | None = None
+        for kw in upgrades:
+            proto_action = protocol_upgrade_action(psnap, **kw)
+            pr = proto_action["protocol"]
+            psnap = _copy.copy(psnap)
+            psnap.min_reader_version = pr["minReaderVersion"]
+            psnap.min_writer_version = pr["minWriterVersion"]
+            psnap.writer_features = list(pr.get("writerFeatures") or [])
+            psnap.reader_features = list(pr.get("readerFeatures") or [])
+        actions.append(proto_action)
+    if enabling_row_tracking:
         # Row tracking enablement BACKFILLS the current files: every
         # active add is re-committed (dataChange=false) with its fresh
         # baseRowId range, and the high-water mark lands in the
         # delta.rowTracking domain — the spec's requirement that every
         # add on a rowTracking table carries row ids.
-        pr = protocol_upgrade_action(
-            snap, min_writer=7, writer_feature="rowTracking",
-        )
-        pr["protocol"]["writerFeatures"] = sorted(
-            set(pr["protocol"]["writerFeatures"]) | {"domainMetadata"}
-        )
-        actions.append(pr)
         hwm = -1
         for rel in sorted(snap.files):
             add = dict(snap.files[rel])

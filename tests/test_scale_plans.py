@@ -366,3 +366,34 @@ def test_emb_project_is_map_only(spark, sf_dir):
     plan = _physical_plan(emb_project(spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_r7_late_ops_scale_shapes(spark, sf_dir):
+    """Pins for the late-r7 additions:
+
+    - text_decontaminate must BROADCAST the benchmark shingle set (a
+      SortMergeJoin would reshuffle the full train side for a probe the
+      size of one benchmark);
+    - events_sessionize reuses one (user) partitioning for window + agg —
+      ≤2 exchanges (stream hash + output sort);
+    - mm_resize_pool is a narrow mapInPandas — no Exchange at all.
+    """
+    from ballista_delta_spark.queries.multimodal import mm_resize_pool
+    from ballista_delta_spark.queries.pipeline import (
+        events_sessionize,
+        text_decontaminate,
+    )
+
+    decon_plan = _physical_plan(text_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in decon_plan, decon_plan
+    assert "SortMergeJoin" not in decon_plan.split("BroadcastHashJoin")[0], (
+        decon_plan
+    )
+
+    sess_plan = _physical_plan(events_sessionize(spark, sf_dir))
+    assert sess_plan.count("Exchange") <= 2, sess_plan
+    assert "Window" in sess_plan
+
+    mm_plan = _physical_plan(mm_resize_pool(spark, sf_dir))
+    assert "Exchange" not in mm_plan, mm_plan
+    assert "MapInPandas" in mm_plan, mm_plan
