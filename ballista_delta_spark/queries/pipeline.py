@@ -451,3 +451,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------- text_unigram_logprob
+# CCNet-style language-model quality proxy: train a unigram LM on the
+# corpus itself (token count / corpus size, add-one smoothed) and score
+# each document by its mean negative log-probability — gibberish and
+# boilerplate score high, typical prose low. The vocabulary relation is
+# BROADCAST back onto the token stream (vocabulary ≪ corpus), so the
+# corpus-sized side shuffles only for its own per-doc aggregate. Scores
+# are rounded to 4 decimals in BOTH engines before the keep-flag
+# comparison, so the gate can't flip on float noise.
+@_q(
+    "text_unigram_logprob",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '{_WS}')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, count(*) AS c FROM terms GROUP BY term
+    ),
+    totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+               CAST(count(*) AS DOUBLE) AS v_size
+        FROM vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln((vocab.c + 1.0) / (totals.n_tokens + totals.v_size))), 4)
+               AS mean_nll,
+           round(avg(-ln((vocab.c + 1.0) / (totals.n_tokens + totals.v_size))), 4)
+               <= 7.5 AS keep
+    FROM terms JOIN vocab USING (term) CROSS JOIN totals
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", _WS)).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    n_tokens, v_size = vocab.agg(
+        F.sum("c").cast("double"), F.count("*").cast("double")
+    ).first()
+    nll = -F.log(
+        (F.col("c") + F.lit(1.0)) / F.lit(float(n_tokens) + float(v_size))
+    )
+    scored = (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("mean_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "mean_nll",
+        (F.col("mean_nll") <= 7.5).alias("keep"),
+    )
