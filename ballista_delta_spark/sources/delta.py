@@ -675,6 +675,24 @@ def _skip_lit(lit: str) -> Any:
     )
 
 
+def _temporal_key(s: Any) -> float | None:
+    """Date/timestamp string -> epoch seconds (UTC), or None when not
+    parseable. Stats spell timestamps ISO with 'T' and an offset while
+    predicates usually use 'YYYY-MM-DD HH:MM:SS' — comparing those as
+    raw strings mis-orders at the separator byte, so BOTH sides must
+    normalize to one numeric domain before any pruning judgment."""
+    import datetime as _dt
+
+    try:
+        t = str(s).replace("T", " ").replace("Z", "+00:00")
+        d = _dt.datetime.fromisoformat(t)
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (d - _dt.datetime(1970, 1, 1)).total_seconds()
+
+
 def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     """The subset of ``snap.files`` that might contain rows matching
     ``where``, judged from per-file min/max/nullCount stats. Sound by
@@ -719,6 +737,40 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
         m = _SKIP_NULL.match(stripped)
         if m:
             null_conjuncts.append((m.group("col"), bool(m.group("not"))))
+    # Generated-column partition pruning (delta-spark's optimization):
+    # a partition column generated as CAST(src AS DATE) or year(src) lets
+    # a predicate on the raw SOURCE column derive a partition bound —
+    # `ts >= '2024-03-05 10:00'` prunes to `event_date >= '2024-03-05'`.
+    # Strict inequalities widen to inclusive ones (same-day/-year rows
+    # may satisfy the original), so derivation is sound by construction.
+    gen_parts = {
+        f.name: (f.metadata or {}).get("delta.generationExpression")
+        for f in snap.schema.fields
+        if f.name in snap.partition_columns
+        and (f.metadata or {}).get("delta.generationExpression")
+    }
+    derived: list[tuple[str, str, Any]] = []
+    for pc, ge in gen_parts.items():
+        m_date = re.fullmatch(
+            r"\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*", ge, re.I
+        )
+        m_year = re.fullmatch(r"\s*year\s*\(\s*`?(\w+)`?\s*\)\s*", ge, re.I)
+        src = (m_date or m_year) and (m_date or m_year).group(1)
+        if not src:
+            continue
+        for col, op, val in conjuncts:
+            if col != src or not isinstance(val, str) or op == "in":
+                continue
+            widened = {">": ">=", "<": "<="}.get(op, op)
+            if m_date:
+                d = val[:10]
+                if re.fullmatch(r"\d{4}-\d{2}-\d{2}", d):
+                    derived.append((pc, widened, d))
+            else:
+                y = val[:4]
+                if y.isdigit():
+                    derived.append((pc, widened, int(y)))
+    conjuncts.extend(derived)
     if not conjuncts and not null_conjuncts:
         return dict(snap.files)
 
@@ -751,6 +803,20 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                     continue
             if isinstance(val, (int, float)) and isinstance(mn, str):
                 continue  # type mismatch — don't judge
+            if isinstance(
+                types.get(col),
+                (T.DateType, T.TimestampType, T.TimestampNTZType),
+            ):
+                # normalize BOTH sides to epoch seconds — raw string
+                # comparison mis-orders ISO-with-'T' stats against
+                # space-separated predicate literals
+                vals = val if isinstance(val, list) else [val]
+                keys = [_temporal_key(v) for v in vals]
+                mn_k, mx_k = _temporal_key(mn), _temporal_key(mx)
+                if mn_k is None or mx_k is None or None in keys:
+                    continue  # can't judge — keep the file
+                mn, mx = mn_k, mx_k
+                val = keys if isinstance(val, list) else keys[0]
             try:
                 if op == "in" and all(v < mn or v > mx for v in val):
                     return False

@@ -144,3 +144,55 @@ def test_is_null_prunes_on_nullcount(spark, tmp_path):
     assert got.count() == 50
     assert {r.id for r in got.collect()} == set(range(50, 100))
     assert read_delta(spark, tbl, where="v IS NOT NULL").count() == 50
+
+
+def test_generated_partition_column_pruning(spark, tmp_path):
+    """A predicate on the raw timestamp derives a bound on the DATE
+    partition generated from it (delta-spark's generated-column partition
+    pruning) — files of other days never reach the scan."""
+    import json as _json
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        skip_files,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "genpart")
+    df = spark.sql("""
+        SELECT id,
+               timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,
+               CAST(timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS DATE) AS event_date
+        FROM range(96)
+    """).coalesce(1)
+    write_delta(df, tbl, partition_by=["event_date"])  # 4 days -> 4 files
+    # author the generation expression on the partition column
+    log0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [_json.loads(line) for line in fh]
+    for a in acts:
+        if "metaData" in a:
+            schema = _json.loads(a["metaData"]["schemaString"])
+            for f in schema["fields"]:
+                if f["name"] == "event_date":
+                    f["metadata"] = {
+                        "delta.generationExpression": "CAST(ts AS DATE)"
+                    }
+            a["metaData"]["schemaString"] = _json.dumps(schema)
+    with open(log0, "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+
+    snap = _load_snapshot(tbl)
+    assert len(snap.files) == 4
+    # predicate on the RAW ts column prunes date partitions
+    kept = skip_files(snap, "ts >= '2024-03-03 05:00:00'")
+    assert len(kept) == 2  # 03-03 and 03-04
+    kept_eq = skip_files(snap, "ts = '2024-03-02 10:00:00'")
+    assert len(kept_eq) == 1
+    # strict < widens to <= (same-day earlier rows)
+    assert len(skip_files(snap, "ts < '2024-03-02 01:00:00'")) == 2
+    # exactness: the residual filter still applies
+    got = read_delta(spark, tbl, where="ts >= '2024-03-03 05:00:00'")
+    assert got.count() == 96 - (2 * 24 + 5)
