@@ -72,6 +72,7 @@ _DELTA_VACUUM = re.compile(
 _DELTA_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+)\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE,
@@ -407,7 +408,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 c.strip().strip("`")
                 for c in (m.group("zcols") or "").split(",") if c.strip()
             ]
-            version = optimize(spark, loc, zorder_by=zcols or None)
+            version = optimize(
+                spark, loc, zorder_by=zcols or None,
+                where=m.group("where"),
+            )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

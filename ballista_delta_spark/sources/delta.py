@@ -3558,6 +3558,7 @@ def optimize(
     path: str,
     target_file_rows: int = 1_000_000,
     zorder_by: list[str] | None = None,
+    where: str | None = None,
 ) -> int:
     """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
     snapshot's files into fewer, larger ones and commit add/remove actions
@@ -3592,9 +3593,25 @@ def optimize(
         # Liquid clustering: a declared delta.clustering column set makes
         # plain OPTIMIZE a clustering rewrite (delta-spark behavior).
         zorder_by = clustering_columns(snap) or None
+    if where:
+        # OPTIMIZE ... WHERE: compact only the files that might hold
+        # matching rows (stats/partition pruned). Whole files are
+        # rewritten, so ANY predicate is content-preserving — it only
+        # scopes the rewrite; at 100 TB you compact today's partition,
+        # not the table. (delta-spark restricts to partition predicates;
+        # stats-eligible ones are a strict superset with the same
+        # guarantee here.)
+        import copy as _copy
+
+        sub = skip_files(snap, where)
+        snap = _copy.copy(snap)
+        snap.files = sub
     if len(snap.files) <= 1 and not zorder_by:
         return snap.version
-    df = DeltaTable(path).to_df(spark)
+    dt_view = DeltaTable.__new__(DeltaTable)
+    dt_view.path = path
+    dt_view.snapshot = snap
+    df = dt_view.to_df(spark)
     n_rows = sum(
         json.loads(a["stats"]).get("numRecords", 0) if a.get("stats") else 0
         for a in snap.files.values()

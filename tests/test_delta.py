@@ -1290,3 +1290,49 @@ def test_fsck_repair_drops_missing_files(spark, tmp_path):
     assert got.count() == 75  # the missing quarter is gone, rest scans
     # idempotent: nothing left to repair
     assert fsck_repair(tbl)["numMissingFiles"] == 0
+
+
+def test_optimize_where_scopes_the_rewrite(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import _load_snapshot, optimize
+
+    tbl = str(tmp_path / "optwhere")
+    # 3 partitions x 2 files each
+    for half in (0, 1):
+        write_delta(
+            spark.range(half * 300, half * 300 + 300).selectExpr(
+                "id", "CAST(id % 3 AS INT) AS p"
+            ).coalesce(1),
+            tbl, mode="append" if half else "overwrite",
+            partition_by=["p"],
+        )
+    snap = _load_snapshot(tbl)
+    assert len(snap.files) == 6
+    untouched = {
+        rel for rel, a in snap.files.items()
+        if a["partitionValues"].get("p") != "1"
+    }
+    v = optimize(spark, tbl, where="p = 1")
+    after = _load_snapshot(tbl)
+    assert after.version == v
+    # p=1's two files compacted into one; other partitions untouched
+    assert untouched <= set(after.files)
+    p1 = [
+        a for a in after.files.values()
+        if a["partitionValues"].get("p") == "1"
+    ]
+    assert len(p1) == 1
+    assert read_delta(spark, tbl).count() == 600
+    assert read_delta(spark, tbl).filter("p = 1").count() == 200
+    # SQL form
+    sql(
+        spark,
+        f"CREATE EXTERNAL TABLE ow_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    sql(spark, "OPTIMIZE ow_t WHERE p = 2")
+    after2 = _load_snapshot(tbl)
+    assert len([
+        a for a in after2.files.values()
+        if a["partitionValues"].get("p") == "2"
+    ]) == 1
+    assert spark.table("ow_t").count() == 600
+    spark.catalog.dropTempView("ow_t")
