@@ -66,7 +66,16 @@ _DELTA_UPDATE = re.compile(
 _DELTA_VACUUM = re.compile(
     r"^\s*VACUUM\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
-    r"(?:\s+RETAIN\s+(?P<hours>\d+)\s+HOURS?)?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<hours>\d+)\s+HOURS?)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# SHOW TBLPROPERTIES <name> — table configuration as (key, value) rows.
+_DELTA_SHOW_PROPS = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 _DELTA_OPTIMIZE = re.compile(
@@ -381,6 +390,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         if name is not None:
             return _sql_merge(spark, statement, name, statement[m.end():])
 
+    m = _DELTA_SHOW_PROPS.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from pyspark.sql import Row
+
+            from .sources.delta import _load_snapshot
+
+            snap = _load_snapshot(_delta_views[name])
+            rows = [
+                Row(key=k, value=v)
+                for k, v in sorted(snap.configuration.items())
+            ]
+            if not rows:
+                return spark.createDataFrame([], "key string, value string")
+            return spark.createDataFrame(rows)
+
     m = _DELTA_VACUUM.match(statement)
     if m:
         name = _resolve_view(m.group("name"))
@@ -392,6 +418,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 {"retention_ms": int(hours) * 3600 * 1000}
                 if hours is not None else {}
             )
+            if m.group("dry"):
+                kwargs["dry_run"] = True
             removed = vacuum(_delta_views[name], **kwargs)
             return spark.sql(
                 f"SELECT CAST({len(removed)} AS BIGINT) AS files_deleted"

@@ -3324,10 +3324,16 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     return {"version": committed, **metrics}
 
 
-def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+def vacuum(
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot whose
     tombstones are older than the retention window — the delta-rs/delta-spark
-    ``VACUUM`` analogue. Returns the deleted relative paths.
+    ``VACUUM`` analogue. Returns the deleted relative paths;
+    ``dry_run=True`` (``VACUUM ... DRY RUN``) returns what WOULD be
+    deleted without touching anything.
 
     Retention matters for the same reason as in every Delta engine: readers
     of older versions (time travel) and in-flight queries may still reference
@@ -3344,7 +3350,8 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
             continue
         abs_path = os.path.join(path, rel)
         if os.path.exists(abs_path):
-            os.unlink(abs_path)
+            if not dry_run:
+                os.unlink(abs_path)
             deleted.append(rel)
     # Deletion-vector .bin files: delete the ones no ACTIVE add references
     # once past the retention window (a superseded or purged DV is exactly
@@ -3363,8 +3370,11 @@ def vacuum(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
             continue
         if now_ms - os.path.getmtime(bin_path) * 1000 < retention_ms:
             continue
-        os.unlink(bin_path)
+        if not dry_run:
+            os.unlink(bin_path)
         deleted.append(os.path.relpath(bin_path, path))
+    if dry_run:
+        return deleted
     # Prune now-empty Hive partition dirs left behind.
     for root, dirs, files in os.walk(path, topdown=False):
         if "_delta_log" in root:

@@ -87,6 +87,9 @@ class DeltaStreamDataSource(DataSource):
                 self.options.get("ignorechanges", "false")
             ).lower() == "true",
             read_change_feed=self._cdf(),
+            max_versions_per_trigger=int(
+                self.options.get("maxversionspertrigger", 0)
+            ) or None,
         )
 
 
@@ -98,12 +101,18 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
         starting_version: int = 0,
         ignore_changes: bool = False,
         read_change_feed: bool = False,
+        max_versions_per_trigger: int | None = None,
     ):
         self.path = _strip_file_scheme(path)
         self.schema = schema
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.read_change_feed = read_change_feed
+        # Rate limiting (delta-spark's maxFilesPerTrigger analogue, in
+        # commit units): each micro-batch advances the offset at most
+        # this many versions, so a stream starting against a long backlog
+        # drains it in bounded batches instead of one giant catch-up.
+        self.max_versions_per_trigger = max_versions_per_trigger
         # logical -> physical parquet name (identity unless the table
         # declares columnMapping); cdc partitionValues keys are PHYSICAL
         # per the spec, so keep the reverse map too.
@@ -250,6 +259,8 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         latest = self._latest_version()
         lo = int(start["version"]) + 1
+        if self.max_versions_per_trigger is not None:
+            latest = min(latest, lo + self.max_versions_per_trigger - 1)
         rows = (
             self._cdf_rows_for(range(lo, latest + 1))
             if self.read_change_feed

@@ -318,3 +318,64 @@ def test_stream_sink_replayed_batch_is_skipped(spark, tmp_path):
     shutil.rmtree(ckpt)
     run(ckpt)
     assert read_delta(spark, out).count() == 10
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tbl):
+    for i in range(3, 7):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id int, s string"), tbl,
+            mode="append",
+        )  # versions 1..4
+    r = _reader(spark, tbl, max_versions_per_trigger=2)
+    rows1, end1 = r.read(r.initialOffset())
+    assert end1 == {"version": 1}  # v0 + v1 only
+    rows2, end2 = r.read(end1)
+    assert end2 == {"version": 3}
+    rows3, end3 = r.read(end2)
+    assert end3 == {"version": 4}
+    assert len(rows1) + len(rows2) + len(rows3) == 6
+    # NOTE: with trigger(availableNow=True) the Simple reader API treats
+    # one read() as "all available", so a rate-limited drain needs a
+    # continuous trigger — the offset bound above is the contract.
+
+
+def test_vacuum_dry_run_and_show_tblproperties(spark, tmp_path):
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import vacuum
+
+    tbl = str(tmp_path / "vdr")
+    # coalesce(1): exactly one file per write, so the tombstone count is
+    # parallelism-independent
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1),
+        tbl,
+    )
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id int, s string").coalesce(1),
+        tbl, mode="overwrite",
+    )  # tombstones v0's file
+    would = vacuum(tbl, retention_ms=0, dry_run=True)
+    assert len(would) == 1
+    # dry run touched nothing
+    assert os.path.exists(os.path.join(tbl, would[0]))
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE vdr_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    out = bd_sql(spark, "VACUUM vdr_t RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert out.files_deleted == 1
+    assert os.path.exists(os.path.join(tbl, would[0]))
+    # real vacuum removes it
+    assert vacuum(tbl, retention_ms=0) == would
+    assert not os.path.exists(os.path.join(tbl, would[0]))
+    # SHOW TBLPROPERTIES
+    bd_sql(
+        spark,
+        "ALTER TABLE vdr_t SET TBLPROPERTIES ('delta.appendOnly'='false')",
+    )
+    props = {
+        r.key: r.value
+        for r in bd_sql(spark, "SHOW TBLPROPERTIES vdr_t").collect()
+    }
+    assert props.get("delta.appendOnly") == "false"
+    spark.catalog.dropTempView("vdr_t")
