@@ -71,10 +71,13 @@ _DELTA_VACUUM = re.compile(
     re.IGNORECASE,
 )
 
-# SHOW TBLPROPERTIES <name> — table configuration as (key, value) rows.
+# SHOW TBLPROPERTIES <name> [('key')] — table configuration as
+# (key, value) rows, plus the delta.minReader/WriterVersion protocol rows
+# delta-spark always includes.
 _DELTA_SHOW_PROPS = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -399,13 +402,21 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from .sources.delta import _load_snapshot
 
             snap = _load_snapshot(_delta_views[name])
-            rows = [
-                Row(key=k, value=v)
-                for k, v in sorted(snap.configuration.items())
-            ]
-            if not rows:
-                return spark.createDataFrame([], "key string, value string")
-            return spark.createDataFrame(rows)
+            props = dict(snap.configuration)
+            # delta-spark always reports the protocol as properties
+            props["delta.minReaderVersion"] = str(snap.min_reader_version)
+            props["delta.minWriterVersion"] = str(snap.min_writer_version)
+            key = m.group("key")
+            if key is not None:
+                val = props.get(key)
+                if val is None:
+                    return spark.createDataFrame(
+                        [], "key string, value string"
+                    )
+                return spark.createDataFrame([Row(key=key, value=val)])
+            return spark.createDataFrame(
+                [Row(key=k, value=v) for k, v in sorted(props.items())]
+            )
 
     m = _DELTA_VACUUM.match(statement)
     if m:
@@ -419,7 +430,16 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 if hours is not None else {}
             )
             if m.group("dry"):
-                kwargs["dry_run"] = True
+                # delta-spark's DRY RUN lists the files that WOULD be
+                # deleted (a `path` column), not a deletion count
+                would = vacuum(
+                    _delta_views[name], dry_run=True, **kwargs
+                )
+                if not would:
+                    return spark.createDataFrame([], "path string")
+                return spark.createDataFrame(
+                    [(p,) for p in would], "path string"
+                )
             removed = vacuum(_delta_views[name], **kwargs)
             return spark.sql(
                 f"SELECT CAST({len(removed)} AS BIGINT) AS files_deleted"

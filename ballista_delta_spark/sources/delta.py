@@ -3365,7 +3365,12 @@ def vacuum(
             live_bins.add(os.path.abspath(_dv.dv_file_path(path, dvd)))
     import glob as _glob
 
-    for bin_path in _glob.glob(os.path.join(path, "deletion_vector_*.bin")):
+    # recursive: delta-spark prefixes DV files with random subdirs
+    # (pathOrInlineDv = '<prefix><uuid>'), so a root-only glob would
+    # leak every prefixed bin forever
+    for bin_path in _glob.glob(
+        os.path.join(path, "**", "deletion_vector_*.bin"), recursive=True
+    ):
         if os.path.abspath(bin_path) in live_bins:
             continue
         if now_ms - os.path.getmtime(bin_path) * 1000 < retention_ms:

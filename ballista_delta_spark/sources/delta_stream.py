@@ -87,10 +87,19 @@ class DeltaStreamDataSource(DataSource):
                 self.options.get("ignorechanges", "false")
             ).lower() == "true",
             read_change_feed=self._cdf(),
-            max_versions_per_trigger=int(
-                self.options.get("maxversionspertrigger", 0)
-            ) or None,
+            max_versions_per_trigger=self._max_versions(),
         )
+
+    def _max_versions(self) -> int | None:
+        raw = self.options.get("maxversionspertrigger")
+        if raw is None:
+            return None
+        n = int(raw)
+        if n <= 0:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be positive, got {n}"
+            )
+        return n
 
 
 class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -112,6 +121,17 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
         # commit units): each micro-batch advances the offset at most
         # this many versions, so a stream starting against a long backlog
         # drains it in bounded batches instead of one giant catch-up.
+        # CAVEAT vs delta-spark: under trigger(availableNow=True) the
+        # Simple reader API treats one read() as "all available", so a
+        # rate-limited query takes ONE clamped batch per run — use a
+        # continuous trigger to drain a backlog with a rate limit.
+        if max_versions_per_trigger is not None and (
+            max_versions_per_trigger <= 0
+        ):
+            raise ValueError(
+                "maxVersionsPerTrigger must be positive, got "
+                f"{max_versions_per_trigger}"
+            )
         self.max_versions_per_trigger = max_versions_per_trigger
         # logical -> physical parquet name (identity unless the table
         # declares columnMapping); cdc partitionValues keys are PHYSICAL

@@ -362,8 +362,8 @@ def test_vacuum_dry_run_and_show_tblproperties(spark, tmp_path):
         spark,
         f"CREATE EXTERNAL TABLE vdr_t STORED AS DELTA LOCATION '{tbl}'",
     )
-    out = bd_sql(spark, "VACUUM vdr_t RETAIN 0 HOURS DRY RUN").collect()[0]
-    assert out.files_deleted == 1
+    out = bd_sql(spark, "VACUUM vdr_t RETAIN 0 HOURS DRY RUN").collect()
+    assert [r.path for r in out] == would  # path listing, nothing deleted
     assert os.path.exists(os.path.join(tbl, would[0]))
     # real vacuum removes it
     assert vacuum(tbl, retention_ms=0) == would
@@ -378,4 +378,17 @@ def test_vacuum_dry_run_and_show_tblproperties(spark, tmp_path):
         for r in bd_sql(spark, "SHOW TBLPROPERTIES vdr_t").collect()
     }
     assert props.get("delta.appendOnly") == "false"
+    # protocol rows always present (delta-spark parity)
+    assert props["delta.minReaderVersion"] == "1"
+    assert props["delta.minWriterVersion"] == "2"
+    # single-key form
+    one = bd_sql(
+        spark, "SHOW TBLPROPERTIES vdr_t ('delta.appendOnly')"
+    ).collect()
+    assert [(r.key, r.value) for r in one] == [("delta.appendOnly", "false")]
+    # rate-limit validation
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="positive"):
+        _reader(spark, tbl, max_versions_per_trigger=0)
     spark.catalog.dropTempView("vdr_t")
