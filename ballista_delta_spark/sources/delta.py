@@ -811,6 +811,11 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                 # comparison mis-orders ISO-with-'T' stats against
                 # space-separated predicate literals
                 vals = val if isinstance(val, list) else [val]
+                if isinstance(types.get(col), T.DateType):
+                    # Spark CASTS a time-carrying literal to DATE before
+                    # comparing (truncating the time); keying the full
+                    # timestamp would prune files whose rows DO match
+                    vals = [str(v)[:10] for v in vals]
                 keys = [_temporal_key(v) for v in vals]
                 mn_k, mx_k = _temporal_key(mn), _temporal_key(mx)
                 if mn_k is None or mx_k is None or None in keys:
@@ -859,10 +864,27 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
 
 
 def version_at_timestamp(path: str, timestamp_ms: int) -> int:
-    """Latest version committed at or before ``timestamp_ms``."""
+    """Latest version committed at or before ``timestamp_ms``.
+
+    After log retention cleanup (``cleanup_log`` / TRUNCATE HISTORY) the
+    earliest JSON commit is the checkpoint version, not 0 — the scan
+    starts at the earliest SURVIVING commit, so timestamp time travel
+    keeps working for the reconstructable range and errors only for
+    timestamps that genuinely predate it.
+    """
     log = _log_dir(_strip_file_scheme(path))
     best: int | None = None
     v = 0
+    if not os.path.exists(_version_file(log, 0)):
+        surviving = sorted(
+            int(name.split(".")[0])
+            for name in os.listdir(log)
+            if name.endswith(".json")
+            and name.split(".")[0].isdigit()
+            and len(name.split(".")[0]) == 20
+        )
+        if surviving:
+            v = surviving[0]
     while True:
         fp = _version_file(log, v)
         if not os.path.exists(fp):
@@ -1566,9 +1588,7 @@ def _widen_snapshot(
     schema, the metaData's schemaString, and — on a columnMapping table —
     fresh ``col-<uuid>`` physical names + next field ids, exactly what the
     widening commit must record."""
-    import copy as _copy
-
-    s = _copy.copy(snap)
+    s = copy_mod.copy(snap)
     s.schema = T.StructType(list(snap.schema.fields) + list(new_fields))
     md = dict(snap.metadata_raw)
     schema_json = json.loads(
@@ -2307,14 +2327,12 @@ def alter_properties(
         upgrades.append({"min_writer": 7, "writer_feature": "rowTracking"})
         upgrades.append({"min_writer": 7, "writer_feature": "domainMetadata"})
     if upgrades:
-        import copy as _copy
-
         psnap = snap
         proto_action: dict[str, Any] | None = None
         for kw in upgrades:
             proto_action = protocol_upgrade_action(psnap, **kw)
             pr = proto_action["protocol"]
-            psnap = _copy.copy(psnap)
+            psnap = copy_mod.copy(psnap)
             psnap.min_reader_version = pr["minReaderVersion"]
             psnap.min_writer_version = pr["minWriterVersion"]
             psnap.writer_features = list(pr.get("writerFeatures") or [])
@@ -2342,7 +2360,14 @@ def alter_properties(
             "removed": False,
         }})
     actions.append({"metaData": md})
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    # When row tracking just turned on, pass the POST-upgrade protocol
+    # view so _try_commit stamps each backfilled add with the commit
+    # version (defaultRowCommitVersion — required on every add of a
+    # rowTracking table); the ids themselves were assigned above.
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap),
+        snap=psnap if enabling_row_tracking else None,
+    )
 
 
 def alter_columns(
@@ -2406,6 +2431,35 @@ def alter_columns(
         if new_col in post_names:
             raise ValueError(f"column {new_col!r} already exists")
         post_names.add(new_col)
+    # A renamed/dropped column referenced by a CHECK constraint, a column
+    # invariant, or a generated-column expression would leave metadata
+    # that breaks every later write (and silently disables the derived
+    # partition pruning) — refuse, like delta-spark. Word-boundary token
+    # match: conservative, so a column name inside a string literal also
+    # refuses (loud beats broken).
+    exprs: list[tuple[str, str]] = [
+        (f"constraint {k.removeprefix('delta.constraints.')!r}", v)
+        for k, v in snap.configuration.items()
+        if k.startswith("delta.constraints.")
+    ]
+    for f_schema in snap.schema.fields:
+        md_f = f_schema.metadata or {}
+        if md_f.get("delta.generationExpression"):
+            exprs.append((
+                f"generated column {f_schema.name!r}",
+                md_f["delta.generationExpression"],
+            ))
+        if md_f.get("delta.invariants"):
+            exprs.append((
+                f"invariant on {f_schema.name!r}", md_f["delta.invariants"]
+            ))
+    for touched in list(renames) + drops:
+        for what, expr_s in exprs:
+            if re.search(rf"\b{re.escape(touched)}\b", expr_s):
+                raise ValueError(
+                    f"column {touched!r} is referenced by {what} — drop "
+                    "the constraint/expression first"
+                )
 
     schema_json = json.loads(
         snap.metadata_raw.get("schemaString")
@@ -2850,6 +2904,16 @@ def clone_delta(src: str, dst: str) -> int:
         {"protocol": proto},
         {"metaData": md},
     ]
+    # domainMetadata rides along: without the delta.rowTracking
+    # high-water mark a later append to the clone would re-allocate
+    # baseRowIds from -1 and collide with the cloned files' ids; the
+    # delta.clustering column set keeps OPTIMIZE clustering. The txn
+    # ledger is deliberately NOT cloned — the clone is a different table
+    # and idempotent writers must not skip their first commits to it.
+    for dom, conf in sorted(snap.domain_metadata.items()):
+        actions.append({"domainMetadata": {
+            "domain": dom, "configuration": conf, "removed": False,
+        }})
     from . import dv as _dv
 
     for rel, a in snap.files.items():
@@ -3140,9 +3204,7 @@ def read_delta_changes(
     def _subset(base: Snapshot, rels: set[str]) -> DataFrame:
         sub = DeltaTable.__new__(DeltaTable)
         sub.path = path
-        import copy as _copy
-
-        sub.snapshot = _copy.copy(base)
+        sub.snapshot = copy_mod.copy(base)
         sub.snapshot.files = {
             r: a for r, a in base.files.items() if r in rels
         }
@@ -3343,12 +3405,19 @@ def vacuum(
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
     now_ms = int(time.time() * 1000)
+    root = os.path.realpath(path)
     deleted: list[str] = []
     for rel, rm in snap.tombstones.items():
         ts = rm.get("deletionTimestamp") or 0
         if now_ms - ts < retention_ms:
             continue
         abs_path = os.path.join(path, rel)
+        # VACUUM must NEVER reach outside the table root: a shallow
+        # clone's tombstones reference the SOURCE table's files by
+        # absolute path (clone_delta), and deleting them would destroy
+        # the source. The spec scopes vacuum to the table directory.
+        if not os.path.realpath(abs_path).startswith(root + os.sep):
+            continue
         if os.path.exists(abs_path):
             if not dry_run:
                 os.unlink(abs_path)
@@ -3464,17 +3533,15 @@ _Z_BITS = 8  # 256 buckets per z-order column
 def _lin_stat_bound(val: Any, dtype: T.DataType) -> float:
     """A JSON stats min/max value -> the SAME linear double domain as the
     _zorder SQL expressions: epoch days for dates, epoch micros for
-    timestamps, plain float otherwise."""
-    import datetime as _dt
-
-    if isinstance(dtype, T.DateType):
-        return float(_dt.date.fromisoformat(str(val)).toordinal() - 719163)
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        s = str(val).replace("T", " ").replace("Z", "+00:00")
-        d = _dt.datetime.fromisoformat(s)
-        if d.tzinfo is not None:
-            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return (d - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+    timestamps, plain float otherwise. Shares _temporal_key's parsing so
+    data-skipping judgments and ZORDER bucket bounds can never drift."""
+    if isinstance(
+        dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+    ):
+        k = _temporal_key(val)
+        if k is None:
+            raise ValueError(f"unparseable temporal stat {val!r}")
+        return k / 86400.0 if isinstance(dtype, T.DateType) else k * 1e6
     return float(val)
 
 
@@ -3616,10 +3683,8 @@ def optimize(
         # not the table. (delta-spark restricts to partition predicates;
         # stats-eligible ones are a strict superset with the same
         # guarantee here.)
-        import copy as _copy
-
         sub = skip_files(snap, where)
-        snap = _copy.copy(snap)
+        snap = copy_mod.copy(snap)
         snap.files = sub
     if len(snap.files) <= 1 and not zorder_by:
         return snap.version
@@ -3714,11 +3779,9 @@ def reorg_purge(
             "numFilesRewritten": 0,
             "numFilesAdded": 0,
         }
-    import copy as _copy
-
     sub = DeltaTable.__new__(DeltaTable)
     sub.path = path
-    sub.snapshot = _copy.copy(snap)
+    sub.snapshot = copy_mod.copy(snap)
     sub.snapshot.files = {
         rel: a for rel, a in snap.files.items() if rel in dv_rels
     }

@@ -158,6 +158,31 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     return out.drop("__src_fp", "__src_ri") if has_dv else out
 
 
+def _canon_rels(dt: DeltaTable, rels) -> list[str]:
+    """Map scanned file keys back to the snapshot's add-action keys.
+
+    External (shallow-clone) adds are keyed by the abspath form of the
+    source; Spark's scan may report the symlink-RESOLVED form instead
+    (/tmp vs /private/tmp) — tolerate it via a realpath alias map, and
+    raise on anything that matches neither (a silent miss would turn the
+    DML into a 0-row no-op)."""
+    keys = set(dt.snapshot.files)
+    alias = {
+        os.path.realpath(k): k for k in keys if os.path.isabs(k)
+    }
+    out: list[str] = []
+    for r in rels:
+        if r in keys:
+            out.append(r)
+        elif r in alias:
+            out.append(alias[r])
+        else:
+            raise ValueError(
+                f"scanned file not in snapshot of {dt.path}: {r!r}"
+            )
+    return out
+
+
 def _subset_df(spark: SparkSession, dt: DeltaTable, rels: list[str]) -> DataFrame:
     """Scan of only the given active files (partition columns included)."""
     keep = set(rels)
@@ -260,7 +285,12 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    matched = {r[_FILE_COL]: r["n"] for r in per_file}
+    matched = {
+        canon: r["n"]
+        for r, canon in zip(
+            per_file, _canon_rels(dt, [r[_FILE_COL] for r in per_file])
+        )
+    }
     if not matched:
         return {
             "version": dt.version,
@@ -586,10 +616,10 @@ def _update_once(
     part_updates = set(set_exprs) & set(dt.snapshot.partition_columns)
     cond = F.coalesce(F.expr(condition), F.lit(False))
 
-    affected = [
+    affected = _canon_rels(dt, [
         r[_FILE_COL]
         for r in _attributed(spark, dt).filter(cond).select(_FILE_COL).distinct().collect()
-    ]
+    ])
     if not affected:
         return {"version": dt.version, "numUpdatedRows": 0, "numRewrittenFiles": 0}
 
@@ -904,7 +934,7 @@ def _merge_once(
     if matched_clauses and all(c is not None for c in m_conds):
         any_cond = " OR ".join(f"({c})" for c in m_conds)
         affected_pred = F.expr(f"({on}) AND ({any_cond})")
-    affected = [] if insert_only else [
+    affected = [] if insert_only else _canon_rels(dt, [
         r[_FILE_COL]
         for r in (
             _attributed(spark, dt)
@@ -914,7 +944,7 @@ def _merge_once(
             .distinct()
             .collect()
         )
-    ]
+    ])
 
     now_ms = int(time.time() * 1000)
     # Alias AFTER adding the match marker: withColumn would drop the alias.

@@ -125,3 +125,62 @@ def test_clone_sql_ddl(spark, src, tmp_path):
     assert spark.table("clsrc").count() == 20
     spark.catalog.dropTempView("clsrc")
     spark.catalog.dropTempView("clclone")
+
+
+def test_vacuum_on_clone_never_touches_source(spark, tmp_path):
+    """DML on a clone tombstones SOURCE files by absolute path; VACUUM on
+    the clone must not reach outside its own root (the review-found
+    cross-table data-loss hazard)."""
+    from ballista_delta_spark.sources.delta import (
+        clone_delta,
+        read_delta,
+        vacuum,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(spark.range(100).selectExpr("id").coalesce(1), src)
+    clone_delta(src, dst)
+    delete_delta(spark, dst, "id < 50")  # tombstones the source-file ref
+    removed = vacuum(dst, retention_ms=0)
+    # nothing outside the clone root was deleted — the source still scans
+    assert all(not os.path.isabs(r) for r in removed)
+    assert read_delta(spark, src).count() == 100
+    assert read_delta(spark, dst).count() == 50
+
+
+def test_clone_carries_domain_metadata(spark, tmp_path):
+    """Row-tracking high-water mark and clustering columns survive the
+    clone; an append to the clone allocates PAST the cloned ids."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        clone_delta,
+        cluster_by,
+        clustering_columns,
+        read_delta_with_row_ids,
+        write_delta,
+    )
+
+    src = str(tmp_path / "rt_src")
+    dst = str(tmp_path / "rt_dst")
+    write_delta(
+        spark.range(100).selectExpr("id", "id % 7 AS a").coalesce(1), src
+    )
+    cluster_by(src, ["a"])
+    alter_properties(spark, src, {"delta.enableRowTracking": "true"})
+    clone_delta(src, dst)
+    snap = _load_snapshot(dst)
+    assert clustering_columns(snap) == ["a"]
+    assert "delta.rowTracking" in snap.domain_metadata
+    # txn ledger deliberately NOT cloned
+    assert snap.app_transactions == {}
+    write_delta(
+        spark.range(100, 110).selectExpr("id", "id % 7 AS a"), dst,
+        mode="append",
+    )
+    got = read_delta_with_row_ids(spark, dst)
+    assert got.count() == 110
+    assert got.select("row_id").distinct().count() == 110  # no collisions

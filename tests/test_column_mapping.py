@@ -179,3 +179,19 @@ def test_rename_and_drop_sql_ddl(spark, tbl):
     bds_sql(spark, "ALTER TABLE cm_ddl DROP COLUMN (value)")
     assert spark.table("cm_ddl").columns == ["k", "p"]
     spark.catalog.dropTempView("cm_ddl")
+
+
+def test_rename_refused_when_constraint_references_column(spark, tbl):
+    """Renaming/dropping a column referenced by a CHECK constraint or a
+    generated-column expression would break every later write — refuse."""
+    from ballista_delta_spark.sources.delta import alter_constraints
+
+    alter_constraints(spark, tbl, add={"pos_v": "v >= 0"})
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        alter_columns(tbl, renames={"v": "value"})
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        alter_columns(tbl, drops=["v"])
+    # unrelated columns still rename
+    alter_columns(tbl, renames={"k": "key"})
+    alter_constraints(spark, tbl, drop=["pos_v"])
+    alter_columns(tbl, renames={"v": "value"})  # now fine

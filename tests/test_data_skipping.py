@@ -196,3 +196,29 @@ def test_generated_partition_column_pruning(spark, tmp_path):
     # exactness: the residual filter still applies
     got = read_delta(spark, tbl, where="ts >= '2024-03-03 05:00:00'")
     assert got.count() == 96 - (2 * 24 + 5)
+
+
+def test_date_column_with_time_literal_is_not_overpruned(spark, tmp_path):
+    """Spark casts a time-carrying literal to DATE before comparing; the
+    pruner must do the same or it drops files whose rows DO match."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        skip_files,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "date_lit")
+    df = spark.sql(
+        "SELECT id, DATE'2024-03-05' AS d FROM range(10)"
+    ).coalesce(1)
+    write_delta(df, tbl)
+    snap = _load_snapshot(tbl)
+    # equality with a time-of-day literal must KEEP the file
+    assert len(skip_files(snap, "d = '2024-03-05 10:00:00'")) == 1
+    assert len(skip_files(snap, "d >= '2024-03-05 10:00:00'")) == 1
+    # and a genuinely different day still prunes
+    assert len(skip_files(snap, "d = '2024-03-06 10:00:00'")) == 0
+    # end-to-end result matches plain Spark semantics
+    got = read_delta(spark, tbl, where="d = '2024-03-05 10:00:00'")
+    assert got.count() == 10

@@ -1336,3 +1336,36 @@ def test_optimize_where_scopes_the_rewrite(spark, tmp_path):
     ]) == 1
     assert spark.table("ow_t").count() == 600
     spark.catalog.dropTempView("ow_t")
+
+
+def test_timestamp_travel_survives_log_cleanup(spark, tmp_path):
+    import time as _time
+
+    from ballista_delta_spark.sources.delta import (
+        cleanup_log,
+        create_checkpoint,
+        version_at_timestamp,
+    )
+
+    tbl = str(tmp_path / "tsclean")
+    write_delta(spark.range(5).selectExpr("id").coalesce(1), tbl)      # v0
+    write_delta(
+        spark.range(5, 8).selectExpr("id"), tbl, mode="append"
+    )                                                                   # v1
+    _time.sleep(0.05)
+    mid_ms = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta(
+        spark.range(8, 10).selectExpr("id"), tbl, mode="append"
+    )                                                                   # v2
+    create_checkpoint(tbl)
+    cleanup_log(tbl, retention_ms=0)  # v0/v1 JSON gone
+    assert not os.path.exists(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    )
+    # "now" resolves to the latest surviving commit
+    now_v = version_at_timestamp(tbl, int(_time.time() * 1000))
+    assert now_v == 2
+    # a timestamp inside the cleaned range has no surviving commit <= it
+    with pytest.raises(ValueError, match="no commit"):
+        version_at_timestamp(tbl, mid_ms)

@@ -114,3 +114,14 @@ def test_optimize_preserves_row_count_and_uniqueness(spark, tbl):
     assert got.count() == 100
     assert got.select("row_id").distinct().count() == 100
     assert read_delta(spark, tbl).count() == 100
+
+
+def test_backfill_adds_carry_commit_version(spark, tbl):
+    """The enablement commit must stamp defaultRowCommitVersion on every
+    backfilled add (spec requirement; review finding)."""
+    v = alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+    snap = _load_snapshot(tbl)
+    for a in snap.files.values():
+        assert a.get("defaultRowCommitVersion") == v
+    got = read_delta_with_row_ids(spark, tbl)
+    assert got.filter(f"row_commit_version = {v}").count() == 100
