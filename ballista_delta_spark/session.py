@@ -206,7 +206,8 @@ _DELTA_CLONE = re.compile(
 _DELTA_RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
-    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    r"\s+TO\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -680,7 +681,21 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from .sources.delta import read_delta, restore_delta
 
             loc = _delta_views[name]
-            metrics = restore_delta(loc, int(m.group("v")))
+            if m.group("v") is not None:
+                target = int(m.group("v"))
+            else:
+                import datetime as _dt
+
+                from .sources.delta import version_at_timestamp
+
+                t = m.group("ts").replace("T", " ").replace("Z", "+00:00")
+                d = _dt.datetime.fromisoformat(t)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                target = version_at_timestamp(
+                    loc, int(d.timestamp() * 1000)
+                )
+            metrics = restore_delta(loc, target)
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.createDataFrame([Row(**metrics)])
 

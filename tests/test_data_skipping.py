@@ -222,3 +222,48 @@ def test_date_column_with_time_literal_is_not_overpruned(spark, tmp_path):
     # end-to-end result matches plain Spark semantics
     got = read_delta(spark, tbl, where="d = '2024-03-05 10:00:00'")
     assert got.count() == 10
+
+
+def test_skip_files_soundness_sweep(spark, tmp_path):
+    """Equivalence sweep: for every predicate in the grid, the pruned
+    scan + residual filter must return EXACTLY the rows of a full scan
+    with the same filter. Covers int/double/string/date/timestamp/null
+    columns across range-disjoint files — the soundness contract of the
+    pruner in one test."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+
+    tbl = str(tmp_path / "sweep")
+    df = spark.sql("""
+        SELECT id,
+               CAST(id AS DOUBLE) / 2 AS x,
+               concat('k', lpad(CAST(id % 50 AS STRING), 3, '0')) AS s,
+               DATE'2024-01-01' + make_dt_interval(CAST(id / 10 AS INT)) AS ts,
+               CAST(DATE'2024-01-01' + make_dt_interval(CAST(id / 10 AS INT)) AS DATE) AS d,
+               CASE WHEN id % 7 = 0 THEN NULL ELSE id END AS nv
+        FROM range(120)
+    """).repartitionByRange(4, "id")
+    write_delta(df, tbl)
+    full = read_delta(spark, tbl)
+    predicates = [
+        "id = 57", "id < 30", "id >= 90", "id > 29 AND id <= 60",
+        "x < 14.5", "x >= 59.5",
+        "s = 'k007'", "s >= 'k045'", "s < 'k003'",
+        "ts >= '2024-01-06 05:00:00'", "ts < '2024-01-03'",
+        "ts = '2024-01-02 00:00:00'",
+        "d = '2024-01-05'", "d = '2024-01-05 10:30:00'",
+        "d >= '2024-01-10'", "d < '2024-01-02 23:00:00'",
+        "nv IS NULL", "nv IS NOT NULL", "nv IS NULL AND id < 30",
+        "id IN (3, 64, 118)", "id IN (200, 300)",
+        "s IN ('k001', 'k049')",
+        "id < 10 OR id > 110",            # OR -> ineligible, keeps all
+        "abs(id - 60) < 5",               # function -> ineligible
+        "id = 57 AND s = 'k007'",
+    ]
+    for pred in predicates:
+        expect = sorted(
+            tuple(r) for r in full.filter(pred).collect()
+        )
+        got = sorted(
+            tuple(r) for r in read_delta(spark, tbl, where=pred).collect()
+        )
+        assert got == expect, f"pruned scan diverged for {pred!r}"

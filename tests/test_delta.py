@@ -1369,3 +1369,27 @@ def test_timestamp_travel_survives_log_cleanup(spark, tmp_path):
     # a timestamp inside the cleaned range has no surviving commit <= it
     with pytest.raises(ValueError, match="no commit"):
         version_at_timestamp(tbl, mid_ms)
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    import datetime as _dt
+    import time as _time
+
+    tbl = str(tmp_path / "rts")
+    write_delta(spark.range(5).selectExpr("id").coalesce(1), tbl)       # v0
+    _time.sleep(0.05)
+    mid = _dt.datetime.now(_dt.timezone.utc)
+    _time.sleep(0.05)
+    write_delta(spark.range(5, 9).selectExpr("id"), tbl, mode="append")  # v1
+    assert read_delta(spark, tbl).count() == 9
+    sql(
+        spark,
+        f"CREATE EXTERNAL TABLE rts_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    out = sql(
+        spark,
+        f"RESTORE TABLE rts_t TO TIMESTAMP AS OF '{mid.isoformat()}'",
+    ).collect()[0]
+    assert out.restoredVersion == 0
+    assert spark.table("rts_t").count() == 5
+    spark.catalog.dropTempView("rts_t")
