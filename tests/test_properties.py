@@ -132,3 +132,45 @@ class TestLabelPropagationMatchesUnionFind:
         expected = _union_find_components(n, edges)
         touched = {v for e in edges for v in e}
         assert got == {v: expected[v] for v in touched}
+
+
+class TestDeletionVectorRoundtrip:
+    """The production roaring parser against the test-side serializer:
+    random 64-bit index sets (clustered AND sparse, spanning multiple
+    32-bit chunks and 16-bit containers) must round-trip exactly. The
+    serializer picks array vs bitmap containers from cardinality, so
+    large clustered draws exercise the bitmap path too."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 40) - 1),
+            min_size=1, max_size=300, unique=True,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_random_index_sets_roundtrip(self, idx, clustered):
+        from ballista_delta_spark.sources.dv import (
+            parse_roaring_bitmap_array,
+        )
+        from tests.test_deletion_vectors import _serialize_dv
+
+        if clustered:
+            # dense run inside one container plus the random tail —
+            # stresses container-boundary arithmetic
+            base = idx[0] & ~0xFFFF
+            idx = sorted(set(idx) | {base + k for k in range(200)})
+        expected = sorted(set(idx))
+        assert parse_roaring_bitmap_array(_serialize_dv(expected)) == expected
+
+    @given(st.integers(min_value=4097, max_value=6000))
+    @settings(max_examples=5, deadline=None)
+    def test_bitmap_container_threshold(self, n):
+        """>4096 values in one 16-bit chunk forces a bitmap container."""
+        from ballista_delta_spark.sources.dv import (
+            parse_roaring_bitmap_array,
+        )
+        from tests.test_deletion_vectors import _serialize_dv
+
+        vals = list(range(n))
+        assert parse_roaring_bitmap_array(_serialize_dv(vals)) == vals
