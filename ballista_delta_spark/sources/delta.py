@@ -1242,7 +1242,14 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            name = col.path_in_schema.split(".")[0]
+            if "." in col.path_in_schema:
+                # nested leaf (map key/value, list element, struct
+                # field): collapsing onto the top-level name would MIX
+                # the leaves' stats (string map keys min'd against int
+                # values -> TypeError / nonsense bounds). Delta stats
+                # cover top-level primitives; skip nested leaves.
+                continue
+            name = col.path_in_schema
             if name not in want:
                 continue
             st = col.statistics
@@ -2061,6 +2068,7 @@ def _try_commit(
     os.makedirs(log, exist_ok=True)
     version = _next_version(log)
     max_retries = 20
+    dcv_touched: set[int] = set()
     for _attempt in range(max_retries + 1):
         if _row_tracking_enabled(snap):
             # Row tracking (writer feature): every NEW add gets fresh row
@@ -2083,7 +2091,17 @@ def _try_commit(
                     add["baseRowId"] = hwm + 1
                     hwm += max(n, 1)
                     assigned = True
-                add["defaultRowCommitVersion"] = version
+                # Fresh adds get THIS commit's version; a RE-ADD of an
+                # existing file (DV mark, backfill replay) keeps its
+                # original defaultRowCommitVersion — the spec's row-
+                # version stability for unmodified surviving rows.
+                # dcv_touched keeps OUR assignments updatable per retry.
+                if (
+                    add.get("defaultRowCommitVersion") is None
+                    or id(add) in dcv_touched
+                ):
+                    add["defaultRowCommitVersion"] = version
+                    dcv_touched.add(id(add))
             if assigned:
                 actions = [
                     a for a in actions
@@ -2137,7 +2155,14 @@ def _try_commit(
             _rebase_safe(log, v) for v in range(version, next_free)
         )
         if not conflict_free:
-            for a in staged_adds:
+            # Losing writer reclaims EVERYTHING it staged: part-files
+            # (staged_adds) and any _change_data cdc files riding in the
+            # action list — both are invisible to the log but would
+            # orphan-pollute the table dir.
+            staged_cdc = [
+                act["cdc"] for act in actions if "cdc" in act
+            ]
+            for a in staged_adds + staged_cdc:
                 try:
                     os.unlink(os.path.join(path, a["path"]))
                 except OSError:

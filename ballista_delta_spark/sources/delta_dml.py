@@ -362,19 +362,36 @@ def _dv_mark_rows(
     )
     if not per_file:
         return {}, 0
+    import urllib.parse
+
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = sorted(
         {os.path.abspath(stripped), os.path.realpath(stripped)}, key=len
     )
+    # Same decoding convention as _attributed: the metadata path is
+    # URI-form percent-encoded; protect literal '+' from form-decoding.
+    abs_keys = {k for k in dt.snapshot.files if os.path.isabs(k)}
+    alias = {os.path.realpath(k): k for k in abs_keys}
     new_per_file: dict[str, list[int]] = {}
     for r in per_file:
-        fp = r["__src_fp"]
+        fp = urllib.parse.unquote(r["__src_fp"].replace("+", "%2B"))
         rel = None
         for b in bases:
             if fp.startswith(b + "/"):
                 rel = fp[len(b) + 1:]
         if rel is None or rel not in dt.snapshot.files:
-            raise ValueError(f"scanned file outside Delta root: {fp}")
+            # shallow clone: the snapshot key IS the absolute source
+            # path (or its symlink-resolved form)
+            if fp in abs_keys:
+                rel = fp
+            elif fp in alias:
+                rel = alias[fp]
+            elif os.path.realpath(fp) in alias:
+                rel = alias[os.path.realpath(fp)]
+            else:
+                raise ValueError(
+                    f"scanned file not in snapshot of {dt.path}: {fp}"
+                )
         new_per_file[rel] = list(r["idxs"])
     n_marked = sum(len(v) for v in new_per_file.values())
     # Merge with any existing DV on the same file (union of row indexes).
@@ -438,6 +455,14 @@ def _delete_dv_once(
     # data files; the add/remove pair it commits is dataChange=true.
     _check_writable(dt, cdf_capable=True)
     cond = F.coalesce(F.expr(condition), F.lit(False))
+    if not dt.snapshot.files:
+        # zero-file table: nothing to mark (with_location scans refuse
+        # an empty snapshot, and the cow path no-ops here too)
+        return {
+            "version": dt.version,
+            "numDeletedRows": 0,
+            "numDeletionVectorsAdded": 0,
+        }
     # Matching LIVE rows by physical identity: to_df applies existing DVs,
     # so re-deleting an already-deleted row is impossible by construction.
     new_per_file, n_deleted = _dv_mark_rows(
@@ -544,6 +569,13 @@ def _update_dv_once(
     typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
     tcols = [f.name for f in dt.snapshot.schema.fields]
 
+    if not dt.snapshot.files:
+        return {
+            "version": dt.version,
+            "numUpdatedRows": 0,
+            "numDeletionVectorsAdded": 0,
+            "numAddedFiles": 0,
+        }
     # Matching LIVE rows with physical identity (existing DVs applied by
     # to_df, so an already-deleted row can't be re-marked).
     located = dt.to_df(spark, with_location=True).filter(cond)
@@ -744,6 +776,22 @@ def _validate_merge_clauses(
                 raise ValueError(
                     f"not_matched_insert=True but source lacks {sorted(missing)}"
                 )
+        else:
+            _validate_insert_spec(spec, tcols, "not_matched insert map")
+
+
+def _validate_insert_spec(
+    spec: dict[str, str] | bool, tcols: list[str], where: str
+) -> None:
+    """Unknown keys in an insert map silently defaulted the REAL column
+    to NULL — refuse them like UPDATE refuses unknown SET targets."""
+    if not isinstance(spec, dict):
+        return
+    unknown = set(spec) - set(tcols)
+    if unknown:
+        raise ValueError(
+            f"{where} references unknown column(s) {sorted(unknown)}"
+        )
 
 
 def _merge_insert_rows(
@@ -842,9 +890,11 @@ def merge_delta(
       condition holds applies, and a row qualifying for no clause is left
       as-is (matched) or not inserted (not-matched).
 
-    Duplicate-match rule (Delta semantics): if any single target row matches
-    more than one source row and an update/delete clause exists, the merge
-    is ambiguous and raises — regardless of clause conditions.
+    Duplicate-match rule (Delta semantics): if any single target row
+    matches more than one source row AND an update/delete clause could
+    MODIFY it, the merge is ambiguous and raises. A multi-matched row
+    whose matches all fail every (conditional) clause is not modified and
+    therefore not ambiguous — the same rule delta-spark applies.
 
     ``mode="cow"`` (default) rewrites every affected file. ``mode="dv"``
     is merge-on-read: matched update/delete pre-images are recorded in
@@ -954,6 +1004,18 @@ def _merge_once(
     removes: list[dict[str, Any]] = []
 
     if affected:
+        from pyspark.sql import types as _T
+
+        map_cols = [
+            f.name for f in dt.snapshot.schema.fields
+            if isinstance(f.dataType, _T.MapType)
+        ]
+        if map_cols:
+            raise ValueError(
+                "copy-on-write MERGE with matched clauses cannot group on "
+                f"map-typed column(s) {map_cols} — use mode='dv' (row "
+                "identity is (file, index), no grouping on values)"
+            )
         # Distinct target rows + multiplicity: m identical rows merge to m
         # identical outputs, so (values, count) is a lossless representation
         # that gives every target row a usable identity for the dup check.
@@ -1149,6 +1211,13 @@ def _merge_dv_once(
     check is a plain groupBy — no (values, multiplicity) representation
     like the copy-on-write path."""
     dt = DeltaTable(path)
+    if not dt.snapshot.files:
+        # zero-file table: no matched work is possible; the cow path
+        # already handles the insert-only outcome (and the with_location
+        # scan refuses an empty snapshot), so delegate
+        return _merge_once(
+            spark, path, source, on, matched_clauses, not_matched_clauses
+        )
     # Matched clauses remove ROWS (appendOnly must refuse them).
     _check_writable(
         dt, removes_files=bool(matched_clauses), cdf_capable=True
@@ -1227,7 +1296,11 @@ def _merge_dv_once(
                 spark, dt,
                 touched.select("t.__src_fp", "t.__src_ri"),
             )
-            if upd_ids:
+            # n_updated gates the staging: with zero clause-touched rows
+            # (every match failed every condition) an unconditional
+            # _stage_adds would still write a 0-row part-file and commit
+            # a spurious version.
+            if upd_ids and n_updated:
                 out_cols = []
                 for c in tcols:
                     col = F.col(f"t.{c}")
@@ -1258,7 +1331,7 @@ def _merge_dv_once(
                         pre.unionByName(post_img), dt.path,
                         dt.snapshot.partition_columns, snap=dt.snapshot
                     )
-            if cdf and delete_ids:
+            if cdf and delete_ids and n_deleted:
                 t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
                 cdc_actions += _stage_cdc(
                     joined.filter(F.col("__act").isin(delete_ids))

@@ -402,3 +402,89 @@ class TestConditionalMerge:
                 matched_clauses=[("s.nv > 0", "update", {"v": "s.nv"})],
                 not_matched_clauses=[],
             )
+
+
+def test_dv_dml_on_empty_table_noops(spark, tmp_path):
+    """mode='dv' DML on a zero-file table must behave like cow: no crash,
+    inserts still land (review finding)."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+    from ballista_delta_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "empty_dv")
+    write_delta(
+        spark.createDataFrame([], "id long, v long"), tbl, mode="overwrite"
+    )
+    assert delete_delta(spark, tbl, "id = 1", mode="dv")[
+        "numDeletedRows"
+    ] == 0
+    assert update_delta(spark, tbl, "id = 1", {"v": "v + 1"}, mode="dv")[
+        "numUpdatedRows"
+    ] == 0
+    m = merge_delta(
+        spark, tbl,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        "t.id = s.id",
+        matched_update={"v": "s.v"},
+        not_matched_insert=True,
+        mode="dv",
+    )
+    assert m["numTargetRowsInserted"] == 2
+    assert read_delta(spark, tbl).count() == 2
+
+
+def test_merge_insert_map_unknown_key_refused(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "badmap")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), tbl
+    )
+    src = spark.createDataFrame([(2, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_delta(
+            spark, tbl, src, "t.id = s.id",
+            not_matched_insert={"id": "s.id", "valu": "s.v"},
+        )
+
+
+def test_dv_merge_zero_clause_matches_is_noop(spark, tmp_path):
+    """All matches fail every conditional clause and there are no inserts:
+    no version must be committed (review finding: a 0-row part-file was
+    staged and committed)."""
+    from ballista_delta_spark.sources.delta import DeltaTable, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "zero_dv")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), tbl
+    )
+    v_before = DeltaTable(tbl).snapshot.version
+    m = merge_delta(
+        spark, tbl,
+        spark.createDataFrame([(1, 99)], "id long, v long"),
+        "t.id = s.id",
+        matched_clauses=[("s.v < 0", "update", {"v": "s.v"})],
+        mode="dv",
+    )
+    assert m["numTargetRowsUpdated"] == 0
+    assert DeltaTable(tbl).snapshot.version == v_before  # no commit
+
+
+def test_cow_merge_on_map_column_refused(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    tbl = str(tmp_path / "maps")
+    write_delta(
+        spark.sql("SELECT id, map('k', id) AS m FROM range(5)"), tbl
+    )
+    src = spark.sql("SELECT id, map('k', id * 2) AS m FROM range(3)")
+    with pytest.raises(ValueError, match="map-typed"):
+        merge_delta(
+            spark, tbl, src, "t.id = s.id", matched_update={"id": "s.id"},
+        )
