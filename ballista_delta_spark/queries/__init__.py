@@ -18,50 +18,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-7 window (r6 went 48/50 green; the 2 reds were the emb array-shape
-# bug, fixed this round):
-#   1. the 4 ids with no driver row ever: sink_delta_cdf (registered past
-#      position 50 in r6), the two emb ids (driver-red r6, output shape now
-#      scalar rows), fn_union_misc (rows-only by design),
-#   2. the 23 relational/agg-core ids last green in r3 (4 rounds stale),
-#   3. the 5 non-streaming r4-green ids (3 rounds stale),
-#   4. sink_delta_delete_dv — r6-green but its apply path is rewritten this
-#      round (executor-side bitmap decode), so it needs a re-green,
-#   5. fill from the r5-green families (2 rounds stale),
-#   6. streaming LAST as the budget-truncation buffer, the two r4-stale
-#      stream ids leading so truncation hits the r5-green repeat first.
-# Everything after position ~50 keeps module order so nothing is lost for
+# Round-8 window (r7 went 49/50 hash-green + fn_union_misc rows-only by
+# design — zero failures):
+#   1. the 8 ids with NO driver row ever (registered after the r7
+#      mid-round window revision),
+#   2. the 12 non-streaming fills the revision displaced (r5-green, at
+#      their 3-round staleness deadline): win tail, agg
+#      bool/rollup/pivot/unpivot, the subquery family,
+#   3. the stale fn family (r4/r5-green; fn_interval/fn_json/
+#      fn_union_misc were r7-green and sit out) + udf_python,
+#   4. fill from the r4/r5-green dedup/sim/text-core/sampling families
+#      (longest-untested extension ids; heaviest scale machinery),
+#   5. streaming LAST as the budget-truncation buffer (the three
+#      r4/r5-stale stream ids; the r6/r7-green seven sit out).
+# mm_frame_sample (r4/5-green) is the one id that does not fit — it
+# LEADS the r9 window (noted in ROTATION.md).
+# Everything after position 50 keeps module order so nothing is lost for
 # tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- never driver-green
-    "sink_delta_cdf", "emb_normalize", "emb_quantize_int8", "fn_union_misc",
-    # -- r3-stale relational core
-    "project_select", "project_expr", "project_cast", "project_distinct",
-    "filter_predicate", "filter_null", "filter_between_in_like",
-    "sort_multi", "limit_offset", "topk",
-    "set_union", "set_union_all", "set_intersect", "set_except",
-    # -- r3-stale agg core
-    "agg_count", "agg_distinct", "agg_having", "agg_stats", "agg_median",
-    "agg_approx_distinct", "agg_approx_percentile", "agg_array_agg",
-    "agg_first_last",
-    # -- r4-stale (non-streaming)
-    "win_lag_lead", "fn_interval", "fn_json", "pandas_udf_grouped_agg",
-    "udf_apply_in_pandas",
-    # -- DV apply path rewritten this round (re-green) + the two NEW
-    #    r7 merge-on-read DML ids (never driver-tested)
-    "sink_delta_delete_dv", "sink_delta_update_dv", "sink_delta_merge_dv",
-    # -- r7-registered ids with NO driver row ever: the r6-tail batch
-    #    (registered past position 50 last round) then this round's new
-    #    Delta-lifecycle + pipeline families. Never-judged beats
-    #    refreshing r4+r5-green fills a round early (those lead r8).
-    "text_pii_redact", "text_gopher_quality", "text_bigram_topk",
-    "sink_delta_rename_column", "sink_delta_clone", "scan_delta_skipping",
-    "sink_delta_reorg", "sink_delta_evolve",
-    "doc_chunk", "text_tfidf_topk", "corpus_mix", "seq_pack",
-    # -- streaming last (budget-truncation buffer); the two never-judged
-    #    stream ids lead so truncation hits the r5-green repeat first
-    "stream_upsert_delta", "stream_delta_cdf_source",
-    "stream_sliding_agg",
+    # -- never driver-judged (8)
+    "emb_project", "mm_resize_pool", "join_salted", "text_repetition",
+    "text_decontaminate", "events_sessionize", "meta_describe_detail",
+    "text_unigram_logprob",
+    # -- displaced r5-green fills at staleness deadline (12)
+    "win_rank", "win_ntile", "win_value", "win_agg_frame",
+    "agg_bool", "agg_rollup", "agg_pivot", "agg_unpivot",
+    "cte", "derived_table", "subq_in_exists", "subq_scalar",
+    # -- stale fn family + udf_python (11)
+    "fn_string", "fn_regex", "fn_math", "fn_datetime", "fn_conditional",
+    "fn_hash_enc", "fn_array", "fn_unnest", "fn_struct_map",
+    "tf_generate_series", "udf_python",
+    # -- stale extension fills: dedup (6) + sim (3) + text core (4) +
+    #    sampling (2) + mm (1)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
+    "sim_cosine_topk", "sim_lsh_bucketed", "sim_ivf_topk",
+    "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
+    "sample_stratified", "sample_train_test_split",
+    "mm_binary_features",
+    # -- streaming last (budget-truncation buffer, stalest first)
+    "stream_session_window", "stream_stateful_user_stats",
+    "stream_tumbling_agg",
 )
 
 

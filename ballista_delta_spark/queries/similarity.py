@@ -501,12 +501,20 @@ def _proj_dots(dialect: str) -> list[str]:
 )
 def emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _corpus(spark, sf_dir).filter(F.col("vec_id") < 200)
-    return e.select(
+    # One alias per dot product, then posexplode an array of PLAIN refs —
+    # the same split `_with_centroid_dots` uses: a single array expression
+    # holding all 8 unrolled ~40-term chains blows janino's 64 KB
+    # generated-method limit and the stage silently falls back to
+    # interpreted evaluation (~10x). Split, each projected chain compiles
+    # on its own and the Generate input is 8 cheap column refs; the plan
+    # pin in tests/test_scale_plans.py asserts whole-stage codegen holds.
+    dots = _proj_dots("spark")
+    e = e.select(
         "vec_id",
-        F.posexplode(
-            F.array(*[F.expr(dot) for dot in _proj_dots("spark")])
-        ).alias("k", "p"),
+        *[F.expr(dot).alias(f"__p{k}") for k, dot in enumerate(dots)],
     )
+    arr = "array(" + ", ".join(f"__p{k}" for k in range(_PROJ_K)) + ")"
+    return e.select("vec_id", F.posexplode(F.expr(arr)).alias("k", "p"))
 
 
 # ----------------------------------------------------- emb_quantize_int8

@@ -366,6 +366,13 @@ def test_emb_project_is_map_only(spark, sf_dir):
     plan = _physical_plan(emb_project(spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+    # And it must stay inside whole-stage codegen: the single-array form
+    # of the 8 unrolled dot chains blew janino's 64 KB method limit and
+    # silently ran interpreted (r7 verdict). Split per-column, every node
+    # of the stage carries the `*(n)` codegen marker.
+    assert "*(1)" in plan, plan
+    generate_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert generate_lines and all("*(" in ln for ln in generate_lines), plan
 
 
 def test_r7_late_ops_scale_shapes(spark, sf_dir):
