@@ -5,26 +5,33 @@ the delta-spark streaming-source behavior re-expressed through
 ``pyspark.sql.datasource``.
 
 Offsets are log versions: offset ``{"version": v}`` means "every commit
-≤ v has been emitted", so recovery/replay is exact — ``readBetweenOffsets``
-re-reads precisely the add-actions of the commits in range. Consumption is
-append-only like delta-spark's default: a ``dataChange`` remove (DELETE/
-UPDATE/overwrite) raises unless ``ignoreChanges`` is set, because silently
-skipping it would desync every downstream aggregate.
+≤ v has been emitted", so recovery/replay is exact — ``partitions(start,
+end)`` re-plans precisely the add-actions of the commits in range.
+Consumption is append-only like delta-spark's default: a ``dataChange``
+remove (DELETE/UPDATE/overwrite) raises unless ``ignoreChanges`` is set,
+because silently skipping it would desync every downstream aggregate.
 
-Scale note: the per-batch work is reading the NEW files of each commit
-(O(churn)); the Python-side Arrow read is the simple-reader trade
-(prefetched single-partition batches). For the heavy batch path use
-``read_delta`` — this source exists for the incremental tail.
+Scale shape: this is the full ``DataSourceStreamReader`` — planning
+(log scan, offset arithmetic, append-only validation) happens once on the
+driver and is O(#actions in the commit range); each added file becomes
+ONE input partition, so a multi-file commit (a bulk backfill replay, CDF
+over a big MERGE) fans out across the cluster instead of funnelling
+through a single Python iterator; and each task emits Arrow RecordBatches
+straight from the parquet read — no per-row Python tuples anywhere. This
+matches delta-spark's per-file task model (one FileSourceScan split per
+add) rather than the prior ``SimpleDataSourceStreamReader`` shape, whose
+single prefetched partition was the repo's last row-at-a-time surface.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
+from dataclasses import dataclass, field
+from collections.abc import Iterator, Sequence
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 from pyspark.sql import types as T
 
 from .delta import _load_snapshot, _log_dir, _strip_file_scheme, _version_file
@@ -43,6 +50,22 @@ def _pv_caster(dt: T.DataType):
 
         return datetime.date.fromisoformat
     return str
+
+
+@dataclass
+class DeltaFilePartition(InputPartition):
+    """One added (or cdc) file of one commit = one Spark task.
+
+    ``fixed_change`` carries the CDF change type when it is implied by the
+    action kind (``"insert"`` for plain adds) rather than stored in the
+    file; ``None`` in CDF mode means the file is a ``cdc`` file whose
+    ``_change_type`` column is authoritative.
+    """
+
+    version: int
+    rel_path: str
+    partition_values: dict[str, Any] = field(default_factory=dict)
+    fixed_change: str | None = None
 
 
 class DeltaStreamDataSource(DataSource):
@@ -78,8 +101,8 @@ class DeltaStreamDataSource(DataSource):
             ]
         )
 
-    def simpleStreamReader(self, schema: T.StructType):
-        return _DeltaSimpleStreamReader(
+    def streamReader(self, schema: T.StructType):
+        return DeltaStreamReader(
             self.options["path"],
             schema,
             starting_version=int(self.options.get("startingversion", 0)),
@@ -102,7 +125,11 @@ class DeltaStreamDataSource(DataSource):
         return n
 
 
-class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
+class DeltaStreamReader(DataSourceStreamReader):
+    """Driver side: offset arithmetic + per-commit planning (cheap log
+    reads). Executor side: ``read(partition)`` — parquet -> Arrow
+    RecordBatches, partition values injected as constant columns."""
+
     def __init__(
         self,
         path: str,
@@ -112,6 +139,8 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
         read_change_feed: bool = False,
         max_versions_per_trigger: int | None = None,
     ):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self.path = _strip_file_scheme(path)
         self.schema = schema
         self.starting_version = starting_version
@@ -121,10 +150,10 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
         # commit units): each micro-batch advances the offset at most
         # this many versions, so a stream starting against a long backlog
         # drains it in bounded batches instead of one giant catch-up.
-        # CAVEAT vs delta-spark: under trigger(availableNow=True) the
-        # Simple reader API treats one read() as "all available", so a
-        # rate-limited query takes ONE clamped batch per run — use a
-        # continuous trigger to drain a backlog with a rate limit.
+        # CAVEAT vs delta-spark: under trigger(availableNow=True) Spark
+        # snapshots latestOffset() ONCE at query start, so a rate-limited
+        # query takes ONE clamped batch per run — use a continuous
+        # trigger to drain a backlog with a rate limit.
         if max_versions_per_trigger is not None and (
             max_versions_per_trigger <= 0
         ):
@@ -141,7 +170,18 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
             f.name: snap.physical(f.name) for f in snap.schema.fields
         }
         self._logical = {v: k for k, v in self._phys.items()}
+        # The exact Arrow shape Spark expects back from read(); computed
+        # once here (driver) and shipped pickled with the reader.
+        self._arrow_schema = to_arrow_schema(schema)
+        # Last version this reader PLANNED (latestOffset return); the
+        # rate-limit clamp is relative to it. After a checkpoint restart
+        # Spark never tells latestOffset() where it resumed, so the first
+        # trigger may plan past the clamp — partitions() re-anchors from
+        # its (checkpointed) start argument and the guard below keeps
+        # end >= start, so correctness is unaffected either way.
+        self._planned: int | None = None
 
+    # ------------------------------------------------------------ offsets
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
 
@@ -154,52 +194,20 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
             v += 1
         return latest
 
-    def _commit_adds(self, v: int) -> list[dict[str, Any]]:
-        adds = []
-        with open(_version_file(_log_dir(self.path), v)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "add" in act and act["add"].get("dataChange", True):
-                    adds.append(act["add"])
-                elif (
-                    "remove" in act
-                    and act["remove"].get("dataChange", True)
-                    and not self.ignore_changes
-                ):
-                    raise ValueError(
-                        f"commit {v} removes data "
-                        f"({act['remove']['path']}): the table is not "
-                        "append-only; set ignoreChanges=true to skip "
-                        "removed rows (downstream must tolerate replays)"
-                    )
-        return adds
+    def latestOffset(self) -> dict:
+        latest = self._latest_version()
+        if self.max_versions_per_trigger is not None:
+            anchor = (
+                self._planned
+                if self._planned is not None
+                else self.starting_version - 1
+            )
+            latest = min(latest, anchor + self.max_versions_per_trigger)
+            latest = max(latest, anchor)  # never move backwards
+        self._planned = latest
+        return {"version": latest}
 
-    def _rows_for(self, versions: range) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
-
-        names = [f.name for f in self.schema.fields]
-        # partitionValues are SPEC-STRINGS in the log; cast to the schema's
-        # declared types (same rule as the batch reader's Hive recovery).
-        casters = {
-            f.name: _pv_caster(f.dataType) for f in self.schema.fields
-        }
-        for v in versions:
-            for add in self._commit_adds(v):
-                fp = os.path.join(self.path, add["path"])
-                tbl = pq.read_table(fp)
-                pv = {
-                    k: casters.get(k, str)(val) if val is not None else None
-                    for k, val in (add.get("partitionValues") or {}).items()
-                }
-                file_cols = set(tbl.column_names)
-                for row in tbl.to_pylist():
-                    yield tuple(
-                        row[n] if n in file_cols else pv.get(n)
-                        for n in names
-                    )
-
+    # ----------------------------------------------------------- planning
     def _commit_actions(self, v: int) -> list[dict[str, Any]]:
         acts = []
         with open(_version_file(_log_dir(self.path), v)) as fh:
@@ -208,93 +216,107 @@ class _DeltaSimpleStreamReader(SimpleDataSourceStreamReader):
                     acts.append(json.loads(line))
         return acts
 
-    def _cdf_rows_for(self, versions: range) -> Iterator[tuple]:
-        """Change rows for the commits in range, spec rule: a commit WITH
-        ``cdc`` actions is described by them alone (they carry pre/post
-        images and insert rows); a commit without them streams its
-        dataChange adds as inserts — but only if it removes nothing (a
-        remove without cdc means DML ran while CDF was off, which cannot
-        be reconstructed row-level)."""
+    def _plan_append(self, v: int) -> list[DeltaFilePartition]:
+        parts = []
+        for act in self._commit_actions(v):
+            if "add" in act and act["add"].get("dataChange", True):
+                add = act["add"]
+                parts.append(
+                    DeltaFilePartition(v, add["path"],
+                                       add.get("partitionValues") or {})
+                )
+            elif (
+                "remove" in act
+                and act["remove"].get("dataChange", True)
+                and not self.ignore_changes
+            ):
+                raise ValueError(
+                    f"commit {v} removes data "
+                    f"({act['remove']['path']}): the table is not "
+                    "append-only; set ignoreChanges=true to skip "
+                    "removed rows (downstream must tolerate replays)"
+                )
+        return parts
+
+    def _plan_cdf(self, v: int) -> list[DeltaFilePartition]:
+        """Spec rule: a commit WITH ``cdc`` actions is described by them
+        alone (they carry pre/post images and insert rows); a commit
+        without them streams its dataChange adds as inserts — but only if
+        it removes nothing (a remove without cdc means DML ran while CDF
+        was off, which cannot be reconstructed row-level)."""
+        acts = self._commit_actions(v)
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc:
+            return [
+                DeltaFilePartition(v, c["path"],
+                                   c.get("partitionValues") or {})
+                for c in cdc
+            ]
+        adds = [
+            a["add"] for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if removes or any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                f"commit {v} changes existing rows but carries no cdc "
+                "files — it predates delta.enableChangeDataFeed=true; "
+                "start the stream at a later startingVersion"
+            )
+        return [
+            DeltaFilePartition(v, a["path"],
+                               a.get("partitionValues") or {}, "insert")
+            for a in adds
+        ]
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[DeltaFilePartition]:
+        lo, hi = int(start["version"]) + 1, int(end["version"])
+        self._planned = max(self._planned or hi, hi)
+        plan = self._plan_cdf if self.read_change_feed else self._plan_append
+        return [p for v in range(lo, hi + 1) for p in plan(v)]
+
+    # ------------------------------------------------- executor-side read
+    def read(self, partition: DeltaFilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        data_names = [
-            f.name for f in self.schema.fields
-            if f.name not in ("_change_type", "_commit_version")
-        ]
-        casters = {
-            f.name: _pv_caster(f.dataType) for f in self.schema.fields
+        tbl = pq.read_table(os.path.join(self.path, partition.rel_path))
+        file_cols = set(tbl.column_names)
+        n = tbl.num_rows
+        # partitionValues are SPEC-STRINGS in the log; cast to the
+        # schema's declared types (same rule as the batch reader's Hive
+        # recovery). cdc actions key them by PHYSICAL name.
+        pv = {
+            self._logical.get(k, k): v
+            for k, v in partition.partition_values.items()
         }
-
-        def emit(add_like: dict, v: int, fixed_type: str | None):
-            root = self.path
-            fp = os.path.join(root, add_like["path"])
-            tbl = pq.read_table(fp)
-            pv = {
-                self._logical.get(k, k): (
-                    casters.get(self._logical.get(k, k), str)(val)
-                    if val is not None else None
+        cols, names = [], []
+        for f in self.schema.fields:
+            names.append(f.name)
+            if f.name == "_change_type" and self.read_change_feed:
+                if partition.fixed_change is not None:
+                    cols.append(pa.array([partition.fixed_change] * n))
+                else:
+                    cols.append(tbl.column("_change_type"))
+            elif f.name == "_commit_version" and self.read_change_feed:
+                cols.append(pa.array([partition.version] * n, pa.int64()))
+            elif self._phys.get(f.name, f.name) in file_cols:
+                cols.append(tbl.column(self._phys.get(f.name, f.name)))
+            else:
+                raw = pv.get(f.name)
+                val = (
+                    _pv_caster(f.dataType)(raw) if raw is not None else None
                 )
-                for k, val in (add_like.get("partitionValues") or {}).items()
-            }
-            file_cols = set(tbl.column_names)
-            for row in tbl.to_pylist():
-                ct = fixed_type if fixed_type else row.get("_change_type")
-                yield tuple(
-                    [
-                        row[self._phys.get(n, n)]
-                        if self._phys.get(n, n) in file_cols
-                        else pv.get(n)
-                        for n in data_names
-                    ]
-                    + [ct, v]
-                )
-
-        for v in versions:
-            acts = self._commit_actions(v)
-            cdc = [a["cdc"] for a in acts if "cdc" in a]
-            if cdc:
-                for c in cdc:
-                    yield from emit(c, v, None)
-                continue
-            adds = [
-                a["add"] for a in acts
-                if "add" in a and a["add"].get("dataChange", True)
-            ]
-            removes = [
-                a["remove"] for a in acts
-                if "remove" in a and a["remove"].get("dataChange", True)
-            ]
-            if removes or any(a.get("deletionVector") for a in adds):
-                raise ValueError(
-                    f"commit {v} changes existing rows but carries no cdc "
-                    "files — it predates delta.enableChangeDataFeed=true; "
-                    "start the stream at a later startingVersion"
-                )
-            for add in adds:
-                yield from emit(add, v, "insert")
-
-    # Both entry points materialize the batch as a list: the runtime's
-    # prefetch cache copy.copy()s the iterator (generators can't be
-    # copied), and a micro-batch is churn-sized by construction.
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        latest = self._latest_version()
-        lo = int(start["version"]) + 1
-        if self.max_versions_per_trigger is not None:
-            latest = min(latest, lo + self.max_versions_per_trigger - 1)
-        rows = (
-            self._cdf_rows_for(range(lo, latest + 1))
-            if self.read_change_feed
-            else self._rows_for(range(lo, latest + 1))
+                cols.append(pa.array([val] * n))
+        out = pa.table(cols, names=names).cast(
+            self._arrow_schema, safe=False
         )
-        return list(rows), {"version": latest}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rng = range(int(start["version"]) + 1, int(end["version"]) + 1)
-        return list(
-            self._cdf_rows_for(rng)
-            if self.read_change_feed
-            else self._rows_for(rng)
-        )
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass

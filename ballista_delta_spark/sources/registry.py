@@ -220,27 +220,117 @@ def register_http_parquet(
     return df
 
 
+class _RangedHttpFile:
+    """Seekable read-only file over HTTP Range requests.
+
+    The transport half of a remote parquet scan: pyarrow's ``ParquetFile``
+    drives it exactly like DataFusion drives the reference's HTTP object
+    store (reference src/object_store.rs:36-41) — a small tail read for
+    the footer, then one ranged GET per (coalesced) column-chunk run. With
+    ``pre_buffer=True`` arrow merges adjacent chunk ranges, so a k-column
+    projection of an N-column file costs O(k) requests and ~k/N of the
+    bytes instead of the whole object.
+    """
+
+    def __init__(self, url: str, size: int):
+        self.url = url
+        self.mode = "rb"
+        self.closed = False
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._size)[whence]
+        self._pos = base + offset
+        return self._pos
+
+    def read(self, nbytes: int = -1) -> bytes:
+        import urllib.request
+
+        if nbytes is None or nbytes < 0:
+            end = self._size - 1
+        else:
+            end = min(self._pos + nbytes, self._size) - 1
+        if self._pos > end:
+            return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={self._pos}-{end}"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            if resp.status != 206:
+                raise OSError(
+                    f"{self.url}: server ignored Range request "
+                    f"(HTTP {resp.status})"
+                )
+            data = resp.read()
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def _ranged_open(url: str) -> "_RangedHttpFile | None":
+    """A :class:`_RangedHttpFile` over ``url``, or None when the server
+    doesn't advertise byte-range support (``Accept-Ranges: bytes`` plus a
+    usable Content-Length on HEAD) — callers fall back to a full GET."""
+    import urllib.request
+
+    try:
+        req = urllib.request.Request(url, method="HEAD")
+        with urllib.request.urlopen(req) as resp:
+            size = resp.headers.get("Content-Length")
+            ranges_ok = (
+                resp.headers.get("Accept-Ranges", "").lower() == "bytes"
+            )
+    except OSError:
+        return None
+    if not ranges_ok or not size:
+        return None
+    return _RangedHttpFile(url, int(size))
+
+
 def register_http_parquet_distributed(
     spark: SparkSession,
     name: str,
     urls: str | list[str],
     schema=None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Executor-side HTTP(S) parquet scan — the distributed analogue of the
     reference's HTTP object store (reference src/object_store.rs:36-41),
     with no driver funnel and no file-count/byte caps.
 
     The URL list becomes a one-column DataFrame partitioned one-file-per-
-    task; ``mapInPandas`` tasks download their file and parse it with
-    pyarrow, so transfer parallelism is O(files) across the cluster and
-    each byte moves straight from the HTTP server to the executor that
-    scans it. The driver fetches exactly ONE file to infer the schema
-    (skipped when ``schema`` is passed).
+    task; ``mapInPandas`` tasks open their file through ranged GETs
+    (footer first, then only the projected columns' chunk runs — the same
+    scan shape DataFusion's parquet reader gives the reference over its
+    HTTP store) and fall back to one full GET when the server doesn't do
+    ranges. Transfer parallelism is O(files) across the cluster and each
+    byte moves straight from the HTTP server to the executor that scans
+    it. The driver reads exactly ONE footer to infer the schema (skipped
+    when ``schema`` is passed).
 
-    Trade-off vs a native parquet scan: filters and column pruning do not
-    reach the remote footer — every task reads its whole file. Right for
-    one-shot ingest of many medium files; for a table scanned repeatedly,
-    mirror it to an object store (s3a/abfs/gs) and use a real parquet scan.
+    ``columns`` prunes the scan: mapInPandas can't receive Catalyst's
+    column pruning (the projection happens above the Python boundary), so
+    callers that want the k-of-N-columns transfer saving state the
+    projection here — against a ranged server that k/N saving is bytes
+    on the wire, not just parse time.
     """
     import io
     import urllib.request
@@ -252,9 +342,21 @@ def register_http_parquet_distributed(
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        with urllib.request.urlopen(url_list[0]) as resp:
-            buf = io.BytesIO(resp.read())
-        schema = from_arrow_schema(pq.read_schema(buf))
+        ranged = _ranged_open(url_list[0])
+        if ranged is not None:
+            full = from_arrow_schema(pq.read_schema(ranged))
+        else:
+            with urllib.request.urlopen(url_list[0]) as resp:
+                buf = io.BytesIO(resp.read())
+            full = from_arrow_schema(pq.read_schema(buf))
+        schema = full
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"columns not in parquet schema: {missing}")
+        from pyspark.sql import types as T
+
+        schema = T.StructType([schema[c] for c in columns])
     cols = [f.name for f in schema.fields]
 
     def _fetch(batches):
@@ -262,9 +364,16 @@ def register_http_parquet_distributed(
 
         for pdf in batches:
             for u in pdf["url"]:
-                with urllib.request.urlopen(u) as resp:
-                    data = io.BytesIO(resp.read())
-                yield _pq.read_table(data).to_pandas()[cols]
+                ranged = _ranged_open(u)
+                if ranged is not None:
+                    tbl = _pq.ParquetFile(ranged, pre_buffer=True).read(
+                        columns=cols
+                    )
+                else:
+                    with urllib.request.urlopen(u) as resp:
+                        data = io.BytesIO(resp.read())
+                    tbl = _pq.read_table(data, columns=cols)
+                yield tbl.to_pandas()[cols]
 
     urls_df = spark.createDataFrame(
         [(u,) for u in url_list], "url string"

@@ -9,7 +9,7 @@ import pytest
 
 from ballista_delta_spark.sources.delta import write_delta
 from ballista_delta_spark.sources.delta_stream import (
-    _DeltaSimpleStreamReader,
+    DeltaStreamReader,
     register_delta_stream_source,
 )
 
@@ -24,7 +24,23 @@ def tbl(spark, tmp_path):
 def _reader(spark, tbl, **kw):
     from ballista_delta_spark.sources.delta import _load_snapshot
 
-    return _DeltaSimpleStreamReader(tbl, _load_snapshot(tbl).schema, **kw)
+    return DeltaStreamReader(tbl, _load_snapshot(tbl).schema, **kw)
+
+
+def _between(r, start, end):
+    """Plan + execute the micro-batch [start, end] exactly as Spark would:
+    partitions() on the driver, read() per partition, Arrow batches out."""
+    return [
+        tuple(d.values())
+        for p in r.partitions(start, end)
+        for b in r.read(p)
+        for d in b.to_pylist()
+    ]
+
+
+def _drain(r, start):
+    end = r.latestOffset()
+    return _between(r, start, end), end
 
 
 def test_end_to_end_available_now(spark, tbl):
@@ -44,25 +60,25 @@ def test_end_to_end_available_now(spark, tbl):
 
 def test_offsets_advance_per_commit_and_replay_is_exact(spark, tbl):
     r = _reader(spark, tbl)
-    rows0, off0 = r.read(r.initialOffset())
-    assert off0 == {"version": 0} and len(list(rows0)) == 2
+    rows0, off0 = _drain(r, r.initialOffset())
+    assert off0 == {"version": 0} and len(rows0) == 2
     # No new commits: empty batch, offset unchanged.
-    rows1, off1 = r.read(off0)
-    assert off1 == {"version": 0} and list(rows1) == []
+    rows1, off1 = _drain(r, off0)
+    assert off1 == {"version": 0} and rows1 == []
     write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
                 mode="append")
-    rows2, off2 = r.read(off0)
+    rows2, off2 = _drain(r, off0)
     assert off2 == {"version": 1}
     assert [t[0] for t in rows2] == [3]
-    # Replay between offsets re-reads exactly that commit's rows.
-    assert [t[0] for t in r.readBetweenOffsets(off0, off2)] == [3]
+    # Replay between offsets re-plans exactly that commit's rows.
+    assert [t[0] for t in _between(r, off0, off2)] == [3]
 
 
 def test_starting_version_skips_history(spark, tbl):
     write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
                 mode="append")
     r = _reader(spark, tbl, starting_version=1)
-    rows, off = r.read(r.initialOffset())
+    rows, off = _drain(r, r.initialOffset())
     assert [t[0] for t in rows] == [3] and off == {"version": 1}
 
 
@@ -72,13 +88,29 @@ def test_non_append_commit_raises_unless_ignore_changes(spark, tbl):
     delete_delta(spark, tbl, "id = 1")  # v1: dataChange remove
     r = _reader(spark, tbl)
     with pytest.raises(ValueError, match="not append-only"):
-        r.read(r.initialOffset())  # scans through v1 -> raises
+        _drain(r, r.initialOffset())  # plans through v1 -> raises
     r2 = _reader(spark, tbl, ignore_changes=True)
-    rows, off = r2.read(r2.initialOffset())
+    rows, off = _drain(r2, r2.initialOffset())
     # With ignoreChanges the rewrite's ADD files still stream (replayed
     # rows), removes are skipped — delta-spark ignoreChanges semantics.
     assert off == {"version": 1}
     assert all(isinstance(t, tuple) for t in rows)
+
+
+def test_multi_file_commit_fans_out_to_multiple_partitions(spark, tbl):
+    """The scale contract of the full reader: one added file = one input
+    partition, so a bulk commit is read cluster-wide, not through a
+    single Python iterator."""
+    big = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS s"
+    ).repartition(4)
+    write_delta(big, tbl, mode="append")  # v1: 4 add-actions
+    r = _reader(spark, tbl)
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == 4
+    assert {p.version for p in parts} == {1}
+    rows = [t for p in parts for b in r.read(p) for t in b.to_pylist()]
+    assert len(rows) == 100
 
 
 def test_write_stream_to_delta_roundtrip(spark, tmp_path):
@@ -116,7 +148,7 @@ def test_partitioned_table_injects_typed_partition_values(spark, tmp_path):
         p, partition_by=["k"],
     )
     r = _reader(spark, p)
-    rows, _ = r.read(r.initialOffset())
+    rows, _ = _drain(r, r.initialOffset())
     got = sorted(rows)
     assert got == [(1, "x", 7), (2, "y", 8)]
     assert all(isinstance(t[2], int) for t in got)
@@ -166,7 +198,7 @@ def _cdf_reader(tbl, **kw):
             T.StructField("_commit_version", T.LongType(), False),
         ]
     )
-    return _DeltaSimpleStreamReader(tbl, schema, read_change_feed=True, **kw)
+    return DeltaStreamReader(tbl, schema, read_change_feed=True, **kw)
 
 
 def test_cdf_stream_emits_inserts_updates_deletes(spark, tbl):
@@ -177,7 +209,7 @@ def test_cdf_stream_emits_inserts_updates_deletes(spark, tbl):
     update_delta(spark, tbl, "id = 1", {"s": "'A'"})               # v2
     delete_delta(spark, tbl, "id = 2")                             # v3
     r = _cdf_reader(tbl)
-    rows, end = r.read(r.initialOffset())
+    rows, end = _drain(r, r.initialOffset())
     assert end == {"version": 3}
     got = sorted(rows)
     assert got == sorted([
@@ -188,7 +220,7 @@ def test_cdf_stream_emits_inserts_updates_deletes(spark, tbl):
         (2, "b", "delete", 3),
     ])
     # replay between offsets is exact
-    replay = list(r.readBetweenOffsets({"version": 1}, {"version": 3}))
+    replay = _between(r, {"version": 1}, {"version": 3})
     assert sorted(replay) == sorted([
         (1, "a", "update_preimage", 2),
         (1, "A", "update_postimage", 2),
@@ -202,14 +234,14 @@ def test_cdf_stream_pre_enablement_dml_raises(spark, tbl):
     delete_delta(spark, tbl, "id = 2")  # v1, CDF off -> no cdc files
     r = _cdf_reader(tbl)
     with pytest.raises(ValueError, match="no cdc"):
-        r.read(r.initialOffset())
+        _drain(r, r.initialOffset())
     # startingVersion past the gap works (append after the DML)
     write_delta(
         spark.createDataFrame([(9, "z")], "id int, s string"), tbl,
         mode="append",
     )  # v2
     r2 = _cdf_reader(tbl, starting_version=2)
-    rows, _ = r2.read(r2.initialOffset())
+    rows, _ = _drain(r2, r2.initialOffset())
     assert rows == [(9, "z", "insert", 2)]
 
 
@@ -327,15 +359,15 @@ def test_max_versions_per_trigger_bounds_batches(spark, tbl):
             mode="append",
         )  # versions 1..4
     r = _reader(spark, tbl, max_versions_per_trigger=2)
-    rows1, end1 = r.read(r.initialOffset())
+    rows1, end1 = _drain(r, r.initialOffset())
     assert end1 == {"version": 1}  # v0 + v1 only
-    rows2, end2 = r.read(end1)
+    rows2, end2 = _drain(r, end1)
     assert end2 == {"version": 3}
-    rows3, end3 = r.read(end2)
+    rows3, end3 = _drain(r, end2)
     assert end3 == {"version": 4}
     assert len(rows1) + len(rows2) + len(rows3) == 6
-    # NOTE: with trigger(availableNow=True) the Simple reader API treats
-    # one read() as "all available", so a rate-limited drain needs a
+    # NOTE: with trigger(availableNow=True) Spark snapshots
+    # latestOffset() once at query start, so a rate-limited drain needs a
     # continuous trigger — the offset bound above is the contract.
 
 

@@ -127,6 +127,131 @@ def test_register_http_parquet_distributed_above_old_cap(spark, sf_dir, tmp_path
         httpd.shutdown()
 
 
+def _serve_ranged(directory: str):
+    """HTTP server that honors Range requests and counts body bytes served
+    — the instrument for asserting the ranged scan's transfer savings."""
+    import http.server
+    import os
+    import re
+    import threading
+
+    served = [0]
+
+    class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=directory, **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            path = self.translate_path(self.path)
+            self.send_response(200)
+            self.send_header("Content-Length", str(os.path.getsize(path)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            path = self.translate_path(self.path)
+            with open(path, "rb") as fh:
+                data = fh.read()
+            rng = self.headers.get("Range")
+            if rng:
+                m = re.fullmatch(r"bytes=(\d+)-(\d*)", rng)
+                start = int(m.group(1))
+                end = int(m.group(2)) if m.group(2) else len(data) - 1
+                end = min(end, len(data) - 1)
+                chunk = data[start:end + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{len(data)}"
+                )
+            else:
+                chunk = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(chunk)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+            self.wfile.write(chunk)
+            served[0] += len(chunk)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, httpd.server_address[1], served
+
+
+def test_http_distributed_ranged_scan_prunes_columns_on_the_wire(
+    spark, tmp_path
+):
+    """Against a Range-capable server, a narrow projection must transfer a
+    small fraction of the file: footer + the projected column's chunks,
+    never the wide column's bytes (VERDICT r7 #4 — parity with the
+    reference's DataFusion-over-HTTP scan shape)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_delta_spark.sources.registry import (
+        register_http_parquet_distributed,
+    )
+
+    d = tmp_path / "wide"
+    d.mkdir()
+    # ~2 MB file: a few-KB int column next to a fat payload column.
+    tbl = pa.table({
+        "id": pa.array(range(2000), pa.int64()),
+        "payload": pa.array([f"{i:06d}" * 170 for i in range(2000)]),
+    })
+    fp = str(d / "wide.parquet")
+    pq.write_table(tbl, fp, compression="none", use_dictionary=False)
+    file_size = os.path.getsize(fp)
+    assert file_size > 1_500_000
+
+    httpd, port, served = _serve_ranged(str(d))
+    try:
+        url = f"http://127.0.0.1:{port}/wide.parquet"
+        df = register_http_parquet_distributed(
+            spark, "wide_http", url, columns=["id"]
+        )
+        assert df.columns == ["id"]
+        assert df.count() == 2000
+        assert df.agg({"id": "max"}).collect()[0][0] == 1999
+        # Transfer must be footer + id chunks only — well under 20% of
+        # the file (the payload column alone is >95% of it).
+        assert served[0] < file_size * 0.2, (served[0], file_size)
+    finally:
+        httpd.shutdown()
+
+
+def test_http_distributed_full_schema_falls_back_without_ranges(
+    spark, sf_dir, tmp_path
+):
+    """A server with no Range support (stdlib SimpleHTTPRequestHandler)
+    still works — one full GET per file, columns pruned at parse time."""
+    import os
+    import shutil
+
+    from ballista_delta_spark.sources.registry import (
+        register_http_parquet_distributed,
+    )
+
+    d = tmp_path / "plain"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), d / "r.parquet")
+    httpd, port = _serve(str(d))
+    try:
+        df = register_http_parquet_distributed(
+            spark, "region_http_norange",
+            f"http://127.0.0.1:{port}/r.parquet",
+            columns=["r_name"],
+        )
+        assert df.columns == ["r_name"]
+        assert df.count() == 5
+    finally:
+        httpd.shutdown()
+
+
 def test_register_parquet(spark, sf_dir):
     register_parquet(spark, "nation_v", f"{sf_dir}/nation.parquet")
     assert spark.sql("SELECT count(*) AS n FROM nation_v").collect()[0].n == 25
