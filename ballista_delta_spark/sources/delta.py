@@ -156,7 +156,10 @@ class DeltaTable:
         return self.snapshot.schema
 
     def to_df(
-        self, spark: SparkSession, with_location: bool = False
+        self,
+        spark: SparkSession,
+        with_location: bool = False,
+        with_row_lineage: bool = False,
     ) -> DataFrame:
         """Distributed scan of the snapshot's active files.
 
@@ -169,6 +172,13 @@ class DeltaTable:
         ``with_location`` appends ``__src_fp`` (normalized absolute file
         path) and ``__src_ri`` (parquet row index) columns — the physical
         row identity the DV-writing DELETE needs.
+
+        ``with_row_lineage`` additionally reads the MATERIALIZED row
+        lineage columns (:data:`MATERIALIZED_ROW_ID_COL` /
+        :data:`MATERIALIZED_ROW_COMMIT_COL`) from the parquet files —
+        null for files that never went through a lineage-carrying rewrite
+        (schema-on-read fills missing columns), the carried values for
+        files OPTIMIZE/REORG rewrote.
         """
         snap = self.snapshot
         if not snap.files:
@@ -191,6 +201,19 @@ class DeltaTable:
         ]
         if with_location:
             logical += [F.col("__src_fp"), F.col("__src_ri")]
+        read_schema = snap.physical_schema
+        if with_row_lineage:
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [
+                    T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType()),
+                    T.StructField(MATERIALIZED_ROW_COMMIT_COL, T.LongType()),
+                ]
+            )
+            logical += [
+                F.col(MATERIALIZED_ROW_ID_COL),
+                F.col(MATERIALIZED_ROW_COMMIT_COL),
+            ]
         dv_filter = self._dv_filter(spark, keep_location=with_location)
         paths = [os.path.join(self.path, p) for p in snap.files]
         # Absolute add paths (shallow clones) can live OUTSIDE the table
@@ -203,13 +226,13 @@ class DeltaTable:
         ):
             df = (
                 spark.read.option("basePath", self.path)
-                .schema(snap.physical_schema)
+                .schema(read_schema)
                 .parquet(*paths)
             )
             return dv_filter(df).select(*logical)
         if not snap.partition_columns:
             return dv_filter(
-                spark.read.schema(snap.physical_schema).parquet(*paths)
+                spark.read.schema(read_schema).parquet(*paths)
             ).select(*logical)
         # Fallback for non-Hive file layouts (legal in the protocol): group
         # files by identical partitionValues and union per-group scans with
@@ -220,10 +243,10 @@ class DeltaTable:
                 "deletion vectors on a non-Hive partition layout are not "
                 "supported"
             )
-        if with_location:
+        if with_location or with_row_lineage:
             raise ValueError(
-                "with_location on a non-Hive partition layout is not "
-                "supported"
+                "with_location/with_row_lineage on a non-Hive partition "
+                "layout is not supported"
             )
         by_pv: dict[tuple, list[str]] = {}
         for rel, add in self.snapshot.files.items():
@@ -563,32 +586,37 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_delta_with_row_ids(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Scan with MATERIALIZED row tracking columns: ``row_id`` (the
-    file's ``baseRowId`` + the parquet row index) and
-    ``row_commit_version`` (the file's ``defaultRowCommitVersion``) —
-    the spec's fresh-row-id read rule. Row ids are stable across
-    dataChange=false rewrites only when the engine re-materializes them;
-    this engine assigns FRESH ids on rewrite (documented divergence from
-    delta-spark's materialized-column carryover) — within one file
-    lifetime they are the stable row identity CDC/ML-feature pipelines
-    key on.
+# Physical parquet column names for MATERIALIZED row lineage. The spec's
+# rowTracking carryover rule: a dataChange=false rewrite (OPTIMIZE/REORG)
+# must preserve each row's id and commit version, which fresh
+# baseRowId-arithmetic can't do — so the rewriter stores them as extra
+# parquet columns and readers coalesce(materialized, baseRowId + index).
+# delta-spark derives per-table UUID names via the
+# delta.rowTracking.materialized*ColumnName configs; fixed names keep the
+# read path deterministic here (the columns live only in parquet, outside
+# the logical schema, so they never collide with user columns named in
+# the log).
+MATERIALIZED_ROW_ID_COL = "_materialized_row_id"
+MATERIALIZED_ROW_COMMIT_COL = "_materialized_row_commit_version"
+
+
+def _row_lineage_df(spark: SparkSession, path: str, dt: DeltaTable) -> DataFrame:
+    """Logical columns + ``row_id`` / ``row_commit_version`` for ``dt``'s
+    snapshot: per row, the materialized lineage column when the file
+    carries one (it survived a rewrite), else the file's ``baseRowId`` +
+    parquet row index / ``defaultRowCommitVersion`` (fresh-id rule).
 
     Scale shape: the (file -> baseRowId) map is metadata-sized and
     broadcast; the row index comes from the scan's own ``_metadata``
     column — no extra job, no shuffle beyond the broadcast.
     """
-    path = _strip_file_scheme(path)
-    dt = DeltaTable(path, version=version)
     snap = dt.snapshot
     if "rowTracking" not in snap.writer_features:
         raise ValueError(
             "row tracking is not enabled — ALTER TABLE ... SET "
             "TBLPROPERTIES ('delta.enableRowTracking'='true') first"
         )
-    base = dt.to_df(spark, with_location=True)
+    base = dt.to_df(spark, with_location=True, with_row_lineage=True)
     rows = [
         (
             os.path.abspath(os.path.join(path, rel)),
@@ -612,10 +640,29 @@ def read_delta_with_row_ids(
         base.join(id_map, "__src_fp")
         .select(
             *out_cols,
-            (F.col("__base") + F.col("__src_ri")).alias("row_id"),
-            F.col("__dcv").alias("row_commit_version"),
+            F.coalesce(
+                F.col(MATERIALIZED_ROW_ID_COL),
+                F.col("__base") + F.col("__src_ri"),
+            ).alias("row_id"),
+            F.coalesce(
+                F.col(MATERIALIZED_ROW_COMMIT_COL), F.col("__dcv")
+            ).alias("row_commit_version"),
         )
     )
+
+
+def read_delta_with_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan with row tracking columns: ``row_id`` and
+    ``row_commit_version`` — stable row identity for CDC/ML-feature
+    pipelines. Freshly written files resolve ids as ``baseRowId`` + row
+    index; files rewritten by OPTIMIZE/REORG resolve them from the
+    materialized lineage columns the rewrite carried over (delta-spark's
+    materialized-column carryover), so identity survives compaction.
+    """
+    path = _strip_file_scheme(path)
+    return _row_lineage_df(spark, path, DeltaTable(path, version=version))
 
 
 # Eligible data-skipping conjunct: <col> <op> <literal> (or reversed).
@@ -1961,7 +2008,15 @@ def _stage_adds(
     logical names throughout.
     """
     if snap is not None and snap.column_mapping:
-        df = _to_physical(df, snap)
+        # Materialized row-lineage columns ride along under their own
+        # (reserved-physical) names — the spec keeps them outside the
+        # logical schema and therefore outside the mapping.
+        lineage = tuple(
+            c
+            for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_ROW_COMMIT_COL)
+            if c in df.columns
+        )
+        df = _to_physical(df, snap, extra_cols=lineage)
         partition_by = [snap.physical(c) for c in partition_by]
         schema_struct = snap.physical_schema
     staging = os.path.join(path, f".tmp-write-{uuid.uuid4().hex}")
@@ -3711,12 +3766,25 @@ def optimize(
         sub = skip_files(snap, where)
         snap = copy_mod.copy(snap)
         snap.files = sub
-    if len(snap.files) <= 1 and not zorder_by:
+    if not snap.files or (len(snap.files) <= 1 and not zorder_by):
         return snap.version
     dt_view = DeltaTable.__new__(DeltaTable)
     dt_view.path = path
     dt_view.snapshot = snap
     df = dt_view.to_df(spark)
+    if _row_tracking_enabled(snap):
+        # Materialized carryover (spec rowTracking rule): a dataChange=
+        # false rewrite must preserve row identity, so each row's current
+        # id/commit-version is written into the lineage parquet columns
+        # of the new files; the read path coalesces them ahead of the
+        # fresh baseRowId arithmetic.
+        df = (
+            _row_lineage_df(spark, path, dt_view)
+            .withColumnRenamed("row_id", MATERIALIZED_ROW_ID_COL)
+            .withColumnRenamed(
+                "row_commit_version", MATERIALIZED_ROW_COMMIT_COL
+            )
+        )
     n_rows = sum(
         json.loads(a["stats"]).get("numRecords", 0) if a.get("stats") else 0
         for a in snap.files.values()
@@ -3811,6 +3879,16 @@ def reorg_purge(
         rel: a for rel, a in snap.files.items() if rel in dv_rels
     }
     df = sub.to_df(spark)
+    if _row_tracking_enabled(snap):
+        # Same materialized carryover as OPTIMIZE: the surviving rows of
+        # the purged files keep their row ids across the rewrite.
+        df = (
+            _row_lineage_df(spark, path, sub)
+            .withColumnRenamed("row_id", MATERIALIZED_ROW_ID_COL)
+            .withColumnRenamed(
+                "row_commit_version", MATERIALIZED_ROW_COMMIT_COL
+            )
+        )
 
     live_rows = 0
     for rel in dv_rels:
