@@ -33,6 +33,12 @@ HEADLINE = [
     "sim_cosine_topk",    # broadcast brute-force ANN baseline
     "sim_ivf_topk",       # IVF ANN scale path (added round 2)
     "text_fingerprint",   # full-corpus codegen'd text pass
+    # r8 additions — the training-data pipeline surface (first-run
+    # baselines recorded per BASELINE.md protocol):
+    "doc_chunk",          # zero-Exchange overlapping chunker
+    "text_tfidf_topk",    # broadcast-df TF-IDF top-k terms
+    "seq_pack",           # window-cumsum greedy sequence packing
+    "text_decontaminate", # 13-gram benchmark-broadcast decontamination
 ]
 
 WARMUP = 1
