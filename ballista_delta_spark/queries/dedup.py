@@ -599,8 +599,12 @@ def label_propagate_min(sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataF
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # Convergence flag computed in the same pass (one action per round,
-        # against the just-checkpointed partitions — not a second join).
+        # ONE action per round: the checkpoint is LAZY, so the convergence
+        # count below both materializes the round's labels (truncating
+        # lineage) and reads off the changed-flag in the same job — no
+        # separate checkpoint action, no second pass over the join
+        # (pinned in tests/test_scale_plans.py::
+        # test_label_propagation_is_one_action_per_round).
         new_labels = (
             labels.join(msgs, labels.doc_id == msgs.src, "left")
             .select(
@@ -613,7 +617,7 @@ def label_propagate_min(sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataF
                  < F.col("cluster_id")).alias("__chg"),
             )
             .withColumnRenamed("new_cluster_id", "cluster_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("__chg").count()
         labels = new_labels.drop("__chg")

@@ -357,6 +357,36 @@ def test_pipeline_ops_scale_shapes(spark, sf_dir):
     assert "RunningWindowFunction" in pack_plan or "Window" in pack_plan
 
 
+def test_label_propagation_is_one_action_per_round(spark):
+    """Connected components must pay ONE driver action per propagation
+    round (the convergence count, whose job also materializes the lazy
+    localCheckpoint) — an eager checkpoint would double the job count
+    (VERDICT r7 #7). AQE is disabled for the measurement because it
+    splits one action into one job per query stage."""
+    from ballista_delta_spark.queries.dedup import label_propagate_min
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = [(1, 2), (2, 1), (1, 3), (3, 1)]  # star: seed converges
+        sym = spark.createDataFrame(
+            edges, "src long, dst long"
+        ).localCheckpoint()
+        sc = spark.sparkContext
+        sc.setJobGroup("cc-actions", "label propagation action count")
+        labels = label_propagate_min(sym)
+        out = {r.doc_id: r.cluster_id for r in labels.collect()}
+        sc.setJobGroup("", "")
+        assert out == {1: 1, 2: 1, 3: 1}
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-actions")
+        # seed checkpoint (eager, 1) + round-1 convergence count (1,
+        # detects no change) + the collect (1) = 3. An eager per-round
+        # checkpoint would add a 4th.
+        assert len(jobs) <= 3, jobs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_emb_project_is_map_only(spark, sf_dir):
     """The random-projection reduce must stay a map-only pass: weights are
     regenerated from (k, d), never shipped — an Exchange (or a join) here
