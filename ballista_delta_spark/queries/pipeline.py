@@ -354,20 +354,26 @@ def _shingle_expr(dialect: str) -> str:
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # NO pre-join distinct on the train shingles: dedup lives in the
+    # count_distinct AFTER the broadcast probe, so the only rows that
+    # ever shuffle are the MATCHED shingles (contamination hits — a
+    # vanishing fraction of the corpus). A (doc_id, s) distinct before
+    # the join — the r7 shape — re-shuffled every 13-gram of the train
+    # side, which is exactly the at-scale cost this operator exists to
+    # avoid. The benchmark side's distinct is benchmark-sized.
     sh = (
         d.select("doc_id", F.split("text", _WS).alias("toks"))
         .select(
             "doc_id",
             F.explode(F.expr(_shingle_expr("spark"))).alias("s"),
         )
-        .distinct()
     )
     bench = sh.filter(F.col("doc_id") < 10).select("s").distinct()
     hits = (
         sh.filter(F.col("doc_id") >= 10)
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared_shingles"))
+        .agg(F.count_distinct("s").alias("n_shared_shingles"))
     )
     train = d.filter(F.col("doc_id") >= 10).select("doc_id")
     return train.join(hits, "doc_id", "left").select(

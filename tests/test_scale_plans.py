@@ -426,6 +426,15 @@ def test_r7_late_ops_scale_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in decon_plan.split("BroadcastHashJoin")[0], (
         decon_plan
     )
+    # And the train side must reach the broadcast probe UNSHUFFLED: the
+    # left branch of the probe join (the lines between the inner
+    # BroadcastHashJoin and its BroadcastExchange sibling) may contain no
+    # shuffle Exchange. A pre-join (doc_id, shingle) distinct — the shape
+    # this pin exists to forbid — re-shuffles every 13-gram of the train
+    # corpus; dedup belongs AFTER the probe, over the matched rows only.
+    inner = decon_plan[decon_plan.rindex("BroadcastHashJoin"):]
+    left_branch = inner[:inner.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in left_branch, decon_plan
 
     sess_plan = _physical_plan(events_sessionize(spark, sf_dir))
     assert sess_plan.count("Exchange") <= 2, sess_plan
