@@ -911,6 +911,36 @@ def sink_delta_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S29 sink_delta_widen: ALTER COLUMN TYPE — the typeWidening table
+# feature (metadata-only lossless retype; files written under the narrow
+# type read back widened — Spark 4 parquet widening conversions, see
+# sources/delta.py alter_column_type). The query widens nation's int key
+# to BIGINT, appends a row whose key only fits in 64 bits, and reads the
+# mixed-file table back; the oracle computes the same union with the key
+# cast wide. Exceeds the reference (no ALTER surface, src/lib.rs:36).
+@_q(
+    "sink_delta_widen",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL SELECT 5000000000, 'WIDE', 9
+    """,
+)
+def sink_delta_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import alter_column_type
+
+    path = _clone(_nation_delta(spark, sf_dir), "s29")
+    alter_column_type(path, "n_nationkey", "bigint")
+    extra = spark.createDataFrame(
+        [(5_000_000_000, "WIDE", 9)],
+        "n_nationkey long, n_name string, n_regionkey int",
+    )
+    write_delta(extra, path, mode="append")
+    return read_delta(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

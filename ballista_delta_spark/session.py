@@ -90,14 +90,16 @@ _DELTA_OPTIMIZE = re.compile(
     re.IGNORECASE,
 )
 
-# ALTER TABLE <name> ALTER COLUMN <c> SET DEFAULT <expr> / DROP DEFAULT —
-# the allowColumnDefaults writer feature (appends omitting the column
-# fill it with the expression).
+# ALTER TABLE <name> ALTER COLUMN <c> SET DEFAULT <expr> / DROP DEFAULT /
+# TYPE <wider> — the allowColumnDefaults writer feature (appends omitting
+# the column fill it with the expression) and the typeWidening feature
+# (metadata-only lossless retype; narrow files read widened).
 _DELTA_COLUMN_DEFAULT = re.compile(
     r"^\s*ALTER\s+TABLE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s+ALTER\s+COLUMN\s+(?P<col>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
-    r"\s+(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT))"
+    r"\s+(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT)"
+    r"|TYPE\s+(?P<newtype>.+?))"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -504,14 +506,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name = _resolve_view(m.group("name"))
         if name is not None:
-            from .sources.delta import alter_column_default, read_delta
+            from .sources.delta import (
+                alter_column_default,
+                alter_column_type,
+                read_delta,
+            )
 
             loc = _delta_views[name]
-            version = alter_column_default(
-                loc,
-                m.group("col").strip("`"),
-                None if m.group("drop") else m.group("expr"),
-            )
+            if m.group("newtype"):
+                version = alter_column_type(
+                    loc, m.group("col").strip("`"), m.group("newtype")
+                )
+            else:
+                version = alter_column_default(
+                    loc,
+                    m.group("col").strip("`"),
+                    None if m.group("drop") else m.group("expr"),
+                )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"

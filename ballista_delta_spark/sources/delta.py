@@ -1127,7 +1127,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     # a cleaned log surfaces protocol ONLY via checkpoint.
                     unsupported = set(pr.get("readerFeatures") or ()) - {
                         "timestampNtz", "v2Checkpoint", "columnMapping",
-                        "deletionVectors",
+                        "deletionVectors", "typeWidening",
                     }
                     if unsupported:
                         raise ValueError(
@@ -1185,7 +1185,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         # not a gate.
                         unsupported = set(pr.get("readerFeatures") or ()) - {
                             "timestampNtz", "v2Checkpoint", "columnMapping",
-                            "deletionVectors",
+                            "deletionVectors", "typeWidening",
                         }
                         if unsupported:
                             raise ValueError(
@@ -1340,6 +1340,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # every add-committing path routes through _try_commit, which assigns
     # baseRowId/defaultRowCommitVersion and advances the high-water mark.
     "rowTracking",
+    # alter_column_type records delta.typeChanges and every scan reads
+    # narrow-typed files under the widened schema (Spark 4 parquet
+    # readers perform the spec's widening conversions natively).
+    "typeWidening",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -2638,6 +2642,149 @@ def alter_columns(
     })
     actions.append({"metaData": md})
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+
+
+# Lossless widenings per the Delta typeWidening feature spec: integer
+# chain, float->double, small-int->double (exact in a 52-bit mantissa),
+# date->timestampNTZ (midnight), integer->decimal with enough integral
+# digits, decimal precision/scale growth that keeps all integral digits.
+_INT_WIDEN_ORDER = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_INT_DECIMAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _is_type_widening(frm: T.DataType, to: T.DataType) -> bool:
+    f, t = frm.typeName(), to.typeName()
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        return (
+            to.precision - to.scale >= frm.precision - frm.scale
+            and to.scale >= frm.scale
+            and (to.precision, to.scale) != (frm.precision, frm.scale)
+        )
+    if f in _INT_WIDEN_ORDER and t in _INT_WIDEN_ORDER:
+        return _INT_WIDEN_ORDER[t] > _INT_WIDEN_ORDER[f]
+    if f in _INT_WIDEN_ORDER and isinstance(to, T.DecimalType):
+        return to.precision - to.scale >= _INT_DECIMAL_DIGITS[f]
+    if f == "float" and t == "double":
+        return True
+    if f in ("byte", "short", "integer") and t == "double":
+        return True
+    if f == "date" and t == "timestamp_ntz":
+        return True
+    return False
+
+
+def alter_column_type(path: str, col: str, new_type: str) -> int:
+    """``ALTER TABLE ... ALTER COLUMN <col> TYPE <wider>`` — the
+    ``typeWidening`` table feature (reader 3 / writer 7, both lists).
+
+    Metadata-only: the commit rewrites the schemaString with the widened
+    type and appends the change to the field's ``delta.typeChanges``
+    metadata (``fromType``/``toType``/``tableVersion``, the spec's audit
+    trail other engines use to decide whether THEY can read the table);
+    no data file is touched. Existing files keep the narrow physical
+    type — every scan in this engine reads with an explicit requested
+    schema, and Spark 4's parquet readers perform the spec's widening
+    conversions (int32 under a long/double/decimal request, float under
+    double, date under timestampNTZ) natively, so old and new files
+    coexist under one logical type. Only provably-lossless widenings are
+    accepted (``_is_type_widening``); anything else — including any
+    NARROWING — raises.
+
+    At 100 TB this is the point of the feature: retyping a key column on
+    a billion-file table is one JSON commit, not a table rewrite.
+    Widening to timestampNTZ also requires (and adds) the
+    ``timestampNtz`` feature pair. Partition columns are refused —
+    their values live as strings in partitionValues/dir names and every
+    engine re-derives types from the schema; delta-spark refuses too.
+
+    Exceeds the reference (no ALTER surface, reference src/lib.rs:36);
+    delta-spark parity for the type half of schema evolution.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    field_map = {f.name: f for f in snap.schema.fields}
+    if col not in field_map:
+        raise ValueError(f"no such column: {col!r}")
+    if col in snap.partition_columns:
+        raise ValueError(f"cannot widen partition column {col!r}")
+    frm = field_map[col].dataType
+    to = T._parse_datatype_string(new_type)
+    if frm == to:
+        raise ValueError(
+            f"column {col!r} already has type {frm.simpleString()}"
+        )
+    if not _is_type_widening(frm, to):
+        raise ValueError(
+            f"{frm.simpleString()} -> {to.simpleString()} is not a "
+            "lossless widening (typeWidening allows the integer chain, "
+            "float->double, small-int->double, date->timestamp_ntz, and "
+            "decimal growth keeping all integral digits)"
+        )
+    version = snap.version + 1  # op_kind="other" never rebases: exact
+    schema_json = json.loads(
+        snap.metadata_raw.get("schemaString")
+        or json.dumps(snap.schema.jsonValue())
+    )
+    for f_json in schema_json["fields"]:
+        if f_json["name"] == col:
+            meta = dict(f_json.get("metadata") or {})
+            changes = list(meta.get("delta.typeChanges") or [])
+            changes.append({
+                "fromType": frm.jsonValue(),
+                "toType": to.jsonValue(),
+                "tableVersion": version,
+            })
+            meta["delta.typeChanges"] = changes
+            f_json["type"] = to.jsonValue()
+            f_json["metadata"] = meta
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = json.dumps(schema_json)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "CHANGE COLUMN",
+            "operationParameters": {
+                "column": col,
+                "fromType": frm.simpleString(),
+                "toType": to.simpleString(),
+            },
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    }]
+    needs_feature = (
+        snap.min_writer_version < 7
+        or "typeWidening" not in snap.writer_features
+    )
+    if needs_feature:
+        proto = protocol_upgrade_action(
+            snap, min_writer=7, writer_feature="typeWidening",
+            reader_feature="typeWidening",
+        )
+        if to.typeName() == "timestamp_ntz":
+            proto["protocol"]["writerFeatures"] = sorted(
+                set(proto["protocol"]["writerFeatures"]) | {"timestampNtz"}
+            )
+            proto["protocol"]["readerFeatures"] = sorted(
+                set(proto["protocol"]["readerFeatures"]) | {"timestampNtz"}
+            )
+        actions.append(proto)
+    elif (
+        to.typeName() == "timestamp_ntz"
+        and "timestampNtz" not in snap.writer_features
+    ):
+        actions.append(protocol_upgrade_action(
+            snap, min_writer=7, writer_feature="timestampNtz",
+            reader_feature="timestampNtz",
+        ))
+    actions.append({"metaData": md})
+    committed = _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap)
+    )
+    assert committed == version
+    return committed
 
 
 def alter_column_default(
