@@ -511,3 +511,50 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k BIGINT").getField("k").alias("k_struct"),
         F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
     )
+
+
+# --- F16 fn_variant: the VARIANT type (Spark 4 open variant encoding —
+# parse_json -> binary variant, typed path extraction via variant_get,
+# try_ variant semantics on missing paths). The engine side stores and
+# navigates the BINARY variant form (the same encoding the Delta
+# variantType feature persists — see sources/delta.py and
+# tests/test_variant.py for the table half); the oracle navigates the
+# equivalent JSON with DuckDB's path operators — identical scalars out.
+# A synthesized nested document (object + array) exercises object keys,
+# array indexing, and type casting, not just flat lookup.
+@_q(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(j->>'$.k' AS BIGINT) AS k_typed,
+           CAST(j->>'$.arr[1]' AS INTEGER) AS arr_1,
+           j->>'$.tag.name' AS tag_name,
+           CAST(j->>'$.missing' AS BIGINT) AS k_missing
+    FROM (
+        SELECT event_id,
+               json(concat('{"k": ', CAST(json_extract_string(props, '$.k') AS BIGINT),
+                           ', "arr": [3, ', event_id % 10,
+                           '], "tag": {"name": "u', user_id, '"}}')) AS j
+        FROM events WHERE event_id < 1000
+    )
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    doc = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit(', "arr": [3, '),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit('], "tag": {"name": "u'),
+        F.col("user_id").cast("string"),
+        F.lit('"}}'),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.arr[1]", "int").alias("arr_1"),
+        F.try_variant_get(v, "$.tag.name", "string").alias("tag_name"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    )

@@ -941,6 +941,42 @@ def sink_delta_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S30 sink_delta_variant: VARIANT column through a Delta table — the
+# variantType table feature (reader 3 / writer 7 pair, schema-implied;
+# sources/delta.py). Rows from events become binary variants, land in a
+# Delta commit (Spark-side numRecords stats — pyarrow predates the
+# parquet logical type), and read back through typed path extraction;
+# the oracle computes the identical scalars straight from the JSON.
+@_q(
+    "sink_delta_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           concat('u', user_id) AS uname
+    FROM events WHERE event_id < 200
+    """,
+)
+def sink_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    doc = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit(', "u": "u'),
+        F.col("user_id").cast("string"),
+        F.lit('"}'),
+    )
+    path = os.path.join(_tmp("s30"), "variant-delta")
+    write_delta(
+        e.select("event_id", F.parse_json(doc).alias("v")), path
+    )
+    back = read_delta(spark, path)
+    return back.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.u", "string").alias("uname"),
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

@@ -1127,7 +1127,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     # a cleaned log surfaces protocol ONLY via checkpoint.
                     unsupported = set(pr.get("readerFeatures") or ()) - {
                         "timestampNtz", "v2Checkpoint", "columnMapping",
-                        "deletionVectors", "typeWidening",
+                        "deletionVectors", "typeWidening", "variantType",
                     }
                     if unsupported:
                         raise ValueError(
@@ -1185,7 +1185,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         # not a gate.
                         unsupported = set(pr.get("readerFeatures") or ()) - {
                             "timestampNtz", "v2Checkpoint", "columnMapping",
-                            "deletionVectors", "typeWidening",
+                            "deletionVectors", "typeWidening", "variantType",
                         }
                         if unsupported:
                             raise ValueError(
@@ -1344,6 +1344,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # narrow-typed files under the widened schema (Spark 4 parquet
     # readers perform the spec's widening conversions natively).
     "typeWidening",
+    # variant columns: Spark 4 writes/reads the spec's parquet encoding
+    # (value+metadata binary group) natively; stats fall back to a
+    # Spark-side numRecords count because pyarrow predates the logical
+    # type (see _stage_adds).
+    "variantType",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -1358,6 +1363,36 @@ _LEGACY_WRITER_FEATURES = {
     6: ("identityColumns",),
 }
 _LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+# Column types whose PRESENCE in the schema demands a table feature pair
+# (reader 3 / writer 7) per the Delta spec — readers that don't know the
+# type's parquet encoding must refuse the table.
+_SCHEMA_TYPE_FEATURES = {"timestamp_ntz": "timestampNtz",
+                         "variant": "variantType"}
+
+
+def _schema_type_features(fields) -> set[str]:
+    """Feature names required by the types in ``fields`` (recursing into
+    struct/array/map — a variant nested in an array still gates)."""
+    feats: set[str] = set()
+
+    def walk(dt: T.DataType) -> None:
+        name = dt.typeName()
+        if name in _SCHEMA_TYPE_FEATURES:
+            feats.add(_SCHEMA_TYPE_FEATURES[name])
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    for f in fields:
+        walk(f.dataType)
+    return feats
 
 
 def protocol_upgrade_action(
@@ -1909,7 +1944,33 @@ def write_delta(
         }
     )
     if not exists:
-        actions.append({"protocol": PROTOCOL})
+        # Schema-implied features (timestampNTZ / variant columns): a new
+        # table carrying them is born on the feature-list protocol with
+        # the reader+writer pairs declared; plain schemas keep the legacy
+        # (1, 2) protocol delta-spark also defaults to.
+        type_feats = _schema_type_features(schema_struct.fields)
+        if type_feats:
+            import types as _types
+
+            psnap = _types.SimpleNamespace(
+                min_reader_version=PROTOCOL["minReaderVersion"],
+                min_writer_version=PROTOCOL["minWriterVersion"],
+                writer_features=[], reader_features=[],
+            )
+            proto_action = {"protocol": dict(PROTOCOL)}
+            for feat in sorted(type_feats):
+                proto_action = protocol_upgrade_action(
+                    psnap, min_writer=7,
+                    writer_feature=feat, reader_feature=feat,
+                )
+                pr = proto_action["protocol"]
+                psnap.min_reader_version = pr["minReaderVersion"]
+                psnap.min_writer_version = pr["minWriterVersion"]
+                psnap.writer_features = list(pr.get("writerFeatures") or [])
+                psnap.reader_features = list(pr.get("readerFeatures") or [])
+            actions.append(proto_action)
+        else:
+            actions.append({"protocol": PROTOCOL})
         actions.append(
             {
                 "metaData": {
@@ -1923,6 +1984,27 @@ def write_delta(
             }
         )
     elif new_hwms or evolved_fields:
+        # mergeSchema can evolve IN a feature-gated type (timestampNTZ /
+        # variant column joining an existing table) — the widening commit
+        # must carry the protocol upgrade alongside the metaData re-emit.
+        needed = _schema_type_features(evolved_fields or []) - set(
+            prev.writer_features
+        )
+        if needed:
+            psnap2 = prev
+            proto_action2: dict[str, Any] | None = None
+            for feat in sorted(needed):
+                proto_action2 = protocol_upgrade_action(
+                    psnap2, min_writer=7,
+                    writer_feature=feat, reader_feature=feat,
+                )
+                pr2 = proto_action2["protocol"]
+                psnap2 = copy_mod.copy(psnap2)
+                psnap2.min_reader_version = pr2["minReaderVersion"]
+                psnap2.min_writer_version = pr2["minWriterVersion"]
+                psnap2.writer_features = list(pr2.get("writerFeatures") or [])
+                psnap2.reader_features = list(pr2.get("readerFeatures") or [])
+            actions.append(proto_action2)
         # Identity generation moves the high-water mark, and mergeSchema
         # widens the schema: either way re-emit the metaData action (same
         # table id) in the SAME commit, as the spec requires. A widened
@@ -2030,6 +2112,23 @@ def _stage_adds(
     writer.parquet(staging)
 
     data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
+    # Variant columns use a parquet logical type this pyarrow build can't
+    # even open — compute numRecords-only stats with ONE Spark job over
+    # the whole staging dir instead of per-file footer reads. min/max on
+    # a variant is meaningless anyway (no ordering); numRecords is what
+    # the protocol machinery (rowTracking id ranges, OPTIMIZE sizing)
+    # actually consumes.
+    staged_counts: dict[str, int] | None = None
+    if _schema_type_features(data_fields) & {"variantType"}:
+        staged_counts = {
+            re.sub("^file:/+", "/", r.fp): r.n
+            for r in (
+                df.sparkSession.read.parquet(staging)
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        }
     adds: list[dict[str, Any]] = []
     now_ms = int(time.time() * 1000)
     for root, _dirs, names in os.walk(staging):
@@ -2047,7 +2146,12 @@ def _stage_adds(
             rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
             dst = os.path.join(path, rel_final)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            stats = _file_stats(src, data_fields)
+            if staged_counts is not None:
+                stats = json.dumps(
+                    {"numRecords": staged_counts.get(os.path.abspath(src), 0)}
+                )
+            else:
+                stats = _file_stats(src, data_fields)
             os.replace(src, dst)
             adds.append(
                 {
@@ -3017,6 +3121,21 @@ def drop_feature(
             raise ValueError(
                 "delta.columnMapping.mode is still active — column mapping "
                 "cannot be dropped from a mapped table"
+            )
+    elif feature == "variantType":
+        if _schema_type_features(snap.schema.fields) & {"variantType"}:
+            raise ValueError(
+                "the schema still carries a VARIANT column — drop it first"
+            )
+    elif feature == "typeWidening":
+        if any(
+            (f.metadata or {}).get("delta.typeChanges")
+            for f in snap.schema.fields
+        ):
+            raise ValueError(
+                "fields still carry delta.typeChanges — a reader that "
+                "doesn't know the feature can't safely read the "
+                "narrow-typed files; REORG the table first"
             )
     elif feature in ("appendOnly", "invariants", "checkConstraints",
                      "generatedColumns", "identityColumns", "timestampNtz"):
