@@ -4,12 +4,17 @@ transaction log and emits each commit's appended rows as a micro-batch,
 the delta-spark streaming-source behavior re-expressed through
 ``pyspark.sql.datasource``.
 
-Offsets are log versions: offset ``{"version": v}`` means "every commit
-≤ v has been emitted", so recovery/replay is exact — ``partitions(start,
-end)`` re-plans precisely the add-actions of the commits in range.
-Consumption is append-only like delta-spark's default: a ``dataChange``
-remove (DELETE/UPDATE/overwrite) raises unless ``ignoreChanges`` is set,
-because silently skipping it would desync every downstream aggregate.
+Offsets are FILE positions in the log — ``{"version": v, "index": i}``
+means "the first ``i`` files of commit ``v`` (and every commit before
+it) have been emitted" — delta-spark's (reservoirVersion, index) offset
+model, so a single bulk commit can span several rate-limited
+micro-batches and recovery/replay is exact: ``partitions(start, end)``
+re-plans precisely the file slice in range. The legacy whole-commit form
+``{"version": v}`` is still accepted (reads as "commit v fully
+consumed"). Consumption is append-only like delta-spark's default: a
+``dataChange`` remove (DELETE/UPDATE/overwrite) raises unless
+``ignoreChanges`` is set, because silently skipping it would desync
+every downstream aggregate.
 
 Scale shape: this is the full ``DataSourceStreamReader`` — planning
 (log scan, offset arithmetic, append-only validation) happens once on the
@@ -110,18 +115,17 @@ class DeltaStreamDataSource(DataSource):
                 self.options.get("ignorechanges", "false")
             ).lower() == "true",
             read_change_feed=self._cdf(),
-            max_versions_per_trigger=self._max_versions(),
+            max_versions_per_trigger=self._limit("maxversionspertrigger"),
+            max_files_per_trigger=self._limit("maxfilespertrigger"),
         )
 
-    def _max_versions(self) -> int | None:
-        raw = self.options.get("maxversionspertrigger")
+    def _limit(self, key: str) -> int | None:
+        raw = self.options.get(key)
         if raw is None:
             return None
         n = int(raw)
         if n <= 0:
-            raise ValueError(
-                f"maxVersionsPerTrigger must be positive, got {n}"
-            )
+            raise ValueError(f"{key} must be positive, got {n}")
         return n
 
 
@@ -138,6 +142,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         ignore_changes: bool = False,
         read_change_feed: bool = False,
         max_versions_per_trigger: int | None = None,
+        max_files_per_trigger: int | None = None,
     ):
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -146,22 +151,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.read_change_feed = read_change_feed
-        # Rate limiting (delta-spark's maxFilesPerTrigger analogue, in
-        # commit units): each micro-batch advances the offset at most
-        # this many versions, so a stream starting against a long backlog
-        # drains it in bounded batches instead of one giant catch-up.
-        # CAVEAT vs delta-spark: under trigger(availableNow=True) Spark
-        # snapshots latestOffset() ONCE at query start, so a rate-limited
-        # query takes ONE clamped batch per run — use a continuous
-        # trigger to drain a backlog with a rate limit.
-        if max_versions_per_trigger is not None and (
-            max_versions_per_trigger <= 0
+        # Rate limiting: ``maxFilesPerTrigger`` bounds each micro-batch by
+        # FILE count (delta-spark's option — with file-granular offsets a
+        # 10k-file bulk commit drains in bounded batches instead of one
+        # giant catch-up); ``maxVersionsPerTrigger`` bounds by commit
+        # count. CAVEAT vs delta-spark: under trigger(availableNow=True)
+        # Spark snapshots latestOffset() ONCE at query start, so a
+        # rate-limited query takes ONE clamped batch per run — use a
+        # continuous trigger to drain a backlog with a rate limit.
+        for nm, val in (
+            ("maxVersionsPerTrigger", max_versions_per_trigger),
+            ("maxFilesPerTrigger", max_files_per_trigger),
         ):
-            raise ValueError(
-                "maxVersionsPerTrigger must be positive, got "
-                f"{max_versions_per_trigger}"
-            )
+            if val is not None and val <= 0:
+                raise ValueError(f"{nm} must be positive, got {val}")
         self.max_versions_per_trigger = max_versions_per_trigger
+        self.max_files_per_trigger = max_files_per_trigger
         # logical -> physical parquet name (identity unless the table
         # declares columnMapping); cdc partitionValues keys are PHYSICAL
         # per the spec, so keep the reverse map too.
@@ -173,17 +178,29 @@ class DeltaStreamReader(DataSourceStreamReader):
         # The exact Arrow shape Spark expects back from read(); computed
         # once here (driver) and shipped pickled with the reader.
         self._arrow_schema = to_arrow_schema(schema)
-        # Last version this reader PLANNED (latestOffset return); the
-        # rate-limit clamp is relative to it. After a checkpoint restart
+        # Last position this reader PLANNED (latestOffset return); the
+        # rate-limit clamps are relative to it. After a checkpoint restart
         # Spark never tells latestOffset() where it resumed, so the first
         # trigger may plan past the clamp — partitions() re-anchors from
-        # its (checkpointed) start argument and the guard below keeps
-        # end >= start, so correctness is unaffected either way.
-        self._planned: int | None = None
+        # its (checkpointed) start argument, so correctness is unaffected
+        # either way.
+        self._planned: tuple[int, int] | None = None
+        # Commits are immutable: per-version plans cache cleanly. Pruned
+        # in commit() so a long-lived tail stays O(uncommitted window).
+        self._plans: dict[int, list[DeltaFilePartition]] = {}
 
     # ------------------------------------------------------------ offsets
+    @staticmethod
+    def _pos(off: dict) -> tuple[int, int]:
+        """Offset dict -> (version, files_consumed_of_that_version).
+        Legacy ``{"version": v}`` = commit v fully consumed = ``(v+1, 0)``
+        — both forms denote the same log position."""
+        if "index" in off:
+            return int(off["version"]), int(off["index"])
+        return int(off["version"]) + 1, 0
+
     def initialOffset(self) -> dict:
-        return {"version": self.starting_version - 1}
+        return {"version": self.starting_version, "index": 0}
 
     def _latest_version(self) -> int:
         log = _log_dir(self.path)
@@ -196,16 +213,35 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._latest_version()
+        v, i = self._planned or (self.starting_version, 0)
+        if latest < self.starting_version:  # no commits yet
+            self._planned = (v, i)
+            return {"version": v, "index": i}
         if self.max_versions_per_trigger is not None:
-            anchor = (
-                self._planned
-                if self._planned is not None
-                else self.starting_version - 1
-            )
-            latest = min(latest, anchor + self.max_versions_per_trigger)
-            latest = max(latest, anchor)  # never move backwards
-        self._planned = latest
-        return {"version": latest}
+            # The budget counts UNCONSUMED versions: a fully-consumed
+            # anchor commit (i == its file count) doesn't use a slot.
+            base = v
+            if v <= latest and i > 0 and i >= len(self._plan(v)):
+                base = v + 1
+            latest = min(latest, base + self.max_versions_per_trigger - 1)
+        if self.max_files_per_trigger is None:
+            # Unbounded: consume through the end of the last commit.
+            if latest >= v:
+                v, i = latest, len(self._plan(latest))
+        else:
+            budget = self.max_files_per_trigger
+            while v <= latest:
+                n = len(self._plan(v))
+                take = min(n - i, budget)
+                i += take
+                budget -= take
+                if budget == 0:
+                    break
+                if v == latest:
+                    break  # fully consumed; keep canonical (latest, n)
+                v, i = v + 1, 0
+        self._planned = (v, i)
+        return {"version": v, "index": i}
 
     # ----------------------------------------------------------- planning
     def _commit_actions(self, v: int) -> list[dict[str, Any]]:
@@ -215,6 +251,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if line.strip():
                     acts.append(json.loads(line))
         return acts
+
+    def _plan(self, v: int) -> list[DeltaFilePartition]:
+        if v not in self._plans:
+            self._plans[v] = (
+                self._plan_cdf(v) if self.read_change_feed
+                else self._plan_append(v)
+            )
+        return self._plans[v]
 
     def _plan_append(self, v: int) -> list[DeltaFilePartition]:
         parts = []
@@ -275,10 +319,19 @@ class DeltaStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[DeltaFilePartition]:
-        lo, hi = int(start["version"]) + 1, int(end["version"])
-        self._planned = max(self._planned or hi, hi)
-        plan = self._plan_cdf if self.read_change_feed else self._plan_append
-        return [p for v in range(lo, hi + 1) for p in plan(v)]
+        sv, si = self._pos(start)
+        ev, ei = self._pos(end)
+        if self._planned is None or (ev, ei) > self._planned:
+            self._planned = (ev, ei)  # re-anchor after checkpoint restart
+        parts: list[DeltaFilePartition] = []
+        for v in range(sv, ev + 1):
+            if v == ev and ei == 0:
+                break  # nothing of ev consumed; don't touch its log file
+            plan = self._plan(v)
+            lo = si if v == sv else 0
+            hi = ei if v == ev else len(plan)
+            parts.extend(plan[lo:hi])
+        return parts
 
     # ------------------------------------------------- executor-side read
     def read(self, partition: DeltaFilePartition) -> Iterator:
@@ -319,7 +372,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        ev, _ = self._pos(end)
+        for v in [v for v in self._plans if v < ev]:
+            del self._plans[v]
 
 
 def register_delta_stream_source(spark) -> None:

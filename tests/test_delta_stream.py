@@ -61,17 +61,20 @@ def test_end_to_end_available_now(spark, tbl):
 def test_offsets_advance_per_commit_and_replay_is_exact(spark, tbl):
     r = _reader(spark, tbl)
     rows0, off0 = _drain(r, r.initialOffset())
-    assert off0 == {"version": 0} and len(rows0) == 2
-    # No new commits: empty batch, offset unchanged.
+    assert off0["version"] == 0 and len(rows0) == 2
+    # No new commits: empty batch, offset unchanged (canonical form, so
+    # Spark sees identical dicts and plans no batch).
     rows1, off1 = _drain(r, off0)
-    assert off1 == {"version": 0} and rows1 == []
+    assert off1 == off0 and rows1 == []
     write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
                 mode="append")
     rows2, off2 = _drain(r, off0)
-    assert off2 == {"version": 1}
+    assert off2["version"] == 1
     assert [t[0] for t in rows2] == [3]
-    # Replay between offsets re-plans exactly that commit's rows.
+    # Replay between offsets re-plans exactly that commit's rows —
+    # including from a LEGACY whole-commit offset.
     assert [t[0] for t in _between(r, off0, off2)] == [3]
+    assert [t[0] for t in _between(r, {"version": 0}, off2)] == [3]
 
 
 def test_starting_version_skips_history(spark, tbl):
@@ -79,7 +82,7 @@ def test_starting_version_skips_history(spark, tbl):
                 mode="append")
     r = _reader(spark, tbl, starting_version=1)
     rows, off = _drain(r, r.initialOffset())
-    assert [t[0] for t in rows] == [3] and off == {"version": 1}
+    assert [t[0] for t in rows] == [3] and off["version"] == 1
 
 
 def test_non_append_commit_raises_unless_ignore_changes(spark, tbl):
@@ -93,7 +96,7 @@ def test_non_append_commit_raises_unless_ignore_changes(spark, tbl):
     rows, off = _drain(r2, r2.initialOffset())
     # With ignoreChanges the rewrite's ADD files still stream (replayed
     # rows), removes are skipped — delta-spark ignoreChanges semantics.
-    assert off == {"version": 1}
+    assert off["version"] == 1
     assert all(isinstance(t, tuple) for t in rows)
 
 
@@ -210,7 +213,7 @@ def test_cdf_stream_emits_inserts_updates_deletes(spark, tbl):
     delete_delta(spark, tbl, "id = 2")                             # v3
     r = _cdf_reader(tbl)
     rows, end = _drain(r, r.initialOffset())
-    assert end == {"version": 3}
+    assert end["version"] == 3
     got = sorted(rows)
     assert got == sorted([
         (1, "a", "insert", 0),
@@ -360,15 +363,55 @@ def test_max_versions_per_trigger_bounds_batches(spark, tbl):
         )  # versions 1..4
     r = _reader(spark, tbl, max_versions_per_trigger=2)
     rows1, end1 = _drain(r, r.initialOffset())
-    assert end1 == {"version": 1}  # v0 + v1 only
+    assert end1["version"] == 1  # v0 + v1 only
     rows2, end2 = _drain(r, end1)
-    assert end2 == {"version": 3}
+    assert end2["version"] == 3
     rows3, end3 = _drain(r, end2)
-    assert end3 == {"version": 4}
+    assert end3["version"] == 4
     assert len(rows1) + len(rows2) + len(rows3) == 6
     # NOTE: with trigger(availableNow=True) Spark snapshots
     # latestOffset() once at query start, so a rate-limited drain needs a
     # continuous trigger — the offset bound above is the contract.
+
+
+def test_max_files_per_trigger_splits_a_bulk_commit(spark, tbl):
+    """File-granular offsets (delta-spark's (version, index) model): one
+    4-file commit drains across rate-limited micro-batches instead of
+    being forced into a single batch."""
+    big = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS s"
+    ).repartition(4)
+    write_delta(big, tbl, mode="append")  # v1: 4 add-actions
+    r = _reader(spark, tbl, max_files_per_trigger=3)
+    seen: list[int] = []
+    off = r.initialOffset()
+    batches = 0
+    while True:
+        rows, new_off = _drain(r, off)
+        if new_off == off:
+            break
+        batches += 1
+        seen.extend(t[0] for t in rows)
+        # every batch except the last stays within the file budget: 3
+        # files of ~25 rows
+        off = new_off
+        assert batches < 10
+    assert sorted(seen) == sorted([1, 2] + list(range(100)))
+    assert batches >= 2  # the bulk commit did NOT fit one batch
+    # With budget 1, batch count == total file count, and the offsets
+    # walk INTO commit v1's file list one index at a time.
+    r2 = _reader(spark, tbl, max_files_per_trigger=1)
+    off = r2.initialOffset()
+    offsets = []
+    while True:
+        rows, new_off = _drain(r2, off)
+        if new_off == off:
+            break
+        offsets.append(new_off)
+        off = new_off
+        assert len(offsets) < 20
+    mid_v1 = [o for o in offsets if o["version"] == 1 and 0 < o["index"] < 4]
+    assert len(mid_v1) == 3  # (1,1), (1,2), (1,3): one file per batch
 
 
 def test_vacuum_dry_run_and_show_tblproperties(spark, tmp_path):
