@@ -3793,6 +3793,57 @@ def vacuum(
         if not dry_run:
             os.unlink(bin_path)
         deleted.append(os.path.relpath(bin_path, path))
+    # Orphan cleanup (delta-spark VACUUM semantics): files the log never
+    # references at all — the debris of a writer that crashed between
+    # staging and commit — are deleted once older than the retention
+    # window. The window protects IN-FLIGHT writers: a live ``.tmp-write``
+    # staging dir is younger than any sane retention. Spec listing rules:
+    # skip `_`/`.`-prefixed path segments (the log, `_change_data`, which
+    # CDF readers consume on their own retention) unless the segment is a
+    # Hive partition dir (contains '='). Tombstoned files were handled
+    # above — inside the window they are KEPT by both passes.
+    tracked = set(snap.files) | set(snap.tombstones)
+    # A crashed writer's whole staging dir (invisible to the log by
+    # design — _stage_adds) goes as one tree once it has been idle past
+    # the window.
+    import shutil as _shutil
+
+    for entry in sorted(os.listdir(path)):
+        staging = os.path.join(path, entry)
+        if (
+            entry.startswith(".tmp-write-")
+            and os.path.isdir(staging)
+            and now_ms - os.path.getmtime(staging) * 1000 >= retention_ms
+        ):
+            if not dry_run:
+                _shutil.rmtree(staging, ignore_errors=True)
+            deleted.append(entry)
+    for walk_root, dirs, names in os.walk(path):
+        rel_root = os.path.relpath(walk_root, path)
+        dirs[:] = [
+            d for d in dirs
+            if "=" in d or not (d.startswith("_") or d.startswith("."))
+        ]
+        for name in names:
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                continue  # DV pass above owns these
+            rel = (
+                name if rel_root == "."
+                else os.path.join(rel_root, name).replace(os.sep, "/")
+            )
+            if rel in tracked:
+                continue
+            fp = os.path.join(walk_root, name)
+            try:
+                if now_ms - os.path.getmtime(fp) * 1000 < retention_ms:
+                    continue
+                if not dry_run:
+                    os.unlink(fp)
+            except OSError:
+                continue
+            deleted.append(rel)
     if dry_run:
         return deleted
     # Prune now-empty Hive partition dirs left behind.

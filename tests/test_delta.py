@@ -657,6 +657,42 @@ def test_vacuum_removes_only_expired_unreferenced_files(spark, tmp_path):
         read_delta(spark, tbl, version=0).count()
 
 
+def test_vacuum_reclaims_crashed_writer_orphans(spark, tmp_path):
+    """delta-spark VACUUM semantics: files the log never references —
+    untracked parquet and a crashed writer's .tmp-write staging tree —
+    are reclaimed past retention; young orphans (a LIVE writer) and
+    everything under _-prefixed dirs are kept."""
+    import os as _os
+
+    from ballista_delta_spark.sources.delta import vacuum
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    # a crashed writer: staged files + an orphan part-file at the root
+    staging = _os.path.join(tbl, ".tmp-write-deadbeef")
+    _os.makedirs(staging)
+    open(_os.path.join(staging, "part-x.parquet"), "wb").write(b"junk")
+    orphan = _os.path.join(tbl, "part-orphan.snappy.parquet")
+    open(orphan, "wb").write(b"junk")
+    cdc = _os.path.join(tbl, "_change_data")
+    _os.makedirs(cdc)
+    open(_os.path.join(cdc, "cdc-x.parquet"), "wb").write(b"cdc")
+    # Within retention: the (young) orphans are protected.
+    assert vacuum(tbl, retention_ms=10 * 60 * 1000) == []
+    # Past retention (0): orphans reclaimed, log + _change_data + live
+    # snapshot untouched.
+    dry = vacuum(tbl, retention_ms=0, dry_run=True)
+    assert _os.path.exists(orphan)  # dry run touched nothing
+    deleted = vacuum(tbl, retention_ms=0)
+    assert sorted(deleted) == sorted(dry)
+    assert ".tmp-write-deadbeef" in deleted
+    assert "part-orphan.snappy.parquet" in deleted
+    assert not _os.path.exists(orphan) and not _os.path.exists(staging)
+    assert _os.path.exists(_os.path.join(cdc, "cdc-x.parquet"))
+    assert read_delta(spark, tbl).count() == 5
+
+
 def test_optimize_compacts_files_without_changing_rows(spark, tmp_path):
     from ballista_delta_spark.sources.delta import optimize
 
