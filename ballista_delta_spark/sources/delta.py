@@ -929,6 +929,7 @@ def version_at_timestamp(path: str, timestamp_ms: int) -> int:
             if name.endswith(".json")
             and name.split(".")[0].isdigit()
             and len(name.split(".")[0]) == 20
+            and ".compacted." not in name
         )
         if surviving:
             v = surviving[0]
@@ -1023,6 +1024,30 @@ def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
                 f"{sc_path}"
             )
         out.extend(pq.read_table(sc_path).to_pylist())
+    return out
+
+
+def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
+    """Log-compaction files ``{start:020}.{end:020}.compacted.json`` in
+    ``log``, keyed by start version -> (end version, path). Widest range
+    per start wins (a re-compaction supersedes a narrower one)."""
+    out: dict[int, tuple[int, str]] = {}
+    try:
+        names = os.listdir(log)
+    except OSError:
+        return out
+    for name in names:
+        parts = name.split(".")
+        if (
+            len(parts) == 4
+            and parts[2] == "compacted"
+            and parts[3] == "json"
+            and parts[0].isdigit() and len(parts[0]) == 20
+            and parts[1].isdigit() and len(parts[1]) == 20
+        ):
+            s, e = int(parts[0]), int(parts[1])
+            if s not in out or e > out[s][0]:
+                out[s] = (e, os.path.join(log, name))
     return out
 
 
@@ -1140,12 +1165,26 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 reader_features = list(pr.get("readerFeatures") or [])
         start_version = cv + 1
 
+    # Log-compaction fast path: a {start}.{end}.compacted.json file holds
+    # the RECONCILED actions of that commit range (delta-spark minor
+    # compaction) — replaying it instead of end-start+1 individual files
+    # keeps the driver's replay O(compactions + tail) between checkpoints.
+    compacted = _compacted_ranges(log)
     v = start_version
     last_seen = start_version - 1
     while True:
-        fp = _version_file(log, v)
-        if not os.path.exists(fp) or (version is not None and v > version):
-            break
+        end_c = None
+        if v in compacted:
+            cand_end, cand_fp = compacted[v]
+            # Only usable when it doesn't overshoot a versioned load.
+            if version is None or cand_end <= version:
+                end_c, fp = cand_end, cand_fp
+        if end_c is None:
+            fp = _version_file(log, v)
+            if not os.path.exists(fp) or (
+                version is not None and v > version
+            ):
+                break
         with open(fp) as fh:
             for line in fh:
                 if not line.strip():
@@ -1196,8 +1235,8 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     writer_features = list(pr.get("writerFeatures") or [])
                     min_reader_version = mrv
                     reader_features = list(pr.get("readerFeatures") or [])
-        last_seen = v
-        v += 1
+        last_seen = end_c if end_c is not None else v
+        v = last_seen + 1
 
     if version is not None and last_seen < version:
         raise ValueError(f"version {version} not found (latest {last_seen})")
@@ -1270,6 +1309,7 @@ def _next_version(log: str) -> int:
         int(name[:20])
         for name in os.listdir(log)
         if name.endswith(".json") and name[:20].isdigit()
+        and ".compacted." not in name
     ]
     return max(versions) + 1 if versions else 0
 
@@ -3858,6 +3898,75 @@ def vacuum(
     return deleted
 
 
+def compact_log(path: str, start: int, end: int) -> str:
+    """Write a log-compaction file ``{start}.{end}.compacted.json``
+    holding the RECONCILED actions of the commit range (delta-spark's
+    minor compaction): one net add/remove per path, the last metaData /
+    protocol, the latest txn per appId, the last domainMetadata per
+    domain — no commitInfo, no cdc. Readers (``_load_snapshot``) replay
+    the one file instead of ``end - start + 1`` commits, so the driver's
+    between-checkpoint replay cost on a high-commit-rate table drops
+    from O(commits) to O(compactions + tail) — the metadata-plane
+    analogue of small-file compaction. Original commit files are NOT
+    removed (time travel, CDF, and ICT timestamp resolution still read
+    them); ``cleanup_log`` retires both together under the checkpoint.
+
+    Returns the written path.
+    """
+    path = _strip_file_scheme(path)
+    log = _log_dir(path)
+    if start > end:
+        raise ValueError(f"start {start} > end {end}")
+    missing = [
+        v for v in range(start, end + 1)
+        if not os.path.exists(_version_file(log, v))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot compact [{start}, {end}]: missing commits {missing}"
+        )
+    protocol_a: dict[str, Any] | None = None
+    metadata_a: dict[str, Any] | None = None
+    net_files: dict[str, dict[str, Any]] = {}  # path -> {"add"|"remove":...}
+    txns: dict[str, dict[str, Any]] = {}
+    domains: dict[str, dict[str, Any]] = {}
+    for v in range(start, end + 1):
+        with open(_version_file(log, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    protocol_a = act
+                elif "metaData" in act:
+                    metadata_a = act
+                elif "add" in act:
+                    net_files[act["add"]["path"]] = act
+                elif "remove" in act:
+                    net_files[act["remove"]["path"]] = act
+                elif "txn" in act:
+                    txns[act["txn"]["appId"]] = act
+                elif "domainMetadata" in act:
+                    domains[act["domainMetadata"]["domain"]] = act
+    out = os.path.join(
+        log, f"{start:020d}.{end:020d}.compacted.json"
+    )
+    ordered = (
+        ([protocol_a] if protocol_a else [])
+        + ([metadata_a] if metadata_a else [])
+        + [txns[k] for k in sorted(txns)]
+        + [domains[k] for k in sorted(domains)]
+        + [a for _, a in sorted(net_files.items()) if "remove" in a]
+        + [a for _, a in sorted(net_files.items()) if "add" in a]
+    )
+    tmp = out + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for act in ordered:
+            fh.write(json.dumps(act) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
 def cleanup_log(
     path: str, retention_ms: int = 30 * 24 * 3600 * 1000
 ) -> list[str]:
@@ -3892,6 +4001,10 @@ def cleanup_log(
         if not (stem.isdigit() and len(stem) == 20):
             continue
         v = int(stem)
+        if ".compacted." in name:
+            # A compaction file is covered only when its whole RANGE is
+            # under the checkpoint.
+            v = int(name.split(".")[1])
         if v >= cv:
             continue  # not covered by the checkpoint
         is_json = name.endswith(".json")

@@ -159,3 +159,113 @@ def test_full_lifecycle(spark, tmp_path):
     assert final.count() == 453
     assert final.filter("id % 10 = 0 AND id < 500").count() == 0
     spark.catalog.dropTempView("life_cdf")
+
+
+# ------------------------------------------------------ log compaction
+def test_log_compaction_replays_identically_and_survives_cleanup(
+    spark, tmp_path
+):
+    """compact_log writes {s}.{e}.compacted.json with the range's
+    reconciled actions; _load_snapshot replays it INSTEAD of the
+    individual commits — including after those commits are deleted — and
+    the snapshot is action-for-action identical. Versioned loads inside
+    the range fall back to per-commit replay."""
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        compact_log,
+        read_delta,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1), tbl
+    )                                                               # v0
+    write_delta(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS v").coalesce(1),
+        tbl, mode="append",
+    )                                                               # v1
+    delete_delta(spark, tbl, "id < 5")                              # v2
+    write_delta(
+        spark.range(20, 25).selectExpr("id", "id * 2 AS v").coalesce(1),
+        tbl, mode="append",
+    )                                                               # v3
+    before = _load_snapshot(tbl)
+    out = compact_log(tbl, 0, 3)
+    assert os.path.basename(out) == (
+        f"{0:020d}.{3:020d}.compacted.json"
+    )
+    after = _load_snapshot(tbl)
+    assert after.version == before.version == 3
+    assert after.files == before.files
+    assert after.tombstones == before.tombstones
+    assert after.configuration == before.configuration
+    assert after.schema == before.schema
+    assert read_delta(spark, tbl).count() == 20
+    # Versioned load INSIDE the range must not use the (overshooting)
+    # compacted file.
+    assert read_delta(spark, tbl, version=1).count() == 20
+    # Delete the individual commits: the compacted file alone still
+    # reconstructs the latest snapshot (version=1 history is now gone).
+    for v in range(4):
+        os.unlink(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    again = _load_snapshot(tbl)
+    assert again.version == 3 and again.files == before.files
+    assert read_delta(spark, tbl).count() == 20
+
+
+def test_log_compaction_tail_continues_and_cleanup_is_range_aware(
+    spark, tmp_path
+):
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cleanup_log,
+        compact_log,
+        create_checkpoint,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    for i in range(4):                                   # v0..v3
+        write_delta(
+            spark.range(i * 5, i * 5 + 5).selectExpr("id").coalesce(1),
+            tbl, mode="append" if i else "overwrite",
+        )
+    compact_log(tbl, 0, 1)
+    write_delta(
+        spark.range(100, 103).selectExpr("id").coalesce(1), tbl,
+        mode="append",
+    )                                                    # v4 (tail)
+    snap = _load_snapshot(tbl)
+    assert snap.version == 4
+    assert read_delta(spark, tbl).count() == 23
+    # Checkpoint at v2 covers only part of a [0..3] compaction: a
+    # range-overshooting compacted file must SURVIVE cleanup.
+    compact_log(tbl, 0, 3)
+    create_checkpoint(tbl)                               # checkpoint @ v4
+    cleanup_log(tbl, retention_ms=0)
+    names = os.listdir(os.path.join(tbl, "_delta_log"))
+    assert not any(
+        n.endswith(".json") and ".compacted." not in n and int(n[:20]) < 4
+        for n in names if n[:20].isdigit()
+    )
+    # compacted [0..1] and [0..3] are both fully under cv=4 -> retired
+    assert not any(".compacted." in n for n in names)
+    assert read_delta(spark, tbl).count() == 23
+
+
+def test_compact_log_refuses_missing_commits(spark, tmp_path):
+    import pytest as _pytest
+
+    from ballista_delta_spark.sources.delta import compact_log, write_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id"), tbl)
+    with _pytest.raises(ValueError, match="missing commits"):
+        compact_log(tbl, 0, 5)
