@@ -74,6 +74,29 @@ def main() -> None:
     from ballista_delta_spark import session as _s
 
     _s._delta_views[sql_name] = tbl
+
+    # r8 surface: lossless retype (typeWidening), a VARIANT column
+    # (variantType), and log compaction.
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        compact_log,
+        write_delta,
+    )
+
+    alter_columns(tbl, adds={"score": "int"})
+    sql(spark, f"ALTER TABLE {sql_name} ALTER COLUMN score TYPE BIGINT")
+    evolved = spark.sql(
+        "SELECT CAST(9999 AS BIGINT) AS id, CAST(1 AS BIGINT) AS a, "
+        "CAST(0 AS INT) AS p, 'v' AS note, CAST(7 AS BIGINT) AS score, "
+        "parse_json('{\"src\": \"tour\"}') AS meta"
+    )
+    write_delta(evolved, tbl, mode="append", merge_schema=True)
+    read_delta(spark, tbl).selectExpr(
+        "id", "a", "try_variant_get(meta, '$.src', 'string') AS src"
+    ).filter("id = 9999").show()
+    snap = _load_snapshot(tbl)
+    compact_log(tbl, 0, snap.version)  # one-file replay of the history
+
     sql(spark, f"DESCRIBE DETAIL {sql_name}").show(truncate=False)
     describe_detail(spark, tbl).select("numFiles", "tableFeatures").show(
         truncate=False
