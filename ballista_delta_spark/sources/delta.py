@@ -1314,6 +1314,64 @@ def _next_version(log: str) -> int:
     return max(versions) + 1 if versions else 0
 
 
+def _spark_side_stats(
+    spark: SparkSession, staging: str, data_fields: list[T.StructField]
+) -> dict[str, str]:
+    """Per-file Delta stats computed by ONE Spark aggregation over a
+    staged write dir (``abs file path -> stats JSON``) — the fallback for
+    files pyarrow cannot open (variant logical type). Same JSON shape and
+    value spelling as ``_file_stats``: top-level primitives only, dates/
+    timestamps as isoformat, decimals as JSON numbers."""
+    import datetime
+    import decimal
+
+    eligible = [
+        f for f in data_fields
+        if isinstance(f.dataType, (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+            T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        ))
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in enumerate(eligible):
+        c = F.col(f.name)
+        aggs += [
+            F.min(c).alias(f"__mn{i}"),
+            F.max(c).alias(f"__mx{i}"),
+            F.sum(c.isNull().cast("long")).alias(f"__nc{i}"),
+        ]
+    rows = (
+        spark.read.parquet(staging)
+        .groupBy(F.col("_metadata.file_path").alias("__fp"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def spell(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return v
+
+    out: dict[str, str] = {}
+    for r in rows:
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for i, f in enumerate(eligible):
+            if r[f"__mn{i}"] is not None:
+                mins[f.name] = spell(r[f"__mn{i}"])
+                maxs[f.name] = spell(r[f"__mx{i}"])
+            nulls[f.name] = int(r[f"__nc{i}"] or 0)
+        out[re.sub("^file:/+", "/", r["__fp"])] = json.dumps({
+            "numRecords": r["__n"], "minValues": mins,
+            "maxValues": maxs, "nullCount": nulls,
+        })
+    return out
+
+
 def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
     """Per-file stats from the parquet footer (no data re-read): numRecords +
     min/max/nullCount per leaf column — same shape Spark/Delta 2.4 wrote in
@@ -2153,22 +2211,16 @@ def _stage_adds(
 
     data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
     # Variant columns use a parquet logical type this pyarrow build can't
-    # even open — compute numRecords-only stats with ONE Spark job over
-    # the whole staging dir instead of per-file footer reads. min/max on
-    # a variant is meaningless anyway (no ordering); numRecords is what
-    # the protocol machinery (rowTracking id ranges, OPTIMIZE sizing)
-    # actually consumes.
-    staged_counts: dict[str, int] | None = None
+    # even open — so for tables carrying one, compute the per-file stats
+    # with ONE Spark job over the whole staging dir instead of per-file
+    # footer reads: numRecords plus min/max/nullCount for every
+    # stats-eligible sibling column, so a mixed table (id + variant
+    # payload) keeps data skipping on its scalar columns. min/max on the
+    # variant itself is meaningless (no ordering) and is skipped, exactly
+    # as _file_stats skips nested leaves.
+    staged_stats: dict[str, str] | None = None
     if _schema_type_features(data_fields) & {"variantType"}:
-        staged_counts = {
-            re.sub("^file:/+", "/", r.fp): r.n
-            for r in (
-                df.sparkSession.read.parquet(staging)
-                .groupBy(F.col("_metadata.file_path").alias("fp"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-        }
+        staged_stats = _spark_side_stats(df.sparkSession, staging, data_fields)
     adds: list[dict[str, Any]] = []
     now_ms = int(time.time() * 1000)
     for root, _dirs, names in os.walk(staging):
@@ -2186,9 +2238,9 @@ def _stage_adds(
             rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
             dst = os.path.join(path, rel_final)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if staged_counts is not None:
-                stats = json.dumps(
-                    {"numRecords": staged_counts.get(os.path.abspath(src), 0)}
+            if staged_stats is not None:
+                stats = staged_stats.get(
+                    os.path.abspath(src), json.dumps({"numRecords": 0})
                 )
             else:
                 stats = _file_stats(src, data_fields)

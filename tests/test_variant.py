@@ -53,12 +53,28 @@ def test_variant_roundtrip_and_stats_fallback(spark, tbl):
     )
     assert got == [(i, i, f"t{i}") for i in range(5)]
     snap = _load_snapshot(tbl)
-    # pyarrow can't open variant parquet; stats are Spark-side
-    # numRecords-only and must still sum to the table's row count.
-    n = sum(
-        json.loads(a["stats"])["numRecords"] for a in snap.files.values()
-    )
-    assert n == 5
+    # pyarrow can't open variant parquet; stats come from the Spark-side
+    # aggregation — numRecords sums to the row count AND the scalar
+    # sibling column keeps min/max, so data skipping survives a variant
+    # payload column.
+    sts = [json.loads(a["stats"]) for a in snap.files.values()]
+    assert sum(s["numRecords"] for s in sts) == 5
+    nonempty = [s for s in sts if s["numRecords"]]
+    assert all("id" in s["minValues"] for s in nonempty)
+    assert min(s["minValues"]["id"] for s in nonempty) == 0
+    assert max(s["maxValues"]["id"] for s in nonempty) == 4
+    assert all("v" not in s["minValues"] for s in nonempty)
+
+
+def test_variant_table_scalar_columns_still_skip(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import skip_files
+
+    p = str(tmp_path / "vskip")
+    write_delta(_vdf(spark, 0, 10).coalesce(1), p)
+    write_delta(_vdf(spark, 100, 110).coalesce(1), p, mode="append")
+    snap = _load_snapshot(p)
+    kept = skip_files(snap, "id >= 100")
+    assert len(kept) == 1
 
 
 def test_variant_append_and_time_travel(spark, tbl):
