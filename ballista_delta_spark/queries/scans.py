@@ -977,6 +977,42 @@ def sink_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S31 sink_delta_replace_where: predicate overwrite — delta-spark's
+# option("replaceWhere") (sources/delta_dml.py replace_where_delta). The
+# idempotent backfill primitive: one commit deletes the declared slice
+# (metadata-only for fully-covered files) and inserts its recomputed
+# replacement; strict containment refuses rows leaking outside. The
+# query replaces region 2's nations with renamed rows; the oracle is the
+# equivalent anti-slice union.
+@_q(
+    "sink_delta_replace_where",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT n_nationkey, concat('NEW_', n_name) AS n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+)
+def sink_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+
+    path = _clone(_nation_delta(spark, sf_dir), "s31")
+    recomputed = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select(
+            "n_nationkey",
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+        )
+    )
+    replace_where_delta(spark, path, recomputed, "n_regionkey = 2")
+    return read_delta(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # --- S19 sink_delta_zorder: OPTIMIZE ... ZORDER BY — Morton-curve
 # clustering rewrite (dataChange=false). The query proves the rewrite is
 # content-preserving (rows identical to the source table) AND actually

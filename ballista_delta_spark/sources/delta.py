@@ -1826,6 +1826,7 @@ def write_delta(
     merge_schema: bool = False,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    replace_where: str | None = None,
 ) -> int:
     """``df.write.format("delta").mode(mode).save(path)`` analogue.
 
@@ -1851,9 +1852,28 @@ def write_delta(
     is Spark's fully distributed parquet writer; only the O(#files) commit is
     driver-side — which is how delta-spark itself commits.
 
+    ``replace_where`` is the ``.option("replaceWhere", predicate)``
+    analogue (requires ``mode="overwrite"``): in one commit, the rows
+    matching the predicate are replaced by ``df`` — strict containment,
+    see ``delta_dml.replace_where_delta``.
+
     Returns the committed version.
     """
     path = _strip_file_scheme(path)
+    if replace_where is not None:
+        if mode != "overwrite":
+            raise ValueError("replace_where requires mode='overwrite'")
+        if merge_schema or txn_app or txn_version is not None:
+            raise ValueError(
+                "replace_where does not combine with mergeSchema/txn"
+            )
+        from .delta_dml import replace_where_delta
+
+        return int(
+            replace_where_delta(
+                df.sparkSession, path, df, replace_where
+            )["version"]
+        )
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if (txn_app is None) != (txn_version is None):

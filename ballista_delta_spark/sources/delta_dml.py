@@ -342,6 +342,137 @@ def _delete_once(spark: SparkSession, path: str, condition: str) -> dict[str, An
     return {"version": version, **metrics}
 
 
+def replace_where_delta(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    predicate: str,
+    retries: int = 0,
+) -> dict[str, Any]:
+    """delta-spark's ``option("replaceWhere", predicate)`` overwrite: in
+    ONE commit, delete every existing row matching ``predicate`` and
+    insert ``df`` — the idempotent partition/backfill primitive ("replace
+    today's slice with this recomputed one").
+
+    Semantics match delta-spark's strict mode: every incoming row must
+    satisfy the predicate (an overwrite that leaks rows outside its
+    declared slice silently corrupts neighbors — refuse instead); CHECK
+    constraints/invariants are enforced on the incoming rows; files fully
+    covered by the predicate are removed metadata-only, partially covered
+    files are rewritten keeping their non-matching rows (for a partition-
+    aligned predicate that's zero rewrites — the common backfill case is
+    pure metadata + new files). CDF tables record delete rows for the
+    replaced slice and insert rows for the new one in the same commit.
+
+    Scale shape: the delete half prunes to predicate-relevant files
+    exactly like DELETE (stats/partition skipping via the scan), and the
+    insert half is a normal distributed stage — nothing scans the rest of
+    the table.
+    """
+    return _retrying(
+        lambda: _replace_where_once(spark, path, df, predicate), retries
+    )
+
+
+def _replace_where_once(
+    spark: SparkSession, path: str, df: DataFrame, predicate: str
+) -> dict[str, Any]:
+    dt = DeltaTable(path)
+    _check_writable(dt, cdf_capable=True)
+    snap = dt.snapshot
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+    # Incoming schema must match the table exactly (replaceWhere is not a
+    # schema-evolution path); select in table order so staging writes the
+    # canonical layout.
+    expected = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if set(incoming) != set(expected):
+        raise ValueError(
+            f"replaceWhere schema mismatch: incoming {sorted(incoming)} "
+            f"vs table {sorted(expected)}"
+        )
+    drift = {
+        n: (incoming[n], expected[n])
+        for n in expected if incoming[n] != expected[n]
+    }
+    if drift:
+        raise ValueError(f"schema type mismatch (incoming, table): {drift}")
+    df = df.select(*[f.name for f in snap.schema.fields])
+    # Strict containment: rows outside the declared slice refuse.
+    outside = df.filter(~cond).count()
+    if outside:
+        raise ValueError(
+            f"replaceWhere: {outside} incoming row(s) do not satisfy "
+            f"{predicate!r} — the write would leak outside its slice"
+        )
+    enforce_constraints(df, snap)
+
+    per_file = (
+        _attributed(spark, dt)
+        .filter(cond)
+        .groupBy(_FILE_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    matched = {
+        canon: r["n"]
+        for r, canon in zip(
+            per_file, _canon_rels(dt, [r[_FILE_COL] for r in per_file])
+        )
+    }
+    full = [r for r, n in matched.items() if _num_records(dt, r) == n]
+    partial = [r for r in matched if r not in set(full)]
+    now_ms = int(time.time() * 1000)
+
+    adds: list[dict[str, Any]] = []
+    if partial:
+        kept = _sized(
+            _subset_df(spark, dt, partial).filter(~cond), len(partial)
+        )
+        adds += _stage_adds(
+            kept, dt.path, snap.partition_columns, snap.schema, snap=snap
+        )
+    new_adds = _stage_adds(
+        df, dt.path, snap.partition_columns, snap.schema, snap=snap
+    )
+    adds += new_adds
+
+    n_deleted = sum(matched.values())
+    metrics = {
+        "numDeletedRows": n_deleted,
+        "numRemovedFiles": len(matched),
+        "numFullFilesRemoved": len(full),
+        "numAddedFiles": len(adds),
+    }
+    actions = [_commit_info(
+        "WRITE",
+        {"mode": "Overwrite", "predicate": predicate},
+        metrics, now_ms,
+    )]
+    actions += _removes(dt, full + partial, now_ms)
+    actions += [{"add": a} for a in adds]
+    if cdf_enabled(snap):
+        changes = None
+        if matched:
+            changes = (
+                _subset_df(spark, dt, full + partial)
+                .filter(cond)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        inserted = df.withColumn("_change_type", F.lit("insert"))
+        changes = inserted if changes is None else changes.unionByName(inserted)
+        actions += [
+            {"cdc": c}
+            for c in _stage_cdc(
+                changes, dt.path, snap.partition_columns, snap=snap
+            )
+        ]
+    version = _try_commit(
+        dt.path, actions, adds, enable_ict=ict_enabled(snap), snap=snap
+    )
+    return {"version": version, **metrics}
+
+
 def _dv_mark_rows(
     spark: SparkSession, dt: DeltaTable, located: DataFrame
 ) -> tuple[dict[str, list[int]], int]:

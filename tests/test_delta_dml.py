@@ -488,3 +488,93 @@ def test_cow_merge_on_map_column_refused(spark, tmp_path):
         merge_delta(
             spark, tbl, src, "t.id = s.id", matched_update={"id": "s.id"},
         )
+
+
+# ------------------------------------------------------- replaceWhere
+def test_replace_where_partition_aligned_is_metadata_only(spark, tmp_path):
+    """A partition-aligned replaceWhere removes the slice's files whole
+    (zero rewrites) and lands the recomputed slice in one commit — the
+    idempotent backfill primitive."""
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        tbl, partition_by=["p"],
+    )
+    recomputed = spark.range(100, 105).selectExpr(
+        "id", "CAST(1 AS INT) AS p"
+    )
+    res = replace_where_delta(spark, tbl, recomputed, "p = 1")
+    assert res["numDeletedRows"] == 10
+    assert res["numFullFilesRemoved"] == res["numRemovedFiles"]  # no rewrite
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == sorted(list(range(0, 20, 2)) + list(range(100, 105)))
+    # time travel: the pre-replace slice is still at v0
+    assert read_delta(spark, tbl, version=0).count() == 20
+
+
+def test_replace_where_arbitrary_predicate_rewrites_partials(spark, tmp_path):
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1), tbl)
+    recomputed = spark.range(5, 10).selectExpr("id", "id * 100 AS v")
+    res = replace_where_delta(spark, tbl, recomputed, "id >= 5")
+    assert res["numDeletedRows"] == 5
+    got = {r.id: r.v for r in read_delta(spark, tbl).collect()}
+    assert got == {**{i: i * 2 for i in range(5)},
+                   **{i: i * 100 for i in range(5, 10)}}
+
+
+def test_replace_where_strict_containment_and_write_delta_route(
+    spark, tmp_path
+):
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id", "id * 2 AS v"), tbl)
+    leaking = spark.range(3, 8).selectExpr("id", "id AS v")
+    with pytest.raises(ValueError, match="leak outside its slice"):
+        replace_where_delta(spark, tbl, leaking, "id >= 5")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        replace_where_delta(
+            spark, tbl, spark.range(5, 6).selectExpr("id"), "id >= 5"
+        )
+    # the write_delta(replace_where=) route commits the same thing
+    v = write_delta(
+        spark.range(5, 10).selectExpr("id", "id AS v"), tbl,
+        mode="overwrite", replace_where="id >= 5",
+    )
+    assert v == 1
+    assert read_delta(spark, tbl).count() == 10
+    with pytest.raises(ValueError, match="requires mode"):
+        write_delta(
+            spark.range(1).selectExpr("id", "id AS v"), tbl,
+            replace_where="id >= 5",
+        )
+
+
+def test_replace_where_cdf_records_delete_and_insert(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        read_delta_changes,
+    )
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(6).selectExpr("id", "id * 2 AS v"), tbl)
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})
+    res = replace_where_delta(
+        spark, tbl,
+        spark.range(3, 6).selectExpr("id", "id * 9 AS v"),
+        "id >= 3",
+    )
+    ch = read_delta_changes(spark, tbl, from_version=res["version"] - 1)
+    kinds = {
+        (r.id, r._change_type) for r in ch.select("id", "_change_type").collect()
+    }
+    assert kinds == (
+        {(i, "delete") for i in (3, 4, 5)}
+        | {(i, "insert") for i in (3, 4, 5)}
+    )
