@@ -517,3 +517,104 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "mean_nll",
         (F.col("mean_nll") <= 7.5).alias("keep"),
     )
+
+
+# ------------------------------------------------------- events_funnel
+# Ordered conversion funnel (view -> click -> purchase): per user, each
+# stage's timestamp must STRICTLY follow the previous stage's — the
+# product-analytics query every event warehouse runs. Spark shape: one
+# hash partitioning by user_id reused across the three cascaded
+# stage-aggregates (groupBy user -> join user -> groupBy user: Catalyst
+# reuses the exchange), then a 3-row stage-count union. At 100 TB the
+# per-user frames never re-shuffle and no window materializes the full
+# event list per user.
+@_q(
+    "events_funnel",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN u USING (user_id)
+        WHERE e.event_type = 'click' AND u.t1 IS NOT NULL AND e.ts > u.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(t1) AS users FROM u
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t1")
+    )
+    c = (
+        ev.join(u.filter(F.col("t1").isNotNull()), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        u.agg(F.lit("1_view").alias("stage"), F.count("t1").alias("users"))
+        .unionAll(c.agg(F.lit("2_click"), F.count(F.lit(1))))
+        .unionAll(p.agg(F.lit("3_purchase"), F.count(F.lit(1))))
+    )
+
+
+# ---------------------------------------------------- events_retention
+# Cohort retention: users grouped by first-seen day, counted per
+# day-offset of later activity — the engagement matrix behind every
+# retention curve. One shuffle by user builds the cohort map; the join
+# back reuses that partitioning; the distinct + final aggregate shuffle
+# only (cohort_day, offset) pairs — days^2-bounded, tiny at any scale.
+@_q(
+    "events_retention",
+    """
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS c0
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, c.c0,
+               CAST(CAST(e.ts AS DATE) - c.c0 AS INTEGER) AS offset_days
+        FROM events e JOIN cohort c USING (user_id)
+    )
+    SELECT c0 AS cohort_day, offset_days, count(*) AS users
+    FROM act GROUP BY c0, offset_days
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    act = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id", "c0",
+            F.datediff(F.to_date("ts"), F.col("c0")).alias("offset_days"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(F.col("c0").alias("cohort_day"), F.col("offset_days"))
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
