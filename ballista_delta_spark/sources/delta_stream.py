@@ -212,18 +212,20 @@ class DeltaStreamReader(DataSourceStreamReader):
         return latest
 
     def latestOffset(self) -> dict:
-        latest = self._latest_version()
+        actual = self._latest_version()
         v, i = self._planned or (self.starting_version, 0)
-        if latest < self.starting_version:  # no commits yet
+        if actual < self.starting_version:  # no commits yet
             self._planned = (v, i)
             return {"version": v, "index": i}
+        # Normalize the anchor past fully-consumed commits FIRST, so the
+        # version clamp below always counts unconsumed versions — without
+        # this, an EMPTY commit (pure metadata) pins a
+        # maxVersionsPerTrigger=1 stream forever (hypothesis-found).
+        while v < actual and i >= len(self._plan(v)):
+            v, i = v + 1, 0
+        latest = actual
         if self.max_versions_per_trigger is not None:
-            # The budget counts UNCONSUMED versions: a fully-consumed
-            # anchor commit (i == its file count) doesn't use a slot.
-            base = v
-            if v <= latest and i > 0 and i >= len(self._plan(v)):
-                base = v + 1
-            latest = min(latest, base + self.max_versions_per_trigger - 1)
+            latest = min(latest, v + self.max_versions_per_trigger - 1)
         if self.max_files_per_trigger is None:
             # Unbounded: consume through the end of the last commit.
             if latest >= v:

@@ -174,3 +174,89 @@ class TestDeletionVectorRoundtrip:
 
         vals = list(range(n))
         assert parse_roaring_bitmap_array(_serialize_dv(vals)) == vals
+
+
+# ----------------------------------------------- streaming offset walk
+# The (version, index) offset arithmetic of the Delta streaming source:
+# for ANY commit-size profile and ANY rate-limit combination, repeatedly
+# planning micro-batches must emit every file exactly once, in log
+# order, within the per-batch budgets, and terminate.
+class TestStreamOffsetWalk:
+    @staticmethod
+    def _reader(file_counts, max_files, max_versions):
+        from pyspark.sql.datasource import InputPartition  # noqa: F401
+
+        from ballista_delta_spark.sources.delta_stream import (
+            DeltaFilePartition,
+            DeltaStreamReader,
+        )
+
+        r = DeltaStreamReader.__new__(DeltaStreamReader)
+        r.starting_version = 0
+        r.max_files_per_trigger = max_files
+        r.max_versions_per_trigger = max_versions
+        r.read_change_feed = False
+        r._planned = None
+        r._plans = {
+            v: [
+                DeltaFilePartition(v, f"f-{v}-{i}.parquet")
+                for i in range(n)
+            ]
+            for v, n in enumerate(file_counts)
+        }
+        r._latest_version = lambda: len(file_counts) - 1
+        return r
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                 max_size=6),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_walk_emits_every_file_once_within_budgets(
+        self, file_counts, max_files, max_versions
+    ):
+        r = self._reader(file_counts, max_files, max_versions)
+        off = r.initialOffset()
+        seen: list[str] = []
+        for _ in range(200):
+            end = r.latestOffset()
+            parts = r.partitions(off, end)
+            if max_files is not None:
+                assert len(parts) <= max_files
+            if max_versions is not None:
+                assert len({p.version for p in parts}) <= max_versions
+            seen.extend(p.rel_path for p in parts)
+            if end == off:
+                break
+            off = end
+        else:
+            raise AssertionError("offset walk did not terminate")
+        expected = [
+            f"f-{v}-{i}.parquet"
+            for v, n in enumerate(file_counts)
+            for i in range(n)
+        ]
+        assert seen == expected  # every file once, in log order
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                 max_size=5),
+        st.integers(min_value=1, max_value=3),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_legacy_offsets_resume_anywhere(self, file_counts, boundary):
+        """A legacy {"version": v} checkpoint offset must resume exactly
+        after commit v, whatever the rate limit."""
+        r = self._reader(file_counts, None, None)
+        b = min(boundary, len(file_counts)) - 1
+        end = r.latestOffset()
+        parts = r.partitions({"version": b}, end)
+        expected = [
+            f"f-{v}-{i}.parquet"
+            for v, n in enumerate(file_counts)
+            for i in range(n)
+            if v > b
+        ]
+        assert [p.rel_path for p in parts] == expected
