@@ -1402,7 +1402,13 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
                 continue
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
             if st.has_min_max:
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't decode stats for some physical types
+                    # (e.g. INT8 annotations) — skip min/max, keep the
+                    # row/null counts (stats are best-effort per spec).
+                    continue
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
@@ -3900,7 +3906,7 @@ def vacuum(
     ):
         if os.path.abspath(bin_path) in live_bins:
             continue
-        if now_ms - os.path.getmtime(bin_path) * 1000 < retention_ms:
+        if now_ms - int(os.path.getmtime(bin_path) * 1000) < retention_ms:
             continue
         if not dry_run:
             os.unlink(bin_path)
@@ -3925,7 +3931,7 @@ def vacuum(
         if (
             entry.startswith(".tmp-write-")
             and os.path.isdir(staging)
-            and now_ms - os.path.getmtime(staging) * 1000 >= retention_ms
+            and now_ms - int(os.path.getmtime(staging) * 1000) >= retention_ms
         ):
             if not dry_run:
                 _shutil.rmtree(staging, ignore_errors=True)
@@ -3949,7 +3955,7 @@ def vacuum(
                 continue
             fp = os.path.join(walk_root, name)
             try:
-                if now_ms - os.path.getmtime(fp) * 1000 < retention_ms:
+                if now_ms - int(os.path.getmtime(fp) * 1000) < retention_ms:
                     continue
                 if not dry_run:
                     os.unlink(fp)

@@ -156,3 +156,39 @@ def test_widened_column_still_prunes_with_stats(spark, tmp_path):
     snap = _load_snapshot(p)
     kept = skip_files(snap, "id >= 100")
     assert len(kept) == 1  # the first file is pruned on stats
+
+
+_MATRIX = [
+    # (write type, value sql, widen chain)
+    ("tinyint", "CAST(-7 AS TINYINT)", ["smallint", "int", "bigint"]),
+    ("smallint", "CAST(999 AS SMALLINT)", ["int", "decimal(12,2)"]),
+    ("int", "CAST(-123456 AS INT)", ["double"]),
+    ("float", "CAST(1.5 AS FLOAT)", ["double"]),
+    ("decimal(5,2)", "CAST(123.45 AS DECIMAL(5,2))",
+     ["decimal(10,2)", "decimal(12,4)"]),
+    ("bigint", "CAST(5000000000 AS BIGINT)", ["decimal(22,2)"]),
+]
+
+
+def test_widening_matrix_preserves_values_through_chains(spark, tmp_path):
+    """Every allowed widening (and chains of them) must read the
+    originally-written narrow value back exactly."""
+    for i, (wt, val_sql, chain) in enumerate(_MATRIX):
+        p = str(tmp_path / f"m{i}")
+        write_delta(
+            spark.sql(f"SELECT 1 AS id, {val_sql} AS x"), p
+        )
+        base = spark.sql(f"SELECT {val_sql} AS x").collect()[0].x
+        for to in chain:
+            alter_column_type(p, "x", to)
+            got = read_delta(spark, p).collect()[0].x
+            assert float(got) == float(base), (wt, to, got, base)
+        # append a wide-typed row after the chain: both files coexist
+        final = _load_snapshot(p).schema["x"].dataType.simpleString()
+        write_delta(
+            spark.sql(
+                f"SELECT 2 AS id, CAST({val_sql} AS {final}) AS x"
+            ),
+            p, mode="append",
+        )
+        assert read_delta(spark, p).count() == 2
