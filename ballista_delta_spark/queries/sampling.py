@@ -93,3 +93,41 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# -------------------------------------------------------- sample_weighted
+# Length-proportional sampling: keep probability ∝ document length, capped
+# at 1 — the "sample by tokens, not by docs" correction every mixture
+# recipe needs (uniform doc sampling over-represents short docs in the
+# token budget). Membership stays hash-derived (md5 bucket vs a per-row
+# threshold computed from n_chars), so the draw is deterministic,
+# partitioning-independent, and exactly reproducible by the oracle — and
+# the whole operator is still ONE codegen'd hash-filtered scan, no
+# shuffle before the final profile aggregate.
+_W_SCALE = 2000  # chars at (or above) which the keep probability is 1.0
+
+
+@_q(
+    "sample_weighted",
+    f"""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars
+    FROM documents
+    WHERE {_HASH_DUCK} < least(n_chars, {_W_SCALE}) * 100 // {_W_SCALE}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    thresh = f"least(n_chars, {_W_SCALE}) * 100 DIV {_W_SCALE}"
+    return (
+        d.filter(F.expr(f"{_HASH_SPARK} < {thresh}"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
