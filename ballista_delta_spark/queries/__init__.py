@@ -77,6 +77,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         streaming_q,
         subqueries,
         text,
+        tpch,
         udfs,
         windows,
     )
@@ -84,8 +85,8 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     collected: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
         scans, relational, joins, aggregates, windows, functions_q,
-        subqueries, udfs, dedup, similarity, text, pipeline, multimodal,
-        streaming_q, sampling,
+        subqueries, tpch, udfs, dedup, similarity, text, pipeline,
+        multimodal, streaming_q, sampling,
     ):
         for key, pair in mod.QUERIES.items():
             if key in collected:
