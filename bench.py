@@ -39,6 +39,9 @@ HEADLINE = [
     "text_tfidf_topk",    # broadcast-df TF-IDF top-k terms
     "seq_pack",           # window-cumsum greedy sequence packing
     "text_decontaminate", # 13-gram benchmark-broadcast decontamination
+    # r8 composite multi-join workloads:
+    "tpch_q5",            # 6-way join: 5 broadcasts + 1 shuffle
+    "tpch_q10",           # 4-way join + total-ordered top-20
 ]
 
 WARMUP = 1
