@@ -41,6 +41,10 @@ _DELTA_INSERT = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    # delta-spark: INSERT INTO t REPLACE WHERE <pred> SELECT ... — the
+    # predicate-overwrite form (routed to replace_where_delta).
+    r"(?:REPLACE\s+WHERE\s+(?P<rwpred>.+?)\s+"
+    r"(?=SELECT\b|VALUES\b|WITH\b|TABLE\b))?"
     r"(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -371,6 +375,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             return _delta_insert(
                 spark, name, m.group("cols"), m.group("body"),
                 overwrite=m.group("mode").upper() == "OVERWRITE",
+                replace_where=m.group("rwpred"),
             )
 
     m = _DELTA_DELETE.match(statement)
@@ -758,6 +763,7 @@ def _resolve_view(raw: str) -> str | None:
 def _delta_insert(
     spark: SparkSession, name: str, cols: str | None, body: str,
     overwrite: bool = False,
+    replace_where: str | None = None,
 ) -> DataFrame:
     """Append (or, for INSERT OVERWRITE, replace) rows of the Delta table
     behind view ``name`` with ``body``'s result.
@@ -812,7 +818,16 @@ def _delta_insert(
             rows[rows.columns[i]].cast(f.dataType).alias(f.name)
             for i, f in enumerate(fields)
         ])
-    version = write_delta(out, loc, mode="overwrite" if overwrite else "append")
+    if replace_where is not None:
+        from .sources.delta_dml import replace_where_delta
+
+        version = replace_where_delta(
+            spark, loc, out, replace_where.strip()
+        )["version"]
+    else:
+        version = write_delta(
+            out, loc, mode="overwrite" if overwrite else "append"
+        )
     # Refresh the view to the new snapshot (the reference errors here:
     # "Can't encode non-delta tables", tests/local.rs:100-103 — we commit).
     read_delta(spark, loc).createOrReplaceTempView(name)

@@ -578,3 +578,27 @@ def test_replace_where_cdf_records_delete_and_insert(spark, tmp_path):
         {(i, "delete") for i in (3, 4, 5)}
         | {(i, "insert") for i in (3, 4, 5)}
     )
+
+
+def test_replace_where_sql_route(spark, tmp_path):
+    """INSERT INTO t REPLACE WHERE pred SELECT ... — the delta-spark SQL
+    form, routed through the session's DDL dispatcher."""
+    from ballista_delta_spark.session import sql as bd_sql
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        tbl, partition_by=["p"],
+    )
+    bd_sql(spark, f"CREATE EXTERNAL TABLE rw STORED AS DELTA LOCATION '{tbl}'")
+    v = bd_sql(
+        spark,
+        "INSERT INTO rw REPLACE WHERE p = 1 "
+        "SELECT id, CAST(1 AS INT) AS p FROM range(100, 103)",
+    ).collect()[0][0]
+    assert v == 1
+    got = sorted(r.id for r in spark.table("rw").collect())
+    assert got == sorted(list(range(0, 10, 2)) + [100, 101, 102])
+    # plain INSERT still routes as an append
+    bd_sql(spark, "INSERT INTO rw VALUES (7, 1)")
+    assert spark.table("rw").count() == 9
