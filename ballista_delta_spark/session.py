@@ -196,13 +196,14 @@ _DELTA_ALTER_COLUMN = re.compile(
     re.IGNORECASE,
 )
 
-# CREATE TABLE <name> SHALLOW CLONE <src> LOCATION '<dst>' — zero-copy
-# table fork (delta-spark clone DDL), routed to clone_delta. <src> is a
-# registered delta view name or a quoted path.
+# CREATE TABLE <name> SHALLOW|DEEP CLONE <src> LOCATION '<dst>' —
+# zero-copy table fork / self-contained snapshot copy (delta-spark clone
+# DDL), routed to clone_delta. <src> is a registered delta view name or
+# a quoted path.
 _DELTA_CLONE = re.compile(
     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
-    r"\s+SHALLOW\s+CLONE\s+"
+    r"\s+(?P<depth>SHALLOW|DEEP)\s+CLONE\s+"
     r"(?P<src>`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
     r"\s+LOCATION\s+'(?P<dst>[^']+)'\s*;?\s*$",
     re.IGNORECASE,
@@ -636,12 +637,12 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             src_name = _resolve_view(raw_src)
             if src_name is None:
                 raise ValueError(
-                    f"SHALLOW CLONE source {raw_src!r} is not a registered "
+                    f"CLONE source {raw_src!r} is not a registered "
                     "Delta table (use a quoted path or register it first)"
                 )
             src_loc = _delta_views[src_name]
         dst = m.group("dst")
-        clone_delta(src_loc, dst)
+        clone_delta(src_loc, dst, deep=m.group("depth").upper() == "DEEP")
         name = m.group("name").strip("`")
         read_delta(spark, dst).createOrReplaceTempView(name)
         _delta_views[name] = dst

@@ -3305,15 +3305,16 @@ def drop_feature(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
-def clone_delta(src: str, dst: str) -> int:
-    """SHALLOW CLONE: a new, independent Delta table whose version-0 commit
-    REFERENCES the source's current data files by absolute path — zero data
-    copied, O(#files) metadata. Writes/DML/OPTIMIZE on the clone never
-    touch the source (removes only drop the clone's log references;
-    ``vacuum`` walks only the clone's own directory, so out-of-root
-    referenced files are untouchable by design). The clone gets a fresh
-    table id; schema, partitioning, configuration, and protocol carry over
-    verbatim, per delta-spark's CREATE TABLE ... SHALLOW CLONE.
+def clone_delta(src: str, dst: str, deep: bool = False) -> int:
+    """SHALLOW CLONE (default): a new, independent Delta table whose
+    version-0 commit REFERENCES the source's current data files by
+    absolute path — zero data copied, O(#files) metadata. Writes/DML/
+    OPTIMIZE on the clone never touch the source (removes only drop the
+    clone's log references; ``vacuum`` walks only the clone's own
+    directory, so out-of-root referenced files are untouchable by
+    design). The clone gets a fresh table id; schema, partitioning,
+    configuration, and protocol carry over verbatim, per delta-spark's
+    CREATE TABLE ... SHALLOW CLONE.
 
     At 100 TB this is the standard way to fork a table for experiments or
     staged migrations: a billion-file clone is one JSON commit.
@@ -3321,6 +3322,13 @@ def clone_delta(src: str, dst: str) -> int:
     DV descriptors with table-relative storage (type 'u') are rewritten to
     absolute-path descriptors (type 'p') pointing at the source's bin
     files, so merge-on-read state survives the re-rooting.
+
+    ``deep=True`` (DEEP CLONE) instead COPIES every active data file (and
+    DV bin) into the destination, producing a fully self-contained table
+    — the snapshot/disaster-recovery form: the source can be vacuumed or
+    deleted afterwards without affecting the clone. Same single-commit
+    log shape; cost is the data transfer, trivially parallelizable at
+    the file level (sequential here — local FS).
     """
     src = _strip_file_scheme(src)
     dst = _strip_file_scheme(dst)
@@ -3356,9 +3364,10 @@ def clone_delta(src: str, dst: str) -> int:
                 "operationParameters": {
                     "source": src_abs,
                     "sourceVersion": str(snap.version),
+                    "isShallow": str(not deep).lower(),
                 },
                 "operationMetrics": {
-                    "numCopiedFiles": "0",
+                    "numCopiedFiles": str(len(snap.files) if deep else 0),
                     "numReferencedFiles": str(len(snap.files)),
                 },
                 "engineInfo": ENGINE_INFO,
@@ -3380,18 +3389,57 @@ def clone_delta(src: str, dst: str) -> int:
         }})
     from . import dv as _dv
 
-    for rel, a in snap.files.items():
+    import shutil as _shutil
+
+    copied_bins: set[str] = set()
+    for i, (rel, a) in enumerate(sorted(snap.files.items())):
         add = dict(a)
-        add["path"] = (
-            rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
-        )
         add["dataChange"] = False
         desc = _as_dict(a.get("deletionVector") or {})
-        if desc and desc.get("storageType") == "u":
-            new_desc = dict(desc)
-            new_desc["storageType"] = "p"
-            new_desc["pathOrInlineDv"] = _dv.dv_file_path(src_abs, desc)
-            add["deletionVector"] = new_desc
+        if not deep:
+            add["path"] = (
+                rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+            )
+            if desc and desc.get("storageType") == "u":
+                new_desc = dict(desc)
+                new_desc["storageType"] = "p"
+                new_desc["pathOrInlineDv"] = _dv.dv_file_path(src_abs, desc)
+                add["deletionVector"] = new_desc
+        else:
+            src_fp = rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+            # Absolute source paths (the source was itself a shallow
+            # clone) flatten into the destination root under a fresh
+            # unambiguous name; relative paths keep their Hive layout.
+            rel_out = (
+                f"cloned-{i:05d}-{os.path.basename(rel)}"
+                if os.path.isabs(rel) else rel
+            )
+            dst_fp = os.path.join(dst, rel_out)
+            os.makedirs(os.path.dirname(dst_fp), exist_ok=True)
+            _shutil.copy2(src_fp, dst_fp)
+            add["path"] = rel_out.replace(os.sep, "/")
+            if desc:
+                st = desc.get("storageType")
+                if st == "u":
+                    # Same descriptor resolves to the same RELATIVE bin
+                    # location under the new root — copy the bin there.
+                    bin_src = _dv.dv_file_path(src_abs, desc)
+                    bin_dst = _dv.dv_file_path(dst, desc)
+                    if bin_dst not in copied_bins:
+                        os.makedirs(os.path.dirname(bin_dst), exist_ok=True)
+                        _shutil.copy2(bin_src, bin_dst)
+                        copied_bins.add(bin_dst)
+                elif st == "p":
+                    bin_src = desc["pathOrInlineDv"]
+                    bin_name = os.path.basename(bin_src)
+                    bin_dst = os.path.join(dst, bin_name)
+                    if bin_dst not in copied_bins:
+                        _shutil.copy2(bin_src, bin_dst)
+                        copied_bins.add(bin_dst)
+                    new_desc = dict(desc)
+                    new_desc["pathOrInlineDv"] = bin_dst
+                    add["deletionVector"] = new_desc
+                # storageType 'i' (inline) needs no file
         actions.append({"add": add})
     return _try_commit(dst, actions, [])
 

@@ -184,3 +184,62 @@ def test_clone_carries_domain_metadata(spark, tmp_path):
     got = read_delta_with_row_ids(spark, dst)
     assert got.count() == 110
     assert got.select("row_id").distinct().count() == 110  # no collisions
+
+
+def test_deep_clone_is_self_contained(spark, tmp_path):
+    """DEEP CLONE copies every data file and DV bin: deleting the SOURCE
+    outright leaves the clone fully readable — the snapshot/DR form."""
+    import shutil
+
+    from ballista_delta_spark.sources.delta import clone_delta
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "src")
+    write_delta(
+        spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    delete_delta(spark, src, "id < 4", mode="dv")  # live DV state
+    dst = str(tmp_path / "deep")
+    clone_delta(src, dst, deep=True)
+    import json as _json
+    import os as _os
+
+    acts = [
+        _json.loads(line)
+        for line in open(_os.path.join(dst, "_delta_log",
+                                       f"{0:020d}.json"))
+    ]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert ci["operationParameters"]["isShallow"] == "false"
+    assert int(ci["operationMetrics"]["numCopiedFiles"]) > 0
+    # every add path is RELATIVE (self-contained)
+    assert all(
+        not _os.path.isabs(a["add"]["path"]) for a in acts if "add" in a
+    )
+    shutil.rmtree(src)  # destroy the source entirely
+    got = sorted(r.id for r in read_delta(spark, dst).collect())
+    assert got == list(range(4, 20))  # DV state survived the copy
+
+
+def test_deep_clone_sql_route_and_of_shallow_clone(spark, tmp_path):
+    """DEEP CLONE of a SHALLOW clone flattens the absolute-path refs into
+    owned copies; the SQL DDL routes both depths."""
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import clone_delta
+
+    src = str(tmp_path / "src")
+    write_delta(spark.range(10).selectExpr("id"), src)
+    shallow = str(tmp_path / "shallow")
+    clone_delta(src, shallow)  # refs src by absolute path
+    deep = str(tmp_path / "deep")
+    bd_sql(
+        spark,
+        f"CREATE TABLE dcl DEEP CLONE '{shallow}' LOCATION '{deep}'",
+    )
+    import shutil
+
+    shutil.rmtree(src)
+    shutil.rmtree(shallow)
+    assert spark.table("dcl").count() == 10
+    assert read_delta(spark, deep).count() == 10
