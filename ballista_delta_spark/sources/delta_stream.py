@@ -110,7 +110,7 @@ class DeltaStreamDataSource(DataSource):
         return DeltaStreamReader(
             self.options["path"],
             schema,
-            starting_version=int(self.options.get("startingversion", 0)),
+            starting_version=self._starting_version(),
             ignore_changes=str(
                 self.options.get("ignorechanges", "false")
             ).lower() == "true",
@@ -118,6 +118,39 @@ class DeltaStreamDataSource(DataSource):
             max_versions_per_trigger=self._limit("maxversionspertrigger"),
             max_files_per_trigger=self._limit("maxfilespertrigger"),
         )
+
+    def _starting_version(self) -> int:
+        """``startingVersion`` or ``startingTimestamp`` (ISO-8601 or
+        ``YYYY-MM-DD HH:MM:SS``), delta-spark's pair of stream-start
+        options: a timestamp resolves to the first commit AT or AFTER it
+        via the table's commit-time index (ICT-aware)."""
+        sv = self.options.get("startingversion")
+        st = self.options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "set either startingVersion or startingTimestamp, not both"
+            )
+        if st is None:
+            return int(sv) if sv is not None else 0
+        import datetime
+
+        from .delta import version_at_timestamp
+
+        dt = datetime.datetime.fromisoformat(str(st).replace(" ", "T"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+        path = _strip_file_scheme(self.options["path"])
+        # delta-spark semantics: start at the first commit whose
+        # timestamp is >= the requested one. version_at_timestamp gives
+        # the LAST commit <= ts (time-travel semantics), so resolve
+        # against ts-1: (last commit strictly before ts) + 1 is exactly
+        # the first commit at-or-after ts.
+        try:
+            return version_at_timestamp(path, ts_ms - 1) + 1
+        except ValueError:
+            # timestamp predates the first commit -> start at 0
+            return 0
 
     def _limit(self, key: str) -> int | None:
         raw = self.options.get(key)

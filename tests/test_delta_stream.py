@@ -467,3 +467,59 @@ def test_vacuum_dry_run_and_show_tblproperties(spark, tmp_path):
     with _pytest.raises(Exception, match="positive"):
         _reader(spark, tbl, max_versions_per_trigger=0)
     spark.catalog.dropTempView("vdr_t")
+
+
+def test_starting_timestamp_resolves_to_first_commit_at_or_after(
+    spark, tmp_path
+):
+    """startingTimestamp (delta-spark's stream-start option): the stream
+    begins at the first commit whose time is >= the timestamp, resolved
+    via the ICT-aware commit-time index."""
+    import datetime
+    import json
+    import os
+
+    from ballista_delta_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    tbl = str(tmp_path / "ts")
+    write_delta(spark.createDataFrame([(1, "a")], "id int, s string"), tbl)
+    write_delta(spark.createDataFrame([(2, "b")], "id int, s string"), tbl,
+                mode="append")
+    write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+                mode="append")
+
+    def commit_ts(v):
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    return act["commitInfo"]["timestamp"]
+
+    def reader(**opts):
+        ds = DeltaStreamDataSource(
+            options={"path": tbl, **{k.lower(): v for k, v in opts.items()}}
+        )
+        return ds.streamReader(ds.schema())
+
+    def iso(ms):
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, datetime.timezone.utc
+        ).isoformat()
+
+    # exactly at v1's commit time -> v1 included
+    r = reader(startingTimestamp=iso(commit_ts(1)))
+    assert r.starting_version == 1
+    rows, _ = _drain(r, r.initialOffset())
+    assert sorted(t[0] for t in rows) == [2, 3]
+    # just after v1 -> v2 only
+    r2 = reader(startingTimestamp=iso(commit_ts(1) + 1))
+    assert r2.starting_version == 2
+    # far in the past -> everything
+    r3 = reader(startingTimestamp="2000-01-01T00:00:00+00:00")
+    assert r3.starting_version == 0
+    # both options together refuse
+    with pytest.raises(ValueError, match="not both"):
+        reader(startingVersion="1",
+               startingTimestamp="2000-01-01T00:00:00+00:00")
