@@ -523,3 +523,46 @@ def test_starting_timestamp_resolves_to_first_commit_at_or_after(
     with pytest.raises(ValueError, match="not both"):
         reader(startingVersion="1",
                startingTimestamp="2000-01-01T00:00:00+00:00")
+
+
+def test_max_files_per_trigger_end_to_end_microbatches(spark, tbl):
+    """maxFilesPerTrigger through Spark's real micro-batch loop: a
+    continuous-trigger query over a bulk commit must land ALL rows across
+    MULTIPLE batches (availableNow snapshots one offset — documented —
+    so this drives processingTime and stops once drained)."""
+    import time
+    import uuid
+
+    big = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS s"
+    ).repartition(4)
+    write_delta(big, tbl, mode="append")  # v1: 4 add-actions
+    register_delta_stream_source(spark)
+    qname = f"t_rate_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", tbl)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(qname).count() == 102:
+                break
+            time.sleep(0.5)
+        assert spark.table(qname).count() == 102
+        # multiple non-empty micro-batches actually ran
+        progressed = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(progressed) >= 2, [
+            p["numInputRows"] for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
