@@ -500,7 +500,7 @@ def convert_to_delta(spark: SparkSession, path: str) -> int:
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
                 "dataChange": True,
-                "stats": _file_stats(full, data_fields),
+                "stats": _file_stats(full, _stats_fields(data_fields, None)),
             }
         })
     return _try_commit(path, actions, [])
@@ -1365,11 +1365,59 @@ def _spark_side_stats(
                 mins[f.name] = spell(r[f"__mn{i}"])
                 maxs[f.name] = spell(r[f"__mx{i}"])
             nulls[f.name] = int(r[f"__nc{i}"] or 0)
+        _trunc_stat_strings(mins, maxs)
         out[re.sub("^file:/+", "/", r["__fp"])] = json.dumps({
             "numRecords": r["__n"], "minValues": mins,
             "maxValues": maxs, "nullCount": nulls,
         })
     return out
+
+
+_STATS_STRING_PREFIX = 32
+
+
+def _trunc_stat_strings(
+    mins: dict[str, Any], maxs: dict[str, Any]
+) -> None:
+    """Delta's stats string truncation (in place): long string bounds
+    keep a 32-char prefix; the MAX prefix's last incrementable char is
+    bumped so the truncated bound still dominates every value it covers
+    (prefix <= true min keeps the min sound for free). Without this, a
+    document-text column would copy whole documents into every add
+    action's stats JSON — at 100 TB that alone makes the log unreadable.
+    An untruncatable max (all chars at U+10FFFF) drops the column's
+    bounds; pruning then skips the column (sound: no judgment)."""
+    for name in list(mins):
+        mn, mx = mins[name], maxs.get(name)
+        if isinstance(mn, str) and len(mn) > _STATS_STRING_PREFIX:
+            mins[name] = mn[:_STATS_STRING_PREFIX]
+        if isinstance(mx, str) and len(mx) > _STATS_STRING_PREFIX:
+            prefix = mx[:_STATS_STRING_PREFIX]
+            bumped = None
+            for i in range(len(prefix) - 1, -1, -1):
+                if ord(prefix[i]) < 0x10FFFF:
+                    bumped = prefix[:i] + chr(ord(prefix[i]) + 1)
+                    break
+            if bumped is None:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+            else:
+                maxs[name] = bumped
+
+
+def _stats_fields(
+    data_fields: list[T.StructField], snap: "Snapshot | None"
+) -> list[T.StructField]:
+    """The leading columns stats are collected for —
+    ``delta.dataSkippingNumIndexedCols`` (default 32, -1 = all), the
+    spec's cap on stats width so a 2000-column table doesn't pay
+    2000-column min/max in every add action."""
+    n = 32
+    if snap is not None:
+        raw = snap.configuration.get("delta.dataSkippingNumIndexedCols")
+        if raw is not None:
+            n = int(raw)
+    return list(data_fields) if n < 0 else list(data_fields)[:n]
 
 
 def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
@@ -1423,6 +1471,7 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
                     mn, mx = float(mn), float(mx)
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    _trunc_stat_strings(mins, maxs)
     return json.dumps(
         {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
     )
@@ -2244,9 +2293,10 @@ def _stage_adds(
     # payload) keeps data skipping on its scalar columns. min/max on the
     # variant itself is meaningless (no ordering) and is skipped, exactly
     # as _file_stats skips nested leaves.
+    indexed = _stats_fields(data_fields, snap)
     staged_stats: dict[str, str] | None = None
     if _schema_type_features(data_fields) & {"variantType"}:
-        staged_stats = _spark_side_stats(df.sparkSession, staging, data_fields)
+        staged_stats = _spark_side_stats(df.sparkSession, staging, indexed)
     adds: list[dict[str, Any]] = []
     now_ms = int(time.time() * 1000)
     for root, _dirs, names in os.walk(staging):
@@ -2269,7 +2319,7 @@ def _stage_adds(
                     os.path.abspath(src), json.dumps({"numRecords": 0})
                 )
             else:
-                stats = _file_stats(src, data_fields)
+                stats = _file_stats(src, indexed)
             os.replace(src, dst)
             adds.append(
                 {

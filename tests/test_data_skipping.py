@@ -267,3 +267,78 @@ def test_skip_files_soundness_sweep(spark, tmp_path):
             tuple(r) for r in read_delta(spark, tbl, where=pred).collect()
         )
         assert got == expect, f"pruned scan diverged for {pred!r}"
+
+
+def test_long_string_stats_truncate_but_still_prune(spark, tmp_path):
+    """String bounds truncate to a 32-char prefix (max bumped past every
+    covered value) so a document-text column costs 32 chars per file in
+    the log, not the whole document — and range pruning on the truncated
+    bounds stays sound."""
+    import json
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        skip_files,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    long_a = "a" * 500
+    long_m = "m" * 500
+    write_delta(
+        spark.createDataFrame(
+            [(1, long_a), (2, long_m)], "id int, body string"
+        ).coalesce(1),
+        p,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(3, "z" * 500)], "id int, body string"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    snap = _load_snapshot(p)
+    for a in snap.files.values():
+        st = json.loads(a["stats"])
+        assert len(st["minValues"]["body"]) <= 32
+        assert len(st["maxValues"]["body"]) <= 32
+    # file 1 covers [aaa.., mmm..+bump]; file 2 covers [zzz.., zzz..+bump]
+    kept = skip_files(snap, "body >= 'y'")
+    assert len(kept) == 1  # the a..m file pruned, the z file kept
+    kept_all = skip_files(snap, "body >= 'a'")
+    assert len(kept_all) == 2  # truncation never over-prunes
+
+
+def test_data_skipping_num_indexed_cols_caps_stats_width(spark, tmp_path):
+    import json
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(5).selectExpr(
+        "id", "id * 2 AS b", "id * 3 AS c", "CAST(id AS STRING) AS d"
+    )
+    write_delta(df, p)
+    alter_properties(
+        spark, p, {"delta.dataSkippingNumIndexedCols": "2"}
+    )
+    write_delta(df, p, mode="append")
+    snap = _load_snapshot(p)
+    # the latest commit's adds carry stats for the first 2 columns only
+    import os
+
+    last_v = snap.version
+    with open(os.path.join(p, "_delta_log", f"{last_v:020d}.json")) as fh:
+        adds = [
+            json.loads(line)["add"]
+            for line in fh
+            if line.strip() and "add" in json.loads(line)
+        ]
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert set(st["minValues"]) <= {"id", "b"}
+        assert "numRecords" in st
