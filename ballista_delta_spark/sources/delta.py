@@ -2218,12 +2218,33 @@ def write_delta(
         and not _row_tracking_enabled(prev)
         and not any("metaData" in a or "protocol" in a for a in actions)
     )
-    return _try_commit(
+    version = _try_commit(
         path, actions, adds,
         enable_ict=exists and ict_enabled(prev),
         op_kind="blind_append" if blind else "other",
         snap=prev if exists else None,
     )
+    # Auto-compaction (delta.autoOptimize.autoCompact=true): once the
+    # table accumulates more than delta.autoOptimize.minNumFiles small
+    # files (default 50), the write is followed by a best-effort OPTIMIZE
+    # in the same session — delta-spark's post-commit auto-compact hook,
+    # keeping high-frequency append tables from drowning in part-files
+    # without an external maintenance job. Failures (e.g. a concurrent
+    # writer winning the compaction race) never fail the write.
+    if exists and (
+        prev.configuration.get("delta.autoOptimize.autoCompact", "")
+        .lower() == "true"
+    ):
+        try:
+            post = _load_snapshot(path)
+            min_files = int(
+                post.configuration.get("delta.autoOptimize.minNumFiles", 50)
+            )
+            if len(post.files) >= min_files:
+                optimize(df.sparkSession, path)
+        except Exception:
+            pass
+    return version
 
 
 def _to_physical(

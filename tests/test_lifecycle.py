@@ -269,3 +269,44 @@ def test_compact_log_refuses_missing_commits(spark, tmp_path):
     write_delta(spark.range(3).selectExpr("id"), tbl)
     with _pytest.raises(ValueError, match="missing commits"):
         compact_log(tbl, 0, 5)
+
+
+def test_auto_compact_after_threshold(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: once the file count crosses
+    minNumFiles, an append is followed by an automatic OPTIMIZE
+    (dataChange=false) in the same call; below the threshold appends
+    stay cheap."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id").coalesce(1), p)
+    alter_properties(spark, p, {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "4",
+    })
+    for i in range(3):
+        write_delta(
+            spark.range(10 * (i + 1), 10 * (i + 1) + 3)
+            .selectExpr("id").coalesce(1),
+            p, mode="append",
+        )
+    snap = _load_snapshot(p)
+    assert len(snap.files) == 1  # the 4th file tripped the compaction
+    ops = []
+    import json as _json
+    import os as _os
+
+    for v in range(snap.version + 1):
+        fp = _os.path.join(p, "_delta_log", f"{v:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                act = _json.loads(line)
+                if "commitInfo" in act:
+                    ops.append(act["commitInfo"]["operation"])
+    assert "OPTIMIZE" in ops
+    assert read_delta(spark, p).count() == 12
