@@ -88,6 +88,7 @@ _DELTA_SHOW_PROPS = re.compile(
 _DELTA_OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+(?P<full>FULL))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+)\s*\))?"
     r"\s*;?\s*$",
@@ -468,6 +469,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             version = optimize(
                 spark, loc, zorder_by=zcols or None,
                 where=m.group("where"),
+                full=bool(m.group("full")),
             )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(

@@ -3609,7 +3609,7 @@ def create_checkpoint(
                 **{k: a.get(k) for k in
                    ("path", "partitionValues", "size", "modificationTime",
                     "dataChange", "stats", "baseRowId",
-                    "defaultRowCommitVersion")},
+                    "defaultRowCommitVersion", "clusteringProvider")},
                 # A checkpoint that drops the DV descriptor RESURRECTS the
                 # deleted rows for checkpoint-replaying readers.
                 "deletionVector": {
@@ -3667,6 +3667,7 @@ def create_checkpoint(
             ("stats", pa.string()),
             ("baseRowId", pa.int64()),
             ("defaultRowCommitVersion", pa.int64()),
+            ("clusteringProvider", pa.string()),
             ("deletionVector", pa.struct([
                 ("storageType", pa.string()),
                 ("pathOrInlineDv", pa.string()),
@@ -4348,6 +4349,7 @@ def optimize(
     target_file_rows: int = 1_000_000,
     zorder_by: list[str] | None = None,
     where: str | None = None,
+    full: bool = False,
 ) -> int:
     """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
     snapshot's files into fewer, larger ones and commit add/remove actions
@@ -4378,10 +4380,29 @@ def optimize(
     # which the appendOnly contract explicitly permits; dataChange=false
     # also means CDF readers ignore the commit entirely (cdf_capable).
     check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    liquid = False
     if zorder_by is None:
         # Liquid clustering: a declared delta.clustering column set makes
         # plain OPTIMIZE a clustering rewrite (delta-spark behavior).
         zorder_by = clustering_columns(snap) or None
+        liquid = zorder_by is not None
+    if liquid and not full:
+        # INCREMENTAL clustering (delta-spark semantics): plain OPTIMIZE
+        # on a clustered table clusters only the files no clustering
+        # rewrite has produced yet (fresh appends, DML output) — at
+        # 100 TB routine maintenance must touch the daily delta, not
+        # re-sort the whole table. ``full=True`` (OPTIMIZE ... FULL)
+        # forces the re-cluster-everything form. Rewritten files carry
+        # the spec's ``clusteringProvider`` add field so the next run
+        # knows to leave them alone.
+        pending = {
+            rel: a for rel, a in snap.files.items()
+            if a.get("clusteringProvider") != "liquid"
+        }
+        if not pending:
+            return snap.version
+        snap = copy_mod.copy(snap)
+        snap.files = pending
     if where:
         # OPTIMIZE ... WHERE: compact only the files that might hold
         # matching rows (stats/partition pruned). Whole files are
@@ -4430,6 +4451,9 @@ def optimize(
         clustered, path, snap.partition_columns, snap.schema,
         snap=snap, data_change=False,
     )
+    if liquid:
+        for a in adds:
+            a["clusteringProvider"] = "liquid"
     now_ms = int(time.time() * 1000)
 
     actions: list[dict[str, Any]] = [

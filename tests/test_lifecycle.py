@@ -310,3 +310,64 @@ def test_auto_compact_after_threshold(spark, tmp_path):
                     ops.append(act["commitInfo"]["operation"])
     assert "OPTIMIZE" in ops
     assert read_delta(spark, p).count() == 12
+
+
+def test_liquid_clustering_is_incremental(spark, tmp_path):
+    """Plain OPTIMIZE on a clustered table clusters ONLY files no
+    clustering rewrite has produced yet (fresh appends); already-
+    clustered files are left untouched. OPTIMIZE ... FULL re-clusters
+    everything. At 100 TB this is the difference between touching the
+    daily delta and re-sorting the table."""
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cluster_by,
+        create_checkpoint,
+        cleanup_log,
+        optimize,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.range(100).selectExpr("id", "id % 7 AS a").repartition(3), p
+    )
+    cluster_by(p, ["a"])
+    optimize(spark, p)  # first cluster pass: everything rewritten
+    snap1 = _load_snapshot(p)
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in snap1.files.values()
+    )
+    clustered_files = set(snap1.files)
+    # no pending files -> incremental OPTIMIZE is a metadata no-op
+    assert optimize(spark, p) == snap1.version
+    # fresh append: only IT gets clustered; old files stay put
+    write_delta(
+        spark.range(100, 120).selectExpr("id", "id % 7 AS a").coalesce(1),
+        p, mode="append",
+    )
+    v = optimize(spark, p)
+    snap2 = _load_snapshot(p)
+    assert clustered_files <= set(snap2.files)  # untouched
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in snap2.files.values()
+    )
+    assert read_delta(spark, p).count() == 120
+    # FULL re-clusters everything into one pass
+    bd_sql(spark, f"CREATE EXTERNAL TABLE liq STORED AS DELTA LOCATION '{p}'")
+    bd_sql(spark, "OPTIMIZE liq FULL")
+    snap3 = _load_snapshot(p)
+    assert not (clustered_files & set(snap3.files))  # all rewritten
+    assert read_delta(spark, p).count() == 120
+    # the clusteringProvider tag survives a checkpoint + log truncation
+    create_checkpoint(p)
+    cleanup_log(p, retention_ms=0)
+    snap4 = _load_snapshot(p)
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in snap4.files.values()
+    )
+    assert optimize(spark, p) == snap4.version  # still a no-op
