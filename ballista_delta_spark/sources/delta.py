@@ -2089,6 +2089,20 @@ def write_delta(
     else:
         schema_struct = df.schema
 
+    # Optimized writes (delta.autoOptimize.optimizeWrite=true): AQE's
+    # rebalance hint re-shapes the write-side partitioning to the
+    # advisory partition size (splitting skewed partitions, coalescing
+    # tiny ones) — right-sized files at WRITE time instead of compacting
+    # after. For partitioned tables the rebalance keys on the partition
+    # columns so each Hive dir gets contiguous right-sized output.
+    if exists and (
+        prev.configuration.get("delta.autoOptimize.optimizeWrite", "")
+        .lower() == "true"
+    ):
+        df = (
+            df.hint("rebalance", *partition_by)
+            if partition_by else df.hint("rebalance")
+        )
     adds = _stage_adds(
         df, path, partition_by, schema_struct,
         snap=prev if exists else None,

@@ -371,3 +371,30 @@ def test_liquid_clustering_is_incremental(spark, tmp_path):
         for a in snap4.files.values()
     )
     assert optimize(spark, p) == snap4.version  # still a no-op
+
+
+def test_optimize_write_rebalances_tiny_partitions(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite: an append arriving as 32 tiny
+    partitions lands as few right-sized files (AQE rebalance), instead
+    of 32 part-files needing compaction after the fact."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id"), p)
+    alter_properties(
+        spark, p, {"delta.autoOptimize.optimizeWrite": "true"}
+    )
+    files_before = len(_load_snapshot(p).files)
+    write_delta(
+        spark.range(10, 1000).selectExpr("id").repartition(32),
+        p, mode="append",
+    )
+    snap = _load_snapshot(p)
+    new_files = len(snap.files) - files_before
+    assert new_files <= 4, new_files  # 32 tiny partitions coalesced
+    assert read_delta(spark, p).count() == 1000
