@@ -618,3 +618,56 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         act.groupBy(F.col("c0").alias("cohort_day"), F.col("offset_days"))
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+# ------------------------------------------------------ events_anomaly
+# Per-user z-score outlier detection over event values — the
+# data-quality gate run before events feed a model: values beyond 3
+# sigma of the user's own distribution are counted as anomalies. One
+# shuffle builds the per-user (mean, std); the join back reuses the
+# user partitioning; same two-pass shape at any scale (no window holds
+# the full event list in memory). Stats are ROUNDED on output
+# (agg_stats precedent); the 3-sigma comparison runs on raw doubles —
+# engine ulp differences flip it only for values within ~1e-10 of the
+# boundary, which the continuous synthetic values never sit on.
+@_q(
+    "events_anomaly",
+    """
+    WITH st AS (
+        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - st.mu) > 3 * st.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(st.mu, 4) AS mean_value,
+           round(st.sd, 4) AS sd_value
+    FROM events e JOIN st USING (user_id)
+    GROUP BY e.user_id, st.mu, st.sd
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    st = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    joined = ev.join(st, "user_id")
+    return (
+        joined.groupBy("user_id", "mu", "sd")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu"))
+                    > 3 * F.col("sd"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "user_id", "n_events", "n_outliers",
+            F.round("mu", 4).alias("mean_value"),
+            F.round("sd", 4).alias("sd_value"),
+        )
+    )
