@@ -260,3 +260,37 @@ class TestStreamOffsetWalk:
             if v > b
         ]
         assert [p.rel_path for p in parts] == expected
+
+
+# ------------------------------------------------ stats truncation
+class TestStatsStringTruncation:
+    """Soundness invariants of the Delta string-bound truncation: the
+    truncated min never exceeds the original min, the truncated max
+    never undercuts the original max, and bounds stay within the prefix
+    budget (+1 for the bump) — for ANY unicode content."""
+
+    @given(
+        st.text(min_size=0, max_size=80),
+        st.text(min_size=0, max_size=80),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_truncated_bounds_still_cover_originals(self, a, b):
+        from ballista_delta_spark.sources.delta import (
+            _STATS_STRING_PREFIX,
+            _trunc_stat_strings,
+        )
+
+        mn, mx = min(a, b), max(a, b)
+        mins, maxs = {"c": mn}, {"c": mx}
+        _trunc_stat_strings(mins, maxs)
+        if "c" in mins:
+            assert mins["c"] <= mn
+            assert len(mins["c"]) <= _STATS_STRING_PREFIX
+        if "c" in maxs:
+            assert maxs["c"] >= mx
+            assert len(maxs["c"]) <= _STATS_STRING_PREFIX
+        # bounds are dropped only together (a one-sided judgement would
+        # be unsound for range pruning)
+        assert ("c" in mins) == ("c" in maxs) or (
+            "c" in mins and len(mn) <= _STATS_STRING_PREFIX
+        )
