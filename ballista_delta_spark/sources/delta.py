@@ -2410,6 +2410,7 @@ def _try_commit(
     enable_ict: bool = False,
     op_kind: str = "other",
     snap: "Snapshot | None" = None,
+    expected_version: int | None = None,
 ) -> int:
     """Optimistic-concurrency commit: O_EXCL link so two writers can't both
     claim the same version (local-FS analogue of delta's put-if-absent).
@@ -2433,6 +2434,14 @@ def _try_commit(
     log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
     version = _next_version(log)
+    if expected_version is not None and version != expected_version:
+        # The caller baked this exact version into its actions (e.g.
+        # typeWidening's delta.typeChanges tableVersion): committing at
+        # any other slot would persist a lie — refuse instead.
+        raise ConcurrentWriteException(
+            f"table advanced to version {version - 1} concurrently "
+            f"(expected to commit {expected_version}); reload and retry"
+        )
     max_retries = 20
     dcv_touched: set[int] = set()
     for _attempt in range(max_retries + 1):
@@ -3087,11 +3096,14 @@ def alter_column_type(path: str, col: str, new_type: str) -> int:
             reader_feature="timestampNtz",
         ))
     actions.append({"metaData": md})
-    committed = _try_commit(
-        path, actions, [], enable_ict=ict_enabled(snap)
+    # expected_version pins the commit slot: the typeChanges entry above
+    # embeds it, so committing anywhere else would persist a wrong
+    # tableVersion — a concurrent writer turns into a clean
+    # ConcurrentWriteException instead.
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap),
+        expected_version=version,
     )
-    assert committed == version
-    return committed
 
 
 def alter_column_default(

@@ -192,3 +192,40 @@ def test_widening_matrix_preserves_values_through_chains(spark, tmp_path):
             p, mode="append",
         )
         assert read_delta(spark, p).count() == 2
+
+
+def test_widen_refuses_cleanly_on_concurrent_commit(spark, tbl):
+    """The typeChanges entry embeds its commit version; a table that
+    advanced concurrently must produce a clean ConcurrentWriteException,
+    never a commit with a wrong embedded tableVersion."""
+    from unittest import mock
+
+    from ballista_delta_spark.sources import delta as d
+
+    real_load = d._load_snapshot
+    state = {"armed": True}
+
+    def stale_load(path, version=None):
+        if not state["armed"]:
+            return real_load(path, version)
+        state["armed"] = False  # inject exactly once (write_delta below
+        # re-enters the patched loader for its own snapshot reads)
+        snap = real_load(path, version)
+        # simulate: another writer commits AFTER our snapshot load
+        write_delta(
+            spark.createDataFrame([(99, 9.9, "z")],
+                                  "id int, f float, s string"),
+            tbl, mode="append",
+        )
+        return snap
+
+    with mock.patch.object(d, "_load_snapshot", side_effect=stale_load):
+        with pytest.raises(d.ConcurrentWriteException, match="advanced"):
+            alter_column_type(tbl, "id", "bigint")
+    # nothing half-committed: schema unchanged, a plain retry succeeds
+    assert _load_snapshot(tbl).schema["id"].dataType.simpleString() == "int"
+    alter_column_type(tbl, "id", "bigint")
+    snap = _load_snapshot(tbl)
+    assert snap.schema["id"].dataType.simpleString() == "bigint"
+    ch = snap.schema["id"].metadata["delta.typeChanges"][0]
+    assert ch["tableVersion"] == snap.version
