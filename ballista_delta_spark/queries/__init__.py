@@ -18,47 +18,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-8 window (r7 went 49/50 hash-green + fn_union_misc rows-only by
-# design — zero failures):
-#   1. the 8 ids with NO driver row ever (registered after the r7
-#      mid-round window revision),
-#   2. the 12 non-streaming fills the revision displaced (r5-green, at
-#      their 3-round staleness deadline): win tail, agg
-#      bool/rollup/pivot/unpivot, the subquery family,
-#   3. the stale fn family (r4/r5-green; fn_interval/fn_json/
-#      fn_union_misc were r7-green and sit out) + udf_python,
-#   4. fill from the r4/r5-green dedup/sim/text-core/sampling families
-#      (longest-untested extension ids; heaviest scale machinery),
-#   5. streaming LAST as the budget-truncation buffer (the three
-#      r4/r5-stale stream ids; the r6/r7-green seven sit out).
-# mm_frame_sample (r4/5-green) is the one id that does not fit — it
-# LEADS the r9 window (noted in ROTATION.md).
+# Round-9 window (r8 went 50/50 green — first all-green window):
+#   1. the 12 ids with NO driver hash-green row ever: mm_frame_sample
+#      FIRST (at its 3-round staleness deadline, last green r5), then
+#      the 11 r8 registrations,
+#   2. the r6-green scans/meta/sinks family (3 rounds stale, and the
+#      Delta layer changed the most in r8: typeWidening, variant stats,
+#      replaceWhere, lineage carryover),
+#   3. joins J1-J12 (r6-green) + agg_basic (r6-green),
+#   4. the r6-green quartet agg_grouping_sets/agg_cube/win_row_number/
+#      win_percent,
+#   5. streaming buffer (1): stream_dedup (r6-green, stalest stream id).
 # Everything after position 50 keeps module order so nothing is lost for
 # tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- never driver-judged (8)
-    "emb_project", "mm_resize_pool", "join_salted", "text_repetition",
-    "text_decontaminate", "events_sessionize", "meta_describe_detail",
-    "text_unigram_logprob",
-    # -- displaced r5-green fills at staleness deadline (12)
-    "win_rank", "win_ntile", "win_value", "win_agg_frame",
-    "agg_bool", "agg_rollup", "agg_pivot", "agg_unpivot",
-    "cte", "derived_table", "subq_in_exists", "subq_scalar",
-    # -- stale fn family + udf_python (11)
-    "fn_string", "fn_regex", "fn_math", "fn_datetime", "fn_conditional",
-    "fn_hash_enc", "fn_array", "fn_unnest", "fn_struct_map",
-    "tf_generate_series", "udf_python",
-    # -- stale extension fills: dedup (6) + sim (3) + text core (4) +
-    #    sampling (2) + mm (1)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
-    "sim_cosine_topk", "sim_lsh_bucketed", "sim_ivf_topk",
-    "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
-    "sample_stratified", "sample_train_test_split",
-    "mm_binary_features",
-    # -- streaming last (budget-truncation buffer, stalest first)
-    "stream_session_window", "stream_stateful_user_stats",
-    "stream_tumbling_agg",
+    # -- never driver-hash-green (12): staleness-deadline lead + r8 regs
+    "mm_frame_sample",
+    "sink_delta_widen", "sink_delta_variant", "sink_delta_replace_where",
+    "fn_variant", "tpch_q5", "tpch_q10", "tpch_q18",
+    "events_funnel", "events_retention", "events_anomaly",
+    "sample_weighted",
+    # -- r6-green scans/meta/sinks family (20)
+    "scan_delta_register", "scan_delta_ddl", "scan_delta_partitioned",
+    "scan_parquet", "scan_csv_json", "scan_orc", "scan_s3", "scan_http",
+    "meta_information_schema", "meta_describe_columns",
+    "sink_delta_insert", "sink_delta_write_local", "sink_delta_delete",
+    "sink_delta_update", "sink_delta_merge", "sink_delta_merge_conditional",
+    "sink_delta_zorder", "sink_delta_restore", "sink_delta_changes",
+    "scan_delta_time_travel",
+    # -- r6-green joins J1-J12 (12) + agg_basic (1)
+    "join_inner", "join_left", "join_right", "join_full", "join_semi",
+    "join_anti", "join_cross", "join_theta", "join_broadcast_hint",
+    "join_asof", "join_range_banded", "join_null_safe",
+    "agg_basic",
+    # -- r6-green quartet (4)
+    "agg_grouping_sets", "agg_cube", "win_row_number", "win_percent",
+    # -- streaming last (budget-truncation buffer)
+    "stream_dedup",
 )
 
 

@@ -356,8 +356,15 @@ class DeltaStreamReader(DataSourceStreamReader):
     ) -> Sequence[DeltaFilePartition]:
         sv, si = self._pos(start)
         ev, ei = self._pos(end)
-        if self._planned is None or (ev, ei) > self._planned:
-            self._planned = (ev, ei)  # re-anchor after checkpoint restart
+        # Re-anchor from BOTH offsets after a checkpoint restart. Spark
+        # never tells latestOffset() where it resumed, so a fresh reader
+        # anchors at (starting_version, 0); the first partitions() call
+        # always carries the checkpointed START, and without folding it in
+        # a restart whose last batch committed would plan subsequent
+        # ranges BEHIND the checkpoint and re-emit consumed files
+        # (duplicate rows downstream — exactly-once violation).
+        anchor = max(self._planned or (sv, si), (sv, si), (ev, ei))
+        self._planned = anchor
         parts: list[DeltaFilePartition] = []
         for v in range(sv, ev + 1):
             if v == ev and ei == 0:

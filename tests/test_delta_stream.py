@@ -566,3 +566,37 @@ def test_max_files_per_trigger_end_to_end_microbatches(spark, tbl):
         ]
     finally:
         q.stop()
+
+
+def test_restart_reanchors_planned_from_checkpointed_start(spark, tbl):
+    """Exactly-once across a checkpoint restart under rate limiting: a
+    fresh reader knows nothing of the committed offset, so its first
+    latestOffset() would otherwise plan from (starting_version, 0) and
+    later batches would re-emit files the pre-restart run already
+    consumed. partitions() must pull the anchor forward from the
+    checkpointed START offset it is handed."""
+    for i in range(3, 7):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id int, s string"), tbl,
+            mode="append",
+        )  # versions 1..4
+    r1 = _reader(spark, tbl, max_versions_per_trigger=2)
+    rows1, end1 = _drain(r1, r1.initialOffset())
+    assert end1["version"] == 1
+
+    # -- simulated restart: fresh reader, Spark replays the CHECKPOINTED
+    # start (= end1, the last committed offset) into partitions().
+    r2 = _reader(spark, tbl, max_versions_per_trigger=2)
+    # Spark's first cycle calls latestOffset() before partitions(); with a
+    # cold anchor this regresses behind the checkpoint...
+    stale_end = r2.latestOffset()
+    # ...but executing the batch with the checkpointed start must NOT
+    # re-emit consumed rows, and must re-anchor planning.
+    replay = _between(r2, end1, stale_end)
+    assert replay == []  # nothing behind the checkpoint is re-read
+    rows2, end2 = _drain(r2, end1)
+    rows3, end3 = _drain(r2, end2)
+    all_rows = rows1 + rows2 + rows3
+    assert sorted(t[0] for t in all_rows) == [1, 2, 3, 4, 5, 6]
+    assert len(all_rows) == len(set(all_rows))  # no duplicates anywhere
+    assert end3["version"] == 4
