@@ -532,7 +532,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(j->>'$.missing' AS BIGINT) AS k_missing
     FROM (
         SELECT event_id,
-               json(concat('{"k": ', CAST(json_extract_string(props, '$.k') AS BIGINT),
+               json(concat('{"k": ',
+                           COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0),
                            ', "arr": [3, ', event_id % 10,
                            '], "tag": {"name": "u', user_id, '"}}')) AS j
         FROM events WHERE event_id < 1000
@@ -541,9 +542,13 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    # COALESCE the extracted key: Spark's concat is NULL-absorbing while
+    # DuckDB's skips NULLs, so an event row lacking $.k would otherwise
+    # silently diverge (all-NULL extracts here, malformed JSON there).
     doc = F.concat(
         F.lit('{"k": '),
-        F.get_json_object("props", "$.k").cast("bigint"),
+        F.coalesce(F.get_json_object("props", "$.k").cast("bigint"),
+                   F.lit(0)).cast("string"),
         F.lit(', "arr": [3, '),
         (F.col("event_id") % 10).cast("string"),
         F.lit('], "tag": {"name": "u'),

@@ -951,16 +951,20 @@ def sink_delta_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_delta_variant",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
            concat('u', user_id) AS uname
     FROM events WHERE event_id < 200
     """,
 )
 def sink_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    # COALESCE: Spark's concat is NULL-absorbing (one NULL extract would
+    # void the whole doc) while DuckDB's concat skips NULLs — pin both
+    # sides to 0 so a props row without $.k cannot diverge.
     doc = F.concat(
         F.lit('{"k": '),
-        F.get_json_object("props", "$.k").cast("bigint"),
+        F.coalesce(F.get_json_object("props", "$.k").cast("bigint"),
+                   F.lit(0)).cast("string"),
         F.lit(', "u": "u'),
         F.col("user_id").cast("string"),
         F.lit('"}'),

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import copy as copy_mod
 import json
+import logging
 import os
 import re
 import time
@@ -47,6 +48,8 @@ from pyspark.sql import types as T
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 ENGINE_INFO = "ballista-delta-spark/0.1.0 PySpark/4.1"
+
+_logger = logging.getLogger(__name__)
 
 
 def _log_dir(path: str) -> str:
@@ -1366,7 +1369,15 @@ def _spark_side_stats(
                 maxs[f.name] = spell(r[f"__mx{i}"])
             nulls[f.name] = int(r[f"__nc{i}"] or 0)
         _trunc_stat_strings(mins, maxs)
-        out[re.sub("^file:/+", "/", r["__fp"])] = json.dumps({
+        # _metadata.file_path is a percent-encoded file: URI; the caller
+        # looks files up by filesystem path, so decode properly (a bare
+        # regex strip breaks on paths with spaces/unicode and would
+        # silently zero every file's stats).
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(r["__fp"])
+        key = unquote(parsed.path) if parsed.scheme else r["__fp"]
+        out[key] = json.dumps({
             "numRecords": r["__n"], "minValues": mins,
             "maxValues": maxs, "nullCount": nulls,
         })
@@ -2239,12 +2250,15 @@ def write_delta(
         snap=prev if exists else None,
     )
     # Auto-compaction (delta.autoOptimize.autoCompact=true): once the
-    # table accumulates more than delta.autoOptimize.minNumFiles small
-    # files (default 50), the write is followed by a best-effort OPTIMIZE
-    # in the same session — delta-spark's post-commit auto-compact hook,
-    # keeping high-frequency append tables from drowning in part-files
-    # without an external maintenance job. Failures (e.g. a concurrent
-    # writer winning the compaction race) never fail the write.
+    # table accumulates delta.autoOptimize.minNumFiles SMALL files
+    # (default 50, "small" = below delta.autoOptimize.maxFileSize,
+    # default 128 MB — delta-spark's autoCompact thresholds), the write
+    # is followed by a best-effort OPTIMIZE over ONLY the small-file
+    # backlog. Both the trigger and the rewrite set are bounded by that
+    # backlog: a full-table rewrite after every qualifying append would
+    # make each small append O(table) in write amplification. Failures
+    # (e.g. a concurrent writer winning the compaction race) never fail
+    # the write, but are logged, not swallowed.
     if exists and (
         prev.configuration.get("delta.autoOptimize.autoCompact", "")
         .lower() == "true"
@@ -2254,10 +2268,20 @@ def write_delta(
             min_files = int(
                 post.configuration.get("delta.autoOptimize.minNumFiles", 50)
             )
-            if len(post.files) >= min_files:
-                optimize(df.sparkSession, path)
+            max_size = int(post.configuration.get(
+                "delta.autoOptimize.maxFileSize", 128 * 1024 * 1024
+            ))
+            small = sum(
+                1 for a in post.files.values()
+                if int(a.get("size") or 0) < max_size
+            )
+            if small >= min_files:
+                optimize(df.sparkSession, path, only_files_below=max_size)
         except Exception:
-            pass
+            _logger.warning(
+                "post-commit auto-compaction of %s skipped", path,
+                exc_info=True,
+            )
     return version
 
 
@@ -2350,9 +2374,24 @@ def _stage_adds(
             dst = os.path.join(path, rel_final)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if staged_stats is not None:
-                stats = staged_stats.get(
-                    os.path.abspath(src), json.dumps({"numRecords": 0})
-                )
+                stats = staged_stats.get(os.path.abspath(src))
+                if stats is None:
+                    # No group in the Spark-side agg = a ZERO-ROW part
+                    # file; skip it (delta-spark never commits empty
+                    # files, and a silent numRecords=0 add would corrupt
+                    # rowTracking's baseRowId ranges if it were wrong).
+                    # Distinguish that from a path-normalization bug:
+                    # every resolved key must live under the staging dir.
+                    bad = [
+                        k for k in staged_stats
+                        if not k.startswith(os.path.abspath(staging))
+                    ]
+                    if bad:
+                        raise RuntimeError(
+                            f"staged stats keys failed to normalize to "
+                            f"filesystem paths: {bad[:3]}..."
+                        )
+                    continue
             else:
                 stats = _file_stats(src, indexed)
             os.replace(src, dst)
@@ -3488,7 +3527,10 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
 
     import shutil as _shutil
 
-    copied_bins: set[str] = set()
+    # Dedupe DV bin copies by SOURCE path (basenames are not unique across
+    # directories); for 'p' descriptors the value is the fresh 'u'
+    # pathOrInlineDv the clone rewrites to.
+    copied_bins: dict[str, str | None] = {}
     for i, (rel, a) in enumerate(sorted(snap.files.items())):
         add = dict(a)
         add["dataChange"] = False
@@ -3521,20 +3563,32 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
                     # Same descriptor resolves to the same RELATIVE bin
                     # location under the new root — copy the bin there.
                     bin_src = _dv.dv_file_path(src_abs, desc)
-                    bin_dst = _dv.dv_file_path(dst, desc)
-                    if bin_dst not in copied_bins:
+                    if bin_src not in copied_bins:
+                        bin_dst = _dv.dv_file_path(dst, desc)
                         os.makedirs(os.path.dirname(bin_dst), exist_ok=True)
                         _shutil.copy2(bin_src, bin_dst)
-                        copied_bins.add(bin_dst)
+                        copied_bins[bin_src] = None
                 elif st == "p":
+                    # Rewrite absolute-path descriptors to relative 'u'
+                    # storage under the clone root: two distinct source
+                    # bins may share a basename (dedupe by source path,
+                    # fresh uuid names can't collide), and a clone that
+                    # embeds its own absolute path breaks on relocation.
                     bin_src = desc["pathOrInlineDv"]
-                    bin_name = os.path.basename(bin_src)
-                    bin_dst = os.path.join(dst, bin_name)
-                    if bin_dst not in copied_bins:
-                        _shutil.copy2(bin_src, bin_dst)
-                        copied_bins.add(bin_dst)
+                    if bin_src.startswith("file://"):
+                        bin_src = bin_src[len("file://"):]
+                    pod = copied_bins.get(bin_src)
+                    if pod is None:
+                        nu = uuid.uuid4()
+                        pod = _dv.z85_encode(nu.bytes)
+                        _shutil.copy2(
+                            bin_src,
+                            os.path.join(dst, f"deletion_vector_{nu}.bin"),
+                        )
+                        copied_bins[bin_src] = pod
                     new_desc = dict(desc)
-                    new_desc["pathOrInlineDv"] = bin_dst
+                    new_desc["storageType"] = "u"
+                    new_desc["pathOrInlineDv"] = pod
                     add["deletionVector"] = new_desc
                 # storageType 'i' (inline) needs no file
         actions.append({"add": add})
@@ -4376,6 +4430,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     where: str | None = None,
     full: bool = False,
+    only_files_below: int | None = None,
 ) -> int:
     """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
     snapshot's files into fewer, larger ones and commit add/remove actions
@@ -4406,6 +4461,19 @@ def optimize(
     # which the appendOnly contract explicitly permits; dataChange=false
     # also means CDF readers ignore the commit entirely (cdf_capable).
     check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    if only_files_below is not None:
+        # Auto-compaction scope: rewrite only the small-file backlog
+        # (delta-spark autoCompact); already-compacted large files are
+        # never re-written, so each trigger's cost is bounded by the
+        # backlog, not the table.
+        small = {
+            rel: a for rel, a in snap.files.items()
+            if int(a.get("size") or 0) < only_files_below
+        }
+        if len(small) < 2:
+            return snap.version
+        snap = copy_mod.copy(snap)
+        snap.files = small
     liquid = False
     if zorder_by is None:
         # Liquid clustering: a declared delta.clustering column set makes

@@ -243,3 +243,61 @@ def test_deep_clone_sql_route_and_of_shallow_clone(spark, tmp_path):
     shutil.rmtree(shallow)
     assert spark.table("dcl").count() == 10
     assert read_delta(spark, deep).count() == 10
+
+
+def test_deep_clone_p_dv_bins_with_colliding_basenames(spark, tmp_path):
+    """Two DISTINCT absolute-path ('p') DV bins sharing a basename must
+    not alias to one copied file, and the clone's descriptors must be
+    rewritten to relative 'u' storage so the clone stays relocatable."""
+    import json as _json
+    import shutil
+
+    from ballista_delta_spark.sources import dv as _dv
+    from ballista_delta_spark.sources.delta import _try_commit, clone_delta
+
+    src = str(tmp_path / "src")
+    write_delta(
+        spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    delete_delta(spark, src, "id IN (0, 1, 2, 3)", mode="dv")
+    snap = _load_snapshot(src)
+    dv_adds = {r: a for r, a in snap.files.items() if a.get("deletionVector")}
+    assert len(dv_adds) >= 2  # both partitions carry a DV
+    # Externalize each 'u' bin to its own dir under the SAME basename and
+    # re-commit the adds with absolute-path descriptors — the shape a
+    # shallow-clone-of-a-shallow-clone (or cross-table ref) produces.
+    actions = []
+    for i, (rel, a) in enumerate(sorted(dv_adds.items())):
+        desc = dict(a["deletionVector"])
+        bin_src = _dv.dv_file_path(src, desc)
+        ext = tmp_path / f"ext{i}"
+        ext.mkdir()
+        shutil.copy2(bin_src, str(ext / "shared.bin"))
+        desc["storageType"] = "p"
+        desc["pathOrInlineDv"] = str(ext / "shared.bin")
+        rm = {k: v for k, v in a.items() if k != "stats"}
+        rm["path"], rm["dataChange"] = rel, False
+        actions.append({"remove": {**rm, "deletionTimestamp": 0}})
+        actions.append({"add": {**a, "path": rel, "dataChange": False,
+                                "deletionVector": desc}})
+    _try_commit(src, actions, [])
+    before = sorted(r.id for r in read_delta(spark, src).collect())
+    assert before == list(range(4, 20))
+
+    dst = str(tmp_path / "deep")
+    clone_delta(src, dst, deep=True)
+    csnap = _load_snapshot(dst)
+    descs = [a["deletionVector"] for a in csnap.files.values()
+             if a.get("deletionVector")]
+    assert len(descs) >= 2
+    assert all(d["storageType"] == "u" for d in descs)  # relocatable form
+    # distinct source bins -> distinct clone bins (no basename aliasing)
+    clone_bins = {_dv.dv_file_path(dst, d) for d in descs}
+    assert len(clone_bins) == len(descs)
+    # destroy the source AND relocate the clone: still byte-correct
+    shutil.rmtree(src)
+    moved = str(tmp_path / "moved")
+    shutil.move(dst, moved)
+    got = sorted(r.id for r in read_delta(spark, moved).collect())
+    assert got == before

@@ -398,3 +398,41 @@ def test_optimize_write_rebalances_tiny_partitions(spark, tmp_path):
     new_files = len(snap.files) - files_before
     assert new_files <= 4, new_files  # 32 tiny partitions coalesced
     assert read_delta(spark, p).count() == 1000
+
+
+def test_auto_compact_rewrites_only_the_small_file_backlog(spark, tmp_path):
+    """Auto-compaction is bounded by the small-file backlog: files at or
+    above delta.autoOptimize.maxFileSize are never rewritten, so a small
+    append's write amplification is O(backlog), not O(table)."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    # One "already compacted" large file (many rows)...
+    write_delta(spark.range(5000).selectExpr("id").coalesce(1), p)
+    snap0 = _load_snapshot(p)
+    (big_rel,) = snap0.files
+    big_size = snap0.files[big_rel]["size"]
+    # ...and a threshold that classifies it as large and the tiny
+    # appends as small.
+    alter_properties(spark, p, {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "3",
+        "delta.autoOptimize.maxFileSize": str(big_size),
+    })
+    for i in range(3):
+        write_delta(
+            spark.range(10000 + 3 * i, 10000 + 3 * i + 3)
+            .selectExpr("id").coalesce(1),
+            p, mode="append",
+        )
+    snap = _load_snapshot(p)
+    # The 3rd small file tripped compaction of the SMALL files only: the
+    # big file's original add action survives untouched.
+    assert big_rel in snap.files
+    assert len(snap.files) == 2  # big + one compacted small
+    assert read_delta(spark, p).count() == 5000 + 9

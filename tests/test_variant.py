@@ -125,3 +125,19 @@ def test_nested_variant_gates_too(spark, tmp_path):
         F.try_variant_get(F.col("arr")[0], "$.q", "int").alias("q")
     ).collect()
     assert [r.q for r in rows] == [2, 2]
+
+
+def test_variant_stats_survive_path_with_spaces_and_unicode(spark, tmp_path):
+    """The Spark-side stats map is keyed by _metadata.file_path, a
+    percent-encoded URI; the writer looks files up by filesystem path.
+    A table path with a space/unicode char must still resolve real
+    numRecords (rowTracking sizes baseRowId ranges off it) instead of
+    silently zeroing every file's stats."""
+    p = str(tmp_path / "var tbl ü")
+    write_delta(_vdf(spark, 0, 7), p)
+    snap = _load_snapshot(p)
+    sts = [json.loads(a["stats"]) for a in snap.files.values()]
+    assert sum(s["numRecords"] for s in sts) == 7
+    assert all(s["numRecords"] > 0 for s in sts)
+    # scalar sibling stats survive too (not just the footer fallback)
+    assert any("minValues" in s and "id" in s["minValues"] for s in sts)
