@@ -443,3 +443,59 @@ def test_r7_late_ops_scale_shapes(spark, sf_dir):
     mm_plan = _physical_plan(mm_resize_pool(spark, sf_dir))
     assert "Exchange" not in mm_plan, mm_plan
     assert "MapInPandas" in mm_plan, mm_plan
+
+
+def test_r8_ops_scale_shapes(spark, sf_dir):
+    """Pins for the r8 additions (the r8 verdict's manual .explain audit,
+    made permanent):
+
+    - tpch_q5/q10: filter pushed into EVERY scan, no sort-merge /
+      nested-loop / cartesian join at bench scale (dims broadcast);
+    - tpch_q18: the HAVING-subquery decorrelates to a LeftSemi join (a
+      correlated re-scan per order is the O(n^2) shape this forbids);
+    - events_funnel/retention: cascaded per-user aggregates — bounded
+      exchange counts, no cartesian;
+    - events_anomaly: two-pass z-score with a broadcast join-back —
+      ≤2 exchanges;
+    - sample_weighted: the sampling pass is ONE codegen'd filter scan
+      (no join anywhere); only the output summary agg shuffles.
+    """
+    from ballista_delta_spark.queries.pipeline import (
+        events_anomaly,
+        events_funnel,
+        events_retention,
+    )
+    from ballista_delta_spark.queries.sampling import sample_weighted
+    from ballista_delta_spark.queries.tpch import tpch_q5, tpch_q10, tpch_q18
+
+    def no_scale_killers(plan):
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    for q, scans in ((tpch_q5, 6), (tpch_q10, 4)):
+        plan = _physical_plan(q(spark, sf_dir))
+        no_scale_killers(plan)
+        assert plan.count("Scan parquet") == scans, plan
+        assert plan.count("PushedFilters: []") == 0, plan
+
+    q18_plan = _physical_plan(tpch_q18(spark, sf_dir))
+    no_scale_killers(q18_plan)
+    assert "LeftSemi" in q18_plan, q18_plan
+
+    funnel_plan = _physical_plan(events_funnel(spark, sf_dir))
+    no_scale_killers(funnel_plan)
+    assert funnel_plan.count("Exchange") <= 11, funnel_plan
+
+    retention_plan = _physical_plan(events_retention(spark, sf_dir))
+    no_scale_killers(retention_plan)
+    assert retention_plan.count("Exchange") <= 4, retention_plan
+
+    anomaly_plan = _physical_plan(events_anomaly(spark, sf_dir))
+    no_scale_killers(anomaly_plan)
+    assert anomaly_plan.count("Exchange") <= 2, anomaly_plan
+
+    weighted_plan = _physical_plan(sample_weighted(spark, sf_dir))
+    assert "Join" not in weighted_plan, weighted_plan
+    assert weighted_plan.count("Scan parquet") == 1, weighted_plan
+    assert weighted_plan.count("Exchange") <= 2, weighted_plan
