@@ -42,6 +42,8 @@ HEADLINE = [
     # r8 composite multi-join workloads:
     "tpch_q5",            # 6-way join: 5 broadcasts + 1 shuffle
     "tpch_q10",           # 4-way join + total-ordered top-20
+    # r9 addition:
+    "tpch_q18",           # HAVING subquery decorrelated to LeftSemi
 ]
 
 WARMUP = 1
