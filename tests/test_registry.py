@@ -271,3 +271,122 @@ def test_build_spark_master_and_conf_override():
     assert opts["spark.sql.adaptive.enabled"] == "true"
     b2 = build_spark("x", conf={"spark.sql.shuffle.partitions": "7"})
     assert b2._options["spark.sql.shuffle.partitions"] == "7"
+
+
+def _serve_delta(directory: str):
+    """Range-capable server that 404s missing paths — the shape a real
+    object-store HTTP gateway gives: the Delta log mirror terminates its
+    commit walk on 404 and the data fetch does ranged GETs."""
+    import http.server
+    import os
+    import re
+    import threading
+
+    class _Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=directory, **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            path = self.translate_path(self.path)
+            if not os.path.isfile(path):
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(os.path.getsize(path)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            path = self.translate_path(self.path)
+            if not os.path.isfile(path):
+                self.send_error(404)
+                return
+            with open(path, "rb") as fh:
+                data = fh.read()
+            rng = self.headers.get("Range")
+            if rng:
+                m = re.fullmatch(r"bytes=(\d+)-(\d*)", rng)
+                start = int(m.group(1))
+                end = int(m.group(2)) if m.group(2) else len(data) - 1
+                end = min(end, len(data) - 1)
+                chunk = data[start:end + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{len(data)}"
+                )
+            else:
+                chunk = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(chunk)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+            self.wfile.write(chunk)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, httpd.server_address[1]
+
+
+def test_register_delta_over_http(spark, tmp_path):
+    """A Delta table behind plain HTTP: the log (JSON commits + classic
+    checkpoint) mirrors driver-side, data files stream executor-side via
+    ranged GETs, partition columns come back typed, time travel and
+    stats-based file skipping work, and DV tables are refused."""
+    import pytest as _pytest
+
+    from ballista_delta_spark.sources.delta import (
+        create_checkpoint,
+        read_delta,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+    from ballista_delta_spark.sources.registry import register_delta
+
+    src = str(tmp_path / "t")
+    df0 = spark.range(20).selectExpr("id", "CAST(id % 3 AS INT) AS p")
+    write_delta(df0, src, partition_by=["p"])                    # v0
+    write_delta(
+        spark.createDataFrame([(100, 7)], "id long, p int"), src,
+        mode="append",
+    )                                                            # v1
+    create_checkpoint(src)
+    write_delta(
+        spark.createDataFrame([(200, 8)], "id long, p int"), src,
+        mode="append",
+    )                                                            # v2 (post-checkpoint)
+
+    httpd, port = _serve_delta(str(tmp_path))
+    try:
+        base = f"http://127.0.0.1:{port}/t"
+        got = register_delta(spark, "delta_http", base)
+        assert got.schema == read_delta(spark, src).schema  # typed p
+        assert sorted(r.id for r in got.collect()) == sorted(
+            list(range(20)) + [100, 200]
+        )
+        assert spark.sql(
+            "SELECT sum(p) AS s FROM delta_http"
+        ).collect()[0].s == sum(i % 3 for i in range(20)) + 7 + 8
+
+        # time travel through the mirrored log
+        from ballista_delta_spark.sources.registry import register_delta_http
+
+        v0 = register_delta_http(spark, "delta_http_v0", base, version=0)
+        assert sorted(r.id for r in v0.collect()) == list(range(20))
+
+        # stats skipping: the where prunes files driver-side AND filters
+        w = register_delta_http(spark, "delta_http_w", base, where="id >= 100")
+        assert sorted(r.id for r in w.collect()) == [100, 200]
+
+        # DV tables are refused with a clear message
+        dv_src = str(tmp_path / "dv")
+        write_delta(spark.range(10).selectExpr("id"), dv_src)
+        delete_delta(spark, dv_src, "id < 3", mode="dv")
+        with _pytest.raises(ValueError, match="deletion vectors"):
+            register_delta_http(
+                spark, "delta_http_dv", f"http://127.0.0.1:{port}/dv"
+            )
+    finally:
+        httpd.shutdown()
