@@ -3237,11 +3237,13 @@ def cluster_by(path: str, columns: list[str] | None) -> int:
     ``delta.clustering`` domainMetadata (spec shape:
     ``{"clusteringColumns": [["col"], ...]}`` — nested arrays are column
     paths) and ``optimize`` then clusters on it BY DEFAULT, no
-    ``zorder_by`` needed. delta-spark divergence, documented: its
-    incremental clustering uses a Hilbert curve and ZCube tracking; this
-    engine's OPTIMIZE applies the same Morton (Z-order) curve it uses
-    for explicit ZORDER — the same multi-dimensional data-skipping
-    contract, linearized differently.
+    ``zorder_by`` needed. The clustering rewrite rides the HILBERT curve
+    (``_hilbert``), matching delta-spark's curve choice — every curve
+    step is a unit step (no Morton quadrant jumps), so per-file min-max
+    hyper-rectangles are tighter and stats prune more files; explicit
+    ``OPTIMIZE ... ZORDER BY`` keeps the classic Morton interleave.
+    Remaining divergence (documented): no ZCube tracking — incremental
+    reclustering is per-file via ``clusteringProvider``.
 
     100 TB shape: changing the clustering key is one metadata commit;
     data migrates lazily as OPTIMIZE runs — exactly why liquid clustering
@@ -4333,23 +4335,25 @@ def _lin_stat_bound(val: Any, dtype: T.DataType) -> float:
     return float(val)
 
 
-def _zorder(
+def _cluster_buckets(
     spark: SparkSession,
     df: DataFrame,
     snap: Snapshot,
     cols: list[str],
-    n_out: int,
-) -> DataFrame:
-    """Range-repartition + sort ``df`` by the Morton code of ``cols``.
+) -> list[str]:
+    """Per-column 8-bit bucket SQL (``_Z_BITS`` buckets via width_bucket
+    over the GLOBAL min/max) — the shared discretization under both the
+    Morton (ZORDER BY) and Hilbert (liquid clustering) rewrites.
 
     Bucket bounds come from the snapshot's per-file minValues/maxValues
     stats (driver-side JSON — no Spark job); a single agg job is the
     fallback when any file lacks stats for a column. Columns with a LINEAR
     domain only — numeric, date (epoch days via ``unix_date``) and
-    timestamp (epoch micros via ``unix_micros``), the most common z-order
-    keys in practice; width_bucket needs a linear domain, and the point of
-    z-order is multi-column range pruning — for strings use a plain sort
-    key instead.
+    timestamp (epoch micros via ``unix_micros``), the most common
+    clustering keys in practice; width_bucket needs a linear domain, and
+    the point of a space-filling curve is multi-column range pruning —
+    for strings use a plain sort key instead. Constant/all-null columns
+    are dropped (they contribute nothing to the curve).
     """
     numeric = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -4399,9 +4403,8 @@ def _zorder(
         bounds = {
             c: (row[f"mn_{i}"], row[f"mx_{i}"]) for i, c in enumerate(cols)
         }
-    k = len(cols)
-    terms = []
-    for j, c in enumerate(cols):
+    buckets: list[str] = []
+    for c in cols:
         mn, mx = bounds[c]
         if mn is None or mx is None or mx <= mn:
             continue  # constant/all-null column contributes nothing
@@ -4409,16 +4412,116 @@ def _zorder(
             f"least(greatest(width_bucket({linear[c]}, "
             f"{mn!r}, {mx!r}, {1 << _Z_BITS}) - 1, 0), {(1 << _Z_BITS) - 1})"
         )
-        bucket = f"CASE WHEN `{c}` IS NULL THEN 0 ELSE {b} END"
-        for i in range(_Z_BITS):
-            terms.append(f"((({bucket}) >> {i}) & 1) << {i * k + j}")
-    if not terms:
+        buckets.append(f"CASE WHEN `{c}` IS NULL THEN 0 ELSE {b} END")
+    return buckets
+
+
+def _zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    snap: Snapshot,
+    cols: list[str],
+    n_out: int,
+) -> DataFrame:
+    """Range-repartition + sort ``df`` by the Morton code of ``cols``
+    (``OPTIMIZE ... ZORDER BY``): the per-column bucket bits interleave
+    directly into one z-value."""
+    buckets = _cluster_buckets(spark, df, snap, cols)
+    if not buckets:
         return df.coalesce(n_out)
+    k = len(buckets)
+    terms = [
+        f"((({bucket}) >> {i}) & 1) << {i * k + j}"
+        for j, bucket in enumerate(buckets)
+        for i in range(_Z_BITS)
+    ]
     orig = df.columns
     return (
         df.withColumn("__z", F.expr(" + ".join(f"({t})" for t in terms)))
         .repartitionByRange(n_out, F.col("__z"))
         .sortWithinPartitions("__z")
+        .select(*orig)
+    )
+
+
+def _hilbert_index(df: DataFrame, xs: list[str]) -> DataFrame:
+    """Add ``__h`` = the Hilbert-curve index of integer bucket columns
+    ``xs`` (each in [0, 2^_Z_BITS)), via Skilling's axes-to-transpose
+    transform ("Programming the Hilbert curve", AIP 2004) unrolled into
+    ``_Z_BITS * k`` simultaneous-column projections — Catalyst collapses
+    the chain into one whole-stage-codegen'd pass, so the curve costs the
+    same single scan the Morton interleave does.
+    """
+    k = len(xs)
+    # Inverse undo: walk bit planes high -> low, exchanging/inverting
+    # against X[0]. withColumns applies each step SIMULTANEOUSLY, so the
+    # paired X[0]/X[i] update reads consistent pre-step values.
+    q = 1 << (_Z_BITS - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(k):
+            cond = f"(({xs[i]} & {q}) != 0)"
+            if i == 0:
+                df = df.withColumn(
+                    xs[0],
+                    F.expr(f"IF({cond}, {xs[0]} ^ {p}, {xs[0]})"),
+                )
+            else:
+                t = f"(({xs[0]} ^ {xs[i]}) & {p})"
+                df = df.withColumns({
+                    xs[0]: F.expr(f"IF({cond}, {xs[0]} ^ {p}, {xs[0]} ^ {t})"),
+                    xs[i]: F.expr(f"IF({cond}, {xs[i]}, {xs[i]} ^ {t})"),
+                })
+        q >>= 1
+    # Gray encode (sequential by construction: X[i] ^= X[i-1] uses the
+    # already-updated X[i-1]).
+    for i in range(1, k):
+        df = df.withColumn(xs[i], F.expr(f"{xs[i]} ^ {xs[i - 1]}"))
+    t_terms = " ^ ".join(
+        f"IF(({xs[k - 1]} & {1 << b}) != 0, {(1 << b) - 1}, 0)"
+        for b in range(_Z_BITS - 1, 0, -1)
+    )
+    df = df.withColumn("__ht", F.expr(t_terms))
+    df = df.withColumns({x: F.expr(f"{x} ^ __ht") for x in xs})
+    # Transpose -> index: H's bit (q*k + (k-1-i)) is X[i]'s bit q.
+    h_terms = [
+        f"(CAST((({xs[i]} >> {b}) & 1) AS BIGINT) << {b * k + (k - 1 - i)})"
+        for b in range(_Z_BITS)
+        for i in range(k)
+    ]
+    return df.withColumn("__h", F.expr(" + ".join(h_terms)))
+
+
+def _hilbert(
+    spark: SparkSession,
+    df: DataFrame,
+    snap: Snapshot,
+    cols: list[str],
+    n_out: int,
+) -> DataFrame:
+    """Range-repartition + sort ``df`` by the Hilbert index of ``cols`` —
+    the liquid-clustering rewrite, matching delta-spark's curve choice.
+    Hilbert beats Morton on locality (every curve step is a unit step, no
+    quadrant jumps), so per-file min-max hyper-rectangles are tighter and
+    stats prune more files at identical rewrite cost
+    (tests/test_lifecycle.py::test_liquid_clustering_hilbert_beats_morton).
+    """
+    buckets = _cluster_buckets(spark, df, snap, cols)
+    if not buckets:
+        return df.coalesce(n_out)
+    orig = df.columns
+    if len(buckets) == 1:
+        # 1-D: the curve is the identity — sort on the linear bucket.
+        work = df.withColumn("__h", F.expr(buckets[0]))
+    else:
+        xs = [f"__hx{i}" for i in range(len(buckets))]
+        work = df.withColumns(
+            {x: F.expr(b).cast("int") for x, b in zip(xs, buckets)}
+        )
+        work = _hilbert_index(work, xs)
+    return (
+        work.repartitionByRange(n_out, F.col("__h"))
+        .sortWithinPartitions("__h")
         .select(*orig)
     )
 
@@ -4534,7 +4637,11 @@ def optimize(
     n_out = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
 
     if zorder_by:
-        clustered = _zorder(spark, df, snap, zorder_by, n_out)
+        # Liquid clustering rides the Hilbert curve (delta-spark's choice
+        # — strictly better per-file locality at the same cost); explicit
+        # OPTIMIZE ... ZORDER BY keeps the classic Morton interleave.
+        curve = _hilbert if liquid else _zorder
+        clustered = curve(spark, df, snap, zorder_by, n_out)
     else:
         clustered = df.coalesce(n_out)
 

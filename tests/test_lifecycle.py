@@ -436,3 +436,47 @@ def test_auto_compact_rewrites_only_the_small_file_backlog(spark, tmp_path):
     assert big_rel in snap.files
     assert len(snap.files) == 2  # big + one compacted small
     assert read_delta(spark, p).count() == 5000 + 9
+
+
+def test_liquid_clustering_hilbert_beats_morton(spark, tmp_path):
+    """The liquid-clustering rewrite rides the Hilbert curve (delta-spark's
+    choice); explicit ZORDER BY keeps Morton. Hilbert's unit-step locality
+    must show up where it matters — tighter per-file min-max
+    hyper-rectangles (= more files pruned by stats) at identical cost."""
+    import json as _json
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cluster_by,
+        optimize,
+        write_delta,
+    )
+
+    def avg_span(path):
+        snap = _load_snapshot(path)
+        tot = 0.0
+        for a in snap.files.values():
+            st = _json.loads(a["stats"])
+            tot += st["maxValues"]["x"] - st["minValues"]["x"]
+            tot += st["maxValues"]["y"] - st["minValues"]["y"]
+        return tot / len(snap.files), len(snap.files)
+
+    df = spark.range(40000).selectExpr(
+        "CAST(pmod(hash(id), 1000) AS INT) AS x",
+        "CAST(pmod(hash(id * 7 + 3), 1000) AS INT) AS y",
+        "id AS payload",
+    )
+    m = str(tmp_path / "morton")
+    write_delta(df, m)
+    optimize(spark, m, target_file_rows=2500, zorder_by=["x", "y"])
+    morton_span, morton_files = avg_span(m)
+
+    h = str(tmp_path / "hilbert")
+    write_delta(df, h)
+    cluster_by(h, ["x", "y"])
+    optimize(spark, h, target_file_rows=2500, full=True)
+    hilbert_span, hilbert_files = avg_span(h)
+
+    assert morton_files == hilbert_files  # identical file budget
+    # measured locally: 549 vs 721 (24% tighter); pin the direction
+    assert hilbert_span < morton_span

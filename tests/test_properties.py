@@ -294,3 +294,62 @@ class TestStatsStringTruncation:
         assert ("c" in mins) == ("c" in maxs) or (
             "c" in mins and len(mn) <= _STATS_STRING_PREFIX
         )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=64,
+        unique=True,
+    ),
+    st.integers(2, 3),
+)
+@settings(max_examples=20, deadline=None)
+def test_hilbert_index_matches_skilling_reference(pts, dims):
+    """The unrolled SQL Hilbert transform must compute EXACTLY Skilling's
+    axes-to-transpose index ("Programming the Hilbert curve", AIP 2004) —
+    the property the clustering-quality guarantees ride on."""
+    from ballista_delta_spark.session import get_spark
+    from ballista_delta_spark.sources.delta import _Z_BITS, _hilbert_index
+
+    def reference(X, b):
+        X = list(X)
+        n = len(X)
+        Q = 1 << (b - 1)
+        while Q > 1:
+            P = Q - 1
+            for i in range(n):
+                if X[i] & Q:
+                    X[0] ^= P
+                else:
+                    t = (X[0] ^ X[i]) & P
+                    X[0] ^= t
+                    X[i] ^= t
+            Q >>= 1
+        for i in range(1, n):
+            X[i] ^= X[i - 1]
+        t, Q = 0, 1 << (b - 1)
+        while Q > 1:
+            if X[n - 1] & Q:
+                t ^= Q - 1
+            Q >>= 1
+        X = [x ^ t for x in X]
+        h = 0
+        for bb in range(b):
+            for i in range(n):
+                h |= ((X[i] >> bb) & 1) << (bb * n + (n - 1 - i))
+        return h
+
+    spark = get_spark("tests", cpus=8)
+    xs = [f"__hx{i}" for i in range(dims)]
+    coords = [p[:dims] for p in pts]
+    df = spark.createDataFrame(
+        coords, ", ".join(f"c{i} int" for i in range(dims))
+    ).selectExpr(
+        *[f"c{i}" for i in range(dims)],
+        *[f"c{i} AS {x}" for i, x in enumerate(xs)],
+    )
+    for r in _hilbert_index(df, xs).collect():
+        want = reference([r[f"c{i}"] for i in range(dims)], _Z_BITS)
+        assert r["__h"] == want
