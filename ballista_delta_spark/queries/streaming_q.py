@@ -523,10 +523,14 @@ def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_name": "concat(n_name, '_X')"},
     )                                                                # v2
     delete_delta(spark, path, "n_nationkey >= 20")                   # v3
+    # startingVersion=0 pins FULL-history replay: the source's default
+    # (delta-spark parity) is initial-snapshot-then-tail, which would
+    # serve only the current rows as inserts at the snapshot version.
     stream = (
         spark.readStream.format("delta_stream")
         .option("path", path)
         .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
         .load()
     )
     return _run_stream(

@@ -16,6 +16,19 @@ consumed"). Consumption is append-only like delta-spark's default: a
 ``ignoreChanges`` is set, because silently skipping it would desync
 every downstream aggregate.
 
+Stream START matches delta-spark's documented defaults: with no
+``startingVersion``/``startingTimestamp`` the source serves the table's
+CURRENT snapshot as the initial batch(es) — offset form ``{"version": V,
+"index": i, "snapshot": true}``, ``i`` files of the version-``V``
+snapshot's active set emitted, deletion vectors applied — then tails
+commits ``> V``. This is delta-spark's isStartingVersion phase, and it
+is what makes the default correct on a checkpointed + VACUUMed table
+whose early JSON commits were reaped (replaying from version 0 there
+would read dead history or fail). ``startingVersion="latest"`` skips
+existing data entirely (changes from now on); a numeric
+``startingVersion`` / ``startingTimestamp`` replays the log from that
+commit, exactly as before.
+
 Scale shape: this is the full ``DataSourceStreamReader`` — planning
 (log scan, offset arithmetic, append-only validation) happens once on the
 driver and is O(#actions in the commit range); each added file becomes
@@ -71,6 +84,10 @@ class DeltaFilePartition(InputPartition):
     rel_path: str
     partition_values: dict[str, Any] = field(default_factory=dict)
     fixed_change: str | None = None
+    # Deletion-vector descriptor (initial-snapshot files only): applied
+    # executor-side so the snapshot batch serves live rows, not the raw
+    # parquet. Tail commits never set it (append-only contract).
+    dv: dict[str, Any] | None = None
 
 
 class DeltaStreamDataSource(DataSource):
@@ -119,19 +136,23 @@ class DeltaStreamDataSource(DataSource):
             max_files_per_trigger=self._limit("maxfilespertrigger"),
         )
 
-    def _starting_version(self) -> int:
+    def _starting_version(self) -> int | str | None:
         """``startingVersion`` or ``startingTimestamp`` (ISO-8601 or
         ``YYYY-MM-DD HH:MM:SS``), delta-spark's pair of stream-start
         options: a timestamp resolves to the first commit AT or AFTER it
-        via the table's commit-time index (ICT-aware)."""
+        via the table's commit-time index (ICT-aware). ``None`` (neither
+        option set) selects the delta-spark DEFAULT — initial snapshot,
+        then tail; the string ``"latest"`` means changes-from-now-on."""
         sv = self.options.get("startingversion")
         st = self.options.get("startingtimestamp")
         if sv is not None and st is not None:
             raise ValueError(
                 "set either startingVersion or startingTimestamp, not both"
             )
+        if sv is not None:
+            return "latest" if str(sv).lower() == "latest" else int(sv)
         if st is None:
-            return int(sv) if sv is not None else 0
+            return None
         import datetime
 
         from .delta import version_at_timestamp
@@ -171,7 +192,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self,
         path: str,
         schema: T.StructType,
-        starting_version: int = 0,
+        starting_version: int | str | None = 0,
         ignore_changes: bool = False,
         read_change_feed: bool = False,
         max_versions_per_trigger: int | None = None,
@@ -181,7 +202,6 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         self.path = _strip_file_scheme(path)
         self.schema = schema
-        self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.read_change_feed = read_change_feed
         # Rate limiting: ``maxFilesPerTrigger`` bounds each micro-batch by
@@ -208,6 +228,21 @@ class DeltaStreamReader(DataSourceStreamReader):
             f.name: snap.physical(f.name) for f in snap.schema.fields
         }
         self._logical = {v: k for k, v in self._phys.items()}
+        # Stream-start mode (resolved ONCE, at query start on the driver):
+        #   None      -> delta-spark default: serve the CURRENT snapshot as
+        #                batch 0, then tail commits > snapshot version;
+        #   "latest"  -> changes-from-now-on (skip existing data);
+        #   int       -> replay the log from that commit (legacy behavior).
+        self._init_snap = snap
+        self._snap_version: int | None = None
+        self._snap_plans: dict[int, list[DeltaFilePartition]] = {}
+        if starting_version is None:
+            self._snap_version = snap.version
+            self.starting_version = snap.version + 1
+        elif starting_version == "latest":
+            self.starting_version = snap.version + 1
+        else:
+            self.starting_version = int(starting_version)
         # The exact Arrow shape Spark expects back from read(); computed
         # once here (driver) and shipped pickled with the reader.
         self._arrow_schema = to_arrow_schema(schema)
@@ -217,22 +252,38 @@ class DeltaStreamReader(DataSourceStreamReader):
         # trigger may plan past the clamp — partitions() re-anchors from
         # its (checkpointed) start argument, so correctness is unaffected
         # either way.
-        self._planned: tuple[int, int] | None = None
+        self._planned: tuple[int, int, bool] | None = None
         # Commits are immutable: per-version plans cache cleanly. Pruned
         # in commit() so a long-lived tail stays O(uncommitted window).
         self._plans: dict[int, list[DeltaFilePartition]] = {}
 
     # ------------------------------------------------------------ offsets
     @staticmethod
-    def _pos(off: dict) -> tuple[int, int]:
-        """Offset dict -> (version, files_consumed_of_that_version).
-        Legacy ``{"version": v}`` = commit v fully consumed = ``(v+1, 0)``
-        — both forms denote the same log position."""
+    def _pos(off: dict) -> tuple[int, int, bool]:
+        """Offset dict -> (version, files_consumed_of_that_version,
+        in_snapshot). Legacy ``{"version": v}`` = commit v fully consumed
+        = ``(v+1, 0)`` — both forms denote the same log position. A
+        snapshot-phase position's index counts files of the version-``v``
+        SNAPSHOT (active set), not of commit ``v``; snapshot positions
+        order before every tail position (tail commits are ``> v``), so
+        plain tuple comparison stays a total order within one stream."""
         if "index" in off:
-            return int(off["version"]), int(off["index"])
-        return int(off["version"]) + 1, 0
+            return (
+                int(off["version"]), int(off["index"]),
+                bool(off.get("snapshot", False)),
+            )
+        return int(off["version"]) + 1, 0, False
+
+    @staticmethod
+    def _off(v: int, i: int, snap: bool) -> dict:
+        off: dict[str, Any] = {"version": v, "index": i}
+        if snap:
+            off["snapshot"] = True
+        return off
 
     def initialOffset(self) -> dict:
+        if self._snap_version is not None:
+            return self._off(self._snap_version, 0, True)
         return {"version": self.starting_version, "index": 0}
 
     def _latest_version(self) -> int:
@@ -246,10 +297,39 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         actual = self._latest_version()
-        v, i = self._planned or (self.starting_version, 0)
-        if actual < self.starting_version:  # no commits yet
-            self._planned = (v, i)
-            return {"version": v, "index": i}
+        if self._planned is not None:
+            v, i, insnap = self._planned
+        elif self._snap_version is not None:
+            v, i, insnap = self._snap_version, 0, True
+        else:
+            v, i, insnap = self.starting_version, 0, False
+        fbudget = self.max_files_per_trigger    # None = unbounded
+        vbudget = self.max_versions_per_trigger
+        if insnap:
+            # Initial-snapshot phase: drain the version-v snapshot's
+            # active set under the file budget (the snapshot counts as
+            # ONE version against maxVersionsPerTrigger), then fall
+            # through to the log tail at v+1.
+            plan = self._snap_plan(v)
+            take = len(plan) - i
+            if fbudget is not None:
+                take = min(take, fbudget)
+                fbudget -= take
+            if take > 0 and vbudget is not None:
+                vbudget -= 1
+            i += take
+            if (
+                i < len(plan)          # file budget hit mid-snapshot
+                or actual <= v         # no tail commits yet
+                or fbudget == 0
+                or vbudget == 0
+            ):
+                self._planned = (v, i, True)
+                return self._off(v, i, True)
+            v, i, insnap = v + 1, 0, False
+        if actual < v:  # no commits yet
+            self._planned = (v, i, False)
+            return self._off(v, i, False)
         # Normalize the anchor past fully-consumed commits FIRST, so the
         # version clamp below always counts unconsumed versions — without
         # this, an EMPTY commit (pure metadata) pins a
@@ -257,14 +337,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         while v < actual and i >= len(self._plan(v)):
             v, i = v + 1, 0
         latest = actual
-        if self.max_versions_per_trigger is not None:
-            latest = min(latest, v + self.max_versions_per_trigger - 1)
-        if self.max_files_per_trigger is None:
+        if vbudget is not None:
+            latest = min(latest, v + vbudget - 1)
+        if fbudget is None:
             # Unbounded: consume through the end of the last commit.
             if latest >= v:
                 v, i = latest, len(self._plan(latest))
         else:
-            budget = self.max_files_per_trigger
+            budget = fbudget
             while v <= latest:
                 n = len(self._plan(v))
                 take = min(n - i, budget)
@@ -275,8 +355,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if v == latest:
                     break  # fully consumed; keep canonical (latest, n)
                 v, i = v + 1, 0
-        self._planned = (v, i)
-        return {"version": v, "index": i}
+        self._planned = (v, i, False)
+        return self._off(v, i, False)
 
     # ----------------------------------------------------------- planning
     def _commit_actions(self, v: int) -> list[dict[str, Any]]:
@@ -286,6 +366,27 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if line.strip():
                     acts.append(json.loads(line))
         return acts
+
+    def _snap_plan(self, v: int) -> list[DeltaFilePartition]:
+        """Active file set of the table AS OF version ``v``, sorted by
+        path (deterministic slicing under rate limits). Deletion-vector
+        descriptors ride along so ``read()`` serves live rows; CDF mode
+        stamps every row ``insert`` at the snapshot version, delta-spark's
+        initial-snapshot CDF shape."""
+        if v not in self._snap_plans:
+            snap = (
+                self._init_snap
+                if v == self._init_snap.version
+                else _load_snapshot(self.path, version=v)
+            )
+            self._snap_plans[v] = [
+                DeltaFilePartition(
+                    v, rel, add.get("partitionValues") or {},
+                    "insert", add.get("deletionVector"),
+                )
+                for rel, add in sorted(snap.files.items())
+            ]
+        return self._snap_plans[v]
 
     def _plan(self, v: int) -> list[DeltaFilePartition]:
         if v not in self._plans:
@@ -354,25 +455,60 @@ class DeltaStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[DeltaFilePartition]:
-        sv, si = self._pos(start)
-        ev, ei = self._pos(end)
+        sv, si, ssnap = self._pos(start)
+        ev, ei, esnap = self._pos(end)
+        # The CHECKPOINTED offsets are ground truth for which phase the
+        # stream is in — a restarted reader's own cold-start snapshot
+        # resolution (possibly at a NEWER version) is just a guess:
+        #  - snap start: adopt ITS snapshot version, whatever we resolved;
+        #  - tail start: the snapshot phase (if any) finished before the
+        #    checkpoint — drop a cold snap-mode anchor so it can never
+        #    re-serve already-consumed snapshot files.
+        if ssnap:
+            self._snap_version = sv
+        elif self._planned is not None and self._planned[2]:
+            self._planned = None
+        consistent = (
+            (ssnap and esnap and sv == ev)        # mid-snapshot batch
+            or (ssnap and not esnap and ev > sv)  # snapshot finish + tail
+            or (not ssnap and not esnap)          # pure tail batch
+        )
+        if not consistent:
+            # Inconsistent pair (cold-start guess mixed with checkpointed
+            # offsets, e.g. tail start + snap end after a restart): serve
+            # nothing, anchor at the trusted START; the next trigger
+            # self-heals — same empty-batch recovery the tail path uses
+            # for a regressed end offset.
+            self._planned = (sv, si, ssnap)
+            return []
+        parts: list[DeltaFilePartition] = []
+        if ssnap:
+            snap_plan = self._snap_plan(sv)
+            parts.extend(snap_plan[si : ei if esnap else len(snap_plan)])
+        if not esnap:
+            tv, ti = (sv + 1, 0) if ssnap else (sv, si)
+            for v in range(tv, ev + 1):
+                if v == ev and ei == 0:
+                    break  # nothing of ev consumed; don't touch its log
+                plan = self._plan(v)
+                lo = ti if v == tv else 0
+                hi = ei if v == ev else len(plan)
+                parts.extend(plan[lo:hi])
         # Re-anchor from BOTH offsets after a checkpoint restart. Spark
         # never tells latestOffset() where it resumed, so a fresh reader
-        # anchors at (starting_version, 0); the first partitions() call
-        # always carries the checkpointed START, and without folding it in
-        # a restart whose last batch committed would plan subsequent
-        # ranges BEHIND the checkpoint and re-emit consumed files
-        # (duplicate rows downstream — exactly-once violation).
-        anchor = max(self._planned or (sv, si), (sv, si), (ev, ei))
-        self._planned = anchor
-        parts: list[DeltaFilePartition] = []
-        for v in range(sv, ev + 1):
-            if v == ev and ei == 0:
-                break  # nothing of ev consumed; don't touch its log file
-            plan = self._plan(v)
-            lo = si if v == sv else 0
-            hi = ei if v == ev else len(plan)
-            parts.extend(plan[lo:hi])
+        # anchors cold; the first partitions() call always carries the
+        # checkpointed START, and without folding it in a restart whose
+        # last batch committed would plan subsequent ranges BEHIND the
+        # checkpoint and re-emit consumed files (duplicate rows
+        # downstream — exactly-once violation).
+        self._planned = max(
+            [
+                c for c in (
+                    self._planned, (sv, si, ssnap), (ev, ei, esnap)
+                )
+                if c is not None
+            ]
+        )
         return parts
 
     # ------------------------------------------------- executor-side read
@@ -381,6 +517,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(os.path.join(self.path, partition.rel_path))
+        if partition.dv:
+            # Initial-snapshot file with a deletion vector: drop the
+            # deleted row indexes so the batch serves LIVE rows.
+            import numpy as np
+
+            from .dv import read_deletion_vector
+
+            deleted = read_deletion_vector(self.path, partition.dv)
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            if deleted:
+                mask[np.asarray(deleted, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
         file_cols = set(tbl.column_names)
         n = tbl.num_rows
         # partitionValues are SPEC-STRINGS in the log; cast to the
@@ -414,7 +562,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        ev, _ = self._pos(end)
+        ev, _, _ = self._pos(end)
         for v in [v for v in self._plans if v < ev]:
             del self._plans[v]
 

@@ -197,6 +197,8 @@ class TestStreamOffsetWalk:
         r.max_versions_per_trigger = max_versions
         r.read_change_feed = False
         r._planned = None
+        r._snap_version = None  # replay mode: no initial-snapshot phase
+        r._snap_plans = {}
         r._plans = {
             v: [
                 DeltaFilePartition(v, f"f-{v}-{i}.parquet")
@@ -239,6 +241,58 @@ class TestStreamOffsetWalk:
             for i in range(n)
         ]
         assert seen == expected  # every file once, in log order
+
+    @given(
+        st.integers(min_value=0, max_value=6),
+        st.lists(st.integers(min_value=0, max_value=4), min_size=0,
+                 max_size=4),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=2)),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_snapshot_phase_walk_emits_every_file_once(
+        self, snap_files, tail_counts, max_files, max_versions
+    ):
+        """Initial-snapshot mode: the snapshot's files drain first (under
+        the file budget, counting as ONE version), then the tail commits —
+        every file exactly once, in order, terminating."""
+        from ballista_delta_spark.sources.delta_stream import (
+            DeltaFilePartition,
+        )
+
+        r = self._reader(
+            [0] + tail_counts, max_files, max_versions
+        )
+        r.starting_version = 1
+        r._snap_version = 0
+        r._snap_plans = {
+            0: [
+                DeltaFilePartition(0, f"snap-{i}.parquet")
+                for i in range(snap_files)
+            ]
+        }
+        del r._plans[0]  # version 0 is the snapshot, not a tail commit
+        off = r.initialOffset()
+        assert off == {"version": 0, "index": 0, "snapshot": True}
+        seen: list[str] = []
+        for _ in range(200):
+            end = r.latestOffset()
+            parts = r.partitions(off, end)
+            if max_files is not None:
+                assert len(parts) <= max_files
+            seen.extend(p.rel_path for p in parts)
+            if end == off:
+                break
+            off = end
+        else:
+            raise AssertionError("offset walk did not terminate")
+        expected = [f"snap-{i}.parquet" for i in range(snap_files)] + [
+            f"f-{v}-{i}.parquet"
+            for v, n in enumerate([0] + tail_counts)
+            for i in range(n)
+            if v >= 1
+        ]
+        assert seen == expected
 
     @given(
         st.lists(st.integers(min_value=0, max_value=4), min_size=1,
