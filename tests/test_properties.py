@@ -407,3 +407,139 @@ def test_hilbert_index_matches_skilling_reference(pts, dims):
     for r in _hilbert_index(df, xs).collect():
         want = reference([r[f"c{i}"] for i in range(dims)], _Z_BITS)
         assert r["__h"] == want
+
+
+# ------------------------------------------------ type-widening matrix
+# _is_type_widening encodes the spec's lossless-widening table; the
+# feature is metadata-only, so its soundness RIDES on Spark's parquet
+# readers converting the narrow physical values under the widened
+# requested schema (int32 under long/double/decimal, float under double,
+# date under timestampNTZ, decimal re-scale). Generate (narrow values,
+# accepted widen chain) pairs and pin read-back equality end-to-end.
+class TestTypeWideningMatrix:
+    _POOL = [
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "date", "timestamp_ntz",
+        "decimal(10,0)", "decimal(12,2)", "decimal(20,5)",
+        "decimal(38,18)",
+    ]
+    _VALUES = {
+        "tinyint": st.integers(-128, 127),
+        "smallint": st.integers(-(1 << 15), (1 << 15) - 1),
+        "int": st.integers(-(1 << 31), (1 << 31) - 1),
+        "bigint": st.integers(-(1 << 63), (1 << 63) - 1),
+        "float": st.floats(
+            allow_nan=False, allow_infinity=False, width=32
+        ),
+        "date": st.dates(),
+        "decimal(10,0)": st.decimals(
+            min_value=-(10**10 - 1), max_value=10**10 - 1, places=0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        "decimal(12,2)": st.decimals(
+            min_value=-(10**9), max_value=10**9, places=2,
+            allow_nan=False, allow_infinity=False,
+        ),
+    }
+
+    @staticmethod
+    def _dt(s):
+        """DDL string -> DataType WITHOUT a SparkContext (strategies run
+        before the session exists)."""
+        import re as _re
+
+        from pyspark.sql import types as T
+
+        m = {
+            "tinyint": T.ByteType(), "smallint": T.ShortType(),
+            "int": T.IntegerType(), "bigint": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(),
+            "date": T.DateType(), "timestamp_ntz": T.TimestampNTZType(),
+        }
+        if s in m:
+            return m[s]
+        p, sc = _re.match(r"decimal\((\d+),(\d+)\)", s).groups()
+        return T.DecimalType(int(p), int(sc))
+
+    @staticmethod
+    @st.composite
+    def _case(draw):
+        from ballista_delta_spark.sources.delta import _is_type_widening
+
+        dt = TestTypeWideningMatrix._dt
+        pool = TestTypeWideningMatrix._POOL
+        start = draw(st.sampled_from(
+            list(TestTypeWideningMatrix._VALUES)
+        ))
+        cur = dt(start)
+        chain: list[str] = []
+        for _ in range(draw(st.integers(1, 3))):
+            cands = [
+                s for s in pool if _is_type_widening(cur, dt(s))
+            ]
+            if not cands:
+                break
+            nxt = draw(st.sampled_from(cands))
+            chain.append(nxt)
+            cur = dt(nxt)
+        if not chain:
+            # every starting type in _VALUES has at least one widening
+            raise AssertionError(f"no widening from {start}")
+        values = draw(st.lists(
+            TestTypeWideningMatrix._VALUES[start], min_size=1, max_size=4
+        ))
+        return start, values, chain
+
+    @given(_case())
+    @settings(max_examples=15, deadline=None)
+    def test_widen_chain_reads_back_exact_values(self, case):
+        import datetime
+        import decimal
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ballista_delta_spark.session import get_spark
+        from ballista_delta_spark.sources.delta import (
+            alter_column_type,
+            read_delta,
+            write_delta,
+        )
+
+        start, values, chain = case
+        spark = get_spark("tests", cpus=8)
+        rows = [(i, v) for i, v in enumerate(values)] + [(len(values), None)]
+        d = tempfile.mkdtemp(prefix="widen-")
+        try:
+            write_delta(
+                spark.createDataFrame(rows, f"id int, c {start}"),
+                d,
+            )
+            for step in chain:
+                alter_column_type(d, "c", step)
+            got = {
+                r["id"]: r["c"]
+                for r in read_delta(spark, d).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        final = chain[-1]
+        assert got[len(values)] is None  # NULL survives every widening
+        for i, v in enumerate(values):
+            g = got[i]
+            if final in ("timestamp_ntz",) and isinstance(
+                v, datetime.date
+            ):
+                assert g == datetime.datetime(v.year, v.month, v.day)
+            elif final.startswith("decimal"):
+                assert isinstance(g, decimal.Decimal)
+                assert g == decimal.Decimal(v) if not isinstance(
+                    v, decimal.Decimal
+                ) else g == v
+            elif final == "double" and start == "float":
+                # the file stores float32; widened read must be THAT
+                # value as a double, bit-exactly
+                assert g == float(np.float32(v))
+            else:
+                assert g == v, (start, chain, v, g)
