@@ -671,3 +671,166 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sd", 4).alias("sd_value"),
         )
     )
+
+
+# ---------------------------------------------- text_bigram_logprob
+# Bigram-LM quality proxy (the KenLM-shaped upgrade of
+# text_unigram_logprob): train add-one-smoothed bigram statistics on the
+# corpus itself — P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) — and score each
+# document by the mean negative log-probability of its bigrams.
+# Boilerplate and token-salad that sneak past unigram stats (common
+# words, impossible sequences) score high here.
+#
+# Scale shape: bigrams come from a TRANSFORM over the already-split
+# token array (a narrow map — no self-join, no window shuffle to pair
+# neighbors). The bigram-count relation is corpus-bigram-vocabulary
+# sized: Catalyst broadcasts it at bench scale; at 100 TB it becomes the
+# one equi-join shuffle (the unavoidable probe), while the unigram
+# vocabulary stays broadcast. Scores round to 4 decimals in BOTH engines
+# before the keep comparison, so the gate can't flip on float noise.
+@_q(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS a
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i)
+    ),
+    uni AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest(a) AS term FROM toks) GROUP BY term
+    ),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((bc.c12 + 1.0) / (uni.c + v.vs))), 4) AS mean_nll,
+           round(avg(-ln((bc.c12 + 1.0) / (uni.c + v.vs))), 4) <= 3.41
+               AS keep
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN uni ON bg.w1 = uni.term
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", _WS).alias("a"))
+    # adjacent pairs WITHOUT a shuffle: transform over the token array
+    # (slice drops the final token; i is 0-based so a[i+1] is the
+    # successor)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
+                "(t, i) -> struct(t AS w1, a[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        toks.select(F.explode("a").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    v_size = float(uni.count())  # LM planning scalar (vocab size)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    nll = -F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c") + F.lit(v_size))
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(
+            F.broadcast(uni.withColumnRenamed("term", "w1")), "w1"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("mean_nll"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "mean_nll",
+            (F.col("mean_nll") <= 3.41).alias("keep"),
+        )
+    )
+
+
+# ------------------------------------------------ text_ccnet_bucket
+# CCNet's head/middle/tail quality bucketing: score every document with
+# the corpus-trained unigram LM (same statistic as
+# text_unigram_logprob), then split the corpus at the score TERCILES —
+# head = best-scoring third, tail = worst. Downstream mixtures sample
+# head-heavy; this is the partitioning step that makes that possible.
+#
+# Engine-stability: scores are rounded to 4 decimals FIRST and the
+# terciles are interpolated over the ROUNDED scores (percentile /
+# quantile_cont, identical linear-interpolation semantics), so both
+# engines cut at bit-identical thresholds. The thresholds are two
+# driver-side scalars (LM planning state, like the vocabulary size) —
+# bucket assignment stays one codegen'd projection, zero extra shuffle.
+@_q(
+    "text_ccnet_bucket",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '{_WS}')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+    totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+               CAST(count(*) AS DOUBLE) AS v_size
+        FROM vocab
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(avg(-ln((vocab.c + 1.0) /
+                             (totals.n_tokens + totals.v_size))), 4)
+                   AS mean_nll
+        FROM terms JOIN vocab USING (term) CROSS JOIN totals
+        GROUP BY doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(mean_nll, 1.0 / 3.0) AS t1,
+               quantile_cont(mean_nll, 2.0 / 3.0) AS t2
+        FROM scored
+    )
+    SELECT doc_id, mean_nll,
+           CASE WHEN mean_nll <= cuts.t1 THEN 'head'
+                WHEN mean_nll <= cuts.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+    """,
+)
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", _WS)).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    n_tokens, v_size = vocab.agg(
+        F.sum("c").cast("double"), F.count("*").cast("double")
+    ).first()
+    nll = -F.log(
+        (F.col("c") + F.lit(1.0)) / F.lit(float(n_tokens) + float(v_size))
+    )
+    scored = (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll), 4).alias("mean_nll"))
+    )
+    t1, t2 = scored.agg(
+        F.expr("percentile(mean_nll, 1.0D / 3.0D)"),
+        F.expr("percentile(mean_nll, 2.0D / 3.0D)"),
+    ).first()
+    return scored.select(
+        "doc_id", "mean_nll",
+        F.when(F.col("mean_nll") <= float(t1), "head")
+        .when(F.col("mean_nll") <= float(t2), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

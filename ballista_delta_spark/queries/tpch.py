@@ -118,3 +118,102 @@ ORDER BY totalprice DESC, o_orderkey
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_Q18)
+
+
+# --- tpch_q3: shipping priority — the classic segment-filtered 3-way
+# join with the date "sandwich" (orders before the cutoff, lineitems
+# shipped after it) and a top-10 on aggregated revenue. Catalyst's plan
+# of record: customer broadcast under its segment filter, the
+# lineitem-orders pair is the one shuffle, both date filters reach the
+# scans as PushedFilters, and TakeOrderedAndProject cuts the top-10
+# without a global sort. LIMIT rides a total order (revenue DESC, then
+# the unique l_orderkey) so both engines cut identical rows.
+# (o_orderpriority stands in for the spec's o_shippriority — the
+# TESTDATA schema carries priority, not shippriority.)
+_Q3 = f"""
+SELECT l_orderkey,
+       {_REV} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_q("tpch_q3", _Q3)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3)
+
+
+# --- tpch_q7: volume shipping — the SELF-JOINED dimension shape: nation
+# joins in twice (supplier's nation, customer's nation) under a
+# symmetric OR pair, with a per-year aggregate above the 6-relation
+# join. Both nation sides broadcast; the OR collapses to two
+# literal-pair filters pushed into the joined result; YEAR() is
+# evaluated post-join on the surviving sliver. Volume accumulates in
+# DECIMAL so cross-engine hashes cannot drift with summation order.
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@_q("tpch_q7", _Q7)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_Q7)
+
+
+# --- tpch_q12: shipmode priority classes — the conditional-aggregation
+# composite: one fact-dim join, a one-year ship window, and two CASE
+# counts per group (urgent-class vs other orders). One broadcast join +
+# one tiny final shuffle (groups = |linestatus|); counts CAST to BIGINT
+# because DuckDB sums integers into HUGEINT while Spark stays BIGINT.
+# (l_linestatus stands in for the spec's l_shipmode — not in TESTDATA.)
+_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@_q("tpch_q12", _Q12)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12)

@@ -499,3 +499,72 @@ def test_r8_ops_scale_shapes(spark, sf_dir):
     assert "Join" not in weighted_plan, weighted_plan
     assert weighted_plan.count("Scan parquet") == 1, weighted_plan
     assert weighted_plan.count("Exchange") <= 2, weighted_plan
+
+
+def test_r9_tpch_scale_shapes(spark, sf_dir):
+    """Pins for the r9 TPC-H additions:
+
+    - tpch_q3: segment-filtered customer broadcasts; both date filters
+      pushed; top-10 via TakeOrderedAndProject, never a global Sort;
+    - tpch_q7: nation joins in TWICE (self-joined dim) — both sides
+      broadcast, the symmetric OR pair never degrades to a nested loop;
+    - tpch_q12: one broadcast fact-dim join, conditional counts collapse
+      into a single aggregate — ≤2 exchanges total.
+    """
+    from ballista_delta_spark.queries.tpch import tpch_q3, tpch_q7, tpch_q12
+
+    def no_scale_killers(plan):
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    q3 = _physical_plan(tpch_q3(spark, sf_dir))
+    no_scale_killers(q3)
+    assert q3.count("Scan parquet") == 3, q3
+    assert q3.count("PushedFilters: []") == 0, q3
+    assert "TakeOrderedAndProject" in q3, q3
+
+    q7 = _physical_plan(tpch_q7(spark, sf_dir))
+    no_scale_killers(q7)
+    assert q7.count("Scan parquet") == 6, q7  # nation scanned twice
+    assert q7.count("BroadcastHashJoin") >= 4, q7
+
+    q12 = _physical_plan(tpch_q12(spark, sf_dir))
+    no_scale_killers(q12)
+    assert q12.count("Scan parquet") == 2, q12
+    assert q12.count("PushedFilters: []") == 0, q12
+    # one agg shuffle + the range partition for the final ORDER BY over
+    # |linestatus| rows — the latter is O(groups), not O(fact)
+    assert q12.count("Exchange") <= 3, q12
+    assert q12.count("hashpartitioning") <= 1, q12
+
+
+def test_r9_text_ops_scale_shapes(spark, sf_dir):
+    """Pins for the r9 LM-quality additions:
+
+    - text_bigram_logprob: bigram pairing is a TRANSFORM over the token
+      array (no self-join / window shuffle to pair neighbors); the
+      unigram vocabulary broadcasts; no sort-merge / nested-loop /
+      cartesian anywhere;
+    - text_ccnet_bucket: tercile thresholds are driver scalars — bucket
+      assignment adds NO join and no extra exchange beyond the scoring
+      aggregate.
+    """
+    from ballista_delta_spark.queries.pipeline import (
+        text_bigram_logprob,
+        text_ccnet_bucket,
+    )
+
+    bp = _physical_plan(text_bigram_logprob(spark, sf_dir))
+    assert "SortMergeJoin" not in bp, bp
+    assert "BroadcastNestedLoopJoin" not in bp, bp
+    assert "CartesianProduct" not in bp, bp
+    assert "Window" not in bp, bp  # neighbor pairing is the narrow map
+    assert bp.count("Exchange") <= 5, bp
+
+    cb = _physical_plan(text_ccnet_bucket(spark, sf_dir))
+    assert "SortMergeJoin" not in cb, cb
+    assert "BroadcastNestedLoopJoin" not in cb, cb
+    assert "CartesianProduct" not in cb, cb
+    assert cb.count("BroadcastHashJoin") == 1, cb  # vocab probe only
+    assert cb.count("Exchange") <= 3, cb
