@@ -235,6 +235,15 @@ _DELTA_DETAIL = re.compile(
     re.IGNORECASE,
 )
 
+# GENERATE symlink_format_manifest FOR TABLE <name> — delta-spark's
+# Presto/Trino compatibility export.
+_DELTA_GENERATE = re.compile(
+    r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # <view> VERSION AS OF n / TIMESTAMP AS OF 'ts' inside any SELECT —
 # delta-spark's time-travel SQL. Rewritten to a snapshot temp view before
 # Spark parses the statement.
@@ -725,6 +734,19 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from .sources.delta import describe_detail
 
             return describe_detail(spark, _delta_views[name])
+
+    m = _DELTA_GENERATE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import generate_symlink_manifest
+
+            written = generate_symlink_manifest(_delta_views[name])
+            if not written:
+                return spark.createDataFrame([], "manifest string")
+            return spark.createDataFrame(
+                [(p,) for p in written], "manifest string"
+            )
 
     m = _DELTA_HISTORY.match(statement)
     if m:

@@ -2442,6 +2442,127 @@ def _row_tracking_enabled(snap: "Snapshot | None") -> bool:
     return snap is not None and "rowTracking" in snap.writer_features
 
 
+_MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def generate_symlink_manifest(
+    path: str, partitions: "set[str] | None" = None
+) -> list[str]:
+    """``GENERATE symlink_format_manifest FOR TABLE`` — delta-spark's
+    Presto/Trino/Athena compatibility export: one Hive
+    ``SymlinkTextInputFormat`` manifest per partition directory under
+    ``_symlink_format_manifest/``, each line the absolute ``file:`` URI
+    of one ACTIVE data file. External engines then read the Delta table
+    as a plain Hive table whose "files" are the manifests.
+
+    ``partitions=None`` regenerates the WHOLE tree (stale manifests for
+    dropped partitions are removed first); a set of partition-relative
+    dirs (``""`` for an unpartitioned table) regenerates only those —
+    the bounded form the post-commit hook uses, O(touched partitions)
+    per commit, never O(table).
+
+    Refuses when any active file carries a deletion vector: a symlink
+    manifest has no way to express row-level deletes, so external
+    readers would resurrect deleted rows — delta-spark refuses too.
+    Returns the manifest files written (relative to the table root).
+    """
+    import shutil as _shutil
+
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        raise ValueError(
+            "cannot generate symlink manifests: table has active deletion "
+            "vectors (external readers would resurrect deleted rows); "
+            "run REORG TABLE ... APPLY (PURGE) first"
+        )
+    groups: dict[str, list[str]] = {}
+    for rel in sorted(snap.files):
+        groups.setdefault(os.path.dirname(rel), []).append(
+            "file://" + os.path.abspath(os.path.join(path, rel))
+        )
+    man_root = os.path.join(path, _MANIFEST_DIR)
+    if partitions is None:
+        _shutil.rmtree(man_root, ignore_errors=True)
+        todo = set(groups)
+    else:
+        todo = set(partitions)
+    written: list[str] = []
+    for pdir in sorted(todo):
+        out_dir = os.path.join(man_root, pdir) if pdir else man_root
+        out = os.path.join(out_dir, "manifest")
+        if pdir not in groups:
+            # partition emptied by this commit: its manifest must go too
+            _shutil.rmtree(out_dir, ignore_errors=True)
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = out + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(groups[pdir]) + "\n")
+        os.replace(tmp, out)
+        written.append(os.path.relpath(out, path))
+    return written
+
+
+def _maybe_update_symlink_manifests(
+    path: str, actions: list[dict[str, Any]], snap: "Snapshot | None"
+) -> None:
+    """Post-commit manifest refresh
+    (``delta.compatibility.symlinkFormatManifest.enabled=true``):
+    regenerate manifests for exactly the partition dirs this commit's
+    add/remove actions touched — delta-spark's incremental
+    GenerateSymlinkManifest hook. Best-effort: a failure (e.g. DVs
+    appearing) never fails the commit, but is logged."""
+    if snap is None or str(snap.configuration.get(
+        "delta.compatibility.symlinkFormatManifest.enabled", ""
+    )).lower() != "true":
+        return
+    touched = {
+        os.path.dirname(act[k]["path"])
+        for act in actions
+        for k in ("add", "remove")
+        if k in act
+    }
+    if not touched:
+        return
+    try:
+        generate_symlink_manifest(path, partitions=touched)
+    except Exception:
+        _logger.warning(
+            "post-commit symlink-manifest refresh of %s skipped", path,
+            exc_info=True,
+        )
+
+
+def _maybe_auto_checkpoint(
+    path: str, version: int, snap: "Snapshot | None"
+) -> None:
+    """Periodic checkpointing (``delta.checkpointInterval``, default 10 —
+    delta-spark's automatic post-commit checkpoint): every Nth commit
+    writes a checkpoint so snapshot loads stay O(interval) log replays,
+    never O(all commits). At 100 TB a busy table commits thousands of
+    times a day — without this the log replay itself becomes the
+    bottleneck of every reader.
+
+    Best-effort like delta-spark's: a checkpoint failure never fails the
+    commit that triggered it (the log is already durable), but it is
+    logged. A non-default interval is honored when the caller supplied
+    the pre-commit snapshot (every table-writing path does); bare
+    metadata commits without one still checkpoint on the default cadence.
+    Setting ``delta.checkpointInterval=0`` disables the automatism.
+    """
+    try:
+        cfg = snap.configuration if snap is not None else {}
+        interval = int(cfg.get("delta.checkpointInterval", 10))
+        if interval > 0 and version > 0 and version % interval == 0:
+            create_checkpoint(path)
+    except Exception:
+        _logger.warning(
+            "post-commit checkpoint of %s at version %s skipped",
+            path, version, exc_info=True,
+        )
+
+
 def _try_commit(
     path: str,
     actions: list[dict[str, Any]],
@@ -2559,6 +2680,8 @@ def _try_commit(
         try:
             os.link(tmp_commit, commit_path)
             os.unlink(tmp_commit)
+            _maybe_auto_checkpoint(path, version, snap)
+            _maybe_update_symlink_manifests(path, actions, snap)
             return version
         except FileExistsError:
             os.unlink(tmp_commit)
@@ -4052,9 +4175,36 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     return {"version": committed, **metrics}
 
 
+def _parse_retention_interval(raw: str) -> int:
+    """delta-spark's CalendarInterval retention syntax -> milliseconds:
+    ``"interval 7 days"``, ``"interval 168 hours"``, ``"interval 2
+    weeks"`` (unit singular or plural; the ``interval`` prefix optional,
+    as delta-spark accepts both). Months/years are refused exactly as
+    delta-spark refuses them — they have no fixed millisecond width, so a
+    retention boundary would shift with the calendar."""
+    units = {
+        "millisecond": 1, "second": 1000, "minute": 60_000,
+        "hour": 3_600_000, "day": 86_400_000, "week": 7 * 86_400_000,
+    }
+    toks = raw.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    if len(toks) != 2 or not toks[0].lstrip("-").isdigit():
+        raise ValueError(f"cannot parse retention interval {raw!r}")
+    n, unit = int(toks[0]), toks[1].rstrip("s")
+    if unit not in units:
+        raise ValueError(
+            f"unsupported retention unit {toks[1]!r} in {raw!r} "
+            "(calendar units like months shift with the calendar)"
+        )
+    if n < 0:
+        raise ValueError(f"negative retention {raw!r}")
+    return n * units[unit]
+
+
 def vacuum(
     path: str,
-    retention_ms: int = 7 * 24 * 3600 * 1000,
+    retention_ms: int | None = None,
     dry_run: bool = False,
 ) -> list[str]:
     """Delete data files no longer referenced by the CURRENT snapshot whose
@@ -4063,6 +4213,12 @@ def vacuum(
     ``dry_run=True`` (``VACUUM ... DRY RUN``) returns what WOULD be
     deleted without touching anything.
 
+    ``retention_ms=None`` (the default) resolves the window the way
+    delta-spark does: the table's
+    ``delta.deletedFileRetentionDuration`` property (``"interval 7
+    days"`` syntax) when set, else the spec default of 7 days. An
+    explicit argument (``VACUUM ... RETAIN n HOURS``) overrides both.
+
     Retention matters for the same reason as in every Delta engine: readers
     of older versions (time travel) and in-flight queries may still reference
     removed files; deleting before the window closes breaks them. Pass
@@ -4070,6 +4226,12 @@ def vacuum(
     """
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
+    if retention_ms is None:
+        prop = snap.configuration.get("delta.deletedFileRetentionDuration")
+        retention_ms = (
+            _parse_retention_interval(prop) if prop
+            else 7 * 24 * 3600 * 1000
+        )
     now_ms = int(time.time() * 1000)
     root = os.path.realpath(path)
     deleted: list[str] = []
@@ -4248,7 +4410,7 @@ def compact_log(path: str, start: int, end: int) -> str:
 
 
 def cleanup_log(
-    path: str, retention_ms: int = 30 * 24 * 3600 * 1000
+    path: str, retention_ms: int | None = None
 ) -> list[str]:
     """Metadata retention (delta.logRetentionDuration analogue): delete
     JSON commits — and superseded checkpoint parts — that are BOTH older
@@ -4271,6 +4433,17 @@ def cleanup_log(
     ckpt_file = os.path.join(log, "_last_checkpoint")
     if not os.path.exists(ckpt_file):
         return []  # nothing covers the tail — never delete
+    if retention_ms is None:
+        # delta-spark resolution order: the table's
+        # delta.logRetentionDuration property ("interval 30 days"
+        # syntax), else the spec default of 30 days.
+        prop = _load_snapshot(path).configuration.get(
+            "delta.logRetentionDuration"
+        )
+        retention_ms = (
+            _parse_retention_interval(prop) if prop
+            else 30 * 24 * 3600 * 1000
+        )
     with open(ckpt_file) as fh:
         cv = int(json.load(fh)["version"])
     now_ms = int(time.time() * 1000)

@@ -480,3 +480,186 @@ def test_liquid_clustering_hilbert_beats_morton(spark, tmp_path):
     assert morton_files == hilbert_files  # identical file budget
     # measured locally: 549 vs 721 (24% tighter); pin the direction
     assert hilbert_span < morton_span
+
+
+def test_auto_checkpoint_on_interval(spark, tmp_path):
+    """delta.checkpointInterval (default 10): every Nth commit writes a
+    checkpoint automatically, so snapshot loads stay O(interval) replays
+    — delta-spark's post-commit checkpointing. 0 disables."""
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        read_delta,
+        write_delta,
+    )
+
+    one = spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1)
+
+    p = str(tmp_path / "dflt")
+    write_delta(one, p)
+    for _ in range(10):
+        write_delta(one, p, mode="append")  # v1..v10
+    log = os.path.join(p, "_delta_log")
+    assert "00000000000000000010.checkpoint.parquet" in os.listdir(log)
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # the checkpointed table still loads and reads exactly
+    assert read_delta(spark, p).count() == 11
+    assert _load_snapshot(p).version == 10
+
+    p3 = str(tmp_path / "iv3")
+    write_delta(one, p3)
+    alter_properties(spark, p3, {"delta.checkpointInterval": "3"})  # v1
+    for _ in range(5):
+        write_delta(one, p3, mode="append")  # v2..v6
+    names = os.listdir(os.path.join(p3, "_delta_log"))
+    assert "00000000000000000003.checkpoint.parquet" in names
+    assert "00000000000000000006.checkpoint.parquet" in names
+
+    p0 = str(tmp_path / "off")
+    write_delta(one, p0)
+    alter_properties(spark, p0, {"delta.checkpointInterval": "0"})
+    for _ in range(10):
+        write_delta(one, p0, mode="append")
+    assert not any(
+        "checkpoint" in n for n in os.listdir(os.path.join(p0, "_delta_log"))
+    )
+
+
+def test_retention_duration_table_properties(spark, tmp_path):
+    """VACUUM and log cleanup resolve their windows from the table's
+    delta.deletedFileRetentionDuration / delta.logRetentionDuration
+    ("interval N unit" syntax) when no explicit retention is passed —
+    delta-spark's resolution order. Calendar units refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from ballista_delta_spark.sources.delta import (
+        _parse_retention_interval,
+        alter_properties,
+        cleanup_log,
+        create_checkpoint,
+        vacuum,
+        write_delta,
+    )
+
+    assert _parse_retention_interval("interval 7 days") == 7 * 86_400_000
+    assert _parse_retention_interval("interval 1 week") == 7 * 86_400_000
+    assert _parse_retention_interval("48 hours") == 48 * 3_600_000
+    with _pytest.raises(ValueError, match="calendar"):
+        _parse_retention_interval("interval 1 month")
+    with _pytest.raises(ValueError, match="cannot parse"):
+        _parse_retention_interval("soon")
+
+    one = spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1)
+    p = str(tmp_path / "ret")
+    write_delta(one, p)
+    write_delta(one, p, mode="overwrite")  # tombstones v0's file
+    # default window (7 days): a fresh tombstone survives a bare vacuum()
+    assert vacuum(p) == []
+    # property window of 0: the same bare vacuum() reaps it
+    alter_properties(
+        spark, p, {"delta.deletedFileRetentionDuration": "interval 0 seconds"}
+    )
+    assert len(vacuum(p)) == 1
+
+    # log retention property: 0-second window reaps pre-checkpoint JSON
+    alter_properties(
+        spark, p, {"delta.logRetentionDuration": "interval 0 seconds"}
+    )
+    create_checkpoint(p)
+    removed = cleanup_log(p)
+    assert removed  # default 30-day window would have kept everything
+    assert not os.path.exists(
+        os.path.join(p, "_delta_log", f"{0:020d}.json")
+    )
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """GENERATE symlink_format_manifest: one Hive symlink manifest per
+    partition dir listing the ACTIVE files; the table property keeps the
+    touched partitions' manifests fresh on every commit; DV tables
+    refuse (external readers would resurrect deleted rows)."""
+    import os
+
+    import pytest as _pytest
+
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        generate_symlink_manifest,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    def manifest_files(tbl, pdir=""):
+        man = os.path.join(tbl, "_symlink_format_manifest", pdir, "manifest")
+        if not os.path.exists(man):
+            return None
+        with open(man) as fh:
+            return sorted(
+                os.path.relpath(line.strip()[len("file://"):], tbl)
+                for line in fh if line.strip()
+            )
+
+    # unpartitioned
+    p = str(tmp_path / "plain")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1), p,
+    )
+    written = generate_symlink_manifest(p)
+    assert written == ["_symlink_format_manifest/manifest"]
+    assert manifest_files(p) == sorted(_load_snapshot(p).files)
+
+    # partitioned + auto-refresh property: only touched partitions regen
+    q = str(tmp_path / "part")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 7), (2, 7), (3, 8)], "id int, k int"
+        ).coalesce(1), q, partition_by=["k"],
+    )
+    generate_symlink_manifest(q)
+    alter_properties(
+        spark, q,
+        {"delta.compatibility.symlinkFormatManifest.enabled": "true"},
+    )
+    before_k8 = manifest_files(q, "k=8")
+    write_delta(
+        spark.createDataFrame([(4, 7)], "id int, k int").coalesce(1), q,
+        mode="append",
+    )  # touches only k=7
+    snap = _load_snapshot(q)
+    k7 = sorted(f for f in snap.files if f.startswith("k=7/"))
+    assert manifest_files(q, "k=7") == k7      # refreshed with the commit
+    assert manifest_files(q, "k=8") == before_k8  # untouched partition kept
+    # rewriting DML refreshes too (delete empties no partition here)
+    delete_delta(spark, q, "id = 1")
+    snap2 = _load_snapshot(q)
+    assert manifest_files(q, "k=7") == sorted(
+        f for f in snap2.files if f.startswith("k=7/")
+    )
+
+    # SQL form
+    out = bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE gsm_t STORED AS DELTA LOCATION '{p}'",
+    )
+    rows = bd_sql(
+        spark, "GENERATE symlink_format_manifest FOR TABLE gsm_t"
+    ).collect()
+    assert [r.manifest for r in rows] == ["_symlink_format_manifest/manifest"]
+    spark.catalog.dropTempView("gsm_t")
+
+    # DV refusal
+    d = str(tmp_path / "dv")
+    write_delta(
+        spark.createDataFrame([(i, "x") for i in range(10)],
+                              "id int, s string").coalesce(1), d,
+    )
+    delete_delta(spark, d, "id = 3", mode="dv")
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        generate_symlink_manifest(d)
