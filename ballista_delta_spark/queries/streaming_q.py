@@ -644,3 +644,35 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 4).cast("double").alias("total_value"),
         "last_ts",
     )
+
+
+# ---------------------------------------------- stream_delta_snapshot
+# The DEFAULT stream start (r9, delta-spark parity): with no
+# startingVersion the source serves the table's CURRENT snapshot as the
+# first batch(es), then tails the log — the only default that works on a
+# table with DML history or a checkpointed+VACUUMed log, where
+# replay-from-0 would hit the non-append guard or reaped commits. Here
+# the table carries a DELETE commit; the stream starts AFTER it and must
+# emit exactly the live rows (the oracle is the post-delete state), with
+# no append-only violation.
+@_q(
+    "stream_delta_snapshot",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 5 != 0
+    """,
+)
+def stream_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_dml import delete_delta
+    from ..sources.delta_stream import register_delta_stream_source
+    from .scans import _clone, _nation_delta
+
+    register_delta_stream_source(spark)
+    path = _clone(_nation_delta(spark, sf_dir), "ssnap")
+    delete_delta(spark, path, "n_nationkey % 5 = 0")  # v1: NOT append-only
+    stream = (
+        spark.readStream.format("delta_stream").option("path", path).load()
+    )
+    return _run_stream(
+        stream.select("n_nationkey", "n_name", "n_regionkey"), "append"
+    )

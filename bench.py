@@ -42,8 +42,12 @@ HEADLINE = [
     # r8 composite multi-join workloads:
     "tpch_q5",            # 6-way join: 5 broadcasts + 1 shuffle
     "tpch_q10",           # 4-way join + total-ordered top-20
-    # r9 addition:
+    # r9 additions:
     "tpch_q18",           # HAVING subquery decorrelated to LeftSemi
+    "tpch_q3",            # date-sandwich 3-way join + top-10
+    "tpch_q7",            # self-joined nation dim, symmetric OR pair
+    "tpch_q12",           # conditional CASE counts per line status
+    "text_bigram_logprob",  # corpus bigram LM scoring (transform pairing)
 ]
 
 WARMUP = 1
