@@ -1002,6 +1002,7 @@ def merge_delta(
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] | None = None,
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]] | None = None,
     mode: str = "cow",
+    schema_evolution: bool = False,
 ) -> dict[str, Any]:
     """``MERGE INTO <path> t USING source s ON <on>``.
 
@@ -1034,6 +1035,18 @@ def merge_delta(
     difference between O(changed rows) and O(rewritten bytes) on a 100 TB
     target.
 
+    ``schema_evolution=True`` is delta-spark's ``withSchemaEvolution()``:
+    NEW top-level source columns are added to the table (nullable,
+    metadata-only ``alter_columns`` commit — existing files simply lack
+    them and read back as NULL), and target columns the source lacks are
+    NULL-filled on the source side so ``INSERT *`` keeps working across
+    the widened schema. Divergence, documented: delta-spark folds the
+    schema change into the merge's own commit; here it is a separate
+    metadata commit immediately before (one extra log version, same end
+    state — a concurrent-writer race between the two commits is caught by
+    the normal conflict detection). Nested-struct evolution is out of
+    scope.
+
     Plan shape: target rows never leave executors except per-file match
     counts; the target side of every join is only the AFFECTED-file subset;
     the source is typically the small side (broadcast candidate). Identical
@@ -1063,6 +1076,26 @@ def merge_delta(
             raise ValueError(f"unknown matched-clause kind: {kind!r}")
         if kind == "update" and not upd:
             raise ValueError("update clause requires a SET map")
+    if schema_evolution:
+        from .delta import _load_snapshot, alter_columns
+
+        tbl_path = _strip_file_scheme(path)
+        tnames = {f.name for f in _load_snapshot(tbl_path).schema.fields}
+        adds = {
+            f.name: f.dataType.simpleString()
+            for f in source.schema.fields
+            if f.name not in tnames
+        }
+        if adds:
+            alter_columns(tbl_path, adds=adds)
+        # NULL-fill target columns the source lacks (cast to the target
+        # type) so positional INSERT * spans the evolved schema.
+        snames = set(source.columns)
+        for f in _load_snapshot(tbl_path).schema.fields:
+            if f.name not in snames:
+                source = source.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
     if mode == "dv":
         return _retrying(
             lambda: _merge_dv_once(

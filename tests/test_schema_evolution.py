@@ -223,3 +223,87 @@ def test_column_default_sql_ddl(spark, tbl):
     snap = _load_snapshot(tbl)
     assert "CURRENT_DEFAULT" not in (snap.schema["score"].metadata or {})
     spark.catalog.dropTempView("dflt_t")
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, tmp_path):
+    """schema_evolution=True (delta-spark's withSchemaEvolution): new
+    top-level source columns join the table schema (metadata-only);
+    existing rows read them as NULL; inserts carry them; updates can
+    reference them — in both cow and dv modes."""
+    from ballista_delta_spark.sources.delta import _load_snapshot, read_delta, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    for mode in ("cow", "dv"):
+        p = str(tmp_path / f"ev_{mode}")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id int, s string"
+            ).coalesce(1), p,
+        )
+        src = spark.createDataFrame(
+            [(2, "B", 20.0), (3, "c", 30.0)], "id int, s string, score double"
+        )
+        m = merge_delta(
+            spark, p, src, "t.id = s.id",
+            matched_update={"s": "s.s", "score": "s.score"},
+            not_matched_insert=True,
+            mode=mode,
+            schema_evolution=True,
+        )
+        assert m["numTargetRowsUpdated"] == 1
+        assert m["numTargetRowsInserted"] == 1
+        snap = _load_snapshot(p)
+        assert [f.name for f in snap.schema.fields] == ["id", "s", "score"]
+        got = {
+            r["id"]: (r["s"], r["score"])
+            for r in read_delta(spark, p).collect()
+        }
+        assert got == {
+            1: ("a", None),       # pre-evolution row: NULL-filled
+            2: ("B", 20.0),       # updated, new column set from source
+            3: ("c", 30.0),       # inserted with the new column
+        }
+
+
+def test_merge_schema_evolution_null_fills_missing_source_columns(
+    spark, tmp_path
+):
+    """The evolved INSERT * must span the widened schema even when the
+    SOURCE lacks target columns: they insert as NULL (delta-spark's
+    evolved positional insert), instead of erroring."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    p = str(tmp_path / "nf")
+    write_delta(
+        spark.createDataFrame([(1, "a", 1.5)], "id int, s string, w double")
+        .coalesce(1), p,
+    )
+    src = spark.createDataFrame([(9, "z2")], "id int, extra string")
+    merge_delta(
+        spark, p, src, "t.id = s.id",
+        not_matched_insert=True, schema_evolution=True,
+    )
+    got = {
+        r["id"]: (r["s"], r["w"], r["extra"])
+        for r in read_delta(spark, p).collect()
+    }
+    assert got == {1: ("a", 1.5, None), 9: (None, None, "z2")}
+
+
+def test_merge_without_schema_evolution_keeps_schema_fixed(spark, tmp_path):
+    """Without the flag, extra source columns never leak into the table:
+    the insert is positional-by-name over the EXISTING schema (documented
+    merge contract) and the schema is unchanged."""
+    from ballista_delta_spark.sources.delta import _load_snapshot, read_delta, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    p = str(tmp_path / "strict")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1), p
+    )
+    src = spark.createDataFrame([(3, "c", 1.0)], "id int, s string, x double")
+    merge_delta(spark, p, src, "t.id = s.id", not_matched_insert=True)
+    snap = _load_snapshot(p)
+    assert [f.name for f in snap.schema.fields] == ["id", "s"]
+    assert read_delta(spark, p).count() == 2
