@@ -860,7 +860,7 @@ def _delta_insert(
 
 
 _DELTA_MERGE_HEAD = re.compile(
-    r"^\s*MERGE\s+INTO\s+"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?"
     r"\s+USING\s+",
@@ -995,6 +995,8 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
         spark, loc, source, norm(on),
         matched_clauses=matched_clauses,
         not_matched_clauses=not_matched_clauses,
+        # MERGE WITH SCHEMA EVOLUTION INTO ... (delta-spark SQL form)
+        schema_evolution=m.group("evolve") is not None,
     )
     read_delta(spark, loc).createOrReplaceTempView(name)
     return spark.createDataFrame([Row(**metrics)])

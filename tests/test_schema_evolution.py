@@ -307,3 +307,37 @@ def test_merge_without_schema_evolution_keeps_schema_fixed(spark, tmp_path):
     snap = _load_snapshot(p)
     assert [f.name for f in snap.schema.fields] == ["id", "s"]
     assert read_delta(spark, p).count() == 2
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION INTO ... (delta-spark's SQL form)."""
+    from ballista_delta_spark.session import sql as bd_sql
+    from ballista_delta_spark.sources.delta import _load_snapshot, write_delta
+
+    p = str(tmp_path / "sqlmev")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1), p,
+    )
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE mev_t STORED AS DELTA LOCATION '{p}'",
+    )
+    spark.createDataFrame(
+        [(2, "B", 7), (3, "c", 9)], "id int, s string, rank int"
+    ).createOrReplaceTempView("mev_src")
+    out = bd_sql(spark, """
+        MERGE WITH SCHEMA EVOLUTION INTO mev_t t USING mev_src s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET s = s.s, rank = s.rank
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    assert out.numTargetRowsUpdated == 1 and out.numTargetRowsInserted == 1
+    snap = _load_snapshot(p)
+    assert [f.name for f in snap.schema.fields] == ["id", "s", "rank"]
+    got = {
+        r.id: (r.s, r.rank) for r in bd_sql(spark, "SELECT * FROM mev_t").collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 7), 3: ("c", 9)}
+    spark.catalog.dropTempView("mev_t")
+    spark.catalog.dropTempView("mev_src")
