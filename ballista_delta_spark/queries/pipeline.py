@@ -834,3 +834,62 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------- events_transitions
+# Event-type transition matrix (the first-order Markov statistics under
+# session analysis and bot detection): for each user's time-ordered
+# stream, count every consecutive (from_type -> to_type) pair and report
+# each transition's share of all transitions. One window pass partitioned
+# by user (lead over (ts, event_id) — the same tie-broken total order
+# the sessionizer uses), then a transitions²-bounded aggregate; the
+# grand total folds in as a driver-free window-less scalar via a second
+# tiny aggregate joined by crossing one row — at 100 TB the only
+# corpus-sized exchange is the per-user window shuffle.
+@_q(
+    "events_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM pairs)
+    SELECT from_type, to_type, n,
+           round(n / tot.total, 6) AS share
+    FROM pairs CROSS JOIN tot
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    total = pairs.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -568,3 +568,17 @@ def test_r9_text_ops_scale_shapes(spark, sf_dir):
     assert "CartesianProduct" not in cb, cb
     assert cb.count("BroadcastHashJoin") == 1, cb  # vocab probe only
     assert cb.count("Exchange") <= 3, cb
+
+
+def test_events_transitions_scale_shape(spark, sf_dir):
+    """events_transitions: ONE corpus-sized exchange (the per-user window
+    shuffle); the pair aggregate is transitions²-bounded; the grand-total
+    fold is a 1-ROW broadcast cross join — the only NLJ allowed here, and
+    only because its build side is a single scalar row."""
+    from ballista_delta_spark.queries.pipeline import events_transitions
+
+    plan = _physical_plan(events_transitions(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Exchange") <= 7, plan
