@@ -88,6 +88,10 @@ class DeltaFilePartition(InputPartition):
     # executor-side so the snapshot batch serves live rows, not the raw
     # parquet. Tail commits never set it (append-only contract).
     dv: dict[str, Any] | None = None
+    # File size from the add action — the maxBytesPerTrigger admission
+    # currency (0 when the log omits it: such files cost nothing against
+    # the byte budget but still count against maxFilesPerTrigger).
+    size: int = 0
 
 
 class DeltaStreamDataSource(DataSource):
@@ -124,16 +128,20 @@ class DeltaStreamDataSource(DataSource):
         )
 
     def streamReader(self, schema: T.StructType):
+        def flag(key: str) -> bool:
+            return str(self.options.get(key, "false")).lower() == "true"
+
         return DeltaStreamReader(
             self.options["path"],
             schema,
             starting_version=self._starting_version(),
-            ignore_changes=str(
-                self.options.get("ignorechanges", "false")
-            ).lower() == "true",
+            ignore_changes=flag("ignorechanges"),
+            ignore_deletes=flag("ignoredeletes"),
+            skip_change_commits=flag("skipchangecommits"),
             read_change_feed=self._cdf(),
             max_versions_per_trigger=self._limit("maxversionspertrigger"),
             max_files_per_trigger=self._limit("maxfilespertrigger"),
+            max_bytes_per_trigger=self._bytes_limit("maxbytespertrigger"),
         )
 
     def _starting_version(self) -> int | str | None:
@@ -182,6 +190,21 @@ class DeltaStreamDataSource(DataSource):
             raise ValueError(f"{key} must be positive, got {n}")
         return n
 
+    def _bytes_limit(self, key: str) -> int | None:
+        """Byte limits accept delta-spark's size-suffix forms: plain
+        bytes, or ``10k`` / ``100m`` / ``1g``."""
+        raw = self.options.get(key)
+        if raw is None:
+            return None
+        s = str(raw).strip().lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], 1)
+        if mult != 1:
+            s = s[:-1]
+        n = int(s) * mult
+        if n <= 0:
+            raise ValueError(f"{key} must be positive, got {raw!r}")
+        return n
+
 
 class DeltaStreamReader(DataSourceStreamReader):
     """Driver side: offset arithmetic + per-commit planning (cheap log
@@ -194,15 +217,24 @@ class DeltaStreamReader(DataSourceStreamReader):
         schema: T.StructType,
         starting_version: int | str | None = 0,
         ignore_changes: bool = False,
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
         read_change_feed: bool = False,
         max_versions_per_trigger: int | None = None,
         max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
     ):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.path = _strip_file_scheme(path)
         self.schema = schema
+        # Non-append tolerance ladder (delta-spark's three options):
+        # ignoreDeletes tolerates DELETE-ONLY commits (skipped whole);
+        # ignoreChanges also tolerates rewrites (their adds REPLAY);
+        # skipChangeCommits skips any remove-carrying commit entirely.
         self.ignore_changes = ignore_changes
+        self.ignore_deletes = ignore_deletes
+        self.skip_change_commits = skip_change_commits
         self.read_change_feed = read_change_feed
         # Rate limiting: ``maxFilesPerTrigger`` bounds each micro-batch by
         # FILE count (delta-spark's option — with file-granular offsets a
@@ -215,11 +247,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         for nm, val in (
             ("maxVersionsPerTrigger", max_versions_per_trigger),
             ("maxFilesPerTrigger", max_files_per_trigger),
+            ("maxBytesPerTrigger", max_bytes_per_trigger),
         ):
             if val is not None and val <= 0:
                 raise ValueError(f"{nm} must be positive, got {val}")
         self.max_versions_per_trigger = max_versions_per_trigger
         self.max_files_per_trigger = max_files_per_trigger
+        # Soft cap, delta-spark admission semantics: files are admitted
+        # while the running byte total is below the cap, so a batch may
+        # overshoot by at most one file — and always takes at least one.
+        self.max_bytes_per_trigger = max_bytes_per_trigger
         # logical -> physical parquet name (identity unless the table
         # declares columnMapping); cdc partitionValues keys are PHYSICAL
         # per the spec, so keep the reverse map too.
@@ -304,24 +341,43 @@ class DeltaStreamReader(DataSourceStreamReader):
         else:
             v, i, insnap = self.starting_version, 0, False
         fbudget = self.max_files_per_trigger    # None = unbounded
+        bbudget = self.max_bytes_per_trigger
         vbudget = self.max_versions_per_trigger
+        rate_limited = fbudget is not None or bbudget is not None
+
+        def has_budget() -> bool:
+            return (fbudget is None or fbudget > 0) and (
+                bbudget is None or bbudget > 0
+            )
+
+        def consume(plan: list[DeltaFilePartition], j: int) -> int:
+            """Admit plan[j:] files while budgets allow (bytes are a soft
+            cap: a file is admitted while the running total is under it,
+            so the batch can overshoot by one file but never starves)."""
+            nonlocal fbudget, bbudget
+            while j < len(plan) and has_budget():
+                if fbudget is not None:
+                    fbudget -= 1
+                if bbudget is not None:
+                    bbudget -= plan[j].size or 0
+                j += 1
+            return j
+
         if insnap:
             # Initial-snapshot phase: drain the version-v snapshot's
-            # active set under the file budget (the snapshot counts as
-            # ONE version against maxVersionsPerTrigger), then fall
+            # active set under the file/byte budgets (the snapshot counts
+            # as ONE version against maxVersionsPerTrigger), then fall
             # through to the log tail at v+1.
             plan = self._snap_plan(v)
-            take = len(plan) - i
-            if fbudget is not None:
-                take = min(take, fbudget)
-                fbudget -= take
-            if take > 0 and vbudget is not None:
+            j = consume(plan, i) if rate_limited else len(plan)
+            took = j - i
+            i = j
+            if took > 0 and vbudget is not None:
                 vbudget -= 1
-            i += take
             if (
-                i < len(plan)          # file budget hit mid-snapshot
+                i < len(plan)          # budget hit mid-snapshot
                 or actual <= v         # no tail commits yet
-                or fbudget == 0
+                or not has_budget()
                 or vbudget == 0
             ):
                 self._planned = (v, i, True)
@@ -339,18 +395,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         latest = actual
         if vbudget is not None:
             latest = min(latest, v + vbudget - 1)
-        if fbudget is None:
+        if not rate_limited:
             # Unbounded: consume through the end of the last commit.
             if latest >= v:
                 v, i = latest, len(self._plan(latest))
         else:
-            budget = fbudget
             while v <= latest:
-                n = len(self._plan(v))
-                take = min(n - i, budget)
-                i += take
-                budget -= take
-                if budget == 0:
+                plan = self._plan(v)
+                i = consume(plan, i)
+                if i < len(plan) or not has_budget():
                     break
                 if v == latest:
                     break  # fully consumed; keep canonical (latest, n)
@@ -383,6 +436,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                 DeltaFilePartition(
                     v, rel, add.get("partitionValues") or {},
                     "insert", add.get("deletionVector"),
+                    int(add.get("size") or 0),
                 )
                 for rel, add in sorted(snap.files.items())
             ]
@@ -397,26 +451,41 @@ class DeltaStreamReader(DataSourceStreamReader):
         return self._plans[v]
 
     def _plan_append(self, v: int) -> list[DeltaFilePartition]:
-        parts = []
-        for act in self._commit_actions(v):
-            if "add" in act and act["add"].get("dataChange", True):
-                add = act["add"]
-                parts.append(
-                    DeltaFilePartition(v, add["path"],
-                                       add.get("partitionValues") or {})
-                )
-            elif (
-                "remove" in act
-                and act["remove"].get("dataChange", True)
-                and not self.ignore_changes
-            ):
+        acts = self._commit_actions(v)
+        adds = [
+            a["add"] for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if removes:
+            if self.skip_change_commits:
+                # delta-spark skipChangeCommits: any remove-carrying
+                # commit is skipped WHOLE (its adds too — they are
+                # rewrites of rows already served).
+                return []
+            if not self.ignore_changes:
+                if not adds and self.ignore_deletes:
+                    # delete-only commit (e.g. a partition drop):
+                    # tolerated and skipped under ignoreDeletes.
+                    return []
                 raise ValueError(
                     f"commit {v} removes data "
-                    f"({act['remove']['path']}): the table is not "
-                    "append-only; set ignoreChanges=true to skip "
-                    "removed rows (downstream must tolerate replays)"
+                    f"({removes[0]['path']}): the table is not "
+                    "append-only; set ignoreDeletes=true to skip "
+                    "delete-only commits, ignoreChanges=true to also "
+                    "replay rewrites, or skipChangeCommits=true to skip "
+                    "changed commits entirely"
                 )
-        return parts
+        return [
+            DeltaFilePartition(
+                v, add["path"], add.get("partitionValues") or {},
+                size=int(add.get("size") or 0),
+            )
+            for add in adds
+        ]
 
     def _plan_cdf(self, v: int) -> list[DeltaFilePartition]:
         """Spec rule: a commit WITH ``cdc`` actions is described by them

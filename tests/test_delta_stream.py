@@ -803,3 +803,73 @@ def test_restart_mid_snapshot_adopts_checkpointed_version(spark, tbl):
         assert len(seen) < 200
     assert sorted(t[0] for t in seen) == sorted([1, 2, 900] + list(range(50)))
     assert len(seen) == len(set(seen))               # no duplicates
+
+
+# ----------------------------------- non-append tolerance + byte limits
+def test_ignore_deletes_skips_delete_only_commits(spark, tbl):
+    """ignoreDeletes (delta-spark's narrow tolerance): a DELETE-only
+    commit is skipped whole; a REWRITE (adds + removes) still raises —
+    that needs ignoreChanges."""
+    from ballista_delta_spark.sources.delta_dml import delete_delta, update_delta
+
+    delete_delta(spark, tbl, "id = 1")                   # v1: delete-only
+    r = _reader(spark, tbl, ignore_deletes=True)
+    rows, end = _drain(r, r.initialOffset())
+    assert sorted(t[0] for t in rows) == [1, 2]          # v0 only; v1 skipped
+    assert end["version"] == 1
+    update_delta(spark, tbl, "id = 2", {"s": "'B'"})     # v2: rewrite
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        _drain(r, end)
+
+
+def test_skip_change_commits_skips_rewrites_entirely(spark, tbl):
+    """skipChangeCommits: ANY remove-carrying commit is skipped whole —
+    its rewrite adds are NOT replayed (delta-spark's 2.3+ option that
+    supersedes both ignore flags)."""
+    from ballista_delta_spark.sources.delta_dml import update_delta
+
+    update_delta(spark, tbl, "id = 2", {"s": "'B'"})     # v1: rewrite
+    write_delta(spark.createDataFrame([(3, "c")], "id int, s string"), tbl,
+                mode="append")                           # v2: plain append
+    r = _reader(spark, tbl, skip_change_commits=True)
+    rows, end = _drain(r, r.initialOffset())
+    # v0 rows + v2 append; the v1 rewrite contributes NOTHING
+    assert sorted(t[0] for t in rows) == [1, 2, 3]
+    assert all(t[1] != "B" for t in rows)
+    assert end["version"] == 2
+
+
+def test_max_bytes_per_trigger_bounds_batches(spark, tbl):
+    """maxBytesPerTrigger: soft byte cap — each batch admits files while
+    under the cap (so it can overshoot by one file, and always takes at
+    least one); the walk still emits every file exactly once."""
+    big = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS STRING) AS s"
+    ).repartition(4)
+    write_delta(big, tbl, mode="append")                 # v1: 4 files
+    # each data file is ~1 KB; a 1-byte budget forces one file per batch
+    r = _reader(spark, tbl, max_bytes_per_trigger=1)
+    off = r.initialOffset()
+    batches, seen = 0, []
+    while True:
+        rows, new_off = _drain(r, off)
+        if new_off == off:
+            break
+        batches += 1
+        seen.extend(t[0] for t in rows)
+        off = new_off
+        assert batches < 20
+    assert sorted(seen) == sorted([1, 2] + list(range(100)))
+    assert batches >= 5  # one file per batch across ≥5 files
+    # suffix parsing + validation on the DataSource option surface
+    from ballista_delta_spark.sources.delta_stream import DeltaStreamDataSource
+
+    ds = DeltaStreamDataSource(
+        options={"path": tbl, "maxbytespertrigger": "1m"}
+    )
+    assert ds._bytes_limit("maxbytespertrigger") == 1 << 20
+    ds2 = DeltaStreamDataSource(
+        options={"path": tbl, "maxbytespertrigger": "0"}
+    )
+    with pytest.raises(ValueError, match="positive"):
+        ds2._bytes_limit("maxbytespertrigger")

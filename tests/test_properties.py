@@ -195,6 +195,7 @@ class TestStreamOffsetWalk:
         r.starting_version = 0
         r.max_files_per_trigger = max_files
         r.max_versions_per_trigger = max_versions
+        r.max_bytes_per_trigger = None
         r.read_change_feed = False
         r._planned = None
         r._snap_version = None  # replay mode: no initial-snapshot phase
