@@ -333,6 +333,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         return latest
 
     def latestOffset(self) -> dict:
+        self._trace(f"latestOffset planned={self._planned}")
         actual = self._latest_version()
         if self._planned is not None:
             v, i, insnap = self._planned
@@ -526,6 +527,7 @@ class DeltaStreamReader(DataSourceStreamReader):
     ) -> Sequence[DeltaFilePartition]:
         sv, si, ssnap = self._pos(start)
         ev, ei, esnap = self._pos(end)
+        self._trace(f"partitions {start} -> {end}")
         # The CHECKPOINTED offsets are ground truth for which phase the
         # stream is in — a restarted reader's own cold-start snapshot
         # resolution (possibly at a NEWER version) is just a guess:
@@ -630,7 +632,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         yield from out.to_batches()
 
+    def _trace(self, msg: str) -> None:
+        import os as _os
+        t = _os.environ.get("BDS_STREAM_TRACE")
+        if t:
+            with open(t, "a") as fh:
+                fh.write(msg + "\n")
+
     def commit(self, end: dict) -> None:
+        self._trace(f"commit {end}")
         ev, _, _ = self._pos(end)
         for v in [v for v in self._plans if v < ev]:
             del self._plans[v]
