@@ -544,3 +544,128 @@ class TestTypeWideningMatrix:
                 assert g == float(np.float32(v))
             else:
                 assert g == v, (start, chain, v, g)
+
+
+# ------------------------------------------- Delta lifecycle model check
+# Model-based stateful test: a random sequence of table operations
+# (append / COW and DV deletes / update / overwrite / optimize /
+# checkpoint+log-cleanup / restore) runs against BOTH the real Delta
+# layer and a trivial in-memory model of the expected rows, asserting
+# full-table equality after EVERY step. This is the test shape that
+# catches protocol interactions no example test enumerates (e.g. a DV
+# delete followed by restore across a checkpoint).
+class TestDeltaLifecycleModel:
+    @given(
+        st.lists(
+            st.one_of(
+                st.tuples(st.just("append"),
+                          st.lists(st.integers(0, 99), min_size=1,
+                                   max_size=4)),
+                st.tuples(st.just("delete"), st.integers(0, 9),
+                          st.booleans()),   # (mod bucket, use DVs)
+                st.tuples(st.just("update"), st.integers(0, 9)),
+                st.tuples(st.just("overwrite"),
+                          st.lists(st.integers(0, 99), min_size=1,
+                                   max_size=3)),
+                st.tuples(st.just("optimize")),
+                st.tuples(st.just("checkpoint")),
+                st.tuples(st.just("restore")),
+            ),
+            min_size=3, max_size=9,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_random_op_sequences_match_the_model(self, ops):
+        import tempfile
+        import shutil
+
+        from ballista_delta_spark.session import get_spark
+        from ballista_delta_spark.sources.delta import (
+            _load_snapshot,
+            cleanup_log,
+            create_checkpoint,
+            optimize,
+            read_delta,
+            restore_delta,
+            write_delta,
+        )
+        from ballista_delta_spark.sources.delta_dml import (
+            delete_delta,
+            update_delta,
+        )
+
+        spark = get_spark("tests", cpus=8)
+        d = tempfile.mkdtemp(prefix="model-")
+        tbl = f"{d}/t"
+        seq = [1000]  # unique row ids
+
+        def mk(vals):
+            rows = [(seq[0] + i, v) for i, v in enumerate(vals)]
+            seq[0] += len(vals)
+            return rows
+
+        model: list[tuple[int, int]] = mk([5, 7])
+        # actual version -> expected rows (ops may no-op and commit
+        # nothing, so versions are recorded from the table, not counted)
+        by_version: dict[int, list[tuple[int, int]]] = {}
+
+        write_delta(
+            spark.createDataFrame(model, "id int, v int").coalesce(1), tbl
+        )
+        by_version[0] = sorted(model)
+        try:
+            for op in ops:
+                kind = op[0]
+                if kind == "append":
+                    rows = mk(op[1])
+                    write_delta(
+                        spark.createDataFrame(rows, "id int, v int")
+                        .coalesce(1), tbl, mode="append",
+                    )
+                    model.extend(rows)
+                elif kind == "delete":
+                    mod, dv = op[1], op[2]
+                    delete_delta(
+                        spark, tbl, f"v % 10 = {mod}",
+                        mode="dv" if dv else "cow",
+                    )
+                    model = [(i, v) for i, v in model if v % 10 != mod]
+                elif kind == "update":
+                    mod = op[1]
+                    update_delta(
+                        spark, tbl, f"v % 10 = {mod}", {"v": "v + 100"}
+                    )
+                    model = [
+                        (i, v + 100 if v % 10 == mod else v)
+                        for i, v in model
+                    ]
+                elif kind == "overwrite":
+                    rows = mk(op[1])
+                    write_delta(
+                        spark.createDataFrame(rows, "id int, v int")
+                        .coalesce(1), tbl, mode="overwrite",
+                    )
+                    model = list(rows)
+                elif kind == "optimize":
+                    optimize(spark, tbl)
+                elif kind == "checkpoint":
+                    create_checkpoint(tbl)
+                    cleanup_log(tbl, retention_ms=0)
+                elif kind == "restore":
+                    target = _load_snapshot(tbl).version // 2
+                    expected = by_version.get(target)
+                    if expected is not None:
+                        try:
+                            restore_delta(tbl, target)
+                            model = list(expected)
+                        except (ValueError, FileNotFoundError):
+                            pass  # target cleaned away: legal refusal
+                ver = _load_snapshot(tbl).version  # log stays loadable
+                by_version[ver] = sorted(model)
+                got = sorted(
+                    (r["id"], r["v"])
+                    for r in read_delta(spark, tbl).collect()
+                )
+                assert got == sorted(model), (op, got, sorted(model))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
