@@ -217,3 +217,32 @@ ORDER BY l_linestatus
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_Q12)
+
+
+# --- tpch_q19: discounted revenue — the OR-of-ANDs predicate composite:
+# three disjunct branches, each pairing a part filter (brand + size
+# range) with a lineitem filter (quantity range), joined on partkey.
+# The planner test: per-side conjuncts COMMON to all branches
+# (l_quantity bounds, p_size >= 1) must still push into the scans even
+# though the full predicate straddles the join; the join itself stays a
+# broadcast hash join on partkey with the residual OR as its condition
+# — never a nested loop. Revenue in DECIMAL, as everywhere.
+_Q19 = f"""
+SELECT {_REV} AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND (
+        (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+
+@_q("tpch_q19", _Q19)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19)

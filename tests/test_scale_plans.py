@@ -582,3 +582,20 @@ def test_events_transitions_scale_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert plan.count("Exchange") <= 7, plan
+
+
+def test_tpch_q19_or_pushdown_shape(spark, sf_dir):
+    """tpch_q19: OR-of-ANDs straddling the join — the per-side conjuncts
+    common to all branches must still push into BOTH scans (Catalyst's
+    cross-branch extraction), and the join stays a single partkey
+    BroadcastHashJoin carrying the residual OR, never a nested loop."""
+    from ballista_delta_spark.queries.tpch import tpch_q19
+
+    plan = _physical_plan(tpch_q19(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("PushedFilters: []") == 0, plan
+    # the extracted common conjuncts visibly reach the scans
+    assert "p_size" in plan.split("PushedFilters")[2], plan
