@@ -26,12 +26,46 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _DELTA_DDL = re.compile(
-    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
     r"(?:STORED\s+AS\s+DELTA|USING\s+DELTA)\s+"
-    r"LOCATION\s+'(?P<loc>[^']+)'\s*;?\s*$",
-    re.IGNORECASE,
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pcols>[^)]*?)\s*\)\s+)?"
+    r"LOCATION\s+'(?P<loc>[^']+)'"
+    # CTAS: CREATE TABLE ... USING DELTA LOCATION '...' AS SELECT ...
+    r"(?:\s+AS\s+(?P<body>(?:SELECT|WITH|VALUES|TABLE)\b.*?))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+# COPY INTO <name> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+#   [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]
+# — delta-spark's idempotent file-loading SQL.
+_DELTA_COPY_INTO = re.compile(
+    r"^\s*COPY\s+INTO\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+FROM\s+'(?P<src>[^']+)'"
+    r"\s+FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
+    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*?)\s*\))?"
+    r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*?)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_sql_options(raw: str | None) -> dict[str, str]:
+    """``'k' = 'v', 'k2' = 'v2'`` option lists (FORMAT_OPTIONS /
+    COPY_OPTIONS bodies)."""
+    out: dict[str, str] = {}
+    for part in _split_top_level(raw or ""):
+        part = part.strip()
+        if not part:
+            continue
+        mm = re.match(r"^'([^']+)'\s*=\s*'([^']*)'$", part)
+        if not mm:
+            raise ValueError(f"cannot parse option {part!r}")
+        out[mm.group(1)] = mm.group(2)
+    return out
 
 # INSERT INTO/OVERWRITE <name> [(col, ...)] <SELECT|VALUES|WITH|TABLE ...>
 # Name may be backquoted and/or qualified (catalog.db.table) — real users
@@ -372,12 +406,53 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     """
     m = _DELTA_DDL.match(statement)
     if m:
-        from .sources.delta import read_delta
+        import os as _os
 
-        name, loc = m.group("name"), m.group("loc")
+        from .sources.delta import read_delta, write_delta
+
+        name, loc, body = m.group("name"), m.group("loc"), m.group("body")
+        exists = _os.path.exists(_os.path.join(loc, "_delta_log"))
+        if body is not None:
+            # CTAS: materialize the query into a NEW Delta table. An
+            # existing table refuses (IF NOT EXISTS skips the write and
+            # just registers — delta-spark semantics).
+            if exists and not m.group("ine"):
+                raise ValueError(
+                    f"CREATE TABLE AS: Delta table already exists at {loc}"
+                )
+            if not exists:
+                pcols = [
+                    c.strip().strip("`")
+                    for c in (m.group("pcols") or "").split(",")
+                    if c.strip()
+                ]
+                write_delta(
+                    spark.sql(body), loc, mode="append",
+                    partition_by=pcols or None,
+                )
         read_delta(spark, loc).createOrReplaceTempView(name)
         _delta_views[name] = loc
         return spark.sql(f"SELECT '{name}' AS registered_table")
+
+    m = _DELTA_COPY_INTO.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from pyspark.sql import Row
+
+            from .sources.delta import copy_into, read_delta
+
+            copts = _parse_sql_options(m.group("copts"))
+            metrics = copy_into(
+                spark, _delta_views[name], m.group("src"),
+                file_format=m.group("fmt").lower(),
+                format_options=_parse_sql_options(m.group("fopts")),
+                force=str(copts.get("force", "false")).lower() == "true",
+            )
+            read_delta(spark, _delta_views[name]).createOrReplaceTempView(
+                name
+            )
+            return spark.createDataFrame([Row(**metrics)])
 
     m = _DELTA_INSERT.match(statement)
     if m:

@@ -1893,6 +1893,7 @@ def write_delta(
     txn_app: str | None = None,
     txn_version: int | None = None,
     replace_where: str | None = None,
+    extra_actions: list[dict[str, Any]] | None = None,
 ) -> int:
     """``df.write.format("delta").mode(mode).save(path)`` analogue.
 
@@ -2228,6 +2229,11 @@ def write_delta(
             "version": int(txn_version),
             "lastUpdated": now_ms,
         }})
+    if extra_actions:
+        # Rider actions committed ATOMICALLY with the data (e.g. COPY
+        # INTO's loaded-file ledger in domainMetadata) — all-or-nothing
+        # with the adds, so a crash can't split data from its bookkeeping.
+        actions.extend(extra_actions)
     for a in adds:
         actions.append({"add": a})
 
@@ -2238,6 +2244,9 @@ def write_delta(
     # failing — parallel ingest succeeds from every writer.
     blind = (
         mode == "append" and exists and txn_app is None
+        # rider actions (e.g. a domainMetadata ledger) may conflict with
+        # a racing writer's rider on the same domain — never rebase them
+        and not extra_actions
         # row tracking allocates ids from the snapshot's high-water mark;
         # a rebase over a concurrent allocator would collide — no rebase.
         and not _row_tracking_enabled(prev)
@@ -2502,6 +2511,98 @@ def generate_symlink_manifest(
         os.replace(tmp, out)
         written.append(os.path.relpath(out, path))
     return written
+
+
+def copy_into(
+    spark: SparkSession,
+    path: str,
+    source: str,
+    file_format: str = "parquet",
+    format_options: dict[str, str] | None = None,
+    force: bool = False,
+) -> dict[str, Any]:
+    """``COPY INTO <table> FROM '<source>' FILEFORMAT = <fmt>`` —
+    delta-spark's idempotent file-loading primitive: each source file is
+    ingested AT MOST ONCE across any number of retries/re-runs, which is
+    what makes scheduled "load whatever landed" jobs safe.
+
+    The loaded-file ledger lives in the table's own log (``bds.copyInto``
+    domainMetadata; keys hash path+size+mtime, so a REPLACED source file
+    counts as new) and is committed ATOMICALLY with the appended data via
+    ``write_delta(extra_actions=...)`` — a crash can never split the data
+    from the bookkeeping, and a re-run simply finds the files already
+    recorded. ``force=True`` (COPY_OPTIONS ('force'='true')) reloads
+    regardless.
+
+    Source: a file, a directory (recursed, ``_``/``.`` names skipped), or
+    a glob. CSV/JSON read with the TABLE's schema (header on for CSV by
+    default); every load casts to the table schema, so a drifting source
+    fails loudly instead of appending junk. Scale note: the ledger grows
+    O(loaded files) inside metadata — the delta-spark trade; bound it
+    operationally by pointing COPY INTO at dated subdirectories.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    fmt = file_format.lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"COPY INTO FILEFORMAT {file_format!r} unsupported")
+    src = _strip_file_scheme(source)
+    if os.path.isdir(src):
+        cands = sorted(
+            os.path.join(r, n)
+            for r, ds, ns in os.walk(src)
+            if not any(
+                seg.startswith((".", "_"))
+                for seg in os.path.relpath(r, src).split(os.sep)
+                if seg not in (".",)
+            )
+            for n in ns
+            if not n.startswith((".", "_"))
+        )
+    else:
+        cands = sorted(_glob.glob(src))
+    if not cands:
+        raise ValueError(f"COPY INTO source matches no files: {source!r}")
+
+    def key(f: str) -> str:
+        stt = os.stat(f)
+        return _hashlib.md5(
+            f"{os.path.abspath(f)}|{stt.st_size}|{stt.st_mtime_ns}".encode()
+        ).hexdigest()
+
+    ledger = json.loads(snap.domain_metadata.get("bds.copyInto") or "{}")
+    loaded: set[str] = set(ledger.get("loaded") or [])
+    new = [f for f in cands if force or key(f) not in loaded]
+    if not new:
+        return {"numFilesLoaded": 0, "numRowsLoaded": 0}
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").schema(snap.schema)
+    elif fmt == "json":
+        reader = reader.schema(snap.schema)
+    if fmt in ("csv", "json"):
+        # malformed rows fail the load, never silently null-fill —
+        # overridable via FORMAT_OPTIONS ('mode' = 'PERMISSIVE')
+        reader = reader.option("mode", "FAILFAST")
+    for k, v in (format_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.format(fmt).load(new)
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in snap.schema.fields]
+    )
+    n_rows = df.count()
+    loaded |= {key(f) for f in new}
+    rider = [{"domainMetadata": {
+        "domain": "bds.copyInto",
+        "configuration": json.dumps({"loaded": sorted(loaded)}),
+        "removed": False,
+    }}]
+    write_delta(df, path, mode="append", extra_actions=rider)
+    return {"numFilesLoaded": len(new), "numRowsLoaded": n_rows}
 
 
 def _maybe_update_symlink_manifests(
