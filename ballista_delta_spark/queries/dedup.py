@@ -673,3 +673,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+# ------------------------------------------------- dedup_incremental
+# The PRODUCTION dedup shape: a small new batch (doc_id % 4 = 0 stands in
+# for "today's crawl") probes the EXISTING corpus's shingle index
+# (doc_id % 4 != 0) for near-duplicates, instead of re-deduping the
+# whole corpus — at 100 TB the difference between a daily O(batch) probe
+# and a daily O(corpus²) rebuild. The batch's shingles BROADCAST onto
+# the history index, so the corpus-sized side never reshuffles for the
+# probe (pinned); the history index and per-doc shingle sizes are
+# exactly the artifacts a production pipeline keeps materialized between
+# runs. Emits (new_doc, hist_doc, jaccard ≥ 0.8) — "this incoming doc is
+# already in the corpus".
+@_q(
+    "dedup_incremental",
+    f"""
+    WITH {_SHINGLES_ORACLE},
+    hist AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 4 != 0
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_SHINGLE_DF_CAP}),
+    newb AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 4 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT n.doc_id AS new_doc, h.doc_id AS hist_doc,
+             count(*) AS n_common
+      FROM newb n JOIN hist h ON n.shingle = h.shingle
+      GROUP BY 1, 2)
+    SELECT new_doc, hist_doc,
+           round(n_common * 1.0 / (sn.n_sh + sh2.n_sh - n_common), 4)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sn ON new_doc = sn.doc_id
+    JOIN sizes sh2 ON hist_doc = sh2.doc_id
+    WHERE round(n_common * 1.0 / (sn.n_sh + sh2.n_sh - n_common), 4) >= 0.8
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_spark(spark, sf_dir)
+    hist = _capped_shingles(sh.filter("doc_id % 4 != 0"))
+    newb = sh.filter("doc_id % 4 = 0")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        F.broadcast(newb.alias("n"))
+        .join(hist.alias("h"), F.col("n.shingle") == F.col("h.shingle"))
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("h.doc_id").alias("hist_doc"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn = sizes.alias("sn")
+    sh2 = sizes.alias("sh2")
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("sn.n_sh") + F.col("sh2.n_sh") - F.col("n_common")),
+        4,
+    )
+    return (
+        pairs.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
+        .join(sh2, F.col("hist_doc") == F.col("sh2.doc_id"))
+        .select("new_doc", "hist_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )

@@ -599,3 +599,22 @@ def test_tpch_q19_or_pushdown_shape(spark, sf_dir):
     assert plan.count("PushedFilters: []") == 0, plan
     # the extracted common conjuncts visibly reach the scans
     assert "p_size" in plan.split("PushedFilters")[2], plan
+
+
+def test_dedup_incremental_probe_broadcasts_the_batch(spark, sf_dir):
+    """dedup_incremental: the new-batch shingles must BROADCAST onto the
+    history index — the corpus-sized side never reshuffles for the probe
+    (the O(batch)-per-day contract); no sort-merge / nested-loop /
+    cartesian anywhere."""
+    from ballista_delta_spark.queries.dedup import dedup_incremental
+
+    plan = _physical_plan(dedup_incremental(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the probe join's streamed (non-broadcast) side is the history
+    # index: its subtree must carry the hot-shingle cap window, and the
+    # broadcast build side the batch filter
+    assert "% 4) = 0" in plan, plan          # batch side exists
+    assert "window" in plan.lower(), plan    # capped history index
