@@ -546,3 +546,101 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "q"),
     )
+
+
+# ------------------------------------------------------ emb_kmeans_step
+# One distributed Lloyd's iteration — the primitive under every
+# clustering-based curation step (semantic dedup buckets, quality
+# strata, IVF index training): assign every vector to its nearest of
+# K=8 literal seed centroids (squared-L2, first-on-tie), then emit the
+# RECOMPUTED per-cluster means. Scale shape mirrors sim_ivf_topk's
+# assignment: per-centroid distance columns as K separate 64-term
+# codegen'd chains (one 512-term expression would blow janino), argmin
+# as a pure projection — the corpus is touched by exactly ONE narrow
+# pass and the only shuffle carries (cluster, dim) partial sums, K*DIM
+# groups regardless of corpus size. A full k-means run is this query
+# iterated with the driver feeding back the new centroids as literals.
+@_q(
+    "emb_kmeans_step",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    dists AS (
+      SELECT e.vec_id, cid,
+             list_sum([(emb[i] - cemb[i]) * (emb[i] - cemb[i])
+                       FOR i IN range(1, len(emb) + 1)]) AS dist
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) = 1),
+    vals AS (
+      SELECT a.cid, i AS dim, e.emb[i + 1] AS v
+      FROM assigned a JOIN e USING (vec_id),
+           LATERAL (SELECT unnest(range(0, {_DIM})) AS i)
+    )
+    SELECT cid AS cluster_id, dim,
+           round(CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*), 4) + 0.0 AS c_val,
+           count(*) AS n
+    FROM vals GROUP BY 1, 2
+    """,
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dcols = []
+    for i, c in enumerate(cents):
+        terms = " + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(_DIM)
+        )
+        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    k = len(cents)
+    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    assigned = (
+        e.select("vec_id", "emb", *dcols)
+        # array_position returns the FIRST index of the min — ties break
+        # to the smallest centroid id, matching the oracle's (dist, cid)
+        # order
+        .withColumn(
+            "cluster_id",
+            F.expr(
+                f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "emb", "cluster_id")
+    )
+    return (
+        assigned.select(
+            "cluster_id", F.posexplode("emb").alias("dim", "v")
+        )
+        .groupBy("cluster_id", F.col("dim").cast("bigint").alias("dim"))
+        # the mean accumulates in DECIMAL (each v pre-rounded to 9dp so
+        # the cast is exact): double partial sums are partitioning-order
+        # dependent and flip the 4th decimal at cell boundaries — the
+        # playbook's standard order-independence trick
+        .agg(
+            (
+                F.round(
+                    F.expr(
+                        "CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) "
+                        "AS DOUBLE)"
+                    ) / F.count("*"),
+                    4,
+                )
+                # + 0.0 folds IEEE negative zero to +0.0 — Spark's
+                # BigDecimal round already strips the sign, DuckDB's
+                # keeps it, and '-0.0' vs '0.0' breaks the value hash
+                + F.lit(0.0)
+            ).alias("c_val"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -618,3 +618,17 @@ def test_dedup_incremental_probe_broadcasts_the_batch(spark, sf_dir):
     # broadcast build side the batch filter
     assert "% 4) = 0" in plan, plan          # batch side exists
     assert "window" in plan.lower(), plan    # capped history index
+
+
+def test_emb_kmeans_step_is_one_pass_one_shuffle(spark, sf_dir):
+    """emb_kmeans_step: assignment is a pure projection over literal
+    centroid state (ZERO joins — the oracle's cross join exists only in
+    SQL), and the single exchange carries K*DIM (cluster, dim) partial
+    sums — constant width regardless of corpus size."""
+    from ballista_delta_spark.queries.similarity import QUERIES
+
+    fn, _ = QUERIES["emb_kmeans_step"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
