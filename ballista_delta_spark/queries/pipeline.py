@@ -893,3 +893,53 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ------------------------------------------------ events_dau_stickiness
+# DAU / WAU / stickiness (DAU÷WAU of the containing week) — the
+# engagement dashboard every event warehouse serves. One distinct-users
+# aggregate per grain; the weekly side derives from the DAILY distincts'
+# source rows, so both grains reuse ONE (day, user) dedup shuffle; the
+# day-to-week join is O(days) × O(weeks) — broadcast trivially. Weeks
+# truncate Monday-based (date_trunc('week') in both engines).
+@_q(
+    "events_dau_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                        user_id
+        FROM events
+    ),
+    daily AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+               count(DISTINCT user_id) AS wau
+        FROM du GROUP BY 1
+    )
+    SELECT day, dau, wau,
+           round(dau * 1.0 / wau, 4) AS stickiness
+    FROM daily
+    JOIN weekly ON CAST(date_trunc('week', day) AS DATE) = week
+    ORDER BY day
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    daily = du.groupBy("day").agg(F.count("*").alias("dau"))
+    weekly = du.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.withColumn(
+            "week", F.date_trunc("week", "day").cast("date")
+        )
+        .join(F.broadcast(weekly), "week")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

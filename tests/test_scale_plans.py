@@ -632,3 +632,16 @@ def test_emb_kmeans_step_is_one_pass_one_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_events_dau_stickiness_reuses_the_dedup_shuffle(spark, sf_dir):
+    """events_dau_stickiness: both grains derive from one (day, user)
+    dedup; the day-to-week join broadcasts (O(days) rows); no sort-merge
+    or nested loop anywhere."""
+    from ballista_delta_spark.queries.pipeline import events_dau_stickiness
+
+    plan = _physical_plan(events_dau_stickiness(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange") <= 7, plan
