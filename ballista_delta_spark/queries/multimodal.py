@@ -185,3 +185,86 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payload(spark, sf_dir).mapInPandas(
         _resize_pool, "doc_id long, cell int, v long"
     )
+
+
+# ---------------------------------------------------------- mm_ahash
+# Perceptual average-hash over the pooled thumbnail (the classic aHash
+# image near-dup signature): bit k = 1 iff cell k's mean exceeds the
+# mean of the cells — re-encoded payloads with small local edits land on
+# the same 32-bit signature. Emits each doc's signature plus its
+# signature-bucket size (docs sharing a hash = near-dup candidates): the
+# multimodal twin of dedup_exact's hash-groupBy, with the signature
+# shuffle carrying 8-byte hashes only. Cell means integer-floor like
+# mm_resize_pool; the cells-mean threshold is an exact int-sum/count
+# double, bit-identical in both engines; strict > leaves NULL (short
+# payload) cells as 0-bits.
+def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "ahash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            cells = []
+            for k in range(_THUMB):
+                lo = (k * n) // _THUMB
+                hi = ((k + 1) * n) // _THUMB
+                cells.append(
+                    sum(payload[lo:hi]) // (hi - lo) if hi > lo else None
+                )
+            present = [c for c in cells if c is not None]
+            m = sum(present) / len(present) if present else 0.0
+            sig = 0
+            for k, c in enumerate(cells):
+                if c is not None and c > m:
+                    sig |= 1 << k
+            out["doc_id"].append(doc_id)
+            out["ahash"].append(sig)
+        yield pd.DataFrame(out)
+
+
+@_q(
+    "mm_ahash",
+    f"""
+    WITH cells AS (
+        SELECT doc_id, cell,
+               CASE WHEN hi > lo
+                    THEN CAST(list_sum([ascii(text[i])
+                                        FOR i IN range(lo + 1, hi + 1)])
+                              // (hi - lo) AS BIGINT)
+               END AS v
+        FROM (
+            SELECT doc_id, text, cell,
+                   (cell * length(text)) // {_THUMB} AS lo,
+                   ((cell + 1) * length(text)) // {_THUMB} AS hi
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, {_THUMB} - 1)) AS cell
+                FROM documents
+            )
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v IS NOT NULL AND v > m
+                             THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
+        FROM (
+            SELECT doc_id, cell, v,
+                   avg(v) OVER (PARTITION BY doc_id) AS m
+            FROM cells
+        )
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ahash,
+           count(*) OVER (PARTITION BY ahash) AS n_same_hash
+    FROM sig
+    """,
+)
+def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sig = _payload(spark, sf_dir).mapInPandas(
+        _ahash, "doc_id long, ahash long"
+    )
+    return sig.select(
+        "doc_id", "ahash",
+        F.count("*").over(Window.partitionBy("ahash")).alias("n_same_hash"),
+    )
