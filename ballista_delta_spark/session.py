@@ -46,8 +46,8 @@ _DELTA_COPY_INTO = re.compile(
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
     r"\s+FROM\s+'(?P<src>[^']+)'"
     r"\s+FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
-    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>[^)]*?)\s*\))?"
-    r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>[^)]*?)\s*\))?"
+    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<fopts>(?:'[^']*'|[^)'])*?)\s*\))?"
+    r"(?:\s+COPY_OPTIONS\s*\(\s*(?P<copts>(?:'[^']*'|[^)'])*?)\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -408,9 +408,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         import os as _os
 
-        from .sources.delta import read_delta, write_delta
+        from .sources.delta import _strip_file_scheme, read_delta, write_delta
 
-        name, loc, body = m.group("name"), m.group("loc"), m.group("body")
+        name, body = m.group("name"), m.group("body")
+        loc = _strip_file_scheme(m.group("loc"))
         exists = _os.path.exists(_os.path.join(loc, "_delta_log"))
         if body is not None:
             # CTAS: materialize the query into a NEW Delta table. An
@@ -426,8 +427,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                     for c in (m.group("pcols") or "").split(",")
                     if c.strip()
                 ]
+                # the body goes through THIS dialect (not raw
+                # spark.sql), so time-travel / Delta-view references
+                # inside the CTAS SELECT work like any top-level query
                 write_delta(
-                    spark.sql(body), loc, mode="append",
+                    sql(spark, body), loc, mode="append",
                     partition_by=pcols or None,
                 )
         read_delta(spark, loc).createOrReplaceTempView(name)

@@ -2594,14 +2594,34 @@ def copy_into(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in snap.schema.fields]
     )
-    n_rows = df.count()
     loaded |= {key(f) for f in new}
-    rider = [{"domainMetadata": {
+    rider: list[dict[str, Any]] = []
+    if (
+        snap.min_writer_version < 7
+        or "domainMetadata" not in snap.writer_features
+    ):
+        # the ledger is a domainMetadata action — spec requires the
+        # writer feature declared, or other engines may drop the domain
+        # when checkpointing (losing idempotency)
+        rider.append(protocol_upgrade_action(
+            snap, min_writer=7, writer_feature="domainMetadata",
+        ))
+    rider.append({"domainMetadata": {
         "domain": "bds.copyInto",
         "configuration": json.dumps({"loaded": sorted(loaded)}),
         "removed": False,
-    }}]
-    write_delta(df, path, mode="append", extra_actions=rider)
+    }})
+    version = write_delta(df, path, mode="append", extra_actions=rider)
+    # row metric from the committed adds' stats — no second source scan
+    n_rows = 0
+    with open(_version_file(_log_dir(path), version)) as fh:
+        for line in fh:
+            if line.strip():
+                act = json.loads(line)
+                if "add" in act:
+                    n_rows += int(json.loads(
+                        act["add"].get("stats") or "{}"
+                    ).get("numRecords") or 0)
     return {"numFilesLoaded": len(new), "numRowsLoaded": n_rows}
 
 
@@ -3027,10 +3047,24 @@ def alter_properties(
     # view so _try_commit stamps each backfilled add with the commit
     # version (defaultRowCommitVersion — required on every add of a
     # rowTracking table); the ids themselves were assigned above.
-    return _try_commit(
+    version = _try_commit(
         path, actions, [], enable_ict=ict_enabled(snap),
         snap=psnap if enabling_row_tracking else None,
     )
+    if (
+        cfg.get(
+            "delta.compatibility.symlinkFormatManifest.enabled", ""
+        ).lower() == "true"
+        and snap.configuration.get(
+            "delta.compatibility.symlinkFormatManifest.enabled", ""
+        ).lower() != "true"
+    ):
+        # Property just turned on: delta-spark runs a FULL manifest
+        # generation at enablement so EXISTING partitions are covered —
+        # the per-commit hook only refreshes partitions later commits
+        # touch.
+        generate_symlink_manifest(path)
+    return version
 
 
 def alter_columns(

@@ -1080,19 +1080,32 @@ def merge_delta(
         from .delta import _load_snapshot, alter_columns
 
         tbl_path = _strip_file_scheme(path)
-        tnames = {f.name for f in _load_snapshot(tbl_path).schema.fields}
+        # case-INSENSITIVE name match (Spark's default resolution): a
+        # source column differing only in case must not evolve into a
+        # duplicate column that makes every later reference ambiguous
+        tnames = {
+            f.name.lower() for f in _load_snapshot(tbl_path).schema.fields
+        }
         adds = {
             f.name: f.dataType.simpleString()
             for f in source.schema.fields
-            if f.name not in tnames
+            if f.name.lower() not in tnames
         }
         if adds:
             alter_columns(tbl_path, adds=adds)
         # NULL-fill target columns the source lacks (cast to the target
         # type) so positional INSERT * spans the evolved schema.
-        snames = set(source.columns)
-        for f in _load_snapshot(tbl_path).schema.fields:
-            if f.name not in snames:
+        post = _load_snapshot(tbl_path).schema.fields
+        # canonicalize case-variant source columns to the TARGET's exact
+        # spelling so positional INSERT * and clause resolution line up
+        canon = {f.name.lower(): f.name for f in post}
+        for c in list(source.columns):
+            want = canon.get(c.lower())
+            if want is not None and want != c:
+                source = source.withColumnRenamed(c, want)
+        snames = {c.lower() for c in source.columns}
+        for f in post:
+            if f.name.lower() not in snames:
                 source = source.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
                 )

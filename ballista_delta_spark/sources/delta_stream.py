@@ -338,6 +338,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self._planned is not None:
             v, i, insnap = self._planned
         elif self._snap_version is not None:
+            # Cold anchor at the snapshot phase. On a checkpoint RESTART
+            # this is a guess that may disagree with the stream's true
+            # (tail) phase — which is safe because Spark re-executes the
+            # last offset-log pair through partitions() BEFORE the first
+            # latestOffset() on every restart (verified empirically via
+            # BDS_STREAM_TRACE for both availableNow and processingTime
+            # triggers; tests/test_delta_stream.py pins both e2e), so the
+            # checkpointed offsets always re-anchor/adopt first and this
+            # branch only ever plans for genuinely fresh streams.
             v, i, insnap = self._snap_version, 0, True
         else:
             v, i, insnap = self.starting_version, 0, False
@@ -641,9 +650,14 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._trace(f"commit {end}")
-        ev, _, _ = self._pos(end)
+        ev, _, esnap = self._pos(end)
         for v in [v for v in self._plans if v < ev]:
             del self._plans[v]
+        if not esnap and self._snap_plans:
+            # Past the snapshot phase: drop the O(table-files) snapshot
+            # partition list(s) — a long-lived tail must not pin them in
+            # driver memory for the stream's lifetime.
+            self._snap_plans.clear()
 
 
 def register_delta_stream_source(spark) -> None:

@@ -114,3 +114,56 @@ def test_copy_into_sql_form_with_csv(spark, tmp_path):
             FORMAT_OPTIONS ('sep' = '|')
         """)
     spark.catalog.dropTempView("cpi_t")
+
+
+def test_ctas_strips_file_scheme_and_respects_dialect(spark, tmp_path):
+    """file:// LOCATIONs hit the same existence check as bare paths (a
+    scheme'd re-CTAS must refuse, not silently append), and the CTAS
+    body runs through THIS dialect — time travel works inside it."""
+    loc = str(tmp_path / "sch")
+    bd_sql(spark, f"""
+        CREATE TABLE sch_t USING DELTA LOCATION 'file://{loc}'
+        AS SELECT id FROM range(5)
+    """)
+    assert read_delta(spark, loc).count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        bd_sql(spark, f"""
+            CREATE TABLE sch_t USING DELTA LOCATION 'file://{loc}'
+            AS SELECT id FROM range(3)
+        """)
+    assert read_delta(spark, loc).count() == 5  # nothing appended
+    # time-travel body: snapshot v0 of sch_t into a new table
+    write_delta(
+        spark.createDataFrame([(99,)], "id long"), loc, mode="append"
+    )
+    loc2 = str(tmp_path / "snap")
+    bd_sql(spark, f"""
+        CREATE TABLE sch_snap USING DELTA LOCATION '{loc2}'
+        AS SELECT * FROM sch_t VERSION AS OF 0
+    """)
+    assert read_delta(spark, loc2).count() == 5  # pre-append snapshot
+    spark.catalog.dropTempView("sch_t")
+    spark.catalog.dropTempView("sch_snap")
+
+
+def test_copy_into_option_value_containing_paren(spark, tmp_path):
+    """A ')' inside a quoted FORMAT_OPTIONS value must not break the
+    statement parse."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(0, "seed")], "id int, s string").coalesce(1),
+        tbl,
+    )
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "one.csv").write_text("id|s\n7|x\n)|skipme\n")
+    bd_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE paren_t STORED AS DELTA LOCATION '{tbl}'",
+    )
+    out = bd_sql(spark, f"""
+        COPY INTO paren_t FROM '{csv_dir}' FILEFORMAT = CSV
+        FORMAT_OPTIONS ('sep' = '|', 'comment' = ')')
+    """).collect()[0]
+    assert out.numRowsLoaded == 1  # the ')' comment line was skipped
+    spark.catalog.dropTempView("paren_t")

@@ -922,3 +922,59 @@ def test_real_checkpoint_restart_no_duplicates(spark, tbl, tmp_path):
     assert len(got) == 24
     assert len(set(got)) == 24  # exactly-once: no duplicates anywhere
     assert {900, 901} <= set(got)
+
+
+def test_processing_time_restart_resumes_exactly_once(spark, tbl, tmp_path):
+    """Restart under a CONTINUOUS (processingTime) trigger with the last
+    batch committed: Spark re-executes the checkpointed offset pair
+    through partitions() before the fresh reader's first latestOffset()
+    (the empirical guarantee the cold snapshot anchor relies on —
+    BDS_STREAM_TRACE shows the order), so the restarted stream serves
+    exactly the commits that arrived while it was down."""
+    import time
+
+    from ballista_delta_spark.sources.delta import read_delta, write_delta as wd
+
+    register_delta_stream_source(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(wait_rows, seconds=90):
+        stream = (
+            spark.readStream.format("delta_stream")
+            .option("path", tbl)
+            .option("maxFilesPerTrigger", "2")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: None if df.isEmpty() else wd(
+                    df, out, mode="append",
+                    txn_app="pt-restart", txn_version=int(bid),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        deadline = time.time() + seconds
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = read_delta(spark, out).count()
+            except Exception:
+                n = 0
+            if n >= wait_rows:
+                break
+            time.sleep(1)
+        q.stop()
+        return n
+
+    assert run(2) == 2                          # snapshot phase drains
+    write_delta(
+        spark.createDataFrame([(100, "y"), (101, "z")], "id int, s string")
+        .coalesce(1), tbl, mode="append",
+    )                                           # lands while DOWN
+    assert run(4) == 4                          # restart: only the append
+    got = sorted(r.id for r in read_delta(spark, out).collect())
+    assert got == [1, 2, 100, 101]              # exactly once, no misses

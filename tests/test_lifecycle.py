@@ -622,12 +622,15 @@ def test_generate_symlink_manifest(spark, tmp_path):
             [(1, 7), (2, 7), (3, 8)], "id int, k int"
         ).coalesce(1), q, partition_by=["k"],
     )
-    generate_symlink_manifest(q)
+    # enabling the property runs the FULL generation (existing
+    # partitions covered without a manual GENERATE) — delta-spark parity
+    assert manifest_files(q, "k=8") is None
     alter_properties(
         spark, q,
         {"delta.compatibility.symlinkFormatManifest.enabled": "true"},
     )
     before_k8 = manifest_files(q, "k=8")
+    assert before_k8  # backfilled at enablement
     write_delta(
         spark.createDataFrame([(4, 7)], "id int, k int").coalesce(1), q,
         mode="append",

@@ -341,3 +341,23 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("B", 7), 3: ("c", 9)}
     spark.catalog.dropTempView("mev_t")
     spark.catalog.dropTempView("mev_src")
+
+
+def test_merge_schema_evolution_is_case_insensitive(spark, tmp_path):
+    """A source column differing only in CASE must not evolve into a
+    duplicate column (Spark's default resolution is case-insensitive —
+    a second 'ID' column would make every later reference ambiguous)."""
+    from ballista_delta_spark.sources.delta import _load_snapshot, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    p = str(tmp_path / "ci")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id int, s string").coalesce(1), p
+    )
+    src = spark.createDataFrame([(2, "b")], "ID int, s string")
+    merge_delta(
+        spark, p, src, "t.id = s.ID",
+        not_matched_insert=True, schema_evolution=True,
+    )
+    snap = _load_snapshot(p)
+    assert [f.name for f in snap.schema.fields] == ["id", "s"]  # no dup
