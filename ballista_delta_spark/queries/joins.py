@@ -434,3 +434,85 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --- join_bucketed: the co-located bucketed join — Spark's answer to the
+# "same join key, every night" workload. Both sides are written ONCE as
+# bucketed tables (bucketBy the join key + sortBy inside each bucket);
+# every subsequent join on that key then runs with ZERO exchanges: task
+# i merge-joins bucket i of each side in place. At 100 TB this converts
+# the nightly fact-fact shuffle (the single most expensive stage in the
+# pipeline) into a scan — the shuffle cost is paid once at write time
+# and amortized over every downstream join. The oracle is the plain
+# parquet join (bucketing must not change the relation); the
+# zero-exchange plan is pinned in tests/test_scale_plans.py.
+@_q(
+    "join_bucketed",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(1 - l_discount AS DECIMAL(8,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix="bds-bkt-")
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
+        (
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+    ):
+        # pid-scoped name: the in-memory catalog is session-local, but a
+        # stable name would still collide across two queries() calls in
+        # one session — DROP + overwrite handles that.
+        name = f"bds_bkt_{tbl}_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load(spark, sf_dir, tbl)
+            .select(*cols)
+            # one writer task -> one file per bucket, so the bucket-side
+            # sort is elided at read time too (no per-bucket merge).
+            .coalesce(1)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, tbl))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+
+    o = spark.table(names["orders"])
+    l = spark.table(names["lineitem"])
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    # Disable broadcast: the point is the exchange-free merge join of
+    # co-bucketed scans (a broadcast would hide whether bucketing works).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

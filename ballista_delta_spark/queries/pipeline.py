@@ -943,3 +943,46 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------- corpus_shard_assign
+# Deterministic shard assignment + balance audit: every document maps to
+# one of N training shards by hash (membership DERIVED, never stored —
+# the same property corpus_mix relies on), and the output is the
+# per-shard balance profile a pipeline checks before writing shards
+# (dominant skew here means one writer/trainer gets a long tail). Zero
+# joins, zero pre-aggregation shuffles: the shard id is a codegen'd
+# expression on the scan, the only exchange is the O(N_SHARDS) final
+# aggregate. Uses the same md5-bucket arithmetic as the sampling family,
+# so the DuckDB oracle is bit-identical.
+_N_SHARDS = 32
+
+
+@_q(
+    "corpus_shard_assign",
+    f"""
+    SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {_N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        f" % {_N_SHARDS}"
+    ).cast("bigint")
+    return (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

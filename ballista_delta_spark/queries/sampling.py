@@ -131,3 +131,47 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ sample_reservoir
+# Fixed-size per-stratum sample: exactly k documents per language (not a
+# rate — a COUNT), the draw every eval-set builder needs ("give me 10
+# docs per language, same ten every run"). Deterministic "reservoir":
+# rank docs inside each stratum by md5(doc_id) — a uniform, engine-
+# portable permutation — and keep the first k. One shuffle (the window's
+# partitionBy lang), no joins; at 100 TB the rank-then-cut can also run
+# as a per-partition top-k + merge (TakeOrderedAndProject shape), but
+# the window form stays exact for any k and keeps the plan declarative.
+# Ties cannot happen (md5 of distinct ids), doc_id breaks them anyway.
+_RESERVOIR_K = 10
+
+
+@_q(
+    "sample_reservoir",
+    f"""
+    SELECT lang, doc_id, rnk
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS rnk
+        FROM documents
+    ) ranked
+    WHERE rnk <= {_RESERVOIR_K}
+    ORDER BY lang, rnk
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _RESERVOIR_K)
+        .orderBy("lang", "rnk")
+    )

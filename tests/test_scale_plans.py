@@ -713,3 +713,29 @@ def test_r9b_tpch_suite_scale_shapes(spark, sf_dir):
     assert "LeftAnti" in plans["tpch_q21"], plans["tpch_q21"]
     assert "LeftOuter" in plans["tpch_q13"], plans["tpch_q13"]
     assert plans["tpch_q8"].count("Scan parquet") == 8, plans["tpch_q8"]
+
+
+def test_join_bucketed_is_exchange_free(spark, sf_dir):
+    """join_bucketed's whole point: once both sides are written bucketed
+    by the join key, the join itself needs NO exchange — task i
+    merge-joins bucket i of each side in place. Pin: with broadcast
+    disabled, the plan reads both bucketed scans (SelectedBucketsCount
+    present) and the only exchanges are the final aggregate + sort —
+    never one between a scan and the join."""
+    from ballista_delta_spark.queries.joins import join_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed(spark, sf_dir)
+        plan = _physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert plan.count("SelectedBucketsCount") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    # split at the join: nothing below it (scan side) may shuffle
+    below = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below.split("HashAggregate", 1)[0], plan
+    # and overall: agg + orderBy only (2 exchanges), none for the join
+    assert plan.count("Exchange") <= 2, plan
