@@ -48,6 +48,10 @@ HEADLINE = [
     "tpch_q7",            # self-joined nation dim, symmetric OR pair
     "tpch_q12",           # conditional CASE counts per line status
     "text_bigram_logprob",  # corpus bigram LM scoring (transform pairing)
+    # r9b additions — the suite-completing TPC-H shapes not already
+    # represented: the widest join tree and the double self-join.
+    "tpch_q9",            # 5-way profit rollup, LIKE-filtered part dim
+    "tpch_q21",           # EXISTS + NOT EXISTS double self-join on the fact
 ]
 
 WARMUP = 1
