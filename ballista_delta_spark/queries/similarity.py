@@ -644,3 +644,79 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------- emb_ann_recall
+# ANN quality gate: recall@k of the LSH-bucketed path against the exact
+# brute-force top-k, per query vector. This is the evaluation harness a
+# production pipeline runs after every index (re)build — "did the
+# approximate index degrade?" — kept as a registered, oracle-paired
+# operator so the gate itself is regression-tested. Scale shape: the two
+# searches are exactly the registered plans (their costs dominate); the
+# comparison joins two k x |queries| result sets — negligible at any
+# scale, and the recall arithmetic (n_hit / k) is exact integer/literal
+# division, bit-identical across engines. Zero-hit queries survive via
+# the left join (recall 0.0, never a dropped row).
+@_q(
+    "emb_ann_recall",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    eb AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM e),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    ex_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM ex_scored) WHERE rnk <= {_TOPK}),
+    ap_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    ap_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM ap_scored) WHERE rnk <= {_TOPK}),
+    hits AS (
+      SELECT x.query_id, count(*) AS n_hit
+      FROM ex_topk x JOIN ap_topk a
+        ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      GROUP BY x.query_id)
+    SELECT q.query_id, {_TOPK} AS k,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(round(coalesce(h.n_hit, 0) / {_TOPK}.0, 4) AS DOUBLE)
+               AS recall
+    FROM (SELECT DISTINCT query_id FROM ex_topk) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    ORDER BY q.query_id
+    """,
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_lsh_bucketed(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_TOPK).alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / _TOPK, 4)
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )
