@@ -986,3 +986,87 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------- events_attribution
+# Last-touch attribution: each purchase credits the most recent prior
+# view/click by the same user within a 7-day lookback; purchases with no
+# touch in the window are 'direct'. The conversion-credit grain every
+# growth dashboard needs. Scale shape: ONE per-user window pass over the
+# (view, click, purchase) slice — the carry-forward is
+# last(touch, ignorenulls) over (user, ts) order, the same
+# no-self-join pattern as the as-of join; the final aggregate shuffles
+# O(channels) rows. Purchase values accumulate in DECIMAL so the
+# per-channel totals hash identically across engines.
+_ATTR_WINDOW_S = 7 * 24 * 3600
+
+
+@_q(
+    "events_attribution",
+    f"""
+    WITH touches AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT coalesce(CASE WHEN epoch(ts) - epoch(touch_ts)
+                              <= {_ATTR_WINDOW_S}
+                         THEN touch_type END, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS attributed_value
+    FROM touches
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touches = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = (
+        F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")
+    ) <= _ATTR_WINDOW_S
+    return (
+        touches.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(in_window, F.col("touch_type")), F.lit("direct")
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

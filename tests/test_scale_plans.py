@@ -739,3 +739,39 @@ def test_join_bucketed_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in below.split("HashAggregate", 1)[0], plan
     # and overall: agg + orderBy only (2 exchanges), none for the join
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_r9b_sampling_ops_scale_shapes(spark, sf_dir):
+    """Pins for the r9b sampling/sharding additions:
+
+    - sample_reservoir: ONE hash exchange (the per-stratum window's
+      partitionBy lang) — no joins; the rank-and-cut stays a single
+      window pass;
+    - corpus_shard_assign: the shard id is computed on the scan — no
+      join; two hash exchanges, both O(shards × langs) not O(corpus)
+      (count(DISTINCT lang) plans as the standard two-phase distinct
+      aggregate: partial by (shard, lang), final by shard).
+    """
+    from ballista_delta_spark.queries.pipeline import corpus_shard_assign
+    from ballista_delta_spark.queries.sampling import sample_reservoir
+
+    rp = _physical_plan(sample_reservoir(spark, sf_dir))
+    assert "Join" not in rp, rp
+    assert rp.count("Exchange hashpartitioning") == 1, rp
+
+    sp = _physical_plan(corpus_shard_assign(spark, sf_dir))
+    assert "Join" not in sp, sp
+    assert sp.count("Exchange hashpartitioning") <= 2, sp
+
+
+def test_events_attribution_scale_shape(spark, sf_dir):
+    """events_attribution must stay the no-self-join carry-forward form:
+    ONE per-user window pass (single hash exchange of the event slice),
+    no join anywhere — the naive form joins purchases back to a
+    touches subquery, shuffling the slice twice."""
+    from ballista_delta_spark.queries.pipeline import events_attribution
+
+    plan = _physical_plan(events_attribution(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
