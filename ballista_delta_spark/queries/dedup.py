@@ -736,3 +736,121 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "hist_doc", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+# ---------------------------------------------------------- emb_semdedup
+# SemDeDup (Abbas et al. 2023): semantic dedup over EMBEDDINGS — cluster
+# the corpus with k-means, then compare pairs only WITHIN a cluster and
+# drop every vector that has an earlier (lower vec_id) cluster-mate with
+# cosine >= tau. The clustering bounds the quadratic: candidate volume is
+# sum(|cluster|^2) instead of N^2 (measured sf0.01: 15,559 within-cluster
+# pairs vs 124,750 all-pairs — the 8x of K=8; at 100 TB K scales with N
+# so |cluster| stays ~constant and the pass is linear in N).
+#
+# Scale shape: centroids are literal expressions (same broadcast-free
+# assignment as emb_kmeans_step / sim_ivf_topk — the corpus is never
+# joined to assign), the only exchange is the self-join keyed on
+# cluster_id, and the per-dropped-vec keeper pick is a window over the
+# (tiny) qualifying pair set. Output: one row per DROPPED vector with
+# its lowest-id keeper and their cosine.
+_SEM_TAU = 0.4
+
+
+@_q(
+    "emb_semdedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            FOR i IN range(1, len(embedding) + 1)])) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb
+      FROM embeddings WHERE vec_id < 8),
+    dists AS (
+      SELECT e.vec_id, cid,
+             list_sum([(emb[i] - cemb[i]) * (emb[i] - cemb[i])
+                       FOR i IN range(1, len(emb) + 1)]) AS dist
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) = 1),
+    ec AS (SELECT e.*, a.cid FROM e JOIN assigned a USING (vec_id)),
+    pairs AS (
+      SELECT a.cid AS cluster_id, b.vec_id AS vec_id,
+             a.vec_id AS keeper_vec,
+             round(list_sum([a.emb[i] * b.emb[i]
+                             FOR i IN range(1, len(a.emb) + 1)])
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM ec a JOIN ec b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT cluster_id, vec_id, keeper_vec, cos_sim
+    FROM pairs WHERE cos_sim >= {_SEM_TAU}
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY keeper_vec) = 1
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _ivf_centroids, dot_expr
+
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.withColumn("nrm", F.sqrt(F.expr(dot_expr("emb", "emb"))))
+    # Literal-centroid squared-L2 assignment, one alias per centroid so
+    # each stays under janino's method limit (same pin as emb_kmeans_step).
+    dcols = []
+    for i, c in enumerate(cents):
+        terms = " + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(len(c))
+        )
+        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    arr = "array(" + ", ".join(f"__d{i}" for i in range(len(cents))) + ")"
+    ec = (
+        e.select("vec_id", "emb", "nrm", *dcols)
+        # first index of the min -> ties break to the lowest centroid id,
+        # matching the oracle's (dist, cid) order
+        .withColumn(
+            "cluster_id",
+            F.expr(
+                f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "emb", "nrm", "cluster_id")
+        # Materialize the assignment ONCE (lazy — folds into this job):
+        # the self-join would otherwise recompute the 512-term distance
+        # chains on BOTH sides AND fuse them with the cosine into one
+        # whole-stage method, which blows janino's 64 KB processNext()
+        # limit and silently drops the join stage to interpreted
+        # evaluation (same pin as dedup_minhash_lsh's signature reuse).
+        .localCheckpoint(eager=False)
+    )
+    a, b = ec.alias("a"), ec.alias("b")
+    cos = F.round(
+        F.expr(dot_expr("a.emb", "b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("keeper_vec"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy("keeper_vec")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1070,3 +1070,112 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------- text_segment_dedup
+# Exact segment-level dedup (the RefinedWeb / CCNet "line dedup" pass,
+# with fixed W-token segments standing in for lines since the synthetic
+# corpus has no newlines): every document is cut into consecutive
+# W-token segments; a segment survives only at its FIRST corpus
+# occurrence (lowest (doc_id, seg_idx)); each document is reassembled
+# from its surviving segments. This removes boilerplate repeated across
+# documents — the single highest-yield cleaning pass on web corpora.
+#
+# Scale shape — deliberately NOT the window form: boilerplate segments
+# are the whole point of the pass, so the `seg` key is maximally skewed
+# (a hot segment can appear in millions of docs; a window partitioned by
+# `seg` would sort all of them in one task). Instead: (1) groupBy(seg) ->
+# min(position) — map-side partial aggregation collapses the hot keys
+# BEFORE the exchange, so the shuffle carries one row per DISTINCT
+# segment; (2) join the min back on `seg` — each probe row matches
+# exactly one build row, and AQE's skew-join splitting handles the hot
+# buckets; (3) reassembly groups by doc_id, which is uniformly
+# distributed. Segment width is a parameter; W=3 on the synthetic
+# ~30-word vocabulary yields a realistic ~19% drop rate (measured
+# sf0.01: 9216 segments, 7460 kept).
+_SEG_W = 3
+# Position encoded as one BIGINT so min() is engine-portable (DuckDB's
+# min over ROW and Spark's min over struct order identically, but the
+# scalar form is unambiguous). 2^20 > any per-doc segment count here.
+_SEG_POS = 1 << 20
+
+
+@_q(
+    "text_segment_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS ws
+      FROM documents),
+    s0 AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT)))
+                 AS seg_idx
+      FROM w),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(
+                 ws[seg_idx * {_SEG_W} + 1 : seg_idx * {_SEG_W} + {_SEG_W}],
+                 ' ') AS seg
+      FROM s0),
+    firsts AS (
+      SELECT seg, min(doc_id * {_SEG_POS} + seg_idx) AS first_pos
+      FROM segs GROUP BY seg),
+    k AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             s.doc_id * {_SEG_POS} + s.seg_idx = f.first_pos AS keep
+      FROM segs s JOIN firsts f USING (seg))
+    SELECT doc_id,
+           count(*) AS n_segs,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           coalesce(array_to_string(
+               list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '')
+               AS dedup_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", _WS).alias("ws"))
+    # posexplode(sequence(...)) keeps the segment expansion inside
+    # whole-stage codegen (no higher-order transform() in the hot scan);
+    # seg_idx is the sequence VALUE (pos == value here, but the value is
+    # the defined index).
+    n_seg = f"CAST(ceil(size(ws) / {_SEG_W}.0) AS INT) - 1"
+    segs = (
+        w.select(
+            "doc_id",
+            "ws",
+            F.posexplode(F.expr(f"sequence(0, {n_seg})")).alias("_p", "seg_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("bigint").alias("seg_idx"),
+            F.array_join(
+                F.expr(f"slice(ws, seg_idx * {_SEG_W} + 1, {_SEG_W})"), " "
+            ).alias("seg"),
+        )
+    )
+    pos = (F.col("doc_id") * _SEG_POS + F.col("seg_idx")).cast("bigint")
+    firsts = (
+        segs.select("seg", pos.alias("p"))
+        .groupBy("seg")
+        .agg(F.min("p").alias("first_pos"))
+    )
+    k = segs.join(firsts, "seg").withColumn(
+        "keep", pos == F.col("first_pos")
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

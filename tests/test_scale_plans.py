@@ -775,3 +775,34 @@ def test_events_attribution_scale_shape(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_r9c_dedup_ops_scale_shapes(spark, sf_dir):
+    """Pins for the late-r9 dedup additions:
+
+    - emb_semdedup: the cluster assignment must be materialized ONCE
+      (checkpointed — both self-join sides read the ExistingRDD, never
+      the parquet scan: recomputing the 512-term distance chains on both
+      sides also blows janino's 64 KB method limit and drops the join
+      stage to interpreted), and the within-cluster pairing must be an
+      equi-join on cluster_id — no nested-loop / cartesian anywhere;
+    - text_segment_dedup: the first-occurrence pick must be the skew-safe
+      groupBy(seg)+min form (map-side partial_min collapses hot
+      boilerplate segments BEFORE the exchange) — a Window partitioned by
+      seg (which sorts every duplicate of a hot segment in one task) is
+      the shape this forbids.
+    """
+    from ballista_delta_spark.queries.dedup import emb_semdedup
+    from ballista_delta_spark.queries.pipeline import text_segment_dedup
+
+    sem_plan = _physical_plan(emb_semdedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in sem_plan, sem_plan
+    assert "CartesianProduct" not in sem_plan, sem_plan
+    assert "Scan ExistingRDD" in sem_plan, sem_plan
+    assert "Scan parquet" not in sem_plan, sem_plan
+
+    seg_plan = _physical_plan(text_segment_dedup(spark, sf_dir))
+    assert "Window" not in seg_plan, seg_plan
+    assert "partial_min" in seg_plan, seg_plan
+    assert "BroadcastNestedLoopJoin" not in seg_plan, seg_plan
+    assert "CartesianProduct" not in seg_plan, seg_plan
