@@ -720,3 +720,136 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -------------------------------------------------------- emb_pq_topk
+# Product quantization + asymmetric distance computation (Jegou et al.
+# 2011) — the 4th classic ANN tier next to brute-force / sign-LSH / IVF,
+# and the one that changes the SCAN economics: each 64-dim float32
+# vector (256 B) is compressed to M=8 sub-space codes into a KC=8-entry
+# codebook (8 small ints — a 32x shrink), and search never touches the
+# raw embeddings again. ADC scores a query against a code with M table
+# lookups instead of DIM multiplies.
+#
+# Index build (one narrow pass, materialized ONCE): per sub-space
+# squared-L2 to each codebook entry as M*KC separate 8-term codegen'd
+# chains (one fused expression would blow janino's 64 KB method — same
+# pin as emb_kmeans_step), argmin per sub-space as a pure projection,
+# then localCheckpoint — the compressed code table IS the artifact a
+# production pipeline writes to disk; both the checkpoint and the
+# narrow-scan shape are pinned. Codebook entries are deterministic
+# literal state (sub-slices of the first KC corpus vectors — the same
+# seed protocol as the IVF centroids; emb_kmeans_step is the training
+# primitive that would refine them).
+#
+# Search: the query side precomputes its M per-sub-space distance
+# TABLES (KC doubles each) and broadcasts them across the code scan —
+# a map-side pass over 8-int rows with 8 element_at lookups per
+# candidate, left-to-right summed so the oracle's ordered list_sum
+# folds identically. Top-k per query bounded by a WindowGroupLimit.
+# At 100 TB: the scan reads ~3% of the raw bytes, the only exchange
+# carries per-query top-k-limited candidates, and recall is tuned by
+# KC / M / a re-rank pass over the shortlist (compose with
+# emb_ann_recall's gate).
+_PQ_M = 8           # sub-spaces
+_PQ_SUB = _DIM // _PQ_M
+_PQ_KC = 8          # codebook entries per sub-space
+
+
+@_q(
+    "emb_pq_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cb AS (
+      SELECT vec_id AS j, emb AS cemb FROM e WHERE vec_id < {_PQ_KC}),
+    sd AS (
+      SELECT e.vec_id, m.m, cb.j,
+             list_sum([(e.emb[m.m * {_PQ_SUB} + i] - cb.cemb[m.m * {_PQ_SUB} + i])
+                       * (e.emb[m.m * {_PQ_SUB} + i] - cb.cemb[m.m * {_PQ_SUB} + i])
+                       FOR i IN range(1, {_PQ_SUB} + 1)]) AS dist
+      FROM e
+      CROSS JOIN cb
+      CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) m),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM sd
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_sum(list(q.dist ORDER BY q.m)), 6) AS approx_dist
+      FROM codes c
+      JOIN sd q ON q.m = c.m AND q.j = c.code AND q.vec_id < {_N_QUERIES}
+      WHERE c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, vec_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, vec_id) AS rnk
+      FROM approx)
+    SELECT query_id, vec_id, approx_dist, rnk FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)  # codebook seed = first KC vectors
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def _subdist_cols(prefix: str) -> list:
+        """M*KC alias columns of per-sub-space squared L2 to each codebook
+        entry — each an 8-term chain, individually janino-safe."""
+        cols = []
+        for m in range(_PQ_M):
+            for j in range(_PQ_KC):
+                sub = cents[j][m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                terms = " + ".join(
+                    f"(emb[{m * _PQ_SUB + d}] - {sub[d]!r}D)"
+                    f" * (emb[{m * _PQ_SUB + d}] - {sub[d]!r}D)"
+                    for d in range(_PQ_SUB)
+                )
+                cols.append(F.expr(terms).alias(f"__{prefix}{m}_{j}"))
+        return cols
+
+    # Index build: encode + materialize the compressed code table.
+    enc = e.select("vec_id", *_subdist_cols("d"))
+    code_cols = []
+    for m in range(_PQ_M):
+        arr = "array(" + ", ".join(f"__d{m}_{j}" for j in range(_PQ_KC)) + ")"
+        # array_position -> FIRST index of the min: ties break to the
+        # lowest codebook entry, matching the oracle's (dist, j) order.
+        code_cols.append(
+            F.expr(f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)")
+            .alias(f"c{m}")
+        )
+    codes = enc.select("vec_id", *code_cols).localCheckpoint(eager=False)
+
+    # Query side: per-sub-space distance TABLES (tiny — _N_QUERIES rows).
+    qt_cols = [
+        F.array(*[F.col(f"__q{m}_{j}") for j in range(_PQ_KC)]).alias(f"qt{m}")
+        for m in range(_PQ_M)
+    ]
+    qtabs = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), *_subdist_cols("q"))
+        .select("query_id", *qt_cols)
+    )
+
+    # ADC scan: broadcast the tables over the code table; M lookups,
+    # summed left-to-right (matches the oracle's ordered list_sum fold).
+    adc = F.element_at(f"qt0", F.col("c0") + 1)
+    for m in range(1, _PQ_M):
+        adc = adc + F.element_at(f"qt{m}", F.col(f"c{m}") + 1)
+    scored = (
+        codes.crossJoin(F.broadcast(qtabs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.round(adc, 6).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+    )

@@ -806,3 +806,25 @@ def test_r9c_dedup_ops_scale_shapes(spark, sf_dir):
     assert "partial_min" in seg_plan, seg_plan
     assert "BroadcastNestedLoopJoin" not in seg_plan, seg_plan
     assert "CartesianProduct" not in seg_plan, seg_plan
+
+
+def test_emb_pq_topk_scans_codes_not_vectors(spark, sf_dir):
+    """PQ/ADC scale contract: the search-phase scan must read the
+    MATERIALIZED compressed code table (vec_id + M int codes — the 32x
+    shrink is the point of PQ), never re-derive codes from the parquet
+    embeddings; the query distance-tables must be the BROADCAST side of
+    the scan (an exchange of the corpus to meet 5 query rows would be
+    backwards); and top-k must bound the candidate stream with a
+    WindowGroupLimit on BOTH sides of the single final exchange."""
+    from ballista_delta_spark.queries.similarity import emb_pq_topk
+
+    plan = _physical_plan(emb_pq_topk(spark, sf_dir))
+    # streamed side = the checkpointed code table, codes only
+    assert "Scan ExistingRDD[vec_id" in plan, plan
+    assert ",c0" in plan and ",c7" in plan, plan
+    # the deliberate ADC cross join: query tables broadcast, corpus streamed
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    assert "IdentityBroadcastMode" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan
