@@ -268,3 +268,89 @@ def mm_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ahash",
         F.count("*").over(Window.partitionBy("ahash")).alias("n_same_hash"),
     )
+
+
+# ----------------------------------------------------- mm_audio_energy
+# "Audio" frame-energy analysis over the opaque payload: bytes are PCM
+# samples (bias 96 ≈ the lowercase-ASCII center), cut into full W=32
+# sample frames; per-frame RMS energy drives a VAD-style voiced flag.
+# This is the energy/VAD pass an audio curation pipeline runs before
+# transcription — here with the deterministic byte "decode" standing in
+# for a real codec (swap `_frame_energy`'s inner loop for soundfile/
+# librosa at deployment; the Spark plumbing is identical).
+#
+# Scale shape: a narrow `mapInPandas` pass (Arrow batches in, one typed
+# row per doc out — no shuffle, no collect); the `n_chars >= W` guard is
+# a PUSHED parquet filter, so undersized payloads never cross the
+# JVM→Python boundary. Float parity with the oracle: per-frame energy
+# accumulates in exact int arithmetic, /W is a power-of-two division,
+# sqrt is IEEE-correct in both engines, the per-doc mean folds frames
+# left-to-right in frame order, and rounding is explicit half-up (both
+# engines' round() on positive doubles).
+_AUDIO_W = 32
+_AUDIO_VOICED_RMS = 25.0
+
+
+def _round6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_voiced": [],
+               "avg_rms": [], "peak_rms": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(b) // _AUDIO_W
+            acc, peak, voiced = 0.0, 0.0, 0
+            for w in range(n):
+                e = 0
+                for x in b[w * _AUDIO_W : (w + 1) * _AUDIO_W]:
+                    e += (x - 96) * (x - 96)
+                rms = math.sqrt(e / float(_AUDIO_W))
+                acc += rms
+                peak = rms if rms > peak else peak
+                voiced += rms >= _AUDIO_VOICED_RMS
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(n)
+            out["n_voiced"].append(voiced)
+            out["avg_rms"].append(_round6(acc / n))
+            out["peak_rms"].append(_round6(peak))
+        yield pd.DataFrame(out)
+
+
+@_q(
+    "mm_audio_energy",
+    f"""
+    WITH w AS (
+      SELECT doc_id, wi.w AS w,
+             sqrt(list_sum([(ascii(text[wi.w * {_AUDIO_W} + i]) - 96)
+                            * (ascii(text[wi.w * {_AUDIO_W} + i]) - 96)
+                            FOR i IN range(1, {_AUDIO_W} + 1)])
+                  / {_AUDIO_W}.0) AS rms
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, length(text) // {_AUDIO_W})) AS w) wi
+      WHERE n_chars >= {_AUDIO_W})
+    SELECT doc_id,
+           count(*) AS n_frames,
+           CAST(count(CASE WHEN rms >= {_AUDIO_VOICED_RMS} THEN 1 END)
+                AS BIGINT) AS n_voiced,
+           round(list_sum(list(rms ORDER BY w)) / count(*), 6) AS avg_rms,
+           round(max(rms), 6) AS peak_rms
+    FROM w GROUP BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _AUDIO_W
+    )
+    return d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).mapInPandas(
+        _frame_energy,
+        "doc_id long, n_frames long, n_voiced long, "
+        "avg_rms double, peak_rms double",
+    )

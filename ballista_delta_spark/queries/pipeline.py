@@ -1179,3 +1179,103 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------- events_path_topk
+# Top-k navigation paths: the most frequent 3-step event-type sequences
+# across sessions (product analytics' "common journeys" view, and the
+# n-gram twin of events_transitions' first-order matrix). Sessions are
+# cut with the same 30-minute-gap rule as events_sessionize; paths are
+# consecutive in-session trigrams.
+#
+# Scale shape: ONE exchange by user_id feeds both window passes — the
+# session-numbering window partitions by user_id and the trigram lead()
+# window by (user_id, session_id), which hashpartitioning(user_id)
+# already clusters, so EnsureRequirements inserts only a re-sort, not a
+# second shuffle. The trigram count collapses map-side (hot paths are
+# the point — partial_count folds every task's copies before the
+# exchange over at most |event_type|^3 distinct keys), and the global
+# top-k window runs over that bounded key set, never the event stream.
+_PATH_K = 20
+
+
+@_q(
+    "events_path_topk",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               epoch_us(ts) - epoch_us(
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )
+               ) AS gap_us
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(CASE WHEN gap_us IS NULL
+                        OR gap_us > {_SESSION_GAP_S} * 1000000
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+        FROM ordered
+    ),
+    tri AS (
+        SELECT concat_ws(' > ',
+                   event_type,
+                   lead(event_type, 1) OVER w,
+                   lead(event_type, 2) OVER w) AS path,
+               lead(event_type, 2) OVER w AS e3
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ),
+    counted AS (
+        SELECT path, count(*) AS n_sessions_path
+        FROM tri WHERE e3 IS NOT NULL GROUP BY path
+    )
+    SELECT path, n_sessions_path, rnk FROM (
+        SELECT path, n_sessions_path,
+               row_number() OVER (ORDER BY n_sessions_path DESC, path) AS rnk
+        FROM counted)
+    WHERE rnk <= {_PATH_K} ORDER BY rnk
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_order))
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > _SESSION_GAP_S * 1_000_000), 1)
+            .otherwise(0)
+        ).over(w_run).alias("session_id"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = numbered.select(
+        F.concat_ws(
+            " > ",
+            "event_type",
+            F.lead("event_type", 1).over(w_sess),
+            F.lead("event_type", 2).over(w_sess),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w_sess).alias("e3"),
+    )
+    counted = (
+        tri.filter(F.col("e3").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions_path"))
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions_path"), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _PATH_K)
+        .orderBy("rnk")
+    )

@@ -175,3 +175,80 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RESERVOIR_K)
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------- sample_temperature
+# Temperature resampling (the multilingual balancing in XLM-R / mT5 /
+# UNIMAX): language l with share p_l is sampled proportional to p_l^ALPHA
+# (ALPHA < 1 flattens the distribution toward the tail). Unlike
+# sample_stratified's FIXED rates, the rates here are computed FROM the
+# corpus — the closed form keep_rate_l = (n_min / n_l)^(1 - ALPHA)
+# (p_l^(ALPHA-1) normalized so the rarest language keeps 100%; corpus
+# size N cancels). Membership stays md5-hash-derived against a
+# basis-point threshold, so the draw is deterministic and
+# partitioning-independent.
+#
+# Scale shape — the canonical two-phase "measure, then sample":
+# phase 1 aggregates per-language counts (the scan reads ONLY the lang
+# column — column pruning makes the measuring pass ~free — and map-side
+# partials collapse to K rows before the exchange); phase 2 re-scans
+# with the K-row rate table BROADCAST onto the corpus (no corpus
+# shuffle to meet the rates) and folds the keep test into the profile
+# aggregate. The rate math runs in the plan, not the driver — no
+# collect(), so the operator composes into a single lazy DAG.
+_TEMP_ALPHA = 0.3
+_T_HASH_SPARK = "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 10000"
+_T_HASH_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000"
+
+
+@_q(
+    "sample_temperature",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(floor(pow((SELECT min(n_docs) FROM counts)::DOUBLE / n_docs,
+                            1 - {_TEMP_ALPHA}) * 10000) AS BIGINT) AS keep_bp
+      FROM counts)
+    SELECT d.lang, r.n_docs, r.keep_bp,
+           count(CASE WHEN {_T_HASH_DUCK} < r.keep_bp THEN 1 END) AS n_sampled
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY 1, 2, 3 ORDER BY d.lang
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Global min as an unpartitioned window over the K-row aggregate: one
+    # single-partition pass over K rows, instead of a scalar-subquery agg
+    # that would duplicate the whole counts subtree (and its corpus scan)
+    # in the plan.
+    n_min = F.min("n_docs").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    rates = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.pow(n_min.cast("double") / F.col("n_docs"), 1 - _TEMP_ALPHA)
+            * 10000
+        )
+        .cast("bigint")
+        .alias("keep_bp"),
+    )
+    return (
+        d.select("lang", F.expr(_T_HASH_SPARK).alias("h"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "keep_bp")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("keep_bp"), 1)).alias(
+                "n_sampled"
+            )
+        )
+        .orderBy("lang")
+    )

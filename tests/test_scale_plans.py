@@ -828,3 +828,50 @@ def test_emb_pq_topk_scans_codes_not_vectors(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_sample_temperature_measure_then_broadcast(spark, sf_dir):
+    """Temperature resampling scale contract: exactly TWO corpus scans
+    (the measuring pass, pruned to the lang column, and the sampling
+    pass) — a scalar-subquery min would duplicate the counts subtree for
+    a third; the K-row rate table must BROADCAST onto the corpus (no
+    corpus shuffle to meet the rates); rate math stays in the plan (no
+    driver collect)."""
+    from ballista_delta_spark.queries.sampling import sample_temperature
+
+    plan = _physical_plan(sample_temperature(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the measuring scan reads ONLY lang
+    assert "ReadSchema: struct<lang:string>" in plan, plan
+
+
+def test_events_path_topk_reuses_user_partitioning(spark, sf_dir):
+    """Path mining scale contract: hashpartitioning(user_id) must feed
+    BOTH window passes (the per-(user, session) trigram window is
+    clustered by a superset key, so EnsureRequirements may only insert a
+    re-sort, never a second event-stream shuffle); the only other
+    exchange carries the map-side-collapsed path counts (at most
+    |event_type|^3 distinct keys); no joins anywhere."""
+    from ballista_delta_spark.queries.pipeline import events_path_topk
+
+    plan = _physical_plan(events_path_topk(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_mm_audio_energy_is_pushed_filter_narrow_map(spark, sf_dir):
+    """Multimodal decode scale contract: the undersized-payload guard
+    must reach the parquet scan as a PUSHED filter (short payloads never
+    cross the JVM->Python Arrow boundary), and the whole pass must stay
+    a narrow map — no Exchange anywhere."""
+    from ballista_delta_spark.queries.multimodal import mm_audio_energy
+
+    plan = _physical_plan(mm_audio_energy(spark, sf_dir))
+    assert "GreaterThanOrEqual(n_chars,32)" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
