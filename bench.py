@@ -52,6 +52,9 @@ HEADLINE = [
     # represented: the widest join tree and the double self-join.
     "tpch_q9",            # 5-way profit rollup, LIKE-filtered part dim
     "tpch_q21",           # EXISTS + NOT EXISTS double self-join on the fact
+    # r9d additions — the two heaviest new pipeline shapes:
+    "emb_pq_topk",        # PQ encode (checkpointed) + broadcast ADC scan
+    "text_segment_dedup", # segment explode + skew-safe first-occurrence
 ]
 
 WARMUP = 1
