@@ -1168,3 +1168,110 @@ def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_delta(spark, path, version=0), "v0").unionByName(
         agg(read_delta(spark, path), "v1")
     )
+
+
+# --- meta_describe_history: DESCRIBE HISTORY — the commit ledger every
+# table UI/debugger reads. Fixture table built fresh with a pinned
+# 4-operation history (WRITE, WRITE, DELETE, OPTIMIZE); the
+# deterministic (version, operation, mode) triples are oracle-checked as
+# literals. Metadata-only: O(versions) driver work, zero data jobs
+# beyond the fixture build. Reference parity: delta-rs surfaces the same
+# ledger as `DeltaTable.history()`.
+@_q(
+    "meta_describe_history",
+    """
+    SELECT CAST(version AS BIGINT) AS version, operation, op_mode
+    FROM (VALUES (0, 'WRITE', 'Append'),
+                 (1, 'WRITE', 'Append'),
+                 (2, 'DELETE', ''),
+                 (3, 'OPTIMIZE', '')) AS t(version, operation, op_mode)
+    ORDER BY version
+    """,
+)
+def meta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import DeltaTable, optimize
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+    from ._tables import load
+
+    path = os.path.join(_tmp("mdh"), "t")
+    nat = load(spark, sf_dir, "nation")
+    write_delta(nat.coalesce(1), path)
+    write_delta(
+        nat.withColumn(
+            "n_nationkey", F.col("n_nationkey") + F.lit(100)
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    delete_delta(spark, path, "n_nationkey < 5")
+    optimize(spark, path)
+    rows = [
+        (
+            h["version"],
+            h["operation"],
+            (h.get("operationParameters") or {}).get("mode", ""),
+        )
+        for h in DeltaTable(path).history()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, operation string, op_mode string"
+    ).orderBy("version")
+
+
+# --- meta_version_checksum: the N.crc VersionChecksum surface as a query
+# — per-version audit of the stored checksum sidecars against a fresh
+# log replay (verify_checksum), plus the deterministic aggregates the
+# crc records (file count, DV count, DV-deleted records). Fixture: two
+# single-file writes, then a deletion-vector DELETE of 5 rows — every
+# stored crc must verify, and v2 must record exactly one DV holding 5
+# deleted records while numFiles stays put (merge-on-read).
+@_q(
+    "meta_version_checksum",
+    """
+    SELECT CAST(version AS BIGINT) AS version, crc_ok,
+           CAST(num_files AS BIGINT) AS num_files,
+           CAST(num_dvs AS BIGINT) AS num_dvs,
+           CAST(deleted_records AS BIGINT) AS deleted_records
+    FROM (VALUES (0, true, 1, 0, 0),
+                 (1, true, 2, 0, 0),
+                 (2, true, 2, 1, 5)) AS t(
+        version, crc_ok, num_files, num_dvs, deleted_records)
+    ORDER BY version
+    """,
+)
+def meta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ballista_delta_spark.sources.delta import (
+        read_version_checksum,
+        verify_checksum,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+    from ._tables import load
+
+    path = os.path.join(_tmp("mvc"), "t")
+    nat = load(spark, sf_dir, "nation")
+    write_delta(nat.coalesce(1), path)
+    write_delta(
+        nat.withColumn(
+            "n_nationkey", F.col("n_nationkey") + F.lit(100)
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    delete_delta(spark, path, "n_nationkey < 5", mode="dv")
+    rows = []
+    for v in range(3):
+        crc = read_version_checksum(path, v) or {}
+        rows.append(
+            (
+                v,
+                verify_checksum(path, version=v)["ok"],
+                crc.get("numFiles"),
+                crc.get("numDeletionVectorsOpt"),
+                crc.get("numDeletedRecordsOpt"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, crc_ok boolean, num_files long, num_dvs long, "
+        "deleted_records long",
+    ).orderBy("version")

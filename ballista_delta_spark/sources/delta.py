@@ -2801,6 +2801,15 @@ def _try_commit(
         try:
             os.link(tmp_commit, commit_path)
             os.unlink(tmp_commit)
+            try:
+                # Advisory sidecar: a checksum failure must never undo a
+                # commit that is already durable in the log.
+                write_version_checksum(path, version)
+            except Exception as exc:
+                _logger.warning(
+                    "version checksum write failed at v%d of %s: %s",
+                    version, path, exc,
+                )
             _maybe_auto_checkpoint(path, version, snap)
             _maybe_update_symlink_manifests(path, actions, snap)
             return version
@@ -2837,6 +2846,150 @@ def _try_commit(
     raise ConcurrentWriteException(
         f"gave up after {max_retries} rebase attempts at version {version}"
     )
+
+
+def _snapshot_protocol_dict(snap: Snapshot) -> dict[str, Any]:
+    """The snapshot's protocol as a protocol-action payload (feature lists
+    only at the versions the spec defines them for)."""
+    pr: dict[str, Any] = {
+        "minReaderVersion": snap.min_reader_version,
+        "minWriterVersion": snap.min_writer_version,
+    }
+    if snap.min_writer_version >= 7:
+        pr["writerFeatures"] = sorted(set(snap.writer_features))
+    if snap.min_reader_version >= 3:
+        pr["readerFeatures"] = sorted(set(snap.reader_features))
+    return pr
+
+
+def _version_checksum_dict(snap: Snapshot) -> dict[str, Any]:
+    """VersionChecksum payload (the delta-spark ``N.crc`` sidecar) from a
+    materialized snapshot: table-level aggregates a reader can verify a
+    log replay against without re-listing data files."""
+    n_deleted = 0
+    n_dvs = 0
+    for a in snap.files.values():
+        dv = a.get("deletionVector")
+        if dv:
+            n_dvs += 1
+            n_deleted += int(_as_dict(dv).get("cardinality") or 0)
+    crc: dict[str, Any] = {
+        "txnId": str(uuid.uuid4()),
+        "tableSizeBytes": sum(
+            int(a.get("size") or 0) for a in snap.files.values()
+        ),
+        "numFiles": len(snap.files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": n_deleted,
+        "numDeletionVectorsOpt": n_dvs,
+        "metadata": snap.metadata_raw,
+        "protocol": _snapshot_protocol_dict(snap),
+    }
+    if snap.app_transactions:
+        crc["setTransactions"] = [
+            {"appId": app, "version": v}
+            for app, v in sorted(snap.app_transactions.items())
+        ]
+    if snap.domain_metadata:
+        crc["domainMetadata"] = [
+            {"domain": d, "configuration": c, "removed": False}
+            for d, c in sorted(snap.domain_metadata.items())
+        ]
+    return crc
+
+
+def write_version_checksum(path: str, version: int) -> str:
+    """Write the per-version checksum sidecar ``_delta_log/N.crc``
+    (delta-spark's VersionChecksum): one JSON object with the post-commit
+    table aggregates (numFiles, tableSizeBytes, DV totals, metadata,
+    protocol, setTransactions, domainMetadata). delta-spark computes it
+    incrementally from the in-memory post-commit snapshot; here the state
+    is replayed through ``_load_snapshot`` (checkpoints bound the replay,
+    so the cost per commit stays O(commits since last checkpoint), and the
+    sidecar itself is O(1) — it never embeds the file list). Returns the
+    written path. The file is advisory: a missing or stale .crc never
+    blocks reads (``verify_checksum`` is the explicit audit)."""
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path, version=version)
+    crc = _version_checksum_dict(snap)
+    # Carry the commit's own timestamp when in-commit timestamps are on —
+    # the crc is version-addressed, so its stamp must match the commit's.
+    try:
+        with open(_version_file(_log_dir(path), version)) as fh:
+            for line in fh:
+                if line.strip():
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        ict = act["commitInfo"].get("inCommitTimestamp")
+                        if ict is not None:
+                            crc["inCommitTimestampOpt"] = ict
+                        break
+    except OSError:
+        pass
+    out = os.path.join(_log_dir(path), f"{version:020d}.crc")
+    tmp = out + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(crc))
+    os.replace(tmp, out)  # idempotent: same-version rewrites agree
+    return out
+
+
+def read_version_checksum(path: str, version: int) -> dict[str, Any] | None:
+    """The stored ``N.crc`` payload, or None when absent/unreadable."""
+    fp = os.path.join(_log_dir(_strip_file_scheme(path)), f"{version:020d}.crc")
+    try:
+        with open(fp) as fh:
+            return json.loads(fh.read())
+    except (OSError, ValueError):
+        return None
+
+
+def verify_checksum(path: str, version: int | None = None) -> dict[str, Any]:
+    """Audit a version's stored checksum against a fresh log replay
+    (delta-spark's validateChecksum): compares numFiles, tableSizeBytes,
+    DV totals, metadata id/schema/partitioning, and the protocol. Returns
+    ``{"version", "ok", "mismatches"}`` where each mismatch names the
+    field with (stored, computed); ``ok`` is also False when no .crc
+    exists for the version (reported as a single "missing" entry). Never
+    raises on mismatch — corruption detection is the caller's policy
+    decision (FSCK repairs data files; a bad crc just gets rewritten)."""
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path, version=version)
+    stored = read_version_checksum(path, snap.version)
+    if stored is None:
+        return {
+            "version": snap.version,
+            "ok": False,
+            "mismatches": [{"field": "missing", "stored": None}],
+        }
+    computed = _version_checksum_dict(snap)
+    mismatches: list[dict[str, Any]] = []
+    for field_name in (
+        "numFiles", "tableSizeBytes",
+        "numDeletedRecordsOpt", "numDeletionVectorsOpt",
+    ):
+        if int(stored.get(field_name) or 0) != computed[field_name]:
+            mismatches.append({
+                "field": field_name,
+                "stored": stored.get(field_name),
+                "computed": computed[field_name],
+            })
+    for field_name, sub in (
+        ("metadata", ("id", "schemaString", "partitionColumns")),
+        ("protocol", ("minReaderVersion", "minWriterVersion",
+                      "readerFeatures", "writerFeatures")),
+    ):
+        s, c = stored.get(field_name) or {}, computed[field_name]
+        for k in sub:
+            if s.get(k) != c.get(k):
+                mismatches.append({
+                    "field": f"{field_name}.{k}",
+                    "stored": s.get(k),
+                    "computed": c.get(k),
+                })
+    return {"version": snap.version, "ok": not mismatches,
+            "mismatches": mismatches}
 
 
 def alter_constraints(

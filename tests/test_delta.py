@@ -1095,7 +1095,11 @@ def test_cleanup_log_respects_checkpoint_and_retention(spark, tmp_path):
     assert cleanup_log(tbl) == []
     # Zero retention -> commits 0..2 reaped, checkpoint version kept.
     gone = cleanup_log(tbl, retention_ms=0)
-    assert [g.split(".")[0] for g in gone] == [f"{v:020d}" for v in range(3)]
+    # each reaped commit takes its .crc checksum sidecar with it
+    assert sorted({g.split(".")[0] for g in gone}) == [
+        f"{v:020d}" for v in range(3)
+    ]
+    assert {g.split(".", 1)[1] for g in gone} == {"json", "crc"}
     log = os.path.join(tbl, "_delta_log")
     assert os.path.exists(os.path.join(log, f"{3:020d}.json"))
     # Table still reads fully (checkpoint replay) and accepts new commits.
