@@ -443,3 +443,83 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         (F.col("distinct_frac") >= 0.25) & (F.col("top_bigram_frac") <= 0.2),
     )
+
+
+# ---------------------------------------------- text_quality_classifier
+# Model-based quality scoring (the fastText-classifier filter of
+# CCNet/LLaMA/DCLM, distinct from text_gopher_quality's hand rules): a
+# linear model over HASHED token-bigram features — score(doc) = mean
+# over bigrams of w[h(bigram) mod B] — with the B=64 weight vector
+# inlined as a literal array (a trained model would be broadcast or
+# inlined exactly the same way; these weights are a deterministic
+# pseudo-random stand-in so the oracle can recompute them).
+#
+# Scale shape: ONE narrow codegen'd pass — pair the tokens, hash each
+# pair to its bucket, fold the weight lookups left-to-right with
+# aggregate(); no explode, no shuffle, no Python. The md5-based bucket
+# is the same engine-portable hash the sampling/dedup families use, so
+# the DuckDB oracle replays the model bit-for-bit (both engines fold
+# doubles in bigram order).
+_QC_B = 64
+# INTEGER weights in [-6, 6] (pseudo-random, zero-mean-ish): the bigram
+# fold then accumulates EXACTLY in int64 and the only float op is one
+# final int/int division — the same double bit-for-bit in both engines,
+# with no representable round-at-6dp ties (a float weight vector hit one:
+# sum/n landed on exactly -13/128 and the engines' half-rounding split).
+_QC_W = [(37 * b + 17) % 13 - 6 for b in range(_QC_B)]
+
+
+@_q(
+    "text_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))] AS prs
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '{_WS}') AS ws
+            FROM documents)
+      WHERE len(ws) >= 2),
+    s AS (
+      SELECT doc_id, len(prs) AS n_pairs,
+             round(list_sum([
+                 {_QC_W}[CAST(('0x' || substr(md5(pr), 1, 8))::BIGINT % {_QC_B}
+                              AS BIGINT) + 1]
+                 FOR pr IN prs]) / len(prs), 6) AS score
+      FROM t)
+    SELECT doc_id, n_pairs, score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w_lit = "array(" + ", ".join(str(w) for w in _QC_W) + ")"
+    pairs = (
+        f"zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        f"(w1, w2) -> concat(w1, ' ', w2))"
+    )
+    lookup = (
+        f"CAST(element_at({w_lit}, CAST(CAST(conv(substring(md5(pr), 1, 8), "
+        f"16, 10) AS BIGINT) % {_QC_B} AS INT) + 1) AS BIGINT)"
+    )
+    return (
+        d.select(
+            "doc_id", F.split(F.lower("text"), _WS).alias("ws")
+        )
+        .filter(F.expr("size(ws) >= 2"))
+        .select("doc_id", F.expr(pairs).alias("prs"))
+        .select(
+            "doc_id",
+            F.expr("size(prs)").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.expr(
+                    f"aggregate(prs, 0L, (acc, pr) -> acc + {lookup})"
+                )
+                / F.expr("size(prs)"),
+                6,
+            ).alias("score"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("score") >= 0, "keep").otherwise("drop"),
+        )
+    )

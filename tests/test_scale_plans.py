@@ -875,3 +875,16 @@ def test_mm_audio_energy_is_pushed_filter_narrow_map(spark, sf_dir):
     assert "GreaterThanOrEqual(n_chars,32)" in plan, plan
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_text_quality_classifier_is_single_pass(spark, sf_dir):
+    """Model-based quality filter scale contract: the hashed-bigram
+    linear model must run as ONE narrow pass over the corpus — weight
+    lookups fold inside the row expression (no explode of the bigram
+    stream, no shuffle, no Python)."""
+    from ballista_delta_spark.queries.text import text_quality_classifier
+
+    plan = _physical_plan(text_quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
