@@ -853,3 +853,98 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOPK)
     )
+
+
+# ---------------------------------------------------- emb_outlier_detect
+# Embedding-space outlier triage: the farthest 5% of vectors from their
+# k-means cell centroid, per cell — the "catch corrupt/off-manifold
+# embeddings before they poison dedup thresholds and ANN recall" pass a
+# production pipeline runs right after embedding generation. RANK-based
+# (top n/20 by distance within each cell), not z-score-based: the
+# cutoff is then exact integer arithmetic — no order-dependent float
+# moment sums to desync the oracle — and robust to the heavy tails that
+# make outliers outliers.
+#
+# Scale shape: the cell assignment is the same zero-join literal-
+# centroid projection as emb_kmeans_step; the per-cell count and the
+# distance rank share ONE hashpartitioning(cluster_id) exchange (both
+# windows declare the same partitioning). K cells over N vectors means
+# per-cell sorts of N/K rows — at 100 TB, K scales with N (the SemDeDup
+# sizing rule), so the per-task sort stays bounded; an approximate
+# variant would pre-filter with a per-partition distance quantile
+# sketch before the exact rank.
+@_q(
+    "emb_outlier_detect",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    dists AS (
+      SELECT e.vec_id, cid,
+             list_sum([(emb[i] - cemb[i]) * (emb[i] - cemb[i])
+                       FOR i IN range(1, len(emb) + 1)]) AS dist
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, cid, dist FROM dists
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) = 1),
+    ranked AS (
+      SELECT cid, vec_id, dist,
+             row_number() OVER (
+                 PARTITION BY cid ORDER BY dist DESC, vec_id) AS rn,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM assigned)
+    SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id,
+           round(dist, 6) AS center_dist, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= greatest(n // 20, 1)
+    """,
+)
+def emb_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dcols = []
+    for i, c in enumerate(cents):
+        terms = " + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(_DIM)
+        )
+        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    k = len(cents)
+    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    assigned = (
+        e.select("vec_id", *dcols)
+        .withColumn(
+            "cluster_id",
+            F.expr(
+                f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+            ),
+        )
+        .withColumn("dist", F.expr(f"array_min({arr})"))
+        .select("vec_id", "cluster_id", "dist")
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("dist"), "vec_id"
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        assigned.select(
+            "cluster_id",
+            "vec_id",
+            "dist",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") <= F.expr("greatest(n DIV 20, 1L)"))
+        .select(
+            "cluster_id",
+            "vec_id",
+            F.round("dist", 6).alias("center_dist"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

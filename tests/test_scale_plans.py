@@ -888,3 +888,15 @@ def test_text_quality_classifier_is_single_pass(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_emb_outlier_detect_zero_join_one_exchange(spark, sf_dir):
+    """Outlier triage scale contract: cell assignment is a pure
+    projection over literal centroid state (NO join anywhere), and the
+    per-cell count + distance rank share ONE hashpartitioning(cluster_id)
+    exchange (same-partitioning windows must not shuffle twice)."""
+    from ballista_delta_spark.queries.similarity import emb_outlier_detect
+
+    plan = _physical_plan(emb_outlier_detect(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
