@@ -854,3 +854,64 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ----------------------------------------------------- dedup_lsh_recall
+# Dedup quality gate: recall of the MinHash-LSH banding path against the
+# exact shingle-Jaccard ground truth at the 0.8 near-dup threshold — the
+# "did the banding config drop real dups" audit a pipeline runs before
+# trusting an LSH sweep (the dedup twin of emb_ann_recall). With 4
+# bands x 4 rows, a jaccard-0.8 pair collides with p = 1-(1-0.8^4)^4 ~
+# 0.88, so misses are EXPECTED — this gate makes the trade measurable
+# (and a banding change that silently tanks recall fails the oracle).
+#
+# Scale shape: both sides are exactly the registered plans (their cost
+# dominates; the signature table is checkpointed once inside the LSH
+# side); the audit itself joins two O(near-dup pairs) sets and folds to
+# ONE summary row — free at any corpus size.
+_LSH_CAND_ORACLE = f"""
+    hk AS (
+      SELECT doc_id, k,
+             min(((2*k + 1) * shingle + 1299721*k) % {_P}) AS mh
+      FROM sh, unnest(range(0, {_K})) AS t(k)
+      GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, k // 4 AS band,
+             sum(mh * ([1,31,961,29791])[(k % 4) + 1]) AS bsig
+      FROM hk GROUP BY doc_id, k // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+"""
+
+
+@_q(
+    "dedup_lsh_recall",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    {_LSH_CAND_ORACLE},
+    exact AS (
+      SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    hits AS (
+      SELECT e.doc_a FROM exact e
+      JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM hits) AS n_hit,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / (SELECT count(*) FROM exact), 4) AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )

@@ -900,3 +900,16 @@ def test_emb_outlier_detect_zero_join_one_exchange(spark, sf_dir):
     plan = _physical_plan(emb_outlier_detect(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_lsh_recall_reuses_signature_table(spark, sf_dir):
+    """Dedup quality-gate scale contract: both audited sides must serve
+    from the ONE checkpointed signature table (ExistingRDD scans — a
+    recompute would re-shingle the corpus per branch), and the only
+    nested-loop join allowed is the final 1x1 summary cross."""
+    from ballista_delta_spark.queries.dedup import dedup_lsh_recall
+
+    plan = _physical_plan(dedup_lsh_recall(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
