@@ -4410,9 +4410,29 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
         )
 
     now_ms = int(time.time() * 1000)
+
+    def _dv_key(add: dict[str, Any]):
+        # Row-visibility identity of an add: its deletion vector (or the
+        # absence of one). A merge-on-read DELETE re-adds the SAME path
+        # with a DV attached, so a path-only diff would see "no change"
+        # and silently fail to resurrect the deleted rows — the diff must
+        # key on (path, DV), exactly delta-spark's restore identity.
+        dv = add.get("deletionVector")
+        if not dv:
+            return None
+        d = _as_dict(dv)
+        return (
+            d.get("storageType"), d.get("pathOrInlineDv"),
+            d.get("offset"), d.get("sizeInBytes"), d.get("cardinality"),
+        )
+
     re_adds = [
+        # same-path re-adds supersede the current add during replay, so
+        # no paired remove is needed for the DV-changed case
         {"add": {**add, "modificationTime": now_ms, "dataChange": True}}
-        for rel, add in target.files.items() if rel not in current.files
+        for rel, add in target.files.items()
+        if rel not in current.files
+        or _dv_key(current.files[rel]) != _dv_key(add)
     ]
     removes = [
         {

@@ -764,3 +764,38 @@ def test_drop_feature_sql_ddl(spark, tmp_path):
     assert "deletionVectors" not in snap.writer_features
     assert spark.table("dropf_t").count() == 45
     spark.catalog.dropTempView("dropf_t")
+
+
+def test_restore_resurrects_dv_deleted_rows(spark, tmp_path):
+    """RESTORE across a merge-on-read DELETE: the delete re-added the
+    SAME file path with a DV attached, so a path-only restore diff sees
+    "no change" and silently loses the deleted rows (found by the
+    lifecycle model check). The diff must key on (path, DV)."""
+    from ballista_delta_spark.sources.delta import (
+        read_delta,
+        restore_delta,
+        verify_checksum,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 5), (2, 7)], "id int, v int").coalesce(1),
+        tbl,
+    )
+    write_delta(
+        spark.createDataFrame([(3, 0)], "id int, v int").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    delete_delta(spark, tbl, "v = 0", mode="dv")
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2]
+    m = restore_delta(tbl, 1)
+    assert m["numRestoredFiles"] == 1, m
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2, 3]
+    assert verify_checksum(tbl)["ok"]
+    # and restoring forward again to the post-delete state re-applies the DV
+    restore_delta(tbl, 2)
+    assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2]
+    assert verify_checksum(tbl)["ok"]

@@ -667,5 +667,14 @@ class TestDeltaLifecycleModel:
                     for r in read_delta(spark, tbl).collect()
                 )
                 assert got == sorted(model), (op, got, sorted(model))
+                # the commit's .crc sidecar must verify against a fresh
+                # replay after EVERY op kind (append/DML/optimize/
+                # restore/cleanup interactions included)
+                from ballista_delta_spark.sources.delta import (
+                    verify_checksum,
+                )
+
+                rep = verify_checksum(tbl)
+                assert rep["ok"], (op, rep)
         finally:
             shutil.rmtree(d, ignore_errors=True)
