@@ -4398,19 +4398,6 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     target = _load_snapshot(path, version=version)
     check_write_protocol(current, removes_files=True)
 
-    missing = [
-        rel for rel in target.files
-        if rel not in current.files
-        and not os.path.exists(os.path.join(path, rel))
-    ]
-    if missing:
-        raise ValueError(
-            f"cannot RESTORE to version {version}: {len(missing)} required "
-            f"file(s) were vacuumed (first: {missing[0]})"
-        )
-
-    now_ms = int(time.time() * 1000)
-
     def _dv_key(add: dict[str, Any]):
         # Row-visibility identity of an add: its deletion vector (or the
         # absence of one). A merge-on-read DELETE re-adds the SAME path
@@ -4426,13 +4413,47 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
             d.get("offset"), d.get("sizeInBytes"), d.get("cardinality"),
         )
 
+    candidates = {
+        rel: add for rel, add in target.files.items()
+        if rel not in current.files
+        or _dv_key(current.files[rel]) != _dv_key(add)
+    }
+
+    # VACUUM keeps only the CURRENT snapshot's data files and DV bins, so
+    # both a re-added data file AND the target version's on-disk deletion
+    # vector may be gone — either one makes the restored table unreadable,
+    # so both must gate the commit (delta-spark's missing-file guard).
+    missing: list[str] = []
+    for rel, add in candidates.items():
+        if rel not in current.files and not os.path.exists(
+            os.path.join(path, rel)
+        ):
+            missing.append(rel)
+            continue
+        dvd = _as_dict(add.get("deletionVector") or {})
+        st = dvd.get("storageType")
+        if st in ("u", "p"):
+            from . import dv as _dv
+
+            bin_path = (
+                _strip_file_scheme(dvd["pathOrInlineDv"]) if st == "p"
+                else _dv.dv_file_path(path, dvd)
+            )
+            if not os.path.exists(bin_path):
+                missing.append(f"{rel} (deletion vector {bin_path})")
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE to version {version}: {len(missing)} required "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+
+    now_ms = int(time.time() * 1000)
+
     re_adds = [
         # same-path re-adds supersede the current add during replay, so
         # no paired remove is needed for the DV-changed case
         {"add": {**add, "modificationTime": now_ms, "dataChange": True}}
-        for rel, add in target.files.items()
-        if rel not in current.files
-        or _dv_key(current.files[rel]) != _dv_key(add)
+        for rel, add in candidates.items()
     ]
     removes = [
         {

@@ -799,3 +799,39 @@ def test_restore_resurrects_dv_deleted_rows(spark, tmp_path):
     restore_delta(tbl, 2)
     assert sorted(r.id for r in read_delta(spark, tbl).collect()) == [1, 2]
     assert verify_checksum(tbl)["ok"]
+
+
+def test_restore_refuses_when_target_dv_bin_vacuumed(spark, tmp_path):
+    """RESTORE must also guard the target version's deletion-vector BINS.
+    A second DV delete on the same file supersedes the first bin; vacuum
+    then reaps it while the DATA file stays live — so the path-only
+    missing-file guard sees nothing wrong, yet restoring to the first
+    DV'd version would commit a table pointing at a deleted bin."""
+    import pytest
+
+    from ballista_delta_spark.sources.delta import (
+        read_delta,
+        restore_delta,
+        vacuum,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id int, v int"
+        ).coalesce(1),
+        tbl,
+    )
+    delete_delta(spark, tbl, "v = 0", mode="dv")  # v1: bin1
+    delete_delta(spark, tbl, "v = 1", mode="dv")  # v2: bin2 supersedes bin1
+    reaped = vacuum(tbl, retention_ms=0)          # bin1 now unreferenced
+    assert any("deletion_vector_" in p for p in reaped), reaped
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(tbl, 1)
+    # the table itself is untouched and still readable
+    assert read_delta(spark, tbl).count() == 10
+    # restoring to the DV-free version 0 needs no bins and must succeed
+    restore_delta(tbl, 0)
+    assert read_delta(spark, tbl).count() == 30

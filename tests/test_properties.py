@@ -570,6 +570,12 @@ class TestDeltaLifecycleModel:
                 st.tuples(st.just("optimize")),
                 st.tuples(st.just("checkpoint")),
                 st.tuples(st.just("restore")),
+                st.tuples(st.just("merge"),
+                          st.lists(st.integers(0, 99), min_size=1,
+                                   max_size=3)),
+                st.tuples(st.just("zorder")),
+                st.tuples(st.just("vacuum")),
+                st.tuples(st.just("clone"), st.booleans()),  # deep?
             ),
             min_size=3, max_size=9,
         )
@@ -583,14 +589,17 @@ class TestDeltaLifecycleModel:
         from ballista_delta_spark.sources.delta import (
             _load_snapshot,
             cleanup_log,
+            clone_delta,
             create_checkpoint,
             optimize,
             read_delta,
             restore_delta,
+            vacuum,
             write_delta,
         )
         from ballista_delta_spark.sources.delta_dml import (
             delete_delta,
+            merge_delta,
             update_delta,
         )
 
@@ -613,6 +622,10 @@ class TestDeltaLifecycleModel:
             spark.createDataFrame(model, "id int, v int").coalesce(1), tbl
         )
         by_version[0] = sorted(model)
+        # versions below this may legally be unreadable (log cleaned by
+        # checkpoint+cleanup, or data files reaped by a 0-retention vacuum)
+        earliest_readable = 0
+        clone_n = 0
         try:
             for op in ops:
                 kind = op[0]
@@ -648,9 +661,44 @@ class TestDeltaLifecycleModel:
                     model = list(rows)
                 elif kind == "optimize":
                     optimize(spark, tbl)
+                elif kind == "zorder":
+                    optimize(spark, tbl, zorder_by=["v"])
+                elif kind == "merge":
+                    rows = mk(op[1])
+                    # up to 2 matched rows take s.v (an upsert), the rest
+                    # of the source inserts — exercises both MERGE arms
+                    ex = [(i, v + 1000) for i, v in model[:2]]
+                    merge_delta(
+                        spark, tbl,
+                        spark.createDataFrame(
+                            ex + rows, "id int, v int"
+                        ).coalesce(1),
+                        "t.id = s.id", matched_update={"v": "s.v"},
+                    )
+                    exd = dict(ex)
+                    model = [
+                        (i, exd.get(i, v)) for i, v in model
+                    ] + rows
+                elif kind == "vacuum":
+                    vacuum(tbl, retention_ms=0)
+                    earliest_readable = max(
+                        earliest_readable, _load_snapshot(tbl).version
+                    )
+                elif kind == "clone":
+                    clone_n += 1
+                    dst = f"{d}/clone{clone_n}"
+                    clone_delta(tbl, dst, deep=op[1])
+                    got_c = sorted(
+                        (r["id"], r["v"])
+                        for r in read_delta(spark, dst).collect()
+                    )
+                    assert got_c == sorted(model), ("clone", got_c)
                 elif kind == "checkpoint":
                     create_checkpoint(tbl)
                     cleanup_log(tbl, retention_ms=0)
+                    earliest_readable = max(
+                        earliest_readable, _load_snapshot(tbl).version
+                    )
                 elif kind == "restore":
                     target = _load_snapshot(tbl).version // 2
                     expected = by_version.get(target)
@@ -676,5 +724,17 @@ class TestDeltaLifecycleModel:
 
                 rep = verify_checksum(tbl)
                 assert rep["ok"], (op, rep)
+            # end-of-sequence time-travel audit: every version that is
+            # still legally readable must replay to EXACTLY the rows the
+            # model recorded when that version was current — this is what
+            # caught the RESTORE path-only-diff bug (DV re-adds ignored)
+            for v, rows in sorted(by_version.items()):
+                if v < earliest_readable:
+                    continue
+                got_v = sorted(
+                    (r["id"], r["v"])
+                    for r in read_delta(spark, tbl, version=v).collect()
+                )
+                assert got_v == rows, ("time-travel", v, got_v, rows)
         finally:
             shutil.rmtree(d, ignore_errors=True)
