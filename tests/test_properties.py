@@ -593,6 +593,7 @@ class TestDeltaLifecycleModel:
             create_checkpoint,
             optimize,
             read_delta,
+            read_delta_changes,
             restore_delta,
             vacuum,
             write_delta,
@@ -736,5 +737,37 @@ class TestDeltaLifecycleModel:
                     for r in read_delta(spark, tbl, version=v).collect()
                 )
                 assert got_v == rows, ("time-travel", v, got_v, rows)
+            # change-feed fold audit: applying read_delta_changes between
+            # each pair of recorded versions onto the earlier state must
+            # reproduce the later state exactly — diff-derived CDC over
+            # appends, cow/dv DML, merge, overwrite, restore, and
+            # dataChange=false compaction no-ops alike (the cdc-file
+            # path has its own fixtures in test_cdf.py)
+            versions = sorted(
+                v for v in by_version if v >= earliest_readable
+            )
+            from collections import Counter
+
+            for lo, hi in zip(versions, versions[1:]):
+                # multiset arithmetic: CDF row order within the batch is
+                # arbitrary (a postimage may precede its preimage), so
+                # fold counts, then check no (row, count) went negative
+                state = Counter(by_version[lo])
+                for r in read_delta_changes(spark, tbl, lo, hi).collect():
+                    ct = r["_change_type"]
+                    key = (r["id"], r["v"])
+                    if ct in ("delete", "update_preimage"):
+                        state[key] -= 1
+                    elif ct in ("insert", "update_postimage"):
+                        state[key] += 1
+                    else:
+                        raise AssertionError(f"unknown _change_type {ct!r}")
+                assert not any(n < 0 for n in state.values()), (
+                    "cdf-removed-nonexistent-row", lo, hi, state
+                )
+                got_f = sorted(k for k, n in state.items() if n)
+                assert got_f == by_version[hi], (
+                    "cdf-fold", lo, hi, got_f, by_version[hi]
+                )
         finally:
             shutil.rmtree(d, ignore_errors=True)
