@@ -518,7 +518,9 @@ def fsck_repair(path: str, dry_run: bool = False) -> dict[str, Any]:
     """
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
-    check_write_protocol(snap, removes_files=True)
+    # remove-only commit: CDF readers derive its deletes from the
+    # dataChange removes, no _change_data needed
+    check_write_protocol(snap, removes_files=True, cdf_capable=True)
     missing = [
         rel for rel in sorted(snap.files)
         if not os.path.exists(os.path.join(path, rel))
@@ -1794,10 +1796,12 @@ def check_write_protocol(
       ENFORCED at write time (``enforce_constraints``), not refused.
     - v4-v6: generated columns are computed/validated and identity columns
       generated (high-water-mark tracked) by ``write_delta``.
-    - Active change data feed: legal only for operations that emit
-      ``_change_data`` (``cdf_capable=True`` — appends, UPDATE, DELETE,
-      dataChange=false maintenance); others refuse rather than starve CDF
-      readers of rows.
+    - Active change data feed: legal for operations that either emit
+      ``_change_data`` (UPDATE/DELETE/MERGE) or whose commits CDF readers
+      can DERIVE per the spec's file-level rule (appends, overwrite,
+      RESTORE, FSCK, dataChange=false maintenance) — all pass
+      ``cdf_capable=True``; an op that changes rows sub-file without cdc
+      must refuse rather than starve CDF readers of rows.
     - v7: feature-gated — every advertised writerFeature must be
       implemented (all of the above are); unknown features refuse.
     - ``delta.appendOnly=true`` forbids commits that remove files with
@@ -1954,9 +1958,12 @@ def write_delta(
         check_write_protocol(
             prev,
             removes_files=(mode == "overwrite"),
-            # A pure append needs no _change_data (CDF readers derive
-            # inserts from its dataChange adds); overwrite would.
-            cdf_capable=(mode == "append"),
+            # Appends AND overwrites need no _change_data: both are pure
+            # file-level commits, and the spec's derivation rule serves
+            # them to CDF readers (dataChange adds -> inserts, dataChange
+            # removes -> deletes) — delta-spark's INSERT OVERWRITE does
+            # the same.
+            cdf_capable=True,
         )
         if partition_by and partition_by != prev.partition_columns:
             raise ValueError(
@@ -4289,6 +4296,9 @@ def read_delta_changes(
 
     cols = [f.name for f in new.schema.fields]
 
+    def _diff(o: "Snapshot", n: "Snapshot") -> DataFrame:
+        return _snapshot_change_diff(_subset, o, n, cols)
+
     # Spec: when a commit carries cdc actions, CDF readers use THEM for
     # that commit instead of deriving from add/remove. Assemble
     # per-version when any commit in range has them; otherwise keep the
@@ -4341,30 +4351,27 @@ def read_delta_changes(
                 # Derivable commit: diff its endpoints the usual way.
                 prev_s = _load_snapshot(path, version=v - 1)
                 this_s = _load_snapshot(path, version=v)
-                rm = set(prev_s.files) - set(this_s.files)
-                ad = set(this_s.files) - set(prev_s.files)
-                o_rows = _subset(prev_s, rm).select(*cols)
-                n_rows = _subset(this_s, ad).select(*cols)
-                parts.append(
-                    n_rows.exceptAll(o_rows).withColumn(
-                        "_change_type", F.lit("insert")
-                    ).unionByName(
-                        o_rows.exceptAll(n_rows).withColumn(
-                            "_change_type", F.lit("delete")
-                        )
-                    )
-                )
+                parts.append(_diff(prev_s, this_s))
         out = parts[0]
         for p_df in parts[1:]:
             out = out.unionByName(p_df)
         return out
 
+    return _diff(old, new)
+
+
+def _snapshot_change_diff(
+    _subset, old: "Snapshot", new: "Snapshot", cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two snapshots as CDC rows, scanning only the
+    files that differ between them."""
     removed = set(old.files) - set(new.files)
     added = set(new.files) - set(old.files)
     # A path present in BOTH snapshots whose deletion vector changed has
-    # different CONTENT — file identity alone would miss a DV delete.
-    # Scanning it on both sides (each side applies its own DV) makes the
-    # EXCEPT ALL diff surface exactly the newly-deleted rows.
+    # different CONTENT — file identity alone would miss a DV delete (or
+    # a RESTORE that supersedes a DV'd add in place). Scanning it on both
+    # sides (each side applies its own DV) makes the EXCEPT ALL diff
+    # surface exactly the rows whose visibility flipped.
     dv_changed = {
         r for r in set(old.files) & set(new.files)
         if old.files[r].get("deletionVector")
@@ -4396,7 +4403,11 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     path = _strip_file_scheme(path)
     current = _load_snapshot(path)
     target = _load_snapshot(path, version=version)
-    check_write_protocol(current, removes_files=True)
+    # RESTORE commits only whole-file adds/removes (plus in-place DV
+    # supersedes, which the CDC reader diffs on both sides), so CDF
+    # readers derive its changes — no _change_data needed (delta-spark
+    # RESTORE on a CDF table behaves the same).
+    check_write_protocol(current, removes_files=True, cdf_capable=True)
 
     def _dv_key(add: dict[str, Any]):
         # Row-visibility identity of an add: its deletion vector (or the

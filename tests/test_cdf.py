@@ -115,10 +115,19 @@ def test_mixed_range_cdc_plus_derivable_commits(spark, cdf_tbl):
     ]
 
 
-def test_overwrite_refuses_on_cdf(spark, cdf_tbl):
-    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
-    with pytest.raises(ValueError, match="ChangeDataFeed"):
-        write_delta(df, cdf_tbl, mode="overwrite")
+def test_overwrite_on_cdf_serves_derived_changes(spark, cdf_tbl):
+    # OVERWRITE writes no _change_data, but its commit is pure file-level
+    # add+remove so the spec's derivation rule serves it: every prior row
+    # reads back as a delete, every new row as an insert (delta-spark's
+    # INSERT OVERWRITE on a CDF table behaves identically).
+    # -5.0 matches no pre-image: a rewritten row whose content is
+    # IDENTICAL would cancel in the content diff (by design — the diff
+    # reports true row-level change, not file motion)
+    df = spark.createDataFrame([(1, -5.0)], "id int, v double")
+    write_delta(df, cdf_tbl, mode="overwrite")
+    changes = read_delta_changes(spark, cdf_tbl, 0, 1).collect()
+    kinds = sorted((r["_change_type"], r["id"]) for r in changes)
+    assert kinds == [("delete", i) for i in range(10)] + [("insert", 1)]
 
 
 def test_merge_emits_full_change_set(spark, cdf_tbl):

@@ -130,10 +130,15 @@ def test_writer_v4_inactive_features_allow_write(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 2
 
 
-def test_writer_v4_active_cdf_gates_incapable_ops(spark, tmp_path):
-    # Round 6: CDF-capable operations (append, UPDATE, DELETE — see
-    # tests/test_cdf.py) write to CDF-active tables; an operation that
-    # cannot emit _change_data (overwrite) still refuses.
+def test_writer_v4_active_cdf_overwrite_derivable(spark, tmp_path):
+    # CDF-capable operations (append, UPDATE, DELETE — see tests/
+    # test_cdf.py) write _change_data; OVERWRITE writes none, but its
+    # commit is pure file-level add+remove so CDF readers DERIVE its
+    # changes (the spec's derivation rule; delta-spark INSERT OVERWRITE
+    # behaves identically) — it must be accepted, and the derived feed
+    # must carry the full delete+insert picture.
+    from ballista_delta_spark.sources.delta import read_delta_changes
+
     tbl = str(tmp_path / "v4cdf")
     write_delta(spark.createDataFrame([(1,)], "id int"), tbl)
     _patch_log0(
@@ -143,10 +148,15 @@ def test_writer_v4_active_cdf_gates_incapable_ops(spark, tmp_path):
     )
     write_delta(spark.createDataFrame([(2,)], "id int"), tbl, mode="append")
     assert read_delta(spark, tbl).count() == 2
-    with pytest.raises(ValueError, match="ChangeDataFeed"):
-        write_delta(
-            spark.createDataFrame([(3,)], "id int"), tbl, mode="overwrite"
-        )
+    write_delta(
+        spark.createDataFrame([(3,)], "id int"), tbl, mode="overwrite"
+    )
+    assert [r.id for r in read_delta(spark, tbl).collect()] == [3]
+    got = sorted(
+        (r["_change_type"], r["id"])
+        for r in read_delta_changes(spark, tbl, 1, 2).collect()
+    )
+    assert got == [("delete", 1), ("delete", 2), ("insert", 3)], got
 
 
 def test_writer_v4_generated_columns_computed_and_validated(spark, tmp_path):

@@ -588,6 +588,7 @@ class TestDeltaLifecycleModel:
         from ballista_delta_spark.session import get_spark
         from ballista_delta_spark.sources.delta import (
             _load_snapshot,
+            alter_properties,
             cleanup_log,
             clone_delta,
             create_checkpoint,
@@ -623,6 +624,13 @@ class TestDeltaLifecycleModel:
             spark.createDataFrame(model, "id int, v int").coalesce(1), tbl
         )
         by_version[0] = sorted(model)
+        # CDF on from the start: DML commits write real cdc files while
+        # append/overwrite/restore commits are served by the derivation
+        # rule — the fold audit below exercises BOTH paths
+        alter_properties(
+            spark, tbl, set_props={"delta.enableChangeDataFeed": "true"}
+        )
+        by_version[_load_snapshot(tbl).version] = sorted(model)
         # versions below this may legally be unreadable (log cleaned by
         # checkpoint+cleanup, or data files reaped by a 0-retention vacuum)
         earliest_readable = 0
@@ -739,10 +747,9 @@ class TestDeltaLifecycleModel:
                 assert got_v == rows, ("time-travel", v, got_v, rows)
             # change-feed fold audit: applying read_delta_changes between
             # each pair of recorded versions onto the earlier state must
-            # reproduce the later state exactly — diff-derived CDC over
-            # appends, cow/dv DML, merge, overwrite, restore, and
-            # dataChange=false compaction no-ops alike (the cdc-file
-            # path has its own fixtures in test_cdf.py)
+            # reproduce the later state exactly — real cdc files for the
+            # DML commits (CDF is on), spec derivation for append/
+            # overwrite/restore, and dataChange=false compaction no-ops
             versions = sorted(
                 v for v in by_version if v >= earliest_readable
             )
