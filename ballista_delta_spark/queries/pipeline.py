@@ -1279,3 +1279,115 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PATH_K)
         .orderBy("rnk")
     )
+
+
+# ------------------------------------------- corpus_epoch_shuffle (r9e)
+# Deterministic epoch shuffle: the order a training job reads the corpus
+# in epoch E is a pure function of (E, doc_id) — shard = hash bucket,
+# position = rank of the hash within the shard. Nothing is stored, every
+# restart/re-run derives the identical order, and changing E reshuffles.
+#
+# Scale shape: NO global sort (a total order over 100 TB is the classic
+# scale killer). The only exchange hash-partitions by shard, and each
+# shard sorts independently — with production shard counts (thousands;
+# 8 here so the sf0.01 oracle stays readable) every sort fits one task.
+# The md5 rank is an engine-portable uniform permutation (same idiom as
+# sample_reservoir).
+_EPOCH = 2
+_N_SHARDS = 8
+_SHUF_KEY_SPARK = f"md5(concat('e{_EPOCH}:', CAST(doc_id AS STRING)))"
+_SHUF_KEY_DUCK = f"md5('e{_EPOCH}:' || doc_id::VARCHAR)"
+
+
+@_q(
+    "corpus_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           ('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT % {_N_SHARDS}
+               AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT
+                            % {_N_SHARDS}
+               ORDER BY {_SHUF_KEY_DUCK}, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    ORDER BY shard, pos
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(_SHUF_KEY_SPARK).alias("k"),
+        F.expr(
+            f"CAST(conv(substring({_SHUF_KEY_SPARK}, 1, 8), 16, 10) "
+            f"AS BIGINT) % {_N_SHARDS}"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# ------------------------------------------------- corpus_profile (r9e)
+# Per-language corpus profile at histogram grain: 50-char length buckets
+# with doc/char/source tallies and each bucket's parts-per-million share
+# of its language — the dataset card / drift dashboard every corpus
+# release ships with.
+#
+# Scale shape: one two-phase hash aggregate on (lang, bucket) — map-side
+# combine collapses the corpus to O(langs x 12) rows BEFORE the only
+# corpus-sized exchange; the share window runs over that tiny aggregate,
+# never the corpus. Exact integer buckets (DIV), no percentile sort.
+# ppm uses floor() over one double division — floor boundaries only
+# arise when the share is mathematically integral, where IEEE division
+# is exact in both engines (round() half-mode differences never enter).
+@_q(
+    "corpus_profile",
+    """
+    WITH g AS (
+        SELECT lang,
+               CAST(least(n_chars // 50, 11) AS INT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT lang, bucket, n_docs, total_chars, n_sources,
+           CAST(floor(1000000.0 * n_docs
+                      / sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+               AS ppm_of_lang
+    FROM g
+    ORDER BY lang, bucket
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.expr("CAST(least(n_chars DIV 50, 11) AS INT)").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return (
+        g.withColumn(
+            "ppm_of_lang",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_docs") / F.sum("n_docs").over(w)
+            ).cast("long"),
+        )
+        .orderBy("lang", "bucket")
+    )

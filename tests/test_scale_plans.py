@@ -7,6 +7,8 @@ dedup_embedding_cosine. These tests fail if the scale-killers come back.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ballista_delta_spark.queries.dedup import dedup_embedding_cosine
@@ -913,3 +915,39 @@ def test_dedup_lsh_recall_reuses_signature_table(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_corpus_epoch_shuffle_no_global_sort(spark, sf_dir):
+    """Epoch-shuffle scale contract: NO global total order (a rangepartitioning
+    sort over the corpus is the classic 100 TB killer) — the one exchange
+    hash-partitions by shard and each shard sorts independently; no joins;
+    membership fully derived (no Python)."""
+    from ballista_delta_spark.queries.pipeline import corpus_epoch_shuffle
+
+    df = corpus_epoch_shuffle(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the trailing orderBy is presentation-only for the oracle compare; the
+    # work itself must not add a corpus-wide range sort BEFORE the window
+    body = plan.split("Window")[-1]  # below the window: scan side
+    assert "rangepartitioning" not in body, plan
+
+
+def test_corpus_profile_two_phase_agg_tiny_window(spark, sf_dir):
+    """Corpus-profile scale contract: map-side partial aggregation must
+    collapse the corpus to O(langs x buckets) BEFORE any exchange (two
+    HashAggregates around the shuffle), the share window runs over the
+    aggregate (never the corpus), no joins, and the scan prunes to the
+    three profiled columns."""
+    from ballista_delta_spark.queries.pipeline import corpus_profile
+
+    df = corpus_profile(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"lang", "source", "n_chars"}, plan
