@@ -915,3 +915,134 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------- dedup_exact_substring
+# Exact substring deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): find document pairs sharing a RUN
+# of consecutive tokens, not just an overlapping shingle SET. The paper
+# builds a corpus-wide suffix array; the distributed re-expression here is
+# rolling-window hashing — every K-token window is hashed, an inverted
+# index blocks on the window hash, and a shared run of R consecutive
+# windows certifies a common substring of >= K + R - 1 tokens. That turns
+# the sequential suffix-array scan into three declarative relational
+# passes Spark executes with ordinary shuffles:
+#
+#   1. windows:   one narrow codegen'd pass (split -> transform ->
+#                 posexplode); the index carries 48-bit window hashes +
+#                 int positions, never text, so at 100 TB the shuffle
+#                 payload is ~16 bytes/token.
+#   2. blocking:  ONE exchange of the window table on the hash. The
+#                 count window over that partitioning applies BOTH
+#                 prunes in place: hashes seen once can't pair (drops
+#                 the overwhelmingly-unique tail) and hashes in more
+#                 than _SUB_CAP entries are boilerplate (caps the
+#                 quadratic blow-up exactly like the minhash family's
+#                 hot-shingle cap above). The self-join that follows is
+#                 an equi-join on the hash: at bench scale the pruned
+#                 build side broadcasts; at cluster scale both branches
+#                 arrive hash-partitioned on h from the count window, so
+#                 it degrades to a co-partitioned shuffle join — never a
+#                 nested loop (pinned in tests/test_scale_plans.py).
+#   3. runs:      gaps-and-islands over the surviving matches only:
+#                 within a (pair, diagonal = pos_a - pos_b) group,
+#                 consecutive positions share (pos_a - row_number), so
+#                 a groupBy counts each run; all post-blocking shuffles
+#                 move candidate pairs (tiny vs corpus).
+#
+# Reported per pair: the longest shared run and total matched windows —
+# the evidence a removal pass needs to cut the duplicated span itself
+# (the paper's remedy) rather than dropping whole near-identical docs.
+_SUB_K = 4    # tokens per rolling window
+_SUB_CAP = 50  # window hashes in more entries than this are boilerplate
+_SUB_RUN = 3   # min consecutive shared windows => substring of >= 6 tokens
+
+
+@_q(
+    "dedup_exact_substring",
+    f"""
+    WITH w AS (
+      SELECT doc_id, u.pos, u.h FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i,
+                         'h': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                  toks[i+2] || ' ' || toks[i+3]), 1, 12))::BIGINT}}
+                       FOR i IN range(1, len(toks) - {_SUB_K - 2})]) AS u
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= {_SUB_K})),
+    wc AS (
+      SELECT doc_id, pos, h FROM w
+      QUALIFY count(*) OVER (PARTITION BY h) BETWEEN 2 AND {_SUB_CAP}),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM wc a JOIN wc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    r AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - row_number() OVER (
+                 PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+      FROM m),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) AS run_len
+      FROM r GROUP BY doc_a, doc_b, diag, island)
+    SELECT doc_a, doc_b,
+           max(run_len) AS max_run,
+           CAST(sum(run_len) AS BIGINT) AS n_matches
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(run_len) >= {_SUB_RUN}
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    windows = (
+        d.withColumn("toks", F.split(F.lower("text"), r"\s+"))
+        .filter(F.size("toks") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_SUB_K}),"
+                    f" i -> CAST(conv(substring(md5(concat_ws(' ',"
+                    f" slice(toks, i + 1, {_SUB_K}))), 1, 12), 16, 10) AS BIGINT))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    # Blocking prunes (>=2 to pair, <=cap for boilerplate) ride one count
+    # window over the hash partitioning the self-join then reuses.
+    wc = (
+        windows.withColumn("_df", F.count("*").over(Window.partitionBy("h")))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= _SUB_CAP))
+        .drop("_df")
+    )
+    m = (
+        wc.alias("a")
+        .join(wc.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    runs = (
+        m.withColumn("diag", F.col("pa") - F.col("pb"))
+        .withColumn(
+            "island",
+            F.col("pa")
+            - F.row_number().over(
+                Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+            ),
+        )
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("max_run") >= _SUB_RUN)
+    )

@@ -252,3 +252,111 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------- sample_dsir
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023): score
+# every document by how much more likely its hashed n-gram bag is under a
+# TARGET (in-domain) distribution than under the RAW corpus distribution,
+# then keep the target-like docs. Unlike text_quality_classifier's fixed
+# stand-in weights, the model here is LEARNED from the corpus itself: the
+# target is the English slice (the usual "looks like my eval domain"
+# proxy), features are md5-hashed unigram buckets (B=64), and the
+# per-bucket weight is the add-one-smoothed log ratio
+# ln(p_target / p_raw), quantized to integer milli-nats so the per-doc
+# fold accumulates EXACTLY in int64 (same lesson as the classifier: keep
+# floats out of the accumulation).
+#
+# Scale shape — measure, then score, like sample_temperature but with the
+# measured state inlined instead of joined:
+#   phase 1 (measure): explode tokens -> two-phase count per bucket. The
+#     map-side partials collapse every partition to <= B rows before the
+#     single exchange, so the measuring job's shuffle is B rows per task
+#     regardless of corpus size.
+#   phase 2 (score): the B-entry weight table is ANN-planning-sized state
+#     (64 ints — same class as the IVF centroid collect), so it is
+#     collected once and inlined as a literal array; scoring is then ONE
+#     narrow codegen'd pass (split -> aggregate fold), zero joins, zero
+#     exchanges, per-doc output (pinned in tests/test_scale_plans.py).
+# The driver-side ln() is Python libm; the oracle's is DuckDB's — both
+# glibc on any linux build, and the milli-nat floor makes a 1-ulp
+# divergence flip the integer only within ~2^-40 of a boundary.
+_DSIR_B = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@_q(
+    "sample_dsir",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents),
+    b AS (
+      SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % {_DSIR_B} AS bk,
+             count(*) AS r_c,
+             count(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 END) AS t_c
+      FROM tok GROUP BY 1),
+    tot AS (SELECT sum(r_c) AS r_tot, sum(t_c) AS t_tot FROM b),
+    w AS (
+      SELECT bk,
+             CAST(floor(ln((t_c + 1)::DOUBLE / (t_tot + {_DSIR_B})
+                           * (r_tot + {_DSIR_B})::DOUBLE / (r_c + 1))
+                        * 1000) AS BIGINT) AS wt
+      FROM b, tot)
+    SELECT s.doc_id, s.lang, s.n_tokens, s.score, s.score > 0 AS keep
+    FROM (
+      SELECT tok.doc_id, tok.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w.wt) AS BIGINT) AS score
+      FROM tok
+      JOIN w ON ('0x' || substr(md5(tok.t), 1, 8))::BIGINT % {_DSIR_B} = w.bk
+      GROUP BY 1, 2) s
+    """,
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    bucket = f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {_DSIR_B}"
+    counts = (
+        d.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .groupBy(F.expr(bucket).alias("bk"))
+        .agg(
+            F.count(F.lit(1)).alias("r_c"),
+            F.count(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+            ).alias("t_c"),
+        )
+        .collect()
+    )
+    r_tot = sum(r["r_c"] for r in counts)
+    t_tot = sum(r["t_c"] for r in counts)
+    by_bk = {r["bk"]: (r["r_c"], r["t_c"]) for r in counts}
+    wt = [
+        math.floor(
+            math.log(
+                (by_bk.get(b, (0, 0))[1] + 1)
+                / (t_tot + _DSIR_B)
+                * (r_tot + _DSIR_B)
+                / (by_bk.get(b, (0, 0))[0] + 1)
+            )
+            * 1000
+        )
+        for b in range(_DSIR_B)
+    ]
+    w_lit = "array(" + ", ".join(f"{v}L" for v in wt) + ")"
+    lookup = f"element_at({w_lit}, CAST({bucket} AS INT) + 1)"
+    return (
+        d.select("doc_id", "lang", F.split(F.lower("text"), r"\s+").alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.expr(f"aggregate(ws, 0L, (acc, t) -> acc + {lookup})").alias(
+                "score"
+            ),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )

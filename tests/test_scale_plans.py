@@ -951,3 +951,43 @@ def test_corpus_profile_two_phase_agg_tiny_window(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"lang", "source", "n_chars"}, plan
+
+
+def test_r9f_substring_and_dsir_scale_shapes(spark, sf_dir):
+    """Pins for the exact-substring dedup and the DSIR selector:
+
+    - dedup_exact_substring: candidate pairing must be an EQUI-join on
+      the 48-bit window hash (broadcast or co-partitioned — never a
+      nested loop / cartesian, which would be the all-pairs suffix
+      comparison the rolling-window index exists to avoid), the scan
+      must prune to doc_id+text, and the shuffled index must carry
+      hashes, not document text (no string window columns survive past
+      the project).
+    - sample_dsir: phase 2 (the returned plan — phase 1's B-row measure
+      already ran at build time) must be ONE narrow codegen'd pass:
+      zero joins, zero exchanges, zero Python evals, scan pruned to
+      doc_id/lang/text with the 64-entry weight table inlined.
+    """
+    from ballista_delta_spark.queries.dedup import dedup_exact_substring
+    from ballista_delta_spark.queries.sampling import sample_dsir
+
+    sub_plan = _physical_plan(dedup_exact_substring(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in sub_plan, sub_plan
+    assert "CartesianProduct" not in sub_plan, sub_plan
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[h#", sub_plan
+    ), sub_plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", sub_plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"doc_id", "text"}, sub_plan
+
+    dsir_plan = _physical_plan(sample_dsir(spark, sf_dir))
+    assert "Join" not in dsir_plan, dsir_plan
+    assert "Exchange" not in dsir_plan, dsir_plan
+    assert "BatchEvalPython" not in dsir_plan, dsir_plan
+    assert "ArrowEvalPython" not in dsir_plan, dsir_plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", dsir_plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"doc_id", "lang", "text"}, dsir_plan
