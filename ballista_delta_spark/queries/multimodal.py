@@ -354,3 +354,94 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, n_voiced long, "
         "avg_rms double, peak_rms double",
     )
+
+
+# ---------------------------------------------------- mm_scene_detect
+# "Video" scene-cut detection over the opaque payload: consecutive
+# _SCENE_W-byte blocks are frames, each frame's intensity is its integer
+# mean byte (floor), and a SCENE CUT fires where the intensity jumps by
+# >= _SCENE_CUT between adjacent frames — the shot-boundary pass a video
+# curation pipeline runs to pick one keyframe per scene instead of
+# blindly striding (mm_frame_sample). Per doc: frame count, scene count
+# (cuts + 1), and the longest scene run — the inputs a frame-sampling
+# budget needs. A real decoder slots into the same loop (the per-frame
+# feature becomes a histogram/HSV delta; the Spark plumbing is
+# identical).
+#
+# Scale shape: one narrow `mapInPandas` pass — the cut logic is
+# per-doc-sequential (frames live INSIDE the row), so it runs in the
+# Arrow batch with zero shuffle and one typed row out per doc; the
+# n_chars guard is a pushed parquet filter. All-integer frame means and
+# deltas, so the oracle replays the cuts exactly.
+_SCENE_W = 32   # bytes per frame
+_SCENE_CUT = 2  # abs(mean delta) >= this starts a new scene
+
+
+def _scene_detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_scenes": [], "max_scene": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(b) // _SCENE_W
+            means = [
+                sum(b[w * _SCENE_W : (w + 1) * _SCENE_W]) // _SCENE_W
+                for w in range(n)
+            ]
+            scenes, run, max_run = 1, 1, 1
+            for i in range(1, n):
+                if abs(means[i] - means[i - 1]) >= _SCENE_CUT:
+                    scenes += 1
+                    run = 1
+                else:
+                    run += 1
+                max_run = run if run > max_run else max_run
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(n)
+            out["n_scenes"].append(scenes)
+            out["max_scene"].append(max_run)
+        yield pd.DataFrame(out)
+
+
+@_q(
+    "mm_scene_detect",
+    f"""
+    WITH f AS (
+      SELECT doc_id, wi.w AS w,
+             list_sum([ascii(text[wi.w * {_SCENE_W} + i])
+                       FOR i IN range(1, {_SCENE_W} + 1)]) // {_SCENE_W} AS m
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, length(text) // {_SCENE_W})) AS w) wi
+      WHERE n_chars >= {_SCENE_W}),
+    d AS (
+      SELECT doc_id, w,
+             CASE WHEN w = 0 THEN 0
+                  WHEN abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY w))
+                       >= {_SCENE_CUT} THEN 1
+                  ELSE 0 END AS cut
+      FROM f),
+    s AS (
+      SELECT doc_id, w, cut,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY w
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS scene_id
+      FROM d)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT scene_id) AS BIGINT) AS n_scenes,
+           CAST(max(scene_len) AS BIGINT) AS max_scene
+    FROM (
+      SELECT doc_id, scene_id,
+             count(*) OVER (PARTITION BY doc_id, scene_id) AS scene_len
+      FROM s) t
+    GROUP BY doc_id
+    """,
+)
+def mm_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SCENE_W
+    )
+    return d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).mapInPandas(
+        _scene_detect,
+        "doc_id long, n_frames long, n_scenes long, max_scene long",
+    )

@@ -523,3 +523,68 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("score") >= 0, "keep").otherwise("drop"),
         )
     )
+
+
+# ------------------------------------------------- text_vocab_coverage
+# Vocabulary coverage curve — the tokenizer-training precursor: the top-V
+# word vocabulary by corpus frequency plus, at each rank, the cumulative
+# fraction of all corpus tokens the vocabulary up to that rank covers
+# (the curve that answers "how big must the vocab be for ≥99% coverage /
+# what OOV rate does V=32k buy"). Deterministic ordering: count desc,
+# then word — ties can't reorder between engines.
+#
+# Scale shape: the corpus collapses to the distinct-word table via a
+# two-phase hash aggregate (map-side partials absorb hot stopwords before
+# the one corpus-side exchange); the top-V cut is a distributed
+# TakeOrderedAndProject (per-partition top-V + merge — the global VOCAB
+# SORT never happens); the corpus-total branch reuses the same word
+# aggregate; the cumulative window then runs over exactly V rows in one
+# trivial task. Nothing after the word agg touches corpus-sized data.
+_VOCAB_V = 100
+
+
+@_q(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents),
+    counts AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT sum(n) AS t FROM counts),
+    top AS (
+      SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rank
+      FROM counts QUALIFY rank <= {_VOCAB_V})
+    SELECT rank, w AS word, CAST(n AS BIGINT) AS n_occ,
+           round(sum(n) OVER (ORDER BY rank
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) * 1.0 / t, 6) AS cum_share
+    FROM top CROSS JOIN tot
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), _WS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "w").limit(_VOCAB_V)
+    tot = counts.agg(F.sum("n").alias("t"))
+    wspec = (
+        Window.orderBy(F.col("n").desc(), "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col("w").alias("word"),
+            F.col("n").cast("bigint").alias("n_occ"),
+            F.round(F.sum("n").over(wspec) / F.col("t"), 6).alias("cum_share"),
+        )
+    )

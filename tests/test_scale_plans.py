@@ -991,3 +991,29 @@ def test_r9f_substring_and_dsir_scale_shapes(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"doc_id", "lang", "text"}, dsir_plan
+
+
+def test_r9f_vocab_and_scene_scale_shapes(spark, sf_dir):
+    """Pins for the vocab-coverage curve and the scene-cut detector:
+
+    - text_vocab_coverage: the top-V cut must be a distributed
+      TakeOrderedAndProject (per-partition top-V + merge), never a global
+      sort of the vocabulary; the word count must be a two-phase hash
+      aggregate (map-side partials absorb hot stopwords before the
+      exchange); the cumulative window runs post-limit over V rows.
+    - mm_scene_detect: same contract as the other multimodal decodes —
+      the undersized-payload guard reaches the scan as a PUSHED filter
+      and the whole pass is a narrow Arrow map (no Exchange).
+    """
+    from ballista_delta_spark.queries.multimodal import mm_scene_detect
+    from ballista_delta_spark.queries.text import text_vocab_coverage
+
+    vocab_plan = _physical_plan(text_vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in vocab_plan, vocab_plan
+    assert vocab_plan.count("HashAggregate") >= 2, vocab_plan
+    assert "BatchEvalPython" not in vocab_plan, vocab_plan
+
+    scene_plan = _physical_plan(mm_scene_detect(spark, sf_dir))
+    assert "GreaterThanOrEqual(n_chars,32)" in scene_plan, scene_plan
+    assert "Exchange" not in scene_plan, scene_plan
+    assert "MapInPandas" in scene_plan, scene_plan
