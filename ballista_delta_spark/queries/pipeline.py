@@ -1391,3 +1391,127 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------- corpus_curation_verdict
+# The end-of-pipeline filter ENSEMBLE: one keep/drop verdict per document
+# combining the independent quality signals every curation recipe stacks
+# (Gopher hand rules + a repetition proxy + the learned classifier),
+# with the FIRST failing rule recorded as the reject reason — the audit
+# column a production pipeline needs to answer "why did we drop 12% of
+# source X".
+#
+# The scale point is HOW the signals combine: not by joining the
+# per-signal tables (three more doc_id shuffles of per-doc rows), but by
+# composing every signal as an expression over ONE scan — the whole
+# ensemble is a single narrow codegen'd pass, zero exchanges, zero
+# Python (pinned). Signals reused verbatim from their standalone ops so
+# the thresholds stay consistent:
+#   gopher:     n_words in [50, 100k], mean word len in [3, 10],
+#               >= 2 English stopword hits   (text_gopher_quality)
+#   repetition: distinct-token fraction >= 0.25 — the narrow
+#               array_distinct form (no per-token explode)
+#   classifier: hashed-bigram linear score >= 0 (text_quality_classifier
+#               weights, int64-exact fold)
+from .text import _QC_B, _QC_W, _sql_in, _PROFILES
+
+
+@_q(
+    "corpus_curation_verdict",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(text, '{_WS}') AS ws,
+             regexp_split_to_array(lower(text), '{_WS}') AS lws,
+             length(regexp_replace(text, '{_WS}', '', 'g')) AS n_chars_nws
+      FROM documents),
+    sig AS (
+      SELECT doc_id, lang,
+             len(ws) AS n_words,
+             round(n_chars_nws * 1.0 / len(ws), 4) AS mean_word_len,
+             len([t FOR t IN ws IF t IN {_sql_in(_PROFILES["en"])}])
+                 AS stop_hits,
+             round(len(list_distinct(ws)) * 1.0 / len(ws), 4)
+                 AS distinct_frac,
+             CASE WHEN len(lws) >= 2 THEN
+               round(list_sum([
+                   {_QC_W}[CAST(('0x' || substr(md5(lws[i] || ' ' || lws[i+1]),
+                                 1, 8))::BIGINT % {_QC_B} AS BIGINT) + 1]
+                   FOR i IN range(1, len(lws))]) * 1.0 / (len(lws) - 1), 6)
+             ELSE 0.0 END AS clf_score
+      FROM base)
+    SELECT doc_id, lang, n_words, mean_word_len, distinct_frac, clf_score,
+           CASE WHEN NOT (n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3 AND 10
+                          AND stop_hits >= 2) THEN 'gopher'
+                WHEN distinct_frac < 0.25 THEN 'repetition'
+                WHEN clf_score < 0 THEN 'classifier'
+                ELSE 'ok' END AS verdict,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND stop_hits >= 2
+            AND distinct_frac >= 0.25
+            AND clf_score >= 0) AS keep
+    FROM sig
+    """,
+)
+def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w_lit = "array(" + ", ".join(f"{w}L" for w in _QC_W) + ")"
+    stop_in = _sql_in(_PROFILES["en"])
+    clf_fold = (
+        f"aggregate(zip_with(slice(lws, 1, size(lws) - 1),"
+        f" slice(lws, 2, size(lws) - 1), (w1, w2) -> concat(w1, ' ', w2)),"
+        f" 0L, (acc, pr) -> acc + element_at({w_lit},"
+        f" CAST(CAST(conv(substring(md5(pr), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_QC_B} AS INT) + 1))"
+    )
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", _WS).alias("ws"),
+        F.split(F.lower("text"), _WS).alias("lws"),
+        F.length(F.regexp_replace("text", _WS, "")).alias("n_chars_nws"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.round(F.col("n_chars_nws") * 1.0 / F.size("ws"), 4).alias(
+            "mean_word_len"
+        ),
+        F.expr(f"size(filter(ws, t -> t IN {stop_in}))").alias("stop_hits"),
+        F.round(
+            F.expr("size(array_distinct(ws))") * 1.0 / F.size("ws"), 4
+        ).alias("distinct_frac"),
+        F.when(
+            F.size("lws") >= 2,
+            F.round(
+                F.expr(clf_fold) * 1.0 / (F.size("lws") - 1), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("clf_score"),
+    )
+    gopher_ok = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("stop_hits") >= 2)
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        "distinct_frac",
+        "clf_score",
+        F.when(~gopher_ok, "gopher")
+        .when(F.col("distinct_frac") < 0.25, "repetition")
+        .when(F.col("clf_score") < 0, "classifier")
+        .otherwise("ok")
+        .alias("verdict"),
+        (
+            gopher_ok
+            & (F.col("distinct_frac") >= 0.25)
+            & (F.col("clf_score") >= 0)
+        ).alias("keep"),
+    )

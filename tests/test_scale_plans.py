@@ -1017,3 +1017,21 @@ def test_r9f_vocab_and_scene_scale_shapes(spark, sf_dir):
     assert "GreaterThanOrEqual(n_chars,32)" in scene_plan, scene_plan
     assert "Exchange" not in scene_plan, scene_plan
     assert "MapInPandas" in scene_plan, scene_plan
+
+
+def test_corpus_curation_verdict_is_single_pass(spark, sf_dir):
+    """Filter-ensemble scale contract: the verdict must compose every
+    signal (gopher rules, distinct-token fraction, classifier fold) as
+    expressions over ONE scan — no per-signal joins (three extra doc_id
+    shuffles), no explode, no Python; scan pruned to doc_id/lang/text."""
+    from ballista_delta_spark.queries.pipeline import corpus_curation_verdict
+
+    plan = _physical_plan(corpus_curation_verdict(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"doc_id", "lang", "text"}, plan
