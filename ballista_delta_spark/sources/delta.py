@@ -1158,6 +1158,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     unsupported = set(pr.get("readerFeatures") or ()) - {
                         "timestampNtz", "v2Checkpoint", "columnMapping",
                         "deletionVectors", "typeWidening", "variantType",
+                        "vacuumProtocolCheck",
                     }
                     if unsupported:
                         raise ValueError(
@@ -1230,6 +1231,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                         unsupported = set(pr.get("readerFeatures") or ()) - {
                             "timestampNtz", "v2Checkpoint", "columnMapping",
                             "deletionVectors", "typeWidening", "variantType",
+                            "vacuumProtocolCheck",
                         }
                         if unsupported:
                             raise ValueError(
@@ -1515,6 +1517,13 @@ _SUPPORTED_WRITER_FEATURES = {
     # Spark-side numRecords count because pyarrow predates the logical
     # type (see _stage_adds).
     "variantType",
+    # vacuum() runs the full writer-protocol check before deleting
+    # anything (the feature's whole point: an engine that does not
+    # understand the table's protocol must not reap its files — e.g. a
+    # future DV storage format whose bins a legacy vacuum would treat as
+    # orphans). Readers need no behavior change, so the feature is also
+    # on the reader allowlists.
+    "vacuumProtocolCheck",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -4566,6 +4575,14 @@ def vacuum(
     """
     path = _strip_file_scheme(path)
     snap = _load_snapshot(path)
+    # vacuumProtocolCheck (and plain prudence): an engine must prove it
+    # understands the table's FULL writer protocol before destroying
+    # unreferenced files — a writer feature this engine doesn't know may
+    # store live data in files the log doesn't reference the way we
+    # expect (the spec's motivating case: new DV storage layouts). The
+    # check runs unconditionally; the feature exists to force it on
+    # engines that would otherwise skip it.
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
     if retention_ms is None:
         prop = snap.configuration.get("delta.deletedFileRetentionDuration")
         retention_ms = (

@@ -1433,3 +1433,46 @@ def test_restore_to_timestamp(spark, tmp_path):
     assert out.restoredVersion == 0
     assert spark.table("rts_t").count() == 5
     spark.catalog.dropTempView("rts_t")
+
+
+def test_vacuum_protocol_check_feature(spark, tmp_path):
+    """vacuumProtocolCheck (reader 3 / writer 7): vacuum must prove it
+    understands the FULL writer protocol before reaping files — a table
+    advertising an unknown writerFeature may keep live data in files a
+    legacy vacuum would treat as orphans. The feature itself is
+    accepted on both reader and writer allowlists (readers need no
+    behavior change); an unknown sibling feature makes vacuum refuse."""
+    import json
+    import os as _os
+
+    from ballista_delta_spark.sources.delta import vacuum
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    write_delta(src.limit(2), tbl, mode="overwrite")  # tombstones v0
+
+    def bump_protocol(extra_writer):
+        log = _os.path.join(tbl, "_delta_log")
+        v = max(
+            int(f[:20]) for f in _os.listdir(log)
+            if f.endswith(".json") and f[:20].isdigit()
+        ) + 1
+        with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["vacuumProtocolCheck"],
+                "writerFeatures": ["vacuumProtocolCheck"] + extra_writer,
+            }}) + "\n")
+            fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}))
+
+    # Feature present and understood: table still reads, vacuum still reaps.
+    bump_protocol([])
+    assert read_delta(spark, tbl).count() == 2
+    assert vacuum(tbl, retention_ms=0)
+
+    # Unknown writer feature alongside it: vacuum must refuse (the data
+    # files of a feature we don't implement are not ours to judge).
+    bump_protocol(["futureDvStorageFormat"])
+    with pytest.raises(ValueError, match="futureDvStorageFormat"):
+        vacuum(tbl, retention_ms=0, dry_run=True)
