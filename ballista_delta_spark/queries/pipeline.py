@@ -1294,7 +1294,7 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The md5 rank is an engine-portable uniform permutation (same idiom as
 # sample_reservoir).
 _EPOCH = 2
-_N_SHARDS = 8
+_SHUF_SHARDS = 8
 _SHUF_KEY_SPARK = f"md5(concat('e{_EPOCH}:', CAST(doc_id AS STRING)))"
 _SHUF_KEY_DUCK = f"md5('e{_EPOCH}:' || doc_id::VARCHAR)"
 
@@ -1303,11 +1303,11 @@ _SHUF_KEY_DUCK = f"md5('e{_EPOCH}:' || doc_id::VARCHAR)"
     "corpus_epoch_shuffle",
     f"""
     SELECT doc_id,
-           ('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT % {_N_SHARDS}
+           ('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT % {_SHUF_SHARDS}
                AS shard,
            CAST(row_number() OVER (
                PARTITION BY ('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT
-                            % {_N_SHARDS}
+                            % {_SHUF_SHARDS}
                ORDER BY {_SHUF_KEY_DUCK}, doc_id
            ) AS BIGINT) AS pos
     FROM documents
@@ -1321,7 +1321,7 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SHUF_KEY_SPARK).alias("k"),
         F.expr(
             f"CAST(conv(substring({_SHUF_KEY_SPARK}, 1, 8), 16, 10) "
-            f"AS BIGINT) % {_N_SHARDS}"
+            f"AS BIGINT) % {_SHUF_SHARDS}"
         ).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("k", "doc_id")

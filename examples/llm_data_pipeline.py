@@ -49,7 +49,6 @@ def main(sf_dir: str) -> None:
         label_propagate_min,
     )
     from ballista_delta_spark.queries.pipeline import QUERIES as PIPE_QS
-    from ballista_delta_spark.queries.text import QUERIES as TEXT_QS
 
     root = tempfile.mkdtemp(prefix="llm-pipeline-")
     bronze = os.path.join(root, "bronze", "documents")
@@ -77,12 +76,14 @@ def main(sf_dir: str) -> None:
     dupes = clusters.filter("doc_id != cluster_id").select("doc_id")
     deduped = survivors_exact.join(dupes, "doc_id", "left_anti")
 
-    # -- 4. quality gates: Gopher heuristics AND the unigram-LM score
-    gopher = TEXT_QS["text_gopher_quality"][0](spark, sf_dir)
+    # -- 4. quality gates: the single-pass filter ensemble (Gopher rules
+    #    + repetition proxy + hashed-bigram classifier in ONE scan, with
+    #    per-doc reject reasons) AND the unigram-LM score
+    verdict = PIPE_QS["corpus_curation_verdict"][0](spark, sf_dir)
     lm = PIPE_QS["text_unigram_logprob"][0](spark, sf_dir)
     kept = (
         deduped
-        .join(gopher.filter("keep").select("doc_id"), "doc_id")
+        .join(verdict.filter("keep").select("doc_id"), "doc_id")
         .join(lm.filter("keep").select("doc_id"), "doc_id")
     )
 
