@@ -55,6 +55,8 @@ HEADLINE = [
     # r9d additions — the two heaviest new pipeline shapes:
     "emb_pq_topk",        # PQ encode (checkpointed) + broadcast ADC scan
     "text_segment_dedup", # segment explode + skew-safe first-occurrence
+    # r9f addition — the heaviest new shape of the final r9 session:
+    "dedup_exact_substring",  # rolling-window index + islands run-detect
 ]
 
 WARMUP = 1
