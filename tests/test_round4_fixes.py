@@ -348,3 +348,117 @@ class TestLabelPropagationConvergence:
         rows = labels.collect()
         assert len(rows) == 12
         assert {r["cluster_id"] for r in rows} == {1}
+
+
+class TestR9fBehavior:
+    """Behavioral (non-oracle) checks for the r9f operators: construct a
+    corpus where the right answer is known BY HAND and assert the
+    operator finds exactly it. The DuckDB oracle proves engine
+    agreement; these prove the SEMANTICS."""
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        import os
+
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_exact_substring_finds_planted_run_only(self, spark, tmp_path):
+        """Docs 1 and 2 share a verbatim 8-token span (5 consecutive
+        4-token windows); doc 3 shares nothing long enough. Exactly the
+        (1,2) pair must surface, with max_run >= _SUB_RUN and the run
+        length matching the planted span."""
+        from ballista_delta_spark.queries.dedup import (
+            _SUB_RUN,
+            dedup_exact_substring,
+        )
+
+        span = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (1, f"intro one two {span} outro red", "en", "w", 0),
+            (2, f"{span} totally different tail here", "en", "w", 0),
+            # doc 3 shares only a 4-token window with the span (one
+            # window, run of 1 < _SUB_RUN) — must NOT pair.
+            (3, "alpha bravo charlie delta unrelated words follow now", "en", "w", 0),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["max_run"]
+            for r in dedup_exact_substring(spark, sf).collect()
+        }
+        assert set(got) == {(1, 2)}, got
+        # 8 tokens -> 5 consecutive 4-token windows shared.
+        assert got[(1, 2)] == 5
+        assert got[(1, 2)] >= _SUB_RUN
+
+    def test_curation_verdict_reject_reasons(self, spark, tmp_path):
+        """Each planted pathology must be rejected with ITS reason:
+        a too-short doc fails 'gopher'; a 60-word doc cycling 4 tokens
+        fails 'repetition' (gopher passes: length, mean word len >= 3,
+        stopwords present); a doc CONSTRUCTED to score positive on the
+        classifier (greedy best-next-bigram walk over the actual weight
+        table, verified in Python first) is 'ok'."""
+        import hashlib
+
+        from ballista_delta_spark.queries.pipeline import corpus_curation_verdict
+        from ballista_delta_spark.queries.text import _QC_B, _QC_W
+
+        def w_of(pr: str) -> int:
+            b = int(hashlib.md5(pr.encode()).hexdigest()[:8], 16) % _QC_B
+            return _QC_W[b]
+
+        # Greedy walk: 30 distinct 3-7 letter words (incl. 'the' for the
+        # stopword rule), each used twice -> 60 words, distinct_frac 0.5;
+        # next word = the one maximizing the bigram weight from here.
+        vocab = [
+            "the", "stone", "river", "bridge", "garden", "window", "marble",
+            "copper", "silver", "meadow", "forest", "harbor", "candle",
+            "lantern", "village", "market", "temple", "castle", "valley",
+            "canyon", "desert", "island", "breeze", "summer", "winter",
+            "autumn", "spring", "sunset", "shadow", "whisper",
+        ]
+        budget = {w: 2 for w in vocab}
+        words = ["the"]
+        budget["the"] -= 1
+        while any(budget.values()):
+            cands = [w for w, n in budget.items() if n > 0]
+            nxt = max(cands, key=lambda w: (w_of(f"{words[-1]} {w}"), w))
+            words.append(nxt)
+            budget[nxt] -= 1
+        healthy = " ".join(words)
+        score = sum(w_of(f"{a} {b}") for a, b in zip(words, words[1:]))
+        assert score >= 0, score  # the greedy walk must land positive
+        # 60 words, mean word len 3.25, 'the' x15 (stopwords), but only
+        # 4 distinct tokens -> distinct_frac ~0.07 < 0.25.
+        reps = ("the cat sat down " * 15).strip()
+        rows = [
+            (1, "too short", "en", "w", 0),
+            (2, reps, "en", "w", 0),
+            (3, healthy, "en", "w", 0),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            r["doc_id"]: (r["verdict"], r["keep"])
+            for r in corpus_curation_verdict(spark, sf).collect()
+        }
+        assert got[1] == ("gopher", False), got
+        assert got[2] == ("repetition", False), got
+        assert got[3] == ("ok", True), got
+
+    def test_vocab_coverage_is_monotone_and_complete(self, spark, tmp_path):
+        """cum_share must be non-decreasing, end at 1.0 when V covers the
+        whole vocabulary, and rank 1 must be the modal word."""
+        from ballista_delta_spark.queries.text import text_vocab_coverage
+
+        rows = [
+            (1, "a a a a b b b c c d", "en", "w", 0),
+            (2, "a a b c d e", "en", "w", 0),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        out = text_vocab_coverage(spark, sf).orderBy("rank").collect()
+        assert out[0]["word"] == "a" and out[0]["n_occ"] == 6
+        shares = [r["cum_share"] for r in out]
+        assert shares == sorted(shares)
+        assert abs(shares[-1] - 1.0) < 1e-9
