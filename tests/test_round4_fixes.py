@@ -462,3 +462,49 @@ class TestR9fBehavior:
         shares = [r["cum_share"] for r in out]
         assert shares == sorted(shares)
         assert abs(shares[-1] - 1.0) < 1e-9
+
+    def test_dsir_separates_target_vocabulary(self, spark, tmp_path):
+        """Corpus where target-language (en) docs draw from vocabulary A
+        and the rest from vocabulary B: every en doc must score strictly
+        positive (its tokens' buckets are target-heavy) and every de doc
+        strictly negative — the importance weights are LEARNED from this
+        corpus, so the separation is exact, not statistical."""
+        from ballista_delta_spark.queries.sampling import sample_dsir
+
+        voc_a = "apple berry cedar dahlia elder fennel".split()
+        voc_b = "zink yurt xenon wolfram vanadium uranium".split()
+        rows = []
+        for i in range(8):
+            rows.append((i, " ".join(voc_a[i % 3:] + voc_a[: i % 3]) * 3, "en", "w", 0))
+        for i in range(8, 16):
+            rows.append((i, " ".join(voc_b[i % 3:] + voc_b[: i % 3]) * 3, "de", "w", 0))
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: (r["score"], r["keep"]) for r in sample_dsir(spark, sf).collect()}
+        assert len(got) == 16
+        for i in range(8):
+            assert got[i][0] > 0 and got[i][1], got[i]
+        for i in range(8, 16):
+            assert got[i][0] < 0 and not got[i][1], got[i]
+
+    def test_scene_detect_counts_planted_cuts(self, spark, tmp_path):
+        """Payload = 3 'shots' of 2 frames each with intensity jumps at
+        the boundaries: 6 frames, 3 scenes, longest scene 2. A flat
+        payload of the same length is a single 6-frame scene."""
+        from ballista_delta_spark.queries.multimodal import (
+            _SCENE_W,
+            mm_scene_detect,
+        )
+
+        shots = ("a" * (2 * _SCENE_W)) + ("m" * (2 * _SCENE_W)) + ("z" * (2 * _SCENE_W))
+        flat = "b" * (6 * _SCENE_W)
+        rows = [
+            (1, shots, "en", "w", len(shots)),
+            (2, flat, "en", "w", len(flat)),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            r["doc_id"]: (r["n_frames"], r["n_scenes"], r["max_scene"])
+            for r in mm_scene_detect(spark, sf).collect()
+        }
+        assert got[1] == (6, 3, 2), got
+        assert got[2] == (6, 1, 6), got
