@@ -1515,3 +1515,105 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("clf_score") >= 0)
         ).alias("keep"),
     )
+
+
+# ------------------------------------------------------ events_bot_detect
+# Bot / automation detection over the event stream — the spam filter a
+# user-generated-content corpus runs before its text ever reaches
+# training: humans emit events with irregular gaps (coefficient of
+# variation near or above 1 for bursty behavior), schedulers and scripts
+# emit metronome-regular ones (CV near 0). Per user: event count, mean
+# inter-event gap, gap CV, events/hour, and the is_bot flag
+# (high-volume AND low-jitter).
+#
+# Scale shape: ONE exchange — the lag window hash-partitions by
+# user_id, and every aggregate after it groups by the SAME key, so the
+# per-user stats reuse the window's partitioning (the events_funnel
+# cascade, pinned). Float parity: gaps are integer seconds; variance is
+# assembled from the EXACT integers (n*Σg² - (Σg)²) / (n*(n-1)) so the
+# only float ops are one division, one sqrt, one multiply, one divide —
+# written in the same order in both engines; zero-span users (all
+# events in one second) get NULL jitter, not a division blow-up.
+_BOT_MIN_GAPS = 5     # need history before judging cadence
+_BOT_MIN_EVENTS = 50  # volume floor for the flag
+_BOT_MAX_CV = 0.3     # gap CV at/below this is machine-like
+
+
+@_q(
+    "events_bot_detect",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events),
+    s AS (
+      SELECT user_id,
+             count(*) + 1 AS n_events,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id
+      HAVING count(gap) >= {_BOT_MIN_GAPS})
+    SELECT user_id, n_events,
+           round(sum_gap * 1.0 / n_gaps, 4) AS mean_gap_s,
+           CASE WHEN sum_gap > 0 THEN
+             round(sqrt((n_gaps * sum_gap2 - sum_gap * sum_gap) * 1.0
+                        / (n_gaps * (n_gaps - 1)))
+                   * n_gaps / sum_gap, 4)
+           END AS gap_cv,
+           CASE WHEN sum_gap > 0 THEN
+             round(3600.0 * n_gaps / sum_gap, 4)
+           END AS events_per_hour,
+           (n_events >= {_BOT_MIN_EVENTS} AND sum_gap > 0 AND
+            round(sqrt((n_gaps * sum_gap2 - sum_gap * sum_gap) * 1.0
+                       / (n_gaps * (n_gaps - 1)))
+                  * n_gaps / sum_gap, 4) <= {_BOT_MAX_CV}) AS is_bot
+    FROM s
+    """,
+)
+def events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).alias("n_events"),
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sum_gap"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sum_gap2"),
+        )
+        .filter(F.col("n_gaps") >= _BOT_MIN_GAPS)
+    )
+    cv = F.round(
+        F.sqrt(
+            (F.col("n_gaps") * F.col("sum_gap2") - F.col("sum_gap") * F.col("sum_gap"))
+            * 1.0
+            / (F.col("n_gaps") * (F.col("n_gaps") - 1))
+        )
+        * F.col("n_gaps")
+        / F.col("sum_gap"),
+        4,
+    )
+    pos_span = F.col("sum_gap") > 0
+    return s.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_gap") * 1.0 / F.col("n_gaps"), 4).alias("mean_gap_s"),
+        F.when(pos_span, cv).alias("gap_cv"),
+        F.when(pos_span, F.round(3600.0 * F.col("n_gaps") / F.col("sum_gap"), 4)).alias(
+            "events_per_hour"
+        ),
+        ((F.col("n_events") >= _BOT_MIN_EVENTS) & pos_span & (cv <= _BOT_MAX_CV)).alias(
+            "is_bot"
+        ),
+    )

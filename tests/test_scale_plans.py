@@ -1035,3 +1035,21 @@ def test_corpus_curation_verdict_is_single_pass(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"doc_id", "lang", "text"}, plan
+
+
+def test_events_bot_detect_single_user_exchange(spark, sf_dir):
+    """Bot-detect scale contract: exactly ONE hash exchange — the lag
+    window partitions by user_id and the per-user aggregate reuses that
+    partitioning (the events_funnel cascade); map-side partial
+    aggregation present; no joins; scan pruned to the three consumed
+    columns."""
+    from ballista_delta_spark.queries.pipeline import events_bot_detect
+
+    plan = _physical_plan(events_bot_detect(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"user_id", "ts", "event_id"}, plan
