@@ -1617,3 +1617,159 @@ def events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_bot"
         ),
     )
+
+
+# ----------------------------------------------------- events_type_lift
+# Pairwise event-type association (lift / support) across users — the
+# co-occurrence audit a behavioral corpus runs to find coupled actions
+# ("users who purchase also search"): for every unordered type pair,
+# how much MORE often do the two types share a user than independence
+# predicts. lift > 1 = coupled, < 1 = substitutes.
+#
+# Scale shape: the only corpus-sized exchange is ONE hash partition by
+# user_id (collect_set dedups types inside the aggregate — no separate
+# DISTINCT pass), and the same aggregated subtree feeds pair expansion,
+# marginals, and the user total, so AQE reuses that exchange 3×. Pair
+# expansion happens INSIDE the per-user array (types are bounded — the
+# schema has 5 — so the i<j transform is O(k²) per row with no join);
+# everything after it is type-cardinality-sized and broadcast. The
+# user-pair self-join the oracle uses would shuffle the corpus twice —
+# the array form never does.
+#
+# Float parity: u_both/n_users/u are exact BIGINTs; lift is assembled
+# integer-first (u_both * n_users), divided once, rounded to 6 in both
+# engines.
+@_q(
+    "events_type_lift",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users
+          FROM (SELECT DISTINCT user_id FROM events)),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u
+          FROM ut GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS u_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.u_both,
+           round(p.u_both * n.n_users * 1.0 / (ma.u * mb.u), 6) AS lift,
+           round(p.u_both * 1.0 / n.n_users, 6) AS support
+    FROM p
+    CROSS JOIN n
+    JOIN m ma ON ma.event_type = p.type_a
+    JOIN m mb ON mb.event_type = p.type_b
+    """,
+)
+def events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sets = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    # All i<j pairs from the sorted per-user array — no self-join.
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> transform("
+                "slice(types, i + 2, size(types)), "
+                "y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    pc = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("u_both")
+    )
+    marg = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("u"))
+    )
+    nu = sets.agg(F.count("*").cast("bigint").alias("n_users"))
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("u").alias("u_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("u").alias("u_b")
+    )
+    return (
+        pc.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "u_both",
+            F.round(
+                F.col("u_both") * F.col("n_users") * 1.0
+                / (F.col("u_a") * F.col("u_b")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("u_both") * 1.0 / F.col("n_users"), 6).alias(
+                "support"
+            ),
+        )
+    )
+
+
+# -------------------------------------------------- corpus_token_budget
+# Quality-greedy token-budget selection — the "take the best N tokens
+# per language" step every pretraining mixture ends with: rank each
+# language's documents by a quality score (alphabetic-character ratio —
+# cheap, deterministic, computable in both engines), admit documents in
+# rank order until the language's token budget is exhausted. A document
+# is admitted iff the budget was not yet spent when its turn came
+# (cum - own < budget), so the last admitted doc may overshoot — the
+# standard greedy contract.
+#
+# Scale shape: ONE exchange (hash by lang) feeding a single sort +
+# window cumsum; no joins, no Python. Per-lang ordering serializes a
+# language into one reducer — the seq_pack caveat applies: at 100 TB
+# shard the key to (lang, quality-bucket) with per-bucket budgets and
+# the same plan holds; the greedy semantics then apply per bucket.
+#
+# Float parity: the score is int-length / int-length in one division,
+# rounded to 6 in both engines BEFORE it becomes the sort key, so rank
+# order (score desc, doc_id) and the exact-integer cumsum agree.
+_BUDGET_TOKENS = 4000  # per-language token budget
+
+
+@_q(
+    "corpus_token_budget",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(text, '{_WS}')) AS BIGINT)
+               AS n_tokens,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   * 1.0 / length(text), 6) AS alpha_q
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, lang, n_tokens, alpha_q,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM (SELECT *, sum(n_tokens) OVER (
+                      PARTITION BY lang ORDER BY alpha_q DESC, doc_id
+                    ) AS cum
+          FROM scored)
+    WHERE cum - n_tokens < {_BUDGET_TOKENS}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", _WS)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            * 1.0
+            / F.length("text"),
+            6,
+        ).alias("alpha_q"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("alpha_q"), "doc_id")
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _BUDGET_TOKENS)
+        .select("doc_id", "lang", "n_tokens", "alpha_q", "cum_tokens")
+    )

@@ -508,3 +508,80 @@ class TestR9fBehavior:
         }
         assert got[1] == (6, 3, 2), got
         assert got[2] == (6, 1, 6), got
+
+
+class TestR9gBehavior:
+    """Behavioral checks for the r9g operators — hand-built inputs with
+    a known right answer (the oracle proves engine agreement; these
+    prove the semantics)."""
+
+    def _mini_events(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_type_lift_coupled_pair(self, spark, tmp_path):
+        """Four users emit A and B together; four other users emit only
+        C. Exactly one pair (A, B) must surface, with lift
+        u_both * n_users / (u_a * u_b) = 4*8/(4*4) = 2.0 and support
+        4/8 = 0.5 — and repeat events must NOT inflate the counts."""
+        from datetime import datetime
+
+        from ballista_delta_spark.queries.pipeline import events_type_lift
+
+        t = datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(1, 5):  # users 1-4: A and B (A twice — a repeat)
+            for et in ("A", "A", "B"):
+                eid += 1
+                rows.append((eid, t, u, et, 1.0, "{}"))
+        for u in range(5, 9):  # users 5-8: C only
+            eid += 1
+            rows.append((eid, t, u, "C", 1.0, "{}"))
+        sf = self._mini_events(spark, tmp_path, rows)
+        got = events_type_lift(spark, sf).collect()
+        assert len(got) == 1, got
+        r = got[0]
+        assert (r["type_a"], r["type_b"], r["u_both"]) == ("A", "B", 4)
+        assert r["lift"] == 2.0 and r["support"] == 0.5
+
+    def test_token_budget_greedy_cut(self, spark, tmp_path):
+        """Per-lang greedy admission in quality order: the all-alpha doc
+        (score 1st) and the mid-score doc fit the 4000-token budget; the
+        low-score doc arrives after the budget is spent and must be cut.
+        A second language gets its own budget."""
+        from ballista_delta_spark.queries.pipeline import (
+            _BUDGET_TOKENS,
+            corpus_token_budget,
+        )
+
+        pure = "aaa " * 2999 + "aaa"      # 3000 tokens, highest alpha ratio
+        mid = "aa1 " * 1999 + "aa1"       # 2000 tokens, ratio 2/3-ish
+        low = "a11 " * 1999 + "a11"       # 2000 tokens, lowest ratio
+        rows = [
+            (1, pure, "en", "w", 0),
+            (2, mid, "en", "w", 0),
+            (3, low, "en", "w", 0),
+            (4, "bonjour le monde", "fr", "w", 0),  # tiny, fits alone
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in corpus_token_budget(spark, sf).collect()}
+        assert set(got) == {1, 2, 4}, got
+        # doc 1 admitted first (cum 3000 <= budget start), doc 2 starts at
+        # 3000 < 4000 so it overshoots to 5000 — the greedy contract.
+        assert got[1]["cum_tokens"] == 3000
+        assert got[2]["cum_tokens"] == 5000
+        assert got[2]["cum_tokens"] - got[2]["n_tokens"] < _BUDGET_TOKENS
+        assert got[1]["alpha_q"] > got[2]["alpha_q"]

@@ -1053,3 +1053,41 @@ def test_events_bot_detect_single_user_exchange(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"user_id", "ts", "event_id"}, plan
+
+
+def test_r9g_lift_and_budget_scale_shapes(spark, sf_dir):
+    """Pins for the type-lift association and the token-budget greedy cut:
+
+    - events_type_lift: the corpus is shuffled ONCE (hash by user_id);
+      pair expansion is in-array (no self-join — the oracle's join shape
+      shuffles the corpus twice, this plan never does); every
+      post-aggregate join is a broadcast; no sort-merge/cartesian.
+    - corpus_token_budget: ONE exchange (hash by lang) feeding sort +
+      window cumsum; no joins, no explode, no Python; scan pruned to
+      doc_id/lang/text.
+    """
+    from ballista_delta_spark.queries.pipeline import (
+        corpus_token_budget,
+        events_type_lift,
+    )
+
+    lift_plan = _physical_plan(events_type_lift(spark, sf_dir))
+    assert "SortMergeJoin" not in lift_plan, lift_plan
+    assert "CartesianProduct" not in lift_plan, lift_plan
+    assert "Exchange hashpartitioning(user_id" in lift_plan, lift_plan
+    assert "BroadcastHashJoin" in lift_plan, lift_plan
+    assert "BatchEvalPython" not in lift_plan, lift_plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", lift_plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"user_id", "event_type"}, lift_plan
+
+    budget_plan = _physical_plan(corpus_token_budget(spark, sf_dir))
+    assert budget_plan.count("Exchange hashpartitioning") == 1, budget_plan
+    assert "Join" not in budget_plan, budget_plan
+    assert "Generate" not in budget_plan, budget_plan
+    assert "BatchEvalPython" not in budget_plan, budget_plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", budget_plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"doc_id", "lang", "text"}, budget_plan
