@@ -445,3 +445,94 @@ def mm_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scene_detect,
         "doc_id long, n_frames long, n_scenes long, max_scene long",
     )
+
+
+# ----------------------------------------------------- mm_clip_filter
+# Image-caption alignment filtering — the CLIP-score gate a multimodal
+# pair corpus runs before training (LAION-style: score every
+# (image, caption) pair, keep the aligned ones). The caption is the
+# document's leading 64 bytes; the "CLIP" embeddings are the declared
+# deterministic fake (real encoders are a model-serving concern, not a
+# Spark one): each modality maps to a 4-dim integer vector
+# [sum % 97, len % 101, first_byte, sum % 53] and the score is their
+# cosine in parts-per-million, floored to an exact BIGINT so both
+# engines agree bit-for-bit (inputs are exact ints; sqrt/divide/floor
+# run in the same order on the same doubles).
+#
+# Scale shape: identical to the other decodes — the n_chars guard is a
+# PUSHED parquet filter, the scan reads only doc_id/text/n_chars, and
+# the whole scorer is ONE narrow Arrow map (no shuffle); the keep/drop
+# verdict is a flag, not a filter, so downstream can audit the
+# rejected half (the curation_verdict contract).
+_CLIP_MIN_PPM = 940_000  # ~median of the corpus score distribution
+
+
+def _clip_vec(b: bytes) -> tuple[int, int, int, int]:
+    s = sum(b)
+    return (s % 97, len(b) % 101, b[0], s % 53)
+
+
+def _clip_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    def score(b: bytes) -> int:
+        a = _clip_vec(b)
+        c = _clip_vec(b[:64])
+        dot = sum(x * y for x, y in zip(a, c))
+        na = math.sqrt(sum(x * x for x in a))
+        nc = math.sqrt(sum(x * x for x in c))
+        return math.floor(1000000.0 * dot / (na * nc))
+
+    for pdf in batches:
+        ppm = pdf["payload"].map(score).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "score_ppm": ppm,
+                "is_aligned": ppm >= _CLIP_MIN_PPM,
+            }
+        )
+
+
+@_q(
+    "mm_clip_filter",
+    f"""
+    WITH c AS (
+      SELECT doc_id, text, substr(text, 1, 64) AS cap
+      FROM documents WHERE n_chars >= 1),
+    v AS (
+      SELECT doc_id,
+             CAST(list_sum([ascii(text[i]) FOR i IN range(1, length(text) + 1)])
+                  AS BIGINT) AS ps,
+             CAST(length(text) AS BIGINT) AS pl,
+             ascii(substr(text, 1, 1)) AS pf,
+             CAST(list_sum([ascii(cap[i]) FOR i IN range(1, length(cap) + 1)])
+                  AS BIGINT) AS cs,
+             CAST(length(cap) AS BIGINT) AS cl,
+             ascii(substr(cap, 1, 1)) AS cf
+      FROM c),
+    w AS (
+      SELECT doc_id,
+             ps % 97 AS a1, pl % 101 AS a2, pf AS a3, ps % 53 AS a4,
+             cs % 97 AS b1, cl % 101 AS b2, cf AS b3, cs % 53 AS b4
+      FROM v)
+    SELECT doc_id,
+           CAST(floor(1000000.0 * (a1*b1 + a2*b2 + a3*b3 + a4*b4)
+                / (sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4)
+                   * sqrt(b1*b1 + b2*b2 + b3*b3 + b4*b4))) AS BIGINT)
+             AS score_ppm,
+           CAST(floor(1000000.0 * (a1*b1 + a2*b2 + a3*b3 + a4*b4)
+                / (sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4)
+                   * sqrt(b1*b1 + b2*b2 + b3*b3 + b4*b4))) AS BIGINT)
+             >= {_CLIP_MIN_PPM} AS is_aligned
+    FROM w
+    """,
+)
+def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("n_chars") >= 1).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return pairs.mapInPandas(
+        _clip_score, "doc_id long, score_ppm long, is_aligned boolean"
+    )

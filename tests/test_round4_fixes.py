@@ -585,3 +585,27 @@ class TestR9gBehavior:
         assert got[2]["cum_tokens"] == 5000
         assert got[2]["cum_tokens"] - got[2]["n_tokens"] < _BUDGET_TOKENS
         assert got[1]["alpha_q"] > got[2]["alpha_q"]
+
+    def test_clip_filter_prefix_identity_scores_perfect(self, spark, tmp_path):
+        """The fake CLIP cosine is exactly 1.0 (1_000_000 ppm) when the
+        caption IS the payload (docs <= 64 bytes), and strictly below
+        when the tail diverges from the leading 64 bytes; the aligned
+        flag must mirror the threshold, not re-derive its own score."""
+        from ballista_delta_spark.queries.multimodal import (
+            _CLIP_MIN_PPM,
+            mm_clip_filter,
+        )
+
+        short = "caption and image agree"          # 23 bytes: cap == payload
+        long_div = ("a" * 64) + ("Z9" * 400)        # tail diverges hard
+        rows = [
+            (1, short, "en", "w", len(short)),
+            (2, long_div, "en", "w", len(long_div)),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in mm_clip_filter(spark, sf).collect()}
+        assert got[1]["score_ppm"] == 1_000_000
+        assert got[1]["is_aligned"] is True
+        assert got[2]["score_ppm"] < 1_000_000
+        for r in got.values():
+            assert r["is_aligned"] == (r["score_ppm"] >= _CLIP_MIN_PPM)

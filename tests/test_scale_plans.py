@@ -1091,3 +1091,21 @@ def test_r9g_lift_and_budget_scale_shapes(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"doc_id", "lang", "text"}, budget_plan
+
+
+def test_mm_clip_filter_is_pushed_narrow_map(spark, sf_dir):
+    """CLIP-gate scale contract: same as the other multimodal decodes —
+    the n_chars guard reaches the scan as a PUSHED filter, the scan reads
+    only the consumed columns, and the scorer is one narrow Arrow map
+    (no Exchange, no join)."""
+    from ballista_delta_spark.queries.multimodal import mm_clip_filter
+
+    plan = _physical_plan(mm_clip_filter(spark, sf_dir))
+    assert "GreaterThanOrEqual(n_chars,1)" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) <= {"doc_id", "text", "n_chars"}, plan
