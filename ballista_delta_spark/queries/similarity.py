@@ -948,3 +948,80 @@ def emb_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+# -------------------------------------------------- emb_power_iteration
+# One distributed power-iteration step toward the corpus's top singular
+# vector — the primitive under PCA whitening, spectral outlier triage,
+# and low-rank drift monitors: s = X^T (X v0) for a FIXED deterministic
+# seed direction v0, emitted as the pre-norm coordinate, and the
+# normalized next iterate. A full power method is this query iterated
+# with the driver feeding s/||s|| back as the next v0 literal (the
+# emb_kmeans_step contract).
+#
+# Scale shape: w = <x, v0> is a 64-term codegen'd chain per row, the 64
+# per-dim products fold into ONE global aggregate (64 decimal sums —
+# map-side partials, a single-row exchange; the corpus is never
+# exploded and never shuffled), and the 64-row normalization window is
+# constant-size. Float parity: products are pre-rounded to 9dp and
+# accumulated in DECIMAL so partial-sum order cannot flip a digit
+# (the kmeans playbook); the norm accumulates DECIMAL(20,4) squares of
+# the already-rounded coordinates; '+ 0.0' folds negative zero.
+_PI_V0 = [((j * 2654435761) % 1000) / 1000.0 - 0.5 for j in range(_DIM)]
+
+
+def _pi_oracle() -> str:
+    wchain = " + ".join(f"emb[{j + 1}] * ({_PI_V0[j]!r})" for j in range(_DIM))
+    return f"""
+    WITH e AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    r AS (SELECT emb, ({wchain}) AS w FROM e),
+    s AS (
+      SELECT j.dim,
+             round(CAST(sum(CAST(round(r.w * r.emb[j.dim + 1], 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE), 4) + 0.0
+               AS s_val
+      FROM r, LATERAL (SELECT unnest(range(0, {_DIM})) AS dim) j
+      GROUP BY 1)
+    SELECT CAST(dim AS BIGINT) AS dim, s_val,
+           round(s_val / sqrt(CAST(sum(CAST(s_val AS DECIMAL(20,4))
+                                       * CAST(s_val AS DECIMAL(20,4)))
+                                   OVER () AS DOUBLE)), 6) + 0.0 AS v_next
+    FROM s
+    """
+
+
+@_q("emb_power_iteration", _pi_oracle())
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    wchain = " + ".join(f"emb[{j}] * ({_PI_V0[j]!r}D)" for j in range(_DIM))
+    r = e.select(F.expr(f"({wchain})").alias("w"), "emb")
+    agg = r.agg(
+        *[
+            F.sum(
+                F.expr(f"CAST(round(w * emb[{j}], 9) AS DECIMAL(28,9))")
+            ).alias(f"__s{j}")
+            for j in range(_DIM)
+        ]
+    )
+    stack_args = ", ".join(f"{j}L, __s{j}" for j in range(_DIM))
+    s = agg.select(
+        F.expr(f"stack({_DIM}, {stack_args}) AS (dim, sdec)")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        (F.round(F.col("sdec").cast("double"), 4) + F.lit(0.0)).alias("s_val"),
+    )
+    norm = F.sqrt(
+        F.expr(
+            "CAST(sum(CAST(s_val AS DECIMAL(20,4)) * "
+            "CAST(s_val AS DECIMAL(20,4))) OVER () AS DOUBLE)"
+        )
+    )
+    return s.select(
+        "dim",
+        "s_val",
+        (F.round(F.col("s_val") / norm, 6) + F.lit(0.0)).alias("v_next"),
+    )

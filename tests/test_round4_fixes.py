@@ -609,3 +609,28 @@ class TestR9gBehavior:
         assert got[2]["score_ppm"] < 1_000_000
         for r in got.values():
             assert r["is_aligned"] == (r["score_ppm"] >= _CLIP_MIN_PPM)
+
+    def test_power_iteration_recovers_planted_direction(self, spark, tmp_path):
+        """A rank-1 corpus (every vector on the dim-0 axis) must iterate
+        to exactly that axis: s is nonzero only at dim 0 (sign = sign of
+        <e0, v0> — v0[0] is -0.5, so negative) and the normalized next
+        iterate is the unit vector (-1, 0, ..., 0)."""
+        from ballista_delta_spark.queries.similarity import (
+            _DIM,
+            emb_power_iteration,
+        )
+
+        rows = [
+            (1, [3.0] + [0.0] * (_DIM - 1), 0),
+            (2, [4.0] + [0.0] * (_DIM - 1), 0),
+        ]
+        p = os.path.join(str(tmp_path), "embeddings.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        got = {r["dim"]: r for r in emb_power_iteration(spark, str(tmp_path)).collect()}
+        assert len(got) == _DIM
+        assert got[0]["v_next"] == -1.0
+        assert got[0]["s_val"] == -12.5  # -0.5 * (9 + 16)
+        for d in range(1, _DIM):
+            assert got[d]["s_val"] == 0.0 and got[d]["v_next"] == 0.0

@@ -1109,3 +1109,22 @@ def test_mm_clip_filter_is_pushed_narrow_map(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) <= {"doc_id", "text", "n_chars"}, plan
+
+
+def test_emb_power_iteration_never_shuffles_corpus(spark, sf_dir):
+    """Power-iteration scale contract: the corpus is read in ONE narrow
+    pass — w and the 64 per-dim products are expressions, the fold is a
+    single global aggregate (map-side partials, SinglePartition merge),
+    and the only Generate (stack) runs over the one aggregate row. No
+    hash exchange of corpus rows, no join, no Python; scan pruned to the
+    embedding column."""
+    from ballista_delta_spark.queries.similarity import emb_power_iteration
+
+    plan = _physical_plan(emb_power_iteration(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"embedding"}, plan
