@@ -57,6 +57,10 @@ HEADLINE = [
     "text_segment_dedup", # segment explode + skew-safe first-occurrence
     # r9f addition — the heaviest new shape of the final r9 session:
     "dedup_exact_substring",  # rolling-window index + islands run-detect
+    # r9g additions — the two heaviest new shapes of the third
+    # continuation session (first-run baselines per BASELINE.md):
+    "events_type_lift",       # one user_id shuffle, in-array pair expansion
+    "emb_power_iteration",    # corpus-wide 64-sum decimal fold, no shuffle
 ]
 
 WARMUP = 1
