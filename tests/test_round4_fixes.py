@@ -634,3 +634,27 @@ class TestR9gBehavior:
         assert got[0]["s_val"] == -12.5  # -0.5 * (9 + 16)
         for d in range(1, _DIM):
             assert got[d]["s_val"] == 0.0 and got[d]["v_next"] == 0.0
+
+    def test_code_detect_separates_code_from_prose(self, spark, tmp_path):
+        """A planted Python-ish snippet must flag via the keyword+indent
+        arm, a brace-dense C-ish snippet via the symbol-density arm, and
+        plain prose (few symbols, no keywords) must stay clean."""
+        from ballista_delta_spark.queries.text import text_code_detect
+
+        py = (
+            "def main():\n    import os\n    x = 1;\n"
+            "    return x\nclass T:\n    pass"
+        )
+        c = "int f(){return 1;}\nvoid g(){int x=2;}\n{};();=<>[]"
+        prose = (
+            "The quick brown fox jumps over the lazy dog.\n"
+            "It was a bright cold day in April and the clocks were striking."
+        )
+        rows = [(1, py, "en", "w", 0), (2, c, "en", "w", 0), (3, prose, "en", "w", 0)]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in text_code_detect(spark, sf).collect()}
+        assert got[1]["is_code"] is True and got[1]["kw_hits"] >= 3
+        assert got[1]["indent_lines"] >= 2
+        assert got[2]["is_code"] is True and got[2]["sym_ppm"] >= 40_000
+        assert got[3]["is_code"] is False
+        assert got[3]["kw_hits"] == 0 and got[3]["stmt_lines"] == 0

@@ -1128,3 +1128,21 @@ def test_emb_power_iteration_never_shuffles_corpus(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"embedding"}, plan
+
+
+def test_text_code_detect_is_single_pass(spark, sf_dir):
+    """Code-router scale contract: every signal (line predicates, keyword
+    and symbol counts) is an expression over the split array inside ONE
+    codegen'd pass — no explode, no shuffle, no join, no Python; scan
+    pruned to doc_id/text."""
+    from ballista_delta_spark.queries.text import text_code_detect
+
+    plan = _physical_plan(text_code_detect(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"doc_id", "text"}, plan
