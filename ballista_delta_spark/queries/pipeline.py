@@ -1773,3 +1773,79 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _BUDGET_TOKENS)
         .select("doc_id", "lang", "n_tokens", "alpha_q", "cum_tokens")
     )
+
+
+# ------------------------------------------------------- doc_merge_short
+# Short-document merging — the materialization half of sequence packing
+# (doc_chunk splits long docs; this fuses SHORT ones so the tokenizer
+# sees full windows instead of padding): per language, stream short docs
+# (< 64 tokens) in doc_id order, cut greedy 256-token packs (the
+# seq_pack cumsum contract), and emit one merged record per pack —
+# member count, token total, and the md5 digest of the newline-joined
+# payload in doc_id order (the digest stands in for the merged text so
+# the result stays hashable at any scale).
+#
+# Scale shape: ONE exchange — the lang window hash-partitions, and the
+# (lang, pack_id) aggregate is CLUSTERED BY a superset of that key, so
+# Spark reuses the partitioning (no second shuffle; pinned). The
+# collect_list is per-pack (≤ 256 tokens of text) — bounded by the pack
+# budget, never by the corpus. Per-lang ordering has the seq_pack skew
+# caveat: at 100 TB key the stream by (lang, shard) and the same plan
+# holds. Determinism: members sort by doc_id INSIDE the aggregate
+# (array_sort on (doc_id, text) structs), so shuffle arrival order
+# cannot change the digest.
+_MERGE_SHORT_TOKENS = 64   # docs below this are merge candidates
+_MERGE_PACK_TOKENS = 256   # greedy pack budget
+
+
+@_q(
+    "doc_merge_short",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id, text,
+             CAST(len(regexp_split_to_array(text, '{_WS}')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    f AS (SELECT * FROM s WHERE n_tokens < {_MERGE_SHORT_TOKENS}),
+    p AS (
+      SELECT *, CAST(floor((sum(n_tokens) OVER (
+                              PARTITION BY lang ORDER BY doc_id
+                            ) - n_tokens) / {_MERGE_PACK_TOKENS}.0)
+                     AS BIGINT) AS pack_id
+      FROM f)
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest
+    FROM p GROUP BY lang, pack_id
+    """,
+)
+def doc_merge_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    short = d.select(
+        "lang",
+        "doc_id",
+        "text",
+        F.size(F.split("text", _WS)).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") < _MERGE_SHORT_TOKENS)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = short.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(float(_MERGE_PACK_TOKENS))
+        ).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        ).alias("digest"),
+    )

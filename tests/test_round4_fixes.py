@@ -658,3 +658,29 @@ class TestR9gBehavior:
         assert got[2]["is_code"] is True and got[2]["sym_ppm"] >= 40_000
         assert got[3]["is_code"] is False
         assert got[3]["kw_hits"] == 0 and got[3]["stmt_lines"] == 0
+
+    def test_merge_short_packs_greedily_and_digests_in_order(self, spark, tmp_path):
+        """Six 63-token docs in one lang: greedy 256-token packing puts
+        docs 1-5 in pack 0 (pack start = 0/63/126/189/252, all < 256 —
+        the last one overshoots, the greedy contract) and doc 6 in pack
+        1 (start 315); a 200-token doc is excluded as not-short; the
+        digest must equal md5 of the doc_id-ordered newline join."""
+        import hashlib
+
+        from ballista_delta_spark.queries.pipeline import doc_merge_short
+
+        t = ["w%d " % i * 62 + "end" for i in range(6)]  # 63 tokens each
+        long_doc = "x " * 199 + "x"                       # 200 tokens
+        rows = [(i + 1, t[i], "en", "w", 0) for i in range(6)]
+        rows.append((9, long_doc, "en", "w", 0))
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            (r["lang"], r["pack_id"]): r
+            for r in doc_merge_short(spark, sf).collect()
+        }
+        assert set(got) == {("en", 0), ("en", 1)}, got
+        p0, p1 = got[("en", 0)], got[("en", 1)]
+        assert p0["n_docs"] == 5 and p0["pack_tokens"] == 315
+        assert p1["n_docs"] == 1 and p1["pack_tokens"] == 63
+        want = hashlib.md5("\n".join(t[:5]).encode()).hexdigest()
+        assert p0["digest"] == want

@@ -1146,3 +1146,20 @@ def test_text_code_detect_is_single_pass(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"doc_id", "text"}, plan
+
+
+def test_doc_merge_short_reuses_lang_partitioning(spark, sf_dir):
+    """Merge-packing scale contract: ONE exchange — the (lang, pack_id)
+    aggregate is clustered by a superset of the window's lang
+    partitioning, so Spark must NOT re-shuffle between the cumsum and
+    the merge; no joins, no Python; scan pruned to lang/doc_id/text."""
+    from ballista_delta_spark.queries.pipeline import doc_merge_short
+
+    plan = _physical_plan(doc_merge_short(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) == {"lang", "doc_id", "text"}, plan
