@@ -1025,3 +1025,87 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_val",
         (F.round(F.col("s_val") / norm, 6) + F.lit(0.0)).alias("v_next"),
     )
+
+
+# ------------------------------------------------------------- emb_whiten
+# Corpus-derived per-dimension standardization (the "whitening" prep under
+# PCA / feature-norm steps): w = (x - mu_d) / sqrt(var_d + eps), with mu/var
+# MEASURED from the corpus — unlike emb_normalize (per-row) this is a
+# two-phase measure-then-apply op, the sample_temperature contract applied
+# to vectors. Scale shape: phase 1 is one narrow posexplode pass whose
+# map-side partial agg collapses every task to <= DIM rows before the only
+# exchange (64 groups total, corpus-size-independent — the emb_kmeans_step
+# shuffle shape); phase 2 BROADCASTS the 64-row stats table back over the
+# corpus (no corpus shuffle, no driver collect — the stats never leave the
+# cluster). Engine parity: sums accumulate in DECIMAL over round(v, 9) /
+# round(v*v, 9) terms (order-independent, the playbook trick), mu/var are
+# then plain double arithmetic on identical operands, and the output is
+# rounded to 6dp with the +0.0 negative-zero fold.
+@_q(
+    "emb_whiten",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, CAST(gs.i - 1 AS INTEGER) AS dim, emb[gs.i] AS v
+      FROM e, range(1, {_DIM} + 1) gs(i)),
+    st AS (
+      SELECT dim,
+             CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*) AS mu,
+             CAST(sum(CAST(round(v * v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*)
+               - (CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                  / count(*))
+                 * (CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                    / count(*)) AS var
+      FROM x GROUP BY dim)
+    SELECT x.vec_id, x.dim,
+           round((x.v - st.mu) / sqrt(st.var + 1e-9), 6) + 0.0 AS w
+    FROM x JOIN st USING (dim)
+    WHERE x.vec_id < 100
+    """,
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    x = e.select("vec_id", F.posexplode("emb").alias("dim", "v"))
+    st = (
+        x.groupBy("dim")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)"
+            ).alias("s1"),
+            F.expr(
+                "CAST(sum(CAST(round(v * v, 9) AS DECIMAL(20,9))) AS DOUBLE)"
+            ).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "dim",
+            (F.col("s1") / F.col("n")).alias("mu"),
+            (
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            ).alias("var"),
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", F.posexplode("emb").alias("dim", "v"))
+        .join(F.broadcast(st), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (
+                F.round(
+                    (F.col("v") - F.col("mu"))
+                    / F.sqrt(F.col("var") + F.lit(1e-9)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("w"),
+        )
+    )

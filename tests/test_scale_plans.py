@@ -1163,3 +1163,16 @@ def test_doc_merge_short_reuses_lang_partitioning(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",") if c
     ) == {"lang", "doc_id", "text"}, plan
+
+
+def test_emb_whiten_broadcasts_stats_one_exchange(spark, sf_dir):
+    """Whitening scale contract: the 64-row stats table BROADCASTS back
+    over the corpus (a SortMergeJoin here would shuffle every vector by
+    dim — 64x the corpus), and the only hash exchange in the plan is the
+    stats aggregate's own 64-group collapse."""
+    from ballista_delta_spark.queries.similarity import emb_whiten
+
+    plan = _physical_plan(emb_whiten(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
