@@ -685,3 +685,74 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("indent_lines") >= _CODE_MIN_INDENT)
         ),
     )
+
+
+# --- text_entropy: character-distribution Shannon entropy (bits/char) over
+# the letter alphabet — the classic gibberish / keyboard-mash / repeated-
+# char filter (low entropy = degenerate text, near-uniform entropy =
+# random noise; prose sits in a stable band). Per-letter counts come from
+# 26 length(replace(...)) codegen'd passes — linear in doc length, ZERO
+# Python, and the whole operator is one narrow projection over the scan
+# (no shuffle anywhere; pinned). Engine parity: the SAME Python loop emits
+# the identical expression text for Spark and DuckDB (counts are exact
+# integers, the -p*ln(p) chain folds a..z left-to-right in double, ln(2)
+# is a shared literal), and the score is rounded to 4dp BEFORE the keep
+# gate compares it, so flag and score agree across engines by
+# construction.
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_LN2 = "0.6931471805599453"
+
+
+def _entropy_sql() -> tuple[str, str, str, str]:
+    """(count projections, total, distinct, entropy) — dialect-common."""
+    cnts = ", ".join(
+        f"length(text) - length(replace(text, '{c}', '')) AS c_{c}"
+        for c in _ALPHA
+    )
+    tot = " + ".join(f"c_{c}" for c in _ALPHA)
+    distinct = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN 1 ELSE 0 END)" for c in _ALPHA
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN -(c_{c} * 1.0 / n_letters)"
+        f" * ln(c_{c} * 1.0 / n_letters) ELSE 0.0 END)"
+        for c in _ALPHA
+    )
+    entropy = f"round(({terms}) / {_LN2}, 4)"
+    return cnts, tot, distinct, entropy
+
+
+@_q(
+    "text_entropy",
+    """
+    WITH cnts AS (SELECT doc_id, {cnts} FROM documents),
+    tot AS (SELECT *, {tot} AS n_letters FROM cnts)
+    SELECT doc_id, n_letters,
+           {distinct} AS distinct_chars,
+           {entropy} AS entropy_bits,
+           {entropy} >= 4.0 AS keep
+    FROM tot
+    """.format(
+        cnts=_entropy_sql()[0],
+        tot=_entropy_sql()[1],
+        distinct=_entropy_sql()[2],
+        entropy=_entropy_sql()[3],
+    ),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, tot, distinct, entropy = _entropy_sql()
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", *[
+            f"length(text) - length(replace(text, '{c}', '')) AS c_{c}"
+            for c in _ALPHA
+        ])
+        .selectExpr("*", f"{tot} AS n_letters")
+        .selectExpr(
+            "doc_id",
+            "n_letters",
+            f"{distinct} AS distinct_chars",
+            f"{entropy} AS entropy_bits",
+            f"{entropy} >= 4.0 AS keep",
+        )
+    )

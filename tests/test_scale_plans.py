@@ -1176,3 +1176,18 @@ def test_emb_whiten_broadcasts_stats_one_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_text_entropy_is_single_pass(spark, sf_dir):
+    """Entropy filter scale contract: one narrow codegen'd projection over
+    the scan — no joins, no exchanges, no Python anywhere; ReadSchema
+    pruned to doc_id/text."""
+    from ballista_delta_spark.queries.text import text_entropy
+
+    df = text_entropy(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read, read
