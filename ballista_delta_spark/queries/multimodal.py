@@ -536,3 +536,94 @@ def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(
         _clip_score, "doc_id long, score_ppm long, is_aligned boolean"
     )
+
+
+# ------------------------------------------------------ mm_dedup_ahash
+# Image near-duplicate detection over the aHash signatures: banded
+# hamming LSH, the image twin of dedup_minhash_lsh. The 32-bit signature
+# splits into 4 disjoint 8-bit bands; by pigeonhole, any pair within
+# hamming radius 3 shares at least one UNTOUCHED band — so an exact
+# equi-join per band finds every candidate (the banding is EXACT for
+# r <= 3, not approximate), and bit_count(xor) verifies the true distance
+# on candidates only. Scale shape: the Python aHash pass runs ONCE into a
+# localCheckpoint (per-doc 12-byte rows — the minhash signature-table
+# contract; re-deriving it per join side would re-decode every payload
+# twice), the band probe is a hash equi-join on (band, 8-bit value) — no
+# all-pairs path anywhere — and pair dedup (a pair can collide in up to 4
+# bands) is deferred PAST the cheap verify. Engine parity: signatures,
+# xor, and popcount are exact integer ops in both engines.
+_AHASH_BANDS = 4
+_AHASH_RADIUS = 3
+
+
+@_q(
+    "mm_dedup_ahash",
+    f"""
+    WITH cells AS (
+        SELECT doc_id, cell,
+               CASE WHEN hi > lo
+                    THEN CAST(list_sum([ascii(text[i])
+                                        FOR i IN range(lo + 1, hi + 1)])
+                              // (hi - lo) AS BIGINT)
+               END AS v
+        FROM (
+            SELECT doc_id, text, cell,
+                   (cell * length(text)) // {_THUMB} AS lo,
+                   ((cell + 1) * length(text)) // {_THUMB} AS hi
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, {_THUMB} - 1)) AS cell
+                FROM documents
+            )
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v IS NOT NULL AND v > m
+                             THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
+        FROM (
+            SELECT doc_id, cell, v,
+                   avg(v) OVER (PARTITION BY doc_id) AS m
+            FROM cells
+        )
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AHASH_RADIUS}
+    """,
+)
+def mm_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        _payload(spark, sf_dir)
+        .mapInPandas(_ahash, "doc_id long, ahash long")
+        .localCheckpoint(eager=False)
+    )
+    bands = sig.select(
+        "doc_id", "ahash",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"CAST((ahash >> {8 * k}) & 255 AS INT)")
+                for k in range(_AHASH_BANDS)
+            ])
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_RADIUS)
+        .distinct()
+    )

@@ -1191,3 +1191,18 @@ def test_text_entropy_is_single_pass(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     read = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" in read and "lang" not in read, read
+
+
+def test_mm_dedup_ahash_bucket_join_over_checkpoint(spark, sf_dir):
+    """Image near-dup scale contract: both probe sides serve from the ONE
+    checkpointed signature table (an RDD scan — recomputing would run the
+    Python aHash decode twice), the band probe is a hash EQUI-join (a
+    nested-loop means the all-pairs path is back), and pair-dedup sits
+    above the verify, never a corpus-wide distinct below it."""
+    from ballista_delta_spark.queries.multimodal import mm_dedup_ahash
+
+    plan = _physical_plan(mm_dedup_ahash(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan.replace(" ", ""), plan
