@@ -192,6 +192,17 @@ _DELTA_REORG = re.compile(
     re.IGNORECASE,
 )
 
+# ANALYZE TABLE <name> COMPUTE DELTA STATISTICS [FOR COLUMNS (c1, c2)] —
+# delta-spark's stats recompute (metadata-only, footer reads + one commit).
+_DELTA_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+"
+    r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s+COMPUTE\s+DELTA\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s*\(\s*(?P<cols>[^)]+)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (<expr>) / DROP CONSTRAINT <c>
 # — delta-spark constraint DDL, routed to alter_constraints.
 _DELTA_ALTER_CONSTRAINT = re.compile(
@@ -647,6 +658,27 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             return spark.sql(
                 f"SELECT CAST({res['version']} AS BIGINT) AS committed_version, "
                 f"CAST({res['numMissingFiles']} AS BIGINT) AS files_removed"
+            )
+
+    m = _DELTA_ANALYZE.match(statement)
+    if m:
+        name = _resolve_view(m.group("name"))
+        if name is not None:
+            from .sources.delta import read_delta, recompute_stats
+
+            loc = _delta_views[name]
+            cols = m.group("cols")
+            res = recompute_stats(
+                loc,
+                columns=[c.strip().strip("`") for c in cols.split(",")]
+                if cols
+                else None,
+                spark=spark,
+            )
+            read_delta(spark, loc).createOrReplaceTempView(name)
+            return spark.sql(
+                f"SELECT CAST({res['version']} AS BIGINT) AS committed_version, "
+                f"CAST({res['numFilesRecomputed']} AS BIGINT) AS files_recomputed"
             )
 
     m = _DELTA_REORG.match(statement)

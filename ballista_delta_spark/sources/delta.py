@@ -1322,13 +1322,16 @@ def _next_version(log: str) -> int:
 
 
 def _spark_side_stats(
-    spark: SparkSession, staging: str, data_fields: list[T.StructField]
+    spark: SparkSession,
+    staging: str | list[str],
+    data_fields: list[T.StructField],
 ) -> dict[str, str]:
     """Per-file Delta stats computed by ONE Spark aggregation over a
-    staged write dir (``abs file path -> stats JSON``) — the fallback for
-    files pyarrow cannot open (variant logical type). Same JSON shape and
-    value spelling as ``_file_stats``: top-level primitives only, dates/
-    timestamps as isoformat, decimals as JSON numbers."""
+    staged write dir — or an explicit file list — (``abs file path ->
+    stats JSON``): the fallback for files pyarrow cannot open (variant
+    logical type). Same JSON shape and value spelling as ``_file_stats``:
+    top-level primitives only, dates/timestamps as isoformat, decimals as
+    JSON numbers."""
     import datetime
     import decimal
 
@@ -1348,8 +1351,9 @@ def _spark_side_stats(
             F.max(c).alias(f"__mx{i}"),
             F.sum(c.isNull().cast("long")).alias(f"__nc{i}"),
         ]
+    paths = staging if isinstance(staging, list) else [staging]
     rows = (
-        spark.read.parquet(staging)
+        spark.read.parquet(*paths)
         .groupBy(F.col("_metadata.file_path").alias("__fp"))
         .agg(*aggs)
         .collect()
@@ -5320,3 +5324,124 @@ def reorg_purge(
         "numFilesRewritten": len(dv_rels),
         "numFilesAdded": len(adds),
     }
+
+
+def recompute_stats(
+    path: str,
+    columns: list[str] | None = None,
+    dry_run: bool = False,
+    spark: "SparkSession | None" = None,
+) -> dict[str, Any]:
+    """``ANALYZE TABLE ... COMPUTE DELTA STATISTICS`` — delta-spark's
+    ``StatisticsCollection.recompute``: refresh every active add action's
+    stats JSON from the parquet footers and re-commit the SAME files with
+    ``dataChange: false``. A metadata-only commit — no data byte moves,
+    readers see identical rows, streams must not re-emit (the OPTIMIZE
+    contract applied to stats).
+
+    Why it exists: tables written by stats-less engines, or whose
+    ``delta.dataSkippingNumIndexedCols`` was raised after the fact, scan
+    every file because ``skip_files`` has nothing to prune on; one
+    recompute pass restores data skipping for the whole table. Cost at
+    100 TB: footer reads only — O(files) metadata fetches, zero data I/O,
+    one log commit (variant tables fall back to ONE Spark aggregation
+    over the active file list, the write path's `_spark_side_stats`
+    shape, because pyarrow predates the variant logical type).
+
+    ``columns`` restricts min/max/nullCount to the given LOGICAL columns
+    (numRecords is always refreshed; the dataSkippingNumIndexedCols cap
+    is bypassed for an explicit list, matching delta-spark's
+    ``DELTA STATISTICS FOR COLUMNS``). DV-carrying files keep
+    ``tightBounds: false`` — their min/max still cover deleted rows, per
+    spec. Under column mapping the stats keys are PHYSICAL names, exactly
+    as the write path stages them.
+    """
+    path = _strip_file_scheme(path)
+    snap = _load_snapshot(path)
+    check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    if snap.column_mapping:
+        schema_struct = snap.physical_schema
+        part_phys = {snap.physical(c) for c in snap.partition_columns}
+    else:
+        schema_struct = snap.schema
+        part_phys = set(snap.partition_columns)
+    data_fields = [
+        f for f in schema_struct.fields if f.name not in part_phys
+    ]
+    if columns is not None:
+        logical = [f.name for f in snap.schema.fields]
+        for c in columns:
+            if c not in logical:
+                raise ValueError(f"no such column: {c!r}")
+        want = {
+            snap.physical(c) if snap.column_mapping else c for c in columns
+        }
+        indexed = [f for f in data_fields if f.name in want]
+    else:
+        indexed = _stats_fields(data_fields, snap)
+
+    spark_stats: dict[str, str] | None = None
+    if _schema_type_features(schema_struct.fields) & {"variantType"}:
+        if spark is None:
+            raise ValueError(
+                "variant tables need a SparkSession to recompute stats "
+                "(pyarrow cannot open the variant logical type)"
+            )
+        spark_stats = _spark_side_stats(
+            spark,
+            [os.path.join(path, rel) for rel in snap.files],
+            indexed,
+        )
+
+    adds: list[dict[str, Any]] = []
+    skipped: list[str] = []
+    for rel, old in snap.files.items():
+        src = os.path.join(path, rel)
+        if spark_stats is not None:
+            stats = spark_stats.get(os.path.abspath(src))
+            if stats is None:
+                skipped.append(rel)
+                continue
+        else:
+            try:
+                stats = _file_stats(src, indexed)
+            except Exception:
+                # unreadable footer: keep the file's existing stats
+                # rather than fail the whole table (stats are advisory)
+                skipped.append(rel)
+                continue
+        add = dict(old)
+        add["path"] = rel
+        add["dataChange"] = False
+        if add.get("deletionVector"):
+            st = json.loads(stats)
+            st["tightBounds"] = False
+            stats = json.dumps(st)
+        add["stats"] = stats
+        adds.append(add)
+
+    summary = {
+        "numFilesRecomputed": len(adds),
+        "numFilesSkipped": len(skipped),
+        "columns": [f.name for f in indexed],
+    }
+    if dry_run or not adds:
+        summary["version"] = snap.version
+        return summary
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [{
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "COMPUTE STATS",
+            "operationParameters": {
+                "columns": json.dumps(columns or []),
+            },
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
+        }
+    }]
+    actions += [{"add": a} for a in adds]
+    summary["version"] = _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap,
+    )
+    return summary
