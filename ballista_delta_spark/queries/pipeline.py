@@ -1849,3 +1849,75 @@ def doc_merge_short(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+
+
+# ----------------------------------------------- corpus_lang_confusion
+# Language-ID quality audit: the (labeled lang x predicted lang)
+# confusion matrix plus each cell's share of its label row — the "is the
+# classifier rotting?" dashboard every multilingual corpus refresh
+# checks before trusting per-language budgets (a drifting lang-ID
+# silently corrupts sample_temperature / corpus_token_budget upstream).
+# Prediction = the registered text_lang_id heuristic, recomputed inline
+# so label and prediction ride ONE corpus pass. Scale shape: the narrow
+# scan feeds a two-phase hash agg whose map-side partials collapse every
+# task to <= langs x 5 rows before the only corpus-fed exchange; the
+# share window runs over the aggregate (matrix-sized, not corpus-sized).
+# Share = exact integer n / integer label total, rounded to 6dp in both
+# engines.
+@_q(
+    "corpus_lang_confusion",
+    """
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ('the','a','of','and','to','is','in'))) AS h_en,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ('el','la','de','que','y','los','es'))) AS h_es,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ('der','die','und','das','ist','von','ein'))) AS h_de,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ('le','la','les','de','et','est','une'))) AS h_fr
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                  WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                  WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                  WHEN h_de >= h_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM scored),
+    cells AS (
+      SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+    SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS share
+    FROM cells
+    """,
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _hits
+
+    d = load(spark, sf_dir, "documents")
+    h = {lang: _hits(lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*h.values())
+    pred = d.select(
+        "lang",
+        F.when(best == 0, "und")
+        .when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]),
+            "en",
+        )
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
+        .when(h["de"] >= h["fr"], "de")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share"),
+    )

@@ -1206,3 +1206,18 @@ def test_mm_dedup_ahash_bucket_join_over_checkpoint(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 2, plan
     assert "ArrowEvalPython" not in plan and "FlatMapsInPandas" not in plan.replace(" ", ""), plan
+
+
+def test_corpus_lang_confusion_two_phase_tiny_window(spark, sf_dir):
+    """Confusion-matrix scale contract: label and prediction ride ONE
+    corpus pass into a two-phase hash agg (map-side partials collapse to
+    the matrix grain before the only corpus-fed exchange); the share
+    window runs over the aggregate — matrix-sized, never a second corpus
+    shuffle; no joins, no Python."""
+    from ballista_delta_spark.queries.pipeline import corpus_lang_confusion
+
+    plan = _physical_plan(corpus_lang_confusion(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
