@@ -1109,3 +1109,74 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+
+
+# -------------------------------------------------------- emb_kcenter_step
+# One greedy k-center (farthest-point-first) selection step — the coreset /
+# diversity-sampling primitive under "pick the next most-novel documents":
+# given the K=8 already-selected seed centers, rank every corpus vector by
+# its distance to the NEAREST selected center and emit the top 16 farthest
+# (the next greedy picks under the standard independent-batch
+# approximation; exact greedy iterates with the driver feeding each pick
+# back — the emb_kmeans_step contract). Scale shape: ONE narrow corpus
+# pass, K separate 64-term codegen'd distance chains (one 512-term
+# expression would blow janino), least() for the nearest-center fold, and
+# the global cut is a distributed TakeOrderedAndProject — the corpus-wide
+# sort never happens (pinned); the rank window runs AFTER the 16-row cut.
+# Engine parity: distances are identical left-to-right double chains in
+# both engines (the kmeans construction), ranking uses the RAW doubles
+# with vec_id as tie-break, rounding to 6dp is display-only.
+_KCENTER_TOPN = 16
+
+
+@_q(
+    "emb_kcenter_step",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    d AS (
+      SELECT e.vec_id,
+             min(list_sum([(emb[i] - cemb[i]) * (emb[i] - cemb[i])
+                           FOR i IN range(1, len(emb) + 1)])) AS mind
+      FROM e CROSS JOIN cents GROUP BY e.vec_id),
+    top AS (
+      SELECT vec_id, mind,
+             row_number() OVER (ORDER BY mind DESC, vec_id) AS rnk
+      FROM d)
+    SELECT CAST(rnk AS INTEGER) AS rnk, vec_id,
+           round(mind, 6) AS min_dist
+    FROM top WHERE rnk <= {_KCENTER_TOPN}
+    """,
+)
+def emb_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dcols = []
+    for i, c in enumerate(cents):
+        terms = " + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(_DIM)
+        )
+        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    scored = e.select("vec_id", *dcols).select(
+        "vec_id",
+        F.least(*[F.col(f"__d{i}") for i in range(len(cents))]).alias(
+            "mind"
+        ),
+    )
+    top = scored.orderBy(F.col("mind").desc(), "vec_id").limit(
+        _KCENTER_TOPN
+    )
+    w = Window.orderBy(F.col("mind").desc(), "vec_id")
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "vec_id",
+        F.round("mind", 6).alias("min_dist"),
+    )

@@ -1221,3 +1221,18 @@ def test_corpus_lang_confusion_two_phase_tiny_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_emb_kcenter_step_takeordered_no_global_sort(spark, sf_dir):
+    """k-center selection scale contract: zero joins (assignment is pure
+    projection over literal center state), the farthest cut is a
+    distributed TakeOrderedAndProject — a corpus-wide rangepartitioning
+    sort is the 100 TB killer — and the rank window runs after the
+    16-row cut."""
+    from ballista_delta_spark.queries.similarity import emb_kcenter_step
+
+    plan = _physical_plan(emb_kcenter_step(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
