@@ -495,3 +495,43 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "measure",
         F.col("value").cast("double").alias("value"),
     )
+
+
+# --- A18 agg_exact_percentile: exact interpolated quantiles (SQL
+# percentile_cont semantics) — the non-sketch sibling of
+# agg_approx_percentile, for the grains where exactness matters (SLA
+# reporting, label thresholds). Spark's percentile() and DuckDB's
+# quantile_cont both linearly interpolate at rank p*(n-1), so the values
+# agree bit-for-bit given identical inputs; rounded to 6dp anyway as
+# belt-and-braces against future engine changes. 100 TB shape: exact
+# percentile must SEE every value — Spark runs it as a two-phase
+# ObjectHashAggregate (per-partition value buffers merged on the one
+# group exchange), the right plan when groups are few and this grain is
+# explicitly chosen over the sketch.
+@_q(
+    "agg_exact_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
+            F.round(
+                F.percentile("l_extendedprice", F.lit(0.90)), 6
+            ).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

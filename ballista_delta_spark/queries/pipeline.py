@@ -1921,3 +1921,103 @@ def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+# --------------------------------------------------- corpus_source_psi
+# Per-source distribution drift vs the corpus: Population Stability Index
+# of each source's doc-length histogram (50-char buckets, the
+# corpus_profile grain) against the corpus-wide histogram — the standard
+# "did this feed shift?" monitor a recurring ingest runs before letting a
+# source into the next training mix (PSI < 0.1 stable, > 0.25 act).
+# Laplace-smoothed (+0.5 per cell over the GLOBAL bucket set) so empty
+# buckets never divide by zero and the index stays finite.
+#
+# Scale shape: ONE corpus pass collapses map-side to the (source x
+# bucket) matrix before the only corpus-fed exchange; everything after
+# is matrix-sized — the source/bucket marginals and the 1-row (N, B)
+# constants join back BROADCAST, and the grid completion is a
+# sources x buckets cross of two tiny distinct sets (pinned: no
+# SortMergeJoin anywhere). Engine parity: counts are exact ints, p/q
+# terms are identical double expressions, and the per-source sum
+# accumulates in DECIMAL over round(term, 9) — partitioning-order-proof
+# — before the 6dp display round (+0.0 folds the sub-rounding -0).
+@_q(
+    "corpus_source_psi",
+    """
+    WITH c AS (
+      SELECT source, CAST(n_chars // 50 AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2),
+    ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM c GROUP BY 1),
+    tb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_b FROM c GROUP BY 1),
+    k AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                 CAST(count(DISTINCT bucket) AS BIGINT) AS n_bkt FROM c),
+    grid AS (
+      SELECT s.source, b.bucket
+      FROM (SELECT DISTINCT source FROM c) s
+      CROSS JOIN (SELECT DISTINCT bucket FROM c) b),
+    j AS (
+      SELECT g.source, g.bucket, coalesce(c.n, 0) AS n,
+             ts.n_s, tb.n_b, k.n_tot, k.n_bkt
+      FROM grid g
+      LEFT JOIN c ON c.source = g.source AND c.bucket = g.bucket
+      JOIN ts ON ts.source = g.source
+      JOIN tb ON tb.bucket = g.bucket
+      CROSS JOIN k),
+    t AS (
+      SELECT source, n_s,
+             ((n + 0.5) / (n_s + 0.5 * n_bkt)
+              - (n_b + 0.5) / (n_tot + 0.5 * n_bkt))
+             * ln(((n + 0.5) / (n_s + 0.5 * n_bkt))
+                  / ((n_b + 0.5) / (n_tot + 0.5 * n_bkt))) AS term
+      FROM j)
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(term, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE), 6) + 0.0 AS psi
+    FROM t GROUP BY source
+    """,
+)
+def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("CAST(n_chars DIV 50 AS BIGINT)").alias("bucket"),
+    )
+    c = d.groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    ts = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_s")
+    )
+    tb = c.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_b")
+    )
+    k = c.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.countDistinct("bucket").cast("bigint").alias("n_bkt"),
+    )
+    grid = c.select("source").distinct().crossJoin(
+        F.broadcast(c.select("bucket").distinct())
+    )
+    j = (
+        grid.join(c, ["source", "bucket"], "left")
+        .na.fill(0, ["n"])
+        .join(F.broadcast(ts), "source")
+        .join(F.broadcast(tb), "bucket")
+        .crossJoin(F.broadcast(k))
+    )
+    p = (F.col("n") + 0.5) / (F.col("n_s") + 0.5 * F.col("n_bkt"))
+    q = (F.col("n_b") + 0.5) / (F.col("n_tot") + 0.5 * F.col("n_bkt"))
+    t = j.select(
+        "source", "n_s", ((p - q) * F.log(p / q)).alias("term")
+    )
+    return t.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_docs"),
+        (
+            F.round(
+                F.expr(
+                    "CAST(sum(CAST(round(term, 9) AS DECIMAL(20,9))) "
+                    "AS DOUBLE)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("psi"),
+    )

@@ -1236,3 +1236,18 @@ def test_emb_kcenter_step_takeordered_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_corpus_source_psi_matrix_sized_joins(spark, sf_dir):
+    """Drift-monitor scale contract: the corpus feeds exactly one
+    two-phase agg (map-side partials collapse to the source x bucket
+    matrix); every join after is matrix-sized and BROADCAST — a
+    SortMergeJoin here would re-shuffle rows that no longer exist at
+    corpus grain."""
+    from ballista_delta_spark.queries.pipeline import corpus_source_psi
+
+    plan = _physical_plan(corpus_source_psi(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
