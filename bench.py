@@ -61,6 +61,10 @@ HEADLINE = [
     # continuation session (first-run baselines per BASELINE.md):
     "events_type_lift",       # one user_id shuffle, in-array pair expansion
     "emb_power_iteration",    # corpus-wide 64-sum decimal fold, no shuffle
+    # r9h additions — the two heaviest new shapes of the fourth
+    # continuation session (first-run baselines per BASELINE.md):
+    "mm_dedup_ahash",         # Python aHash once + banded hamming probe
+    "emb_whiten",             # measure-then-broadcast standardization
 ]
 
 WARMUP = 1

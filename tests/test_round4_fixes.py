@@ -684,3 +684,161 @@ class TestR9gBehavior:
         assert p1["n_docs"] == 1 and p1["pack_tokens"] == 63
         want = hashlib.md5("\n".join(t[:5]).encode()).hexdigest()
         assert p0["digest"] == want
+
+
+class TestR9hBehavior:
+    """Behavioral checks for the r9h operators — hand-built inputs with
+    a known right answer (the oracle proves engine agreement; these
+    prove the semantics)."""
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def _mini_embs(self, spark, tmp_path, vecs):
+        p = os.path.join(str(tmp_path), "embeddings.parquet")
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_entropy_degenerate_vs_uniform(self, spark, tmp_path):
+        """One repeated letter -> 0 bits (keep=False); 16 distinct
+        letters once each -> exactly 4 bits (keep=True); spaces and
+        digits never count as letters."""
+        from ballista_delta_spark.queries.text import text_entropy
+
+        rows = [
+            (1, "aaaa aaaa 1234", "en", "s", 14),
+            (2, "abcdefghijklmnop", "en", "s", 16),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["doc_id"]: r for r in text_entropy(spark, sf).collect()}
+        assert got[1]["n_letters"] == 8
+        assert got[1]["distinct_chars"] == 1
+        assert got[1]["entropy_bits"] == 0.0 and got[1]["keep"] is False
+        assert got[2]["n_letters"] == 16
+        assert got[2]["distinct_chars"] == 16
+        assert got[2]["entropy_bits"] == 4.0 and got[2]["keep"] is True
+
+    def test_whiten_standardizes_known_column(self, spark, tmp_path):
+        """dim 0 carries [1,2,3,4] across the corpus: mu=2.5,
+        var=1.25 -> whitened = (v-2.5)/sqrt(1.25+1e-9), mean 0 by
+        construction."""
+        import math
+
+        from ballista_delta_spark.queries.similarity import emb_whiten
+
+        vecs = [[v] + [0.0] * 63 for v in (1.0, 2.0, 3.0, 4.0)]
+        sf = self._mini_embs(spark, tmp_path, vecs)
+        got = {
+            (r["vec_id"], r["dim"]): r["w"]
+            for r in emb_whiten(spark, sf).collect()
+        }
+        sd = math.sqrt(1.25 + 1e-9)
+        for vid, v in enumerate((1.0, 2.0, 3.0, 4.0)):
+            assert abs(got[(vid, 0)] - round((v - 2.5) / sd, 6)) < 1e-9
+        assert abs(sum(got[(vid, 0)] for vid in range(4))) < 1e-6
+        # constant dims whiten to 0 (epsilon floor, never NaN/inf)
+        assert got[(0, 1)] == 0.0
+
+    def test_dedup_ahash_finds_exact_twin_not_stranger(self, spark, tmp_path):
+        """Two byte-identical payloads collide at hamming 0; a
+        structurally different doc stays out (verified against the
+        brute-force popcount over the signature table)."""
+        from ballista_delta_spark.queries.multimodal import (
+            _ahash,
+            _payload,
+            mm_dedup_ahash,
+        )
+
+        twin = "alpha beta gamma delta " * 8
+        rows = [
+            (1, twin, "en", "s", len(twin)),
+            (2, twin, "en", "s", len(twin)),
+            (3, "zz " + "q" * 160 + " yy", "en", "s", 166),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in mm_dedup_ahash(spark, sf).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        # brute-force ground truth over the same signatures
+        sigs = dict(
+            _payload(spark, sf)
+            .mapInPandas(_ahash, "doc_id long, ahash long")
+            .collect()
+        )
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        assert set(pairs) == want
+
+    def test_kcenter_picks_planted_outlier_first(self, spark, tmp_path):
+        """Seeds are vec_id 0-7 near the origin; vec_id 8 is planted far
+        away — it must rank 1, and every seed must rank with
+        min_dist 0 at the bottom or not at all."""
+        from ballista_delta_spark.queries.similarity import emb_kcenter_step
+
+        vecs = [[0.01 * i] * 64 for i in range(8)]  # the seeds
+        vecs.append([10.0] * 64)                    # planted outlier
+        vecs += [[0.05] * 64 for _ in range(4)]     # mild fillers
+        sf = self._mini_embs(spark, tmp_path, vecs)
+        got = sorted(
+            emb_kcenter_step(spark, sf).collect(), key=lambda r: r["rnk"]
+        )
+        assert got[0]["vec_id"] == 8
+        assert got[0]["min_dist"] > got[1]["min_dist"]
+        # seeds themselves sit at distance 0 (they ARE centers)
+        by_vid = {r["vec_id"]: r["min_dist"] for r in got}
+        assert by_vid.get(0, 0.0) == 0.0
+
+    def test_source_psi_zero_for_identical_shifted_for_drifted(
+        self, spark, tmp_path
+    ):
+        """Two sources with the IDENTICAL length histogram score psi 0;
+        a third source concentrated in a different bucket scores
+        strictly higher."""
+        from ballista_delta_spark.queries.pipeline import corpus_source_psi
+
+        rows = []
+        did = 0
+        for src in ("a", "b"):  # identical histograms: 5 short + 5 long
+            for n in [40] * 5 + [140] * 5:
+                did += 1
+                rows.append((did, "x", "en", src, n))
+        for n in [940] * 10:    # source c: all in a far bucket
+            did += 1
+            rows.append((did, "x", "en", "c", n))
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["source"]: r["psi"] for r in corpus_source_psi(spark, sf).collect()}
+        assert got["a"] == got["b"]
+        assert got["c"] > got["a"] + 0.1
+
+    def test_lang_confusion_counts_and_shares(self, spark, tmp_path):
+        """3 labeled-en docs predicted en + 1 labeled-en doc written in
+        German function words -> cells (en,en,3,0.75) and (en,de,1,0.25)."""
+        from ballista_delta_spark.queries.pipeline import corpus_lang_confusion
+
+        rows = [
+            (1, "the of and to is", "en", "s", 16),
+            (2, "the a of and in", "en", "s", 15),
+            (3, "of the is in and", "en", "s", 16),
+            (4, "der die und das ist", "en", "s", 19),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            (r["lang"], r["lang_pred"]): (r["n"], r["share"])
+            for r in corpus_lang_confusion(spark, sf).collect()
+        }
+        assert got[("en", "en")] == (3, 0.75)
+        assert got[("en", "de")] == (1, 0.25)
