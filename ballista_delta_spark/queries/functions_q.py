@@ -563,3 +563,53 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.tag.name", "string").alias("tag_name"),
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
     )
+
+
+# --- fn_higher_order: the lambda-function surface (transform / filter /
+# aggregate-fold / exists-style predicates / zip_with) in ONE narrow pass —
+# the array-programming idioms DataFusion exposes as array_* functions.
+# Engine parity: existence/universality are spelled as list_filter counts
+# (DuckDB has no exists/forall), the fold is an integer left fold
+# (order-fixed, exact), and zip_with pairs each token with its 1-based
+# position — all pure integer/string ops, no rounding anywhere.
+@_q(
+    "fn_higher_order",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(lower(p_type), ' ') AS toks
+      FROM part WHERE p_partkey <= 500)
+    SELECT p_partkey,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+           CAST(list_sum(list_transform(toks, x -> length(x)))
+                AS BIGINT) AS total_len,
+           len(list_filter(toks, x -> x = 'brushed')) > 0 AS has_brushed,
+           len(list_filter(toks, x -> length(x) < 3)) = 0 AS all_min3,
+           array_to_string(
+             [CAST(i AS VARCHAR) || ':' || toks[i]
+              FOR i IN range(1, len(toks) + 1)], ',') AS indexed
+    FROM t
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    toks = F.split(F.lower("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        .cast("bigint")
+        .alias("total_len"),
+        F.exists(toks, lambda x: x == "brushed").alias("has_brushed"),
+        F.forall(toks, lambda x: F.length(x) >= 3).alias("all_min3"),
+        F.array_join(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size(toks)),
+                toks,
+                lambda i, t: F.concat(i.cast("string"), F.lit(":"), t),
+            ),
+            ",",
+        ).alias("indexed"),
+    )

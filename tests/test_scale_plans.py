@@ -1251,3 +1251,28 @@ def test_corpus_source_psi_matrix_sized_joins(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_fn_higher_order_single_narrow_pass(spark, sf_dir):
+    """Lambda-surface contract: one pushed-filter scan, zero exchanges,
+    zero Python."""
+    from ballista_delta_spark.queries.functions_q import QUERIES
+
+    fn, _ = QUERIES["fn_higher_order"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [IsNotNull(p_partkey)" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_seasonal_baseline_broadcast_profile(spark, sf_dir):
+    """Seasonal-baseline contract: the 24 x types profile joins back
+    BROADCAST (a sort-merge here would shuffle the whole fact by
+    (type, hour)); the fact feeds two-phase aggs only."""
+    from ballista_delta_spark.queries.pipeline import events_seasonal_baseline
+
+    plan = _physical_plan(events_seasonal_baseline(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
