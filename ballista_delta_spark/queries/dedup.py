@@ -1046,3 +1046,80 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_run") >= _SUB_RUN)
     )
+
+
+# ---------------------------------------------------- dedup_containment
+# Asymmetric containment dedup (Broder's containment coefficient):
+# c(A -> B) = |A ∩ B| / |A| over the 3-gram shingle sets, flagging docs
+# whose shingles are >= 90% CONTAINED in a larger doc — the
+# excerpt/quote/boilerplate-wrapper detector symmetric Jaccard misses
+# (a paragraph quoted inside a 100x larger page has Jaccard ~0.01 but
+# containment ~1.0). Convention matches dedup_ngram_jaccard: the
+# intersection counts over the hot-shingle-CAPPED inverted index, set
+# sizes over the uncapped shingle sets; the contained side is the
+# smaller set (ties break to the lower doc_id via the a < b join
+# order). Scale shape: identical to the Jaccard path — shuffle on the
+# 8-byte blocking shingle, then on the pair; sizes join back; no
+# all-pairs path anywhere. Containment is exact int/int rounded 4dp in
+# both engines.
+_CONTAIN_T = 0.9
+
+
+@_q(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    oriented AS (
+      SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END
+                 AS contained_doc,
+             CASE WHEN sa.n_sh <= sb.n_sh THEN doc_b ELSE doc_a END
+                 AS container_doc,
+             round(n_common * 1.0 / least(sa.n_sh, sb.n_sh), 4)
+                 AS containment
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id)
+    SELECT contained_doc, container_doc, containment
+    FROM oriented WHERE containment >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_spark(spark, sf_dir)
+    capped = _capped_shingles(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    small_first = F.col("sa.n_sh") <= F.col("sb.n_sh")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.when(small_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(small_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_doc"),
+            F.round(
+                F.col("n_common")
+                / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )

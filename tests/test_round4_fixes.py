@@ -842,3 +842,42 @@ class TestR9hBehavior:
         }
         assert got[("en", "en")] == (3, 0.75)
         assert got[("en", "de")] == (1, 0.25)
+
+
+class TestContainmentBehavior:
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_excerpt_found_despite_low_jaccard(self, spark, tmp_path):
+        """A 10-token excerpt quoted inside a 200-token page: containment
+        1.0 (flagged) while symmetric Jaccard stays far below its 0.8
+        gate — the case this operator exists for. An unrelated doc must
+        not pair."""
+        from ballista_delta_spark.queries.dedup import (
+            dedup_containment,
+            dedup_ngram_jaccard,
+        )
+
+        excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        page = " ".join(f"w{i}" for i in range(95)) + " " + excerpt + " " + \
+            " ".join(f"v{i}" for i in range(95))
+        other = " ".join(f"z{i}" for i in range(50))
+        rows = [
+            (1, excerpt, "en", "s", len(excerpt)),
+            (2, page, "en", "s", len(page)),
+            (3, other, "en", "s", len(other)),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {
+            (r["contained_doc"], r["container_doc"]): r["containment"]
+            for r in dedup_containment(spark, sf).collect()
+        }
+        assert got == {(1, 2): 1.0}
+        # and the symmetric Jaccard gate misses it entirely
+        jac = dedup_ngram_jaccard(spark, sf).collect()
+        assert jac == []

@@ -1276,3 +1276,14 @@ def test_events_seasonal_baseline_broadcast_profile(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_containment_blocked_equi_join(spark, sf_dir):
+    """Containment scale contract: candidates come from the shingle
+    inverted index (hash equi-join on the 8-byte blocking key) — never
+    an all-pairs nested loop; sizes join back on doc ids."""
+    from ballista_delta_spark.queries.dedup import dedup_containment
+
+    plan = _physical_plan(dedup_containment(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
