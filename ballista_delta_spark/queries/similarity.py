@@ -1180,3 +1180,44 @@ def emb_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("mind", 6).alias("min_dist"),
     )
+
+
+# --------------------------------------------------------- sim_range_search
+# Radius (threshold) similarity search: ALL corpus vectors within cosine
+# >= tau of each query — the other half of the ANN API surface (top-k
+# answers "the best k", range answers "everything close enough": dedup
+# gating, recall-complete retrieval, abuse-cluster expansion). Exact
+# single-pass plan: the tiny query set broadcasts over ONE corpus scan
+# and the threshold is a codegen'd filter — unlike top-k there is NO
+# window and NO exchange at all; the output is result-sized. At 100 TB
+# this is the floor for exact range search (the corpus is read once);
+# the approximate path would prefilter with multi-probe LSH at higher
+# tau. Engine parity: the sim_cosine_topk contract — identical unrolled
+# dot chains, cosine rounded to 6dp BEFORE the threshold compare, so the
+# admitted set is engine-identical by construction.
+_RANGE_TAU = 0.25
+
+
+@_q(
+    "sim_range_search",
+    f"""
+    WITH {_CORPUS_ORACLE}
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           {_COS_ORACLE} AS cos_sim
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES} AND {_COS_ORACLE} >= {_RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _corpus(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("q")
+    c = e.alias("c")
+    return (
+        q.join(c, F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("vec_id"),
+            _cos_spark().alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+    )

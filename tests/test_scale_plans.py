@@ -1287,3 +1287,19 @@ def test_dedup_containment_blocked_equi_join(spark, sf_dir):
     plan = _physical_plan(dedup_containment(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sim_range_search_no_window_no_exchange(spark, sf_dir):
+    """Range-search scale contract: the query set broadcasts over ONE
+    corpus scan with a codegen'd threshold filter — no window, no
+    exchange anywhere (that's what separates it from top-k); the only
+    join is the query-broadcast nested loop, which is O(|q| * N) by
+    design with |q| tiny."""
+    from ballista_delta_spark.queries.similarity import sim_range_search
+
+    plan = _physical_plan(sim_range_search(spark, sf_dir))
+    # the query-set BroadcastExchange is the point; SHUFFLES are forbidden
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
