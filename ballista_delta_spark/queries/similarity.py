@@ -1221,3 +1221,81 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _RANGE_TAU)
     )
+
+
+# --------------------------------------------------------- emb_label_drift
+# Per-label centroid drift: each label's centroid offset (L2 norm) from
+# the GLOBAL corpus centroid — the embedding-space class monitor ("did
+# cluster 3's vectors move after the encoder update?") that gates
+# retraining of anything keyed on label geometry (routing, IVF cells,
+# semantic-dedup thresholds). Scale shape: ONE narrow posexplode pass
+# collapses map-side to the (label x dim) matrix before the only
+# corpus-fed exchange (the emb_whiten stats contract); the global
+# centroid DERIVES from the label sums (exact DECIMAL adds — the corpus
+# is never re-read) and joins back BROADCAST per dim; the offset fold
+# over 64 dims accumulates in DECIMAL over round(term, 9) so the norm is
+# partitioning-order-proof. All downstream grains are labels x dims.
+@_q(
+    "emb_label_drift",
+    """
+    WITH x AS (
+      SELECT label, CAST(gs.i - 1 AS INTEGER) AS dim,
+             embedding[gs.i]::DOUBLE AS v
+      FROM embeddings, range(1, 65) gs(i)),
+    ld AS (
+      SELECT label, dim,
+             sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS s,
+             count(*) AS n
+      FROM x GROUP BY 1, 2),
+    g AS (
+      SELECT dim, sum(s) AS sg, sum(n) AS ng FROM ld GROUP BY 1),
+    terms AS (
+      SELECT ld.label, ld.n,
+             (CAST(ld.s AS DOUBLE) / ld.n - CAST(g.sg AS DOUBLE) / g.ng)
+             * (CAST(ld.s AS DOUBLE) / ld.n - CAST(g.sg AS DOUBLE) / g.ng)
+                 AS t
+      FROM ld JOIN g ON g.dim = ld.dim)
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           round(sqrt(CAST(sum(CAST(round(t, 9) AS DECIMAL(20,9)))
+                           AS DOUBLE)), 6) AS offset_norm
+    FROM terms GROUP BY label
+    """,
+)
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    x = e.select("label", F.posexplode("emb").alias("dim", "v"))
+    # The matrix feeds TWO branches (global derivation + per-label terms):
+    # without materialization Catalyst re-derives each branch from the raw
+    # corpus scan (observed: 2 parquet scans of the full table for a
+    # labels x 64 intermediate) — the dedup_minhash_lsh signature-table
+    # lesson. The checkpoint is labels x dims rows, trivially small.
+    ld = (
+        x.groupBy("label", "dim")
+        .agg(
+            F.expr("sum(CAST(round(v, 9) AS DECIMAL(20,9)))").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = ld.groupBy("dim").agg(
+        F.sum("s").alias("sg"), F.sum("n").alias("ng")
+    )
+    mu_l = F.col("s").cast("double") / F.col("n")
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    terms = ld.join(F.broadcast(g), "dim").select(
+        "label", "n", ((mu_l - mu_g) * (mu_l - mu_g)).alias("t")
+    )
+    return terms.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "CAST(sum(CAST(round(t, 9) AS DECIMAL(20,9))) "
+                    "AS DOUBLE)"
+                )
+            ),
+            6,
+        ).alias("offset_norm"),
+    )

@@ -1303,3 +1303,20 @@ def test_sim_range_search_no_window_no_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_emb_label_drift_single_corpus_agg(spark, sf_dir):
+    """Label-drift scale contract: the corpus feeds exactly ONE two-phase
+    agg (map-side partials collapse to label x dim before the exchange);
+    the global centroid derives from the label sums — the corpus is
+    never re-scanned (one parquet scan in the whole plan) — and joins
+    back broadcast."""
+    from ballista_delta_spark.queries.similarity import emb_label_drift
+
+    plan = _physical_plan(emb_label_drift(spark, sf_dir))
+    # the final plan serves BOTH branches from the checkpointed matrix:
+    # zero raw-corpus scans survive (the matrix is ExistingRDD)
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
