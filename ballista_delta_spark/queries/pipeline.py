@@ -2112,3 +2112,82 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("sd", 6) + F.lit(0.0)).alias("sd_v"),
         F.col("n_flagged").cast("bigint").alias("n_flagged"),
     )
+
+
+# ----------------------------------------------------- events_value_pareto
+# Engagement concentration: decile table of per-user total value ("the
+# top 10% of users produce X% of value") — the Pareto audit behind rate
+# limits, sampling caps, and contributor-skew checks on interaction
+# data. Scale shape: the fact shuffles ONCE (user grain, map-side
+# partials); everything after is USERS-sized — the decile assignment
+# needs a total order over per-user totals, which is the one global sort
+# this repo allows only on aggregated grains (users ≪ events; at larger
+# user counts swap ntile for pre-computed quantile boundaries — same
+# output contract). Engine parity: totals accumulate exactly in
+# DECIMAL(18,2) (the value column carries 2dp), ntile(10) has identical
+# remainder-to-leading-buckets semantics in both engines, ties break by
+# user_id, and shares divide exact decimal sums cast to double, rounded
+# 6dp.
+@_q(
+    "events_value_pareto",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY user_id),
+    deciled AS (
+      SELECT user_id, v,
+             ntile(10) OVER (ORDER BY v DESC, user_id) AS decile
+      FROM per_user),
+    tot AS (SELECT sum(v) AS vt, count(*) AS nu FROM per_user),
+    cells AS (
+      SELECT decile, count(*) AS n_users, sum(v) AS dv
+      FROM deciled GROUP BY decile)
+    SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(dv AS DOUBLE) / CAST(t.vt AS DOUBLE), 6)
+               AS share_of_value,
+           round(CAST(sum(dv) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t.vt AS DOUBLE), 6) AS cum_share
+    FROM cells CROSS JOIN tot t
+    """,
+)
+def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # per_user feeds TWO branches (decile assignment + grand total):
+    # materialize it once or Catalyst re-aggregates the raw fact per
+    # branch (observed: 2 fact scans + 2 fact-sized exchanges).
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "sum(CAST(round(value, 2) AS DECIMAL(18,2)))"
+            ).alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.col("v").desc(), "user_id")
+    deciled = per_user.select(
+        "v", F.ntile(10).over(w).alias("decile")
+    )
+    tot = per_user.agg(
+        F.sum("v").alias("vt"), F.count("*").alias("nu")
+    )
+    cells = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("v").alias("dv")
+    )
+    wc = Window.orderBy("decile")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(
+                F.col("dv").cast("double") / F.col("vt").cast("double"), 6
+            ).alias("share_of_value"),
+            F.round(
+                F.sum("dv").over(wc).cast("double")
+                / F.col("vt").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

@@ -1320,3 +1320,19 @@ def test_emb_label_drift_single_corpus_agg(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_events_value_pareto_fact_shuffles_once(spark, sf_dir):
+    """Pareto scale contract: the fact shuffles exactly once (user
+    grain, two-phase agg); the global ntile order runs over the
+    users-sized aggregate, never the raw fact; no SMJ anywhere."""
+    from ballista_delta_spark.queries.pipeline import events_value_pareto
+
+    plan = _physical_plan(events_value_pareto(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    # both branches serve from the ONE checkpointed per-user table: no
+    # raw-fact scan (or its user_id exchange) survives in the final plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
