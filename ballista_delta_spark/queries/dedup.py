@@ -142,7 +142,15 @@ def _capped_shingles(sh: DataFrame) -> DataFrame:
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """Candidate pairs from the shared-shingle inverted index + exact
-    Jaccard. Shuffles on `shingle` (the blocking key), then on the pair."""
+    Jaccard. Shuffles on `shingle` (the blocking key), then on the pair.
+
+    The shingle table feeds THREE branches (both sides of the capped
+    self-join + the sizes relation): materialize it once or Catalyst
+    re-runs the md5 shingling scan per branch (observed: 4 corpus scans
+    in dedup_ngram_jaccard's final plan — the same lesson the minhash
+    signature table learned in r3). Production shape: the inverted index
+    is built once and persisted; the checkpoint is its local analogue."""
+    sh = sh.localCheckpoint(eager=False)
     capped = _capped_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = capped.alias("a")
@@ -1090,7 +1098,8 @@ _CONTAIN_T = 0.9
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_spark(spark, sf_dir)
+    # same three-branch reuse as _jaccard_pairs: one shingling pass
+    sh = _shingles_spark(spark, sf_dir).localCheckpoint(eager=False)
     capped = _capped_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = capped.alias("a"), capped.alias("b")

@@ -1982,7 +1982,15 @@ def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("CAST(n_chars DIV 50 AS BIGINT)").alias("bucket"),
     )
-    c = d.groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    # The matrix feeds FIVE branches (marginals x2, constants, grid x2):
+    # materialize it once or Catalyst re-aggregates the raw corpus per
+    # branch (observed: 6 corpus scans for a sources x buckets
+    # intermediate). The checkpoint is matrix-sized.
+    c = (
+        d.groupBy("source", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     ts = c.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("n_s")
     )
@@ -2080,16 +2088,23 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = F.expr(
         "CAST(sum(CAST(round(v * v, 9) AS DECIMAL(20,9))) AS DOUBLE)"
     )
-    prof = e.groupBy("event_type", "hr").agg(
-        F.count("*").alias("n"),
-        (s1 / F.count("*")).alias("mu"),
-        F.sqrt(
-            F.greatest(
-                s2 / F.count("*")
-                - (s1 / F.count("*")) * (s1 / F.count("*")),
-                F.lit(0.0),
-            )
-        ).alias("sd"),
+    # the profile feeds TWO branches (the flag join + the final join):
+    # checkpoint the 24 x types rows so the fact isn't re-aggregated per
+    # branch (observed: 3 fact scans pre-fix, 2 by design after)
+    prof = (
+        e.groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            (s1 / F.count("*")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    s2 / F.count("*")
+                    - (s1 / F.count("*")) * (s1 / F.count("*")),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+        )
+        .localCheckpoint(eager=False)
     )
     flags = (
         e.join(F.broadcast(prof), ["event_type", "hr"])
