@@ -718,7 +718,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_spark(spark, sf_dir)
+    # four branches (history side, new batch, both size aliases) off one
+    # shingle table: checkpoint it so the md5 shingling runs once — the
+    # _jaccard_pairs lesson (pre-fix: 4 corpus scans in the final plan)
+    sh = _shingles_spark(spark, sf_dir).localCheckpoint(eager=False)
     hist = _capped_shingles(sh.filter("doc_id % 4 != 0"))
     newb = sh.filter("doc_id % 4 = 0")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
