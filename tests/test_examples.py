@@ -30,3 +30,18 @@ def test_llm_data_pipeline_example_runs_end_to_end():
     assert bronze == 500
     assert 0 < silver < bronze      # dedup+quality really dropped docs
     assert int(parts["gold"]) > 0   # packing produced training rows
+
+
+def test_corpus_monitor_example_runs(spark):
+    """The monitoring composition must stay runnable and every section
+    must emit its verdict line."""
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(_ROOT, "examples", "corpus_monitor.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    for marker in ("[drift]", "[langid]", "[entropy]", "[pareto]",
+                   "[seasonal]", "[embeddings]", "monitor_ok=1"):
+        assert marker in out.stdout, out.stdout
