@@ -1543,6 +1543,21 @@ _LEGACY_WRITER_FEATURES = {
 }
 _LEGACY_READER_FEATURES = {2: ("columnMapping",)}
 
+# Features gated on BOTH protocol lists (reader 3 / writer 7) — the same
+# set the snapshot loader's reader allowlist accepts. Everything else
+# supported here is writer-only.
+_READER_WRITER_FEATURES = {
+    "timestampNtz", "v2Checkpoint", "columnMapping", "deletionVectors",
+    "typeWidening", "variantType", "vacuumProtocolCheck",
+}
+
+# Every feature name `delta.feature.<name> = 'supported'` may add: the
+# writer allowlist plus the legacy-version-implied writer features.
+_ALL_TABLE_FEATURES = (
+    _SUPPORTED_WRITER_FEATURES
+    | {f for feats in _LEGACY_WRITER_FEATURES.values() for f in feats}
+)
+
 
 # Column types whose PRESENCE in the schema demands a table feature pair
 # (reader 3 / writer 7) per the Delta spec — readers that don't know the
@@ -3118,6 +3133,32 @@ def alter_properties(
         raise ValueError(
             "use ALTER TABLE ADD/DROP CONSTRAINT for delta.constraints.*"
         )
+    # delta.feature.<name> = 'supported' is a PROTOCOL directive, not a
+    # config entry (delta-spark's property-driven feature enablement):
+    # it adds the named feature to the protocol lists — without flipping
+    # any behavior property — and the key itself is never persisted in
+    # the table configuration. UNSET cannot remove a feature (spec:
+    # that's DROP FEATURE's job, with its trace checks).
+    set_props = dict(set_props or {})
+    props_for_info = dict(set_props)
+    feature_reqs: list[str] = []
+    for k in [k for k in set_props if k.startswith("delta.feature.")]:
+        name = k[len("delta.feature."):]
+        val = (set_props.pop(k) or "").lower()
+        if val not in ("supported", "enabled"):
+            raise ValueError(
+                f"delta.feature.{name} only accepts 'supported' "
+                f"(got {val!r})"
+            )
+        if name not in _ALL_TABLE_FEATURES:
+            raise ValueError(f"unknown Delta table feature {name!r}")
+        feature_reqs.append(name)
+    for k in unset_keys or []:
+        if k.startswith("delta.feature."):
+            raise ValueError(
+                "table features cannot be removed via UNSET TBLPROPERTIES"
+                " — use ALTER TABLE ... DROP FEATURE"
+            )
     cfg = dict(snap.configuration)
     for k, v in (set_props or {}).items():
         cfg[k] = str(v)
@@ -3137,9 +3178,11 @@ def alter_properties(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "SET TBLPROPERTIES"
-                if set_props else "UNSET TBLPROPERTIES",
+                if props_for_info else "UNSET TBLPROPERTIES",
                 "operationParameters": {
-                    "properties": json.dumps(set_props or unset_keys or {}),
+                    "properties": json.dumps(
+                        props_for_info or unset_keys or {}
+                    ),
                 },
                 "engineInfo": ENGINE_INFO,
                 "txnId": str(uuid.uuid4()),
@@ -3153,6 +3196,17 @@ def alter_properties(
     # from the same stale snapshot would each drop the others' features
     # (replay takes the last protocol action).
     upgrades: list[dict[str, Any]] = []
+    for name in feature_reqs:
+        already = name in snap.writer_features or any(
+            name in feats and snap.min_writer_version >= v
+            for v, feats in _LEGACY_WRITER_FEATURES.items()
+        )
+        if already:
+            continue
+        kw: dict[str, Any] = {"min_writer": 7, "writer_feature": name}
+        if name in _READER_WRITER_FEATURES:
+            kw.update({"min_reader": 3, "reader_feature": name})
+        upgrades.append(kw)
     if cfg.get("delta.enableChangeDataFeed", "").lower() == "true" and (
         snap.min_writer_version < 4
         or (

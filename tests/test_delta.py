@@ -1476,3 +1476,56 @@ def test_vacuum_protocol_check_feature(spark, tmp_path):
     bump_protocol(["futureDvStorageFormat"])
     with pytest.raises(ValueError, match="futureDvStorageFormat"):
         vacuum(tbl, retention_ms=0, dry_run=True)
+
+
+def test_delta_feature_property_upgrades_protocol(spark, tmp_path):
+    """delta.feature.<name>='supported' is a protocol directive: the
+    feature joins the protocol lists (reader+writer for reader-writer
+    features), the key itself is NEVER persisted in the configuration,
+    and UNSET refuses (DROP FEATURE owns removal)."""
+    import pytest
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        alter_properties,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(5).selectExpr("id"), tbl)
+
+    alter_properties(
+        spark, tbl, set_props={"delta.feature.deletionVectors": "supported"}
+    )
+    snap = _load_snapshot(tbl)
+    assert "deletionVectors" in snap.writer_features
+    assert "deletionVectors" in snap.reader_features
+    assert snap.min_reader_version >= 3 and snap.min_writer_version >= 7
+    assert "delta.feature.deletionVectors" not in snap.configuration
+
+    # writer-only feature: reader list untouched
+    alter_properties(
+        spark, tbl, set_props={"delta.feature.appendOnly": "supported"}
+    )
+    snap = _load_snapshot(tbl)
+    assert "appendOnly" in snap.writer_features
+    assert "appendOnly" not in snap.reader_features
+
+    # idempotent re-set commits no second upgrade; unknown names refuse
+    v = snap.version
+    alter_properties(
+        spark, tbl, set_props={"delta.feature.appendOnly": "supported"}
+    )
+    assert "appendOnly" in _load_snapshot(tbl).writer_features
+    with pytest.raises(ValueError, match="unknown Delta table feature"):
+        alter_properties(
+            spark, tbl, set_props={"delta.feature.notAThing": "supported"}
+        )
+    with pytest.raises(ValueError, match="DROP FEATURE"):
+        alter_properties(
+            spark, tbl, unset_keys=["delta.feature.appendOnly"]
+        )
+    with pytest.raises(ValueError, match="only accepts"):
+        alter_properties(
+            spark, tbl, set_props={"delta.feature.invariants": "false"}
+        )
