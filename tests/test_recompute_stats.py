@@ -163,3 +163,38 @@ def test_recompute_variant_table_spark_fallback(spark, tmp_path):
 
     with pytest.raises(ValueError, match="variant"):
         recompute_stats(tbl)
+
+
+def test_recompute_loses_race_cleanly(spark, sf_dir, monkeypatch):
+    """COMPUTE STATS is not a blind append — losing an optimistic-commit
+    race must raise ConcurrentWriteException (the caller reloads and
+    retries), never silently clobber the winner's version."""
+    import pytest
+
+    from ballista_delta_spark.sources.delta import ConcurrentWriteException
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="bds-stats-"), "t")
+    write_delta(
+        spark.read.parquet(f"{sf_dir}/region.parquet"), tbl, mode="overwrite"
+    )
+
+    real_link = os.link
+    state = {"armed": True}
+
+    def fake(src: str, dst: str):
+        if state["armed"] and "_delta_log" in dst and dst.endswith(".json"):
+            state["armed"] = False
+            with open(dst, "w") as fh:
+                fh.write(json.dumps(
+                    {"commitInfo": {"timestamp": 0, "operation": "DELETE"}}
+                ) + "\n")
+                fh.write(json.dumps(
+                    {"remove": {"path": "nope.parquet",
+                                "deletionTimestamp": 0,
+                                "dataChange": True}}
+                ) + "\n")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", fake)
+    with pytest.raises(ConcurrentWriteException):
+        recompute_stats(tbl)
