@@ -516,3 +516,80 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --- J13 join_asof_forward: the FORWARD as-of direction — for every
+# click, the EARLIEST view by the same user at-or-after the click
+# ("time to next impression", the attribution/lookahead twin of J10's
+# most-recent-prior). Same zero-join scale shape as join_asof: union +
+# first-following window resolves every match in one ordered pass per
+# user partition — never a per-key nested loop or range theta join.
+# Ties: a view at the exact click ts qualifies (sorts after the click
+# via the type flag); equal-ts views dedupe to the max event_id so the
+# oracle's ASOF pick is deterministic.
+@_q(
+    "join_asof_forward",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS next_view_id, v.ts AS next_view_ts,
+           v.value AS next_view_value
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "ts", "event_id", "value", F.lit(0).alias("is_click")
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_click"),
+    )
+    both = views.unionByName(clicks)
+    # clicks sort BEFORE same-ts views (is_click DESC) so the inclusive
+    # forward frame sees the same-instant view
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").desc(), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(
+                F.col("event_id").alias("next_view_id"),
+                F.col("ts").alias("next_view_ts"),
+                F.col("value").alias("next_view_value"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        both.withColumn("v", nxt)
+        .filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("v.next_view_id").alias("next_view_id"),
+            F.col("v.next_view_ts").alias("next_view_ts"),
+            F.col("v.next_view_value").alias("next_view_value"),
+        )
+    )

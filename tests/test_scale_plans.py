@@ -1347,3 +1347,15 @@ def test_events_value_pareto_fact_shuffles_once(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_asof_forward_is_single_pass_no_nested_loop(spark, sf_dir):
+    """The forward as-of must keep J10's zero-join shape: no join
+    operator at all, one user_id window pass resolving every match."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_asof_forward"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
