@@ -1299,3 +1299,65 @@ def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("offset_norm"),
     )
+
+
+# ------------------------------------------------------ sim_hard_negatives
+# Hard-negative mining for contrastive training (the batch-construction
+# step behind every dual-encoder / CLIP-style run): for each query
+# vector, the top-k most-SIMILAR corpus vectors carrying a DIFFERENT
+# label — maximally confusing negatives, where random negatives teach
+# nothing. Same exact-scan scale shape as sim_cosine_topk (tiny query
+# set broadcast over one corpus pass, per-query top-k window with
+# WindowGroupLimit pushdown); the label-mismatch predicate rides the
+# join condition so matched-label rows never reach the window. At
+# production scale the corpus side narrows to the query's IVF cell
+# first — the same composition sim_ivf_topk registers.
+@_q(
+    "sim_hard_negatives",
+    f"""
+    WITH e2 AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb,
+             sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                            FOR i IN range(1, len(embedding) + 1)])) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS neg_label,
+             round(list_sum([q.emb[i] * c.emb[i]
+                             FOR i IN range(1, len(q.emb) + 1)])
+                   / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM e2 q JOIN e2 c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < {_N_QUERIES}),
+    ranked AS (
+      SELECT query_id, vec_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT query_id, vec_id, neg_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", F.sqrt(F.expr(dot_expr("emb", "emb"))))
+    q = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("q")
+    c = e.alias("c")
+    scored = q.join(
+        c,
+        (F.col("c.vec_id") != F.col("q.vec_id"))
+        & (F.col("c.label") != F.col("q.label")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        F.col("c.label").alias("neg_label"),
+        _cos_spark().alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOPK
+    )

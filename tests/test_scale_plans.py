@@ -1359,3 +1359,16 @@ def test_asof_forward_is_single_pass_no_nested_loop(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_sim_hard_negatives_windowgrouplimit(spark, sf_dir):
+    """Hard-negative mining keeps the exact-scan contract: broadcast
+    query set, label-mismatch predicate INSIDE the join (matched labels
+    never reach the window), WindowGroupLimit below the final exchange,
+    no corpus shuffle before the top-k."""
+    from ballista_delta_spark.queries.similarity import sim_hard_negatives
+
+    plan = _physical_plan(sim_hard_negatives(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
