@@ -756,3 +756,101 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{entropy} >= 4.0 AS keep",
         )
     )
+
+
+# --- text_pmi_topk: top collocations by pointwise mutual information —
+# PMI(w1,w2) = ln(c12 * N / (c1 * c2)) over adjacent-pair and unigram
+# counts, with a min-count floor so rare accidental pairs can't dominate
+# (the classic collocation/phrase-mining measure; raw bigram counts —
+# text_bigram_topk — only surface FREQUENT pairs, PMI surfaces BOUND
+# ones). Scale shape: two corpus passes by construction (pair counts and
+# word counts are different grains of the token stream; N derives from
+# the unigram relation, no third pass), each a map-side-partial hash agg
+# whose exchange is vocabulary-sized; the unigram relation joins back
+# twice BROADCAST (w1, w2); the final cut is a TakeOrderedAndProject on
+# the ROUNDED score (round-before-sort keeps rank order engine-identical)
+# with the pair text as tie-break. Counts are exact ints; the PMI
+# expression has identical shape both engines.
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@_q(
+    "text_pmi_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS t
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    n AS (SELECT sum(c) AS n_tok FROM uni),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+      FROM toks, range(1, 10000) r(i)
+      WHERE i < len(t)
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_COUNT})
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+           round(ln(p.c12 * 1.0 * n.n_tok / (u1.c * 1.0 * u2.c)), 6)
+               AS pmi
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN n
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds three branches (both join probes + the N total):
+        # vocabulary-sized, materialize once
+        .localCheckpoint(eager=False)
+    )
+    n = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = (
+        d.select(
+            F.explode(
+                F.expr(
+                    f"""
+                    zip_with(slice(split(text, '{_WS_SQL}'), 1,
+                                   size(split(text, '{_WS_SQL}')) - 1),
+                             slice(split(text, '{_WS_SQL}'), 2,
+                                   size(split(text, '{_WS_SQL}')) - 1),
+                             (a, b) -> struct(a AS w1, b AS w2))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni.alias("u1")
+    u2 = uni.alias("u2")
+    return (
+        pairs.join(F.broadcast(u1), F.col("w1") == F.col("u1.w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log(
+                    F.col("c12") * 1.0 * F.col("n_tok")
+                    / (F.col("u1.c") * 1.0 * F.col("u2.c"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

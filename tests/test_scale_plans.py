@@ -1372,3 +1372,17 @@ def test_sim_hard_negatives_windowgrouplimit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_text_pmi_topk_vocab_broadcast_takeordered(spark, sf_dir):
+    """PMI scale contract: the vocabulary-sized unigram relation serves
+    all three consumers from one checkpoint and joins back BROADCAST;
+    the final cut is a distributed TakeOrderedAndProject — no
+    vocab^2-sized global sort, no SMJ."""
+    from ballista_delta_spark.queries.text import text_pmi_topk
+
+    plan = _physical_plan(text_pmi_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan, plan
