@@ -2206,3 +2206,72 @@ def events_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------- events_streaks
+# Consecutive-day activity streaks per user — the canonical
+# gaps-and-islands window pattern (habit/retention metric: "longest run
+# of daily activity"). island id = active_day - row_number(): constant
+# within a consecutive run, jumps across gaps. Scale shape: the fact
+# collapses map-side to (user, day) grain before ONE user-keyed
+# exchange; both windows (row_number, island grouping) and the final
+# per-user fold reuse that single partitioning (pinned: exactly one hash
+# exchange) — day grids are integer-exact in both engines, ties for the
+# longest streak break to the EARLIEST start.
+@_q(
+    "events_streaks",
+    """
+    WITH isl AS (
+      SELECT user_id, d,
+             CAST(d - CAST('2024-01-01' AS DATE) AS INTEGER)
+               - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events)),
+    runs AS (
+      SELECT user_id, grp, count(DISTINCT d) AS len,
+             min(d) AS run_start, max(d) AS run_end
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           min(CASE WHEN len = ml THEN run_start END) AS streak_start
+    FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM runs)
+    GROUP BY user_id
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # day-dedup rides the SAME user_id partitioning as everything else:
+    # dense_rank over the raw (user, day) rows gives duplicates of a day
+    # the same rank (so the same island id), and count(DISTINCT d) does
+    # the dedup inside the run fold — a separate .distinct() first would
+    # cost its own (user, day) exchange before the user window.
+    days = e.select("user_id", F.col("ts").cast("date").alias("d"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast(
+                "int"
+            )
+            - F.dense_rank().over(w).cast("int")
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.countDistinct("d").alias("len"),
+        F.min("d").alias("run_start"),
+        F.max("d").alias("run_end"),
+    )
+    wu = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("ml", F.max("len").over(wu))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("ml"), F.col("run_start"))
+            ).alias("streak_start"),
+        )
+    )

@@ -1386,3 +1386,16 @@ def test_text_pmi_topk_vocab_broadcast_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_events_streaks_one_user_exchange(spark, sf_dir):
+    """Gaps-and-islands scale contract: the fact collapses to (user,
+    day) grain map-side, then BOTH windows and the final fold reuse ONE
+    user-keyed partitioning — a second hash exchange means the islands
+    trick re-shuffled; no joins anywhere."""
+    from ballista_delta_spark.queries.pipeline import events_streaks
+
+    plan = _physical_plan(events_streaks(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
