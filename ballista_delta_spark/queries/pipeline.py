@@ -2275,3 +2275,174 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("streak_start"),
         )
     )
+
+
+# ------------------------------------------------------------ events_rfm
+# RFM (recency / frequency / monetary) customer segmentation — the
+# classic engagement-grading grid behind lifecycle campaigns and churn
+# triage. Each user's three metrics are scored 1-5 against the corpus's
+# own quintile cutpoints, then the population is profiled per (r, f, m)
+# cell with a named segment.
+#
+# Scale shape: the fact shuffles ONCE (user grain, map-side partials).
+# Scoring does NOT use a global ntile window (a total order over all
+# users — the thing events_value_pareto's docstring promises to swap out
+# at scale): the four cutpoints per metric come from ONE single-row
+# percentile aggregate over the users-sized table, broadcast back, so
+# classification is a map-side projection. Two exchanges total (user
+# agg + the 125-cell final fold), no global sort anywhere.
+#
+# Engine parity: metrics are exact (ints; DECIMAL(18,2) money). Both
+# engines interpolate percentiles linearly over the SAME doubles, and
+# every true cutpoint has <= 4 decimal digits (quintile fractions x
+# 2dp-grid money), so round(cut, 4) erases any ulp disagreement in the
+# interpolation order before the >= comparisons run.
+_RFM_P = "0.2, 0.4, 0.6, 0.8"
+
+
+def _rfm_score(v: str, cuts: list[str], reverse: bool = False) -> str:
+    """1-5 score: identical CASE-free SQL in both dialects."""
+    op = "<" if reverse else ">"
+    terms = " + ".join(
+        f"(CASE WHEN {v} {op} {c} THEN 1 ELSE 0 END)" for c in cuts
+    )
+    return f"1 + {terms}"
+
+
+_RFM_SEG = """
+CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+     WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+     WHEN f_score >= 4 THEN 'loyal'
+     WHEN m_score >= 4 THEN 'big_spender'
+     ELSE 'regular' END
+"""
+
+_RFM_R_SCORE = _rfm_score("recency_d", ["rc1", "rc2", "rc3", "rc4"], reverse=True)
+_RFM_F_SCORE = _rfm_score("freq", ["fc1", "fc2", "fc3", "fc4"])
+_RFM_M_SCORE = _rfm_score("CAST(monetary AS DOUBLE)", ["mc1", "mc2", "mc3", "mc4"])
+
+
+@_q(
+    "events_rfm",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_d,
+             count(*) AS freq,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS monetary
+      FROM events GROUP BY user_id),
+    anchor AS (SELECT max(last_d) AS a0 FROM per_user),
+    rfm AS (
+      SELECT user_id,
+             CAST(a.a0 - last_d AS INTEGER) AS recency_d,
+             freq, monetary
+      FROM per_user CROSS JOIN anchor a),
+    cuts AS (
+      SELECT quantile_cont(CAST(recency_d AS DOUBLE), [{_RFM_P}]) AS rc,
+             quantile_cont(CAST(freq AS DOUBLE), [{_RFM_P}]) AS fc,
+             quantile_cont(CAST(monetary AS DOUBLE), [{_RFM_P}]) AS mc
+      FROM rfm),
+    scored AS (
+      SELECT user_id, recency_d, freq, monetary,
+             {_RFM_R_SCORE} AS r_score,
+             {_RFM_F_SCORE} AS f_score,
+             {_RFM_M_SCORE} AS m_score
+      FROM rfm CROSS JOIN (
+        SELECT round(rc[1], 4) AS rc1, round(rc[2], 4) AS rc2,
+               round(rc[3], 4) AS rc3, round(rc[4], 4) AS rc4,
+               round(fc[1], 4) AS fc1, round(fc[2], 4) AS fc2,
+               round(fc[3], 4) AS fc3, round(fc[4], 4) AS fc4,
+               round(mc[1], 4) AS mc1, round(mc[2], 4) AS mc2,
+               round(mc[3], 4) AS mc3, round(mc[4], 4) AS mc4
+        FROM cuts))
+    SELECT r_score, f_score, m_score,
+           {_RFM_SEG} AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(CAST(sum(monetary) AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_value,
+           CAST(round(avg(CAST(recency_d AS DOUBLE)), 4) AS DOUBLE)
+               AS avg_recency_d
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # per_user feeds three branches (anchor, cutpoints, scoring):
+    # materialize once or Catalyst re-runs the fact-sized aggregate per
+    # branch (the events_value_pareto lesson).
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.expr("sum(CAST(round(value, 2) AS DECIMAL(18,2)))").alias(
+                "monetary"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    anchor = per_user.agg(F.max("last_d").alias("a0"))
+    rfm = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a0", "last_d").cast("int").alias("recency_d"),
+            "freq",
+            "monetary",
+        )
+        .localCheckpoint(eager=False)
+    )
+    cuts = rfm.agg(
+        F.expr(
+            f"percentile(CAST(recency_d AS DOUBLE), array({_RFM_P}))"
+        ).alias("rc"),
+        F.expr(f"percentile(CAST(freq AS DOUBLE), array({_RFM_P}))").alias(
+            "fc"
+        ),
+        F.expr(
+            f"percentile(CAST(monetary AS DOUBLE), array({_RFM_P}))"
+        ).alias("mc"),
+    ).selectExpr(
+        *[
+            f"round({m}[{i}], 4) AS {m}{i + 1}"
+            for m in ("rc", "fc", "mc")
+            for i in range(4)
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).selectExpr(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary",
+        f"{_RFM_R_SCORE} AS r_score",
+        f"{_RFM_F_SCORE} AS f_score",
+        f"{_RFM_M_SCORE} AS m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("monetary")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
+            F.round(F.avg(F.col("recency_d").cast("double")), 4)
+            .cast("double")
+            .alias("avg_recency_d"),
+        )
+        .selectExpr(
+            "r_score",
+            "f_score",
+            "m_score",
+            f"{_RFM_SEG} AS segment",
+            "n_users",
+            "total_value",
+            "avg_recency_d",
+        )
+        .select(
+            "r_score", "f_score", "m_score", "segment",
+            "n_users", "total_value", "avg_recency_d",
+        )
+    )

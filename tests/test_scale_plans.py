@@ -1399,3 +1399,21 @@ def test_events_streaks_one_user_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_rfm_broadcast_cuts_no_global_sort(spark, sf_dir):
+    """RFM scale contract: quintile scoring uses BROADCAST cutpoints
+    from a single-row percentile aggregate — never a global ntile
+    window over all users (no rangepartitioning, no per-user sort).
+    Both scoring branches serve from the checkpointed users-sized
+    table: the raw fact never re-scans, and the only hash exchange is
+    the 125-cell final fold."""
+    from ballista_delta_spark.queries.pipeline import events_rfm
+
+    plan = _physical_plan(events_rfm(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
