@@ -854,3 +854,91 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# -------------------------------------------------------- text_zipf_fit
+# Zipf's-law fit per language: OLS slope/intercept/R^2 of ln(freq) vs
+# ln(rank) over each language's top-ranked vocabulary. Natural corpora
+# sit near slope -1; token salad, boilerplate floods, and synthetic
+# spam bend the curve — this is the distributional twin of the
+# per-document entropy gate (a corpus-level drift monitor, run per
+# ingest batch).
+#
+# Scale shape: ONE vocabulary-sized exchange (map-side partial counts),
+# then the per-lang rank cut rides a WindowGroupLimit (each task keeps
+# its local top-200 BEFORE the shuffle — the full per-lang vocabulary is
+# never sorted); everything after is <= 200 rows per language. Engine
+# parity: ranks and counts are exact integers, so ln() doubles are
+# bit-identical; every OLS moment is a DECIMAL sum of round(term, 9)
+# (partitioning-order-proof); the closed-form slope then evaluates the
+# SAME double expression in both engines and rounds to 6dp.
+_ZIPF_R = 200
+_ZIPF_MOMS = (
+    ("sx", "lx"), ("sy", "ly"),
+    ("sxy", "lx * ly"), ("sxx", "lx * lx"), ("syy", "ly * ly"),
+)
+_ZIPF_SUMS = ", ".join(
+    f"CAST(sum(CAST(round({expr}, 9) AS DECIMAL(20,9))) AS DOUBLE) AS {nm}"
+    for nm, expr in _ZIPF_MOMS
+)
+_ZIPF_SLOPE = "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+_ZIPF_R2 = (
+    "((k * sxy - sx * sy) * (k * sxy - sx * sy))"
+    " / ((k * sxx - sx * sx) * (k * syy - sy * sy))"
+)
+
+
+@_q(
+    "text_zipf_fit",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '{_WS}')) AS w
+      FROM documents),
+    counts AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY lang, w),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS r
+      FROM counts QUALIFY r <= {_ZIPF_R}),
+    pts AS (SELECT lang, ln(r) AS lx, ln(n) AS ly FROM ranked),
+    moms AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS k, {_ZIPF_SUMS}
+      FROM pts GROUP BY lang)
+    SELECT lang, CAST(k AS BIGINT) AS n_ranks,
+           round({_ZIPF_SLOPE}, 6) AS zipf_slope,
+           round((sy - ({_ZIPF_SLOPE}) * sx) / k, 6) AS zipf_intercept,
+           round({_ZIPF_R2}, 6) AS fit_r2
+    FROM moms
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split(F.lower("text"), _WS)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "w")
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_R)
+        .selectExpr("lang", "ln(r) AS lx", "ln(n) AS ly")
+    )
+    moms = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        *[
+            F.expr(
+                f"CAST(sum(CAST(round({expr}, 9) AS DECIMAL(20,9)))"
+                f" AS DOUBLE)"
+            ).alias(nm)
+            for nm, expr in _ZIPF_MOMS
+        ],
+    )
+    return moms.selectExpr(
+        "lang",
+        "CAST(k AS BIGINT) AS n_ranks",
+        f"round({_ZIPF_SLOPE}, 6) AS zipf_slope",
+        f"round((sy - ({_ZIPF_SLOPE}) * sx) / k, 6) AS zipf_intercept",
+        f"round({_ZIPF_R2}, 6) AS fit_r2",
+    )

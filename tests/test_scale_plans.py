@@ -1417,3 +1417,17 @@ def test_events_rfm_broadcast_cuts_no_global_sort(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") >= 2, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_text_zipf_fit_windowgrouplimit_one_vocab_exchange(spark, sf_dir):
+    """Zipf-fit scale contract: the rank cut is a WindowGroupLimit
+    (local top-200 per task BEFORE the shuffle — the per-lang
+    vocabulary is never fully sorted), the corpus shuffles once into
+    the vocab-grain aggregate, and no join appears anywhere."""
+    from ballista_delta_spark.queries.text import text_zipf_fit
+
+    plan = _physical_plan(text_zipf_fit(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
