@@ -1135,3 +1135,59 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _CONTAIN_T)
     )
+
+
+# ---------------------------------------------------- dedup_survivorship
+# Canonical-document selection ("survivorship"): exact-duplicate groups
+# keep their BEST copy — longest text, then lowest doc_id as the
+# deterministic tie-break — and the per-language ledger reports what
+# dedup kept vs dropped in documents AND bytes. This is the accounting
+# step every production dedup run emits (the "we removed 38% of bytes"
+# table in every dataset paper); dedup_exact answers "which groups",
+# this answers "what survives and what did it cost".
+#
+# Scale shape: ONE md5-grain exchange (the same key dedup_exact
+# shuffles on); the survivor pick is a row_number window REUSING that
+# partitioning (no second exchange, no join back to the corpus); the
+# final per-lang fold shuffles only lang-grain partials. Engine parity:
+# the pick is integer-ordered (n_chars, doc_id), byte counts are exact
+# BIGINT sums.
+@_q(
+    "dedup_survivorship",
+    """
+    WITH picked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_dropped
+    FROM picked GROUP BY lang
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    picked = d.select(
+        "lang", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    keep = F.when(F.col("rn") == 1, 1).otherwise(0)
+    drop = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(keep).cast("bigint").alias("n_survivors"),
+        F.sum(drop).cast("bigint").alias("n_dropped"),
+        F.sum(keep * F.col("n_chars")).cast("bigint").alias("chars_kept"),
+        F.sum(drop * F.col("n_chars")).cast("bigint").alias("chars_dropped"),
+    )

@@ -1431,3 +1431,17 @@ def test_text_zipf_fit_windowgrouplimit_one_vocab_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dedup_survivorship_one_md5_exchange_no_join(spark, sf_dir):
+    """Survivorship scale contract: the survivor pick reuses the ONE
+    md5-grain partitioning (window over the same exchange dedup_exact
+    shuffles on) and never joins back to the corpus; the lang fold is
+    the only other exchange."""
+    from ballista_delta_spark.queries.dedup import dedup_survivorship
+
+    plan = _physical_plan(dedup_survivorship(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
