@@ -593,3 +593,99 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.next_view_value").alias("next_view_value"),
         )
     )
+
+
+# --- J14 join_interval_overlap: INTERVAL x INTERVAL overlap join — both
+# sides are time spans (per-user daily activity windows), and the result
+# is concurrent-activity pairs ("which users were active at the same
+# time for >= 30 min"). Spark has no native interval join; the naive
+# form is a per-day nested loop. The banding upgrade of J11 for the
+# two-interval case: each span explodes to the hour buckets it covers,
+# pairs equi-join on the bucket, and the DEDUP-FREE trick keeps a pair
+# only in the single bucket containing the overlap's start — every
+# overlapping pair matches exactly once, so no distinct-pairs shuffle is
+# ever needed. Join parallelism is #(hour buckets), not #days or #users;
+# at 100 TB the bucket width is the tuning knob (width ~ median span
+# keeps the explode factor ~2).
+_OVL_BUCKET_S = 3600
+_OVL_MIN_US = 1800 * 1_000_000  # >= 30 min of overlap
+
+
+@_q(
+    "join_interval_overlap",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE))
+    SELECT a.d AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(CAST(sum(epoch_us(least(a.e, b.e))
+                               - epoch_us(greatest(a.s, b.s))) AS DOUBLE)
+                      / count(*) / 1000000.0, 4)
+                AS DOUBLE) AS avg_overlap_s
+    FROM spans a JOIN spans b
+      ON a.d = b.d AND a.user_id < b.user_id
+     AND epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+         >= 1800000000
+    GROUP BY a.d
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # spans feeds BOTH sides of the self-join: materialize the user-day
+    # aggregate once or each side re-shuffles the raw fact.
+    spans = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select(
+            "user_id", "d", "s", "e",
+            F.floor(F.unix_timestamp("s") / _OVL_BUCKET_S).alias("b_lo"),
+            F.floor(F.unix_timestamp("e") / _OVL_BUCKET_S).alias("b_hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = spans.select(
+        F.col("user_id").alias("ua"),
+        F.col("d").alias("da"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        F.explode(F.expr("sequence(b_lo, b_hi)")).alias("bucket"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("ub"),
+        F.col("d").alias("db"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.explode(F.expr("sequence(b_lo, b_hi)")).alias("bucket"),
+    )
+    ov_us = F.unix_micros(F.least("ea", "eb")) - F.unix_micros(
+        F.greatest("sa", "sb")
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("da") == F.col("db"))
+            & (F.col("ua") < F.col("ub"))
+            & (ov_us >= _OVL_MIN_US)
+            # dedup-free banding: keep the pair ONLY in the bucket that
+            # contains the overlap's start — exactly one match per pair
+            & (
+                F.floor(
+                    F.unix_timestamp(F.greatest("sa", "sb")) / _OVL_BUCKET_S
+                )
+                == F.col("bucket")
+            )
+        )
+    )
+    return pairs.groupBy(F.col("da").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(ov_us).cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0,
+            4,
+        )
+        .cast("double")
+        .alias("avg_overlap_s"),
+    )

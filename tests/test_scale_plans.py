@@ -1445,3 +1445,20 @@ def test_dedup_survivorship_one_md5_exchange_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_join_interval_overlap_banded_equi_join(spark, sf_dir):
+    """Overlap-join scale contract: the interval self-join runs as a
+    bucket EQUI-join (no nested loop, no cartesian), both sides serve
+    from the ONE checkpointed user-day span table (the raw fact never
+    re-scans), and the dedup-free banding predicate means no
+    distinct-pairs exchange appears after the join."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_interval_overlap"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Deduplicate" not in plan, plan
