@@ -1191,3 +1191,119 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(keep * F.col("n_chars")).cast("bigint").alias("chars_kept"),
         F.sum(drop * F.col("n_chars")).cast("bigint").alias("chars_dropped"),
     )
+
+
+# ------------------------------------------------- corpus_dedup_cascade
+# The integration funnel: every dataset paper's "what each cleaning
+# stage removed" table. Stages compose the family's own operators, each
+# feeding the next exactly as a production run chains them:
+#   0_raw       the corpus as ingested
+#   1_exact     one survivor (min doc_id) per md5(text) group
+#   2_neardup   drop stage-1 survivors verified near-dup (MinHash-LSH
+#               candidates, capped-shingle Jaccard >= 0.8) of a
+#               LOWER-doc_id survivor — the keep-first policy, decided
+#               from the pair list without iteration
+#   3_decontam  drop the benchmark docs (doc_id < 10) and any survivor
+#               sharing a 13-gram with them (text_decontaminate's gate)
+# Reported per stage: documents and characters remaining — the
+# bytes-removed accounting that justifies (or indicts) each stage.
+#
+# Scale shape: each stage's plan is the already-pinned shape of the
+# operator it reuses (md5 groupBy; signature checkpoint + band equi-join;
+# broadcast benchmark probe); the cascade adds only survivor-set
+# anti-joins (id-sized, broadcast at any scale) and a 4-row union of
+# aggregates. Nothing here introduces a new corpus-sized shuffle.
+# NOTE: the 13-gram expression below is _shingle_expr("duckdb") from
+# .pipeline, inlined at authoring time (module-level cross-import would
+# tie registry import order); tests assert the two stay in sync.
+
+
+@_q(
+    "corpus_dedup_cascade",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    {_LSH_CAND_ORACLE},
+    vp AS (
+      SELECT jac.doc_a, jac.doc_b
+      FROM jac JOIN cand
+        ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+      WHERE jac.jaccard >= 0.8),
+    s1 AS (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    drop2 AS (
+      SELECT DISTINCT v.doc_b AS doc_id
+      FROM vp v
+      JOIN s1 a ON v.doc_a = a.doc_id
+      JOIN s1 b ON v.doc_b = b.doc_id),
+    s2 AS (
+      SELECT s1.* FROM s1
+      WHERE NOT EXISTS (SELECT 1 FROM drop2 WHERE drop2.doc_id = s1.doc_id)),
+    t13 AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents),
+    sh13 AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest([md5(array_to_string(toks[i:i+12], ' ')) FOR i IN range(1, greatest(len(toks) - 11, 1))]) AS s FROM t13)),
+    bench13 AS (SELECT DISTINCT s FROM sh13 WHERE doc_id < 10),
+    cont AS (
+      SELECT DISTINCT sh13.doc_id FROM sh13 JOIN bench13 USING (s)
+      WHERE sh13.doc_id >= 10),
+    s3 AS (
+      SELECT s2.* FROM s2
+      WHERE doc_id >= 10
+        AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = s2.doc_id))
+    SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+    UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s1
+    UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s2
+    UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT) FROM s3
+    """,
+)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import text_decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        d.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    vp = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ids_a = s1.select(F.col("doc_id").alias("doc_a"))
+    ids_b = s1.select(F.col("doc_id").alias("doc_b"))
+    drop2 = (
+        vp.join(ids_a, "doc_a")
+        .join(ids_b, "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(drop2, "doc_id", "left_anti").localCheckpoint(eager=False)
+    cont = (
+        text_decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    s3 = s2.filter(F.col("doc_id") >= 10).join(cont, "doc_id", "left_anti")
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+
+    return (
+        _stage(d, "0_raw")
+        .unionAll(_stage(s1, "1_exact"))
+        .unionAll(_stage(s2, "2_neardup"))
+        .unionAll(_stage(s3, "3_decontam"))
+    )

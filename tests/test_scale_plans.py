@@ -1462,3 +1462,21 @@ def test_join_interval_overlap_banded_equi_join(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "Deduplicate" not in plan, plan
+
+
+def test_corpus_dedup_cascade_composes_pinned_shapes(spark, sf_dir):
+    """Cascade integration contract: the funnel reuses its stages'
+    pinned plans and adds only id-sized anti-joins — no cartesian or
+    nested-loop anywhere, the minhash signature table still serves from
+    its checkpoint, and the inlined DuckDB 13-gram expression stays in
+    sync with text_decontaminate's generator."""
+    from ballista_delta_spark.queries.dedup import QUERIES, corpus_dedup_cascade
+    from ballista_delta_spark.queries.pipeline import _shingle_expr
+
+    _, oracle = QUERIES["corpus_dedup_cascade"]
+    assert _shingle_expr("duckdb") in oracle
+
+    plan = _physical_plan(corpus_dedup_cascade(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
