@@ -535,3 +535,46 @@ def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------- agg_histogram
+# A18: equi-width histogram — the profiling aggregate behind every data
+# distribution dashboard and every "pick my bucket boundaries before
+# sketching" step. Binning is explicit arithmetic (floor(value / width))
+# evaluated identically in both engines on exact inputs (value carries
+# 2dp; the width is an integer literal), so bin ids are integer-exact —
+# width_bucket would express the same thing but DuckDB lacks it, and an
+# explicit floor keeps the oracle a literal mirror. Scale shape: ONE
+# two-phase hash aggregate — map-side partials collapse each task to at
+# most (types x 22) rows before the only exchange; no sort, no join.
+@_q(
+    "agg_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 25) + 1 AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(floor(value / 25) + 1 AS INT)").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.expr(
+                    "sum(CAST(round(value, 2) AS DECIMAL(18,2)))"
+                ).cast("double"),
+                2,
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
