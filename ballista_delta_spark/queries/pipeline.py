@@ -2446,3 +2446,80 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users", "total_value", "avg_recency_d",
         )
     )
+
+
+# ------------------------------------------------ events_interarrival_fit
+# Inter-arrival cadence fit per event type: exponential-rate MLE
+# (lambda = 1/mean gap), coefficient of variation, and Goh-Barabasi
+# burstiness B = (sigma - mu)/(sigma + mu) over per-user gap streams —
+# the traffic-model monitor that separates Poisson-like organic
+# activity (B ~ 0, CV ~ 1) from bursty automation (B -> 1) and
+# metronomic bots (B -> -1) at the TYPE grain (events_bot_detect is the
+# per-user twin).
+#
+# Scale shape: ONE (user, type) exchange feeds the lag window; the
+# type-grain moment fold reuses map-side partials (rows out of the scan
+# ≤ 5 types per task). Engine parity: gaps are exact integer
+# microseconds; both moments are DECIMAL sums of round(term, 9)
+# (partitioning-order-proof); mean/CV/burstiness then evaluate the SAME
+# double expression in both engines and round on output.
+_IAF_MOM = "CAST(sum(CAST(round({t}, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+_IAF_FINAL = """
+    CAST(n AS BIGINT) AS n_gaps,
+    round(s1 / n, 4) AS mean_gap_s,
+    round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+          / (s1 / n), 6) AS cv,
+    round((sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) - s1 / n)
+          / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) + s1 / n),
+          6) AS burstiness,
+    round(n / s1, 6) AS rate_per_s
+"""
+
+
+@_q(
+    "events_interarrival_fit",
+    f"""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id))) / 1000000.0 AS g
+      FROM events),
+    moms AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             {_IAF_MOM.format(t="g")} AS s1,
+             {_IAF_MOM.format(t="g * g")} AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+    SELECT event_type, {_IAF_FINAL}
+    FROM moms
+    """,
+)
+def events_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            )
+            / 1_000_000.0
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    moms = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr(_IAF_MOM.format(t="g")).alias("s1"),
+        F.expr(_IAF_MOM.format(t="g * g")).alias("s2"),
+    )
+    sd = "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))"
+    return moms.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_gaps",
+        "round(s1 / n, 4) AS mean_gap_s",
+        f"round({sd} / (s1 / n), 6) AS cv",
+        f"round(({sd} - s1 / n) / ({sd} + s1 / n), 6) AS burstiness",
+        "round(n / s1, 6) AS rate_per_s",
+    )

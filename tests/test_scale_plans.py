@@ -1480,3 +1480,16 @@ def test_corpus_dedup_cascade_composes_pinned_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_events_interarrival_fit_one_stream_exchange(spark, sf_dir):
+    """Interarrival-fit scale contract: one (user, type) exchange feeds
+    the lag window; the type-grain moment fold is two-phase (map-side
+    partials), no join, no Python."""
+    from ballista_delta_spark.queries.pipeline import events_interarrival_fit
+
+    plan = _physical_plan(events_interarrival_fit(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
