@@ -1361,3 +1361,70 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _TOPK
     )
+
+
+# ------------------------------------------------- corpus_embedding_audit
+# Cross-modal completeness audit: per language, how much of the text
+# corpus actually HAS an embedding row (the feature-coverage gate run
+# before any vector-dependent stage — semantic dedup, ANN retrieval,
+# clustering — so missing features fail loudly, not as silent row loss
+# in an inner join), plus the norm profile (mean/min/max L2) — the
+# contract check that catches un-normalized encoder updates: every
+# indexing and cosine path downstream assumes nrm == 1, and a mean that
+# drifts off 1.0 (or a min/max spread) is the first symptom.
+#
+# Scale shape: ONE equi-join on the id (broadcast at bench scale; at
+# 100 TB both sides arrive hash-partitioned on the id — never a nested
+# loop), then a lang-grain two-phase fold. Engine parity: counts are
+# exact ints; the mean is a DECIMAL sum of round(nrm, 9) (norms are the
+# same left-to-right IEEE fold both sides); min/max round on output.
+@_q(
+    "corpus_embedding_audit",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    j AS (
+      SELECT d.lang, e.nrm AS yy
+      FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(yy) AS BIGINT) AS n_with_vec,
+           round(CAST(count(yy) AS DOUBLE) / count(*), 6) AS coverage,
+           round(CAST(sum(CAST(round(yy, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(yy), 6) AS mean_norm,
+           round(min(yy), 6) AS min_norm,
+           round(max(yy), 6) AS max_norm
+    FROM j GROUP BY lang
+    """,
+)
+def corpus_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "emb"
+            ),
+        )
+        .withColumn("nrm", F.sqrt(F.expr(dot_expr("emb", "emb"))))
+        .select("vec_id", "nrm")
+    )
+    j = d.join(e, d.doc_id == e.vec_id, "left").select(
+        "lang", F.col("nrm").alias("yy")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("yy").cast("bigint").alias("n_with_vec"),
+        F.round(F.count("yy").cast("double") / F.count(F.lit(1)), 6).alias(
+            "coverage"
+        ),
+        F.round(
+            F.expr(
+                "CAST(sum(CAST(round(yy, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+            )
+            / F.count("yy"),
+            6,
+        ).alias("mean_norm"),
+        F.round(F.min("yy"), 6).alias("min_norm"),
+        F.round(F.max("yy"), 6).alias("max_norm"),
+    )

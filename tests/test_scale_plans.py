@@ -1493,3 +1493,16 @@ def test_events_interarrival_fit_one_stream_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Window") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_corpus_embedding_audit_equi_join_two_phase(spark, sf_dir):
+    """Cross-modal audit contract: the doc-vector match is an EQUI-join
+    (hash, never nested-loop/cartesian), norms fold inside codegen (no
+    Python), and the lang fold is a two-phase aggregate."""
+    from ballista_delta_spark.queries.similarity import corpus_embedding_audit
+
+    plan = _physical_plan(corpus_embedding_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
