@@ -2523,3 +2523,100 @@ def events_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(({sd} - s1 / n) / ({sd} + s1 / n), 6) AS burstiness",
         "round(n / s1, 6) AS rate_per_s",
     )
+
+
+# --------------------------------------------------------- events_ab_test
+# Two-proportion A/B significance readout: users hash-split 50/50 into
+# variants (the same derived-membership contract as corpus_mix — no
+# assignment table to store or join), conversion = "heavy purchaser"
+# (>= 14 purchase events — roughly the per-user median, so the split is
+# informative; raw "ever purchased" saturates at 100% on this data and
+# degenerates the pooled variance), and the output is the per-variant
+# funnel plus the pooled two-sample z-statistic — the decision row every
+# experimentation platform renders. The z guard returns NULL when the
+# pooled rate is 0 or 1 (identical CASE in both engines).
+#
+# Scale shape: the fact folds to user grain in ONE exchange (map-side
+# partials); the variant rollup is 2 rows; the z-stat is computed by
+# crossing those 2 rows once (broadcast, constant-sized). Engine
+# parity: conversion counts are exact ints; rates and the z-statistic
+# divide the SAME integer-derived doubles in both engines, rounded 6dp.
+_AB_HASH = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2"
+_AB_HASH_SPARK = (
+    "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) % 2"
+)
+
+
+@_q(
+    "events_ab_test",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST({_AB_HASH} AS INTEGER) AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    cells AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY variant),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS na,
+        max(CASE WHEN variant = 0 THEN n_converted END) AS ca,
+        max(CASE WHEN variant = 1 THEN n_users END) AS nb,
+        max(CASE WHEN variant = 1 THEN n_converted END) AS cb
+      FROM cells)
+    SELECT c.variant, c.n_users, c.n_converted,
+           round(CAST(c.n_converted AS DOUBLE) / c.n_users, 6) AS conv_rate,
+           CASE WHEN w.ca + w.cb = 0 OR w.ca + w.cb = w.na + w.nb THEN NULL
+                ELSE round((CAST(w.ca AS DOUBLE) / w.na
+                            - CAST(w.cb AS DOUBLE) / w.nb)
+                 / sqrt((CAST(w.ca + w.cb AS DOUBLE) / (w.na + w.nb))
+                        * (1 - CAST(w.ca + w.cb AS DOUBLE) / (w.na + w.nb))
+                        * (1.0 / w.na + 1.0 / w.nb)), 6) END AS z_stat
+    FROM cells c CROSS JOIN wide w
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(f"CAST({_AB_HASH_SPARK} AS INT)").alias("variant"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN event_type = 'purchase'"
+            " THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END"
+        ).alias("converted"),
+    )
+    # variant is FUNCTIONALLY dependent on the group key (pure hash of
+    # user_id) — computing it inside agg() keeps one exchange.
+    cells = (
+        per_user.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "ca"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "cb"
+        ),
+    )
+    pool = "CAST(ca + cb AS DOUBLE) / (na + nb)"
+    return cells.crossJoin(F.broadcast(wide)).selectExpr(
+        "variant",
+        "n_users",
+        "n_converted",
+        "round(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate",
+        f"CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL"
+        f" ELSE round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+        f" / sqrt(({pool}) * (1 - {pool})"
+        f" * (1.0 / na + 1.0 / nb)), 6) END AS z_stat",
+    )

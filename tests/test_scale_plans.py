@@ -1506,3 +1506,15 @@ def test_corpus_embedding_audit_equi_join_two_phase(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_ab_test_single_user_exchange(spark, sf_dir):
+    """A/B readout scale contract: one user-grain exchange (variant is
+    derived hash arithmetic inside the same aggregate), the 2-row cell
+    table serves both the rates and the z-stat from its checkpoint, and
+    the z cross is a constant-sized broadcast."""
+    from ballista_delta_spark.queries.pipeline import events_ab_test
+
+    plan = _physical_plan(events_ab_test(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan or "fact must be checkpointed upstream"
