@@ -689,3 +689,88 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_overlap_s"),
     )
+
+
+# --- J15 basket_lift: market-basket association mining over order
+# line-items — support / confidence / lift for co-purchased part pairs,
+# the frequent-itemset primitive (Apriori's k=2 pass) behind every
+# "bought together" recommender and assortment audit. The pair space is
+# generated per ORDER (a self-join on the order key, quadratic only in
+# the basket size — ~4 items here, never in #orders or #parts), so the
+# shuffle is order-co-located; part frequencies are a vocabulary-sized
+# relation that broadcasts back; the final top-25 by lift is a
+# distributed TakeOrderedAndProject (no global sort). Min support >= 3
+# keeps the output statistically meaningful and the oracle stable.
+_BASKET_MIN_PC = 3
+_BASKET_TOPK = 25
+
+
+@_q(
+    "basket_lift",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS (SELECT p, count(*) AS f FROM items GROUP BY p),
+    tot AS (SELECT count(DISTINCT o) AS n FROM items),
+    pc AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS c
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_BASKET_MIN_PC})
+    SELECT pa, pb, CAST(c AS BIGINT) AS n_orders_both,
+           round(CAST(c AS DOUBLE) / t.n, 6) AS support,
+           round(CAST(c AS DOUBLE) / fa.f, 6) AS confidence,
+           round(CAST(c AS DOUBLE) * t.n / (fa.f * fb.f), 6) AS lift
+    FROM pc
+    JOIN freq fa ON pc.pa = fa.p
+    JOIN freq fb ON pc.pb = fb.p
+    CROSS JOIN tot t
+    ORDER BY lift DESC, pa, pb LIMIT {_BASKET_TOPK}
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # items feeds FOUR branches (both self-join sides, frequencies, the
+    # order total): one materialization, or each branch re-runs the
+    # distinct over the raw fact.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("f"))
+    tot = items.agg(F.countDistinct("o").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _BASKET_MIN_PC)
+    )
+    fa = freq.select(F.col("p").alias("pa"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("p").alias("pb"), F.col("f").alias("fb"))
+    return (
+        pc.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa", "pb",
+            F.col("c").cast("bigint").alias("n_orders_both"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c").cast("double") / F.col("fa"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_BASKET_TOPK)
+    )

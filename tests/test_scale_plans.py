@@ -1518,3 +1518,20 @@ def test_events_ab_test_single_user_exchange(spark, sf_dir):
     plan = _physical_plan(events_ab_test(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Scan parquet") == 0, plan or "fact must be checkpointed upstream"
+
+
+def test_basket_lift_order_colocated_topk(spark, sf_dir):
+    """Basket-mining scale contract: pair generation is an EQUI-join on
+    the order key over the ONE checkpointed item table (quadratic only
+    in basket size), frequencies broadcast back, the lift cut is a
+    distributed TakeOrderedAndProject, and the only nested-loop is the
+    1-row order-total broadcast."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["basket_lift"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
