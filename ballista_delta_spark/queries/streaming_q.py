@@ -676,3 +676,54 @@ def stream_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         stream.select("n_nationkey", "n_name", "n_regionkey"), "append"
     )
+
+
+# --------------------------------------------------- stream_static_enrich
+# Stream-static enrichment join — the remaining canonical streaming join
+# shape (stream_stream_join covers stream×stream): the event stream is
+# enriched against a STATIC dimension (customer → market segment) and
+# aggregated per (day, segment). In Structured Streaming a stream-static
+# inner join is STATELESS — each micro-batch probes the static side
+# (broadcast here; at 100 TB a co-partitioned or bucketed dim works the
+# same way), so no join state accumulates and the only stateful operator
+# is the windowed aggregate. This is the silver-table enrichment pattern
+# every event pipeline runs before feature extraction.
+@_q(
+    "stream_static_enrich",
+    """
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS win_start,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._tables import load
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(CAST(round(value, 2) AS DECIMAL(18,2)))").alias(
+                "tv"
+            ),
+        )
+    )
+    out = _run_stream(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        F.col("c_mktsegment").alias("segment"),
+        "n",
+        F.round(F.col("tv").cast("double"), 2).cast("double").alias(
+            "total_value"
+        ),
+    )
