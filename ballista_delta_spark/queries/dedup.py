@@ -1307,3 +1307,68 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_stage(s2, "2_neardup"))
         .unionAll(_stage(s3, "3_decontam"))
     )
+
+
+# ---------------------------------------------------- dedup_fuzzy_names
+# Fuzzy entity resolution over the part-name dictionary: name pairs
+# within Levenshtein distance 2 — the typo/variant detector behind
+# catalog dedup and entity linking ("blue bolt" vs "blu bolt"). The
+# naive form is all-pairs edit distance (quadratic in the dictionary);
+# the standard production shape used here is BLOCKED matching: each
+# name emits its 3-char prefix and suffix as blocking keys, candidates
+# equi-join on a shared key, and the exact distance verifies candidates
+# only. Blocking is recall-lossy by design (a pair differing in BOTH
+# its first and last 3 chars is missed); the oracle applies the SAME
+# blocking, so the gate measures the operator as specified — the
+# LSH-banding contract (dedup_minhash_lsh) applied to strings.
+#
+# Scale shape: the name dictionary is vocabulary-sized (distinct names,
+# not rows), the blocking join is an equi-join on the key, and the
+# pair-grain distinct collapses double matches (prefix AND suffix);
+# levenshtein runs on candidates only, inside codegen in both engines.
+_FUZZY_D = 2
+
+
+@_q(
+    "dedup_fuzzy_names",
+    f"""
+    WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+    keyed AS (
+      SELECT nm, unnest([substr(nm, 1, 3),
+                         substr(nm, greatest(len(nm) - 2, 1), 3)]) AS k
+      FROM names),
+    cand AS (
+      SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.nm < b.nm)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {_FUZZY_D}
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.lower("p_name").alias("nm")).distinct()
+    keyed = names.select(
+        "nm",
+        F.explode(
+            F.array(
+                F.expr("substring(nm, 1, 3)"),
+                F.expr("substring(nm, greatest(length(nm) - 2, 1), 3)"),
+            )
+        ).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("a.nm") < F.col("b.nm"))
+        .select(
+            F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= _FUZZY_D)

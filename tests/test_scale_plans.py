@@ -1535,3 +1535,15 @@ def test_basket_lift_order_colocated_topk(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Scan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_dedup_fuzzy_names_blocked_equi_join(spark, sf_dir):
+    """Fuzzy-match scale contract: candidates come from an EQUI-join on
+    the blocking key (never an all-pairs nested loop over the name
+    dictionary); levenshtein verifies candidates only."""
+    from ballista_delta_spark.queries.dedup import dedup_fuzzy_names
+
+    plan = _physical_plan(dedup_fuzzy_names(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
