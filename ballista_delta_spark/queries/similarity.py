@@ -1428,3 +1428,108 @@ def corpus_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("yy"), 6).alias("min_norm"),
         F.round(F.max("yy"), 6).alias("max_norm"),
     )
+
+
+# ------------------------------------------------------ emb_cluster_purity
+# Clustering-quality gate: per k-means cell (the same K=8 literal seed
+# centroids every ANN/semantic-dedup op here trains against), the
+# majority label's share — the purity audit that decides whether a
+# clustering is good enough to gate label-aware work (routing, semantic
+# dedup thresholds, stratified eval splits). Low-purity cells mean the
+# cell geometry and the label geometry disagree — re-train before
+# trusting cluster-bounded shortcuts.
+#
+# Scale shape: assignment is the emb_kmeans_step contract — K separate
+# codegen'd distance chains, argmin projection, ZERO joins (the label
+# rides the same scan row). The only corpus-fed exchange carries
+# (cell, label) partial counts — K x |labels| groups regardless of
+# corpus size; the majority window runs over that tiny aggregate.
+# Engine parity: counts are exact ints, majority ties break to the
+# smallest label, purity = int/int rounded 6dp.
+@_q(
+    "emb_cluster_purity",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cemb
+      FROM embeddings WHERE vec_id < {_IVF_K}),
+    dists AS (
+      SELECT e.vec_id, e.label, cid,
+             list_sum([(emb[i] - cemb[i]) * (emb[i] - cemb[i])
+                       FOR i IN range(1, len(emb) + 1)]) AS dist
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, label, cid AS cluster_id FROM dists
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) = 1),
+    cells AS (
+      SELECT cluster_id, label, count(*) AS c
+      FROM assigned GROUP BY cluster_id, label),
+    ranked AS (
+      SELECT cluster_id, label, c,
+             sum(c) OVER (PARTITION BY cluster_id) AS n,
+             count(*) OVER (PARTITION BY cluster_id) AS n_labels,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY c DESC, label) AS rn
+      FROM cells)
+    SELECT cluster_id,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           CAST(label AS INTEGER) AS majority_label,
+           round(CAST(c AS DOUBLE) / n, 6) AS purity
+    FROM ranked WHERE rn = 1
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    dcols = []
+    for i, c in enumerate(cents):
+        terms = " + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(_DIM)
+        )
+        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    k = len(cents)
+    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    cells = (
+        e.select("label", *dcols)
+        .withColumn(
+            "cluster_id",
+            F.expr(
+                f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+            ),
+        )
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("c").desc(), "label")
+    return (
+        cells.select(
+            "cluster_id",
+            "label",
+            "c",
+            F.sum("c").over(wc).alias("n"),
+            F.count(F.lit(1)).over(wc).alias("n_labels"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
+                "purity"
+            ),
+        )
+    )

@@ -1547,3 +1547,16 @@ def test_dedup_fuzzy_names_blocked_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_emb_cluster_purity_zero_join_assignment(spark, sf_dir):
+    """Purity-audit scale contract: assignment is the zero-join literal
+    -centroid projection (label rides the same scan row); the only
+    corpus-fed exchange carries (cell, label) partial counts; the
+    majority window runs over that K x labels aggregate."""
+    from ballista_delta_spark.queries.similarity import emb_cluster_purity
+
+    plan = _physical_plan(emb_cluster_purity(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
