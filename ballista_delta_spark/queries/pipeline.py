@@ -2620,3 +2620,76 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / sqrt(({pool}) * (1 - {pool})"
         f" * (1.0 / na + 1.0 / nb)), 6) END AS z_stat",
     )
+
+
+# ---------------------------------------------- events_conversion_lag
+# Conversion-latency distribution: per user, the lag from first view to
+# the first purchase AFTER it (the funnel's stage-1→3 dwell time),
+# summarized as exact quartiles + p90 per cohort-week — the "how long
+# does conversion take" readout that prices retargeting windows and
+# sets attribution horizons (events_funnel counts WHO converts; this
+# measures HOW FAST).
+#
+# Scale shape: the same cascaded per-user aggregates as events_funnel
+# (one user-grain partitioning reused; no per-user event list
+# materializes), then an exact interpolated percentile over the
+# users-sized lag table (agg_exact_percentile's contract: Spark
+# percentile() ≡ DuckDB quantile_cont given identical inputs — lags are
+# exact integer seconds, quartile outputs rounded 4dp as
+# belt-and-braces).
+@_q(
+    "events_conversion_lag",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', v.t1) AS DATE) AS cohort_week,
+             (epoch_us(min(e.ts)) - epoch_us(v.t1)) // 1000000 AS lag_s
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1)
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(CAST(lag_s AS DOUBLE), 0.25), 4) AS p25_s,
+           round(quantile_cont(CAST(lag_s AS DOUBLE), 0.50), 4) AS p50_s,
+           round(quantile_cont(CAST(lag_s AS DOUBLE), 0.75), 4) AS p75_s,
+           round(quantile_cont(CAST(lag_s AS DOUBLE), 0.90), 4) AS p90_s
+    FROM p GROUP BY cohort_week
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id", "t1")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("t1")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("lag_s"),
+        )
+        .select(
+            F.date_trunc("week", "t1").cast("date").alias("cohort_week"),
+            "lag_s",
+        )
+    )
+    qs = {"p25_s": 0.25, "p50_s": 0.50, "p75_s": 0.75, "p90_s": 0.90}
+    return p.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        *[
+            F.round(
+                F.expr(f"percentile(CAST(lag_s AS DOUBLE), {q})"), 4
+            ).alias(nm)
+            for nm, q in qs.items()
+        ],
+    )

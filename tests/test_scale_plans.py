@@ -1560,3 +1560,15 @@ def test_emb_cluster_purity_zero_join_assignment(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_conversion_lag_user_partitioning_reuse(spark, sf_dir):
+    """Conversion-lag scale contract: the funnel joins reuse one
+    user-grain partitioning (no SMJ at bench scale, no cartesian); the
+    percentile fold runs over the users-sized lag table."""
+    from ballista_delta_spark.queries.pipeline import events_conversion_lag
+
+    plan = _physical_plan(events_conversion_lag(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
