@@ -117,3 +117,47 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _group_stats,
         "event_type string, n long, value_min double, value_max double, value_range double",
     )
+
+
+# --- X4 udf_map_in_arrow: mapInArrow — the zero-copy Arrow-batch map
+# (pyspark 3.3+), the lowest-overhead Python extension point: batches
+# arrive as pyarrow.RecordBatch (no pandas conversion at all), so
+# compute can run directly against Arrow buffers (or hand off to any
+# Arrow-native library — polars, numpy via zero-copy, a C extension).
+# The example computes per-doc character and whitespace-token counts in
+# pyarrow.compute — vectorized C++ kernels, never per-row Python.
+# Scale shape: a narrow map (no shuffle); each input partition streams
+# through as a sequence of record batches, so memory is batch-bounded.
+def _arrow_stats(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text)
+        # whitespace tokenization: count splits of the trimmed string
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(text, r"\s+")
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), n_chars, pc.cast(toks, pa.int64())],
+            names=["doc_id", "arrow_chars", "arrow_tokens"],
+        )
+
+
+@_q(
+    "udf_map_in_arrow",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS arrow_chars,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS arrow_tokens
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_stats,
+        "doc_id bigint, arrow_chars int, arrow_tokens bigint",
+    )
