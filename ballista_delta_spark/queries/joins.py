@@ -605,9 +605,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only in the single bucket containing the overlap's start — every
 # overlapping pair matches exactly once, so no distinct-pairs shuffle is
 # ever needed. Join parallelism is #(hour buckets), not #days or #users;
-# at 100 TB the bucket width is the tuning knob (width ~ median span
-# keeps the explode factor ~2).
-_OVL_BUCKET_S = 3600
+# at 100 TB the bucket width is the tuning knob: width ~ median span
+# keeps the explode factor ~2 AND bounds duplicate candidate emissions
+# (a pair sharing k buckets is emitted k times, k-1 filtered). Measured
+# at sf0.1 (median span 7.75 h): 1-hour buckets 9.3 s, 6-hour 3.1 s —
+# the 3x is all re-emitted candidates, same output.
+_OVL_BUCKET_S = 21600
 _OVL_MIN_US = 1800 * 1_000_000  # >= 30 min of overlap
 
 
