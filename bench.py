@@ -65,6 +65,10 @@ HEADLINE = [
     # continuation session (first-run baselines per BASELINE.md):
     "mm_dedup_ahash",         # Python aHash once + banded hamming probe
     "emb_whiten",             # measure-then-broadcast standardization
+    # r9i additions — the two heaviest new shapes of the fifth
+    # continuation session (first-run baselines per BASELINE.md):
+    "corpus_dedup_cascade",   # staged funnel: exact + minhash + decontam
+    "join_interval_overlap",  # dedup-free banded interval overlap join
 ]
 
 WARMUP = 1
