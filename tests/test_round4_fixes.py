@@ -881,3 +881,222 @@ class TestContainmentBehavior:
         # and the symmetric Jaccard gate misses it entirely
         jac = dedup_ngram_jaccard(spark, sf).collect()
         assert jac == []
+
+
+class TestR9iBehavior:
+    """Behavioral checks for the r9i operators — hand-built inputs with
+    a known right answer (the oracle proves engine agreement; these
+    prove the semantics)."""
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def _mini_events(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_survivorship_picks_longest_then_lowest_id(self, spark, tmp_path):
+        """Three byte-identical copies: the survivor is the (single)
+        longest... text is identical so n_chars ties — the pick falls to
+        the LOWEST doc_id; ledger counts 1 kept / 2 dropped."""
+        from ballista_delta_spark.queries.dedup import dedup_survivorship
+
+        rows = [
+            (5, "same text", "en", "s", 9),
+            (3, "same text", "en", "s", 9),
+            (9, "same text", "en", "s", 9),
+            (1, "unique", "de", "s", 6),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["lang"]: r for r in dedup_survivorship(spark, sf).collect()}
+        assert got["en"]["n_survivors"] == 1
+        assert got["en"]["n_dropped"] == 2
+        assert got["en"]["chars_kept"] == 9
+        assert got["en"]["chars_dropped"] == 18
+        assert got["de"]["n_survivors"] == 1 and got["de"]["n_dropped"] == 0
+
+    def test_interval_overlap_detects_planted_concurrency(self, spark, tmp_path):
+        """Users 1+2 are active 10:00-14:00 and 12:00-18:00 on the same
+        day (2 h overlap >= 30 min -> one pair); user 3 overlaps user 2
+        by only 10 minutes -> never a pair."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.joins import QUERIES
+
+        d = dt.datetime(2024, 3, 1)
+
+        def ev(i, u, h, m=0):
+            return (i, d + dt.timedelta(hours=h, minutes=m), u, "view", 1.0, "{}")
+
+        rows = [
+            ev(1, 1, 10), ev(2, 1, 14),
+            ev(3, 2, 12), ev(4, 2, 18),
+            ev(5, 3, 17, 50), ev(6, 3, 23),
+        ]
+        sf = self._mini_events(spark, tmp_path, rows)
+        fn, _ = QUERIES["join_interval_overlap"]
+        out = fn(spark, sf).collect()
+        assert len(out) == 1
+        assert out[0]["n_pairs"] == 1
+        assert out[0]["avg_overlap_s"] == 7200.0
+
+    def test_rfm_extremes_land_in_extreme_cells(self, spark, tmp_path):
+        """A user with many recent high-value purchases scores (5,5,5)
+        = champion; a single stale cheap event scores r=1, f=1, m=1 =
+        hibernating. Built with 6 users so quintile cutpoints separate
+        the extremes."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.pipeline import events_rfm
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        # 4 filler users with increasing recency/frequency/value
+        for u in range(4):
+            for k in range(2 + u):
+                eid += 1
+                rows.append(
+                    (eid, base + dt.timedelta(days=5 * u, hours=k), u,
+                     "purchase", 10.0 * (u + 1), "{}")
+                )
+        # the champion: most recent day, most events, biggest values
+        for k in range(10):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=29, minutes=k), 100,
+                 "purchase", 400.0, "{}")
+            )
+        # the hibernator: one tiny ancient event
+        eid += 1
+        rows.append((eid, base - dt.timedelta(days=30), 200, "view", 0.01, "{}"))
+        sf = self._mini_events(spark, tmp_path, rows)
+        cells = events_rfm(spark, sf).collect()
+        seg = {}
+        for r in cells:
+            seg[(r["r_score"], r["f_score"], r["m_score"])] = r["segment"]
+        assert seg.get((5, 5, 5)) == "champion"
+        assert seg.get((1, 1, 1)) == "hibernating"
+
+    def test_basket_lift_math_on_planted_baskets(self, spark, tmp_path):
+        """Parts 10+20 co-occur in 3 of 6 orders; each appears in 4
+        -> support 3/6=0.5, confidence 3/4=0.75, lift
+        3*6/(4*4)=1.125."""
+        p = os.path.join(str(tmp_path), "lineitem.parquet")
+        rows = []
+        orders = [
+            (1, [10, 20]), (2, [10, 20]), (3, [10, 20]),
+            (4, [10]), (5, [20, 30]), (6, [30, 40]),
+        ]
+        k = 0
+        for o, parts in orders:
+            for pt in parts:
+                k += 1
+                rows.append((o, pt, k))
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_linenumber long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        from ballista_delta_spark.queries.joins import QUERIES
+
+        fn, _ = QUERIES["basket_lift"]
+        out = {(r["pa"], r["pb"]): r for r in fn(spark, str(tmp_path)).collect()}
+        r = out[(10, 20)]
+        assert r["n_orders_both"] == 3
+        assert r["support"] == 0.5
+        assert r["confidence"] == 0.75
+        assert r["lift"] == 1.125
+
+    def test_ab_test_z_sign_and_guard(self, spark, tmp_path):
+        """Variant assignment is md5-derived; plant conversion so one
+        variant converts strictly more and assert the z sign follows
+        (variant 0 rate - variant 1 rate), and rates are exact."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.pipeline import events_ab_test
+
+        base = dt.datetime(2024, 3, 1)
+        # find two users per variant via the same md5 arithmetic
+        import hashlib
+
+        def variant(u):
+            return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+        v0 = [u for u in range(40) if variant(u) == 0][:3]
+        v1 = [u for u in range(40) if variant(u) == 1][:3]
+        rows = []
+        eid = 0
+        # all of v0 convert (>= 14 purchases); only one of v1 does
+        for u in v0:
+            for k in range(14):
+                eid += 1
+                rows.append((eid, base + dt.timedelta(minutes=eid), u,
+                             "purchase", 1.0, "{}"))
+        for i, u in enumerate(v1):
+            n = 14 if i == 0 else 1
+            for k in range(n):
+                eid += 1
+                rows.append((eid, base + dt.timedelta(minutes=eid), u,
+                             "purchase", 1.0, "{}"))
+        sf = self._mini_events(spark, tmp_path, rows)
+        out = {r["variant"]: r for r in events_ab_test(spark, sf).collect()}
+        assert out[0]["conv_rate"] == 1.0
+        assert round(out[1]["conv_rate"], 6) == round(1 / 3, 6)
+        assert out[0]["z_stat"] is not None and out[0]["z_stat"] > 0
+
+    def test_zipf_slope_near_minus_one_on_exact_zipf(self, spark, tmp_path):
+        """A corpus built to an exact Zipf law (freq(r) = 120 // r over
+        8 ranks) must fit slope ~ -1 with R^2 ~ 1."""
+        from ballista_delta_spark.queries.text import text_zipf_fit
+
+        words = [f"w{i:02d}" for i in range(8)]
+        toks = []
+        for r, w in enumerate(words, start=1):
+            toks += [w] * (120 // r)
+        text = " ".join(toks)
+        sf = self._mini_docs(
+            spark, tmp_path, [(1, text, "en", "s", len(text))]
+        )
+        row = text_zipf_fit(spark, sf).collect()[0]
+        assert row["n_ranks"] == 8
+        assert abs(row["zipf_slope"] + 1.0) < 0.05, row
+        assert row["fit_r2"] > 0.99, row
+
+    def test_dedup_cascade_funnel_monotone(self, spark, tmp_path):
+        """Planted: 2 exact copies + 1 near-dup of a base doc + 1 doc
+        quoting a benchmark 13-gram. Stages must be monotone and each
+        planted removal must land in its stage."""
+        from ballista_delta_spark.queries.dedup import corpus_dedup_cascade
+
+        bench_text = " ".join(f"b{i}" for i in range(20))
+        base = " ".join(f"t{i}" for i in range(40))
+        near = base.replace("t39", "x39")  # 1-token edit: jaccard > 0.8
+        contaminated = "intro " + " ".join(f"b{i}" for i in range(13))
+        rows = [(i, bench_text, "en", "s", len(bench_text)) for i in range(10)]
+        rows += [
+            (20, base, "en", "s", len(base)),
+            (21, base, "en", "s", len(base)),      # exact dup of 20
+            (22, near, "en", "s", len(near)),      # near dup of 20
+            (23, contaminated, "en", "s", len(contaminated)),
+            (24, "clean unrelated words entirely different", "en", "s", 41),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["stage"]: r["n_docs"] for r in corpus_dedup_cascade(spark, sf).collect()}
+        assert got["0_raw"] == 15
+        # exact: bench docs collapse to 1, 20/21 collapse -> 15 - 9 - 1 = 5... wait
+        # bench docs are identical -> 10 copies collapse to 1 (9 dropped);
+        # 20/21 collapse to 20 (1 dropped)
+        assert got["1_exact"] == got["0_raw"] - 9 - 1
+        # near-dup removes 22 (partner 20 survives stage 1)
+        assert got["2_neardup"] == got["1_exact"] - 1
+        # decontam removes the bench survivor (doc_id < 10) and doc 23
+        assert got["3_decontam"] == got["2_neardup"] - 2
