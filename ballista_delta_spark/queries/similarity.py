@@ -1533,3 +1533,92 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------- sim_rrf_fusion
+# Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval tiers:
+# the exact brute-force cosine ranking and the sign-LSH bucketed
+# ranking, fused as RRF(d) = Σ 1/(60 + rank_s(d)) over the systems that
+# returned d — the standard no-tuning ensemble every hybrid retrieval
+# stack runs (dense + sparse, exact + approximate). Documents surfaced
+# by BOTH tiers rise; LSH-only artifacts sink.
+#
+# Scale shape: both inputs are the registered plans (broadcast query
+# set, WindowGroupLimit top-k each); fusion is a FULL outer equi-join
+# of two O(queries x k) tables — candidate-sized, never corpus-sized —
+# and the fused top-10 window runs over that. Engine parity: ranks are
+# exact ints so RRF terms are identical doubles; score rounded 6dp
+# BEFORE the rank (round-before-sort), ties to vec_id.
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+@_q(
+    "sim_rrf_fusion",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    ex_ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM ex_scored QUALIFY rnk <= {_TOPK}),
+    eb AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM e),
+    lsh_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    lsh_ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM lsh_scored QUALIFY rnk <= {_TOPK}),
+    fused AS (
+      SELECT coalesce(a.query_id, b.query_id) AS query_id,
+             coalesce(a.vec_id, b.vec_id) AS vec_id,
+             round(coalesce(1.0 / ({_RRF_K} + a.rnk), 0)
+                   + coalesce(1.0 / ({_RRF_K} + b.rnk), 0), 6) AS rrf,
+             (a.rnk IS NOT NULL AND b.rnk IS NOT NULL) AS in_both
+      FROM ex_ranked a FULL JOIN lsh_ranked b
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+    SELECT query_id, vec_id, rrf, in_both,
+           CAST(fr AS INTEGER) AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, vec_id) AS fr
+          FROM fused)
+    WHERE fr <= {_RRF_TOPK}
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = sim_cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rnk").alias("ra")
+    )
+    lsh = sim_lsh_bucketed(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rnk").alias("rb")
+    )
+    fused = ex.join(lsh, ["query_id", "vec_id"], "full").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        (F.col("ra").isNotNull() & F.col("rb").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("fr", F.row_number().over(w))
+        .filter(F.col("fr") <= _RRF_TOPK)
+        .select(
+            "query_id", "vec_id", "rrf", "in_both",
+            F.col("fr").cast("int").alias("fused_rank"),
+        )
+    )

@@ -1572,3 +1572,15 @@ def test_events_conversion_lag_user_partitioning_reuse(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sim_rrf_fusion_candidate_sized_fusion(spark, sf_dir):
+    """RRF scale contract: fusion joins two O(queries x k) ranking
+    tables — the corpus-sized work stays inside the two registered
+    tier plans (WindowGroupLimit each); no cartesian anywhere."""
+    from ballista_delta_spark.queries.similarity import sim_rrf_fusion
+
+    plan = _physical_plan(sim_rrf_fusion(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
