@@ -2693,3 +2693,74 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for nm, q in qs.items()
         ],
     )
+
+
+# ------------------------------------------------------ events_ltv_cohort
+# Cohort LTV curve: users grouped by first-seen week; each cohort's
+# per-user CUMULATIVE value traced over age (weeks since cohort start) —
+# the revenue twin of events_retention's user counts, and the curve
+# payback/CAC decisions read ("cohort 2024-01-08 reaches $X/user by
+# week 3"). Scale shape: the same one-user-exchange-reused contract as
+# retention (cohort map built once, join back reuses the partitioning);
+# the cell fold shuffles only (cohort, age) pairs — weeks²-bounded —
+# and the cumulative window runs over that tiny aggregate. Engine
+# parity: values accumulate exactly in DECIMAL(18,2); per-user division
+# happens once on the exact cumulative sum, rounded 4dp.
+@_q(
+    "events_ltv_cohort",
+    """
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS c0
+      FROM events GROUP BY user_id),
+    sizes AS (SELECT c0, count(*) AS n_users FROM cohort GROUP BY c0),
+    cells AS (
+      SELECT c.c0,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE) - c.c0) // 7
+                  AS INTEGER) AS age_week,
+             sum(CAST(round(e.value, 2) AS DECIMAL(18,2))) AS v
+      FROM events e JOIN cohort c USING (user_id)
+      GROUP BY c.c0, age_week)
+    SELECT cells.c0 AS cohort_week, age_week,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS week_value,
+           round(CAST(sum(v) OVER (PARTITION BY cells.c0 ORDER BY age_week)
+                      AS DOUBLE) / s.n_users, 4) AS cum_ltv_per_user
+    FROM cells JOIN sizes s ON cells.c0 = s.c0
+    """,
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("c0"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("n_users"))
+    cells = (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "c0",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("c0")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("age_week"),
+        )
+        .agg(
+            F.expr("sum(CAST(round(value, 2) AS DECIMAL(18,2)))").alias("v")
+        )
+    )
+    w = Window.partitionBy("c0").orderBy("age_week")
+    return cells.join(F.broadcast(sizes), "c0").select(
+        F.col("c0").alias("cohort_week"),
+        "age_week",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("v").cast("decimal(18,2)").cast("double").alias("week_value"),
+        F.round(
+            F.sum("v").over(w).cast("double") / F.col("n_users"), 4
+        ).alias("cum_ltv_per_user"),
+    )

@@ -1584,3 +1584,17 @@ def test_sim_rrf_fusion_candidate_sized_fusion(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_ltv_cohort_weeks_bounded_window(spark, sf_dir):
+    """LTV-curve scale contract: the cohort map builds once (checkpoint)
+    and joins back without re-aggregating the fact; the cumulative
+    window runs over the weeks^2-bounded cell aggregate, never the
+    fact; no SMJ/cartesian."""
+    from ballista_delta_spark.queries.pipeline import events_ltv_cohort
+
+    plan = _physical_plan(events_ltv_cohort(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan
