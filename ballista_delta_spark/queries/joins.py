@@ -777,3 +777,108 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(_BASKET_TOPK)
     )
+
+
+# --- J16 graph_triangle_count: triangle counting + global clustering
+# coefficient over the co-purchase graph (parts = nodes, edges = pairs
+# co-occurring in >= 2 orders) — the distributed graph primitive behind
+# community/cohesion metrics, expressed declaratively as the classic
+# two-join plan: enumerate ordered two-paths (a<b<c through center b),
+# then close them against the edge list. Ordering each edge low-id ->
+# high-id counts every triangle exactly once; at production scale the
+# orientation key is DEGREE (low-degree -> high-degree), which bounds
+# the per-node two-path blow-up by sqrt(|E|) (Suri & Vassilvitskii's
+# MR curtains) — same plan, different sort key, noted here because id
+# orientation is what the tiny fixture needs for a deterministic
+# oracle. All joins are equi-joins on node ids; nothing is ever
+# nested-loop.
+_TRI_MIN_CO = 2
+
+
+@_q(
+    "graph_triangle_count",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= {_TRI_MIN_CO}),
+    nodes AS (
+      SELECT count(DISTINCT x) AS n_nodes FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)),
+    deg AS (
+      SELECT x, count(*) AS d FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY x),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+               FROM deg),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           round(CASE WHEN w.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * t.n_triangles / w.n_wedges END, 6)
+               AS global_clustering
+    FROM nodes n CROSS JOIN tri t CROSS JOIN wedges w
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # the edge list feeds FOUR consumers (three triangle-join branches +
+    # degrees): materialize once.
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), ["o"])
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TRI_MIN_CO)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    endpoints = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    nodes = endpoints.agg(F.countDistinct("x").alias("n_nodes"))
+    wedges = (
+        endpoints.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_wedges") == 0, 0.0).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -1598,3 +1598,17 @@ def test_events_ltv_cohort_weeks_bounded_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_graph_triangle_count_equi_joins_over_checkpoint(spark, sf_dir):
+    """Triangle-count scale contract: the edge list materializes once
+    and all three triangle branches + degrees serve from it; every
+    join is an equi-join on node ids (no nested loop except the three
+    1-row stat broadcasts)."""
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["graph_triangle_count"]
+    plan = _physical_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 4, plan
