@@ -2764,3 +2764,119 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").over(w).cast("double") / F.col("n_users"), 4
         ).alias("cum_ltv_per_user"),
     )
+
+
+# --------------------------------------------------------- dq_expectations
+# Declarative data-quality expectations — the Great-Expectations/dbt-test
+# archetype run as ONE query before a pipeline admits a batch: each
+# expectation is a (table, rule) pair scored with its violation count and
+# a pass flag. Rules cover the three classic families: column constraints
+# (not-null, value range, derived-field consistency), referential
+# integrity (orphan foreign keys via anti-join semantics), and
+# uniqueness (duplicate primary keys). At 100 TB each rule is either a
+# map-side count over its own scan or an anti-join on the key — nothing
+# here is quadratic, and the whole suite unions to a fixed-size report
+# (one row per rule), so it composes into any orchestration as a single
+# cheap gate job. Counts are exact integers — the oracle is trivially
+# bit-identical.
+_DQ_RULES_SQL = """
+    SELECT 'events' AS tbl, 'user_id_not_null' AS expectation,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'events', 'value_in_range_0_1000',
+           CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'n_chars_matches_text',
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'doc_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'custkey_references_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem', 'orderkey_references_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+"""
+
+
+@_q(
+    "dq_expectations",
+    f"""
+    SELECT tbl, expectation, n_violations,
+           n_violations = 0 AS pass
+    FROM ({_DQ_RULES_SQL})
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def rule(tbl: str, name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("expectation"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    rules = [
+        rule(
+            "events", "user_id_not_null",
+            ev.agg(F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("n")),
+        ),
+        rule(
+            "events", "value_in_range_0_1000",
+            ev.agg(
+                F.sum(
+                    F.when((F.col("value") < 0) | (F.col("value") > 1000), 1)
+                    .otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "documents", "n_chars_matches_text",
+            d.agg(
+                F.sum(
+                    F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "documents", "doc_id_unique",
+            d.agg((F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n")),
+        ),
+        rule(
+            "orders", "custkey_references_customer",
+            o.join(
+                c.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey", "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        rule(
+            "lineitem", "orderkey_references_orders",
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey", "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionAll(r)
+    return out.withColumn("pass", F.col("n_violations") == 0)

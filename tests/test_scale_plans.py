@@ -1612,3 +1612,16 @@ def test_graph_triangle_count_equi_joins_over_checkpoint(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") >= 4, plan
+
+
+def test_dq_expectations_anti_joins_no_nested_loop(spark, sf_dir):
+    """DQ-suite scale contract: referential-integrity rules are
+    (broadcast/shuffled) ANTI equi-joins, never nested loops; every
+    other rule is a map-side count over its own scan."""
+    from ballista_delta_spark.queries.pipeline import dq_expectations
+
+    plan = _physical_plan(dq_expectations(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
