@@ -2880,3 +2880,77 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionAll(r)
     return out.withColumn("pass", F.col("n_violations") == 0)
+
+
+# -------------------------------------------------------- events_scd2_tiers
+# SCD Type-2 interval building — the warehouse dimension-history pattern
+# (effective_from / effective_to / is_current) applied to a derived
+# attribute: each user's weekly spend tier (low/mid/high on fixed
+# DECIMAL-exact thresholds). Consecutive weeks at the same tier collapse
+# into one validity interval; a tier change closes the old row the day
+# before the new week starts; the newest row stays open
+# (effective_to NULL, is_current true). This is the exact computation a
+# MERGE-driven SCD2 dimension load performs, expressed as one
+# declarative pass — useful both as the initial-history backfill and as
+# the oracle for an incremental loader.
+#
+# Scale shape: one (user, week) aggregate rides the user-grain exchange;
+# BOTH windows (change detection lag, interval-close lead) and the
+# collapse reuse that single partitioning — no second exchange, no join.
+# Engine parity: tiers compare exact DECIMAL sums against literal
+# thresholds; dates are integer arithmetic.
+_SCD2_TIER = """
+    CASE WHEN wv < 1000 THEN 'low'
+         WHEN wv < 3000 THEN 'mid'
+         ELSE 'high' END
+"""
+
+
+@_q(
+    "events_scd2_tiers",
+    f"""
+    WITH weekly AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS wv
+      FROM events GROUP BY user_id, wk),
+    tiered AS (
+      SELECT user_id, wk, {_SCD2_TIER} AS tier FROM weekly),
+    changes AS (
+      SELECT user_id, wk, tier
+      FROM (SELECT user_id, wk, tier,
+                   lag(tier) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS prev_tier
+            FROM tiered)
+      WHERE prev_tier IS NULL OR tier <> prev_tier)
+    SELECT user_id, tier,
+           wk AS effective_from,
+           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) - 1
+             AS effective_to,
+           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.expr("sum(CAST(round(value, 2) AS DECIMAL(18,2)))").alias("wv"))
+    tiered = weekly.selectExpr("user_id", "wk", f"{_SCD2_TIER} AS tier")
+    w = Window.partitionBy("user_id").orderBy("wk")
+    changes = (
+        tiered.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(
+            F.col("prev_tier").isNull()
+            | (F.col("tier") != F.col("prev_tier"))
+        )
+        .select("user_id", "wk", "tier")
+    )
+    return changes.select(
+        "user_id",
+        "tier",
+        F.col("wk").alias("effective_from"),
+        F.date_sub(F.lead("wk").over(w), 1).alias("effective_to"),
+        F.lead("wk").over(w).isNull().alias("is_current"),
+    )
