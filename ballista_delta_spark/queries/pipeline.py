@@ -2894,9 +2894,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declarative pass — useful both as the initial-history backfill and as
 # the oracle for an incremental loader.
 #
-# Scale shape: one (user, week) aggregate rides the user-grain exchange;
-# BOTH windows (change detection lag, interval-close lead) and the
-# collapse reuse that single partitioning — no second exchange, no join.
+# Scale shape: the (user, week) aggregate shuffles ONCE with map-side
+# partials (the fact never moves raw — a user-grain repartition first
+# would skip the partial combine and shuffle every event); both windows
+# (change-detection lag, interval-close lead) then share one user-grain
+# exchange of the already user-week-sized aggregate. Two exchanges, the
+# second aggregate-sized; no joins.
 # Engine parity: tiers compare exact DECIMAL sums against literal
 # thresholds; dates are integer arithmetic.
 _SCD2_TIER = """

@@ -1628,12 +1628,13 @@ def test_dq_expectations_anti_joins_no_nested_loop(spark, sf_dir):
 
 
 def test_events_scd2_tiers_one_user_exchange(spark, sf_dir):
-    """SCD2 scale contract: the weekly aggregate, both windows (change
-    lag + interval-close lead) and the collapse ride ONE user-grain
-    partitioning — one hash exchange total, no joins."""
+    """SCD2 scale contract: the weekly aggregate shuffles once WITH
+    map-side partials (never a raw-fact repartition), and both windows
+    share one user-grain exchange of the aggregate-sized table — two
+    exchanges total, exactly one Window node pair, no joins."""
     from ballista_delta_spark.queries.pipeline import events_scd2_tiers
 
     plan = _physical_plan(events_scd2_tiers(spark, sf_dir))
     assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BatchEvalPython" not in plan, plan
