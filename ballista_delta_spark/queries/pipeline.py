@@ -2957,3 +2957,73 @@ def events_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.lead("wk").over(w), 1).alias("effective_to"),
         F.lead("wk").over(w).isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------- events_audience_overlap
+# Audience overlap matrix: Jaccard similarity of the USER SETS behind
+# each event-type pair ("do clickers and purchasers overlap?") — the
+# audience-analysis primitive behind segment targeting and cannibalization
+# checks; the same inverted-index + sizes join-back shape as the dedup
+# family, applied to behavioral sets. Scale shape: the fact collapses
+# map-side to the distinct (user, type) grain in ONE exchange; the
+# type-pair self-join is keyed on user_id (parallelism = users, pair
+# fan-out bounded by types² per user); sizes broadcast back onto the
+# types²-sized pair table. Exact ints → exact Jaccard, rounded 6dp.
+@_q(
+    "events_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.type_a = sa.event_type
+    JOIN sizes sb ON pairs.type_b = sb.event_type
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # ut feeds three consumers (both self-join sides + sizes)
+    ut = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

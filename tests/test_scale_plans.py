@@ -1638,3 +1638,16 @@ def test_events_scd2_tiers_one_user_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_audience_overlap_user_keyed_pairs(spark, sf_dir):
+    """Audience-overlap scale contract: the pair join is keyed on
+    user_id over the ONE checkpointed (user, type) table; sizes
+    broadcast onto the types^2 pair table; no cartesian/NLJ."""
+    from ballista_delta_spark.queries.pipeline import events_audience_overlap
+
+    plan = _physical_plan(events_audience_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
