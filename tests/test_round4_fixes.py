@@ -1100,3 +1100,165 @@ class TestR9iBehavior:
         assert got["2_neardup"] == got["1_exact"] - 1
         # decontam removes the bench survivor (doc_id < 10) and doc 23
         assert got["3_decontam"] == got["2_neardup"] - 2
+
+
+class TestR9iBehaviorB:
+    """Planted-answer checks for the second r9i batch."""
+
+    def _mini_events(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_scd2_intervals_close_and_stay_open(self, spark, tmp_path):
+        """User spends low in week 1, high in weeks 2-3, low in week 4:
+        three SCD2 rows; the middle one closes the day before week 4,
+        only the last is current."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.pipeline import events_scd2_tiers
+
+        w0 = dt.datetime(2024, 1, 1)  # a Monday
+        rows = [
+            (1, w0, 7, "purchase", 10.0, "{}"),
+            (2, w0 + dt.timedelta(days=7), 7, "purchase", 5000.0, "{}"),
+            (3, w0 + dt.timedelta(days=14), 7, "purchase", 5000.0, "{}"),
+            (4, w0 + dt.timedelta(days=21), 7, "purchase", 10.0, "{}"),
+        ]
+        sf = self._mini_events(spark, tmp_path, rows)
+        out = sorted(
+            events_scd2_tiers(spark, sf).collect(),
+            key=lambda r: r["effective_from"],
+        )
+        assert [r["tier"] for r in out] == ["low", "high", "low"]
+        assert out[0]["effective_to"] == dt.date(2024, 1, 7)
+        assert out[1]["effective_to"] == dt.date(2024, 1, 21)
+        assert out[1]["is_current"] is False
+        assert out[2]["is_current"] is True and out[2]["effective_to"] is None
+
+    def test_ltv_cumulative_math(self, spark, tmp_path):
+        """One 2-user cohort spending 10 then 30 across two weeks:
+        cum LTV/user = 5.0 then 20.0."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.pipeline import events_ltv_cohort
+
+        w0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, w0, 1, "purchase", 4.0, "{}"),
+            (2, w0, 2, "purchase", 6.0, "{}"),
+            (3, w0 + dt.timedelta(days=7), 1, "purchase", 30.0, "{}"),
+        ]
+        sf = self._mini_events(spark, tmp_path, rows)
+        out = {r["age_week"]: r for r in events_ltv_cohort(spark, sf).collect()}
+        assert out[0]["n_users"] == 2
+        assert out[0]["cum_ltv_per_user"] == 5.0
+        assert out[1]["cum_ltv_per_user"] == 20.0
+
+    def test_audience_overlap_exact_jaccard(self, spark, tmp_path):
+        """Users {1,2,3} click, {2,3,4} view -> |both|=2, Jaccard 0.5."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.pipeline import events_audience_overlap
+
+        t = dt.datetime(2024, 1, 1)
+        rows = []
+        for i, u in enumerate([1, 2, 3]):
+            rows.append((i, t, u, "click", 1.0, "{}"))
+        for i, u in enumerate([2, 3, 4], start=10):
+            rows.append((i, t, u, "view", 1.0, "{}"))
+        sf = self._mini_events(spark, tmp_path, rows)
+        out = events_audience_overlap(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["type_a"], r["type_b"]) == ("click", "view")
+        assert r["n_both"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+        assert r["jaccard"] == 0.5
+
+    def test_triangle_count_planted_graph(self, spark, tmp_path):
+        """Orders plant edges {1-2, 2-3, 1-3, 3-4}: exactly one
+        triangle; wedges = 1+3+1 per-node pairs = C(2,2 nodes)...
+        degrees (1:2, 2:2, 3:3, 4:1) -> wedges 1+1+3+0 = 5; global
+        clustering = 3*1/5 = 0.6."""
+        p = os.path.join(str(tmp_path), "lineitem.parquet")
+        rows = []
+        k = 0
+        # each edge needs >= 2 co-occurring orders
+        for o, (u, v) in enumerate(
+            [(1, 2), (2, 3), (1, 3), (3, 4)] * 2
+        ):
+            for pt in (u, v):
+                k += 1
+                rows.append((100 + o, pt, k))
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_linenumber long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        from ballista_delta_spark.queries.joins import QUERIES
+
+        fn, _ = QUERIES["graph_triangle_count"]
+        r = fn(spark, str(tmp_path)).collect()[0]
+        assert r["n_nodes"] == 4 and r["n_edges"] == 4
+        assert r["n_triangles"] == 1
+        assert r["global_clustering"] == 0.6
+
+    def test_rrf_prefers_documents_in_both_tiers(self, spark, sf_dir):
+        """Over the real fixture: every fused top-1 document must be
+        surfaced by BOTH tiers (the exact top-1 always re-appears in
+        its own LSH bucket), and RRF scores are within (0, 2/61]."""
+        from ballista_delta_spark.queries.similarity import sim_rrf_fusion
+
+        rows = sim_rrf_fusion(spark, sf_dir).collect()
+        top1 = [r for r in rows if r["fused_rank"] == 1]
+        assert top1, rows
+        assert all(r["in_both"] for r in top1), top1
+        assert all(0 < r["rrf"] <= round(2 / 61, 6) + 1e-9 for r in rows)
+
+    def test_dq_catches_planted_violations(self, spark, tmp_path):
+        """Plant a NULL user_id, an out-of-range value, and an orphan
+        order: each rule reports exactly its violation."""
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        ev = [
+            (1, t, None, "view", 1.0, "{}"),
+            (2, t, 5, "view", 2000.0, "{}"),
+            (3, t, 5, "view", 10.0, "{}"),
+        ]
+        self._mini_events(spark, tmp_path, ev)
+        spark.createDataFrame(
+            [(1, "doc one", "en", "s", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+        spark.createDataFrame(
+            [(1, 999, "O", 10.0, t, "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet")
+        )
+        spark.createDataFrame(
+            [(0, "c", "BUILDING")], "c_custkey long, c_name string, c_mktsegment string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet")
+        )
+        spark.createDataFrame(
+            [(1, 10, 1)], "l_orderkey long, l_partkey long, l_linenumber long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet")
+        )
+        from ballista_delta_spark.queries.pipeline import dq_expectations
+
+        got = {
+            r["expectation"]: r for r in dq_expectations(spark, str(tmp_path)).collect()
+        }
+        assert got["user_id_not_null"]["n_violations"] == 1
+        assert got["value_in_range_0_1000"]["n_violations"] == 1
+        assert got["custkey_references_customer"]["n_violations"] == 1
+        assert got["orderkey_references_orders"]["n_violations"] == 0
+        assert got["n_chars_matches_text"]["pass"] is True
