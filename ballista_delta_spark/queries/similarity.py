@@ -1622,3 +1622,61 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fr").cast("int").alias("fused_rank"),
         )
     )
+
+
+# ------------------------------------------------------------ emb_knn_graph
+# k-NN graph construction: every corpus vector's top-5 neighbors within
+# its sign-LSH bucket — the semantic-graph builder behind graph-based
+# dedup (connected components over kNN edges), kNN-LM retrieval, and
+# label propagation. This is sim_lsh_bucketed WITHOUT the query-set
+# restriction: all N vectors are queries, so the blocked plan is the
+# only viable one (brute force is N² scoring; bucketing bounds work to
+# Σ|bucket|² — raise the plane count to keep buckets bounded at scale).
+#
+# Scale shape: ONE bucket-keyed equi-self-join over the checkpointed
+# bucketized corpus (never a cross join); per-vector top-k rides a
+# WindowGroupLimit under the one (vec) exchange. Engine parity: cosine
+# rounded 6dp BEFORE the rank (round-before-sort), ties to neighbor id.
+_KNN_K = 5
+
+
+@_q(
+    "emb_knn_graph",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    eb AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             {_COS_ORACLE} AS cos_sim
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+    SELECT src, dst, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT src, dst, cos_sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos_sim DESC, dst) AS rnk
+          FROM scored)
+    WHERE rnk <= {_KNN_K}
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eb = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .localCheckpoint(eager=False)
+    )
+    q, c = eb.alias("q"), eb.alias("c")
+    scored = (
+        q.hint("shuffle_hash")
+        .join(c, "bucket")
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("src"),
+            F.col("c.vec_id").alias("dst"),
+            _cos_spark().alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("src", "dst", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -1651,3 +1651,17 @@ def test_events_audience_overlap_user_keyed_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Scan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_emb_knn_graph_bucketed_self_join(spark, sf_dir):
+    """kNN-graph scale contract: the all-vectors pair space is blocked
+    by the LSH bucket (equi-self-join over the checkpointed bucketized
+    corpus — never a cross join); per-vector top-k is a
+    WindowGroupLimit."""
+    from ballista_delta_spark.queries.similarity import emb_knn_graph
+
+    plan = _physical_plan(emb_knn_graph(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
