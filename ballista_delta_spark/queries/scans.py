@@ -1275,3 +1275,45 @@ def meta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version long, crc_ok boolean, num_files long, num_dvs long, "
         "deleted_records long",
     ).orderBy("version")
+
+
+# --- scan_text: the line-oriented TEXT source (BEYOND the reference —
+# raw-log ingestion is the classic first hop of every event pipeline:
+# read lines, parse fields with string expressions, aggregate). The
+# fixture exports events as pipe-delimited log lines (values serialized
+# through DECIMAL(18,2) so the text round-trip is exact — float
+# formatting would drift between engines), then the query reads them
+# back with spark.read.text and parses entirely with codegen'd splits.
+# Scale: a text scan is splittable and projection is moot (one column);
+# the parse is a narrow map into the usual two-phase aggregate.
+@_q(
+    "scan_text",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    path = _artifact(
+        sf_dir, "events-text",
+        lambda p: ev.selectExpr(
+            "concat(CAST(event_id AS STRING), '|', event_type, '|', "
+            "CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS STRING))"
+            " AS value"
+        ).write.mode("overwrite").text(p),
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split("value", r"\|").alias("f")
+    ).select(
+        F.col("f").getItem(1).alias("event_type"),
+        F.col("f").getItem(2).cast("decimal(18,2)").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(18,2)").cast("double").alias("total_value"),
+    )
