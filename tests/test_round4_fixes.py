@@ -1262,3 +1262,61 @@ class TestR9iBehaviorB:
         assert got["custkey_references_customer"]["n_violations"] == 1
         assert got["orderkey_references_orders"]["n_violations"] == 0
         assert got["n_chars_matches_text"]["pass"] is True
+
+
+def test_interval_overlap_matches_bruteforce_random(spark, tmp_path):
+    """Seeded random fixture: 120 user-day spans -> the banded plan's
+    per-day pair counts and overlap sums must equal a pure-Python
+    all-pairs reference (catches banding/dedup mistakes the planted
+    example can't)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(42)
+    rows, eid = [], 0
+    spans = []
+    for day in range(3):
+        base = dt.datetime(2024, 5, 1 + day)
+        for u in range(40):
+            a = rng.randrange(0, 86_000)
+            b = rng.randrange(0, 86_000)
+            lo, hi = (a, b) if a <= b else (b, a)
+            spans.append((day, u, lo, hi))
+            for t in (lo, hi):
+                eid += 1
+                rows.append(
+                    (eid, base + dt.timedelta(seconds=t), u, "view", 1.0, "{}")
+                )
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    # pure-Python reference
+    expect = {}
+    for day in range(3):
+        todays = [s for s in spans if s[0] == day]
+        n, tot = 0, 0
+        for i in range(len(todays)):
+            for j in range(i + 1, len(todays)):
+                _, ua, la, ha = todays[i]
+                _, ub, lb, hb = todays[j]
+                if ua == ub:
+                    continue
+                ov = min(ha, hb) - max(la, lb)
+                if ov >= 1800:
+                    n += 1
+                    tot += ov
+        if n:
+            expect[dt.date(2024, 5, 1 + day)] = (n, round(tot / n, 4))
+
+    from ballista_delta_spark.queries.joins import QUERIES
+
+    fn, _ = QUERIES["join_interval_overlap"]
+    got = {
+        r["day"]: (r["n_pairs"], r["avg_overlap_s"])
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
