@@ -3027,3 +3027,106 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# -------------------------------------------------------- events_ewma_chart
+# EWMA control chart per event type: exponentially-weighted moving
+# average of the daily mean value, plus each day's deviation from the
+# prior smoothed level and an out-of-band flag — the classic
+# monitoring-chart operator (Roberts 1959) behind "did today's metric
+# drift" alerts. The recursion ewma_t = λ·x_t + (1-λ)·ewma_{t-1}
+# (seeded at x_0) is expanded to its weighted-sum form and computed over
+# the DAYS×DAYS grid (a self-join of the tiny per-type daily series on
+# b.t <= a.t) — no recursive CTE, no Python fold, and the grid is
+# days²-bounded regardless of fact size.
+#
+# Engine parity (hard-won): λ = 0.5 makes every weight an exact power
+# of two, so each term v_i·2^-k is an EXACT IEEE scaling; terms round
+# to 9dp DECIMAL before the order-free decimal sum, and the final
+# decimal→double conversion stays in the exactly-convertible range.
+# (Two rejected forms both diverged by 1 ulp: a 2^t-scaled prefix sum
+# pushed the decimal past double precision — Spark converts
+# correctly-rounded, DuckDB via a scaled division — and a plain 4dp
+# round() split on a .00005 half-way tie. The grid form is
+# bit-identical at all three SFs.) Scale shape: the fact collapses
+# map-side to the (type × day) grain in ONE exchange; the grid
+# self-join and windows run over that tiny checkpointed series.
+_EWMA_L = 0.5
+
+
+@_q(
+    "events_ewma_chart",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS v
+      FROM events GROUP BY event_type, d),
+    idx AS (
+      SELECT event_type, d, v,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - 1 AS INTEGER) AS t
+      FROM daily),
+    sm AS (
+      SELECT a.event_type, a.d, a.v, a.t,
+             CAST(sum(CAST(round(
+                 b.v * pow(0.5, CASE WHEN b.t = 0 THEN a.t
+                                ELSE a.t - b.t + 1 END), 9)
+               AS DECIMAL(20,9))) AS DOUBLE) AS ewma
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.t <= a.t
+      GROUP BY a.event_type, a.d, a.v, a.t)
+    SELECT event_type, d AS day, v AS day_mean, ewma,
+           v - lag(ewma) OVER (PARTITION BY event_type ORDER BY t)
+             AS deviation,
+           abs(v - lag(ewma) OVER (PARTITION BY event_type ORDER BY t))
+             > 0.15 * lag(ewma) OVER (PARTITION BY event_type ORDER BY t)
+             AS out_of_band
+    FROM sm
+    """,
+)
+def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.expr(
+                "CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)"
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn(
+        "t", (F.row_number().over(wt) - 1).cast("int")
+    ).localCheckpoint(eager=False)
+    a, b = idx.alias("a"), idx.alias("b")
+    term = (
+        "CAST(round(b.v * pow(0.5, CASE WHEN b.t = 0 THEN a.t"
+        " ELSE a.t - b.t + 1 END), 9) AS DECIMAL(20,9))"
+    )
+    sm = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.t") <= F.col("a.t")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+            F.col("a.v").alias("v"),
+            F.col("a.t").alias("t"),
+        )
+        .agg(F.expr(f"CAST(sum({term}) AS DOUBLE)").alias("ewma"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("t")
+    prev = F.lag("ewma").over(wo)
+    return sm.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("v").alias("day_mean"),
+        "ewma",
+        (F.col("v") - prev).alias("deviation"),
+        (F.abs(F.col("v") - prev) > 0.15 * prev).alias("out_of_band"),
+    )

@@ -1320,3 +1320,34 @@ def test_interval_overlap_matches_bruteforce_random(spark, tmp_path):
         for r in fn(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_ewma_matches_recursion(spark, tmp_path):
+    """The grid closed form must equal the textbook recursion
+    ewma_t = 0.5*x_t + 0.5*ewma_{t-1} seeded at x_0, on a planted
+    5-day series."""
+    import datetime as dt
+
+    from ballista_delta_spark.queries.pipeline import events_ewma_chart
+
+    vals = [10.0, 20.0, 40.0, 40.0, 10.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    out = sorted(
+        events_ewma_chart(spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    ref = vals[0]
+    assert abs(out[0]["ewma"] - ref) < 1e-6
+    for i in range(1, len(vals)):
+        ref = 0.5 * vals[i] + 0.5 * ref
+        assert abs(out[i]["ewma"] - ref) < 1e-6, (i, out[i]["ewma"], ref)
+        assert abs(out[i]["deviation"] - (vals[i] - (out[i - 1]["ewma"]))) < 1e-6

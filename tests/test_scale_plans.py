@@ -1665,3 +1665,16 @@ def test_emb_knn_graph_bucketed_self_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_events_ewma_chart_days_grid_only(spark, sf_dir):
+    """EWMA scale contract: the fact collapses to the (type, day) grain
+    in one exchange; the grid self-join runs over the tiny checkpointed
+    series (both sides ExistingRDD), never the fact."""
+    from ballista_delta_spark.queries.pipeline import events_ewma_chart
+
+    plan = _physical_plan(events_ewma_chart(spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
