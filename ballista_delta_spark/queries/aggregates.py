@@ -578,3 +578,58 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------- agg_skew_kurtosis
+# A20: distribution-shape profiling — skewness and excess kurtosis of
+# the value distribution per event type, the moments a data profiler
+# reports beyond mean/σ (heavy tails and asymmetry are what break
+# z-score gates). Spark's skewness()/kurtosis() and DuckDB's built-ins
+# accumulate doubles in partition order (non-deterministic across
+# engines), so both sides compute the SAME closed form from raw power
+# sums Σx..Σx⁴ accumulated as DECIMAL over round(term, 9) —
+# partitioning-order-proof, then identical double arithmetic:
+#   m_k = Σ(x-μ)^k/n expanded in raw moments; g1 = m3/m2^1.5,
+#   g2 = m4/m2² - 3. Scale: ONE two-phase hash aggregate.
+_MOM_SUM = (
+    "CAST(sum(CAST(round({t}, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+)
+_SKEW_KURT = """
+    round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+           * (s1 / n))
+          / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+    round((s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+          / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurtosis
+"""
+
+
+@_q(
+    "agg_skew_kurtosis",
+    f"""
+    WITH moms AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             {_MOM_SUM.format(t="value")} AS s1,
+             {_MOM_SUM.format(t="value * value")} AS s2,
+             {_MOM_SUM.format(t="value * value * value")} AS s3,
+             {_MOM_SUM.format(t="value * value * value * value")} AS s4
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n, {_SKEW_KURT}
+    FROM moms
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    moms = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr(_MOM_SUM.format(t="value")).alias("s1"),
+        F.expr(_MOM_SUM.format(t="value * value")).alias("s2"),
+        F.expr(_MOM_SUM.format(t="value * value * value")).alias("s3"),
+        F.expr(
+            _MOM_SUM.format(t="value * value * value * value")
+        ).alias("s4"),
+    )
+    return moms.selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n", *_SKEW_KURT.split(",\n")
+    )
