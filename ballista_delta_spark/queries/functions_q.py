@@ -613,3 +613,59 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("indexed"),
     )
+
+
+# ------------------------------------------------------------ fn_try_safe
+# F14: the ANSI-mode error-safe function family — try_cast, try_divide,
+# try_add, try_element_at. Under ANSI SQL semantics (Spark 4 default)
+# a bad cast / zero divide / integer overflow FAILS the query; the try_
+# variants return NULL instead, which is what production ELT uses for
+# dirty columns (parse what parses, quarantine the rest). The oracle
+# mirrors each case with DuckDB's TRY_CAST or the equivalent NULL-guard
+# CASE, so the semantics (not just the happy path) are checked: a
+# non-numeric string, a divide-by-zero bucket, an int64 overflow, and
+# an out-of-range array index each produce NULL, counted per type.
+# Scale: one narrow codegen'd pass + the usual two-phase count fold.
+@_q(
+    "fn_try_safe",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+           CAST(sum(CASE WHEN (CASE WHEN CAST(floor(value / 100) AS INTEGER) = 0
+                                    THEN NULL
+                                    ELSE 100.0 / CAST(floor(value / 100) AS INTEGER)
+                               END) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+           CAST(sum(CASE WHEN (CASE WHEN event_id > 0 THEN NULL
+                                    ELSE 9223372036854775807 + event_id
+                               END) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+           CAST(sum(CASE WHEN string_split(event_type, '')[99] IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oob_index
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN try_cast(event_type AS INT) IS NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_bad_cast"),
+        F.expr(
+            "CAST(sum(CASE WHEN try_divide(100.0,"
+            " CAST(floor(value / 100) AS INT)) IS NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_div_zero"),
+        F.expr(
+            "CAST(sum(CASE WHEN try_add(9223372036854775807L, event_id)"
+            " IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_overflow"),
+        F.expr(
+            "CAST(sum(CASE WHEN try_element_at(split(event_type, ''), 99)"
+            " IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_oob_index"),
+    )
