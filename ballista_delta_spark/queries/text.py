@@ -942,3 +942,84 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round((sy - ({_ZIPF_SLOPE}) * sx) / k, 6) AS zipf_intercept",
         f"round({_ZIPF_R2}, 6) AS fit_r2",
     )
+
+
+# ----------------------------------------------- text_boilerplate_prefix
+# Boilerplate detection by shared document PREFIX: the top repeated
+# 5-token openings per source with their document share — the
+# header/nav/cookie-banner detector every web-corpus pipeline runs
+# before quality scoring (boilerplate-led docs depress every downstream
+# LM metric and near-dup score; the fix is stripping the prefix, and
+# the first step is measuring it). Suffix boilerplate is the same query
+# with slice from the end.
+#
+# Scale shape: the prefix is a narrow codegen'd projection (slice of
+# the split array — no explode); ONE (source, prefix) exchange with
+# map-side partials; the per-source top-3 rides a WindowGroupLimit over
+# that aggregate. Counts exact; share = int/int rounded 6dp.
+_BP_K = 5
+_BP_TOP = 3
+_BP_MIN = 2
+
+
+@_q(
+    "text_boilerplate_prefix",
+    f"""
+    WITH pre AS (
+      SELECT source,
+             array_to_string((regexp_split_to_array(lower(text),
+                              '{_WS}'))[1:{_BP_K}], ' ') AS prefix
+      FROM documents
+      WHERE len(regexp_split_to_array(text, '{_WS}')) >= {_BP_K}),
+    tot AS (SELECT source, count(*) AS nd FROM pre GROUP BY source),
+    cnt AS (
+      SELECT source, prefix, count(*) AS n_docs
+      FROM pre GROUP BY source, prefix
+      HAVING count(*) >= {_BP_MIN}),
+    ranked AS (
+      SELECT source, prefix, n_docs,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_docs DESC, prefix) AS rnk
+      FROM cnt)
+    SELECT r.source, r.prefix, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.rnk AS INTEGER) AS rnk,
+           round(CAST(r.n_docs AS DOUBLE) / t.nd, 6) AS doc_share
+    FROM ranked r JOIN tot t ON r.source = t.source
+    WHERE r.rnk <= {_BP_TOP}
+    """,
+)
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pre = (
+        d.select(
+            "source", F.split(F.lower("text"), _WS).alias("toks")
+        )
+        .filter(F.size("toks") >= _BP_K)
+        .select(
+            "source",
+            F.array_join(F.slice("toks", 1, _BP_K), " ").alias("prefix"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    cnt = (
+        pre.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc(), "prefix")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BP_TOP)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source", "prefix",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round(F.col("n_docs").cast("double") / F.col("nd"), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
