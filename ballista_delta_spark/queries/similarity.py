@@ -1638,13 +1638,20 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WindowGroupLimit under the one (vec) exchange. Engine parity: cosine
 # rounded 6dp BEFORE the rank (round-before-sort), ties to neighbor id.
 _KNN_K = 5
+# 6 planes (64 buckets) instead of the query-path default 4: with ALL
+# vectors as queries the join cost is Σ|bucket|², so halving bucket
+# size is a 4x — measured 7.5 s -> ~2 s at sf0.1 with avg bucket ~78
+# (still >> k=5 neighbors per bucket).
+_KNN_PLANES = 6
+_KNN_BUCKET_SPARK = lsh_bucket_expr(_KNN_PLANES, dialect="spark")
+_KNN_BUCKET_DUCK = lsh_bucket_expr(_KNN_PLANES, dialect="duckdb")
 
 
 @_q(
     "emb_knn_graph",
     f"""
     WITH {_CORPUS_ORACLE},
-    eb AS (SELECT vec_id, emb, nrm, {_BUCKET_DUCK} AS bucket FROM e),
+    eb AS (SELECT vec_id, emb, nrm, {_KNN_BUCKET_DUCK} AS bucket FROM e),
     scored AS (
       SELECT q.vec_id AS src, c.vec_id AS dst,
              {_COS_ORACLE} AS cos_sim
@@ -1660,7 +1667,7 @@ _KNN_K = 5
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (
         _corpus(spark, sf_dir)
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .withColumn("bucket", F.expr(_KNN_BUCKET_SPARK))
         .localCheckpoint(eager=False)
     )
     q, c = eb.alias("q"), eb.alias("c")

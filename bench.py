@@ -69,6 +69,7 @@ HEADLINE = [
     # continuation session (first-run baselines per BASELINE.md):
     "corpus_dedup_cascade",   # staged funnel: exact + minhash + decontam
     "join_interval_overlap",  # dedup-free banded interval overlap join
+    "emb_knn_graph",          # LSH-bucketed all-vectors kNN self-join
 ]
 
 WARMUP = 1
