@@ -1351,3 +1351,114 @@ def test_ewma_matches_recursion(spark, tmp_path):
         ref = 0.5 * vals[i] + 0.5 * ref
         assert abs(out[i]["ewma"] - ref) < 1e-6, (i, out[i]["ewma"], ref)
         assert abs(out[i]["deviation"] - (vals[i] - (out[i - 1]["ewma"]))) < 1e-6
+
+
+class TestR9iBehaviorC:
+    """Planted-answer checks for the third r9i batch."""
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def _mini_events(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_boilerplate_finds_planted_header(self, spark, tmp_path):
+        """4 of 6 docs in source 'web' open with the same cookie banner
+        -> top prefix with doc_share 4/6; the unique openings never
+        reach the top-3 (min count 2)."""
+        from ballista_delta_spark.queries.text import text_boilerplate_prefix
+
+        banner = "we use cookies to improve"
+        rows = [
+            (i, f"{banner} page {i} body text", "en", "web", 30)
+            for i in range(4)
+        ]
+        rows += [
+            (10, "totally unique opening one here", "en", "web", 30),
+            (11, "another unique opening two here", "en", "web", 30),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        out = text_boilerplate_prefix(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["prefix"] == banner and r["n_docs"] == 4
+        assert abs(r["doc_share"] - 4 / 6) < 1e-6
+
+    def test_skew_kurtosis_symmetric_two_point(self, spark, tmp_path):
+        """A symmetric two-point distribution {10, 30} has skewness 0
+        and excess kurtosis -2 (the two-point minimum)."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.aggregates import agg_skew_kurtosis
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t, 1, "view", v, "{}")
+            for i, v in enumerate([10.0, 30.0] * 8)
+        ]
+        sf = self._mini_events(spark, tmp_path, rows)
+        r = agg_skew_kurtosis(spark, sf).collect()[0]
+        assert r["skewness"] == 0.0
+        assert r["kurtosis"] == -2.0
+
+    def test_try_safe_counts_each_failure_class(self, spark, tmp_path):
+        """Three events: value 50 (floor/100=0 -> div NULL), value 250
+        (ok), and event_id 0 (overflow add is LEGAL at id 0 -> not
+        null). Bad cast + OOB index are NULL for every row."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.functions_q import fn_try_safe
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t, 1, "view", 50.0, "{}"),
+            (1, t, 1, "view", 250.0, "{}"),
+            (2, t, 1, "view", 250.0, "{}"),
+        ]
+        sf = self._mini_events(spark, tmp_path, rows)
+        r = fn_try_safe(spark, sf).collect()[0]
+        assert r["n"] == 3
+        assert r["n_bad_cast"] == 3      # 'view' never casts to INT
+        assert r["n_div_zero"] == 1      # only value 50 -> bucket 0
+        assert r["n_overflow"] == 2      # ids 1,2 overflow; id 0 legal
+        assert r["n_oob_index"] == 3     # index 99 out of range always
+
+    def test_knn_graph_planted_neighbors(self, spark, tmp_path):
+        """Four near-identical vectors + four opposite-sign vectors:
+        each vector's top neighbors come from its own sign family
+        (same LSH bucket, cosine ~1), never the opposite family."""
+        import numpy as np
+
+        base = np.zeros(64)
+        base[:8] = 1.0
+        vecs = []
+        for i in range(4):
+            v = base.copy(); v[8 + i] = 0.01
+            vecs.append(v)
+        for i in range(4):
+            v = -base.copy(); v[20 + i] = -0.01
+            vecs.append(v)
+        p = os.path.join(str(tmp_path), "embeddings.parquet")
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        from ballista_delta_spark.queries.similarity import emb_knn_graph
+
+        rows = emb_knn_graph(spark, str(tmp_path)).collect()
+        fam = lambda i: 0 if i < 4 else 1
+        assert rows, "graph must not be empty"
+        for r in rows:
+            assert fam(r["src"]) == fam(r["dst"]), r
+            assert r["cos_sim"] > 0.99, r
