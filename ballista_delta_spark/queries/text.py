@@ -1023,3 +1023,53 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------------------- text_tokenizer_fertility
+# Tokenizer fertility per language: subword tokens produced per
+# whitespace word (Σ BPE-ish tokens / Σ words) plus the per-doc p90 —
+# THE multilingual tokenizer-equity metric (XLM-R/NLLB report it;
+# fertility >> 1 means a language pays more sequence length per word,
+# skewing compute budgets and truncation rates — feeds directly into
+# sample_temperature / corpus_token_budget decisions). Scale shape: one
+# narrow pass computes both counts per doc (regex counts inside
+# codegen, no explode), ONE lang-grain exchange folds exact integer
+# sums; the p90 is an exact interpolated percentile over the per-doc
+# ratio (agg_exact_percentile contract). Ratios are int/int divisions
+# of identical doubles, rounded 4dp.
+@_q(
+    "text_tokenizer_fertility",
+    f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_split_to_array(text, '{_WS}')) AS ws,
+             len(regexp_extract_all(text, '{_BPE}')) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_subwords,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 4) AS fertility,
+           round(quantile_cont(CAST(bpe AS DOUBLE) / ws, 0.9), 4)
+               AS p90_doc_fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", _WS)).alias("ws"),
+        F.regexp_count("text", F.lit(_BPE)).alias("bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("n_subwords"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws"), 4
+        ).alias("fertility"),
+        F.round(
+            F.expr("percentile(CAST(bpe AS DOUBLE) / ws, 0.9)"), 4
+        ).alias("p90_doc_fertility"),
+    )
