@@ -3130,3 +3130,95 @@ def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") - prev).alias("deviation"),
         (F.abs(F.col("v") - prev) > 0.15 * prev).alias("out_of_band"),
     )
+
+
+# ---------------------------------------------------- events_survival_curve
+# Kaplan-Meier churn survival: S(t) = Π_{i<=t} (1 - d_i/n_i) over user
+# lifetime ages (days from first to last event), with users still
+# active on the corpus's final day treated as CENSORED (the estimator's
+# whole point — dropping them would bias churn high). The retention
+# matrix counts who returns; the survival curve estimates the lifetime
+# distribution itself — the churn readout actuarial/LTV models consume.
+#
+# Scale shape: the fact folds to per-user (first, last) in ONE
+# exchange; everything after is an ages-sized grid (≤ observation-window
+# days): cumulative at-risk/churn counts ride one window, and the
+# product telescopes as exp(Σ ln(1-d/n)) with the ln terms rounded to
+# 9dp DECIMAL so the running sum is order-free (the EWMA lesson —
+# window fold order differs between engines). Engine parity: d/n are
+# exact ints; ln/exp evaluate on identical doubles.
+@_q(
+    "events_survival_curve",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS fd,
+             max(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id),
+    anchor AS (SELECT max(ld) AS endd FROM per_user),
+    ages AS (
+      SELECT CAST(ld - fd AS INTEGER) AS age,
+             (ld >= a.endd) AS censored
+      FROM per_user CROSS JOIN anchor a),
+    grid AS (
+      SELECT age,
+             count(*) AS n_leaving,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+               AS d_churn
+      FROM ages GROUP BY age),
+    risk AS (
+      SELECT age, d_churn,
+             sum(n_leaving) OVER (ORDER BY age DESC) AS n_at_risk
+      FROM grid),
+    km AS (
+      SELECT age, d_churn, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             CAST(sum(CAST(round(
+                   ln(1.0 - CAST(d_churn AS DOUBLE) / n_at_risk), 9)
+                 AS DECIMAL(20,9))) OVER (ORDER BY age) AS DOUBLE) AS lsum
+      FROM risk WHERE d_churn < n_at_risk)
+    SELECT age, n_at_risk, d_churn,
+           round(exp(lsum), 6) AS survival
+    FROM km
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("fd"),
+        F.max(F.col("ts").cast("date")).alias("ld"),
+    ).localCheckpoint(eager=False)
+    anchor = per_user.agg(F.max("ld").alias("endd"))
+    ages = per_user.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("ld", "fd").cast("int").alias("age"),
+        (F.col("ld") >= F.col("endd")).alias("censored"),
+    )
+    grid = ages.groupBy("age").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("d_churn"),
+    )
+    w_desc = Window.orderBy(F.col("age").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "age", "d_churn", F.sum("n_leaving").over(w_desc).alias("n_at_risk")
+    )
+    w_asc = Window.orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.filter(F.col("d_churn") < F.col("n_at_risk")).select(
+        "age",
+        F.col("d_churn"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.expr(
+            "CAST(sum(CAST(round(ln(1.0 - CAST(d_churn AS DOUBLE)"
+            " / n_at_risk), 9) AS DECIMAL(20,9)))"
+            " OVER (ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS DOUBLE)"
+        ).alias("lsum"),
+    )
+    return km.select(
+        "age", "n_at_risk", "d_churn",
+        F.round(F.exp("lsum"), 6).alias("survival"),
+    )

@@ -1462,3 +1462,38 @@ class TestR9iBehaviorC:
         for r in rows:
             assert fam(r["src"]) == fam(r["dst"]), r
             assert r["cos_sim"] > 0.99, r
+
+
+def test_survival_curve_km_with_censoring(spark, tmp_path):
+    """Planted lifetimes: users A,B churn at age 1, C churns at age 2,
+    D is still active on the final day (censored at age 2). KM:
+    S(1) = 1 - 2/4 = 0.5; S(2) = 0.5 * (1 - 1/2) = 0.25 — censoring D
+    keeps them in the age-2 risk set without counting a death."""
+    import datetime as dt
+
+    from ballista_delta_spark.queries.pipeline import events_survival_curve
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def span(u, days):
+        nonlocal eid
+        for k in (0, days):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(days=k), u, "view", 1.0, "{}"))
+
+    span(1, 1)
+    span(2, 1)
+    span(3, 2)
+    span(4, 2)  # ends on the corpus max day -> censored
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    out = {r["age"]: r for r in events_survival_curve(spark, str(tmp_path)).collect()}
+    assert out[1]["n_at_risk"] == 4 and out[1]["d_churn"] == 2
+    assert out[1]["survival"] == 0.5
+    assert out[2]["n_at_risk"] == 2 and out[2]["d_churn"] == 1
+    assert out[2]["survival"] == 0.25
