@@ -1466,9 +1466,9 @@ class TestR9iBehaviorC:
 
 def test_survival_curve_km_with_censoring(spark, tmp_path):
     """Planted lifetimes: users A,B churn at age 1, C churns at age 2,
-    D is still active on the final day (censored at age 2). KM:
-    S(1) = 1 - 2/4 = 0.5; S(2) = 0.5 * (1 - 1/2) = 0.25 — censoring D
-    keeps them in the age-2 risk set without counting a death."""
+    D is still active on the final day (censored at age 3). KM:
+    S(1) = 1 - 2/4 = 0.5; S(2) = 0.5 * (1 - 1/2) = 0.25; the age-3 row
+    carries d_churn 0 (censoring is not a death) so S stays 0.25."""
     import datetime as dt
 
     from ballista_delta_spark.queries.pipeline import events_survival_curve
@@ -1485,7 +1485,7 @@ def test_survival_curve_km_with_censoring(spark, tmp_path):
     span(1, 1)
     span(2, 1)
     span(3, 2)
-    span(4, 2)  # ends on the corpus max day -> censored
+    span(4, 3)  # ends on the corpus max day -> censored
     p = os.path.join(str(tmp_path), "events.parquet")
     spark.createDataFrame(
         rows,
@@ -1497,3 +1497,4 @@ def test_survival_curve_km_with_censoring(spark, tmp_path):
     assert out[1]["survival"] == 0.5
     assert out[2]["n_at_risk"] == 2 and out[2]["d_churn"] == 1
     assert out[2]["survival"] == 0.25
+    assert out[3]["d_churn"] == 0 and out[3]["survival"] == 0.25
