@@ -1678,3 +1678,26 @@ def test_events_ewma_chart_days_grid_only(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_text_tokenizer_fertility_single_pass(spark, sf_dir):
+    """Fertility scale contract: both token counts ride one narrow
+    codegen'd pass (no explode), one lang-grain exchange."""
+    from ballista_delta_spark.queries.text import text_tokenizer_fertility
+
+    plan = _physical_plan(text_tokenizer_fertility(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_events_survival_curve_ages_grid_windows(spark, sf_dir):
+    """Survival scale contract: the fact folds to per-user (first,
+    last) once (checkpointed — the anchor and age branches reuse it);
+    the at-risk/KM windows run over the ages-sized grid only."""
+    from ballista_delta_spark.queries.pipeline import events_survival_curve
+
+    plan = _physical_plan(events_survival_curve(spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
