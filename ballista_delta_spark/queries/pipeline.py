@@ -3222,3 +3222,81 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age", "n_at_risk", "d_churn",
         F.round(F.exp("lsum"), 6).alias("survival"),
     )
+
+
+# ------------------------------------------------- events_peak_concurrency
+# Peak-concurrency curve: the maximum number of SIMULTANEOUSLY active
+# users per day (and when the peak happens) — the capacity-planning
+# twin of join_interval_overlap (that op counts concurrent PAIRS; this
+# sweeps the actual concurrency level). Classic sweep-line re-expressed
+# relationally: each user-day span emits a +1 at its start and a -1
+# after its end, a running sum over the day's ordered deltas is the
+# live-concurrency curve, and the per-day max (earliest-instant
+# tie-break) is the answer.
+#
+# Scale shape: the fact folds to user-day spans in ONE exchange; the
+# delta stream is 2 rows per span; the running sum partitions BY DAY
+# (each day's sweep is an independent task — at 100 TB the day grain
+# keeps every sort bounded and parallel). Ties: deltas at the same
+# microsecond order (-1 before +1) so touching-but-not-overlapping
+# spans never inflate the peak; integer counts, exact in both engines.
+@_q(
+    "events_peak_concurrency",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    deltas AS (
+      SELECT d, s AS at, epoch_us(s) AS us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d, e AS at, epoch_us(e) + 1 AS us, -1 AS delta FROM spans),
+    curve AS (
+      SELECT d, at,
+             sum(delta) OVER (PARTITION BY d ORDER BY us, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS live
+      FROM deltas)
+    SELECT d AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrency,
+           min(CASE WHEN live = ml THEN at END) AS peak_at
+    FROM (SELECT *, max(live) OVER (PARTITION BY d) AS ml FROM curve)
+    GROUP BY d
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = spans.select(
+        "d",
+        F.col("s").alias("at"),
+        F.unix_micros("s").alias("us"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        spans.select(
+            "d",
+            F.col("e").alias("at"),
+            (F.unix_micros("e") + 1).alias("us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = deltas.select(
+        "d", "at", F.sum("delta").over(w).alias("live")
+    )
+    wd = Window.partitionBy("d")
+    return (
+        curve.withColumn("ml", F.max("live").over(wd))
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.max("live").cast("bigint").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("live") == F.col("ml"), F.col("at"))
+            ).alias("peak_at"),
+        )
+    )

@@ -1498,3 +1498,39 @@ def test_survival_curve_km_with_censoring(spark, tmp_path):
     assert out[2]["n_at_risk"] == 2 and out[2]["d_churn"] == 1
     assert out[2]["survival"] == 0.25
     assert out[3]["d_churn"] == 0 and out[3]["survival"] == 0.25
+
+
+def test_peak_concurrency_planted_sweep(spark, tmp_path):
+    """Three spans on one day: A 10-14h, B 12-18h, C 13-13:30 ->
+    peak 3 at 13:00. D (18h-19h) starts AT B's end instant: spans are
+    CLOSED intervals (the -1 lands at e+1us), so B and D overlap for
+    that one instant — concurrency 2 at 18:00, still below the peak."""
+    import datetime as dt
+
+    from ballista_delta_spark.queries.pipeline import events_peak_concurrency
+
+    d0 = dt.datetime(2024, 2, 1)
+    rows, eid = [], 0
+
+    def span(u, h1, m1, h2, m2):
+        nonlocal eid
+        for h, m in ((h1, m1), (h2, m2)):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(hours=h, minutes=m), u, "view", 1.0, "{}")
+            )
+
+    span(1, 10, 0, 14, 0)
+    span(2, 12, 0, 18, 0)
+    span(3, 13, 0, 13, 30)
+    span(4, 18, 0, 19, 0)  # starts AT B's end instant
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    out = events_peak_concurrency(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["peak_concurrency"] == 3
+    assert out[0]["peak_at"] == d0 + dt.timedelta(hours=13)

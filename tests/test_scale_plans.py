@@ -1701,3 +1701,15 @@ def test_events_survival_curve_ages_grid_windows(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_peak_concurrency_per_day_sweep(spark, sf_dir):
+    """Sweep-line scale contract: the fact folds to user-day spans in
+    one exchange; the running sum partitions BY DAY (independent
+    bounded sorts — never a global rangepartitioning sort); no joins."""
+    from ballista_delta_spark.queries.pipeline import events_peak_concurrency
+
+    plan = _physical_plan(events_peak_concurrency(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
