@@ -1372,3 +1372,50 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= _FUZZY_D)
+
+
+# --------------------------------------------------- dedup_source_matrix
+# Near-dup provenance matrix: verified MinHash-LSH pairs rolled up by
+# the (source, source) of their endpoints — the syndication dashboard
+# ("is feed X re-serving feed Y's pages?") that decides which source to
+# drop when near-dup clusters straddle feeds. Ordered source pair so
+# (web, wiki) and (wiki, web) land in one cell; within-source dupes sit
+# on the diagonal. Scale shape: the pair list is near-dup-sized (tiny
+# vs corpus); the two provenance lookups are id equi-joins against the
+# doc_id→source projection (broadcast at bench scale, co-partitioned at
+# 100 TB); the matrix fold is sources²-bounded.
+@_q(
+    "dedup_source_matrix",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    {_LSH_CAND_ORACLE},
+    vp AS (
+      SELECT jac.doc_a, jac.doc_b
+      FROM jac JOIN cand
+        ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+      WHERE jac.jaccard >= 0.8),
+    prov AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM vp
+      JOIN documents da ON vp.doc_a = da.doc_id
+      JOIN documents db ON vp.doc_b = db.doc_id)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM prov GROUP BY source_a, source_b
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vp = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        vp.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
