@@ -1073,3 +1073,100 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(CAST(bpe AS DOUBLE) / ws, 0.9)"), 4
         ).alias("p90_doc_fertility"),
     )
+
+
+# ------------------------------------------- text_quality_threshold_sweep
+# Classifier-threshold sweep: the keep-rate and kept-character share at
+# five candidate score cutoffs, per language — the calibration curve a
+# team reads before committing a quality threshold ("−1.0 keeps 92% of
+# German but 61% of English"; thresholds move per language or the mix
+# shifts silently). Reuses text_quality_classifier's hashed-bigram
+# score expression verbatim, so the sweep measures the REGISTERED
+# filter, not a lookalike.
+#
+# Scale shape: one narrow scoring pass (the classifier's pinned
+# zero-shuffle shape) + one lang-grain fold where all five thresholds
+# are CASE sums inside the same aggregate — sweeping costs one scan,
+# not five. Exact int counts; shares int/int rounded 6dp.
+_SWEEP_TS = (-2.0, -1.0, 0.0, 1.0, 2.0)
+
+
+@_q(
+    "text_quality_threshold_sweep",
+    f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))] AS prs
+      FROM (SELECT lang, n_chars,
+                   regexp_split_to_array(lower(text), '{_WS}') AS ws
+            FROM documents)
+      WHERE len(ws) >= 2),
+    s AS (
+      SELECT lang, n_chars,
+             round(list_sum([
+                 {_QC_W}[CAST(('0x' || substr(md5(pr), 1, 8))::BIGINT % {_QC_B}
+                              AS BIGINT) + 1]
+                 FOR pr IN prs]) / len(prs), 6) AS score
+      FROM t)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"round(CAST(sum(CASE WHEN score >= {t} THEN 1 ELSE 0 END)"
+               f" AS DOUBLE) / count(*), 6) AS keep_at_{i}"
+               for i, t in enumerate(_SWEEP_TS))},
+           {", ".join(
+               f"round(CAST(sum(CASE WHEN score >= {t} THEN n_chars"
+               f" ELSE 0 END) AS DOUBLE) / sum(n_chars), 6)"
+               f" AS chars_at_{i}"
+               for i, t in enumerate(_SWEEP_TS))}
+    FROM s GROUP BY lang
+    """,
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w_lit = "array(" + ", ".join(str(w) for w in _QC_W) + ")"
+    pairs = (
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+        "(w1, w2) -> concat(w1, ' ', w2))"
+    )
+    lookup = (
+        f"CAST(element_at({w_lit}, CAST(CAST(conv(substring(md5(pr), 1, 8), "
+        f"16, 10) AS BIGINT) % {_QC_B} AS INT) + 1) AS BIGINT)"
+    )
+    s = (
+        d.select(
+            "lang", "n_chars", F.split(F.lower("text"), _WS).alias("ws")
+        )
+        .filter(F.expr("size(ws) >= 2"))
+        .select(
+            "lang",
+            "n_chars",
+            F.round(
+                F.expr(
+                    f"aggregate({pairs}, 0L, (acc, pr) -> acc + {lookup})"
+                )
+                / F.expr("size(ws) - 1"),
+                6,
+            ).alias("score"),
+        )
+    )
+    keeps = [
+        F.round(
+            F.sum(F.when(F.col("score") >= t, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"keep_at_{i}")
+        for i, t in enumerate(_SWEEP_TS)
+    ]
+    chars = [
+        F.round(
+            F.sum(
+                F.when(F.col("score") >= t, F.col("n_chars")).otherwise(0)
+            ).cast("double")
+            / F.sum("n_chars"),
+            6,
+        ).alias(f"chars_at_{i}")
+        for i, t in enumerate(_SWEEP_TS)
+    ]
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"), *keeps, *chars
+    )
