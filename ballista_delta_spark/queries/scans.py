@@ -1317,3 +1317,98 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v").cast("decimal(18,2)").cast("double").alias("total_value"),
     )
+
+
+# --- S33 sink_delta_scd2_apply: CDC -> SCD2 dimension maintenance — the
+# flagship lakehouse integration pattern: a CDF-enabled dimension table
+# takes an UPDATE (v1) and a DELETE (v2); the change feed is then folded
+# into a Type-2 history (valid_from_version / valid_to_version /
+# is_current) exactly as a warehouse dimension loader would persist it.
+# Openings = the v0 snapshot plus every update_postimage; every later
+# event on the same key (next postimage or delete) closes the previous
+# row; deletes close without opening. One lead() window over the
+# (key, version) event stream does the folding — the same declarative
+# SCD2 core as events_scd2_tiers, here driven by a REAL Delta change
+# feed instead of a derived attribute. The oracle replays the fixture's
+# literal outcome from the nation table.
+@_q(
+    "sink_delta_scd2_apply",
+    """
+    SELECT n_nationkey, n_name,
+           0 AS valid_from_version,
+           CAST(CASE WHEN n_regionkey = 1 THEN 1
+                     WHEN n_nationkey >= 20 THEN 2 END AS INTEGER)
+             AS valid_to_version,
+           (CASE WHEN n_regionkey = 1 THEN 1
+                 WHEN n_nationkey >= 20 THEN 2 END) IS NULL AS is_current
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, upper(n_name) AS n_name,
+           1 AS valid_from_version,
+           CAST(CASE WHEN n_nationkey >= 20 THEN 2 END AS INTEGER)
+             AS valid_to_version,
+           (CASE WHEN n_nationkey >= 20 THEN 2 END) IS NULL AS is_current
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def sink_delta_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from ballista_delta_spark.sources.delta import (
+        read_delta,
+        read_delta_changes,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    path = _clone(_nation_delta(spark, sf_dir), "s33")
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [_json.loads(ln) for ln in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(log0, "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+    update_delta(
+        spark, path, "n_regionkey = 1", {"n_name": "upper(n_name)"}
+    )
+    delete_delta(spark, path, "n_nationkey >= 20")
+
+    base = read_delta(spark, path, version=0).select(
+        "n_nationkey", "n_name",
+        F.lit(0).alias("v"), F.lit(1).alias("is_open"),
+    )
+    post1 = (
+        read_delta_changes(spark, path, 0, 1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .select(
+            "n_nationkey", "n_name",
+            F.lit(1).alias("v"), F.lit(1).alias("is_open"),
+        )
+    )
+    del2 = (
+        read_delta_changes(spark, path, 1, 2)
+        .filter(F.col("_change_type") == "delete")
+        .select(
+            "n_nationkey",
+            F.lit(None).cast("string").alias("n_name"),
+            F.lit(2).alias("v"), F.lit(0).alias("is_open"),
+        )
+    )
+    evs = base.unionAll(post1).unionAll(del2)
+    w = Window.partitionBy("n_nationkey").orderBy("v")
+    return (
+        evs.withColumn("valid_to_version", F.lead("v").over(w).cast("int"))
+        .filter(F.col("is_open") == 1)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("v").cast("int").alias("valid_from_version"),
+            "valid_to_version",
+            F.col("valid_to_version").isNull().alias("is_current"),
+        )
+    )
