@@ -3300,3 +3300,76 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peak_at"),
         )
     )
+
+
+# ----------------------------------------------- events_behavior_entropy
+# Behavioral-diversity entropy: Shannon entropy of each user's
+# event-type mix (bits), with the low-diversity-heavy-user flag — the
+# second axis of bot detection (events_bot_detect reads cadence; this
+# reads the ACTION MIX: scrapers fire one event type at volume, humans
+# spread across the catalog). Scale shape: map-side partials collapse
+# the fact to (user, type) in ONE exchange; the user fold reuses that
+# partitioning (group key ⊆ partition key); entropy folds ≤ |types|
+# exact-int ratios per user — identical doubles in both engines, 4dp
+# rounded BEFORE the flag compares (round-before-gate).
+_BE_MIN_EVENTS = 50
+_BE_LOW_BITS = 2.2
+
+
+@_q(
+    "events_behavior_entropy",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    probs AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS tot
+      FROM ut),
+    ent AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS INTEGER) AS n_types,
+             round(-CAST(sum(CAST(round(
+                     (c * 1.0 / tot) * ln(c * 1.0 / tot), 9)
+                   AS DECIMAL(20,9))) AS DOUBLE) / ln(2), 4)
+               AS entropy_bits
+      FROM probs GROUP BY user_id)
+    SELECT user_id, n_events, n_types, entropy_bits,
+           n_events >= 50 AND entropy_bits < 2.2 AS low_diversity_heavy
+    FROM ent
+    """,
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    ut = ut.withColumn("tot", F.sum("c").over(w))
+    # decimal-rounded terms: 5-term double sums are *probably* safe,
+    # but group-fold order is engine-internal — order-free costs nothing
+    ent = (
+        ut.withColumn(
+            "term",
+            F.expr(
+                "CAST(round((c * 1.0 / tot) * ln(c * 1.0 / tot), 9)"
+                " AS DECIMAL(20,9))"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(
+                -F.sum("term").cast("double") / F.log(F.lit(2.0)), 4
+            ).alias("entropy_bits"),
+        )
+    )
+    return ent.select(
+        "user_id", "n_events", "n_types", "entropy_bits",
+        (
+            (F.col("n_events") >= _BE_MIN_EVENTS)
+            & (F.col("entropy_bits") < _BE_LOW_BITS)
+        ).alias("low_diversity_heavy"),
+    )

@@ -1713,3 +1713,15 @@ def test_events_peak_concurrency_per_day_sweep(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_events_behavior_entropy_reuses_user_partitioning(spark, sf_dir):
+    """Behavior-entropy scale contract: the (user, type) aggregate, the
+    total window, and the user fold ride user-keyed partitionings with
+    no join anywhere."""
+    from ballista_delta_spark.queries.pipeline import events_behavior_entropy
+
+    plan = _physical_plan(events_behavior_entropy(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
