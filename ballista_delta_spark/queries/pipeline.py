@@ -3373,3 +3373,55 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("entropy_bits") < _BE_LOW_BITS)
         ).alias("low_diversity_heavy"),
     )
+
+
+# --------------------------------------------------- corpus_doc_length_gini
+# Length-inequality monitor: the Gini coefficient of the doc-length
+# distribution per source — the single-number inequality readout
+# (events_value_pareto's decile table collapsed to its summary
+# statistic) that flags a feed drifting toward stubs or monster pages.
+# G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending lengths; ties carry
+# identical lengths, so rank assignment among them cannot change Σ i·x
+# (x·Σi is rank-set-invariant) — deterministic without a tie-break key.
+#
+# Scale shape: ONE exchange hash-partitions the corpus by source; the
+# ranking window sorts each source's lengths independently (the
+# per-stratum-sort contract of corpus_token_budget — at extreme
+# per-source cardinality, shard to (source, length-bucket) with a
+# two-level rank, same output). All sums are exact BIGINT; the Gini is
+# one int-derived double expression, rounded 6dp.
+@_q(
+    "corpus_doc_length_gini",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(2.0 * sum(i * n_chars) / (count(*) * sum(n_chars))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("n_chars"))
+            / (F.count(F.lit(1)) * F.sum("n_chars"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
