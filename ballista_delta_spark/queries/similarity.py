@@ -1687,3 +1687,111 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select("src", "dst", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------- sim_mmr_rerank
+# Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998),
+# one greedy step: given each query's exact top-10, the first pick is
+# rank-1; the SECOND pick maximizes λ·sim(q,c) − (1−λ)·sim(p1,c) —
+# trading relevance against redundancy with the already-picked result.
+# This is the diversity pass every retrieval stack runs between ANN
+# and the consumer (near-identical passages waste a context window);
+# full MMR iterates this step with the driver feeding picks back (the
+# kmeans/kcenter contract).
+#
+# Scale shape: the candidate set is O(queries × k) (the registered
+# top-k plan produces it); the pairwise redundancy cosine joins
+# candidate ids back to the corpus TWICE by id (broadcast at bench
+# scale — candidate-sized, never corpus²); the argmax is a per-query
+# window over ≤ k−1 rows. Engine parity: both cosines are the shared
+# fold-order expressions rounded 6dp; the MMR score rounds BEFORE the
+# argmax (round-before-sort), ties to vec_id.
+_MMR_L = 0.7
+
+
+@_q(
+    "sim_mmr_rerank",
+    f"""
+    WITH {_CORPUS_ORACLE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS_ORACLE} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}),
+    topk AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored QUALIFY rnk <= {_TOPK}),
+    p1 AS (SELECT query_id, vec_id AS p1_id FROM topk WHERE rnk = 1),
+    mmr AS (
+      SELECT t.query_id, t.vec_id, t.cos_sim AS relevance,
+             round(list_sum([p.emb[i] * c.emb[i]
+                             FOR i IN range(1, len(p.emb) + 1)])
+                   / (p.nrm * c.nrm), 6) AS redundancy
+      FROM topk t
+      JOIN p1 ON t.query_id = p1.query_id
+      JOIN e p ON p1.p1_id = p.vec_id
+      JOIN e c ON t.vec_id = c.vec_id
+      WHERE t.rnk > 1),
+    ranked AS (
+      SELECT query_id, vec_id, relevance, redundancy,
+             round({_MMR_L} * relevance
+                   - {1 - _MMR_L} * redundancy, 6) AS mmr_score
+      FROM mmr)
+    SELECT query_id, vec_id, relevance, redundancy, mmr_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY mmr_score DESC, vec_id)
+                      AS pick
+          FROM ranked)
+    WHERE pick = 1
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = sim_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
+    p1 = top.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("vec_id").alias("p1_id")
+    )
+    cand = top.filter(F.col("rnk") > 1).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("relevance")
+    )
+    e = _corpus(spark, sf_dir)
+    p = e.select(
+        F.col("vec_id").alias("p1_id"),
+        F.col("emb").alias("pemb"),
+        F.col("nrm").alias("pnrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    mmr = (
+        cand.join(F.broadcast(p1), "query_id")
+        .join(F.broadcast(p), "p1_id")
+        .join(c, "vec_id")
+        .withColumn(
+            "redundancy",
+            F.round(
+                F.expr(dot_expr("pemb", "cemb"))
+                / (F.col("pnrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "mmr_score",
+            F.round(
+                _MMR_L * F.col("relevance")
+                - (1 - _MMR_L) * F.col("redundancy"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), "vec_id"
+    )
+    return (
+        mmr.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("query_id", "vec_id", "relevance", "redundancy", "mmr_score")
+    )

@@ -1725,3 +1725,15 @@ def test_events_behavior_entropy_reuses_user_partitioning(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_sim_mmr_rerank_candidate_sized(spark, sf_dir):
+    """MMR scale contract: the redundancy cosine joins candidate ids
+    back to the corpus by id (no cartesian, no corpus² pair space);
+    the top-k feeding it serves from its checkpoint."""
+    from ballista_delta_spark.queries.similarity import sim_mmr_rerank
+
+    plan = _physical_plan(sim_mmr_rerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
