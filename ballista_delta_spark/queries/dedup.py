@@ -1419,3 +1419,74 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# --------------------------------------------- corpus_source_ngram_overlap
+# Distribution-level syndication: Jaccard of the DISTINCT 3-gram
+# shingle SETS of each source pair — dedup_source_matrix sees doc-level
+# near-dups; this sees aggregate content overlap even when no single
+# document crosses the near-dup threshold (fragment reuse, template
+# families, partial mirrors). Scale shape: the corpus collapses to
+# distinct (source, shingle) in one exchange (map-side partials absorb
+# within-source repeats); the pair join is keyed on the shingle with
+# fan-out bounded by sources² per shingle (no doc-pair blow-up, no
+# hot-shingle cap needed); set sizes broadcast onto the sources²-sized
+# matrix. Exact ints → exact Jaccard, 6dp.
+@_q(
+    "corpus_source_ngram_overlap",
+    f"""
+    WITH {_SHINGLES_ORACLE},
+    ss AS (
+      SELECT DISTINCT d.source, sh.shingle
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.source_a = sa.source
+    JOIN sizes sb ON pairs.source_b = sb.source
+    """,
+)
+def corpus_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingles_spark(spark, sf_dir)
+    ss = (
+        sh.join(F.broadcast(d), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
