@@ -633,3 +633,71 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moms.selectExpr(
         "event_type", "CAST(n AS BIGINT) AS n", *_SKEW_KURT.split(",\n")
     )
+
+
+# -------------------------------------------------- agg_winsorized_mean
+# A21: robust means — the p5/p95 WINSORIZED mean (outliers clamped to
+# the fences) and the TRIMMED mean (outliers dropped) next to the raw
+# mean, per event type. The robust-statistics pair every metrics
+# pipeline keeps beside avg() once heavy tails appear (a single 490.02
+# moves a raw mean; it barely moves these). Two-phase measure-then-
+# apply: the per-group fences come from ONE exact-percentile aggregate
+# (agg_exact_percentile's engine contract), broadcast back onto the
+# fact for the clamp/trim pass — groups² never materializes and the
+# fact is scanned twice, shuffled once per phase. Engine parity: fences
+# round to 4dp before any comparison (identical doubles both engines);
+# clamped/kept values accumulate as DECIMAL over round(term, 9).
+_WIN_SUM = "CAST(sum(CAST(round({t}, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+
+
+@_q(
+    "agg_winsorized_mean",
+    f"""
+    WITH fences AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 4) AS lo,
+             round(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type),
+    j AS (
+      SELECT e.event_type, e.value, f.lo, f.hi,
+             least(greatest(e.value, f.lo), f.hi) AS w
+      FROM events e JOIN fences f USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round({_WIN_SUM.format(t="value")} / count(*), 4) AS raw_mean,
+           round({_WIN_SUM.format(t="w")} / count(*), 4)
+               AS winsorized_mean,
+           round({_WIN_SUM.format(
+               t="CASE WHEN value >= lo AND value <= hi THEN value END")}
+                 / sum(CASE WHEN value >= lo AND value <= hi
+                            THEN 1 ELSE 0 END), 4) AS trimmed_mean
+    FROM j GROUP BY event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    j = e.join(F.broadcast(fences), "event_type").withColumn(
+        "w", F.least(F.greatest("value", F.col("lo")), F.col("hi"))
+    )
+    kept = "CASE WHEN value >= lo AND value <= hi THEN value END"
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.expr(_WIN_SUM.format(t="value")) / F.count(F.lit(1)), 4
+        ).alias("raw_mean"),
+        F.round(
+            F.expr(_WIN_SUM.format(t="w")) / F.count(F.lit(1)), 4
+        ).alias("winsorized_mean"),
+        F.round(
+            F.expr(_WIN_SUM.format(t=kept))
+            / F.expr(
+                "sum(CASE WHEN value >= lo AND value <= hi"
+                " THEN 1 ELSE 0 END)"
+            ),
+            4,
+        ).alias("trimmed_mean"),
+    )

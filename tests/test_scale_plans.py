@@ -1737,3 +1737,15 @@ def test_sim_mmr_rerank_candidate_sized(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_agg_winsorized_mean_broadcast_fences(spark, sf_dir):
+    """Robust-mean scale contract: the fences come from one per-group
+    percentile aggregate and join back BROADCAST (no SMJ); the fact
+    never self-joins."""
+    from ballista_delta_spark.queries.aggregates import agg_winsorized_mean
+
+    plan = _physical_plan(agg_winsorized_mean(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
