@@ -360,3 +360,69 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("score") > 0)
     )
+
+
+# ----------------------------------------------------- sample_bootstrap_ci
+# Poisson bootstrap (the distributed-bootstrap standard — Chamandy et
+# al. 2012): B=8 resample replicates of the corpus, each weighting
+# every document Poisson(1) times, DERIVED from md5(doc_id, replicate)
+# through the inverse-CDF thresholds inlined as integer-permille
+# literals — no RNG state, no resample materialization, restart-stable
+# like every hash-derived sample here. Per replicate: effective corpus
+# size and the replicate mean doc length; the spread across replicates
+# IS the bootstrap CI of the mean (the driver reads min/max directly).
+#
+# Scale shape: replicates ride ONE narrow pass (explode over B per
+# row — B-fold map fan-out, no shuffle before the B-row aggregate);
+# weights are exact small ints, sums exact BIGINT — bit-identical CIs.
+_BOOT_B = 8
+# cumulative Poisson(1) CDF x 10^4, k = 0..5 (tail folded into k=6)
+_BOOT_CDF = (3679, 7358, 9197, 9810, 9963, 9994)
+
+
+def _boot_weight(dialect: str) -> str:
+    """Poisson(1) weight from a per-(doc, replicate) md5 bucket."""
+    if dialect == "spark":
+        h = ("conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+             "CAST(r AS STRING))), 1, 8), 16, 10) % 10000")
+    else:
+        h = ("('0x' || substr(md5(doc_id::VARCHAR || ':' || r::VARCHAR), "
+             "1, 8))::BIGINT % 10000")
+    whens = " ".join(
+        f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+@_q(
+    "sample_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT doc_id, n_chars, unnest(range(0, {_BOOT_B})) AS r
+      FROM documents),
+    weighted AS (
+      SELECT r, n_chars, {_boot_weight("duckdb")} AS w FROM reps)
+    SELECT CAST(r AS INTEGER) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_effective,
+           round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 4)
+               AS mean_chars
+    FROM weighted GROUP BY r
+    """,
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id", "n_chars",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("r"),
+    )
+    weighted = reps.selectExpr(
+        "r", "n_chars", f'{_boot_weight("spark")} AS w'
+    )
+    return weighted.groupBy(F.col("r").cast("int").alias("replicate")).agg(
+        F.sum("w").cast("bigint").alias("n_effective"),
+        F.round(
+            F.sum(F.col("w") * F.col("n_chars")).cast("double")
+            / F.sum("w"),
+            4,
+        ).alias("mean_chars"),
+    )
