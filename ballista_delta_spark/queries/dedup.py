@@ -1490,3 +1490,68 @@ def corpus_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------- dedup_threshold_sweep
+# Near-dup threshold sweep: the pair count and affected-document count
+# in each Jaccard band from 0.5 up — the calibration histogram read
+# before committing a dedup threshold (text_quality_threshold_sweep's
+# twin for the dedup axis: "0.8 removes X pairs; 0.7 removes 3X — is
+# the cliff real duplication or shingle noise?"). Reuses the registered
+# capped-shingle Jaccard pair plan verbatim, so the sweep measures the
+# REGISTERED verifier, not a lookalike.
+#
+# Scale shape: the pair table is near-dup-candidate-sized (the
+# inverted-index blocking bounds it); banding is a floor() projection;
+# both tallies fold in one bands-sized aggregate. Exact counts; the
+# distinct-doc tally counts each doc once per band via a pre-distinct
+# union of endpoints.
+@_q(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    banded AS (
+      SELECT doc_a, doc_b,
+             CAST(least(floor(jaccard * 20), 19) AS INTEGER) AS band
+      FROM jac WHERE jaccard >= 0.5),
+    docs AS (
+      SELECT DISTINCT band, doc_id FROM (
+        SELECT band, doc_a AS doc_id FROM banded
+        UNION ALL SELECT band, doc_b FROM banded))
+    SELECT b.band,
+           round(b.band / 20.0, 2) AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM docs d
+            WHERE d.band = b.band) AS n_docs
+    FROM banded b GROUP BY b.band
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_spark(spark, sf_dir)
+    banded = (
+        _jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "doc_a", "doc_b",
+            F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
+            .cast("int")
+            .alias("band"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        banded.select("band", F.col("doc_a").alias("doc_id"))
+        .unionAll(banded.select("band", F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return pairs.join(docs, "band").select(
+        "band",
+        F.round(F.col("band") / 20.0, 2).alias("jaccard_lo"),
+        "n_pairs",
+        "n_docs",
+    )
