@@ -1534,3 +1534,84 @@ def test_peak_concurrency_planted_sweep(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["peak_concurrency"] == 3
     assert out[0]["peak_at"] == d0 + dt.timedelta(hours=13)
+
+
+class TestR9iBehaviorD:
+    """Planted-answer checks for the sixth r9i batch."""
+
+    def _mini_docs(self, spark, tmp_path, rows):
+        p = os.path.join(str(tmp_path), "documents.parquet")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return str(tmp_path)
+
+    def test_gini_extremes(self, spark, tmp_path):
+        """Equal lengths -> Gini 0; one doc owning almost everything ->
+        Gini near (n-1)/n - small."""
+        from ballista_delta_spark.queries.pipeline import corpus_doc_length_gini
+
+        rows = [(i, "x", "en", "equal", 100) for i in range(4)]
+        rows += [(10 + i, "x", "en", "skewed", 1) for i in range(3)]
+        rows += [(20, "x", "en", "skewed", 997)]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["source"]: r["gini"] for r in corpus_doc_length_gini(spark, sf).collect()}
+        assert got["equal"] == 0.0
+        # exact: ranks 1..4 lengths (1,1,1,997):
+        # G = 2*(1+2+3+4*997)/(4*1000) - 5/4 = 2*3994/4000 - 1.25 = 0.747
+        assert abs(got["skewed"] - 0.747) < 1e-9
+
+    def test_winsorized_mean_clamps_the_outlier(self, spark, tmp_path):
+        """19 values of 10 and one 1000: the p95 fence clamps the
+        outlier, so winsorized/trimmed means sit near 10 while the raw
+        mean is dragged to 59.5."""
+        import datetime as dt
+
+        from ballista_delta_spark.queries.aggregates import agg_winsorized_mean
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [(i, t, 1, "view", 10.0, "{}") for i in range(19)]
+        rows.append((99, t, 1, "view", 1000.0, "{}"))
+        p = os.path.join(str(tmp_path), "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        r = agg_winsorized_mean(spark, str(tmp_path)).collect()[0]
+        assert r["raw_mean"] == 59.5
+        assert r["winsorized_mean"] < 65 and r["winsorized_mean"] >= 10
+        assert r["trimmed_mean"] == 10.0
+
+    def test_bootstrap_replicates_differ_and_conserve(self, spark, sf_dir):
+        """Over the real fixture: all 8 replicates exist, effective
+        sizes hover around the corpus size (Poisson(1) mean 1), and at
+        least two replicates differ (the resampling is real)."""
+        from ballista_delta_spark.queries.sampling import sample_bootstrap_ci
+
+        rows = sample_bootstrap_ci(spark, sf_dir).collect()
+        assert len(rows) == 8
+        n_docs = 500
+        for r in rows:
+            assert 0.8 * n_docs < r["n_effective"] < 1.2 * n_docs
+        assert len({r["mean_chars"] for r in rows}) > 1
+
+    def test_threshold_sweep_bands_planted_pairs(self, spark, tmp_path):
+        """One exact-dup pair (jaccard 1.0 -> band 19) and one
+        mid-similarity pair land in different bands with 2 docs each."""
+        from ballista_delta_spark.queries.dedup import dedup_threshold_sweep
+
+        base = " ".join(f"t{i}" for i in range(20))
+        near = base.replace("t19", "x19").replace("t18", "x18").replace(
+            "t17", "x17"
+        )
+        rows = [
+            (1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),
+            (3, near, "en", "s", len(near)),
+        ]
+        sf = self._mini_docs(spark, tmp_path, rows)
+        got = {r["band"]: r for r in dedup_threshold_sweep(spark, sf).collect()}
+        assert 19 in got and got[19]["n_pairs"] >= 1  # the exact pair
+        assert any(b < 19 for b in got), got  # the near pair lands lower
