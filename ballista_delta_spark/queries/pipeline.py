@@ -3425,3 +3425,127 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# -------------------------------------------------------- events_cusum_alert
+# One-sided CUSUM drift detection (Page 1954) per event type: the
+# upward cumulative sum S_t = max(0, S_{t-1} + (x_t − μ − k)) over
+# daily means, with (μ, σ) measured on the FIRST-WEEK baseline and
+# k = σ/2, alerting when S_t > 4σ — the change-point twin of
+# events_ewma_chart (EWMA smooths levels; CUSUM accumulates small
+# persistent shifts until they're undeniable). The recursion's clip at
+# zero looks sequential, but it has the classic prefix closed form
+# S_t = P_t − min_{j≤t} P_j over the UNCLIPPED prefix sums P — so two
+# ordered windows compute the whole series declaratively.
+#
+# Engine parity: prefix sums accumulate as DECIMAL over round(term, 9)
+# (the EWMA segment-tree lesson); the running min compares identical
+# decimal-backed doubles; baseline moments are DECIMAL-exact. Scale
+# shape: the fact collapses to the (type × day) grain in ONE exchange;
+# the baseline is a 1-row-per-type broadcast; both windows run over the
+# tiny grid.
+_CUSUM_BASE_DAYS = 7
+
+
+@_q(
+    "events_cusum_alert",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS v
+      FROM events GROUP BY event_type, d),
+    d0 AS (SELECT min(d) AS start_d FROM daily),
+    base AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(v * v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS s2
+      FROM daily CROSS JOIN d0
+      WHERE d < start_d + {_CUSUM_BASE_DAYS}
+      GROUP BY event_type),
+    params AS (
+      SELECT event_type, s1 / n AS mu,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+      FROM base),
+    pref AS (
+      SELECT daily.event_type, d, v, mu, sigma,
+             CAST(sum(CAST(round(v - mu - sigma / 2, 9)
+                      AS DECIMAL(20,9)))
+               OVER (PARTITION BY daily.event_type ORDER BY d)
+               AS DOUBLE) AS p
+      FROM daily JOIN params ON daily.event_type = params.event_type),
+    cusum AS (
+      SELECT event_type, d, v, sigma,
+             p - least(min(p) OVER (PARTITION BY event_type ORDER BY d),
+                       0.0) AS s
+      FROM pref)
+    SELECT event_type, d AS day,
+           v AS day_mean,
+           s + 0.0 AS cusum_stat,
+           s > 4 * sigma AS drift_alert
+    FROM cusum
+    """,
+)
+def events_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.expr(
+                "CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)"
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    ).localCheckpoint(eager=False)
+    d0 = daily.agg(F.min("d").alias("start_d"))
+    base = (
+        daily.crossJoin(F.broadcast(d0))
+        .filter(F.col("d") < F.date_add("start_d", _CUSUM_BASE_DAYS))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(round(v, 9) AS DECIMAL(20,9))) AS DOUBLE)"
+            ).alias("s1"),
+            F.expr(
+                "CAST(sum(CAST(round(v * v, 9) AS DECIMAL(20,9)))"
+                " AS DOUBLE)"
+            ).alias("s2"),
+        )
+    )
+    params = base.selectExpr(
+        "event_type",
+        "s1 / n AS mu",
+        "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma",
+    )
+    pref = daily.join(F.broadcast(params), "event_type").withColumn(
+        "p",
+        F.expr(
+            "CAST(sum(CAST(round(v - mu - sigma / 2, 9) AS DECIMAL(20,9)))"
+            " OVER (PARTITION BY event_type ORDER BY d"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DOUBLE)"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = pref.withColumn(
+        "s", F.col("p") - F.least(F.min("p").over(w), F.lit(0.0))
+    )
+    # day_mean/cusum_stat ship UNROUNDED (the ewma_chart lesson: both
+    # are bit-identical doubles, while round(x, 4) can split on a
+    # .00005 half-way tie — the sf0.001 fixture has one at 38.37875);
+    # +0.0 folds IEEE -0.0 on the clipped statistic.
+    return cusum.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("v").alias("day_mean"),
+        (F.col("s") + 0.0).alias("cusum_stat"),
+        (F.col("s") > 4 * F.col("sigma")).alias("drift_alert"),
+    )

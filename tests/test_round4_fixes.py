@@ -1615,3 +1615,36 @@ class TestR9iBehaviorD:
         got = {r["band"]: r for r in dedup_threshold_sweep(spark, sf).collect()}
         assert 19 in got and got[19]["n_pairs"] >= 1  # the exact pair
         assert any(b < 19 for b in got), got  # the near pair lands lower
+
+
+def test_cusum_closed_form_matches_recursion(spark, tmp_path):
+    """The prefix closed form S_t = P_t - min(0, min P_j) must equal
+    the textbook clipped recursion on a planted drift series."""
+    import datetime as dt
+
+    from ballista_delta_spark.queries.pipeline import events_cusum_alert
+
+    # 7 baseline days at 10, then a persistent +6 shift
+    vals = [10.0] * 7 + [16.0] * 5
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    p = os.path.join(str(tmp_path), "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    out = sorted(
+        events_cusum_alert(spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    mu, sigma = 10.0, 0.0  # flat baseline
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mu - sigma / 2))
+        assert abs(out[i]["cusum_stat"] - s) < 1e-6, (i, out[i], s)
+    # with sigma 0 any positive S alerts; the shift days must all flag
+    assert all(r["drift_alert"] for r in out[7:])
+    assert not any(r["drift_alert"] for r in out[:7])
