@@ -1170,3 +1170,87 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"), *keeps, *chars
     )
+
+
+# ----------------------------------------------------- text_readability
+# Flesch reading-ease scoring: 206.835 − 1.015·(words/sentences) −
+# 84.6·(syllables/words), with syllables approximated by vowel-group
+# counts (the standard regex proxy) and sentences by terminal
+# punctuation runs — the readability gate that routes text to
+# grade-level buckets (curriculum ordering, audience filters, and the
+# classic "too-hard/too-trivial" tails cut). Bucketing follows the
+# published FRE bands. All three counts are exact regex integers, so
+# the score is one identical double expression in both engines, rounded
+# 4dp BEFORE the band CASE (round-before-gate).
+#
+# Scale shape: ONE narrow codegen'd pass (three regexp counts + one
+# CASE — no explode, no shuffle before the lang-grain fold).
+_FRE_SENT = "[.!?]+"
+_FRE_SYL = "[aeiouyAEIOUY]+"
+
+
+@_q(
+    "text_readability",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '{_WS}')) AS w,
+             greatest(len(regexp_extract_all(text, '{_FRE_SENT}')), 1)
+               AS s,
+             greatest(len(regexp_extract_all(text, '{_FRE_SYL}')), 1)
+               AS y
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                   - 84.6 * (CAST(y AS DOUBLE) / w), 4) AS fre
+      FROM c WHERE w > 0)
+    SELECT lang,
+           CASE WHEN fre >= 70 THEN 'easy'
+                WHEN fre >= 50 THEN 'standard'
+                WHEN fre >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(fre, 4) AS DECIMAL(18,4)))
+                      AS DOUBLE) / count(*), 4) AS mean_fre
+    FROM scored GROUP BY lang, band
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", _WS)).alias("w"),
+        F.greatest(
+            F.regexp_count("text", F.lit(_FRE_SENT)), F.lit(1)
+        ).alias("s"),
+        F.greatest(
+            F.regexp_count("text", F.lit(_FRE_SYL)), F.lit(1)
+        ).alias("y"),
+    )
+    scored = c.filter(F.col("w") > 0).select(
+        "lang",
+        F.round(
+            206.835
+            - 1.015 * (F.col("w").cast("double") / F.col("s"))
+            - 84.6 * (F.col("y").cast("double") / F.col("w")),
+            4,
+        ).alias("fre"),
+    )
+    band = (
+        F.when(F.col("fre") >= 70, "easy")
+        .when(F.col("fre") >= 50, "standard")
+        .when(F.col("fre") >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return scored.groupBy("lang", band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.expr(
+                "CAST(sum(CAST(round(fre, 4) AS DECIMAL(18,4))) AS DOUBLE)"
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_fre"),
+    )
