@@ -426,3 +426,103 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_chars"),
     )
+
+
+# --------------------------------------------------- sample_hash_uniformity
+# The meta-gate under every hash-derived operator in this repo
+# (stratified/weighted/reservoir sampling, train/test splits, A/B
+# variants, shard assignment, epoch shuffles): a chi-square uniformity
+# audit of the md5 bucket scheme itself. Each key family (doc ids, the
+# bigram feature space, user ids) is bucketed B=64 ways exactly as the
+# operators do it, and the chi-square statistic vs the uniform
+# expectation is reported with the pass verdict at the df=63,
+# alpha=0.001 critical value (103.4). If this gate ever fails, every
+# derived split upstream is suspect — it runs with the monitors, not
+# the samplers. Scale shape: one narrow hash pass per family, ONE
+# 64-row aggregate each; the chi-square folds exact integer counts
+# against an exact expectation — engine-identical.
+_HU_B = 64
+_HU_CRIT = 103.4  # chi-square df=63, p=0.001
+
+
+@_q(
+    "sample_hash_uniformity",
+    f"""
+    WITH fams AS (
+      SELECT 'doc_id' AS family,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {_HU_B} AS b
+      FROM documents
+      UNION ALL
+      SELECT 'user_id',
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+               % {_HU_B}
+      FROM events
+      UNION ALL
+      SELECT 'event_id',
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+               % {_HU_B}
+      FROM events),
+    cells AS (
+      SELECT family, b, count(*) AS c FROM fams GROUP BY family, b),
+    tots AS (SELECT family, sum(c) AS n, count(*) AS k FROM cells
+             GROUP BY family)
+    SELECT cells.family,
+           CAST(t.n AS BIGINT) AS n_keys,
+           CAST(t.k AS INTEGER) AS n_buckets_hit,
+           round(sum((c - CAST(t.n AS DOUBLE) / {_HU_B})
+                     * (c - CAST(t.n AS DOUBLE) / {_HU_B}))
+                 / (CAST(t.n AS DOUBLE) / {_HU_B}), 4) AS chi_square,
+           round(sum((c - CAST(t.n AS DOUBLE) / {_HU_B})
+                     * (c - CAST(t.n AS DOUBLE) / {_HU_B}))
+                 / (CAST(t.n AS DOUBLE) / {_HU_B}), 4) < {_HU_CRIT}
+             AS uniform_ok
+    FROM cells JOIN tots t ON cells.family = t.family
+    GROUP BY cells.family, t.n, t.k
+    """,
+)
+def sample_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "events")
+
+    def fam(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.selectExpr(
+            f"'{name}' AS family",
+            f"conv(substring(md5(CAST({col} AS STRING)), 1, 8), 16, 10)"
+            f" % {_HU_B} AS b",
+        )
+
+    fams = (
+        fam(d, "doc_id", "doc_id")
+        .unionAll(fam(e, "user_id", "user_id"))
+        .unionAll(fam(e, "event_id", "event_id"))
+    )
+    cells = fams.groupBy("family", "b").agg(F.count(F.lit(1)).alias("c"))
+    tots = cells.groupBy("family").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    exp = F.col("n").cast("double") / _HU_B
+    chi = F.round(
+        F.sum((F.col("c") - exp) * (F.col("c") - exp)) / exp, 4
+    )
+    return (
+        cells.join(F.broadcast(tots), "family")
+        .groupBy("family", "n", "k")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") - F.col("n").cast("double") / _HU_B)
+                    * (F.col("c") - F.col("n").cast("double") / _HU_B)
+                )
+                / (F.col("n").cast("double") / _HU_B),
+                4,
+            ).alias("chi_square")
+        )
+        .select(
+            "family",
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.col("k").cast("int").alias("n_buckets_hit"),
+            "chi_square",
+            (F.col("chi_square") < _HU_CRIT).alias("uniform_ok"),
+        )
+    )
