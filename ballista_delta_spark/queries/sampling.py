@@ -434,9 +434,13 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variants, shard assignment, epoch shuffles): a chi-square uniformity
 # audit of the md5 bucket scheme itself. Each key family (doc ids, the
 # bigram feature space, user ids) is bucketed B=64 ways exactly as the
-# operators do it, and the chi-square statistic vs the uniform
-# expectation is reported with the pass verdict at the df=63,
-# alpha=0.001 critical value (103.4). If this gate ever fails, every
+# operators do it — over DISTINCT keys (hashing a key family with
+# repeats would measure key multiplicity, not hash quality: the
+# sf0.001 fixture's 15 users re-hashed per event read chi2 ~ 2575
+# before this distinct; the buckets were fine, the keys just repeat) —
+# and the chi-square statistic vs the uniform expectation is reported
+# with the pass verdict at the df=63, alpha=0.001 critical value
+# (103.4). If this gate ever fails, every
 # derived split upstream is suspect — it runs with the monitors, not
 # the samplers. Scale shape: one narrow hash pass per family, ONE
 # 64-row aggregate each; the chi-square folds exact integer counts
@@ -448,21 +452,17 @@ _HU_CRIT = 103.4  # chi-square df=63, p=0.001
 @_q(
     "sample_hash_uniformity",
     f"""
-    WITH fams AS (
-      SELECT 'doc_id' AS family,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+    WITH keys AS (
+      SELECT 'doc_id' AS family, doc_id AS k FROM documents
+      UNION ALL
+      SELECT DISTINCT 'user_id', user_id FROM events
+      UNION ALL
+      SELECT 'event_id', event_id FROM events),
+    fams AS (
+      SELECT family,
+             ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT
                % {_HU_B} AS b
-      FROM documents
-      UNION ALL
-      SELECT 'user_id',
-             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
-               % {_HU_B}
-      FROM events
-      UNION ALL
-      SELECT 'event_id',
-             ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
-               % {_HU_B}
-      FROM events),
+      FROM keys),
     cells AS (
       SELECT family, b, count(*) AS c FROM fams GROUP BY family, b),
     tots AS (SELECT family, sum(c) AS n, count(*) AS k FROM cells
@@ -485,16 +485,19 @@ def sample_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "events")
 
-    def fam(df: DataFrame, col: str, name: str) -> DataFrame:
-        return df.selectExpr(
+    def fam(df: DataFrame, col: str, name: str, distinct: bool = False) -> DataFrame:
+        keys = df.select(F.col(col).alias("k"))
+        if distinct:
+            keys = keys.distinct()
+        return keys.selectExpr(
             f"'{name}' AS family",
-            f"conv(substring(md5(CAST({col} AS STRING)), 1, 8), 16, 10)"
+            f"conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10)"
             f" % {_HU_B} AS b",
         )
 
     fams = (
         fam(d, "doc_id", "doc_id")
-        .unionAll(fam(e, "user_id", "user_id"))
+        .unionAll(fam(e, "user_id", "user_id", distinct=True))
         .unionAll(fam(e, "event_id", "event_id"))
     )
     cells = fams.groupBy("family", "b").agg(F.count(F.lit(1)).alias("c"))

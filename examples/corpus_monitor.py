@@ -9,6 +9,10 @@ oracle-verified operators:
 - engagement concentration (Pareto deciles)    `events_value_pareto`
 - seasonal value outliers per (type, hour)     `events_seasonal_baseline`
 - embedding class drift (label centroids)      `emb_label_drift`
+- length inequality per source (Gini)          `corpus_doc_length_gini`
+- boilerplate openings per source              `text_boilerplate_prefix`
+- Zipf slope per language (token salad)        `text_zipf_fit`
+- md5 bucket uniformity (the split meta-gate)  `sample_hash_uniformity`
 
 Each section prints a compact verdict line a scheduler can grep and a
 gate could alert on. At 100 TB every underlying plan is a single
@@ -29,13 +33,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ballista_delta_spark.queries.pipeline import (  # noqa: E402
+    corpus_doc_length_gini,
     corpus_lang_confusion,
     corpus_source_psi,
     events_seasonal_baseline,
     events_value_pareto,
 )
+from ballista_delta_spark.queries.sampling import (  # noqa: E402
+    sample_hash_uniformity,
+)
 from ballista_delta_spark.queries.similarity import emb_label_drift  # noqa: E402
-from ballista_delta_spark.queries.text import text_entropy  # noqa: E402
+from ballista_delta_spark.queries.text import (  # noqa: E402
+    text_boilerplate_prefix,
+    text_entropy,
+    text_zipf_fit,
+)
 from ballista_delta_spark.session import get_spark  # noqa: E402
 
 
@@ -75,6 +87,29 @@ def main() -> None:
     drift = emb_label_drift(spark, sf).orderBy(F.desc("offset_norm")).collect()
     print(f"[embeddings] {len(drift)} labels; max centroid offset="
           f"{drift[0]['offset_norm']:.4f} (label {drift[0]['label']})")
+
+    gini = corpus_doc_length_gini(spark, sf).orderBy(F.desc("gini")).collect()
+    print(f"[inequality] worst length-gini={gini[0]['gini']:.3f} "
+          f"({gini[0]['source']})")
+
+    bp = text_boilerplate_prefix(spark, sf).orderBy(F.desc("doc_share")).collect()
+    if bp:
+        print(f"[boilerplate] worst shared opening covers "
+              f"{bp[0]['doc_share']:.1%} of {bp[0]['source']}")
+    else:
+        print("[boilerplate] no repeated openings above the floor")
+
+    zipf = text_zipf_fit(spark, sf).collect()
+    worst_z = min(zipf, key=lambda r: r["fit_r2"])
+    print(f"[zipf] slopes "
+          + ", ".join(f"{r['lang']}={r['zipf_slope']:.2f}" for r in zipf)
+          + f"; weakest fit r2={worst_z['fit_r2']:.3f} ({worst_z['lang']})")
+
+    uni = sample_hash_uniformity(spark, sf).collect()
+    bad = [r for r in uni if not r["uniform_ok"]]
+    print(f"[hash] bucket uniformity "
+          f"{'OK' if not bad else 'FAILED: ' + str(bad)} "
+          f"across {len(uni)} key families")
 
     print(f"monitor_ok=1 sources={len(psi)} docs={n_docs} "
           f"entropy_keep={kept} outliers={flagged}")
