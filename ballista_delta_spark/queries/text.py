@@ -1254,3 +1254,73 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_fre"),
     )
+
+
+# ---------------------------------------------------- text_blocklist_filter
+# Wordlist gate — the brand-safety / NSFW first pass every web corpus
+# runs before model-based toxicity scoring (wordlists are crude but
+# cheap, transparent, and auditable; the hit COUNT feeds the threshold,
+# never a binary substring match, so "Scunthorpe" class false positives
+# are bounded by the whole-token match). The list here is a neutral
+# deterministic stand-in (a real list broadcasts or inlines the same
+# way — the classifier-weight contract). Per doc: whole-token hits +
+# distinct blocked terms + the keep verdict; per-lang rollup keeps the
+# output audit-sized.
+#
+# Scale shape: ONE narrow pass — the hit count is a list_filter over
+# the already-split token array (no explode, no join; the blocklist is
+# an inlined literal set exactly like the stopword profiles); rollup is
+# a two-phase lang fold.
+_BLOCK_TERMS = ("vortex", "quark", "zephyr", "umbra")
+_BLOCK_MAX_HITS = 2
+
+
+@_q(
+    "text_blocklist_filter",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(text), '{_WS}'),
+                             t -> t IN {_sql_in(_BLOCK_TERMS)})) AS hits,
+             len(list_distinct(
+                 list_filter(regexp_split_to_array(lower(text), '{_WS}'),
+                             t -> t IN {_sql_in(_BLOCK_TERMS)}))) AS terms
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(max(terms) AS INTEGER) AS max_distinct_terms,
+           CAST(sum(CASE WHEN hits <= {_BLOCK_MAX_HITS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM s GROUP BY lang
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms_lit = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+    hits_expr = (
+        f"size(filter(split(lower(text), '{_WS}'),"
+        f" t -> t IN ({terms_lit})))"
+    )
+    terms_expr = (
+        f"size(array_distinct(filter(split(lower(text), '{_WS}'),"
+        f" t -> t IN ({terms_lit}))))"
+    )
+    s = d.selectExpr(
+        "lang", f"{hits_expr} AS hits", f"{terms_expr} AS terms"
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.max("terms").cast("int").alias("max_distinct_terms"),
+        F.sum(
+            F.when(F.col("hits") <= _BLOCK_MAX_HITS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+    )
