@@ -18,43 +18,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-9 window (r8 went 50/50 green — first all-green window):
-#   1. the 12 ids with NO driver hash-green row ever: mm_frame_sample
-#      FIRST (at its 3-round staleness deadline, last green r5), then
-#      the 11 r8 registrations,
-#   2. the r6-green scans/meta/sinks family (3 rounds stale, and the
-#      Delta layer changed the most in r8: typeWidening, variant stats,
-#      replaceWhere, lineage carryover),
-#   3. joins J1-J12 (r6-green) + agg_basic (r6-green),
-#   4. the r6-green quartet agg_grouping_sets/agg_cube/win_row_number/
-#      win_percent,
-#   5. streaming buffer (1): stream_dedup (r6-green, stalest stream id).
+# Round-10 window (r9 went 50/50 green). The registry grew 158 → 277 in
+# round 9, leaving 119 ids that have never appeared in any driver window
+# (VERDICT r9 "What's wrong" #1). Per the r9 ROTATION.md draft and the
+# judge's #1 directive, this window is PURE debt paydown: 50 never-
+# driver-judged ids in registration-staleness order — the 13 r9
+# first-session regs, the 15 r9b TPC-H ids, the 18 r9b-r9e extensions,
+# 4 r9f ids — streaming last as the budget-truncation buffer. The
+# remaining 69 never-judged ids split across r11/r12 with the r6-green
+# staleness fills (stream_dedup_watermarked / stream_stream_join /
+# stream_delta_source / win_range_frame hit their deadline r11).
 # Everything after position 50 keeps module order so nothing is lost for
 # tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- never driver-hash-green (12): staleness-deadline lead + r8 regs
-    "mm_frame_sample",
-    "sink_delta_widen", "sink_delta_variant", "sink_delta_replace_where",
-    "fn_variant", "tpch_q5", "tpch_q10", "tpch_q18",
-    "events_funnel", "events_retention", "events_anomaly",
-    "sample_weighted",
-    # -- r6-green scans/meta/sinks family (20)
-    "scan_delta_register", "scan_delta_ddl", "scan_delta_partitioned",
-    "scan_parquet", "scan_csv_json", "scan_orc", "scan_s3", "scan_http",
-    "meta_information_schema", "meta_describe_columns",
-    "sink_delta_insert", "sink_delta_write_local", "sink_delta_delete",
-    "sink_delta_update", "sink_delta_merge", "sink_delta_merge_conditional",
-    "sink_delta_zorder", "sink_delta_restore", "sink_delta_changes",
-    "scan_delta_time_travel",
-    # -- r6-green joins J1-J12 (12) + agg_basic (1)
-    "join_inner", "join_left", "join_right", "join_full", "join_semi",
-    "join_anti", "join_cross", "join_theta", "join_broadcast_hint",
-    "join_asof", "join_range_banded", "join_null_safe",
-    "agg_basic",
-    # -- r6-green quartet (4)
-    "agg_grouping_sets", "agg_cube", "win_row_number", "win_percent",
+    # -- r9 first-session registrations (12; stream_delta_snapshot last)
+    "scan_delta_http",
+    "tpch_q3", "tpch_q7", "tpch_q12", "tpch_q19",
+    "text_bigram_logprob", "text_ccnet_bucket",
+    "dedup_incremental", "emb_kmeans_step", "mm_ahash",
+    "events_dau_stickiness", "events_transitions",
+    # -- r9b TPC-H completion (15)
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22",
+    # -- r9b-r9e extensions in registration order (18)
+    "join_bucketed", "sample_reservoir", "corpus_shard_assign",
+    "emb_ann_recall", "events_attribution",
+    "emb_semdedup", "text_segment_dedup",
+    "emb_pq_topk", "sample_temperature", "events_path_topk",
+    "mm_audio_energy", "text_quality_classifier", "emb_outlier_detect",
+    "dedup_lsh_recall", "corpus_epoch_shuffle", "corpus_profile",
+    "meta_describe_history", "meta_version_checksum",
+    # -- r9f registrations (4)
+    "dedup_exact_substring", "sample_dsir", "text_vocab_coverage",
+    "mm_scene_detect",
     # -- streaming last (budget-truncation buffer)
-    "stream_dedup",
+    "stream_delta_snapshot",
 )
 
 
