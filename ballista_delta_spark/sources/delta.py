@@ -1321,6 +1321,13 @@ def _next_version(log: str) -> int:
     return max(versions) + 1 if versions else 0
 
 
+# Commits staging at least this many part-files compute their stats with
+# ONE distributed Spark job (_spark_side_stats) instead of sequential
+# driver-side pyarrow footer reads; below it, a footer read per file is
+# cheaper than the Spark job's scheduling floor.
+_SPARK_STATS_MIN_FILES = 4
+
+
 def _spark_side_stats(
     spark: SparkSession,
     staging: str | list[str],
@@ -2388,67 +2395,75 @@ def _stage_adds(
     writer.parquet(staging)
 
     data_fields = [f for f in schema_struct.fields if f.name not in partition_by]
-    # Variant columns use a parquet logical type this pyarrow build can't
-    # even open — so for tables carrying one, compute the per-file stats
-    # with ONE Spark job over the whole staging dir instead of per-file
-    # footer reads: numRecords plus min/max/nullCount for every
-    # stats-eligible sibling column, so a mixed table (id + variant
-    # payload) keeps data skipping on its scalar columns. min/max on the
+    staged_files: list[str] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if name.endswith(".parquet"):
+                staged_files.append(os.path.join(root, name))
+    # Stats: ONE Spark aggregation over the whole staging dir for any
+    # multi-file commit — at a 10k-file commit, per-file pyarrow footer
+    # reads serialize ~10k metadata fetches through the driver, while the
+    # Spark job distributes them across executors and returns one
+    # constant-per-file row set (numRecords + min/max/nullCount per
+    # stats-eligible column). Tiny 1-3-file commits keep the footer path:
+    # a footer read is ~ms, cheaper than a Spark job's scheduling floor.
+    # Variant columns ALWAYS take the Spark path — they use a parquet
+    # logical type this pyarrow build can't even open; min/max on the
     # variant itself is meaningless (no ordering) and is skipped, exactly
     # as _file_stats skips nested leaves.
     indexed = _stats_fields(data_fields, snap)
     staged_stats: dict[str, str] | None = None
-    if _schema_type_features(data_fields) & {"variantType"}:
+    if staged_files and (
+        _schema_type_features(data_fields) & {"variantType"}
+        or len(staged_files) >= _SPARK_STATS_MIN_FILES
+    ):
         staged_stats = _spark_side_stats(df.sparkSession, staging, indexed)
     adds: list[dict[str, Any]] = []
     now_ms = int(time.time() * 1000)
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
+    for src in staged_files:
+        root = os.path.dirname(src)
+        rel_dir = os.path.relpath(root, staging)
+        part_values: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, val = seg.partition("=")
+                part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
+        dst = os.path.join(path, rel_final)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if staged_stats is not None:
+            stats = staged_stats.get(os.path.abspath(src))
+            if stats is None:
+                # No group in the Spark-side agg = a ZERO-ROW part
+                # file; skip it (delta-spark never commits empty
+                # files, and a silent numRecords=0 add would corrupt
+                # rowTracking's baseRowId ranges if it were wrong).
+                # Distinguish that from a path-normalization bug:
+                # every resolved key must live under the staging dir.
+                bad = [
+                    k for k in staged_stats
+                    if not k.startswith(os.path.abspath(staging))
+                ]
+                if bad:
+                    raise RuntimeError(
+                        f"staged stats keys failed to normalize to "
+                        f"filesystem paths: {bad[:3]}..."
+                    )
                 continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            part_values: dict[str, str | None] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, val = seg.partition("=")
-                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-            final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
-            dst = os.path.join(path, rel_final)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if staged_stats is not None:
-                stats = staged_stats.get(os.path.abspath(src))
-                if stats is None:
-                    # No group in the Spark-side agg = a ZERO-ROW part
-                    # file; skip it (delta-spark never commits empty
-                    # files, and a silent numRecords=0 add would corrupt
-                    # rowTracking's baseRowId ranges if it were wrong).
-                    # Distinguish that from a path-normalization bug:
-                    # every resolved key must live under the staging dir.
-                    bad = [
-                        k for k in staged_stats
-                        if not k.startswith(os.path.abspath(staging))
-                    ]
-                    if bad:
-                        raise RuntimeError(
-                            f"staged stats keys failed to normalize to "
-                            f"filesystem paths: {bad[:3]}..."
-                        )
-                    continue
-            else:
-                stats = _file_stats(src, indexed)
-            os.replace(src, dst)
-            adds.append(
-                {
-                    "path": rel_final.replace(os.sep, "/"),
-                    "partitionValues": part_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": data_change,
-                    "stats": stats,
-                }
-            )
+        else:
+            stats = _file_stats(src, indexed)
+        os.replace(src, dst)
+        adds.append(
+            {
+                "path": rel_final.replace(os.sep, "/"),
+                "partitionValues": part_values,
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": data_change,
+                "stats": stats,
+            }
+        )
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
