@@ -258,11 +258,52 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- S6 scan_s3: the S3/MinIO path (reference src/object_store.rs:42-47,
-# examples/s3_standalone.rs:15-18). No MinIO/docker in this container, so the
-# query exercises the same code path — resolve_url scheme routing + registry —
-# over file:// URLs; `configure_s3` carries the s3a conf (endpoint/creds/
-# path-style) and is covered by unit tests. On a real cluster only the conf
-# changes, not the plan.
+# examples/s3_standalone.rs:15-18, tests/store.rs:19-70 — all against
+# MinIO's s3://ballista bucket). This container has no docker/MinIO and no
+# hadoop-aws jars, so the query stands up an in-process moto S3 server and
+# reads through `register_s3_parquet` — pyarrow's NATIVE S3 client doing
+# the real wire protocol (ListObjectsV2 + ranged GetObject), with each
+# file fetched executor-side by its task's own client. `configure_s3`
+# still carries the s3a conf for real clusters with the jars. Falls back
+# to file:// URL routing only where moto isn't installed.
+_MOTO_S3: dict = {"server": None, "endpoint": None, "uploaded": set()}
+
+
+def _moto_endpoint(sf_dir: str) -> str | None:
+    """Lazily boot a process-lifetime moto S3 server and mirror
+    ``part.parquet`` into s3://ballista/ (the reference's bucket name,
+    tests/store.rs:23). Returns the endpoint URL, or None when moto is
+    unavailable in this environment."""
+    try:
+        import boto3
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        return None
+    if _MOTO_S3["server"] is None:
+        server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
+        server.start()
+        port = server._server.socket.getsockname()[1]
+        _MOTO_S3["server"] = server
+        _MOTO_S3["endpoint"] = f"http://127.0.0.1:{port}"
+    if sf_dir not in _MOTO_S3["uploaded"]:
+        s3 = boto3.client(
+            "s3",
+            endpoint_url=_MOTO_S3["endpoint"],
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1",
+        )
+        try:
+            s3.create_bucket(Bucket="ballista")
+        except Exception:
+            pass  # already created by an earlier sf_dir
+        key = f"tpch/{os.path.basename(os.path.normpath(sf_dir))}/part.parquet"
+        with open(os.path.join(sf_dir, "part.parquet"), "rb") as fh:
+            s3.put_object(Bucket="ballista", Key=key, Body=fh.read())
+        _MOTO_S3["uploaded"].add(sf_dir)
+    return _MOTO_S3["endpoint"]
+
+
 @_q(
     "scan_s3",
     """
@@ -271,10 +312,31 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    url = "file://" + os.path.join(sf_dir, "part.parquet")
-    register_parquet(spark, "part_url", url)
+    from ..sources.registry import register_s3_parquet
+
+    endpoint = _moto_endpoint(sf_dir)
+    if endpoint is None:  # environment without moto: URL-routing fallback
+        url = "file://" + os.path.join(sf_dir, "part.parquet")
+        register_parquet(spark, "part_url", url)
+        return spark.sql(
+            "SELECT p_brand, count(*) AS n_parts FROM part_url "
+            "GROUP BY p_brand ORDER BY p_brand"
+        )
+    key = f"tpch/{os.path.basename(os.path.normpath(sf_dir))}/part.parquet"
+    register_s3_parquet(
+        spark,
+        "part_s3",
+        f"s3://ballista/{key}",
+        endpoint=endpoint,
+        access_key="testing",
+        secret_key="testing",
+        # the aggregation needs ONE column; prune it below the Python
+        # boundary so only p_brand's column chunks cross the wire
+        columns=["p_brand"],
+    )
     return spark.sql(
-        "SELECT p_brand, count(*) AS n_parts FROM part_url GROUP BY p_brand ORDER BY p_brand"
+        "SELECT p_brand, count(*) AS n_parts FROM part_s3 "
+        "GROUP BY p_brand ORDER BY p_brand"
     )
 
 

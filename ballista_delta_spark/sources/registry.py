@@ -655,3 +655,263 @@ def register_delta_http(
         df = df.filter(where)  # skipping is a superset-prune, never exact
     df.createOrReplaceTempView(name)
     return df
+
+
+def _s3_client_kwargs(
+    endpoint: str | None,
+    access_key: str | None,
+    secret_key: str | None,
+    region: str | None,
+) -> dict[str, str]:
+    """Plain-string S3 client config — PICKLABLE, so executor tasks can
+    rebuild their own ``pyarrow.fs.S3FileSystem`` (clients hold sockets
+    and never cross process boundaries). Credentials fall back to the
+    AWS_* env vars exactly like the reference's env-credentialed store
+    (reference src/object_store.rs:42-47)."""
+    kw: dict[str, str] = {}
+    if endpoint:
+        kw["endpoint_override"] = endpoint
+    ak = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if ak:
+        kw["access_key"] = ak
+    if sk:
+        kw["secret_key"] = sk
+    if region:
+        kw["region"] = region
+    elif endpoint:
+        # A custom endpoint (MinIO/moto) has no region discovery service;
+        # pin one so pyarrow doesn't try to resolve it over the network.
+        kw["region"] = "us-east-1"
+    return kw
+
+
+def _s3_path(url: str) -> str:
+    """``s3://bucket/key`` -> ``bucket/key`` (pyarrow fs path form)."""
+    parsed = urlparse(url)
+    if parsed.scheme not in ("s3", "s3a"):
+        raise ValueError(f"not an S3 URL: {url}")
+    return parsed.netloc + parsed.path
+
+
+def register_s3_parquet(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Executor-side S3 parquet scan over pyarrow's NATIVE S3 client —
+    the S3/MinIO path (reference src/object_store.rs:42-47 builds an
+    env-credentialed AmazonS3 store; examples/s3_standalone.rs:15-18 and
+    tests/store.rs:19-70 point it at MinIO's s3://ballista bucket).
+
+    This pip-installed pyspark ships no hadoop-aws/s3a jars, so the JVM
+    cannot open ``s3a://`` URIs; ``configure_s3`` still carries the s3a
+    conf for real clusters that have them, while THIS path needs only
+    pyarrow and talks the real S3 wire protocol (ListObjectsV2, ranged
+    GetObject). Scale shape mirrors the distributed HTTP scan: the driver
+    does one LIST plus one footer read for schema inference; each file
+    becomes one task whose own S3 client fetches just the projected
+    column chunks — transfer parallelism is O(files), no driver funnel.
+
+    ``url`` may name one object or a prefix/"directory" of parquet files.
+    ``columns`` prunes the transfer (the projection must be stated below
+    the Python boundary to save wire bytes, as with the HTTP scan).
+    """
+    from pyarrow import fs as pafs
+
+    kw = _s3_client_kwargs(endpoint, access_key, secret_key, region)
+    s3 = pafs.S3FileSystem(**kw)
+    root = _s3_path(url)
+    info = s3.get_file_info(root)
+    if info.type == pafs.FileType.Directory or url.rstrip("/") != url:
+        sel = pafs.FileSelector(root.rstrip("/"), recursive=True)
+        keys = sorted(
+            f.path for f in s3.get_file_info(sel)
+            if f.type == pafs.FileType.File and f.path.endswith(".parquet")
+        )
+    elif info.type == pafs.FileType.File:
+        keys = [root]
+    else:
+        raise FileNotFoundError(f"no S3 object or prefix at {url}")
+    if not keys:
+        raise FileNotFoundError(f"no parquet objects under {url}")
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    with s3.open_input_file(keys[0]) as fh:
+        schema = from_arrow_schema(pq.read_schema(fh))
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"columns not in parquet schema: {missing}")
+        from pyspark.sql import types as T
+
+        schema = T.StructType([schema[c] for c in columns])
+    cols = [f.name for f in schema.fields]
+
+    def _fetch(batches):
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+
+        task_s3 = _pafs.S3FileSystem(**kw)
+        for pdf in batches:
+            for key in pdf["key"]:
+                with task_s3.open_input_file(key) as fh:
+                    tbl = _pq.ParquetFile(fh, pre_buffer=True).read(
+                        columns=cols
+                    )
+                yield tbl.to_pandas()[cols]
+
+    keys_df = spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(len(keys), "key")
+    df = keys_df.mapInPandas(_fetch, schema=schema)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def _mirror_delta_log_s3(
+    url: str, kw: dict[str, str]
+) -> str:
+    """Mirror an S3-hosted ``_delta_log/`` into a local temp table root —
+    the S3 twin of :func:`_mirror_delta_log_http`, but with a real LIST:
+    one ListObjectsV2 page walk finds every log file (json commits, all
+    three checkpoint layouts, compactions, sidecars), so no 404-walking
+    heuristics are needed. The log is metadata-sized; data files are
+    NEVER localized — they stream executor-side."""
+    import tempfile
+
+    from pyarrow import fs as pafs
+
+    s3 = pafs.S3FileSystem(**kw)
+    base = _s3_path(url).rstrip("/")
+    sel = pafs.FileSelector(f"{base}/_delta_log", recursive=True)
+    try:
+        entries = [
+            f for f in s3.get_file_info(sel) if f.type == pafs.FileType.File
+        ]
+    except OSError as e:
+        raise ValueError(f"no Delta log found at {url}/_delta_log/") from e
+    if not entries:
+        raise ValueError(f"no Delta log found at {url}/_delta_log/")
+    root = tempfile.mkdtemp(prefix="bds-delta-s3-")
+    prefix = f"{base}/_delta_log/"
+    for f in entries:
+        rel = f.path[len(prefix):]
+        dst = os.path.join(root, "_delta_log", rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with s3.open_input_file(f.path) as src, open(dst, "wb") as out:
+            out.write(src.read())
+    return root
+
+
+def register_delta_s3(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    version: int | None = None,
+    where: str | None = None,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str | None = None,
+) -> DataFrame:
+    """Delta table hosted on S3/MinIO — metadata through a driver-side
+    log mirror, data through the executor-side native-S3 fetch: the full
+    analogue of the reference's flagship example (examples/
+    s3_standalone.rs:15-47 reads a Delta table from MinIO's s3://ballista).
+
+    Scale shape: the driver touches ONLY the log (and data-skips on its
+    stats: ``where`` prunes whole files before any data byte moves); each
+    surviving add file becomes one task whose own S3 client fetches just
+    the projected column chunks. Same reproducibility restrictions as
+    delta-over-http (no DVs, no column mapping, no variant)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .delta import _load_snapshot, skip_files
+    from .delta_stream import _pv_caster
+
+    kw = _s3_client_kwargs(endpoint, access_key, secret_key, region)
+    base = _s3_path(url).rstrip("/")
+    mirror = _mirror_delta_log_s3(url, kw)
+    snap = _load_snapshot(mirror, version=version)
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        raise ValueError(
+            "delta-over-s3 cannot apply deletion vectors; "
+            "REORG TABLE ... APPLY (PURGE) the source first"
+        )
+    if snap.column_mapping_mode != "none":
+        raise ValueError("delta-over-s3 does not support column mapping")
+    if any("variant" in f.dataType.simpleString() for f in snap.schema.fields):
+        raise ValueError(
+            "delta-over-s3 cannot decode variant columns (pyarrow limit)"
+        )
+    files = snap.files
+    if where:
+        files = skip_files(snap, where)  # driver-side stats pruning
+
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in snap.schema.fields]
+    )
+    part_cols = list(snap.partition_columns)
+    data_cols = [f.name for f in schema.fields if f.name not in part_cols]
+    arrow_schema = to_arrow_schema(schema)
+    casters = {
+        f.name: _pv_caster(f.dataType)
+        for f in schema.fields
+        if f.name in part_cols
+    }
+    rows = [
+        (f"{base}/{rel}", _json.dumps(a.get("partitionValues") or {}))
+        for rel, a in sorted(files.items())
+    ]
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    field_order = [f.name for f in schema.fields]
+
+    def _fetch(batches):
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+
+        task_s3 = _pafs.S3FileSystem(**kw)
+        for pdf in batches:
+            for key, pv_json in zip(pdf["key"], pdf["pv"]):
+                with task_s3.open_input_file(key) as fh:
+                    tbl = _pq.ParquetFile(fh, pre_buffer=True).read(
+                        columns=data_cols
+                    )
+                pv = _json.loads(pv_json)
+                n = tbl.num_rows
+                cols = []
+                for fname in field_order:
+                    if fname in pv or fname in part_cols:
+                        raw = pv.get(fname)
+                        val = casters[fname](raw) if raw is not None else None
+                        cols.append(pa.array([val] * n))
+                    else:
+                        cols.append(tbl.column(fname))
+                out = pa.table(cols, names=field_order).cast(
+                    arrow_schema, safe=False
+                )
+                yield out.to_pandas()
+
+    keys_df = spark.createDataFrame(rows, "key string, pv string").repartition(
+        len(rows), "key"
+    )
+    df = keys_df.mapInPandas(_fetch, schema=schema)
+    if where:
+        df = df.filter(where)  # skipping is a superset-prune, never exact
+    df.createOrReplaceTempView(name)
+    return df
