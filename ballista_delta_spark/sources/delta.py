@@ -999,6 +999,8 @@ class _FileIndex(MutableMapping):
         # adds don't spray "key": null into JSON
         add = {k: v for k, v in raw.items() if v is not None}
         add["partitionValues"] = _as_dict(add.get("partitionValues"))
+        if "tags" in add:  # arrow maps round-trip as (k, v) pair lists
+            add["tags"] = _as_dict(add["tags"])
         return add
 
     def __getitem__(self, key: str) -> dict[str, Any]:
@@ -1059,6 +1061,18 @@ class _FileIndex(MutableMapping):
     def values(self):
         self._materialize_all()
         return [self[k] for k in self]
+
+    # MutableMapping does not supply __eq__; without value equality a
+    # checkpoint-backed snapshot would never compare equal to a plain-dict
+    # one even with identical contents.
+    def __eq__(self, other):
+        if isinstance(other, (dict, MutableMapping)):
+            return dict(self) == dict(other)
+        return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
 
 
 def _checkpoint_actions(
@@ -3864,8 +3878,11 @@ def cluster_by(path: str, columns: list[str] | None) -> int:
     step is a unit step (no Morton quadrant jumps), so per-file min-max
     hyper-rectangles are tighter and stats prune more files; explicit
     ``OPTIMIZE ... ZORDER BY`` keeps the classic Morton interleave.
-    Remaining divergence (documented): no ZCube tracking — incremental
-    reclustering is per-file via ``clusteringProvider``.
+    Incremental reclustering is ZCube-tracked (r10, delta-spark parity):
+    every clustering rewrite stamps its outputs with one ZCUBE_ID (+
+    column set and curve) in the add tags; OPTIMIZE selects unclustered
+    files, differently-keyed cubes, and cubes below ``min_cube_size``,
+    and skips single-cube bins — see :func:`optimize`.
 
     100 TB shape: changing the clustering key is one metadata commit;
     data migrates lazily as OPTIMIZE runs — exactly why liquid clustering
@@ -4314,6 +4331,10 @@ def create_checkpoint(
                    ("path", "partitionValues", "size", "modificationTime",
                     "dataChange", "stats", "baseRowId",
                     "defaultRowCommitVersion", "clusteringProvider")},
+                # tags carry ZCube membership (ZCUBE_ID/_ZORDER_BY/_CURVE);
+                # a checkpoint that drops them makes every settled cube
+                # look unclustered and the next OPTIMIZE re-sorts the table.
+                "tags": list(_as_dict(a.get("tags")).items()) or None,
                 # A checkpoint that drops the DV descriptor RESURRECTS the
                 # deleted rows for checkpoint-replaying readers.
                 "deletionVector": {
@@ -4372,6 +4393,7 @@ def create_checkpoint(
             ("baseRowId", pa.int64()),
             ("defaultRowCommitVersion", pa.int64()),
             ("clusteringProvider", pa.string()),
+            ("tags", pa.map_(pa.string(), pa.string())),
             ("deletionVector", pa.struct([
                 ("storageType", pa.string()),
                 ("pathOrInlineDv", pa.string()),
@@ -5259,6 +5281,7 @@ def optimize(
     where: str | None = None,
     full: bool = False,
     only_files_below: int | None = None,
+    min_cube_size: int = 100 * 1024**3,
 ) -> int:
     """Small-file compaction (the ``OPTIMIZE`` analogue): rewrite the current
     snapshot's files into fewer, larger ones and commit add/remove actions
@@ -5308,20 +5331,44 @@ def optimize(
         # plain OPTIMIZE a clustering rewrite (delta-spark behavior).
         zorder_by = clustering_columns(snap) or None
         liquid = zorder_by is not None
+    cols_json = json.dumps(zorder_by) if zorder_by else None
     if liquid and not full:
-        # INCREMENTAL clustering (delta-spark semantics): plain OPTIMIZE
-        # on a clustered table clusters only the files no clustering
-        # rewrite has produced yet (fresh appends, DML output) — at
-        # 100 TB routine maintenance must touch the daily delta, not
-        # re-sort the whole table. ``full=True`` (OPTIMIZE ... FULL)
-        # forces the re-cluster-everything form. Rewritten files carry
-        # the spec's ``clusteringProvider`` add field so the next run
-        # knows to leave them alone.
+        # INCREMENTAL clustering via ZCube tracking (delta-spark's
+        # OptimizeExecutor selection rule): every clustering rewrite
+        # stamps its output files with one fresh ZCUBE_ID (+ the column
+        # set and curve) in the add action's ``tags``. A file is a
+        # candidate for the next OPTIMIZE iff it
+        #   (a) belongs to no ZCube (fresh appends, DML output),
+        #   (b) belongs to a ZCube clustered on DIFFERENT columns (the
+        #       key changed; data migrates lazily), or
+        #   (c) belongs to a ZCube smaller than ``min_cube_size``
+        #       (delta-spark's MIN_CUBE_SIZE, default 100 GB): small
+        #       cubes keep merging until a cube is big enough to settle.
+        # A settled ZCube (matching columns, >= min size) is NEVER
+        # touched again — at 100 TB routine maintenance must cluster the
+        # daily delta, not re-sort the table. ``full=True``
+        # (OPTIMIZE ... FULL) forces the re-cluster-everything form.
+        cube_bytes: dict[str, int] = {}
+        zcube_of: dict[str, str] = {}
+        for rel, a in snap.files.items():
+            tags = _as_dict(a.get("tags"))
+            zid = tags.get("ZCUBE_ID")
+            if zid and tags.get("ZCUBE_ZORDER_BY") == cols_json:
+                zcube_of[rel] = zid
+                cube_bytes[zid] = (
+                    cube_bytes.get(zid, 0) + int(a.get("size") or 0)
+                )
         pending = {
             rel: a for rel, a in snap.files.items()
-            if a.get("clusteringProvider") != "liquid"
+            if rel not in zcube_of
+            or cube_bytes[zcube_of[rel]] < min_cube_size
         }
-        if not pending:
+        # delta-spark's single-ZCube bin filter: when every candidate
+        # comes from ONE existing cube (a small cube with no new data to
+        # merge), re-sorting it gains nothing — skip, or a small table
+        # would re-cluster itself on every routine OPTIMIZE forever.
+        pend_cubes = {zcube_of.get(rel) for rel in pending}
+        if not pending or (len(pend_cubes) == 1 and None not in pend_cubes):
             return snap.version
         snap = copy_mod.copy(snap)
         snap.files = pending
@@ -5378,8 +5425,18 @@ def optimize(
         snap=snap, data_change=False,
     )
     if liquid:
+        # One rewrite batch = one ZCube (delta-spark's rule): stamp every
+        # output file with the same fresh id + the clustering domain's
+        # column set and curve, so future incremental runs can tell
+        # settled cubes from pending files.
+        zcube_id = str(uuid.uuid4())
         for a in adds:
             a["clusteringProvider"] = "liquid"
+            a["tags"] = {
+                "ZCUBE_ID": zcube_id,
+                "ZCUBE_ZORDER_BY": cols_json,
+                "ZCUBE_ZORDER_CURVE": "hilbert",
+            }
     now_ms = int(time.time() * 1000)
 
     actions: list[dict[str, Any]] = [

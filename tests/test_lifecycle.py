@@ -343,12 +343,15 @@ def test_liquid_clustering_is_incremental(spark, tmp_path):
     clustered_files = set(snap1.files)
     # no pending files -> incremental OPTIMIZE is a metadata no-op
     assert optimize(spark, p) == snap1.version
-    # fresh append: only IT gets clustered; old files stay put
+    # fresh append: only IT gets clustered; old files stay put.
+    # min_cube_size=0 marks the existing cube SETTLED at this tiny scale
+    # (the default 100 GB would merge it with the append — that ZCube
+    # merge path is exercised in test_zcube_tracking_selection_rule).
     write_delta(
         spark.range(100, 120).selectExpr("id", "id % 7 AS a").coalesce(1),
         p, mode="append",
     )
-    v = optimize(spark, p)
+    v = optimize(spark, p, min_cube_size=0)
     snap2 = _load_snapshot(p)
     assert clustered_files <= set(snap2.files)  # untouched
     assert all(
@@ -666,3 +669,94 @@ def test_generate_symlink_manifest(spark, tmp_path):
     delete_delta(spark, d, "id = 3", mode="dv")
     with _pytest.raises(ValueError, match="deletion vectors"):
         generate_symlink_manifest(d)
+
+
+def test_zcube_tracking_selection_rule(spark, tmp_path):
+    """ZCube tracking (delta-spark OptimizeExecutor parity, VERDICT r9
+    'What's missing' #3): each clustering rewrite stamps one ZCUBE_ID on
+    its outputs; a second OPTIMIZE leaves SETTLED cubes (matching
+    columns, >= min_cube_size) untouched, merges small cubes with new
+    data, skips single-cube bins, and re-clusters a cube when the
+    clustering key changes."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cluster_by,
+        create_checkpoint,
+        cleanup_log,
+        optimize,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.range(200).selectExpr("id", "id % 7 AS a", "id % 5 AS b")
+        .repartition(3),
+        p,
+    )
+    cluster_by(p, ["a"])
+    optimize(spark, p)
+    snap1 = _load_snapshot(p)
+    tags1 = {rel: a["tags"] for rel, a in snap1.files.items()}
+    assert tags1, "clustered files must carry tags"
+    ids1 = {t["ZCUBE_ID"] for t in tags1.values()}
+    assert len(ids1) == 1, "one rewrite batch = one ZCube"
+    assert all(
+        t["ZCUBE_ZORDER_BY"] == '["a"]'
+        and t["ZCUBE_ZORDER_CURVE"] == "hilbert"
+        for t in tags1.values()
+    )
+
+    # SETTLED cube (min_cube_size=1 byte): a new append clusters alone,
+    # the settled cube's files are untouched and keep their ZCUBE_ID.
+    write_delta(
+        spark.range(200, 260).selectExpr(
+            "id", "id % 7 AS a", "id % 5 AS b"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    optimize(spark, p, min_cube_size=1)
+    snap2 = _load_snapshot(p)
+    assert set(tags1) <= set(snap2.files), "settled ZCube was rewritten"
+    new_files = set(snap2.files) - set(tags1)
+    ids2 = {snap2.files[r]["tags"]["ZCUBE_ID"] for r in new_files}
+    assert len(ids2) == 1 and not (ids2 & ids1)
+
+    # SMALL cubes (default 100 GB min): two cubes + fresh data all merge
+    # into ONE new cube; both old ids disappear.
+    write_delta(
+        spark.range(260, 300).selectExpr(
+            "id", "id % 7 AS a", "id % 5 AS b"
+        ).coalesce(1),
+        p, mode="append",
+    )
+    optimize(spark, p)
+    snap3 = _load_snapshot(p)
+    ids3 = {a["tags"]["ZCUBE_ID"] for a in snap3.files.values()}
+    assert len(ids3) == 1 and not (ids3 & (ids1 | ids2))
+
+    # single-cube bin filter: everything is one small cube now, nothing
+    # new to merge -> metadata no-op even though the cube is < 100 GB.
+    assert optimize(spark, p) == snap3.version
+
+    # key change: the settled-on-'a' cube is NOT settled for 'b' —
+    # ZCUBE_ZORDER_BY mismatch makes every file pending again.
+    cluster_by(p, ["b"])
+    optimize(spark, p, min_cube_size=1)
+    snap4 = _load_snapshot(p)
+    assert not (set(snap3.files) & set(snap4.files)), "key change must recluster"
+    assert all(
+        a["tags"]["ZCUBE_ZORDER_BY"] == '["b"]'
+        for a in snap4.files.values()
+    )
+
+    # tags survive checkpoint + log truncation (else every settled cube
+    # would look unclustered after retention).
+    create_checkpoint(p)
+    cleanup_log(p, retention_ms=0)
+    snap5 = _load_snapshot(p)
+    assert {a["tags"]["ZCUBE_ID"] for a in snap5.files.values()} == {
+        a["tags"]["ZCUBE_ID"] for a in snap4.files.values()
+    }
+    assert optimize(spark, p, min_cube_size=1) == snap5.version
+    assert read_delta(spark, p).count() == 300
