@@ -1546,10 +1546,10 @@ def test_multi_file_commit_stats_are_one_spark_job(spark, tmp_path, monkeypatch)
         lambda *a, **kw: footer_calls.append(a) or real_file_stats(*a, **kw),
     )
     spark_jobs = []
-    real_spark_stats = d._spark_side_stats
+    real_footer_job = d._distributed_footer_stats
     monkeypatch.setattr(
-        d, "_spark_side_stats",
-        lambda *a, **kw: spark_jobs.append(a) or real_spark_stats(*a, **kw),
+        d, "_distributed_footer_stats",
+        lambda *a, **kw: spark_jobs.append(a) or real_footer_job(*a, **kw),
     )
 
     tbl = str(tmp_path / "many_files")
@@ -1560,8 +1560,11 @@ def test_multi_file_commit_stats_are_one_spark_job(spark, tmp_path, monkeypatch)
     )
     write_delta(src, tbl, mode="overwrite")
 
-    assert len(spark_jobs) == 1, "expected exactly one Spark-side stats job"
-    assert footer_calls == [], "per-file driver footer reads must not run"
+    assert len(spark_jobs) == 1, "expected exactly one distributed footer-stats job"
+    assert footer_calls == [], (
+        "per-file DRIVER footer reads must not run (the distributed job's "
+        "executor-side _file_stats calls live in worker processes)"
+    )
 
     snap = d._load_snapshot(tbl)
     assert len(snap.files) == 64
