@@ -1,14 +1,26 @@
 """S3/MinIO session — the PySpark twin of reference
-examples/s3_standalone.rs:15-47: env-credentialed object store + a
-parquet directory registered and queried over s3://.
+examples/s3_standalone.rs:15-47 and s3_read_client.rs: env-credentialed
+object store + parquet AND Delta queried over s3://ballista.
 
-Spark translation: the reference's custom ObjectStoreRegistry
-(reference src/object_store.rs:42-47) becomes four s3a configs; no
-custom code runs per-query. Needs a reachable S3/MinIO endpoint:
+Two S3 paths, matching SURVEY §2 S6:
+
+- NATIVE (default here): ``register_s3_parquet`` / ``register_delta_s3``
+  use pyarrow's S3 client — real wire protocol (ListObjectsV2, ranged
+  GetObject), each file fetched executor-side by its task's own client.
+  Works on a pip-installed pyspark (no hadoop-aws jars needed).
+- s3a:// (real clusters with the hadoop-aws classpath): ``configure_s3``
+  carries the fs.s3a.* conf; scans then go through the JVM exactly like
+  the reference's ObjectStoreRegistry (src/object_store.rs:42-47).
+
+Usage (against MinIO or any S3 endpoint):
 
   AWS_ACCESS_KEY_ID=... AWS_SECRET_ACCESS_KEY=... \
   AWS_ENDPOINT_URL=http://localhost:9000 \
-  python examples/s3_standalone.py s3a://bucket/sample/
+  python examples/s3_standalone.py s3://ballista/sample/
+
+With no arguments it boots an in-process moto S3 server, uploads the
+reference's people_countries Delta fixture, and runs the golden query —
+a self-contained demo of the full S3 path.
 """
 
 from __future__ import annotations
@@ -19,22 +31,68 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ballista_delta_spark.session import get_spark
-from ballista_delta_spark.sources.registry import register_parquet
+from ballista_delta_spark.sources.registry import (
+    configure_s3,
+    register_delta_s3,
+    register_s3_parquet,
+)
+
+FIXTURE = "/root/reference/data/people_countries_delta_dask"
+
+
+def _demo_endpoint() -> tuple[str, dict[str, str]]:
+    """Boot moto + upload the Delta fixture to s3://ballista (the
+    reference's bucket, tests/store.rs:23)."""
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    endpoint = f"http://127.0.0.1:{port}"
+    s3 = boto3.client(
+        "s3", endpoint_url=endpoint, aws_access_key_id="testing",
+        aws_secret_access_key="testing", region_name="us-east-1",
+    )
+    s3.create_bucket(Bucket="ballista")
+    for root, _dirs, names in os.walk(FIXTURE):
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, FIXTURE).replace(os.sep, "/")
+            with open(full, "rb") as fh:
+                s3.put_object(
+                    Bucket="ballista", Key=f"people_countries/{rel}",
+                    Body=fh.read(),
+                )
+    return endpoint, {"access_key": "testing", "secret_key": "testing"}
 
 
 def main() -> None:
     spark = get_spark("s3-standalone")
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    conf.set("fs.s3a.access.key", os.environ["AWS_ACCESS_KEY_ID"])
-    conf.set("fs.s3a.secret.key", os.environ["AWS_SECRET_ACCESS_KEY"])
-    conf.set("fs.s3a.endpoint", os.environ.get(
-        "AWS_ENDPOINT_URL", "http://localhost:9000"
-    ))
-    conf.set("fs.s3a.path.style.access", "true")
 
-    url = sys.argv[1] if len(sys.argv) > 1 else "s3a://ballista/sample/"
-    register_parquet(spark, "p", url)
-    spark.sql("SELECT * FROM p LIMIT 20").show()
+    if len(sys.argv) > 1:
+        endpoint = os.environ.get("AWS_ENDPOINT_URL")
+        creds: dict[str, str] = {}  # fall back to AWS_* env (reference behavior)
+        url = sys.argv[1]
+        # keep the s3a conf wired for clusters that have hadoop-aws jars
+        configure_s3(
+            spark, endpoint=endpoint,
+            access_key=os.environ.get("AWS_ACCESS_KEY_ID"),
+            secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY"),
+        )
+        register_s3_parquet(spark, "p", url, endpoint=endpoint, **creds)
+        spark.sql("SELECT * FROM p LIMIT 20").show()
+    else:
+        endpoint, creds = _demo_endpoint()
+        register_delta_s3(
+            spark, "demo", "s3://ballista/people_countries",
+            endpoint=endpoint, **creds,
+        )
+        # the reference's golden query (tests/store.rs:60-69)
+        spark.sql(
+            "SELECT first_name, last_name, country FROM demo "
+            "ORDER BY first_name"
+        ).show()
     spark.stop()
 
 

@@ -45,3 +45,16 @@ def test_corpus_monitor_example_runs(spark):
     for marker in ("[drift]", "[langid]", "[entropy]", "[pareto]",
                    "[seasonal]", "[embeddings]", "monitor_ok=1"):
         assert marker in out.stdout, out.stdout
+
+
+def test_s3_standalone_example_runs_self_contained():
+    """The no-args mode boots moto, uploads the reference Delta fixture
+    to s3://ballista, and runs the golden query through the native S3
+    client — the example must print the five golden names."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "examples", "s3_standalone.py")],
+        capture_output=True, text=True, timeout=600, cwd=_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    for name in ("Bruce", "Ernesto", "Jack", "Soraya", "Wolfgang"):
+        assert name in out.stdout, out.stdout[-2000:]
