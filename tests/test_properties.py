@@ -814,3 +814,94 @@ class TestAhashBandingExactness:
             and bin(a ^ b).count("1") <= _AHASH_RADIUS
         }
         assert banded == brute
+
+
+class TestFileIndexDictEquivalence:
+    """_FileIndex (the lazy columnar snap.files) must be observationally
+    identical to a plain dict under any interleaving of the operations
+    the log replay and DML paths perform: get/set/del/contains/iter/len/
+    items/values/pop/update/copy-to-dict."""
+
+    @staticmethod
+    def _build(n_base: int):
+        import pyarrow as pa
+
+        from ballista_delta_spark.sources.delta import _FileIndex
+
+        smap = pa.map_(pa.string(), pa.string())
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])
+        rows = [
+            {
+                "path": f"f{i:04d}.parquet",
+                "partitionValues": [("p", str(i % 3))],
+                "size": 100 + i,
+                "dataChange": True,
+                "stats": f'{{"numRecords":{i}}}',
+            }
+            for i in range(n_base)
+        ]
+        arr = pa.array(rows, type=add_t)
+        fi = _FileIndex([arr])
+        ref = {
+            r["path"]: {
+                "path": r["path"],
+                "partitionValues": {"p": str(i % 3)},
+                "size": 100 + i,
+                "dataChange": True,
+                "stats": f'{{"numRecords":{i}}}',
+            }
+            for i, r in enumerate(rows)
+        }
+        return fi, ref
+
+    @given(
+        n_base=st.integers(min_value=0, max_value=12),
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["set", "del", "pop", "reset"]),
+                st.integers(min_value=0, max_value=15),
+            ),
+            max_size=30,
+        ),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_random_mutation_sequences(self, n_base, ops):
+        fi, ref = self._build(n_base)
+        for op, i in ops:
+            key = f"f{i:04d}.parquet"
+            if op == "set":
+                v = {"path": key, "size": 9000 + i, "partitionValues": {}}
+                fi[key] = v
+                ref[key] = v
+            elif op == "del":
+                if key in ref:
+                    del fi[key]
+                    del ref[key]
+                else:
+                    import pytest as _pt
+
+                    with _pt.raises(KeyError):
+                        del fi[key]
+            elif op == "pop":
+                assert fi.pop(key, None) == ref.pop(key, None)
+            elif op == "reset":  # delete-then-re-add (the tail-replay shape)
+                if key in ref:
+                    del fi[key], ref[key]
+                v = {"path": key, "size": 1, "partitionValues": {}}
+                fi[key] = v
+                ref[key] = v
+            # every mutation preserves full observational equivalence
+            assert len(fi) == len(ref)
+            assert (key in fi) == (key in ref)
+        assert dict(fi) == ref
+        assert fi == ref
+        assert set(fi) == set(ref)
+        assert sorted(fi.keys()) == sorted(ref.keys())
+        assert {k: v for k, v in fi.items()} == ref
+        assert sorted(a["path"] for a in fi.values()) == sorted(
+            a["path"] for a in ref.values()
+        )
