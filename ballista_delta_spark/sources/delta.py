@@ -4287,6 +4287,96 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
     return _try_commit(dst, actions, [])
 
 
+def _ckpt_add_row(add: dict[str, Any]) -> dict[str, Any]:
+    """One add action normalized to the checkpoint schema's shape (the
+    dict path — used for plain-dict snapshots and the JSON-tail overlay;
+    the untouched columnar base goes through _project_struct instead)."""
+    a = dict(add)
+    a["partitionValues"] = list(_as_dict(a.get("partitionValues")).items())
+    dvd = _as_dict(a.get("deletionVector"))
+    return {
+        **{k: a.get(k) for k in
+           ("path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats", "baseRowId",
+            "defaultRowCommitVersion", "clusteringProvider")},
+        # tags carry ZCube membership (ZCUBE_ID/_ZORDER_BY/_CURVE); a
+        # checkpoint that drops them makes every settled cube look
+        # unclustered and the next OPTIMIZE re-sorts the table.
+        "tags": list(_as_dict(a.get("tags")).items()) or None,
+        # A checkpoint that drops the DV descriptor RESURRECTS the
+        # deleted rows for checkpoint-replaying readers.
+        "deletionVector": {
+            "storageType": dvd["storageType"],
+            "pathOrInlineDv": dvd["pathOrInlineDv"],
+            "offset": int(dvd.get("offset") or 0),
+            "sizeInBytes": int(dvd["sizeInBytes"]),
+            "cardinality": int(dvd.get("cardinality") or 0),
+        } if dvd else None,
+    }
+
+
+def _project_struct(src, target_type, mask=None):
+    """Re-project a pyarrow StructArray onto ``target_type``: matching
+    children are cast, missing children become nulls, extra source
+    children are dropped (e.g. delta-spark's optional DV maxRowIndex).
+    Recursive for struct-typed children (the DV descriptor)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(src)
+    src_children = {
+        src.type.field(i).name: src.field(i)
+        for i in range(src.type.num_fields)
+    }
+    out = []
+    for i in range(target_type.num_fields):
+        f = target_type.field(i)
+        child = src_children.get(f.name)
+        if child is None:
+            out.append(pa.nulls(n, f.type))
+        elif pa.types.is_struct(f.type):
+            out.append(_project_struct(child, f.type, mask=pc.is_null(child)))
+        elif child.type.equals(f.type):
+            out.append(child)
+        else:
+            out.append(child.cast(f.type))
+    return pa.StructArray.from_arrays(
+        out,
+        fields=[target_type.field(i) for i in range(target_type.num_fields)],
+        mask=mask if mask is not None else pc.is_null(src),
+    )
+
+
+def _ckpt_add_array(snap: "Snapshot", add_type):
+    """The checkpoint's add column. Checkpoint-backed snapshots stay
+    COLUMNAR end to end: the untouched base rows are take()n straight
+    from the source checkpoint's arrays and re-projected onto the target
+    schema — no per-add Python dict is ever built, so checkpointing a
+    million-add table costs arrow kernels, not a driver dict loop. Only
+    the JSON-tail overlay (the files this checkpoint interval actually
+    touched) goes through the dict path."""
+    import pyarrow as pa
+
+    files = snap.files
+    if not isinstance(files, _FileIndex) or not files._arrays:
+        return pa.array(
+            [_ckpt_add_row(a) for a in files.values()], type=add_type
+        )
+    live_by_arr: list[list[int]] = [[] for _ in files._arrays]
+    for p, (ai, ri) in files._loc.items():
+        if p not in files._dropped:
+            live_by_arr[ai].append(ri)
+    parts = []
+    for ai, arr in enumerate(files._arrays):
+        if live_by_arr[ai]:
+            sub = arr.take(pa.array(sorted(live_by_arr[ai]), type=pa.int64()))
+            parts.append(_project_struct(sub, add_type))
+    overlay = [_ckpt_add_row(a) for a in files._overlay.values()]
+    if overlay or not parts:
+        parts.append(pa.array(overlay, type=add_type))
+    return pa.concat_arrays(parts)
+
+
 def create_checkpoint(
     path: str,
     parts: int | None = None,
@@ -4371,41 +4461,18 @@ def create_checkpoint(
             "remove": None,
         },
     ]
-    for add in snap.files.values():
-        a = dict(add)
-        a["partitionValues"] = list(_as_dict(a.get("partitionValues")).items())
-        dvd = _as_dict(a.get("deletionVector"))
-        rows.append({
-            "protocol": None, "metaData": None, "remove": None,
-            "add": {
-                **{k: a.get(k) for k in
-                   ("path", "partitionValues", "size", "modificationTime",
-                    "dataChange", "stats", "baseRowId",
-                    "defaultRowCommitVersion", "clusteringProvider")},
-                # tags carry ZCube membership (ZCUBE_ID/_ZORDER_BY/_CURVE);
-                # a checkpoint that drops them makes every settled cube
-                # look unclustered and the next OPTIMIZE re-sorts the table.
-                "tags": list(_as_dict(a.get("tags")).items()) or None,
-                # A checkpoint that drops the DV descriptor RESURRECTS the
-                # deleted rows for checkpoint-replaying readers.
-                "deletionVector": {
-                    "storageType": dvd["storageType"],
-                    "pathOrInlineDv": dvd["pathOrInlineDv"],
-                    "offset": int(dvd.get("offset") or 0),
-                    "sizeInBytes": int(dvd["sizeInBytes"]),
-                    "cardinality": int(dvd.get("cardinality") or 0),
-                } if dvd else None,
-            },
-        })
     # Un-expired remove tombstones ride along per the protocol: other
     # readers replay them so concurrently-running queries and VACUUM see
     # the same file set whether they start from JSON or the checkpoint.
-    for rm in snap.tombstones.values():
-        rows.append({
+    # (The add rows are built COLUMNAR below — see _ckpt_add_array.)
+    tomb_rows = [
+        {
             "protocol": None, "metaData": None, "add": None,
             "remove": {k: rm.get(k) for k in
                        ("path", "deletionTimestamp", "dataChange")},
-        })
+        }
+        for rm in snap.tombstones.values()
+    ]
     # SetTransaction ledger: the spec requires checkpoints to carry the
     # latest txn version per appId, or idempotent writers replaying from
     # a cleaned log would lose their dedupe state and double-commit.
@@ -4469,8 +4536,25 @@ def create_checkpoint(
         ])),
     ])
     v = snap.version
+    # Assemble the full action table column-wise: the 2 head rows
+    # (protocol/metaData) and the tombstone/txn tails are tiny pylists,
+    # while the add block — the population that scales with the table —
+    # is ONE arrow array (columnar straight from the source checkpoint
+    # for untouched files). Slicing this table serves all three layouts.
+    add_arr = _ckpt_add_array(snap, ckpt_schema.field("add").type)
+    n_adds = len(add_arr)
+    head = pa.Table.from_pylist(rows, schema=ckpt_schema)
+    add_tbl = pa.Table.from_arrays(
+        [
+            add_arr if f.name == "add" else pa.nulls(n_adds, f.type)
+            for f in ckpt_schema
+        ],
+        schema=ckpt_schema,
+    )
+    tail = pa.Table.from_pylist(tomb_rows + txn_rows, schema=ckpt_schema)
+    full_tbl = pa.concat_tables([head, add_tbl, tail])
     last_ckpt: dict[str, Any] = {
-        "version": v, "size": len(rows) + len(txn_rows),
+        "version": v, "size": full_tbl.num_rows,
     }
     if checkpoint_format == "v2":
         # Manifest (protocol/metaData/checkpointMetadata + sidecar refs)
@@ -4478,15 +4562,10 @@ def create_checkpoint(
         sc_dir = os.path.join(log, "_sidecars")
         os.makedirs(sc_dir, exist_ok=True)
         sc_name = f"{uuid.uuid4()}.parquet"
-        sc_rows = [
-            {"add": r["add"], "remove": r["remove"]}
-            for r in rows[2:]
-        ]
-        sc_schema = pa.schema([
-            ckpt_schema.field("add"), ckpt_schema.field("remove"),
-        ])
         pq.write_table(
-            pa.Table.from_pylist(sc_rows, schema=sc_schema),
+            full_tbl.select(["add", "remove"]).slice(
+                2, n_adds + len(tomb_rows)
+            ),
             os.path.join(sc_dir, sc_name),
         )
         manifest_schema = pa.schema([
@@ -4518,23 +4597,17 @@ def create_checkpoint(
             pa.Table.from_pylist(manifest_rows, schema=manifest_schema), out
         )
     elif parts and parts > 1:
-        rows = rows + txn_rows
-        n = min(parts, len(rows))
-        per = (len(rows) + n - 1) // n
+        n = min(parts, full_tbl.num_rows)
+        per = (full_tbl.num_rows + n - 1) // n
         for i in range(n):
-            chunk = rows[i * per:(i + 1) * per]
             out = os.path.join(
                 log, f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
             )
-            pq.write_table(
-                pa.Table.from_pylist(chunk, schema=ckpt_schema), out
-            )
+            pq.write_table(full_tbl.slice(i * per, per), out)
         last_ckpt["parts"] = n
     else:
         out = os.path.join(log, f"{v:020d}.checkpoint.parquet")
-        pq.write_table(
-            pa.Table.from_pylist(rows + txn_rows, schema=ckpt_schema), out
-        )
+        pq.write_table(full_tbl, out)
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps(last_ckpt))
     return v

@@ -1689,3 +1689,62 @@ def test_snapshot_replay_holds_checkpoint_adds_columnar(tmp_path):
     del fi["part-000000.snappy.parquet"]
     assert len(fi) == n and "part-000000.snappy.parquet" not in fi
     assert dict(fi)["extra.parquet"]["size"] == 1
+
+
+def test_checkpoint_columnar_path_matches_dict_path(spark, tmp_path):
+    """create_checkpoint's two add-column builders must be byte-equivalent:
+    the dict path (plain-dict snapshot, JSON replay) and the columnar path
+    (checkpoint-backed _FileIndex, arrow take+project). Build a rich table
+    (partitions, DVs, ZCube tags, txn, domainMetadata), checkpoint it from
+    JSON replay, then re-checkpoint the SAME version from the
+    checkpoint-backed snapshot and compare every action row."""
+    import pyarrow.parquet as pq
+
+    from ballista_delta_spark.sources import delta as d
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "rich")
+    write_delta(
+        spark.range(300).selectExpr(
+            "id", "id % 7 AS a", "CAST(id % 3 AS INT) AS p"
+        ).repartition(4),
+        tbl, partition_by=["p"],
+        txn_app="diff_test", txn_version=7,
+    )
+    d.alter_properties(spark, tbl, {"delta.enableDeletionVectors": "true"})
+    d.cluster_by(tbl, ["a"])
+    d.optimize(spark, tbl)                      # ZCube-tagged adds
+    delete_delta(spark, tbl, "id % 11 = 0", mode="dv")  # DV-carrying adds
+
+    snap_json = d._load_snapshot(tbl)
+    assert not isinstance(snap_json.files, d._FileIndex)  # dict path
+    assert any(a.get("deletionVector") for a in snap_json.files.values())
+    assert any(a.get("tags") for a in snap_json.files.values())
+
+    v = d.create_checkpoint(tbl)
+    ckpt = os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    first = pq.read_table(ckpt)
+
+    snap_ckpt = d._load_snapshot(tbl)
+    assert isinstance(snap_ckpt.files, d._FileIndex)  # columnar path
+    assert d.create_checkpoint(tbl) == v  # overwrites the same file
+    second = pq.read_table(ckpt)
+
+    assert first.schema.equals(second.schema)
+
+    def norm(t):
+        import json as _json
+
+        rows = t.to_pylist()
+        return sorted(
+            _json.dumps(r, sort_keys=True, default=str) for r in rows
+        )
+
+    assert norm(first) == norm(second)
+
+    # and the re-written checkpoint still replays to the same state
+    snap_again = d._load_snapshot(tbl)
+    assert dict(snap_again.files) == dict(snap_ckpt.files)
+    assert snap_again.app_transactions == {"diff_test": 7}
+    assert "delta.clustering" in snap_again.domain_metadata
+    assert read_delta(spark, tbl).count() == 300 - 28
