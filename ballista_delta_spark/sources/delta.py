@@ -978,9 +978,20 @@ class _FileIndex(MutableMapping):
     the columnar base; mutation semantics match a plain dict.
     """
 
-    __slots__ = ("_arrays", "_loc", "_cache", "_overlay", "_dropped")
+    __slots__ = (
+        "_arrays", "_loc", "_cache", "_overlay", "_dropped", "_clean_fn",
+    )
 
-    def __init__(self, add_arrays: "list[Any] | tuple[Any, ...]" = ()):
+    def __init__(
+        self,
+        add_arrays: "list[Any] | tuple[Any, ...]" = (),
+        clean: "Any" = None,
+    ):
+        # ``clean`` normalizes one materialized struct row; the default is
+        # the ADD shape (strip nulls, normalize partitionValues/tags).
+        # Tombstone indexes pass ``dict`` — the eager path kept remove
+        # rows verbatim, and vacuum/checkpoint re-emission rely on that.
+        self._clean_fn = clean or _FileIndex._clean
         self._arrays = list(add_arrays)
         # path -> (array index, row index); later arrays win on duplicates
         # (same last-wins rule the eager dict build had).
@@ -1010,7 +1021,7 @@ class _FileIndex(MutableMapping):
             hit = self._cache.get(key)
             if hit is None:
                 ai, ri = self._loc[key]
-                hit = self._clean(self._arrays[ai][ri].as_py())
+                hit = self._clean_fn(self._arrays[ai][ri].as_py())
                 self._cache[key] = hit
             return hit
         raise KeyError(key)
@@ -1050,7 +1061,7 @@ class _FileIndex(MutableMapping):
         pylists = [arr.to_pylist() for arr in self._arrays]
         for p, (ai, ri) in self._loc.items():
             if p not in self._dropped and p not in self._cache:
-                self._cache[p] = self._clean(pylists[ai][ri])
+                self._cache[p] = self._clean_fn(pylists[ai][ri])
 
     # Bulk views batch-materialize once (arrow to_pylist per array) instead
     # of paying a per-row struct scalar conversion through __getitem__.
@@ -1087,12 +1098,13 @@ def _checkpoint_actions(
       manifest holding protocol/metaData plus ``sidecar`` actions whose
       files (under ``_delta_log/_sidecars/``) carry the add/remove set.
 
-    Returns ``(misc_rows, add_arrays)`` — the non-add action rows as
-    dicts (manifest rows first, then sidecar rows, preserving file order)
-    plus the parquet-sourced ``add`` actions still COLUMNAR as pyarrow
-    StructArrays (one per checkpoint part, for :class:`_FileIndex`) — or
-    None when no checkpoint file exists. Adds from a JSON v2 manifest
-    stay in ``misc_rows`` (manifests hold a handful of rows). Reads go
+    Returns ``(misc_rows, add_arrays, remove_arrays)`` — the remaining
+    action rows as dicts (manifest rows first, then sidecar rows,
+    preserving file order) plus the parquet-sourced ``add``/``remove``
+    actions still COLUMNAR as pyarrow StructArrays (one per checkpoint
+    part, for :class:`_FileIndex`) — or None when no checkpoint file
+    exists. Actions from a JSON v2 manifest stay in ``misc_rows``
+    (manifests hold a handful of rows). Reads go
     through pyarrow — the log is driver-side metadata; the data files it
     points at are what Spark's executors scan.
     """
@@ -1102,23 +1114,30 @@ def _checkpoint_actions(
     import pyarrow.parquet as pq
 
     add_arrays: list[Any] = []
+    remove_arrays: list[Any] = []
+
+    def peel(tbl, col: str, sink: list[Any]):
+        """Strip ``col``'s valid struct rows into ``sink`` (columnar)."""
+        if col not in tbl.column_names:
+            return tbl
+        c = tbl.column(col).combine_chunks()
+        mask = pc.and_(pc.is_valid(c), pc.is_valid(c.field("path")))
+        vals = pc.filter(c, mask)
+        if len(vals):
+            sink.append(vals)
+        return tbl.filter(pc.invert(mask)).drop_columns([col])
 
     def split(tbl) -> list[dict[str, Any]]:
-        """Peel valid add rows off columnar; everything else to dicts."""
-        if "add" not in tbl.column_names:
-            return tbl.to_pylist()
-        addcol = tbl.column("add").combine_chunks()
-        mask = pc.and_(pc.is_valid(addcol), pc.is_valid(addcol.field("path")))
-        adds = pc.filter(addcol, mask)
-        if len(adds):
-            add_arrays.append(adds)
-        return tbl.filter(pc.invert(mask)).drop_columns(["add"]).to_pylist()
+        """Peel valid add/remove rows off columnar; the rest to dicts."""
+        tbl = peel(tbl, "add", add_arrays)
+        tbl = peel(tbl, "remove", remove_arrays)
+        return tbl.to_pylist()
 
     prefix = os.path.join(log, f"{cv:020d}.checkpoint")
 
     classic = f"{prefix}.parquet"
     if os.path.exists(classic):
-        return split(pq.read_table(classic)), add_arrays
+        return split(pq.read_table(classic)), add_arrays, remove_arrays
 
     parts = sorted(_glob.glob(f"{prefix}.??????????.??????????.parquet"))
     if parts:
@@ -1132,7 +1151,7 @@ def _checkpoint_actions(
         rows: list[dict[str, Any]] = []
         for p in parts:
             rows.extend(split(pq.read_table(p)))
-        return rows, add_arrays
+        return rows, add_arrays, remove_arrays
 
     v2 = sorted(_glob.glob(f"{prefix}.*.parquet") + _glob.glob(f"{prefix}.*.json"))
     if not v2:
@@ -1162,7 +1181,7 @@ def _checkpoint_actions(
                 f"{sc_path}"
             )
         out.extend(split(pq.read_table(sc_path)))
-    return out, add_arrays
+    return out, add_arrays, remove_arrays
 
 
 def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
@@ -1247,9 +1266,12 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                     "snapshot"
                 )
     if ckpt_rows is not None:
-        misc_rows, add_arrays = ckpt_rows
-        # Checkpoint adds stay columnar; the JSON tail below overlays them.
+        misc_rows, add_arrays, remove_arrays = ckpt_rows
+        # Checkpoint adds/removes stay columnar; the JSON tail overlays
+        # them. Tombstones use identity-clean: the eager path kept remove
+        # rows verbatim (vacuum and checkpoint re-emission rely on that).
         files = _FileIndex(add_arrays)
+        tombstones = _FileIndex(remove_arrays, clean=dict)
         for row in misc_rows:
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 md = row["metaData"]
@@ -4377,6 +4399,35 @@ def _ckpt_add_array(snap: "Snapshot", add_type):
     return pa.concat_arrays(parts)
 
 
+def _ckpt_remove_array(snap: "Snapshot", remove_type):
+    """The checkpoint's remove column — same columnar treatment as the
+    adds (after a large rewrite, un-expired tombstones rival the adds in
+    count until retention reaps them)."""
+    import pyarrow as pa
+
+    def row(rm: dict[str, Any]) -> dict[str, Any]:
+        return {
+            k: rm.get(k) for k in ("path", "deletionTimestamp", "dataChange")
+        }
+
+    tombs = snap.tombstones
+    if not isinstance(tombs, _FileIndex) or not tombs._arrays:
+        return pa.array([row(rm) for rm in tombs.values()], type=remove_type)
+    live_by_arr: list[list[int]] = [[] for _ in tombs._arrays]
+    for p, (ai, ri) in tombs._loc.items():
+        if p not in tombs._dropped:
+            live_by_arr[ai].append(ri)
+    parts = []
+    for ai, arr in enumerate(tombs._arrays):
+        if live_by_arr[ai]:
+            sub = arr.take(pa.array(sorted(live_by_arr[ai]), type=pa.int64()))
+            parts.append(_project_struct(sub, remove_type))
+    overlay = [row(rm) for rm in tombs._overlay.values()]
+    if overlay or not parts:
+        parts.append(pa.array(overlay, type=remove_type))
+    return pa.concat_arrays(parts)
+
+
 def create_checkpoint(
     path: str,
     parts: int | None = None,
@@ -4464,15 +4515,8 @@ def create_checkpoint(
     # Un-expired remove tombstones ride along per the protocol: other
     # readers replay them so concurrently-running queries and VACUUM see
     # the same file set whether they start from JSON or the checkpoint.
-    # (The add rows are built COLUMNAR below — see _ckpt_add_array.)
-    tomb_rows = [
-        {
-            "protocol": None, "metaData": None, "add": None,
-            "remove": {k: rm.get(k) for k in
-                       ("path", "deletionTimestamp", "dataChange")},
-        }
-        for rm in snap.tombstones.values()
-    ]
+    # (Both the add and remove rows are built COLUMNAR below — see
+    # _ckpt_add_array / _ckpt_remove_array.)
     # SetTransaction ledger: the spec requires checkpoints to carry the
     # latest txn version per appId, or idempotent writers replaying from
     # a cleaned log would lose their dedupe state and double-commit.
@@ -4542,7 +4586,8 @@ def create_checkpoint(
     # is ONE arrow array (columnar straight from the source checkpoint
     # for untouched files). Slicing this table serves all three layouts.
     add_arr = _ckpt_add_array(snap, ckpt_schema.field("add").type)
-    n_adds = len(add_arr)
+    rm_arr = _ckpt_remove_array(snap, ckpt_schema.field("remove").type)
+    n_adds, n_removes = len(add_arr), len(rm_arr)
     head = pa.Table.from_pylist(rows, schema=ckpt_schema)
     add_tbl = pa.Table.from_arrays(
         [
@@ -4551,8 +4596,15 @@ def create_checkpoint(
         ],
         schema=ckpt_schema,
     )
-    tail = pa.Table.from_pylist(tomb_rows + txn_rows, schema=ckpt_schema)
-    full_tbl = pa.concat_tables([head, add_tbl, tail])
+    rm_tbl = pa.Table.from_arrays(
+        [
+            rm_arr if f.name == "remove" else pa.nulls(n_removes, f.type)
+            for f in ckpt_schema
+        ],
+        schema=ckpt_schema,
+    )
+    tail = pa.Table.from_pylist(txn_rows, schema=ckpt_schema)
+    full_tbl = pa.concat_tables([head, add_tbl, rm_tbl, tail])
     last_ckpt: dict[str, Any] = {
         "version": v, "size": full_tbl.num_rows,
     }
@@ -4563,9 +4615,7 @@ def create_checkpoint(
         os.makedirs(sc_dir, exist_ok=True)
         sc_name = f"{uuid.uuid4()}.parquet"
         pq.write_table(
-            full_tbl.select(["add", "remove"]).slice(
-                2, n_adds + len(tomb_rows)
-            ),
+            full_tbl.select(["add", "remove"]).slice(2, n_adds + n_removes),
             os.path.join(sc_dir, sc_name),
         )
         manifest_schema = pa.schema([
