@@ -95,6 +95,21 @@ SCRIPT = textwrap.dedent(
     n = spark.sql("SELECT sum(count) AS n FROM lc_stream").collect()[0].n
     assert n == 1000, n
     print("STREAM_OK")
+
+    # 4. a mapInPandas-heavy pipeline operator: the LLM-pipeline surface
+    #    ships the largest Python closures (numpy/pandas inside); a
+    #    registered query must produce oracle-identical rows when its
+    #    python workers run inside remote executor JVMs.
+    from ballista_delta_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn, _oracle = all_queries()["mm_binary_features"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    fn2, _ = all_queries()["text_tfidf_topk"]
+    rows2 = fn2(spark, sf_dir).collect()
+    assert len(rows2) > 0
+    print("PIPELINE_OK")
     spark.stop()
     """
 ).format(repo=REPO)
@@ -115,5 +130,5 @@ def test_local_cluster_smoke():
         f"local-cluster smoke failed\nstdout:\n{out[-4000:]}\n"
         f"stderr:\n{proc.stderr[-4000:]}"
     )
-    for marker in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK"):
+    for marker in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK"):
         assert marker in out, f"{marker} missing\n{out[-2000:]}"
