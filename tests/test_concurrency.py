@@ -168,3 +168,78 @@ def test_parallel_appends_both_succeed(spark, tmp_path):
     got = read_delta(spark, p)
     assert got.count() == 3
     assert {r.s for r in got.collect()} == {"base", "x", "y"}
+
+
+def test_cross_process_concurrent_blind_appends(tmp_path):
+    """Three SEPARATE PROCESSES hammer the same table with blind appends —
+    the O_EXCL hard-link commit protocol and the blind-append rebase must
+    hold across real process boundaries (the in-process thread test above
+    shares one GIL and one page cache; a scheduler+executor deployment,
+    like the reference's, does not). Every commit must land exactly once,
+    versions must be contiguous, and every row readable."""
+    import subprocess
+    import sys
+    import textwrap
+
+    tbl = str(tmp_path / "xproc")
+    n_procs, n_commits = 3, 6
+
+    worker = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, {repo!r})
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        from ballista_delta_spark.session import get_spark
+        from ballista_delta_spark.sources.delta import write_delta
+
+        tag, tbl = int(sys.argv[1]), sys.argv[2]
+        spark = get_spark(app_name=f"xproc-{{tag}}", cpus=2)
+        for i in range({n_commits}):
+            df = spark.createDataFrame(
+                [(tag * 1000 + i, f"p{{tag}}")], "id long, src string"
+            )
+            write_delta(df, tbl, mode="append")
+        print("DONE", tag)
+        spark.stop()
+        """
+    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             n_commits=n_commits)
+
+    # seed the table so every worker starts from an existing log
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        write_delta,
+    )
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    if spark is None:
+        from ballista_delta_spark.session import get_spark
+
+        spark = get_spark(cpus=4)
+    write_delta(
+        spark.createDataFrame([(-1, "seed")], "id long, src string"), tbl
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(t), tbl],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for t in range(n_procs)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        assert "DONE" in out
+
+    snap = _load_snapshot(tbl)
+    assert snap.version == n_procs * n_commits  # contiguous, none lost
+    got = read_delta(spark, tbl)
+    assert got.count() == 1 + n_procs * n_commits
+    ids = sorted(r.id for r in got.collect())
+    want = sorted(
+        [-1] + [t * 1000 + i for t in range(n_procs) for i in range(n_commits)]
+    )
+    assert ids == want
