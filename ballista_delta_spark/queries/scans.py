@@ -269,37 +269,40 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOTO_S3: dict = {"server": None, "endpoint": None, "uploaded": set()}
 
 
+def _sf_key(sf_dir: str) -> str:
+    """s3 key for this sf_dir's part table. Hash of the FULL normalized
+    path — keying on the basename alone would let two different dirs
+    named sf0.01 silently overwrite each other's object."""
+    import hashlib
+
+    h = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    return f"tpch/{h}/part.parquet"
+
+
 def _moto_endpoint(sf_dir: str) -> str | None:
     """Lazily boot a process-lifetime moto S3 server and mirror
     ``part.parquet`` into s3://ballista/ (the reference's bucket name,
     tests/store.rs:23). Returns the endpoint URL, or None when moto is
     unavailable in this environment."""
     try:
-        import boto3
-        from moto.server import ThreadedMotoServer
+        from ..sources.moto_s3 import s3_client, start_moto_s3
     except ImportError:
         return None
     if _MOTO_S3["server"] is None:
-        server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
-        server.start()
-        port = server._server.socket.getsockname()[1]
+        try:
+            server, endpoint = start_moto_s3()
+        except ImportError:
+            return None
         _MOTO_S3["server"] = server
-        _MOTO_S3["endpoint"] = f"http://127.0.0.1:{port}"
+        _MOTO_S3["endpoint"] = endpoint
     if sf_dir not in _MOTO_S3["uploaded"]:
-        s3 = boto3.client(
-            "s3",
-            endpoint_url=_MOTO_S3["endpoint"],
-            aws_access_key_id="testing",
-            aws_secret_access_key="testing",
-            region_name="us-east-1",
-        )
+        s3 = s3_client(_MOTO_S3["endpoint"])
         try:
             s3.create_bucket(Bucket="ballista")
         except Exception:
             pass  # already created by an earlier sf_dir
-        key = f"tpch/{os.path.basename(os.path.normpath(sf_dir))}/part.parquet"
         with open(os.path.join(sf_dir, "part.parquet"), "rb") as fh:
-            s3.put_object(Bucket="ballista", Key=key, Body=fh.read())
+            s3.put_object(Bucket="ballista", Key=_sf_key(sf_dir), Body=fh.read())
         _MOTO_S3["uploaded"].add(sf_dir)
     return _MOTO_S3["endpoint"]
 
@@ -322,11 +325,10 @@ def scan_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT p_brand, count(*) AS n_parts FROM part_url "
             "GROUP BY p_brand ORDER BY p_brand"
         )
-    key = f"tpch/{os.path.basename(os.path.normpath(sf_dir))}/part.parquet"
     register_s3_parquet(
         spark,
         "part_s3",
-        f"s3://ballista/{key}",
+        f"s3://ballista/{_sf_key(sf_dir)}",
         endpoint=endpoint,
         access_key="testing",
         secret_key="testing",

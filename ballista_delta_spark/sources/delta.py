@@ -980,6 +980,7 @@ class _FileIndex(MutableMapping):
 
     __slots__ = (
         "_arrays", "_loc", "_cache", "_overlay", "_dropped", "_clean_fn",
+        "_full",
     )
 
     def __init__(
@@ -1003,6 +1004,7 @@ class _FileIndex(MutableMapping):
         self._cache: dict[str, dict[str, Any]] = {}
         self._overlay: dict[str, dict[str, Any]] = {}
         self._dropped: set[str] = set()
+        self._full = not self._loc  # every base row materialized?
 
     @staticmethod
     def _clean(raw: dict[str, Any]) -> dict[str, Any]:
@@ -1056,12 +1058,16 @@ class _FileIndex(MutableMapping):
         return len(self._loc) - len(self._dropped) + len(self._overlay)
 
     def _materialize_all(self) -> None:
-        if len(self._cache) >= len(self._loc) - len(self._dropped):
+        # Monotone flag, not a cache-size comparison: point-lookups of
+        # since-dropped keys would inflate the count and silently degrade
+        # bulk views to the per-row slow path.
+        if self._full:
             return
         pylists = [arr.to_pylist() for arr in self._arrays]
         for p, (ai, ri) in self._loc.items():
             if p not in self._dropped and p not in self._cache:
                 self._cache[p] = self._clean_fn(pylists[ai][ri])
+        self._full = True
 
     # Bulk views batch-materialize once (arrow to_pylist per array) instead
     # of paying a per-row struct scalar conversion through __getitem__.
@@ -1088,7 +1094,7 @@ class _FileIndex(MutableMapping):
 
 def _checkpoint_actions(
     log: str, cv: int
-) -> "tuple[list[dict[str, Any]], list[Any]] | None":
+) -> "tuple[list[dict[str, Any]], list[Any], list[Any]] | None":
     """Resolve and read the checkpoint for version ``cv`` in any of the
     three layouts the Delta protocol defines (PROTOCOL.md "Checkpoints"):
 
@@ -1272,6 +1278,13 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
         # rows verbatim (vacuum and checkpoint re-emission rely on that).
         files = _FileIndex(add_arrays)
         tombstones = _FileIndex(remove_arrays, clean=dict)
+        # Spec: a checkpoint is reconciled state — no path may be both
+        # added and removed. Guard against lenient writers anyway: keep
+        # the REMOVE (the eager replay's add-then-remove outcome). The
+        # opposite choice loses data — the scan would read a file that
+        # vacuum, walking the tombstones, is about to delete.
+        for p_ in files._loc.keys() & tombstones._loc.keys():
+            del files[p_]
         for row in misc_rows:
             if row.get("metaData") and row["metaData"].get("schemaString"):
                 md = row["metaData"]
@@ -4369,63 +4382,41 @@ def _project_struct(src, target_type, mask=None):
     )
 
 
-def _ckpt_add_array(snap: "Snapshot", add_type):
-    """The checkpoint's add column. Checkpoint-backed snapshots stay
-    COLUMNAR end to end: the untouched base rows are take()n straight
-    from the source checkpoint's arrays and re-projected onto the target
-    schema — no per-add Python dict is ever built, so checkpointing a
-    million-add table costs arrow kernels, not a driver dict loop. Only
-    the JSON-tail overlay (the files this checkpoint interval actually
-    touched) goes through the dict path."""
+def _ckpt_action_array(actions, row_fn, target_type):
+    """One checkpoint action column (add or remove) from a snapshot
+    mapping. Checkpoint-backed indexes stay COLUMNAR end to end: the
+    untouched base rows are take()n straight from the source
+    checkpoint's arrays and re-projected onto the target schema — no
+    per-action Python dict is ever built, so checkpointing a million-add
+    table costs arrow kernels, not a driver dict loop. Only the
+    JSON-tail overlay (the rows this checkpoint interval actually
+    touched) goes through the ``row_fn`` dict path — which is also the
+    whole-population path for plain-dict snapshots."""
     import pyarrow as pa
 
-    files = snap.files
-    if not isinstance(files, _FileIndex) or not files._arrays:
+    if not isinstance(actions, _FileIndex) or not actions._arrays:
         return pa.array(
-            [_ckpt_add_row(a) for a in files.values()], type=add_type
+            [row_fn(a) for a in actions.values()], type=target_type
         )
-    live_by_arr: list[list[int]] = [[] for _ in files._arrays]
-    for p, (ai, ri) in files._loc.items():
-        if p not in files._dropped:
+    live_by_arr: list[list[int]] = [[] for _ in actions._arrays]
+    for p, (ai, ri) in actions._loc.items():
+        if p not in actions._dropped:
             live_by_arr[ai].append(ri)
     parts = []
-    for ai, arr in enumerate(files._arrays):
+    for ai, arr in enumerate(actions._arrays):
         if live_by_arr[ai]:
             sub = arr.take(pa.array(sorted(live_by_arr[ai]), type=pa.int64()))
-            parts.append(_project_struct(sub, add_type))
-    overlay = [_ckpt_add_row(a) for a in files._overlay.values()]
+            parts.append(_project_struct(sub, target_type))
+    overlay = [row_fn(a) for a in actions._overlay.values()]
     if overlay or not parts:
-        parts.append(pa.array(overlay, type=add_type))
+        parts.append(pa.array(overlay, type=target_type))
     return pa.concat_arrays(parts)
 
 
-def _ckpt_remove_array(snap: "Snapshot", remove_type):
-    """The checkpoint's remove column — same columnar treatment as the
-    adds (after a large rewrite, un-expired tombstones rival the adds in
-    count until retention reaps them)."""
-    import pyarrow as pa
-
-    def row(rm: dict[str, Any]) -> dict[str, Any]:
-        return {
-            k: rm.get(k) for k in ("path", "deletionTimestamp", "dataChange")
-        }
-
-    tombs = snap.tombstones
-    if not isinstance(tombs, _FileIndex) or not tombs._arrays:
-        return pa.array([row(rm) for rm in tombs.values()], type=remove_type)
-    live_by_arr: list[list[int]] = [[] for _ in tombs._arrays]
-    for p, (ai, ri) in tombs._loc.items():
-        if p not in tombs._dropped:
-            live_by_arr[ai].append(ri)
-    parts = []
-    for ai, arr in enumerate(tombs._arrays):
-        if live_by_arr[ai]:
-            sub = arr.take(pa.array(sorted(live_by_arr[ai]), type=pa.int64()))
-            parts.append(_project_struct(sub, remove_type))
-    overlay = [row(rm) for rm in tombs._overlay.values()]
-    if overlay or not parts:
-        parts.append(pa.array(overlay, type=remove_type))
-    return pa.concat_arrays(parts)
+def _ckpt_remove_row(rm: dict[str, Any]) -> dict[str, Any]:
+    return {
+        k: rm.get(k) for k in ("path", "deletionTimestamp", "dataChange")
+    }
 
 
 def create_checkpoint(
@@ -4516,7 +4507,7 @@ def create_checkpoint(
     # readers replay them so concurrently-running queries and VACUUM see
     # the same file set whether they start from JSON or the checkpoint.
     # (Both the add and remove rows are built COLUMNAR below — see
-    # _ckpt_add_array / _ckpt_remove_array.)
+    # _ckpt_action_array.)
     # SetTransaction ledger: the spec requires checkpoints to carry the
     # latest txn version per appId, or idempotent writers replaying from
     # a cleaned log would lose their dedupe state and double-commit.
@@ -4585,8 +4576,12 @@ def create_checkpoint(
     # while the add block — the population that scales with the table —
     # is ONE arrow array (columnar straight from the source checkpoint
     # for untouched files). Slicing this table serves all three layouts.
-    add_arr = _ckpt_add_array(snap, ckpt_schema.field("add").type)
-    rm_arr = _ckpt_remove_array(snap, ckpt_schema.field("remove").type)
+    add_arr = _ckpt_action_array(
+        snap.files, _ckpt_add_row, ckpt_schema.field("add").type
+    )
+    rm_arr = _ckpt_action_array(
+        snap.tombstones, _ckpt_remove_row, ckpt_schema.field("remove").type
+    )
     n_adds, n_removes = len(add_arr), len(rm_arr)
     head = pa.Table.from_pylist(rows, schema=ckpt_schema)
     add_tbl = pa.Table.from_arrays(
@@ -5486,6 +5481,11 @@ def optimize(
     # which the appendOnly contract explicitly permits; dataChange=false
     # also means CDF readers ignore the commit entirely (cdf_capable).
     check_write_protocol(snap, removes_files=False, cdf_capable=True)
+    # ZCube sizes must be accounted over the WHOLE table: scoping filters
+    # below (only_files_below, where) narrow the candidate set, and a
+    # settled cube judged only by its narrowed members would look
+    # undersized and be ripped apart on every autoCompact trigger.
+    all_files = snap.files
     if only_files_below is not None:
         # Auto-compaction scope: rewrite only the small-file backlog
         # (delta-spark autoCompact); already-compacted large files are
@@ -5524,7 +5524,7 @@ def optimize(
         # (OPTIMIZE ... FULL) forces the re-cluster-everything form.
         cube_bytes: dict[str, int] = {}
         zcube_of: dict[str, str] = {}
-        for rel, a in snap.files.items():
+        for rel, a in all_files.items():
             tags = _as_dict(a.get("tags"))
             zid = tags.get("ZCUBE_ID")
             if zid and tags.get("ZCUBE_ZORDER_BY") == cols_json:

@@ -613,7 +613,9 @@ def register_delta_http(
         for rel, a in sorted(files.items())
     ]
     if not rows:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        empty.createOrReplaceTempView(name)  # the name contract holds even
+        return empty                         # when pruning leaves no files
 
     field_order = [f.name for f in schema.fields]
 
@@ -877,7 +879,9 @@ def register_delta_s3(
         for rel, a in sorted(files.items())
     ]
     if not rows:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        empty.createOrReplaceTempView(name)  # the name contract holds even
+        return empty                         # when pruning leaves no files
 
     field_order = [f.name for f in schema.fields]
 

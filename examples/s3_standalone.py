@@ -43,27 +43,16 @@ FIXTURE = "/root/reference/data/people_countries_delta_dask"
 def _demo_endpoint() -> tuple[str, dict[str, str]]:
     """Boot moto + upload the Delta fixture to s3://ballista (the
     reference's bucket, tests/store.rs:23)."""
-    import boto3
-    from moto.server import ThreadedMotoServer
-
-    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
-    server.start()
-    port = server._server.socket.getsockname()[1]
-    endpoint = f"http://127.0.0.1:{port}"
-    s3 = boto3.client(
-        "s3", endpoint_url=endpoint, aws_access_key_id="testing",
-        aws_secret_access_key="testing", region_name="us-east-1",
+    from ballista_delta_spark.sources.moto_s3 import (
+        s3_client,
+        start_moto_s3,
+        upload_tree,
     )
+
+    _server, endpoint = start_moto_s3()
+    s3 = s3_client(endpoint)
     s3.create_bucket(Bucket="ballista")
-    for root, _dirs, names in os.walk(FIXTURE):
-        for name in names:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, FIXTURE).replace(os.sep, "/")
-            with open(full, "rb") as fh:
-                s3.put_object(
-                    Bucket="ballista", Key=f"people_countries/{rel}",
-                    Body=fh.read(),
-                )
+    upload_tree(s3, FIXTURE, "ballista", "people_countries")
     return endpoint, {"access_key": "testing", "secret_key": "testing"}
 
 

@@ -760,3 +760,57 @@ def test_zcube_tracking_selection_rule(spark, tmp_path):
     }
     assert optimize(spark, p, min_cube_size=1) == snap5.version
     assert read_delta(spark, p).count() == 300
+
+
+def test_autocompact_scope_does_not_break_settled_zcubes(spark, tmp_path):
+    """ZCube sizes must be accounted over the WHOLE table, not the
+    autoCompact-narrowed candidate set (r10 review fix): a settled cube
+    whose individual members sit below the small-file threshold must not
+    be ripped apart on every write-triggered compaction."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        cluster_by,
+        optimize,
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(1020).selectExpr(
+        "id", "id % 7 AS a",
+        "CAST(CASE WHEN id < 10 THEN 0 WHEN id < 20 THEN 1 ELSE 2 END AS INT) AS p",
+    )
+    write_delta(df, p, partition_by=["p"])
+    cluster_by(p, ["a"])
+    optimize(spark, p)  # one ZCube spanning all three partitions
+    snap1 = _load_snapshot(p)
+    sizes = {rel: a["size"] for rel, a in snap1.files.items()}
+    total = sum(sizes.values())
+    small_sizes = sorted(sizes.values())
+    threshold = small_sizes[-2] + 1  # catches all but the biggest file
+    assert small_sizes[-1] >= threshold, "need one file above the threshold"
+    cube_ids = {a["tags"]["ZCUBE_ID"] for a in snap1.files.values()}
+    assert len(cube_ids) == 1
+
+    # fresh tiny append (unclustered, below the threshold)
+    write_delta(
+        spark.createDataFrame([(5000, 1, 0)], "id long, a long, p int")
+        .coalesce(1),
+        p, mode="append",
+    )
+    pre = _load_snapshot(p)
+    new_files = set(pre.files) - set(snap1.files)
+    assert len(new_files) == 1
+
+    # autoCompact shape: only_files_below scoping + a settled cube
+    # (min_cube_size == the cube's full size). Only the fresh file may
+    # be rewritten; every settled-cube member stays byte-identical.
+    optimize(spark, p, only_files_below=threshold, min_cube_size=total)
+    snap2 = _load_snapshot(p)
+    assert set(snap1.files) <= set(snap2.files), (
+        "settled ZCube members were rewritten by scoped compaction"
+    )
+    assert not (new_files & set(snap2.files)), "fresh file must be clustered"
+    rewritten = set(snap2.files) - set(snap1.files)
+    assert {snap2.files[r]["tags"]["ZCUBE_ID"] for r in rewritten} != cube_ids
+    assert read_delta(spark, p).count() == 1021

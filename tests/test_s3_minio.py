@@ -128,38 +128,27 @@ CREDS = dict(access_key="testing", secret_key="testing")
 
 @pytest.fixture(scope="module")
 def moto_endpoint():
-    moto = pytest.importorskip("moto.server")
-    server = moto.ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
-    server.start()
-    port = server._server.socket.getsockname()[1]
-    yield f"http://127.0.0.1:{port}"
+    pytest.importorskip("moto.server")
+    from ballista_delta_spark.sources.moto_s3 import start_moto_s3
+
+    server, endpoint = start_moto_s3()
+    yield endpoint
     server.stop()
 
 
 @pytest.fixture(scope="module")
 def s3_client(moto_endpoint):
-    import boto3
+    from ballista_delta_spark.sources.moto_s3 import s3_client as _client
 
-    c = boto3.client(
-        "s3",
-        endpoint_url=moto_endpoint,
-        aws_access_key_id="testing",
-        aws_secret_access_key="testing",
-        region_name="us-east-1",
-    )
+    c = _client(moto_endpoint)
     c.create_bucket(Bucket="ballista")  # the reference's bucket, tests/store.rs:23
     return c
 
 
 def _put_tree(s3_client, local_root, bucket, prefix):
-    import os
+    from ballista_delta_spark.sources.moto_s3 import upload_tree
 
-    for root, _dirs, names in os.walk(local_root):
-        for name in names:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, local_root).replace(os.sep, "/")
-            with open(full, "rb") as fh:
-                s3_client.put_object(Bucket=bucket, Key=f"{prefix}/{rel}", Body=fh.read())
+    upload_tree(s3_client, local_root, bucket, prefix)
 
 
 def test_s3_parquet_scan_native_client(spark, sf_dir, s3_client, moto_endpoint):
@@ -239,3 +228,26 @@ def test_delta_over_s3_stats_pruning(spark, sf_dir, s3_client, moto_endpoint, tm
         r.n_name for r in src.filter("n_regionkey = 2").collect()
     )
     assert got == want
+
+
+def test_delta_over_s3_empty_prune_still_registers_view(
+    spark, sf_dir, s3_client, moto_endpoint, tmp_path
+):
+    """A `where` that prunes EVERY file must still register the temp view
+    (r10 review fix) — callers query by name and expect zero rows, not
+    TABLE_OR_VIEW_NOT_FOUND or a stale previous registration."""
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.registry import register_delta_s3
+
+    tbl = str(tmp_path / "nation_all_pruned")
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_delta(src, tbl, mode="overwrite", partition_by=["n_regionkey"])
+    _put_tree(s3_client, tbl, "ballista", "nation_all_pruned")
+
+    df = register_delta_s3(
+        spark, "nation_pruned_s3", "s3://ballista/nation_all_pruned",
+        where="n_regionkey = 999", endpoint=moto_endpoint, **CREDS,
+    )
+    assert df.count() == 0
+    assert spark.sql("SELECT * FROM nation_pruned_s3").count() == 0
+    assert [f.name for f in df.schema.fields] == src.columns
