@@ -114,6 +114,94 @@ def _calibrate(spark) -> float:
     return round(statistics.median(once() for _ in range(3)), 3)
 
 
+def _metadata_bench() -> dict[str, float]:
+    """Delta metadata-path micro-bench (r10): synthesize a 100k-add
+    checkpointed log, then time the three driver-side metadata
+    operations that dominate at scale — snapshot open (lazy columnar
+    replay), point lookup (one add materialized), and checkpoint
+    re-write (columnar take+project). Pure pyarrow + log replay, no
+    Spark jobs — the numbers isolate the driver metadata path."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="bench-meta-"), "t")
+    log = os.path.join(tbl, "_delta_log")
+    os.makedirs(log)
+    n = 100_000
+    smap = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", smap),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", smap), ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+    ])
+    schema_json = (
+        '{"type":"struct","fields":'
+        '[{"name":"id","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    meta = {
+        "id": "bench-meta", "format": {"provider": "parquet", "options": []},
+        "schemaString": schema_json, "partitionColumns": [],
+        "configuration": [], "createdTime": 1,
+    }
+    adds = pa.table({"add": pa.array(
+        [
+            {
+                "path": f"p{i:07d}.parquet", "partitionValues": [],
+                "size": i, "modificationTime": 1, "dataChange": True,
+                "stats": '{"numRecords":1}',
+            }
+            for i in range(n)
+        ],
+        type=add_t,
+    )})
+    misc = pa.table({
+        "metaData": pa.array([meta, None], type=meta_t),
+        "protocol": pa.array(
+            [None, {"minReaderVersion": 1, "minWriterVersion": 2}],
+            type=proto_t,
+        ),
+        "add": pa.array([None, None], type=add_t),
+    })
+    cv = 3
+    pq.write_table(misc, os.path.join(
+        log, f"{cv:020d}.checkpoint.{0:010d}.{2:010d}.parquet"
+    ))
+    pq.write_table(adds, os.path.join(
+        log, f"{cv:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    ))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": cv, "size": n + 2}))
+
+    t0 = time.time()
+    snap = d._load_snapshot(tbl)
+    open_s = time.time() - t0
+    t0 = time.time()
+    _ = snap.files["p0050000.parquet"]
+    lookup_s = time.time() - t0
+    t0 = time.time()
+    d.create_checkpoint(tbl)
+    ckpt_s = time.time() - t0
+    return {
+        "open_100k_adds_s": round(open_s, 3),
+        "point_lookup_s": round(lookup_s, 4),
+        "checkpoint_100k_adds_s": round(ckpt_s, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ballista_delta_spark.queries import all_queries
@@ -149,6 +237,9 @@ def main() -> None:
         # ~0.25 s — a much larger value means the machine was loaded and
         # the headline numbers are inflated by the same factor.
         "calibration_10m_hashagg": calibration,
+        # Driver metadata path at scale (no Spark jobs): lazy columnar
+        # snapshot open + checkpoint re-write of a synthetic 100k-add log.
+        "delta_metadata_100k": _metadata_bench(),
     }))
 
 
