@@ -242,7 +242,7 @@ class DeltaTable:
         # files by identical partitionValues and union per-group scans with
         # the partition literals attached. partitionValues keys are PHYSICAL
         # names per the spec.
-        if any(a.get("deletionVector") for a in snap.files.values()):
+        if _dv_paths(snap):
             raise ValueError(
                 "deletion vectors on a non-Hive partition layout are not "
                 "supported"
@@ -293,9 +293,7 @@ class DeltaTable:
         merge-on-read.
         """
         snap = self.snapshot
-        dv_adds = {
-            rel: a for rel, a in snap.files.items() if a.get("deletionVector")
-        }
+        dv_adds = {rel: snap.files[rel] for rel in _dv_paths(snap)}
 
         def attach_location(df: DataFrame) -> DataFrame:
             # _metadata.file_path spells the scheme as file:/x or file:///x
@@ -825,7 +823,9 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                     derived.append((pc, widened, int(y)))
     conjuncts.extend(derived)
     if not conjuncts and not null_conjuncts:
-        return dict(snap.files)
+        # items() takes _FileIndex's batched to_pylist route; dict(mapping)
+        # on a MutableMapping would pay a per-row struct conversion.
+        return dict(snap.files.items())
 
     types = {f.name: f.dataType for f in snap.schema.fields}
 
@@ -1069,6 +1069,32 @@ class _FileIndex(MutableMapping):
                 self._cache[p] = self._clean_fn(pylists[ai][ri])
         self._full = True
 
+    def paths_with_field(self, field: str) -> list[str]:
+        """Paths whose action carries a non-null ``field`` — answered
+        COLUMNAR for the base (two child-column scans per array, no
+        per-row materialization), so hot-path probes like "does any add
+        carry a deletionVector?" keep the lazy open's cost profile.
+        Assumes base paths are unique per the checkpoint spec (our
+        writer and delta-spark's both guarantee it)."""
+        import pyarrow.compute as pc
+
+        hits: list[str] = []
+        for arr in self._arrays:
+            names = {
+                arr.type.field(i).name for i in range(arr.type.num_fields)
+            }
+            if field not in names:
+                continue
+            valid = pc.and_(pc.is_valid(arr), pc.is_valid(arr.field(field)))
+            if not pc.any(valid).as_py():
+                continue
+            hits.extend(pc.filter(arr.field("path"), valid).to_pylist())
+        out = [p for p in hits if p is not None and p not in self._dropped]
+        out.extend(
+            p for p, a in self._overlay.items() if a.get(field) is not None
+        )
+        return out
+
     # Bulk views batch-materialize once (arrow to_pylist per array) instead
     # of paying a per-row struct scalar conversion through __getitem__.
     def items(self):
@@ -1090,6 +1116,17 @@ class _FileIndex(MutableMapping):
     def __ne__(self, other):
         eq = self.__eq__(other)
         return NotImplemented if eq is NotImplemented else not eq
+
+
+def _dv_paths(snap: "Snapshot") -> list[str]:
+    """Active files carrying a deletionVector — columnar on
+    checkpoint-backed snapshots so plain scans of DV-free tables never
+    materialize the add set (r10 review: _dv_filter's dict comprehension
+    paid back the lazy open on the first read)."""
+    files = snap.files
+    if isinstance(files, _FileIndex):
+        return files.paths_with_field("deletionVector")
+    return [r for r, a in files.items() if a.get("deletionVector")]
 
 
 def _checkpoint_actions(
@@ -1122,22 +1159,28 @@ def _checkpoint_actions(
     add_arrays: list[Any] = []
     remove_arrays: list[Any] = []
 
-    def peel(tbl, col: str, sink: list[Any]):
-        """Strip ``col``'s valid struct rows into ``sink`` (columnar)."""
-        if col not in tbl.column_names:
-            return tbl
-        c = tbl.column(col).combine_chunks()
-        mask = pc.and_(pc.is_valid(c), pc.is_valid(c.field("path")))
-        vals = pc.filter(c, mask)
-        if len(vals):
-            sink.append(vals)
-        return tbl.filter(pc.invert(mask)).drop_columns([col])
-
     def split(tbl) -> list[dict[str, Any]]:
-        """Peel valid add/remove rows off columnar; the rest to dicts."""
-        tbl = peel(tbl, "add", add_arrays)
-        tbl = peel(tbl, "remove", remove_arrays)
-        return tbl.to_pylist()
+        """Peel valid add/remove rows off columnar; the rest to dicts.
+
+        Both masks are computed against the ORIGINAL table: a malformed
+        row carrying BOTH a valid add and a valid remove (spec-violating,
+        but the eager replay applied both) contributes to both sinks
+        instead of losing the remove."""
+        keep = None
+        for col, sink in (("add", add_arrays), ("remove", remove_arrays)):
+            if col not in tbl.column_names:
+                continue
+            c = tbl.column(col).combine_chunks()
+            mask = pc.and_(pc.is_valid(c), pc.is_valid(c.field("path")))
+            vals = pc.filter(c, mask)
+            if len(vals):
+                sink.append(vals)
+            inv = pc.invert(mask)
+            keep = inv if keep is None else pc.and_(keep, inv)
+        if keep is None:
+            return tbl.to_pylist()
+        drop = [c for c in ("add", "remove") if c in tbl.column_names]
+        return tbl.filter(keep).drop_columns(drop).to_pylist()
 
     prefix = os.path.join(log, f"{cv:020d}.checkpoint")
 
@@ -1297,16 +1340,22 @@ def _load_snapshot(path: str, version: int | None = None) -> Snapshot:
                 }
                 metadata_raw["configuration"] = config
             if row.get("add") and row["add"].get("path"):
-                # drop parquet-struct nulls (absent optional fields) so
-                # re-emitted adds don't spray "key": null into JSON
+                # Only JSON v2 manifests still carry dict-form actions
+                # (parquet rows were peeled columnar). The eager replay
+                # processed manifest rows BEFORE sidecar rows, so on a
+                # (spec-violating) duplicate path the sidecar won — keep
+                # that precedence: never override the columnar base.
                 add = {
                     k: v for k, v in row["add"].items() if v is not None
                 }
                 add["partitionValues"] = _as_dict(add.get("partitionValues"))
-                files[add["path"]] = add
+                if add["path"] not in files._loc:
+                    files[add["path"]] = add
             if row.get("remove") and row["remove"].get("path"):
-                files.pop(row["remove"]["path"], None)
-                tombstones[row["remove"]["path"]] = dict(row["remove"])
+                rm_path = row["remove"]["path"]
+                if rm_path not in files._loc:
+                    files.pop(rm_path, None)
+                    tombstones[rm_path] = dict(row["remove"])
             if row.get("txn") and row["txn"].get("appId"):
                 app_transactions[row["txn"]["appId"]] = int(
                     row["txn"]["version"]

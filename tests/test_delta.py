@@ -1675,6 +1675,12 @@ def test_snapshot_replay_holds_checkpoint_adds_columnar(tmp_path):
     assert isinstance(fi, d._FileIndex)
     assert len(fi._cache) == 0, "open must not materialize any add dict"
 
+    # the read path's DV probe answers columnar — still nothing
+    # materialized (r10 review: _dv_filter must not pay back the lazy
+    # open on the first scan of a DV-free table)
+    assert d._dv_paths(snap) == []
+    assert len(fi._cache) == 0
+
     # point lookup materializes exactly one add (the DML access shape)
     one = fi["part-000042.snappy.parquet"]
     assert one["size"] == 1024 + 42 and one["partitionValues"] == {}
