@@ -110,6 +110,32 @@ SCRIPT = textwrap.dedent(
     rows2 = fn2(spark, sf_dir).collect()
     assert len(rows2) > 0
     print("PIPELINE_OK")
+
+    # 5. native S3 read: every executor task builds its own pyarrow S3
+    #    client from pickled plain-string config and talks the real wire
+    #    protocol to the moto endpoint — from a DIFFERENT JVM's python
+    #    worker than the driver's.
+    try:
+        from ballista_delta_spark.sources.moto_s3 import (
+            s3_client, start_moto_s3, upload_tree,
+        )
+        from ballista_delta_spark.sources.registry import register_s3_parquet
+    except ImportError:
+        print("S3_SKIPPED")
+    else:
+        _server, endpoint = start_moto_s3()
+        c = s3_client(endpoint)
+        c.create_bucket(Bucket="ballista")
+        upload_tree(
+            c, "/root/reference/data/people_countries_delta_dask",
+            "ballista", "pc",
+        )
+        df = register_s3_parquet(
+            spark, "pc_s3", "s3://ballista/pc/country=China/",
+            endpoint=endpoint, access_key="testing", secret_key="testing",
+        )
+        assert df.count() == 2  # Bruce Lee + Jack Ma
+        print("S3_OK")
     spark.stop()
     """
 ).format(repo=REPO)
@@ -132,3 +158,4 @@ def test_local_cluster_smoke():
     )
     for marker in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK"):
         assert marker in out, f"{marker} missing\n{out[-2000:]}"
+    assert "S3_OK" in out or "S3_SKIPPED" in out, out[-2000:]

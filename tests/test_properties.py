@@ -905,3 +905,80 @@ class TestFileIndexDictEquivalence:
         assert sorted(a["path"] for a in fi.values()) == sorted(
             a["path"] for a in ref.values()
         )
+
+
+class TestProjectStructEquivalence:
+    """_project_struct (the columnar checkpoint re-projection) must agree
+    with the dict route for any source/target field relationship:
+    matching, missing (→ null), extra (→ dropped), int-width-mismatched
+    (→ cast), nested struct (→ recursive), and null rows."""
+
+    @given(
+        rows=st.lists(
+            st.fixed_dictionaries({
+                "path": st.text(
+                    alphabet="abcdef0123456789", min_size=1, max_size=8
+                ),
+                "size": st.one_of(st.none(), st.integers(0, 2**31 - 1)),
+                "extra": st.one_of(st.none(), st.text(max_size=4)),
+                "dv": st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries({
+                        "storageType": st.sampled_from(["u", "i"]),
+                        "sizeInBytes": st.integers(0, 1000),
+                    }),
+                ),
+            }),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_matches_dict_route(self, rows):
+        import pyarrow as pa
+
+        from ballista_delta_spark.sources.delta import _project_struct
+
+        src_t = pa.struct([
+            ("path", pa.string()),
+            ("size", pa.int32()),           # narrower than target
+            ("extra", pa.string()),         # absent from target
+            ("dv", pa.struct([
+                ("storageType", pa.string()),
+                ("sizeInBytes", pa.int32()),
+                ("junk", pa.string()),      # absent from target
+            ])),
+        ])
+        tgt_t = pa.struct([
+            ("path", pa.string()),
+            ("size", pa.int64()),           # widened
+            ("missing", pa.string()),       # absent from source -> null
+            ("dv", pa.struct([
+                ("storageType", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("offset", pa.int32()),     # absent from source -> null
+            ])),
+        ])
+        src_rows = [
+            {
+                "path": r["path"], "size": r["size"], "extra": r["extra"],
+                "dv": None if r["dv"] is None else {**r["dv"], "junk": "j"},
+            }
+            for r in rows
+        ]
+        src = pa.array(src_rows, type=src_t)
+        got = _project_struct(src, tgt_t).to_pylist()
+        want = [
+            {
+                "path": r["path"],
+                "size": r["size"],
+                "missing": None,
+                "dv": None if r["dv"] is None else {
+                    "storageType": r["dv"]["storageType"],
+                    "sizeInBytes": r["dv"]["sizeInBytes"],
+                    "offset": None,
+                },
+            }
+            for r in rows
+        ]
+        assert got == want
