@@ -460,6 +460,15 @@ def convert_to_delta(spark: SparkSession, path: str) -> int:
         if "=" in seg
     ]
     data_fields = [f for f in schema.fields if f.name not in part_cols]
+    indexed = _stats_fields(data_fields, None)
+    # Stats: one distributed footer job for multi-file conversions (the
+    # r10 write-path rule) — CONVERT on a million-file dir must not
+    # serialize a million footer reads through the driver.
+    spark_stats: dict[str, str] | None = None
+    if len(rel_files) >= _SPARK_STATS_MIN_FILES:
+        spark_stats = _distributed_footer_stats(
+            spark, [os.path.join(path, rel) for rel in rel_files], indexed
+        )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {
@@ -502,7 +511,11 @@ def convert_to_delta(spark: SparkSession, path: str) -> int:
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
                 "dataChange": True,
-                "stats": _file_stats(full, _stats_fields(data_fields, None)),
+                "stats": (
+                    spark_stats[os.path.abspath(full)]
+                    if spark_stats is not None
+                    else _file_stats(full, indexed)
+                ),
             }
         })
     return _try_commit(path, actions, [])
