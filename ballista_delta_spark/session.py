@@ -764,7 +764,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 )
             src_loc = _delta_views[src_name]
         dst = m.group("dst")
-        clone_delta(src_loc, dst, deep=m.group("depth").upper() == "DEEP")
+        clone_delta(
+            src_loc, dst, deep=m.group("depth").upper() == "DEEP",
+            spark=spark,
+        )
         name = m.group("name").strip("`")
         read_delta(spark, dst).createOrReplaceTempView(name)
         _delta_views[name] = dst

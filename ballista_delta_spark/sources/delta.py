@@ -4230,7 +4230,37 @@ def drop_feature(
     return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
 
 
-def clone_delta(src: str, dst: str, deep: bool = False) -> int:
+def _distributed_copy(spark: SparkSession, pairs: list[tuple[str, str]]) -> None:
+    """Copy (src, dst) file pairs as ONE Spark job — deep clone's data
+    movement at scale. Batches of files per task (byte copies dominate,
+    so smaller batches than the footer job); on a real cluster the same
+    shape drives the object-store copy instead of a driver loop that
+    would serialize the entire table's bytes through one process."""
+    def _cp(batches):
+        import os as _os
+        import shutil as _sh
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for srcp, dstp in zip(pdf["src"], pdf["dst"]):
+                _os.makedirs(_os.path.dirname(dstp), exist_ok=True)
+                _sh.copy2(srcp, dstp)
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    n_tasks = max(1, -(-len(pairs) // 32))
+    (
+        spark.createDataFrame(pairs, "src string, dst string")
+        .repartition(n_tasks)
+        .mapInPandas(_cp, "n long")
+        .collect()
+    )
+
+
+def clone_delta(
+    src: str, dst: str, deep: bool = False,
+    spark: SparkSession | None = None,
+) -> int:
     """SHALLOW CLONE (default): a new, independent Delta table whose
     version-0 commit REFERENCES the source's current data files by
     absolute path — zero data copied, O(#files) metadata. Writes/DML/
@@ -4320,6 +4350,7 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
     # directories); for 'p' descriptors the value is the fresh 'u'
     # pathOrInlineDv the clone rewrites to.
     copied_bins: dict[str, str | None] = {}
+    copy_pairs: list[tuple[str, str]] = []  # deep clone's data movement
     for i, (rel, a) in enumerate(sorted(snap.files.items())):
         add = dict(a)
         add["dataChange"] = False
@@ -4343,8 +4374,7 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
                 if os.path.isabs(rel) else rel
             )
             dst_fp = os.path.join(dst, rel_out)
-            os.makedirs(os.path.dirname(dst_fp), exist_ok=True)
-            _shutil.copy2(src_fp, dst_fp)
+            copy_pairs.append((src_fp, dst_fp))
             add["path"] = rel_out.replace(os.sep, "/")
             if desc:
                 st = desc.get("storageType")
@@ -4370,6 +4400,9 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
                     if pod is None:
                         nu = uuid.uuid4()
                         pod = _dv.z85_encode(nu.bytes)
+                        # data copies are deferred (distributed) now, so
+                        # the clone root may not exist yet
+                        os.makedirs(dst, exist_ok=True)
                         _shutil.copy2(
                             bin_src,
                             os.path.join(dst, f"deletion_vector_{nu}.bin"),
@@ -4381,6 +4414,16 @@ def clone_delta(src: str, dst: str, deep: bool = False) -> int:
                     add["deletionVector"] = new_desc
                 # storageType 'i' (inline) needs no file
         actions.append({"add": add})
+    if copy_pairs:
+        # Data movement: ONE Spark job above the small-clone threshold
+        # (DV bins stay driver-side — few and tiny); the driver loop
+        # remains for spark-less callers and tiny clones.
+        if spark is not None and len(copy_pairs) >= _SPARK_STATS_MIN_FILES:
+            _distributed_copy(spark, copy_pairs)
+        else:
+            for src_fp, dst_fp in copy_pairs:
+                os.makedirs(os.path.dirname(dst_fp), exist_ok=True)
+                _shutil.copy2(src_fp, dst_fp)
     return _try_commit(dst, actions, [])
 
 
