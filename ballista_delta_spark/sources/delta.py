@@ -297,11 +297,24 @@ class DeltaTable:
 
         def attach_location(df: DataFrame) -> DataFrame:
             # _metadata.file_path spells the scheme as file:/x or file:///x
-            # depending on FS/Spark version — normalize to a plain path.
+            # depending on FS/Spark version — normalize to a plain path —
+            # AND percent-encodes URI-special characters (a space becomes
+            # %20). __src_fp must be the DECODED filesystem path: every
+            # consumer (the DV anti-join here, the row-id broadcast join,
+            # the DML attribution maps) keys on raw os.path strings, and
+            # an encoded join side silently matches nothing — DVs on a
+            # table under '/data/my table/' would be invisible. '+' is
+            # protected first: url_decode is form-decoding ('+' -> space);
+            # we want pure percent-decoding of the URI path.
             return df.select(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
+                F.url_decode(
+                    F.replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        F.lit("+"), F.lit("%2B"),
+                    )
                 ).alias("__src_fp"),
                 F.col("_metadata.row_index").alias("__src_ri"),
             )

@@ -129,17 +129,20 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     )
     if has_dv:
         # input_file_name() goes blank after the DV anti-join inside
-        # to_df; the metadata-derived __src_fp survives it.
+        # to_df; the metadata-derived __src_fp survives it — and is
+        # ALREADY percent-decoded at construction (attach_location).
         df = dt.to_df(spark, with_location=True)
-        src = F.col("__src_fp")
+        decoded = F.col("__src_fp")
     else:
         df = dt.to_df(spark)
-        src = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-    decoded = F.url_decode(
-        # Protect literal '+' first: url_decode is form-decoding ('+' ->
-        # space); we want pure percent-decoding of the URI path.
-        F.replace(src, F.lit("+"), F.lit("%2B"))
-    )
+        decoded = F.url_decode(
+            # Protect literal '+' first: url_decode is form-decoding
+            # ('+' -> space); we want pure percent-decoding of the URI.
+            F.replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                F.lit("+"), F.lit("%2B"),
+            )
+        )
     if has_external:
         rel = decoded
     else:
@@ -493,19 +496,18 @@ def _dv_mark_rows(
     )
     if not per_file:
         return {}, 0
-    import urllib.parse
-
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = sorted(
         {os.path.abspath(stripped), os.path.realpath(stripped)}, key=len
     )
-    # Same decoding convention as _attributed: the metadata path is
-    # URI-form percent-encoded; protect literal '+' from form-decoding.
+    # __src_fp arrives already percent-decoded (attach_location decodes
+    # at construction — decoding again would corrupt paths that contain
+    # literal %XX sequences).
     abs_keys = {k for k in dt.snapshot.files if os.path.isabs(k)}
     alias = {os.path.realpath(k): k for k in abs_keys}
     new_per_file: dict[str, list[int]] = {}
     for r in per_file:
-        fp = urllib.parse.unquote(r["__src_fp"].replace("+", "%2B"))
+        fp = r["__src_fp"]
         rel = None
         for b in bases:
             if fp.startswith(b + "/"):

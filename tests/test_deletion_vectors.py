@@ -835,3 +835,38 @@ def test_restore_refuses_when_target_dv_bin_vacuumed(spark, tmp_path):
     # restoring to the DV-free version 0 needs no bins and must succeed
     restore_delta(tbl, 0)
     assert read_delta(spark, tbl).count() == 30
+
+
+def test_dv_and_row_tracking_on_uri_encodable_path(spark, tmp_path):
+    """Tables whose absolute path contains URI-encodable characters
+    (space, '+') must behave identically to plain paths (r10 review fix):
+    Spark's _metadata.file_path percent-encodes the URI, and __src_fp is
+    now decoded AT CONSTRUCTION — before this, the DV anti-join and the
+    row-id broadcast join keyed on raw paths matched nothing, so 'deleted'
+    rows stayed visible and row tracking broke."""
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        read_delta,
+        read_delta_with_row_ids,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    root = tmp_path / "enc dir"  # space
+    tbl = str(root / "t+plus")   # plus
+    write_delta(spark.range(20).selectExpr("id"), tbl)
+    alter_properties(spark, tbl, {"delta.enableRowTracking": "true"})
+
+    m = delete_delta(spark, tbl, "id < 5", mode="dv")
+    assert m["numDeletedRows"] == 5
+    assert read_delta(spark, tbl).count() == 15
+
+    update_delta(spark, tbl, "id = 19", {"id": "id + 100"}, mode="dv")
+    vals = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert vals == list(range(5, 19)) + [119]
+
+    with_ids = read_delta_with_row_ids(spark, tbl)
+    assert with_ids.select("row_id").distinct().count() == 15
