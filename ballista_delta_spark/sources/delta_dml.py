@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from .delta import (
     DeltaTable,
     ENGINE_INFO,
+    _dv_paths,
     _stage_adds,
     _strip_file_scheme,
     _try_commit,
@@ -124,9 +125,8 @@ def _attributed(spark: SparkSession, dt: DeltaTable) -> DataFrame:
     stripped = _strip_file_scheme(dt.path).rstrip("/")
     bases = {os.path.abspath(stripped), os.path.realpath(stripped)}
     has_external = any(os.path.isabs(r) for r in dt.snapshot.files)
-    has_dv = any(
-        a.get("deletionVector") for a in dt.snapshot.files.values()
-    )
+    has_dv = bool(_dv_paths(dt.snapshot))  # columnar probe — no
+    # per-add materialization on checkpoint-backed snapshots
     if has_dv:
         # input_file_name() goes blank after the DV anti-join inside
         # to_df; the metadata-derived __src_fp survives it — and is
@@ -187,12 +187,14 @@ def _canon_rels(dt: DeltaTable, rels) -> list[str]:
 
 
 def _subset_df(spark: SparkSession, dt: DeltaTable, rels: list[str]) -> DataFrame:
-    """Scan of only the given active files (partition columns included)."""
-    keep = set(rels)
+    """Scan of only the given active files (partition columns included).
+
+    Point lookups, not items(): a 2-file DELETE on a checkpoint-backed
+    million-add table must materialize 2 add dicts, not all of them."""
     sub = DeltaTable.__new__(DeltaTable)
     sub.path = dt.path
     sub.snapshot = copy.copy(dt.snapshot)
-    sub.snapshot.files = {r: a for r, a in dt.snapshot.files.items() if r in keep}
+    sub.snapshot.files = {r: dt.snapshot.files[r] for r in rels}
     return sub.to_df(spark)
 
 
@@ -401,6 +403,22 @@ def _replace_where_once(
     if drift:
         raise ValueError(f"schema type mismatch (incoming, table): {drift}")
     df = df.select(*[f.name for f in snap.schema.fields])
+    # Identity guard (same rule as write_delta/MERGE): the strict schema
+    # check above forces the caller to SUPPLY identity values, which
+    # GENERATED ALWAYS columns prohibit — without this, replaceWhere was
+    # the one DML path that accepted explicit values and left the
+    # high-water mark behind, enabling future duplicate ids.
+    always_ids = [
+        c for c, md in identity_columns(snap).items()
+        if str(md.get("delta.identity.allowExplicitInsert", "")).lower()
+        != "true"
+    ]
+    if always_ids:
+        raise ValueError(
+            "replaceWhere on a table with GENERATED ALWAYS identity "
+            f"column(s) {always_ids} is not supported — the replacement "
+            "rows would carry explicit identity values"
+        )
     # Strict containment: rows outside the declared slice refuse.
     outside = df.filter(~cond).count()
     if outside:
@@ -1231,7 +1249,14 @@ def _merge_once(
                 joined.filter(hit)
                 .groupBy(*[F.col(f"t.{c}") for c in tcols], "__m")
                 .agg(
-                    F.count(F.lit(1)).alias("__k"),
+                    # delta-spark's cardinality rule: multiple matches are
+                    # ambiguous only when MORE THAN ONE of them would
+                    # modify the row (some clause applies, __act >= 0);
+                    # matches that fail every conditional clause are
+                    # no-ops and never nondeterministic.
+                    F.sum(
+                        F.when(F.col("__act") >= 0, 1).otherwise(0)
+                    ).alias("__k"),
                     F.max("__act").alias("__a"),
                 )
                 .agg(
@@ -1243,7 +1268,7 @@ def _merge_once(
             if stats["dups"]:
                 raise ValueError(
                     f"MERGE is ambiguous: {stats['dups']} target row(s) "
-                    "matched by multiple source rows"
+                    "would be modified by multiple source rows"
                 )
             delete_ids = [
                 i for i, (_c, k, _u) in enumerate(matched_clauses)
@@ -1256,8 +1281,29 @@ def _merge_once(
             )
             n_deleted = sum(int(stats[f"n{i}"] or 0) for i in delete_ids)
             survivors = joined
+            if any(c0 is not None for c0, _k, _u in matched_clauses):
+                # Conditional clauses allow a target row to carry BOTH an
+                # applying match (__act >= 0, exactly one post-check) and
+                # no-op matches (__act = -1): keep one joined row per
+                # target — the highest-action one — or the no-op copies
+                # would duplicate the row in the rewrite.
+                from pyspark.sql.window import Window as _W
+
+                w = _W.partitionBy(
+                    *[F.col(f"t.{c}") for c in tcols], "__m"
+                ).orderBy(F.col("__act").desc())
+                survivors = (
+                    joined.filter(hit)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                    # positional union: both branches are the same joined
+                    # projection, whose t/s sides share column names —
+                    # unionByName cannot resolve duplicates
+                    .union(joined.filter(~hit))
+                )
             if delete_ids:
-                survivors = joined.filter(~F.col("__act").isin(delete_ids))
+                survivors = survivors.filter(~F.col("__act").isin(delete_ids))
             out_cols = []
             typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
             for c in tcols:
@@ -1442,7 +1488,13 @@ def _merge_dv_once(
                 joined.filter(hit)
                 .groupBy("t.__src_fp", "t.__src_ri")
                 .agg(
-                    F.count(F.lit(1)).alias("__k"),
+                    # Same cardinality rule as the cow path: only matches
+                    # that MODIFY the row (__act >= 0) count toward
+                    # ambiguity; the DV path needs no survivor dedupe —
+                    # untouched rows simply stay in their data files.
+                    F.sum(
+                        F.when(F.col("__act") >= 0, 1).otherwise(0)
+                    ).alias("__k"),
                     F.max("__act").alias("__a"),
                 )
                 .agg(
@@ -1456,7 +1508,7 @@ def _merge_dv_once(
             if stats["dups"]:
                 raise ValueError(
                     f"MERGE is ambiguous: {stats['dups']} target row(s) "
-                    "matched by multiple source rows"
+                    "would be modified by multiple source rows"
                 )
             upd_ids = [
                 i for i, (_c, k, _u) in enumerate(matched_clauses)

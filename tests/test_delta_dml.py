@@ -602,3 +602,94 @@ def test_replace_where_sql_route(spark, tmp_path):
     # plain INSERT still routes as an append
     bd_sql(spark, "INSERT INTO rw VALUES (7, 1)")
     assert spark.table("rw").count() == 9
+
+
+def test_merge_multimatch_noop_rows_are_not_ambiguous(spark, tmp_path):
+    """delta-spark's MERGE cardinality rule (r10 review fix): a target row
+    matched by multiple source rows is ambiguous only when MORE THAN ONE
+    match would MODIFY it — matches failing every conditional clause are
+    no-ops. Covers cow and dv paths, and the mixed applying+no-op case
+    that must not duplicate the row in the rewrite."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+    from ballista_delta_spark.sources.delta_dml import merge_delta
+
+    for mode in ("cow", "dv"):
+        tbl = str(tmp_path / f"m_{mode}")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30)], "id long, v long"
+            ),
+            tbl,
+        )
+        # id=1 matched twice, NEITHER match applies (do_update false) ->
+        # no-op, not an error. id=2 matched twice, ONE applies -> that
+        # one wins deterministically. id=3 untouched.
+        src = spark.createDataFrame(
+            [
+                (1, 111, False), (1, 112, False),
+                (2, 221, True), (2, 222, False),
+            ],
+            "id long, nv long, do_update boolean",
+        )
+        m = merge_delta(
+            spark, tbl, src, on="t.id = s.id",
+            matched_clauses=[("s.do_update = true", "update", {"v": "s.nv"})],
+            not_matched_insert=False,
+            mode=mode,
+        )
+        assert m["numTargetRowsUpdated"] == 1, (mode, m)
+        got = {r.id: r.v for r in read_delta(spark, tbl).collect()}
+        assert got == {1: 10, 2: 221, 3: 30}, (mode, got)
+
+        # two APPLYING matches on one row still raise
+        import pytest as _pt
+
+        bad = spark.createDataFrame(
+            [(3, 331, True), (3, 332, True)],
+            "id long, nv long, do_update boolean",
+        )
+        with _pt.raises(ValueError, match="ambiguous"):
+            merge_delta(
+                spark, tbl, bad, on="t.id = s.id",
+                matched_clauses=[
+                    ("s.do_update = true", "update", {"v": "s.nv"})
+                ],
+                not_matched_insert=False,
+                mode=mode,
+            )
+
+
+def test_replace_where_refuses_generated_always_identity(spark, tmp_path):
+    """replaceWhere was the one DML path accepting explicit GENERATED
+    ALWAYS identity values (r10 review fix): its strict schema check
+    forces the caller to supply the column, which the identity contract
+    prohibits — and silently skipping the high-water mark would enable
+    future duplicate ids."""
+    import json
+
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.delta_dml import replace_where_delta
+    from tests.test_constraints import _patch_log0
+
+    tbl = str(tmp_path / "rw_ident")
+    write_delta(
+        spark.createDataFrame([(100, 1, "a")], "uid long, p long, s string"),
+        tbl,
+    )
+    _patch_log0(
+        tbl,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 6},
+        field_meta={"uid": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.highWaterMark": 100,
+        }},
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS identity"):
+        replace_where_delta(
+            spark, tbl,
+            spark.createDataFrame(
+                [(5000, 1, "x")], "uid long, p long, s string"
+            ),
+            "p = 1",
+        )
