@@ -438,6 +438,23 @@ def read_delta(
     return dt.to_df(spark)
 
 
+def _hive_part_value(val: str) -> str | None:
+    """Hive directory-segment value -> the Delta partitionValues string.
+
+    Spark ESCAPES URI-special characters when it names partition
+    directories (ExternalCatalogUtils.escapePathName: ':' -> '%3A', so a
+    timestamp partition stages as 'ts=2021-01-01 00%3A00%3A00'); the log's
+    partitionValues must carry the REAL serialized value — an escaped
+    string mis-parses in every typed consumer (stream partition casting,
+    stats pruning's equality compare, delta-over-http/s3 readers).
+    unquote is the exact inverse ('%25' -> '%', '+' untouched)."""
+    if val == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(val)
+
+
 def convert_to_delta(spark: SparkSession, path: str) -> int:
     """``CONVERT TO DELTA parquet.`<path>``` — turn a plain (optionally
     Hive-partitioned) parquet directory into a Delta table IN PLACE: data
@@ -514,9 +531,7 @@ def convert_to_delta(spark: SparkSession, path: str) -> int:
         for seg in rel.split(os.sep)[:-1]:
             if "=" in seg:
                 k, _, val = seg.partition("=")
-                part_values[k] = (
-                    None if val == "__HIVE_DEFAULT_PARTITION__" else val
-                )
+                part_values[k] = _hive_part_value(val)
         actions.append({
             "add": {
                 "path": rel.replace(os.sep, "/"),
@@ -2034,9 +2049,7 @@ def _stage_cdc(
             if rel_dir != ".":
                 for seg in rel_dir.split(os.sep):
                     k, _, val = seg.partition("=")
-                    part_values[k] = (
-                        None if val == "__HIVE_DEFAULT_PARTITION__" else val
-                    )
+                    part_values[k] = _hive_part_value(val)
             final_name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
             rel_final = (
                 os.path.join(rel_dir, final_name)
@@ -2724,7 +2737,7 @@ def _stage_adds(
         if rel_dir != ".":
             for seg in rel_dir.split(os.sep):
                 k, _, val = seg.partition("=")
-                part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                part_values[k] = _hive_part_value(val)
         final_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
         rel_final = os.path.join(rel_dir, final_name) if rel_dir != "." else final_name
         dst = os.path.join(path, rel_final)

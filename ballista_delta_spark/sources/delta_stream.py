@@ -52,7 +52,13 @@ from typing import Any
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 from pyspark.sql import types as T
 
-from .delta import _load_snapshot, _log_dir, _strip_file_scheme, _version_file
+from .delta import (
+    _load_snapshot,
+    _log_dir,
+    _next_version,
+    _strip_file_scheme,
+    _version_file,
+)
 
 
 def _pv_caster(dt: T.DataType):
@@ -67,6 +73,16 @@ def _pv_caster(dt: T.DataType):
         import datetime
 
         return datetime.date.fromisoformat
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        import datetime
+
+        # Delta spells timestamp partitionValues zone-less with a space
+        # ('2021-01-01 00:00:00[.ffffff]'); arrow's cast of the raw
+        # string to a tz-aware type rejects it ('expected a zone
+        # offset'), so parse to datetime here.
+        return lambda s: datetime.datetime.fromisoformat(
+            s.replace(" ", "T")
+        )
     return str
 
 
@@ -84,9 +100,9 @@ class DeltaFilePartition(InputPartition):
     rel_path: str
     partition_values: dict[str, Any] = field(default_factory=dict)
     fixed_change: str | None = None
-    # Deletion-vector descriptor (initial-snapshot files only): applied
-    # executor-side so the snapshot batch serves live rows, not the raw
-    # parquet. Tail commits never set it (append-only contract).
+    # Deletion-vector descriptor (initial-snapshot files AND DV-carrying
+    # tail adds under ignoreChanges): applied executor-side so the batch
+    # serves live rows, not the raw parquet.
     dv: dict[str, Any] | None = None
     # File size from the add action — the maxBytesPerTrigger admission
     # currency (0 when the log omits it: such files cost nothing against
@@ -295,6 +311,27 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._plans: dict[int, list[DeltaFilePartition]] = {}
 
     # ------------------------------------------------------------ offsets
+    def __getstate__(self):
+        """Executor tasks pickle the whole reader (pyspark's
+        data_source_read_func closes over it); read() needs only the
+        path/schema/column maps and flags — shipping the driver-side
+        planning state would serialize the initial snapshot's ENTIRE
+        columnar add set (hundreds of MB on a million-add table) into
+        every task command."""
+        state = self.__dict__.copy()
+        for k in ("_init_snap", "_plans", "_snap_plans"):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        # Defensive: a deserialized copy can still PLAN (empty caches,
+        # snapshot reloaded lazily by _snap_plan) even though only
+        # read() is expected to run off-driver.
+        self.__dict__.update(state)
+        self.__dict__.setdefault("_plans", {})
+        self.__dict__.setdefault("_snap_plans", {})
+        self.__dict__.setdefault("_init_snap", None)
+
     @staticmethod
     def _pos(off: dict) -> tuple[int, int, bool]:
         """Offset dict -> (version, files_consumed_of_that_version,
@@ -324,13 +361,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version, "index": 0}
 
     def _latest_version(self) -> int:
-        log = _log_dir(self.path)
-        v = self.starting_version
-        latest = self.starting_version - 1
-        while os.path.exists(_version_file(log, v)):
-            latest = v
-            v += 1
-        return latest
+        # One directory listing, not an exists() walk anchored at the
+        # query-start version: metadata retention deletes old JSON
+        # commits, and a walk from starting_version stalls forever at
+        # the first gap — latestOffset would return the stale anchor on
+        # every trigger and the stream would silently never serve
+        # another commit. The listing is also O(log dir) per trigger,
+        # independent of stream age. A stream whose NEXT version was
+        # itself cleaned (stalled past retention) now fails loudly in
+        # _commit_actions instead of hanging, matching delta-spark.
+        latest = _next_version(_log_dir(self.path)) - 1
+        return max(latest, self.starting_version - 1)
 
     def latestOffset(self) -> dict:
         self._trace(f"latestOffset planned={self._planned}")
@@ -439,7 +480,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         if v not in self._snap_plans:
             snap = (
                 self._init_snap
-                if v == self._init_snap.version
+                if self._init_snap is not None
+                and v == self._init_snap.version
                 else _load_snapshot(self.path, version=v)
             )
             self._snap_plans[v] = [
@@ -492,6 +534,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         return [
             DeltaFilePartition(
                 v, add["path"], add.get("partitionValues") or {},
+                # A DV-mode DELETE/UPDATE re-adds the path WITH a
+                # deletionVector (dataChange=true): replaying the add
+                # without it would emit the rows the commit itself marks
+                # deleted (readers MUST apply DVs, Delta PROTOCOL.md) —
+                # ignoreChanges tolerates rewrites, not row resurrection.
+                dv=add.get("deletionVector"),
                 size=int(add.get("size") or 0),
             )
             for add in adds

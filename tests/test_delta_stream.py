@@ -978,3 +978,124 @@ def test_processing_time_restart_resumes_exactly_once(spark, tbl, tmp_path):
     assert run(4) == 4                          # restart: only the append
     got = sorted(r.id for r in read_delta(spark, out).collect())
     assert got == [1, 2, 100, 101]              # exactly once, no misses
+
+
+def test_ignore_changes_applies_tail_deletion_vectors(spark, tmp_path):
+    """A DV-mode DELETE re-adds the file WITH a deletionVector; replaying
+    that add without applying the DV resurrects the deleted rows
+    (r10 review fix — readers MUST apply DVs, Delta PROTOCOL.md)."""
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    from ballista_delta_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    tbl = str(tmp_path / "t")
+    # ONE part file so the DV'd file carries surviving rows too (with
+    # multiple files the rewritten file would hold only the deleted pair
+    # and the correct batch is empty).
+    write_delta(spark.range(10).selectExpr("id").coalesce(1), tbl)  # v0
+    dv_version = 1
+    delete_delta(spark, tbl, "id < 2", mode="dv")       # v1: remove+re-add w/ DV
+
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", tbl)
+        .option("startingVersion", str(dv_version))
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory").queryName("dv_tail")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(r.id for r in spark.table("dv_tail").collect())
+    assert got == list(range(2, 10)), got
+    spark.catalog.dropTempView("dv_tail")
+
+
+def test_stream_survives_log_retention_cleanup(spark, tmp_path):
+    """Metadata retention deletes old JSON commits; latestOffset must not
+    anchor its log walk at the query-start version or the stream stalls
+    forever at the first gap (r10 review fix)."""
+    from ballista_delta_spark.sources.delta import (
+        cleanup_log,
+        create_checkpoint,
+        write_delta,
+    )
+
+    from ballista_delta_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(5).selectExpr("id"), tbl)                  # v0
+    write_delta(
+        spark.range(5, 10).selectExpr("id"), tbl, mode="append"
+    )                                                                  # v1
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", tbl).option("startingVersion", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 10
+
+    # checkpoint the table + reap the early JSON commits, then append
+    create_checkpoint(tbl)
+    cleanup_log(tbl, retention_ms=0)
+    write_delta(
+        spark.range(10, 13).selectExpr("id"), tbl, mode="append"
+    )                                                                  # v3
+
+    drain()  # restart from the stream checkpoint
+    got = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert got == list(range(13)), f"post-cleanup commit not served: {got}"
+
+
+def test_stream_timestamp_partitioned_table(spark, tmp_path):
+    """Timestamp-typed partition columns stream (r10 review fix): Delta
+    spells their partitionValues zone-less ('2021-01-01 00:00:00');
+    casting that raw string to arrow's tz-aware type rejected it and
+    every micro-batch crashed executor-side."""
+    from ballista_delta_spark.sources.delta import write_delta
+
+    from ballista_delta_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.sql(
+            "SELECT id, timestamp'2021-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, CAST(id % 2 AS INT)) AS ts "
+            "FROM range(6)"
+        ),
+        tbl, partition_by=["ts"],
+    )
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", tbl).option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory").queryName("ts_part")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("ts_part").collect()
+    assert len(rows) == 6
+    assert len({r.ts for r in rows}) == 2  # both partitions, typed values
+    spark.catalog.dropTempView("ts_part")
