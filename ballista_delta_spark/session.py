@@ -302,13 +302,21 @@ _DELTA_ASOF_REF = re.compile(
 
 def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     """Replace ``view VERSION|TIMESTAMP AS OF x`` references to registered
-    Delta views with temp views pinned to that snapshot."""
+    Delta views with temp views pinned to that snapshot.
+
+    Matches run against the literal-masked statement so a string like
+    'orders VERSION AS OF 2' inside a predicate is DATA, not syntax —
+    rewriting it would silently corrupt the comparison (and read a table
+    version as a side effect). Replacement values (the timestamp) are
+    sliced from the original by span."""
     from .sources.delta import read_delta
 
+    masked = _mask_literals(statement)
+
     def sub(m: re.Match) -> str:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is None:
-            return m.group(0)
+            return statement[m.start():m.end()]  # leave untouched
         loc = _delta_views[name]
         if m.group("v") is not None:
             version = int(m.group("v"))
@@ -317,7 +325,7 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
         else:
             from datetime import datetime, timezone
 
-            dt = datetime.fromisoformat(m.group("ts"))
+            dt = datetime.fromisoformat(_g(statement, m, "ts"))
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=timezone.utc)
             ts_ms = int(dt.timestamp() * 1000)
@@ -326,7 +334,14 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
         df.createOrReplaceTempView(snap_name)
         return snap_name
 
-    return _DELTA_ASOF_REF.sub(sub, statement)
+    # match on the mask, splice replacements into the original by span
+    out, last = [], 0
+    for m in _DELTA_ASOF_REF.finditer(masked):
+        out.append(statement[last:m.start()])
+        out.append(sub(m))
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
 
 # Delta-backed view name -> table path, populated by the DDL interceptor and
 # register_delta so INSERT INTO can resolve its target (the analogue of the
@@ -407,6 +422,69 @@ def get_spark(
     return build_spark(app_name, cpus, master, conf).getOrCreate()
 
 
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop leading `--` line comments and /* */ blocks so a commented
+    Delta statement still routes to its interceptor (hint blocks `/*+`
+    are left alone — they are meaningful to Spark, and legal hints sit
+    after SELECT, not at statement start)."""
+    s = stmt
+    while True:
+        t = s.lstrip()
+        if t.startswith("--"):
+            nl = t.find("\n")
+            if nl == -1:
+                return t
+            s = t[nl + 1:]
+        elif t.startswith("/*") and not t.startswith("/*+"):
+            end = t.find("*/")
+            if end == -1:
+                return t
+            s = t[end + 2:]
+        else:
+            return t
+
+
+def _mask_literals(stmt: str) -> str:
+    """Same-LENGTH copy of ``stmt`` with string-literal CONTENTS replaced
+    by 'x' (quotes kept; '' / "" doubling handled). Every dialect regex
+    matches against the mask, so keywords inside literals ('a where b',
+    'orders VERSION AS OF 2', 'when matched') can never trigger or split
+    a rule — and because lengths are preserved, each match's spans index
+    straight into the ORIGINAL statement for extraction (`_g`)."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        q = stmt[i]
+        if q in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if stmt[j] == q:
+                    if j + 1 < n and stmt[j + 1] == q:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j < n:
+                out.append(q + "x" * (j - i - 1) + q)
+                i = j + 1
+            else:  # unterminated: mask to end
+                out.append(q + "x" * (n - i - 1))
+                i = n
+        else:
+            out.append(q)
+            i += 1
+    return "".join(out)
+
+
+def _g(stmt: str, m: "re.Match", name: str) -> str | None:
+    """Group text sliced from the ORIGINAL statement by span — groups
+    that can contain string literals must come from here, not
+    ``m.group`` (which would return the 'xxx' mask)."""
+    s, e = m.span(name)
+    return None if s == -1 else stmt[s:e]
+
+
 def sql(spark: SparkSession, statement: str) -> DataFrame:
     """SQL entry point with the reference's Delta DDL surface.
 
@@ -414,15 +492,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     (reference README.md:59, tests/local.rs:48) is handled by a table factory
     there; here we intercept the same statement shape and register a temp view
     backed by our Delta reader, then hand everything else to Spark SQL.
+
+    Matching discipline: every dialect regex runs against the
+    literal-MASKED statement (`_mask_literals`), so SQL keywords inside
+    string literals can never mis-route or mis-split a statement; groups
+    that may contain literals are sliced back out of the original by
+    span (`_g`).
     """
-    m = _DELTA_DDL.match(statement)
+    statement = _strip_leading_comments(statement)
+    masked = _mask_literals(statement)
+    m = _DELTA_DDL.match(masked)
     if m:
         import os as _os
 
         from .sources.delta import _strip_file_scheme, read_delta, write_delta
 
-        name, body = m.group("name"), m.group("body")
-        loc = _strip_file_scheme(m.group("loc"))
+        name, body = m.group("name"), _g(statement, m, "body")
+        loc = _strip_file_scheme(_g(statement, m, "loc"))
         exists = _os.path.exists(_os.path.join(loc, "_delta_log"))
         if body is not None:
             # CTAS: materialize the query into a NEW Delta table. An
@@ -449,19 +535,19 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         _delta_views[name] = loc
         return spark.sql(f"SELECT '{name}' AS registered_table")
 
-    m = _DELTA_COPY_INTO.match(statement)
+    m = _DELTA_COPY_INTO.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from pyspark.sql import Row
 
             from .sources.delta import copy_into, read_delta
 
-            copts = _parse_sql_options(m.group("copts"))
+            copts = _parse_sql_options(_g(statement, m, "copts"))
             metrics = copy_into(
-                spark, _delta_views[name], m.group("src"),
+                spark, _delta_views[name], _g(statement, m, "src"),
                 file_format=m.group("fmt").lower(),
-                format_options=_parse_sql_options(m.group("fopts")),
+                format_options=_parse_sql_options(_g(statement, m, "fopts")),
                 force=str(copts.get("force", "false")).lower() == "true",
             )
             read_delta(spark, _delta_views[name]).createOrReplaceTempView(
@@ -469,42 +555,44 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
             return spark.createDataFrame([Row(**metrics)])
 
-    m = _DELTA_INSERT.match(statement)
+    m = _DELTA_INSERT.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             return _delta_insert(
-                spark, name, m.group("cols"), m.group("body"),
+                spark, name, m.group("cols"), _g(statement, m, "body"),
                 overwrite=m.group("mode").upper() == "OVERWRITE",
-                replace_where=m.group("rwpred"),
+                replace_where=_g(statement, m, "rwpred"),
             )
 
-    m = _DELTA_DELETE.match(statement)
+    m = _DELTA_DELETE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             return _delta_dml(
-                spark, name, "delete", cond=m.group("cond") or "true"
+                spark, name, "delete",
+                cond=_g(statement, m, "cond") or "true",
             )
 
-    m = _DELTA_UPDATE.match(statement)
+    m = _DELTA_UPDATE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             return _delta_dml(
                 spark, name, "update",
-                cond=m.group("cond") or "true", sets=m.group("sets"),
+                cond=_g(statement, m, "cond") or "true",
+                sets=_g(statement, m, "sets"),
             )
 
-    m = _DELTA_MERGE_HEAD.match(statement)
+    m = _DELTA_MERGE_HEAD.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             return _sql_merge(spark, statement, name, statement[m.end():])
 
-    m = _DELTA_SHOW_PROPS.match(statement)
+    m = _DELTA_SHOW_PROPS.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from pyspark.sql import Row
 
@@ -515,7 +603,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             # delta-spark always reports the protocol as properties
             props["delta.minReaderVersion"] = str(snap.min_reader_version)
             props["delta.minWriterVersion"] = str(snap.min_writer_version)
-            key = m.group("key")
+            key = _g(statement, m, "key")
             if key is not None:
                 val = props.get(key)
                 if val is None:
@@ -527,9 +615,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 [Row(key=k, value=v) for k, v in sorted(props.items())]
             )
 
-    m = _DELTA_VACUUM.match(statement)
+    m = _DELTA_VACUUM.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import vacuum
 
@@ -554,9 +642,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({len(removed)} AS BIGINT) AS files_deleted"
             )
 
-    m = _DELTA_OPTIMIZE.match(statement)
+    m = _DELTA_OPTIMIZE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import optimize, read_delta
 
@@ -567,7 +655,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             ]
             version = optimize(
                 spark, loc, zorder_by=zcols or None,
-                where=m.group("where"),
+                where=_g(statement, m, "where"),
                 full=bool(m.group("full")),
             )
             read_delta(spark, loc).createOrReplaceTempView(name)
@@ -575,9 +663,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_CLUSTER_BY.match(statement)
+    m = _DELTA_CLUSTER_BY.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import cluster_by, read_delta
 
@@ -592,9 +680,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_DROP_FEATURE.match(statement)
+    m = _DELTA_DROP_FEATURE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import drop_feature, read_delta
 
@@ -609,9 +697,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_COLUMN_DEFAULT.match(statement)
+    m = _DELTA_COLUMN_DEFAULT.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import (
                 alter_column_default,
@@ -628,26 +716,26 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 version = alter_column_default(
                     loc,
                     m.group("col").strip("`"),
-                    None if m.group("drop") else m.group("expr"),
+                    None if m.group("drop") else _g(statement, m, "expr"),
                 )
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_CONVERT.match(statement)
+    m = _DELTA_CONVERT.match(masked)
     if m:
         from .sources.delta import convert_to_delta
 
-        loc = m.group("path").strip("`'")
+        loc = _g(statement, m, "path").strip("`'")
         version = convert_to_delta(spark, loc)
         return spark.sql(
             f"SELECT CAST({version} AS BIGINT) AS committed_version"
         )
 
-    m = _DELTA_FSCK.match(statement)
+    m = _DELTA_FSCK.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import fsck_repair, read_delta
 
@@ -660,9 +748,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"CAST({res['numMissingFiles']} AS BIGINT) AS files_removed"
             )
 
-    m = _DELTA_ANALYZE.match(statement)
+    m = _DELTA_ANALYZE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import read_delta, recompute_stats
 
@@ -681,9 +769,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"CAST({res['numFilesRecomputed']} AS BIGINT) AS files_recomputed"
             )
 
-    m = _DELTA_REORG.match(statement)
+    m = _DELTA_REORG.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import read_delta, reorg_purge
 
@@ -695,14 +783,14 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"CAST({metrics['numFilesRewritten']} AS BIGINT) AS files_rewritten"
             )
 
-    m = _DELTA_TBLPROPS.match(statement)
+    m = _DELTA_TBLPROPS.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import alter_properties, read_delta
 
             loc = _delta_views[name]
-            body = m.group("body")
+            body = _g(statement, m, "body")
             if m.group("op").upper() == "SET":
                 props = {}
                 for part in _split_top_level(body):
@@ -724,9 +812,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_ALTER_CONSTRAINT.match(statement)
+    m = _DELTA_ALTER_CONSTRAINT.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import alter_constraints, read_delta
 
@@ -737,7 +825,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         "ADD CONSTRAINT requires CHECK (<expression>)"
                     )
                 version = alter_constraints(
-                    spark, loc, add={m.group("cname"): m.group("expr").strip()}
+                    spark, loc,
+                    add={m.group("cname"): _g(statement, m, "expr").strip()},
                 )
             else:
                 version = alter_constraints(
@@ -748,22 +837,22 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_CLONE.match(statement)
+    m = _DELTA_CLONE.match(masked)
     if m:
         from .sources.delta import clone_delta, read_delta
 
-        raw_src = m.group("src")
+        raw_src = _g(statement, m, "src")
         if raw_src.startswith("'"):
             src_loc = raw_src.strip("'")
         else:
-            src_name = _resolve_view(raw_src)
+            src_name = _resolve_view(raw_src, spark)
             if src_name is None:
                 raise ValueError(
                     f"CLONE source {raw_src!r} is not a registered "
                     "Delta table (use a quoted path or register it first)"
                 )
             src_loc = _delta_views[src_name]
-        dst = m.group("dst")
+        dst = _g(statement, m, "dst")
         clone_delta(
             src_loc, dst, deep=m.group("depth").upper() == "DEEP",
             spark=spark,
@@ -773,9 +862,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         _delta_views[name] = dst
         return spark.sql("SELECT CAST(0 AS BIGINT) AS committed_version")
 
-    m = _DELTA_ALTER_COLUMN.match(statement)
+    m = _DELTA_ALTER_COLUMN.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import alter_columns, read_delta
 
@@ -797,11 +886,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 )
             else:
                 adds: dict[str, str] = {}
-                addcols = m.group("addcols").strip()
+                addcols = _g(statement, m, "addcols").strip()
                 if addcols.startswith("(") and addcols.endswith(")"):
                     addcols = addcols[1:-1]
-                # split on commas OUTSIDE parens so decimal(10,2) survives
-                for spec in re.split(r",(?![^(]*\))", addcols):
+                # split on commas outside BOTH parens and angle brackets
+                # so decimal(10,2) AND map<string,int>/struct<a:int,b:int>
+                # survive
+                for spec in _split_commas_outside_brackets(addcols):
                     parts = spec.strip().split(None, 1)
                     if len(parts) != 2:
                         raise ValueError(
@@ -814,9 +905,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 f"SELECT CAST({version} AS BIGINT) AS committed_version"
             )
 
-    m = _DELTA_RESTORE.match(statement)
+    m = _DELTA_RESTORE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from pyspark.sql import Row
 
@@ -830,7 +921,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
                 from .sources.delta import version_at_timestamp
 
-                t = m.group("ts").replace("T", " ").replace("Z", "+00:00")
+                t = _g(statement, m, "ts").replace("T", " ").replace(
+                    "Z", "+00:00"
+                )
                 d = _dt.datetime.fromisoformat(t)
                 if d.tzinfo is None:
                     d = d.replace(tzinfo=_dt.timezone.utc)
@@ -841,17 +934,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.createDataFrame([Row(**metrics)])
 
-    m = _DELTA_DETAIL.match(statement)
+    m = _DELTA_DETAIL.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import describe_detail
 
             return describe_detail(spark, _delta_views[name])
 
-    m = _DELTA_GENERATE.match(statement)
+    m = _DELTA_GENERATE.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import generate_symlink_manifest
 
@@ -862,9 +955,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 [(p,) for p in written], "manifest string"
             )
 
-    m = _DELTA_HISTORY.match(statement)
+    m = _DELTA_HISTORY.match(masked)
     if m:
-        name = _resolve_view(m.group("name"))
+        name = _resolve_view(m.group("name"), spark)
         if name is not None:
             from .sources.delta import DeltaTable
 
@@ -884,19 +977,32 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 "version bigint, timestamp bigint, operation string, "
                 "operationParameters string, operationMetrics string",
             )
-    if _DELTA_ASOF_REF.search(statement):
+    if _DELTA_ASOF_REF.search(masked):
         statement = _rewrite_time_travel(spark, statement)
     return spark.sql(statement)
 
 
-def _resolve_view(raw: str) -> str | None:
+def _resolve_view(raw: str, spark: SparkSession | None = None) -> str | None:
     """Map the statement's table name to a registered Delta view: exact match
-    first, then the last dotted component (``db.t`` / `` `t` `` -> ``t``)."""
+    first, then the last dotted component (``db.t`` / `` `t` `` -> ``t``).
+
+    The tail fallback yields to a REAL catalog table of the full
+    qualified name: without that check, ``DELETE FROM sales.orders``
+    would run against an unrelated registered view named ``orders`` —
+    silent DML on the wrong table."""
     name = raw.strip().strip("`")
     if name in _delta_views:
         return name
     tail = name.split(".")[-1]
-    return tail if tail in _delta_views else None
+    if tail not in _delta_views:
+        return None
+    if "." in name and spark is not None:
+        try:
+            if spark.catalog.tableExists(name):
+                return None  # the qualified catalog table wins
+        except Exception:
+            pass
+    return tail
 
 
 def _delta_insert(
@@ -921,8 +1027,10 @@ def _delta_insert(
 
     loc = _delta_views[name]
     # Spark SQL accepts top-level VALUES as an inline-table query, so every
-    # body shape (SELECT / VALUES / WITH / TABLE) runs as-is.
-    rows = spark.sql(body.strip())
+    # body shape (SELECT / VALUES / WITH / TABLE) runs as-is — routed
+    # through THE DIALECT so time-travel / Delta-view references inside
+    # an INSERT body work exactly like in CTAS.
+    rows = sql(spark, body.strip())
     fields = read_delta(spark, loc).schema.fields
     if cols is not None:
         listed = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
@@ -982,6 +1090,19 @@ _DELTA_MERGE_HEAD = re.compile(
 )
 
 
+def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
+    """re.sub that never fires inside string literals: matches run on the
+    literal-masked copy, replacements splice into the original by span."""
+    masked = _mask_literals(text)
+    out, last = [], 0
+    for m in re.finditer(pattern, masked):
+        out.append(text[last:m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     """Parse the canonical MERGE grammar and route to merge_delta:
 
@@ -1016,8 +1137,8 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
                 depth -= 1
                 if depth == 0:
                     break
-        source = spark.sql(rest[1:i])
-        rest = rest[i + 1:]
+        source = sql(spark, rest[1:i])  # dialect-routed: time travel,
+        rest = rest[i + 1:]             # registered views, nested forms
     else:
         mt = re.match(r"(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)", rest)
         source = spark.table(mt.group(1).strip("`"))
@@ -1032,37 +1153,61 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     if not mo:
         raise ValueError("MERGE: expected ON <condition>")
     rest = rest[mo.end():]
-    # Condition runs until the first top-level WHEN.
-    parts = re.split(r"(?i)\bWHEN\b", rest)
-    on = parts[0].strip().rstrip(";").strip()
-    clauses = [p.strip().rstrip(";").strip() for p in parts[1:]]
+    # Condition runs until the first top-level WHEN — found on the
+    # literal-masked text so "... <> 'when matched'" can't split here.
+    masked_rest = _mask_literals(rest)
+    cut = [mm.span() for mm in re.finditer(r"(?i)\bWHEN\b", masked_rest)]
+    bounds = [0] + [c[0] for c in cut] + [len(rest)]
+    on = rest[bounds[0]:bounds[1]].strip().rstrip(";").strip()
+    clauses = [
+        rest[cut[k][1]:bounds[k + 2]].strip().rstrip(";").strip()
+        for k in range(len(cut))
+    ]
 
     def norm(expr: str) -> str:
-        for alias, fixed in ((talias, "t"), (salias, "s")):
-            if alias and alias not in ("t", "s"):
-                expr = re.sub(rf"\b{re.escape(alias)}\s*\.", f"{fixed}.", expr)
+        """Normalize user aliases to the engine's fixed t/s names —
+        two-phase through placeholders so an alias literally named 't'
+        or 's' (or fully crossed aliases) maps correctly instead of
+        colliding with the fixed names, and never inside string
+        literals."""
+        pairs = [
+            (alias, fixed)
+            for alias, fixed in ((talias, "t"), (salias, "s"))
+            if alias and alias != fixed
+        ]
+        for alias, fixed in pairs:
+            expr = _sub_outside_literals(
+                rf"\b{re.escape(alias)}\s*\.", f"\x00{fixed}\x00.", expr
+            )
+        for _alias, fixed in pairs:
+            expr = expr.replace(f"\x00{fixed}\x00.", f"{fixed}.")
         return expr
 
     matched_clauses: list[tuple[str | None, str, dict | None]] = []
     not_matched_clauses: list[tuple[str | None, dict | bool]] = []
     for cl in clauses:
+        # Clause regexes run on the literal-masked clause (a 'then' or
+        # ')' inside a string must not terminate a lazy group); groups
+        # slice from the original.
+        mcl = _mask_literals(cl)
         mu = re.match(
             r"MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+UPDATE\s+SET\s+"
             r"(?P<sets>.*)$",
-            cl, re.IGNORECASE | re.DOTALL,
+            mcl, re.IGNORECASE | re.DOTALL,
         )
         md = re.match(
             r"MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+DELETE$",
-            cl, re.IGNORECASE | re.DOTALL,
+            mcl, re.IGNORECASE | re.DOTALL,
         )
         mi = re.match(
             r"NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+INSERT\s*"
             r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?"
             r"VALUES\s*\((?P<vals>.*)\))\s*$",
-            cl, re.IGNORECASE | re.DOTALL,
+            mcl, re.IGNORECASE | re.DOTALL,
         )
         if mu:
-            cond = norm(mu.group("cond")) if mu.group("cond") else None
+            raw_cond = _g(cl, mu, "cond")
+            cond = norm(raw_cond) if raw_cond else None
             # SET targets may be alias-qualified (t.col = ...): strip the
             # target prefix — merge_delta wants bare column names.
             tprefix = re.compile(
@@ -1070,17 +1215,20 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
             )
             matched_clauses.append((cond, "update", {
                 tprefix.sub("", c): norm(e)
-                for c, e in _split_set_clauses(mu.group("sets")).items()
+                for c, e in _split_set_clauses(_g(cl, mu, "sets")).items()
             }))
         elif md:
-            cond = norm(md.group("cond")) if md.group("cond") else None
-            matched_clauses.append((cond, "delete", None))
+            raw_cond = _g(cl, md, "cond")
+            matched_clauses.append(
+                (norm(raw_cond) if raw_cond else None, "delete", None)
+            )
         elif mi:
-            cond = norm(mi.group("cond")) if mi.group("cond") else None
+            raw_cond = _g(cl, mi, "cond")
+            cond = norm(raw_cond) if raw_cond else None
             if mi.group("star"):
                 not_matched_clauses.append((cond, True))
             else:
-                vals = _split_top_level(mi.group("vals"))
+                vals = _split_top_level(_g(cl, mi, "vals"))
                 if mi.group("cols") is None:
                     raise ValueError(
                         "MERGE INSERT without a column list requires INSERT *"
@@ -1114,6 +1262,22 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     )
     read_delta(spark, loc).createOrReplaceTempView(name)
     return spark.createDataFrame([Row(**metrics)])
+
+
+def _split_commas_outside_brackets(text: str) -> list[str]:
+    """Split on commas not nested in () or <> — column-spec lists carry
+    both paren types (decimal(10,2)) and generic types (map<string,int>)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
 
 
 def _split_top_level(s: str) -> list[str]:

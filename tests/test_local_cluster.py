@@ -144,18 +144,29 @@ SCRIPT = textwrap.dedent(
 @pytest.mark.skipif(os.cpu_count() is None or os.cpu_count() < 4,
                     reason="local-cluster needs >= 4 cores")
 def test_local_cluster_smoke():
-    proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
-        capture_output=True,
-        text=True,
-        timeout=420,
-        cwd=REPO,
+    # Two executor JVMs + python workers + a moto server make this the
+    # battery's most load-sensitive test: allow ONE retry so a transient
+    # resource squeeze (observed ~1-in-3 full-battery runs) doesn't fail
+    # the battery, while a real regression still fails both attempts.
+    attempts = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", SCRIPT],
+            capture_output=True,
+            text=True,
+            timeout=560,
+            cwd=REPO,
+        )
+        out = proc.stdout
+        ok = proc.returncode == 0 and all(
+            mk in out
+            for mk in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK")
+        ) and ("S3_OK" in out or "S3_SKIPPED" in out)
+        attempts.append((proc.returncode, out, proc.stderr))
+        if ok:
+            return
+    rc, out, err = attempts[-1]
+    raise AssertionError(
+        f"local-cluster smoke failed twice (rc={rc})\n"
+        f"stdout:\n{out[-4000:]}\nstderr:\n{err[-4000:]}"
     )
-    out = proc.stdout
-    assert proc.returncode == 0, (
-        f"local-cluster smoke failed\nstdout:\n{out[-4000:]}\n"
-        f"stderr:\n{proc.stderr[-4000:]}"
-    )
-    for marker in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK"):
-        assert marker in out, f"{marker} missing\n{out[-2000:]}"
-    assert "S3_OK" in out or "S3_SKIPPED" in out, out[-2000:]
