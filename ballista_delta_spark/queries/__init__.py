@@ -18,42 +18,58 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-10 window (r9 went 50/50 green). The registry grew 158 → 277 in
-# round 9, leaving 119 ids that have never appeared in any driver window
-# (VERDICT r9 "What's wrong" #1). Per the r9 ROTATION.md draft and the
-# judge's #1 directive, this window is PURE debt paydown: 50 never-
-# driver-judged ids in registration-staleness order — the 13 r9
-# first-session regs, the 15 r9b TPC-H ids, the 18 r9b-r9e extensions,
-# 4 r9f ids — streaming last as the budget-truncation buffer. The
-# remaining 69 never-judged ids split across r11/r12 with the r6-green
-# staleness fills (stream_dedup_watermarked / stream_stream_join /
-# stream_delta_source / win_range_frame hit their deadline r11).
-# Everything after position 50 keeps module order so nothing is lost for
-# tools/check.py full runs.
+# Round-11 window (r10 went 50/50 green; never-judged count 119 → 69).
+# Per VERDICT r10 #1 this window continues the paydown: the 46 OLDEST
+# never-driver-judged ids in registration order (r9f → r9h → r9i batches
+# 1-6) plus the 4 r6-green staleness-deadline fills (win_range_frame
+# first — cheap, non-streaming; the three r6 streaming ids close the
+# tail per the budget-truncation-buffer rule, preceded by the
+# never-judged stream_static_enrich so a truncation costs a repeat row,
+# not a first row). The remaining 23 never-judged ids (r9i batch-6 tail
+# + the r9g-class leftovers: join_asof_forward, fn_higher_order,
+# dedup_containment, emb_power_iteration, sim_range_search,
+# emb_label_drift, sim_hard_negatives, text_code_detect, text_pmi_topk,
+# events_type_lift, corpus_token_budget, doc_merge_short,
+# events_seasonal_baseline, events_value_pareto, events_streaks,
+# mm_clip_filter, agg_winsorized_mean, sample_bootstrap_ci,
+# dedup_threshold_sweep, events_cusum_alert, text_readability,
+# sample_hash_uniformity, text_blocklist_filter) go to r12 with the
+# r7-green staleness fills. Everything after position 50 keeps module
+# order so nothing is lost for tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- r9 first-session registrations (12; stream_delta_snapshot last)
-    "scan_delta_http",
-    "tpch_q3", "tpch_q7", "tpch_q12", "tpch_q19",
-    "text_bigram_logprob", "text_ccnet_bucket",
-    "dedup_incremental", "emb_kmeans_step", "mm_ahash",
-    "events_dau_stickiness", "events_transitions",
-    # -- r9b TPC-H completion (15)
-    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22",
-    # -- r9b-r9e extensions in registration order (18)
-    "join_bucketed", "sample_reservoir", "corpus_shard_assign",
-    "emb_ann_recall", "events_attribution",
-    "emb_semdedup", "text_segment_dedup",
-    "emb_pq_topk", "sample_temperature", "events_path_topk",
-    "mm_audio_energy", "text_quality_classifier", "emb_outlier_detect",
-    "dedup_lsh_recall", "corpus_epoch_shuffle", "corpus_profile",
-    "meta_describe_history", "meta_version_checksum",
-    # -- r9f registrations (4)
-    "dedup_exact_substring", "sample_dsir", "text_vocab_coverage",
-    "mm_scene_detect",
-    # -- streaming last (budget-truncation buffer)
-    "stream_delta_snapshot",
+    # -- staleness-deadline fill, non-streaming (r6-green)
+    "win_range_frame",
+    # -- r9f never-judged (2)
+    "corpus_curation_verdict", "events_bot_detect",
+    # -- r9h never-judged (7)
+    "emb_whiten", "text_entropy", "mm_dedup_ahash",
+    "corpus_lang_confusion", "emb_kcenter_step", "agg_exact_percentile",
+    "corpus_source_psi",
+    # -- r9i batch 1 (14 non-streaming, registration order)
+    "events_rfm", "text_zipf_fit", "dedup_survivorship",
+    "join_interval_overlap", "basket_lift", "corpus_dedup_cascade",
+    "agg_histogram", "events_interarrival_fit", "corpus_embedding_audit",
+    "events_ab_test", "dedup_fuzzy_names", "emb_cluster_purity",
+    "events_conversion_lag", "udf_map_in_arrow",
+    # -- r9i batch 2 (6)
+    "sim_rrf_fusion", "events_ltv_cohort", "graph_triangle_count",
+    "dq_expectations", "events_scd2_tiers", "events_audience_overlap",
+    # -- r9i batch 3 (5)
+    "emb_knn_graph", "scan_text", "events_ewma_chart",
+    "agg_skew_kurtosis", "fn_try_safe",
+    # -- r9i batch 4 (3)
+    "text_boilerplate_prefix", "text_tokenizer_fertility",
+    "events_survival_curve",
+    # -- r9i batch 5 (5)
+    "events_peak_concurrency", "dedup_source_matrix",
+    "text_quality_threshold_sweep", "sink_delta_scd2_apply",
+    "events_behavior_entropy",
+    # -- r9i batch 6 head (3)
+    "corpus_doc_length_gini", "sim_mmr_rerank",
+    "corpus_source_ngram_overlap",
+    # -- streaming tail (buffer): never-judged first, then r6-stale fills
+    "stream_static_enrich",
+    "stream_delta_source", "stream_stream_join", "stream_dedup_watermarked",
 )
 
 
