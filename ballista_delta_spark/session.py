@@ -630,14 +630,14 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 # delta-spark's DRY RUN lists the files that WOULD be
                 # deleted (a `path` column), not a deletion count
                 would = vacuum(
-                    _delta_views[name], dry_run=True, **kwargs
+                    _delta_views[name], dry_run=True, spark=spark, **kwargs
                 )
                 if not would:
                     return spark.createDataFrame([], "path string")
                 return spark.createDataFrame(
                     [(p,) for p in would], "path string"
                 )
-            removed = vacuum(_delta_views[name], **kwargs)
+            removed = vacuum(_delta_views[name], spark=spark, **kwargs)
             return spark.sql(
                 f"SELECT CAST({len(removed)} AS BIGINT) AS files_deleted"
             )
@@ -740,7 +740,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from .sources.delta import fsck_repair, read_delta
 
             loc = _delta_views[name]
-            res = fsck_repair(loc, dry_run=bool(m.group("dry")))
+            res = fsck_repair(loc, dry_run=bool(m.group("dry")), spark=spark)
             if not m.group("dry"):
                 read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(

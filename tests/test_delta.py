@@ -693,6 +693,89 @@ def test_vacuum_reclaims_crashed_writer_orphans(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 5
 
 
+def test_vacuum_distributed_listing_on_many_files(spark, tmp_path, monkeypatch):
+    """Above ``_DISTRIBUTED_LISTING_MIN_FILES`` VACUUM's untracked-file
+    discovery runs as ONE Spark job (executor-side listing anti-joined
+    against the snapshot's path relation — VERDICT r10 #2) and agrees
+    exactly with the driver walk, verified on a table flooded with
+    multi-thousand orphan debris in both root and Hive-partition dirs."""
+    import os as _os
+
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = str(tmp_path / "t")
+    src = read_delta(spark, FIXTURE)
+    write_delta(src, tbl, mode="overwrite")
+    # The threshold heuristic sees tracked files + ROOT entries (nested
+    # orphan counts are unknowable without the listing itself), so the
+    # flood goes to the root; the partition dir proves executor-side
+    # subtree walking.
+    n_root = d._DISTRIBUTED_LISTING_MIN_FILES + 100
+    n_part = 304
+    n = n_root + n_part
+    part = _os.path.join(tbl, "p=1")
+    _os.makedirs(part)
+    for i in range(n_part):
+        open(_os.path.join(part, f"orphan-{i}.parquet"), "wb").write(b"x")
+    for i in range(n_root):
+        open(_os.path.join(tbl, f"orph-root-{i}.parquet"), "wb").write(b"x")
+    # debris the LISTING must skip: dot-files stay; the unreferenced DV
+    # bin is reaped — but by the dedicated DV pass, on both branches
+    open(_os.path.join(tbl, "deletion_vector_orphan.bin"), "wb").write(b"x")
+    open(_os.path.join(tbl, ".hidden"), "wb").write(b"x")
+    calls: list[int] = []
+    real = d._distributed_untracked_listing
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(d, "_distributed_untracked_listing", spy)
+    dry = d.vacuum(tbl, retention_ms=0, dry_run=True, spark=spark)
+    assert len(calls) == 1  # the Spark-job path ran
+    assert len(dry) == n + 1  # the n orphans + the DV-pass-reaped bin
+    # The driver walk (forced via an unreachable threshold) agrees exactly.
+    thresh = d._DISTRIBUTED_LISTING_MIN_FILES
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1 << 60)
+    walk = d.vacuum(tbl, retention_ms=0, dry_run=True, spark=spark)
+    assert sorted(walk) == sorted(dry)
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", thresh)
+    # Young orphans stay protected on the distributed path too.
+    assert d.vacuum(tbl, retention_ms=10 * 60 * 1000, spark=spark) == []
+    deleted = d.vacuum(tbl, retention_ms=0, spark=spark)
+    assert len(calls) == 3 and sorted(deleted) == sorted(dry)
+    assert read_delta(spark, tbl).count() == 5
+    assert not _os.path.exists(part)  # emptied partition dir pruned
+    assert _os.path.exists(_os.path.join(tbl, ".hidden"))
+
+
+def test_fsck_distributed_existence_probe(spark, tmp_path, monkeypatch):
+    """Above the threshold FSCK's existence checks run as one Spark job
+    and report the same missing set as the driver loop."""
+    import os as _os
+
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = str(tmp_path / "t")
+    write_delta(read_delta(spark, FIXTURE), tbl, mode="overwrite")
+    victim = sorted(DeltaTable(tbl).snapshot.files)[0]
+    _os.unlink(_os.path.join(tbl, victim))
+    calls: list[int] = []
+    real = d._distributed_missing_files
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(d, "_distributed_missing_files", spy)
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1)
+    dry = d.fsck_repair(tbl, dry_run=True, spark=spark)
+    assert len(calls) == 1 and dry["missing"] == [victim]
+    res = d.fsck_repair(tbl, spark=spark)
+    assert res["missing"] == [victim]
+    assert d.fsck_repair(tbl, spark=spark)["numMissingFiles"] == 0
+
+
 def test_optimize_compacts_files_without_changing_rows(spark, tmp_path):
     from ballista_delta_spark.sources.delta import optimize
 
