@@ -447,7 +447,10 @@ def _strip_leading_comments(stmt: str) -> str:
 
 def _mask_literals(stmt: str) -> str:
     """Same-LENGTH copy of ``stmt`` with string-literal CONTENTS replaced
-    by 'x' (quotes kept; '' / "" doubling handled). Every dialect regex
+    by 'x' (quotes kept; '' / "" doubling AND backslash escapes handled —
+    Spark's default parser accepts 'O\\'Brien', and skipping the escaped
+    quote is what keeps the mask in sync so trailing syntax like WHERE
+    can't be swallowed into a phantom literal). Every dialect regex
     matches against the mask, so keywords inside literals ('a where b',
     'orders VERSION AS OF 2', 'when matched') can never trigger or split
     a rule — and because lengths are preserved, each match's spans index
@@ -459,6 +462,9 @@ def _mask_literals(stmt: str) -> str:
         if q in ("'", '"'):
             j = i + 1
             while j < n:
+                if stmt[j] == "\\":  # \' \\ \n ... — skip escaped char
+                    j += 2
+                    continue
                 if stmt[j] == q:
                     if j + 1 < n and stmt[j + 1] == q:  # doubled escape
                         j += 2
@@ -1001,7 +1007,12 @@ def _resolve_view(raw: str, spark: SparkSession | None = None) -> str | None:
             if spark.catalog.tableExists(name):
                 return None  # the qualified catalog table wins
         except Exception:
-            pass
+            # Fail CLOSED: if the catalog can't answer (misconfigured
+            # metastore, transient failure) we cannot prove the dotted
+            # name doesn't shadow the tail view — routing the DML to the
+            # tail view here is exactly the wrong-table write this guard
+            # exists to prevent.
+            return None
     return tail
 
 

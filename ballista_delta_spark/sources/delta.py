@@ -1128,12 +1128,16 @@ class _FileIndex(MutableMapping):
         COLUMNAR for the base (two child-column scans per array, no
         per-row materialization), so hot-path probes like "does any add
         carry a deletionVector?" keep the lazy open's cost profile.
-        Assumes base paths are unique per the checkpoint spec (our
-        writer and delta-spark's both guarantee it)."""
+        Only AUTHORITATIVE rows count (``_loc``'s last-wins winner): a
+        path duplicated across checkpoint parts whose stale shadowed row
+        carries the field must not come back as a false positive —
+        spec-violating input, but a cheap guard against a spurious
+        "deletion vectors not supported" refusal or a dv_adds entry
+        whose live add has no DV."""
         import pyarrow.compute as pc
 
         hits: list[str] = []
-        for arr in self._arrays:
+        for ai, arr in enumerate(self._arrays):
             names = {
                 arr.type.field(i).name for i in range(arr.type.num_fields)
             }
@@ -1142,8 +1146,11 @@ class _FileIndex(MutableMapping):
             valid = pc.and_(pc.is_valid(arr), pc.is_valid(arr.field(field)))
             if not pc.any(valid).as_py():
                 continue
-            hits.extend(pc.filter(arr.field("path"), valid).to_pylist())
-        out = [p for p in hits if p is not None and p not in self._dropped]
+            idx = pc.indices_nonzero(valid).to_pylist()
+            for ri, p in zip(idx, arr.field("path").take(idx).to_pylist()):
+                if p is not None and self._loc.get(p) == (ai, ri):
+                    hits.append(p)
+        out = [p for p in hits if p not in self._dropped]
         out.extend(
             p for p, a in self._overlay.items() if a.get(field) is not None
         )

@@ -21,12 +21,27 @@ def start_moto_s3(port: int = 0) -> tuple[Any, str]:
     """
     from moto.server import ThreadedMotoServer
 
+    if port == 0:
+        # Pre-bind a free port ourselves rather than relying on moto's
+        # private werkzeug internals (server._server.socket) to report
+        # the ephemeral bind — a moto version bump breaking that attr
+        # would take scan_s3, the s3_standalone demo, and the S3 suite
+        # down with an unrelated AttributeError. The close→reuse window
+        # is benign on loopback with SO_REUSEADDR semantics in tests.
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
     server = ThreadedMotoServer(ip_address="127.0.0.1", port=port, verbose=False)
     server.start()
-    # moto only reports the bound port through the underlying werkzeug
-    # server — required for port=0 (ephemeral).
-    bound = server._server.socket.getsockname()[1]
-    return server, f"http://127.0.0.1:{bound}"
+    # Prefer moto's own report of the bound port when the internals are
+    # still there (guarded fallback keeps us honest if they move).
+    try:
+        port = server._server.socket.getsockname()[1]
+    except AttributeError:
+        pass
+    return server, f"http://127.0.0.1:{port}"
 
 
 def s3_client(endpoint: str):

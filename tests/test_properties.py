@@ -907,6 +907,43 @@ class TestFileIndexDictEquivalence:
         )
 
 
+def test_paths_with_field_ignores_shadowed_duplicate_rows():
+    """A path duplicated across checkpoint parts where only the STALE
+    (shadowed) row carries deletionVector must not be reported —
+    last-wins resolution is authoritative (ADVICE r10). Spec-violating
+    input, but a false positive here raises 'deletion vectors not
+    supported' on plain scans or builds dv_adds for DV-free adds."""
+    import pyarrow as pa
+
+    from ballista_delta_spark.sources.delta import _FileIndex
+
+    dv_t = pa.struct([("storageType", pa.string()), ("sizeInBytes", pa.int64())])
+    add_t = pa.struct([("path", pa.string()), ("deletionVector", dv_t)])
+    stale = pa.array(
+        [{"path": "dup.parquet",
+          "deletionVector": {"storageType": "u", "sizeInBytes": 10}},
+         {"path": "live-dv.parquet",
+          "deletionVector": {"storageType": "u", "sizeInBytes": 11}}],
+        type=add_t,
+    )
+    fresh = pa.array(
+        [{"path": "dup.parquet", "deletionVector": None}], type=add_t
+    )
+    fi = _FileIndex([stale, fresh])  # later array wins on duplicates
+    assert fi.paths_with_field("deletionVector") == ["live-dv.parquet"]
+    # the inverse shadowing (stale row WITHOUT the field, fresh WITH) holds
+    fi2 = _FileIndex([fresh, stale])
+    assert sorted(fi2.paths_with_field("deletionVector")) == [
+        "dup.parquet", "live-dv.parquet",
+    ]
+    # overlay adds still surface, dropped rows still vanish
+    fi[
+        "overlay.parquet"
+    ] = {"path": "overlay.parquet", "deletionVector": {"storageType": "u"}}
+    del fi["live-dv.parquet"]
+    assert fi.paths_with_field("deletionVector") == ["overlay.parquet"]
+
+
 class TestProjectStructEquivalence:
     """_project_struct (the columnar checkpoint re-projection) must agree
     with the dict route for any source/target field relationship:

@@ -142,6 +142,50 @@ def test_qualified_catalog_table_not_hijacked_by_view_tail(spark, view):
         spark.sql(f"DROP TABLE IF EXISTS {name}_real")
 
 
+def test_update_literal_with_backslash_escaped_quote(spark, view):
+    """Spark's default parser accepts 'O\\'Brien'; the literal mask must
+    skip the escaped quote or the WHERE clause is swallowed into a
+    phantom literal and the UPDATE silently hits every row (ADVICE r10)."""
+    name, loc = view
+    sql(spark, f"UPDATE {name} SET s = 'O\\'Brien where x' WHERE id = 1")
+    got = {r.id: r.s for r in read_delta(spark, loc).collect()}
+    assert got == {1: "O'Brien where x", 2: "b", 3: "c"}
+
+
+def test_mask_literals_backslash_stays_in_sync():
+    from ballista_delta_spark.session import _mask_literals
+
+    stmt = "UPDATE t SET name = 'O\\'Brien' WHERE id = 1"
+    masked = _mask_literals(stmt)
+    assert len(masked) == len(stmt)
+    assert "WHERE id = 1" in masked           # not swallowed
+    assert "O" not in masked.split("'")[1]    # contents masked
+    # doubled-quote escaping still handled
+    m2 = _mask_literals("SELECT 'it''s' AS x, 2 AS y")
+    assert "AS x, 2 AS y" in m2
+    # trailing backslash before end-of-statement: mask to end, no crash
+    assert len(_mask_literals("SELECT 'abc\\")) == len("SELECT 'abc\\")
+
+
+def test_resolve_view_fails_closed_on_catalog_error(spark, view, monkeypatch):
+    """If the catalog cannot answer tableExists for a dotted name, the
+    tail fallback must NOT re-enable wrong-table DML (ADVICE r10)."""
+    from ballista_delta_spark.session import _delta_views, _resolve_view
+
+    name, loc = view
+    assert _resolve_view(f"somedb.{name}", spark) == name  # healthy catalog
+
+    class _BrokenCatalog:
+        def tableExists(self, _n):
+            raise RuntimeError("metastore down")
+
+    monkeypatch.setattr(
+        type(spark), "catalog", property(lambda self: _BrokenCatalog())
+    )
+    assert _resolve_view(f"somedb.{name}", spark) is None  # fail closed
+    assert _resolve_view(name, spark) == name  # exact match unaffected
+
+
 def test_insert_body_supports_time_travel(spark, view):
     name, loc = view
     sql(spark, f"UPDATE {name} SET v = 0 WHERE id = 1")  # bump a version
