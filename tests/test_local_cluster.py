@@ -91,7 +91,12 @@ SCRIPT = textwrap.dedent(
         .writeStream.format("memory").queryName("lc_stream")
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates on its own; under a loaded battery the
+    # executor-side python workers can take minutes to fork, so the wait
+    # must be CHECKED (the old unchecked 120 s wait read the memory sink
+    # early on slow boots — the battery's one observed flake).
+    finished = q.awaitTermination(420)
+    assert finished, "stream did not terminate within 420s"
     n = spark.sql("SELECT sum(count) AS n FROM lc_stream").collect()[0].n
     assert n == 1000, n
     print("STREAM_OK")
@@ -141,32 +146,53 @@ SCRIPT = textwrap.dedent(
 ).format(repo=REPO)
 
 
+def _executor_log_tails(before: set[str]) -> str:
+    """Tail the stderr of every executor launched AFTER ``before`` was
+    snapshotted. local-cluster workers write per-app dirs under
+    ``$SPARK_HOME/work`` (pip pyspark has no worker; this sandbox runs
+    the full distribution) — harvesting them on failure is what makes a
+    transient executor death diagnosable instead of a mystery rc=1."""
+    spark_home = os.environ.get("SPARK_HOME", "")
+    work = os.path.join(spark_home, "work") if spark_home else ""
+    if not work or not os.path.isdir(work):
+        return "(no $SPARK_HOME/work dir — executor logs unavailable)"
+    chunks = []
+    for app in sorted(set(os.listdir(work)) - before):
+        for exec_id in sorted(os.listdir(os.path.join(work, app))):
+            p = os.path.join(work, app, exec_id, "stderr")
+            if os.path.isfile(p):
+                with open(p, errors="replace") as fh:
+                    tail = fh.read()[-2000:]
+                chunks.append(f"--- {app}/{exec_id}/stderr ---\n{tail}")
+    return "\n".join(chunks) or "(no new executor logs found)"
+
+
 @pytest.mark.skipif(os.cpu_count() is None or os.cpu_count() < 4,
                     reason="local-cluster needs >= 4 cores")
 def test_local_cluster_smoke():
-    # Two executor JVMs + python workers + a moto server make this the
-    # battery's most load-sensitive test: allow ONE retry so a transient
-    # resource squeeze (observed ~1-in-3 full-battery runs) doesn't fail
-    # the battery, while a real regression still fails both attempts.
-    attempts = []
-    for _ in range(2):
-        proc = subprocess.run(
-            [sys.executable, "-c", SCRIPT],
-            capture_output=True,
-            text=True,
-            timeout=560,
-            cwd=REPO,
-        )
-        out = proc.stdout
-        ok = proc.returncode == 0 and all(
-            mk in out
-            for mk in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK")
-        ) and ("S3_OK" in out or "S3_SKIPPED" in out)
-        attempts.append((proc.returncode, out, proc.stderr))
-        if ok:
-            return
-    rc, out, err = attempts[-1]
-    raise AssertionError(
-        f"local-cluster smoke failed twice (rc={rc})\n"
-        f"stdout:\n{out[-4000:]}\nstderr:\n{err[-4000:]}"
+    # No retry (VERDICT r10 #4): the one observed flake class was the
+    # unchecked 120 s stream wait inside SCRIPT (now checked, 420 s);
+    # 12 consecutive runs under a concurrent full battery stayed green.
+    # If a new transient appears it must fail LOUDLY with executor logs
+    # attached, not be absorbed by a second attempt.
+    spark_home = os.environ.get("SPARK_HOME", "")
+    work = os.path.join(spark_home, "work") if spark_home else ""
+    before = set(os.listdir(work)) if work and os.path.isdir(work) else set()
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
     )
+    out = proc.stdout
+    ok = proc.returncode == 0 and all(
+        mk in out
+        for mk in ("GOLDEN_OK", "WRITE_OK", "STREAM_OK", "PIPELINE_OK")
+    ) and ("S3_OK" in out or "S3_SKIPPED" in out)
+    if not ok:
+        raise AssertionError(
+            f"local-cluster smoke failed (rc={proc.returncode})\n"
+            f"stdout:\n{out[-4000:]}\nstderr:\n{proc.stderr[-4000:]}\n"
+            f"executor logs:\n{_executor_log_tails(before)}"
+        )
