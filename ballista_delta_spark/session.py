@@ -184,10 +184,12 @@ _DELTA_FSCK = re.compile(
 
 # REORG TABLE <name> APPLY (PURGE) — rewrite only DV-carrying files so no
 # active file references a deletion vector (delta-spark REORG parity).
+# APPLY (COMPACT DELETION VECTORS) is the metadata-only sibling: re-pack
+# the active DVs of many point-DML commits into one bin, data untouched.
 _DELTA_REORG = re.compile(
     r"^\s*REORG\s+TABLE\s+"
     r"(?P<name>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
-    r"\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s+APPLY\s*\(\s*(?P<reorg_op>PURGE|COMPACT\s+DELETION\s+VECTORS)\s*\)"
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -779,14 +781,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name = _resolve_view(m.group("name"), spark)
         if name is not None:
-            from .sources.delta import read_delta, reorg_purge
+            from .sources.delta import (
+                compact_deletion_vectors,
+                read_delta,
+                reorg_purge,
+            )
 
             loc = _delta_views[name]
-            metrics = reorg_purge(spark, loc)
+            if m.group("reorg_op").upper() == "PURGE":
+                metrics = reorg_purge(spark, loc)
+                rewritten = metrics["numFilesRewritten"]
+            else:
+                metrics = compact_deletion_vectors(loc)
+                rewritten = metrics["numFilesRepointed"]
             read_delta(spark, loc).createOrReplaceTempView(name)
             return spark.sql(
                 f"SELECT CAST({metrics['version']} AS BIGINT) AS committed_version, "
-                f"CAST({metrics['numFilesRewritten']} AS BIGINT) AS files_rewritten"
+                f"CAST({rewritten} AS BIGINT) AS files_rewritten"
             )
 
     m = _DELTA_TBLPROPS.match(masked)
