@@ -882,13 +882,86 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
         return dict(snap.files.items())
 
     types = {f.name: f.dataType for f in snap.schema.fields}
+    ref_cols = (
+        {c for c, _, _ in conjuncts} | {c for c, _ in null_conjuncts}
+    )
+    may_match = _build_may_match(
+        conjuncts,
+        null_conjuncts,
+        {c: snap.physical(c) for c in ref_cols},
+        set(snap.partition_columns),
+        types,
+    )
 
-    def may_match(a: dict[str, Any]) -> bool:
-        st = json.loads(a["stats"]) if a.get("stats") else None
+    # Above the threshold the per-file stats-JSON parse + predicate eval
+    # runs as ONE Spark job over columnar (path, stats, partitionValues)
+    # triples — at millions of adds the driver loop below is the last
+    # O(files) planning cost (delta-spark evaluates data skipping as a
+    # job over the state reconstruction for the same reason). The driver
+    # sees only the surviving paths; the SAME evaluator closure runs on
+    # both paths, so the two can never disagree.
+    spark = SparkSession.getActiveSession()
+    if (
+        spark is not None
+        and len(snap.files) >= _DISTRIBUTED_LISTING_MIN_FILES
+    ):
+        triples = (
+            snap.files.skip_triples()
+            if isinstance(snap.files, _FileIndex)
+            else [
+                (r, a.get("stats"), a.get("partitionValues") or {})
+                for r, a in snap.files.items()
+            ]
+        )
+
+        def _eval(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                keep = [
+                    p
+                    for p, s, pvj in zip(pdf["path"], pdf["stats"], pdf["pv"])
+                    if may_match(
+                        s if isinstance(s, str) else None, _json.loads(pvj)
+                    )
+                ]
+                yield _pd.DataFrame({"path": keep})
+
+        cand = spark.createDataFrame(
+            ((p, s, json.dumps(pv)) for p, s, pv in triples),
+            "path string, stats string, pv string",
+        )
+        survivors = {
+            r["path"] for r in cand.mapInPandas(_eval, "path string").collect()
+        }
+        return {r: snap.files[r] for r in snap.files if r in survivors}
+
+    return {
+        r: a for r, a in snap.files.items()
+        if may_match(a.get("stats"), a.get("partitionValues"))
+    }
+
+
+def _build_may_match(
+    conjuncts: "list[tuple[str, str, Any]]",
+    null_conjuncts: "list[tuple[str, bool]]",
+    phys: dict[str, str],
+    part_cols: set[str],
+    types: dict[str, Any],
+):
+    """The one stats-pruning evaluator, closed over plain picklable state
+    so ``skip_files`` can run it in a driver loop OR ship it to a Spark
+    job unchanged. Takes (stats JSON or None, partitionValues dict)."""
+
+    def may_match(stats_raw: "str | None", part_vals: "dict | None") -> bool:
+        st = json.loads(stats_raw) if stats_raw else None
+        pv_all = part_vals or {}
         for col, op, val in conjuncts:
-            pcol = snap.physical(col)
-            if col in snap.partition_columns:
-                pv = (a.get("partitionValues") or {}).get(pcol)
+            pcol = phys[col]
+            if col in part_cols:
+                pv = pv_all.get(pcol)
                 if pv is None:
                     continue
                 dt_ = types.get(col)
@@ -945,9 +1018,8 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
             except TypeError:
                 continue
         for col, is_not in null_conjuncts:
-            pcol = snap.physical(col)
-            if col in snap.partition_columns:
-                pv_all = a.get("partitionValues") or {}
+            pcol = phys[col]
+            if col in part_cols:
                 if pcol in pv_all:
                     pv = pv_all[pcol]
                     if not is_not and pv is not None:
@@ -967,7 +1039,7 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                 return False
         return True
 
-    return {r: a for r, a in snap.files.items() if may_match(a)}
+    return may_match
 
 
 def version_at_timestamp(path: str, timestamp_ms: int) -> int:
@@ -1154,6 +1226,44 @@ class _FileIndex(MutableMapping):
         out.extend(
             p for p, a in self._overlay.items() if a.get(field) is not None
         )
+        return out
+
+    def skip_triples(self):
+        """``(path, stats JSON, partitionValues)`` per authoritative add —
+        columnar for the checkpoint base (three child-column scans, no
+        per-add dict build). Feeds ``skip_files``' distributed pass: at
+        millions of adds the pruning inputs ship to a Spark job without
+        ever materializing the add set driver-side."""
+        out: list[tuple[str, Any, dict[str, Any]]] = []
+        for ai, arr in enumerate(self._arrays):
+            names = {
+                arr.type.field(i).name for i in range(arr.type.num_fields)
+            }
+            paths = arr.field("path").to_pylist()
+            stats = (
+                arr.field("stats").to_pylist()
+                if "stats" in names else [None] * len(paths)
+            )
+            pvs = (
+                arr.field("partitionValues").to_pylist()
+                if "partitionValues" in names else [None] * len(paths)
+            )
+            for ri, p in enumerate(paths):
+                if (
+                    p is None
+                    or self._loc.get(p) != (ai, ri)
+                    or p in self._dropped
+                ):
+                    continue
+                hit = self._cache.get(p)
+                if hit is not None:  # a materialized dict is authoritative
+                    out.append(
+                        (p, hit.get("stats"), hit.get("partitionValues") or {})
+                    )
+                else:
+                    out.append((p, stats[ri], _as_dict(pvs[ri])))
+        for p, a in self._overlay.items():
+            out.append((p, a.get("stats"), a.get("partitionValues") or {}))
         return out
 
     # Bulk views batch-materialize once (arrow to_pylist per array) instead

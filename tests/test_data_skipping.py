@@ -269,6 +269,64 @@ def test_skip_files_soundness_sweep(spark, tmp_path):
         assert got == expect, f"pruned scan diverged for {pred!r}"
 
 
+def test_skip_files_distributed_pass_matches_driver_loop(
+    spark, tmp_path, monkeypatch,
+):
+    """Above ``_DISTRIBUTED_LISTING_MIN_FILES`` the stats-JSON parse +
+    predicate eval runs as a Spark job over columnar (path, stats,
+    partitionValues) triples instead of the driver loop — the last
+    O(files) planning cost at millions of adds. Same evaluator closure
+    on both paths, so results must be IDENTICAL; this pins that, over a
+    checkpointed table (columnar ``_FileIndex`` base + ``skip_triples``)
+    with a JSON-tail add and a partition column in play."""
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = str(tmp_path / "dist_skip")
+    df = spark.sql("""
+        SELECT id, CAST(id % 4 AS INT) AS p,
+               CASE WHEN id % 9 = 0 THEN NULL ELSE id * 2 END AS nv,
+               DATE'2024-01-01' + make_dt_interval(CAST(id / 5 AS INT)) AS ts
+        FROM range(200)
+    """).repartitionByRange(5, "id")
+    write_delta(df, tbl, partition_by=["p"])
+    d.create_checkpoint(tbl)
+    # a post-checkpoint commit so the snapshot mixes columnar base adds
+    # with JSON-tail overlay adds
+    write_delta(
+        spark.sql(
+            "SELECT id, CAST(id % 4 AS INT) AS p, id * 2 AS nv, "
+            "TIMESTAMP'2024-02-01 00:00:00' AS ts FROM range(200, 240)"
+        ),
+        tbl, mode="append", partition_by=["p"],
+    )
+    snap = _load_snapshot(tbl)
+    assert isinstance(snap.files, d._FileIndex) and snap.files._overlay
+    predicates = [
+        "id < 40", "id >= 180", "p = 2", "p = 2 AND id < 100",
+        "nv IS NULL", "nv IS NOT NULL", "ts >= '2024-01-25'",
+        "id IN (3, 210)", "id = 9999",
+    ]
+    for pred in predicates:
+        driver_result = skip_files(snap, pred)
+        monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 2)
+        dist_result = skip_files(snap, pred)
+        monkeypatch.undo()
+        assert list(dist_result) == list(driver_result), pred
+        assert dist_result == driver_result, pred
+    # and the job path genuinely prunes: a dead predicate keeps nothing
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 2)
+    assert skip_files(snap, "id = 9999") == {}
+    assert 0 < len(skip_files(snap, "id < 40")) < len(snap.files)
+    # end-to-end: pruned scan + residual filter == full scan + filter
+    full = read_delta(spark, tbl)
+    for pred in ("p = 2 AND id < 100", "ts >= '2024-01-25'"):
+        expect = sorted(tuple(r) for r in full.filter(pred).collect())
+        got = sorted(
+            tuple(r) for r in read_delta(spark, tbl, where=pred).collect()
+        )
+        assert got == expect, pred
+
+
 def test_long_string_stats_truncate_but_still_prune(spark, tmp_path):
     """String bounds truncate to a 32-char prefix (max bumped past every
     covered value) so a document-text column costs 32 chars per file in
