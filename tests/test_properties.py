@@ -905,6 +905,13 @@ class TestFileIndexDictEquivalence:
         assert sorted(a["path"] for a in fi.values()) == sorted(
             a["path"] for a in ref.values()
         )
+        # skip_triples (the columnar feed of skip_files' distributed
+        # pass) must agree with the materialized view after ANY mutation
+        # interleaving — including cache hits from the __getitem__ above.
+        assert sorted(fi.skip_triples()) == sorted(
+            (p, a.get("stats"), a.get("partitionValues") or {})
+            for p, a in ref.items()
+        )
 
 
 def test_paths_with_field_ignores_shadowed_duplicate_rows():
