@@ -1230,10 +1230,11 @@ class _FileIndex(MutableMapping):
 
     def skip_triples(self):
         """``(path, stats JSON, partitionValues)`` per authoritative add —
-        columnar for the checkpoint base (three child-column scans, no
-        per-add dict build). Feeds ``skip_files``' distributed pass: at
-        millions of adds the pruning inputs ship to a Spark job without
-        ever materializing the add set driver-side."""
+        columnar for the checkpoint base (three child-column scans).
+        Feeds ``skip_files``' distributed pass. The driver still builds
+        the O(files) triple list to ship; what this avoids is the FULL
+        per-add dict materialization, and what the job moves off the
+        driver is the stats-JSON parse + predicate eval per file."""
         out: list[tuple[str, Any, dict[str, Any]]] = []
         for ai, arr in enumerate(self._arrays):
             names = {
@@ -1789,6 +1790,22 @@ _LISTING_MAX_TASKS = 512
 _EXISTS_FILES_PER_TASK = 4096
 
 
+def _vacuum_keep_dir(name: str) -> bool:
+    """Spec listing rule shared by EVERY orphan-discovery walk (driver
+    and distributed — one definition so the branches cannot diverge):
+    descend a directory iff it is a Hive partition dir (``=`` in the
+    name) or not ``_``/``.``-prefixed."""
+    return "=" in name or not name.startswith(("_", "."))
+
+
+def _vacuum_skip_name(name: str) -> bool:
+    """File names VACUUM's orphan passes never touch: ``_``/``.``-
+    prefixed entries and DV bins (the dedicated DV pass owns those)."""
+    return name.startswith(("_", ".")) or (
+        name.startswith("deletion_vector_") and name.endswith(".bin")
+    )
+
+
 def _distributed_untracked_listing(
     spark: SparkSession,
     path: str,
@@ -1803,21 +1820,25 @@ def _distributed_untracked_listing(
     Work items are the table's filtered top-level entries — Hive
     partition dirs walk whole subtrees per task, root-level files batch
     by name — so the driver never holds the full listing in a Python
-    set; it sees only the anti-join result. Skip rules match the driver
-    walk exactly: ``_``/``.``-prefixed segments are ignored unless the
-    segment is a Hive partition dir (contains ``=``), and
-    ``deletion_vector_*.bin`` files belong to the DV pass. delta-spark's
-    VACUUM runs this same listing-join shape as a distributed job.
+    set; it sees only the anti-join result. Skip rules are SHARED with
+    the driver walk (``_vacuum_keep_dir`` / ``_vacuum_skip_name`` — one
+    definition, so the threshold can never flip the outcome), and
+    symlinked root dirs are never traversed, matching ``os.walk``'s
+    no-follow default below the threshold. delta-spark's VACUUM runs
+    this same listing-join shape as a distributed job.
     """
     items: list[tuple[str, bool]] = []
     for entry in sorted(os.listdir(path)):
-        if os.path.isdir(os.path.join(path, entry)):
-            if "=" in entry or not entry.startswith(("_", ".")):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            # Never traverse a symlinked dir: the driver walk below the
+            # threshold (os.walk, followlinks=False) doesn't descend it,
+            # and unlinking through one would reach OUTSIDE the table
+            # root — the invariant the tombstone pass guards by realpath.
+            if _vacuum_keep_dir(entry) and not os.path.islink(full):
                 items.append((entry, True))
         else:
-            if entry.startswith(("_", ".")):
-                continue
-            if entry.startswith("deletion_vector_") and entry.endswith(".bin"):
+            if _vacuum_skip_name(entry):
                 continue
             items.append((entry, False))
     if not items:
@@ -1842,17 +1863,9 @@ def _distributed_untracked_listing(
                         out.append(rel)
                     continue
                 for wroot, dirs, names in _os.walk(full):
-                    dirs[:] = [
-                        d for d in dirs
-                        if "=" in d or not d.startswith(("_", "."))
-                    ]
+                    dirs[:] = [d for d in dirs if _vacuum_keep_dir(d)]
                     for name in names:
-                        if name.startswith(("_", ".")):
-                            continue
-                        if (
-                            name.startswith("deletion_vector_")
-                            and name.endswith(".bin")
-                        ):
+                        if _vacuum_skip_name(name):
                             continue
                         fp = _os.path.join(wroot, name)
                         try:
@@ -5472,9 +5485,14 @@ def vacuum(
         for rel in _distributed_untracked_listing(
             spark, path, tracked_rels, now_ms - retention_ms
         ):
+            abs_p = os.path.join(path, rel)
+            # Same containment invariant as the tombstone pass: never
+            # unlink through a link that resolves outside the table root.
+            if not os.path.realpath(abs_p).startswith(root + os.sep):
+                continue
             if not dry_run:
                 try:
-                    os.unlink(os.path.join(path, rel))
+                    os.unlink(abs_p)
                 except OSError:
                     continue
             deleted.append(rel)
@@ -5482,15 +5500,10 @@ def vacuum(
         tracked = set(snap.files) | set(snap.tombstones)
         for walk_root, dirs, names in os.walk(path):
             rel_root = os.path.relpath(walk_root, path)
-            dirs[:] = [
-                d for d in dirs
-                if "=" in d or not (d.startswith("_") or d.startswith("."))
-            ]
+            dirs[:] = [d for d in dirs if _vacuum_keep_dir(d)]
             for name in names:
-                if name.startswith("_") or name.startswith("."):
-                    continue
-                if name.startswith("deletion_vector_") and name.endswith(".bin"):
-                    continue  # DV pass above owns these
+                if _vacuum_skip_name(name):
+                    continue  # log/CDF entries + DV bins (DV pass above)
                 rel = (
                     name if rel_root == "."
                     else os.path.join(rel_root, name).replace(os.sep, "/")
@@ -6220,9 +6233,17 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
     bins_before: set[str] = set()
     for rel in _dv_paths(snap):
         desc = _as_dict(snap.files[rel]["deletionVector"])
-        if desc.get("storageType") not in ("u", "p"):
+        st_type = desc.get("storageType")
+        if st_type not in ("u", "p"):
             continue
-        bins_before.add(_dv.dv_file_path(path, desc))
+        # Bin identity: 'p' carries the bin path VERBATIM in
+        # pathOrInlineDv (a shallow clone's re-rooted DVs — clone_delta);
+        # only 'u' encodes a UUID that dv_file_path resolves. Feeding 'p'
+        # through dv_file_path would z85-decode an arbitrary path tail.
+        bins_before.add(
+            desc["pathOrInlineDv"] if st_type == "p"
+            else _dv.dv_file_path(path, desc)
+        )
         per_file[rel] = _dv.read_deletion_vector(path, desc)
     if len(bins_before) <= 1:
         return {

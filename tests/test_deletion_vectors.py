@@ -772,6 +772,54 @@ def test_compact_dv_bins_noop_on_single_file_history(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 85
 
 
+def test_compact_dv_bins_on_shallow_clone_p_descriptors(spark, tmp_path):
+    """A shallow clone re-roots DVs to absolute storageType='p'
+    descriptors pointing at the SOURCE's bins. Compacting the clone must
+    key bin identity on the verbatim path (not the 'u' UUID decode),
+    write the packed bin into the CLONE's dir, and leave the source
+    untouched (review finding, r11)."""
+    from ballista_delta_spark.sources.delta import (
+        clone_delta, compact_deletion_vectors,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    # unpartitioned: a shallow clone of a PARTITIONED DV table refuses
+    # scans (abs-path references aren't Hive-pathed — documented
+    # non-Hive-layout DV guard), so the 'p'-descriptor path is pinned on
+    # the layout clones can actually read
+    write_delta(
+        spark.range(200).selectExpr("id").repartitionByRange(2, "id"), src,
+    )
+    delete_delta(spark, src, "id < 10", mode="dv")
+    delete_delta(spark, src, "id >= 190", mode="dv")
+    src_bins = sorted(glob.glob(os.path.join(src, "deletion_vector_*.bin")))
+    assert len(src_bins) == 2
+    clone_delta(src, dst)
+    snap = DeltaTable(dst).snapshot
+    assert {
+        a["deletionVector"]["storageType"]
+        for a in snap.files.values() if a.get("deletionVector")
+    } == {"p"}
+    rows_before = sorted(r.id for r in read_delta(spark, dst).collect())
+
+    m = compact_deletion_vectors(dst)
+    assert m["numBinsBefore"] == 2 and m["numBinsAfter"] == 1
+    # packed bin lives in the CLONE; the source's bins are untouched
+    assert len(glob.glob(os.path.join(dst, "deletion_vector_*.bin"))) == 1
+    assert sorted(
+        glob.glob(os.path.join(src, "deletion_vector_*.bin"))
+    ) == src_bins
+    after = DeltaTable(dst).snapshot
+    assert {
+        a["deletionVector"]["storageType"]
+        for a in after.files.values() if a.get("deletionVector")
+    } == {"u"}
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == rows_before
+    assert read_delta(spark, src).count() == 180  # source unaffected
+
+
 def test_compact_dv_bins_sql_ddl(spark, tmp_path):
     from ballista_delta_spark.session import sql as bd_sql
     from ballista_delta_spark.sources.delta_dml import delete_delta

@@ -749,6 +749,40 @@ def test_vacuum_distributed_listing_on_many_files(spark, tmp_path, monkeypatch):
     assert _os.path.exists(_os.path.join(tbl, ".hidden"))
 
 
+def test_vacuum_never_reaches_through_symlinks(spark, tmp_path, monkeypatch):
+    """A symlinked root dir pointing OUTSIDE the table must never be
+    traversed or unlinked-through, on EITHER listing branch: the driver
+    walk never follows links (os.walk default) and the distributed items
+    builder must not classify the link as a walkable dir — else VACUUM
+    would destroy external files through it (review finding, r11)."""
+    import os as _os
+
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = str(tmp_path / "t")
+    write_delta(read_delta(spark, FIXTURE), tbl, mode="overwrite")
+    external = tmp_path / "external"
+    external.mkdir()
+    (external / "precious.parquet").write_bytes(b"keep me")
+    _os.symlink(str(external), _os.path.join(tbl, "extdata"))
+    # one real orphan so the pass provably ran and deleted SOMETHING
+    open(_os.path.join(tbl, "orphan.parquet"), "wb").write(b"x")
+    # distributed branch (forced)
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1)
+    deleted = d.vacuum(tbl, retention_ms=0, spark=spark)
+    assert "orphan.parquet" in deleted
+    assert not any("extdata" in r or "precious" in r for r in deleted)
+    assert (external / "precious.parquet").read_bytes() == b"keep me"
+    # driver branch agrees (fresh orphan, unreachable threshold)
+    open(_os.path.join(tbl, "orphan2.parquet"), "wb").write(b"x")
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1 << 60)
+    deleted2 = d.vacuum(tbl, retention_ms=0, spark=spark)
+    assert "orphan2.parquet" in deleted2
+    assert not any("extdata" in r or "precious" in r for r in deleted2)
+    assert (external / "precious.parquet").read_bytes() == b"keep me"
+    assert read_delta(spark, tbl).count() == 5
+
+
 def test_fsck_distributed_existence_probe(spark, tmp_path, monkeypatch):
     """Above the threshold FSCK's existence checks run as one Spark job
     and report the same missing set as the driver loop."""

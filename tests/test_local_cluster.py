@@ -178,13 +178,24 @@ def test_local_cluster_smoke():
     spark_home = os.environ.get("SPARK_HOME", "")
     work = os.path.join(spark_home, "work") if spark_home else ""
     before = set(os.listdir(work)) if work and os.path.isdir(work) else set()
-    proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
-        capture_output=True,
-        text=True,
-        timeout=560,
-        cwd=REPO,
-    )
+    try:
+        # Budget must dominate the sum of the script's internal waits
+        # (420 s stream + boot + the other four steps), or the exact
+        # slow-boot case the checked wait exists for would die as
+        # TimeoutExpired instead — skipping the log harvest below.
+        proc = subprocess.run(
+            [sys.executable, "-c", SCRIPT],
+            capture_output=True,
+            text=True,
+            timeout=840,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired as te:
+        raise AssertionError(
+            f"local-cluster smoke timed out after {te.timeout}s\n"
+            f"stdout:\n{(te.stdout or b'')[-4000:]}\n"
+            f"executor logs:\n{_executor_log_tails(before)}"
+        ) from None
     out = proc.stdout
     ok = proc.returncode == 0 and all(
         mk in out
