@@ -238,15 +238,14 @@ class DeltaTable:
             return dv_filter(
                 spark.read.schema(read_schema).parquet(*paths)
             ).select(*logical)
-        # Fallback for non-Hive file layouts (legal in the protocol): group
-        # files by identical partitionValues and union per-group scans with
-        # the partition literals attached. partitionValues keys are PHYSICAL
-        # names per the spec.
-        if _dv_paths(snap):
-            raise ValueError(
-                "deletion vectors on a non-Hive partition layout are not "
-                "supported"
-            )
+        # Fallback for non-Hive file layouts (legal in the protocol, and
+        # what a shallow clone of a partitioned table IS — its abs-path
+        # references live under the SOURCE's roots): group files by
+        # identical partitionValues and union per-group scans with the
+        # partition literals attached. partitionValues keys are PHYSICAL
+        # names per the spec. DVs apply per group — each branch is its
+        # own parquet scan with its own ``_metadata`` columns, and the
+        # anti-join relation simply misses the other groups' files.
         if with_location or with_row_lineage:
             raise ValueError(
                 "with_location/with_row_lineage on a non-Hive partition "
@@ -263,7 +262,7 @@ class DeltaTable:
             for f in snap.data_schema.fields
         ])
         for key, group in sorted(by_pv.items()):
-            df = spark.read.schema(phys_data_schema).parquet(*group)
+            df = dv_filter(spark.read.schema(phys_data_schema).parquet(*group))
             for col, val in key:
                 lit = F.lit(None) if val is None else F.lit(val)
                 df = df.withColumn(col, lit.cast(ptypes[col]))

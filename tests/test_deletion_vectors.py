@@ -820,6 +820,43 @@ def test_compact_dv_bins_on_shallow_clone_p_descriptors(spark, tmp_path):
     assert read_delta(spark, src).count() == 180  # source unaffected
 
 
+def test_dv_reads_on_partitioned_shallow_clone(spark, tmp_path):
+    """A shallow clone of a PARTITIONED DV table is the protocol's
+    canonical non-Hive layout (abs-path references under the source's
+    roots). The union fallback now applies the DV anti-join per
+    partition-group scan, so the clone reads the same live rows as the
+    source — previously this raised 'deletion vectors on a non-Hive
+    partition layout are not supported' (r11)."""
+    from ballista_delta_spark.sources.delta import clone_delta
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pclone")
+    write_delta(
+        spark.range(200).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    delete_delta(spark, src, "p = 0 AND id < 10", mode="dv")
+    delete_delta(spark, src, "p = 1 AND id < 10", mode="dv")
+    src_rows = sorted(
+        tuple(r) for r in read_delta(spark, src).collect()
+    )
+    assert len(src_rows) == 190
+    clone_delta(src, dst)
+    got = read_delta(spark, dst)
+    assert sorted(tuple(r) for r in got.collect()) == src_rows
+    assert got.filter("id < 10").count() == 0
+    assert got.filter("p = 1").count() == 95
+    # ...and the metadata-only DV bin compaction composes on top
+    from ballista_delta_spark.sources.delta import compact_deletion_vectors
+
+    m = compact_deletion_vectors(dst)
+    assert m["numBinsBefore"] == 2 and m["numBinsAfter"] == 1
+    assert sorted(
+        tuple(r) for r in read_delta(spark, dst).collect()
+    ) == src_rows
+
+
 def test_compact_dv_bins_sql_ddl(spark, tmp_path):
     from ballista_delta_spark.session import sql as bd_sql
     from ballista_delta_spark.sources.delta_dml import delete_delta
