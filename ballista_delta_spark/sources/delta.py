@@ -246,10 +246,10 @@ class DeltaTable:
         # names per the spec. DVs apply per group — each branch is its
         # own parquet scan with its own ``_metadata`` columns, and the
         # anti-join relation simply misses the other groups' files.
-        if with_location or with_row_lineage:
+        if with_row_lineage:
             raise ValueError(
-                "with_location/with_row_lineage on a non-Hive partition "
-                "layout is not supported"
+                "with_row_lineage on a non-Hive partition layout is not "
+                "supported"
             )
         by_pv: dict[tuple, list[str]] = {}
         for rel, add in self.snapshot.files.items():

@@ -301,3 +301,54 @@ def test_deep_clone_p_dv_bins_with_colliding_basenames(spark, tmp_path):
     shutil.move(dst, moved)
     got = sorted(r.id for r in read_delta(spark, moved).collect())
     assert got == before
+
+
+def test_full_dml_matrix_on_partitioned_shallow_clone(spark, tmp_path):
+    """A shallow clone of a PARTITIONED table takes the non-Hive union
+    scan path (abs-path references). With ``with_location`` enabled on
+    that path (r11), the entire DML surface works on the clone — DV and
+    COW deletes/updates, MERGE — with the source never touched
+    (delta-spark supports the same; clones exist to be experimented on)."""
+    from ballista_delta_spark.sources.delta import (
+        clone_delta, read_delta, write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import (
+        delete_delta, merge_delta, update_delta,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    clone_delta(src, dst)
+
+    m = delete_delta(spark, dst, "id < 4", mode="dv")
+    assert m["numDeletedRows"] == 4
+
+    update_delta(spark, dst, "id >= 98", {"id": "id + 1000"})          # cow
+    update_delta(spark, dst, "id = 50", {"id": "id + 2000"}, mode="dv")
+    delete_delta(spark, dst, "id = 60")                                 # cow
+
+    merge_delta(
+        spark, dst,
+        spark.range(40, 44).selectExpr("id AS key", "CAST(9 AS INT) AS p"),
+        "t.id = s.key",
+        matched_update={"p": "s.p"},
+        not_matched_insert={"id": "s.key", "p": "s.p"},
+    )
+
+    got = read_delta(spark, dst)
+    ids = sorted(r.id for r in got.collect())
+    expect = sorted(
+        (set(range(4, 98)) - {50, 60}) | {2050, 1098, 1099}
+    )
+    assert ids == expect
+    assert got.filter("p = 9").count() == 4          # merge updates landed
+    assert got.filter("id = 2050").count() == 1      # dv update post-image
+    # the source is bit-for-bit unaffected
+    assert read_delta(spark, src).count() == 100
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == list(
+        range(100)
+    )
