@@ -352,3 +352,33 @@ def test_full_dml_matrix_on_partitioned_shallow_clone(spark, tmp_path):
     assert sorted(r.id for r in read_delta(spark, src).collect()) == list(
         range(100)
     )
+
+
+def test_optimize_and_reorg_on_partitioned_shallow_clone(spark, tmp_path):
+    """Maintenance ops compose on the partitioned shallow clone too:
+    OPTIMIZE compacts the abs-referenced files into clone-owned ones and
+    REORG purges the clone's DVs — the source is never touched."""
+    from ballista_delta_spark.sources.delta import (
+        clone_delta, optimize, read_delta, reorg_purge, write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    write_delta(
+        spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    write_delta(
+        spark.range(100, 110).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        src, mode="append", partition_by=["p"],
+    )
+    clone_delta(src, dst)
+    v = optimize(spark, dst)
+    got = read_delta(spark, dst)
+    assert v > 0 and got.count() == 110 and got.filter("p = 1").count() == 55
+    delete_delta(spark, dst, "id < 5", mode="dv")
+    m = reorg_purge(spark, dst)
+    assert m["numFilesRewritten"] >= 1
+    assert read_delta(spark, dst).count() == 105
+    assert read_delta(spark, src).count() == 110  # source untouched
