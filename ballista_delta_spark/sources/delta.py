@@ -218,7 +218,16 @@ class DeltaTable:
                 F.col(MATERIALIZED_ROW_ID_COL),
                 F.col(MATERIALIZED_ROW_COMMIT_COL),
             ]
-        dv_filter = self._dv_filter(spark, keep_location=with_location)
+        attach_location, deleted = self._dv_parts(
+            spark, keep_location=with_location
+        )
+
+        def dv_filter(df: DataFrame) -> DataFrame:
+            df = attach_location(df)
+            if deleted is not None:
+                df = df.join(deleted, ["__src_fp", "__src_ri"], "left_anti")
+            return df
+
         paths = [os.path.join(self.path, p) for p in snap.files]
         # Absolute add paths (shallow clones) can live OUTSIDE the table
         # root, where Spark's basePath partition recovery would refuse the
@@ -261,22 +270,39 @@ class DeltaTable:
             T.StructField(snap.physical(f.name), f.dataType, f.nullable)
             for f in snap.data_schema.fields
         ])
-        for key, group in sorted(by_pv.items()):
-            df = dv_filter(spark.read.schema(phys_data_schema).parquet(*group))
+        # None-safe deterministic group order: partitionValues may be null
+        # (__HIVE_DEFAULT_PARTITION__), and None doesn't compare to str.
+        def _group_key(kv):
+            return tuple((c, v is None, v or "") for c, v in kv[0])
+
+        # Attach location columns per branch (each parquet scan owns its
+        # _metadata columns) but apply the DV anti-join ONCE above the
+        # union — joining the expanded-bitmap relation into every branch
+        # would re-run the bitmap decode job per partition group.
+        for key, group in sorted(by_pv.items(), key=_group_key):
+            df = attach_location(
+                spark.read.schema(phys_data_schema).parquet(*group)
+            )
             for col, val in key:
                 lit = F.lit(None) if val is None else F.lit(val)
                 df = df.withColumn(col, lit.cast(ptypes[col]))
-            parts.append(df.select(*logical))
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if deleted is not None:
+            out = out.join(deleted, ["__src_fp", "__src_ri"], "left_anti")
+        return out.select(*logical)
 
-    def _dv_filter(self, spark: SparkSession, keep_location: bool = False):
-        """Identity when no active file carries a deletion vector (plus the
-        ``__src_fp``/``__src_ri`` location columns when requested);
-        otherwise a closure that drops DV-marked rows via a distributed
-        ANTI-JOIN on (file, row_index).
+    def _dv_parts(self, spark: SparkSession, keep_location: bool = False):
+        """Return ``(attach_location, deleted)`` — the pieces of the DV
+        merge-on-read filter, separated so multi-branch scans (the
+        non-Hive union path) can attach the per-scan ``_metadata``-derived
+        location columns inside each branch but run the anti-join ONCE
+        above the union. ``attach_location`` is the identity when neither
+        DVs nor ``keep_location`` need it; ``deleted`` is ``None`` when no
+        active file carries a deletion vector, else the expanded
+        (file, row_index) relation to anti-join on.
 
         The driver only READS each file's compressed bitmap (metadata-scale
         — delta-spark holds the same bitmaps in task memory) and ships a
@@ -319,7 +345,9 @@ class DeltaTable:
             )
 
         if not dv_adds:
-            return attach_location if keep_location else (lambda df: df)
+            return (
+                attach_location if keep_location else (lambda df: df)
+            ), None
         from . import dv as _dv
 
         bitmaps = [
@@ -330,14 +358,7 @@ class DeltaTable:
             )
             for rel, a in dv_adds.items()
         ]
-        deleted = _expand_dv_bitmaps(spark, bitmaps)
-
-        def apply(df: DataFrame) -> DataFrame:
-            return attach_location(df).join(
-                deleted, ["__src_fp", "__src_ri"], "left_anti"
-            )
-
-        return apply
+        return attach_location, _expand_dv_bitmaps(spark, bitmaps)
 
     def _hive_pathed(self, rel_path: str) -> bool:
         parts = rel_path.split("/")[:-1]
@@ -1292,7 +1313,7 @@ class _FileIndex(MutableMapping):
 def _dv_paths(snap: "Snapshot") -> list[str]:
     """Active files carrying a deletionVector — columnar on
     checkpoint-backed snapshots so plain scans of DV-free tables never
-    materialize the add set (r10 review: _dv_filter's dict comprehension
+    materialize the add set (r10 review: _dv_parts's dict comprehension
     paid back the lazy open on the first read)."""
     files = snap.files
     if isinstance(files, _FileIndex):
@@ -1880,10 +1901,12 @@ def _distributed_untracked_listing(
             yield _pd.DataFrame({"rel": out})
 
     # Task count follows the work shape: a dir item walks a whole subtree
-    # (deserves its own task), a file item is one stat (batch ~256/task).
+    # (deserves its own task), a file item is one stat — batched per task
+    # by the same policy constant as the FSCK probes.
     n_dirs = sum(1 for _, is_dir in items if is_dir)
     n_tasks = max(1, min(
-        max(n_dirs, -(-len(items) // 256)), _LISTING_MAX_TASKS
+        max(n_dirs, -(-len(items) // _EXISTS_FILES_PER_TASK)),
+        _LISTING_MAX_TASKS,
     ))
     cand = (
         spark.createDataFrame(items, "rel string, is_dir boolean")
@@ -5357,6 +5380,62 @@ def _parse_retention_interval(raw: str) -> int:
     return n * units[unit]
 
 
+def _bins_named_since(path: str, horizon_ts: int) -> set[str]:
+    """Absolute paths of every DV bin NAMED by an add or remove action in
+    a surviving commit whose timestamp is at or after ``horizon_ts``.
+
+    VACUUM's in-window protection set: a remove that names a
+    deletionVector is that DV's supersession record — replay state drops
+    the tombstone when the same path is re-added with a fresh DV (DML
+    rewrites, bin compaction), but the commit file still carries it, so
+    time travel inside the window keeps working. Walks the log tail
+    newest-first and stops at the first pre-horizon commit
+    (metadata-scale: the window's commits only)."""
+    log = _log_dir(path)
+    try:
+        names = os.listdir(log)
+    except OSError:
+        return set()
+    versions = sorted(
+        int(n.split(".")[0]) for n in names
+        if n.endswith(".json") and n.split(".")[0].isdigit()
+        and len(n.split(".")[0]) == 20 and ".compacted." not in n
+    )
+    from . import dv as _dv
+
+    out: set[str] = set()
+    for v in reversed(versions):
+        fp = _version_file(log, v)
+        commit_ts = None
+        actions = []
+        try:
+            with open(fp) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    actions.append(act)
+                    if commit_ts is None and "commitInfo" in act:
+                        ci = act["commitInfo"]
+                        commit_ts = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
+        except OSError:
+            continue
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(fp) * 1000)
+        if int(commit_ts) < horizon_ts:
+            break
+        for act in actions:
+            a = act.get("add") or act.get("remove")
+            if not a:
+                continue
+            dvd = _as_dict(a.get("deletionVector") or {})
+            if dvd.get("storageType") in ("u", "p"):
+                out.add(os.path.abspath(_dv.dv_file_path(path, dvd)))
+    return out
+
+
 def vacuum(
     path: str,
     retention_ms: int | None = None,
@@ -5422,13 +5501,40 @@ def vacuum(
     # Deletion-vector .bin files: delete the ones no ACTIVE add references
     # once past the retention window (a superseded or purged DV is exactly
     # a tombstoned file: time travel may still need it inside the window).
-    live_bins = set()
-    for a in snap.files.values():
-        dvd = _as_dict(a.get("deletionVector") or {})
-        if dvd.get("storageType") == "u":
-            from . import dv as _dv
+    # The window counts from the SUPERSESSION time, not the bin's mtime:
+    # an old bin superseded a minute ago (DV rewrite, REORG, bin
+    # compaction) must survive the full window for in-window time
+    # travel. Three protections compose to cover exactly "referenced by
+    # some version inside the window":
+    #   - live_bins: referenced by the CURRENT snapshot;
+    #   - in-window actions: any bin NAMED by an add or remove in a
+    #     commit inside the window. The remove that supersedes a DV
+    #     names the old descriptor (DML rewrites, REORG, bin
+    #     compaction), so this is the supersession record even when a
+    #     same-path re-add drops the tombstone from replay state; adds
+    #     cover bins created in-window regardless of mtime;
+    #   - mtime: the fallback guard for orphan bins no commit ever
+    #     named (crashed DV writers);
+    # plus tombstone deletionTimestamps (REORG PURGE, COW rewrites —
+    # paths never re-added), which survive even after the commit json
+    # itself is retired by log cleanup.
+    from . import dv as _dv
 
-            live_bins.add(os.path.abspath(_dv.dv_file_path(path, dvd)))
+    def _bin_of(action: dict) -> str | None:
+        dvd = _as_dict(action.get("deletionVector") or {})
+        if dvd.get("storageType") not in ("u", "p"):
+            return None
+        return os.path.abspath(_dv.dv_file_path(path, dvd))
+
+    live_bins = {b for a in snap.files.values() if (b := _bin_of(a))}
+    if retention_ms > 0:
+        live_bins |= _bins_named_since(path, now_ms - retention_ms)
+    superseded_ts: dict[str, int] = {}
+    for rm in snap.tombstones.values():
+        bp = _bin_of(rm)
+        if bp is not None:
+            ts = int(rm.get("deletionTimestamp") or 0)
+            superseded_ts[bp] = max(superseded_ts.get(bp, 0), ts)
     import glob as _glob
 
     # recursive: delta-spark prefixes DV files with random subdirs
@@ -5437,9 +5543,14 @@ def vacuum(
     for bin_path in _glob.glob(
         os.path.join(path, "**", "deletion_vector_*.bin"), recursive=True
     ):
-        if os.path.abspath(bin_path) in live_bins:
+        abs_bin = os.path.abspath(bin_path)
+        if abs_bin in live_bins:
             continue
-        if now_ms - int(os.path.getmtime(bin_path) * 1000) < retention_ms:
+        age_start_ms = max(
+            int(os.path.getmtime(bin_path) * 1000),
+            superseded_ts.get(abs_bin, 0),
+        )
+        if now_ms - age_start_ms < retention_ms:
             continue
         if not dry_run:
             os.unlink(bin_path)
@@ -5486,8 +5597,13 @@ def vacuum(
         ):
             abs_p = os.path.join(path, rel)
             # Same containment invariant as the tombstone pass: never
-            # unlink through a link that resolves outside the table root.
-            if not os.path.realpath(abs_p).startswith(root + os.sep):
+            # unlink THROUGH a link to outside the table root. An orphan
+            # that IS a symlink is fair game — os.unlink removes only the
+            # link, which is exactly what the driver walk below does, and
+            # the branches must not diverge on the same table state.
+            if not os.path.islink(abs_p) and not os.path.realpath(
+                abs_p
+            ).startswith(root + os.sep):
                 continue
             if not dry_run:
                 try:

@@ -382,3 +382,32 @@ def test_optimize_and_reorg_on_partitioned_shallow_clone(spark, tmp_path):
     assert m["numFilesRewritten"] >= 1
     assert read_delta(spark, dst).count() == 105
     assert read_delta(spark, src).count() == 110  # source untouched
+
+
+def test_null_partition_values_on_shallow_clone(spark, tmp_path):
+    """partitionValues may be null (__HIVE_DEFAULT_PARTITION__). The
+    non-Hive union scan must order its partition groups with a None-safe
+    key — sorting (('p', '1'),) against (('p', None),) raised TypeError
+    and crashed every scan/DML on the clone (review finding, r11) — and
+    a DV delete must work over the mixed-null layout."""
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    write_delta(
+        spark.range(20).selectExpr(
+            "id", "CASE WHEN id < 10 THEN CAST(id % 2 AS INT) END AS p"
+        ),
+        src, partition_by=["p"],
+    )
+    assert os.path.isdir(os.path.join(src, "p=__HIVE_DEFAULT_PARTITION__"))
+    clone_delta(src, dst)
+    got = read_delta(spark, dst)
+    assert got.count() == 20
+    assert got.filter("p IS NULL").count() == 10
+    m = delete_delta(spark, dst, "id < 5", mode="dv")
+    assert m["numDeletedRows"] == 5
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == list(
+        range(5, 20)
+    )
+    assert read_delta(spark, src).count() == 20  # source untouched

@@ -785,10 +785,9 @@ def test_compact_dv_bins_on_shallow_clone_p_descriptors(spark, tmp_path):
 
     src = str(tmp_path / "src")
     dst = str(tmp_path / "clone")
-    # unpartitioned: a shallow clone of a PARTITIONED DV table refuses
-    # scans (abs-path references aren't Hive-pathed — documented
-    # non-Hive-layout DV guard), so the 'p'-descriptor path is pinned on
-    # the layout clones can actually read
+    # unpartitioned keeps this pin focused on 'p'-descriptor bin
+    # identity; partitioned-clone DV reads have their own test
+    # (test_dv_reads_on_partitioned_shallow_clone)
     write_delta(
         spark.range(200).selectExpr("id").repartitionByRange(2, "id"), src,
     )
@@ -823,8 +822,9 @@ def test_compact_dv_bins_on_shallow_clone_p_descriptors(spark, tmp_path):
 def test_dv_reads_on_partitioned_shallow_clone(spark, tmp_path):
     """A shallow clone of a PARTITIONED DV table is the protocol's
     canonical non-Hive layout (abs-path references under the source's
-    roots). The union fallback now applies the DV anti-join per
-    partition-group scan, so the clone reads the same live rows as the
+    roots). The union fallback attaches per-branch location columns and
+    applies the DV anti-join ONCE above the union (one bitmap-decode job
+    per query), so the clone reads the same live rows as the
     source — previously this raised 'deletion vectors on a non-Hive
     partition layout are not supported' (r11)."""
     from ballista_delta_spark.sources.delta import clone_delta
@@ -1070,3 +1070,44 @@ def test_dv_and_row_tracking_on_uri_encodable_path(spark, tmp_path):
 
     with_ids = read_delta_with_row_ids(spark, tbl)
     assert with_ids.select("row_id").distinct().count() == 15
+
+
+def test_vacuum_counts_dv_bin_retention_from_supersession(spark, tmp_path):
+    """A bin superseded INSIDE the retention window must survive VACUUM
+    even when the bin file itself is old: the supersession record is the
+    remove action naming the descriptor (same-path re-adds drop the
+    tombstone from replay state, so mtime alone would reclaim it and
+    break in-window time travel — review finding, r11)."""
+    import time as _time
+
+    from ballista_delta_spark.sources.delta import (
+        DeltaTable, compact_deletion_vectors, vacuum,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(100).selectExpr("id"), tbl)
+    delete_delta(spark, tbl, "id < 5", mode="dv")
+    delete_delta(spark, tbl, "id >= 95", mode="dv")
+    bins = sorted(
+        glob.glob(os.path.join(tbl, "**", "deletion_vector_*.bin"),
+                  recursive=True)
+    )
+    assert len(bins) >= 1
+    # Backdate the bin files past the 7-day default window; the
+    # supersession (compaction, below) happens NOW, inside the window.
+    past = _time.time() - 8 * 24 * 3600
+    for b in bins:
+        os.utime(b, (past, past))
+    pre_v = DeltaTable(tbl).snapshot.version
+    compact_deletion_vectors(tbl)
+
+    vacuum(tbl, spark=spark)  # default 7-day retention
+    assert all(os.path.exists(b) for b in bins)
+    # in-window time travel still reads through the superseded bins
+    assert read_delta(spark, tbl, version=pre_v).count() == 90
+
+    # past the window (retention 0) they are reclaimed as before
+    vacuum(tbl, retention_ms=0, spark=spark)
+    assert not any(os.path.exists(b) for b in bins)
+    assert read_delta(spark, tbl).count() == 90

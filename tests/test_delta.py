@@ -1871,3 +1871,38 @@ def test_checkpoint_columnar_path_matches_dict_path(spark, tmp_path):
     assert snap_again.app_transactions == {"diff_test": 7}
     assert "delta.clustering" in snap_again.domain_metadata
     assert read_delta(spark, tbl).count() == 300 - 28
+
+
+def test_vacuum_orphan_symlink_parity(spark, tmp_path, monkeypatch):
+    """An orphan that IS a symlink is reclaimed (the link only — never
+    the target) identically by BOTH listing branches; the distributed
+    branch's realpath containment guard must not skip links the driver
+    walk deletes (review finding, r11)."""
+    import os as _os
+
+    from ballista_delta_spark.sources import delta as d
+
+    tbl = str(tmp_path / "t")
+    write_delta(read_delta(spark, FIXTURE), tbl, mode="overwrite")
+    external = tmp_path / "external"
+    external.mkdir()
+    (external / "target.parquet").write_bytes(b"keep me")
+    # distributed branch (forced)
+    _os.symlink(
+        str(external / "target.parquet"), _os.path.join(tbl, "link1.parquet")
+    )
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1)
+    deleted = d.vacuum(tbl, retention_ms=0, spark=spark)
+    assert "link1.parquet" in deleted
+    assert not _os.path.lexists(_os.path.join(tbl, "link1.parquet"))
+    assert (external / "target.parquet").read_bytes() == b"keep me"
+    # driver branch agrees
+    _os.symlink(
+        str(external / "target.parquet"), _os.path.join(tbl, "link2.parquet")
+    )
+    monkeypatch.setattr(d, "_DISTRIBUTED_LISTING_MIN_FILES", 1 << 60)
+    deleted2 = d.vacuum(tbl, retention_ms=0, spark=spark)
+    assert "link2.parquet" in deleted2
+    assert not _os.path.lexists(_os.path.join(tbl, "link2.parquet"))
+    assert (external / "target.parquet").read_bytes() == b"keep me"
+    assert read_delta(spark, tbl).count() == 5
