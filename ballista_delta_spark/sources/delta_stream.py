@@ -61,6 +61,39 @@ from .delta import (
 )
 
 
+def _session_tz():
+    """The active Spark session's ``spark.sql.session.timeZone`` as a
+    tzinfo (UTC when no session is up or the zone is unknown) — the zone
+    delta-spark resolves naive ``startingTimestamp`` strings in."""
+    import datetime
+
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        pass
+    return datetime.timezone.utc
+
+
+def _earliest_surviving_version(path: str) -> int:
+    """Earliest commit whose JSON still exists (0 until log cleanup)."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except OSError:
+        return 0
+    surviving = [
+        int(n.split(".")[0]) for n in names
+        if n.endswith(".json") and n.split(".")[0].isdigit()
+        and len(n.split(".")[0]) == 20 and ".compacted." not in n
+    ]
+    return min(surviving) if surviving else 0
+
+
 def _pv_caster(dt: T.DataType):
     """String -> Python value for a partition column of the given type."""
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -131,8 +164,19 @@ class DeltaStreamDataSource(DataSource):
             self.options.get("readchangefeed", "false")
         ).lower() == "true"
 
+    def _snapshot(self):
+        # schema() and streamReader() both run on the driver for the same
+        # options; memoize so stream startup replays the log/checkpoint
+        # ONCE, not once per hook (replay is the dominant open cost on a
+        # large table).
+        if getattr(self, "_snap_cache", None) is None:
+            self._snap_cache = _load_snapshot(
+                _strip_file_scheme(self.options["path"])
+            )
+        return self._snap_cache
+
     def schema(self):
-        snap = _load_snapshot(_strip_file_scheme(self.options["path"]))
+        snap = self._snapshot()
         if not self._cdf():
             return snap.schema
         return T.StructType(
@@ -158,6 +202,7 @@ class DeltaStreamDataSource(DataSource):
             max_versions_per_trigger=self._limit("maxversionspertrigger"),
             max_files_per_trigger=self._limit("maxfilespertrigger"),
             max_bytes_per_trigger=self._bytes_limit("maxbytespertrigger"),
+            snapshot=self._snapshot(),
         )
 
     def _starting_version(self) -> int | str | None:
@@ -183,7 +228,11 @@ class DeltaStreamDataSource(DataSource):
 
         dt = datetime.datetime.fromisoformat(str(st).replace(" ", "T"))
         if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=datetime.timezone.utc)
+            # delta-spark interprets a zone-less timestamp in the SPARK
+            # SESSION timezone, not UTC — a naive "00:00:00" under
+            # America/Los_Angeles means 07:00/08:00 UTC, and pinning UTC
+            # here would replay hours of extra commits into the sink.
+            dt = dt.replace(tzinfo=_session_tz())
         ts_ms = int(dt.timestamp() * 1000)
         path = _strip_file_scheme(self.options["path"])
         # delta-spark semantics: start at the first commit whose
@@ -194,8 +243,12 @@ class DeltaStreamDataSource(DataSource):
         try:
             return version_at_timestamp(path, ts_ms - 1) + 1
         except ValueError:
-            # timestamp predates the first commit -> start at 0
-            return 0
+            # Timestamp predates the earliest SURVIVING commit. Version 0
+            # is only replayable while its JSON still exists; after log
+            # retention cleanup the stream must anchor at the earliest
+            # reconstructable commit or the first _plan() call crashes on
+            # the reaped 00000000000000000000.json.
+            return _earliest_surviving_version(path)
 
     def _limit(self, key: str) -> int | None:
         raw = self.options.get(key)
@@ -239,6 +292,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         max_versions_per_trigger: int | None = None,
         max_files_per_trigger: int | None = None,
         max_bytes_per_trigger: int | None = None,
+        snapshot=None,
     ):
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -260,6 +314,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         # Spark snapshots latestOffset() ONCE at query start, so a
         # rate-limited query takes ONE clamped batch per run — use a
         # continuous trigger to drain a backlog with a rate limit.
+        # Positivity is checked at BOTH public entry points: the
+        # DataSource's _limit/_bytes_limit (option strings, better error
+        # text) and here (direct constructions) — each is pinned.
         for nm, val in (
             ("maxVersionsPerTrigger", max_versions_per_trigger),
             ("maxFilesPerTrigger", max_files_per_trigger),
@@ -275,8 +332,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_bytes_per_trigger = max_bytes_per_trigger
         # logical -> physical parquet name (identity unless the table
         # declares columnMapping); cdc partitionValues keys are PHYSICAL
-        # per the spec, so keep the reverse map too.
-        snap = _load_snapshot(self.path)
+        # per the spec, so keep the reverse map too. The DataSource hands
+        # its already-replayed snapshot down; direct constructions
+        # (tests) load here.
+        snap = snapshot if snapshot is not None else _load_snapshot(self.path)
         self._phys = {
             f.name: snap.physical(f.name) for f in snap.schema.fields
         }
@@ -556,7 +615,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         if cdc:
             return [
                 DeltaFilePartition(v, c["path"],
-                                   c.get("partitionValues") or {})
+                                   c.get("partitionValues") or {},
+                                   size=int(c.get("size") or 0))
                 for c in cdc
             ]
         adds = [
@@ -575,7 +635,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
         return [
             DeltaFilePartition(v, a["path"],
-                               a.get("partitionValues") or {}, "insert")
+                               a.get("partitionValues") or {}, "insert",
+                               size=int(a.get("size") or 0))
             for a in adds
         ]
 
@@ -602,13 +663,24 @@ class DeltaStreamReader(DataSourceStreamReader):
             or (not ssnap and not esnap)          # pure tail batch
         )
         if not consistent:
-            # Inconsistent pair (cold-start guess mixed with checkpointed
-            # offsets, e.g. tail start + snap end after a restart): serve
-            # nothing, anchor at the trusted START; the next trigger
-            # self-heals — same empty-batch recovery the tail path uses
-            # for a regressed end offset.
-            self._planned = (sv, si, ssnap)
-            return []
+            # Inconsistent pair: a cold-start snapshot GUESS mixed with
+            # checkpointed offsets. Spark replays the last offset-log
+            # pair through partitions() BEFORE the first latestOffset()
+            # on every restart (verified empirically via
+            # BDS_STREAM_TRACE for availableNow and processingTime), so
+            # a correctly-ordered restart can never produce this pair —
+            # it only arises if latestOffset() answered from its cold
+            # anchor first. Serving an empty batch here would let Spark
+            # COMMIT the bogus end offset and silently skip every row
+            # between the trusted start and the guess (data loss, not
+            # self-healing), so fail loudly instead: the restart replays
+            # the checkpointed pair and recovers cleanly.
+            raise ValueError(
+                f"inconsistent stream offset pair: start {start} and end "
+                f"{end} mix snapshot/tail phases that no in-order "
+                "restart produces; restarting the query recovers from "
+                "the checkpoint"
+            )
         parts: list[DeltaFilePartition] = []
         if ssnap:
             snap_plan = self._snap_plan(sv)
@@ -644,21 +716,49 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(os.path.join(self.path, partition.rel_path))
+        pf = pq.ParquetFile(os.path.join(self.path, partition.rel_path))
+        # Project the read to the physical columns the output schema
+        # actually consumes — dropped/renamed columns left behind by
+        # schema evolution and cdc extras are never decoded.
+        in_file = set(pf.schema_arrow.names)
+        needed = []
+        for f in self.schema.fields:
+            if self.read_change_feed and f.name == "_change_type":
+                if partition.fixed_change is None:
+                    needed.append("_change_type")
+                continue
+            if self.read_change_feed and f.name == "_commit_version":
+                continue
+            p = self._phys.get(f.name, f.name)
+            if p in in_file:
+                needed.append(p)
+        if needed:
+            tbl = pq.read_table(
+                os.path.join(self.path, partition.rel_path), columns=needed
+            )
+            n = tbl.num_rows
+        else:
+            # Every output column is partition-derived or constant; only
+            # the row count is needed (footer metadata, zero data I/O).
+            tbl = None
+            n = pf.metadata.num_rows
         if partition.dv:
             # Initial-snapshot file with a deletion vector: drop the
             # deleted row indexes so the batch serves LIVE rows.
-            import numpy as np
-
             from .dv import read_deletion_vector
 
             deleted = read_deletion_vector(self.path, partition.dv)
-            mask = np.ones(tbl.num_rows, dtype=bool)
-            if deleted:
-                mask[np.asarray(deleted, dtype=np.int64)] = False
-            tbl = tbl.filter(pa.array(mask))
-        file_cols = set(tbl.column_names)
-        n = tbl.num_rows
+            if tbl is not None:
+                import numpy as np
+
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                if deleted:
+                    mask[np.asarray(deleted, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
+                n = tbl.num_rows
+            else:
+                n -= len(deleted)
+        file_cols = set(tbl.column_names) if tbl is not None else set()
         # partitionValues are SPEC-STRINGS in the log; cast to the
         # schema's declared types (same rule as the batch reader's Hive
         # recovery). cdc actions key them by PHYSICAL name.
