@@ -126,7 +126,7 @@ _DELTA_OPTIMIZE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[^)]+)\s*\))?"
     r"\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 
 # ALTER TABLE <name> ALTER COLUMN <c> SET DEFAULT <expr> / DROP DEFAULT /
@@ -140,7 +140,7 @@ _DELTA_COLUMN_DEFAULT = re.compile(
     r"\s+(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT)"
     r"|TYPE\s+(?P<newtype>.+?))"
     r"\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 
 # ALTER TABLE <name> CLUSTER BY (a, b) / CLUSTER BY NONE — liquid
@@ -241,7 +241,7 @@ _DELTA_ALTER_COLUMN = re.compile(
     # everything and strip one outer paren pair in the handler
     r"|ADD\s+COLUMNS?\s+(?P<addcols>.+?))"
     r"\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 
 # CREATE TABLE <name> SHALLOW|DEEP CLONE <src> LOCATION '<dst>' —
@@ -325,12 +325,7 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
             snap_name = f"{name}__asof_v{version}"
             df = read_delta(spark, loc, version=version)
         else:
-            from datetime import datetime, timezone
-
-            dt = datetime.fromisoformat(_g(statement, m, "ts"))
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
-            ts_ms = int(dt.timestamp() * 1000)
+            ts_ms = _ts_to_epoch_ms(_g(statement, m, "ts"))
             snap_name = f"{name}__asof_t{ts_ms}"
             df = read_delta(spark, loc, timestamp_ms=ts_ms)
         df.createOrReplaceTempView(snap_name)
@@ -349,6 +344,21 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
 # register_delta so INSERT INTO can resolve its target (the analogue of the
 # reference's DELTA_INSERT table factory, src/lib.rs:140-174).
 _delta_views: dict[str, str] = {}
+
+
+def _ts_to_epoch_ms(raw: str) -> int:
+    """SQL timestamp literal -> epoch millis (UTC when zone-less). The
+    one normalization every TIMESTAMP AS OF / RESTORE site shares: a 'T'
+    or space separator and a trailing 'Z' both parse on every supported
+    Python."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(
+        raw.strip().replace("T", " ").replace("Z", "+00:00")
+    )
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def default_cpus() -> int:
@@ -586,10 +596,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name = _resolve_view(m.group("name"), spark)
         if name is not None:
+            sets_txt, cond_txt = _split_update_tail(
+                statement, masked, m.start("sets")
+            )
             return _delta_dml(
                 spark, name, "update",
-                cond=_g(statement, m, "cond") or "true",
-                sets=_g(statement, m, "sets"),
+                cond=cond_txt or "true",
+                sets=sets_txt,
             )
 
     m = _DELTA_MERGE_HEAD.match(masked)
@@ -934,18 +947,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if m.group("v") is not None:
                 target = int(m.group("v"))
             else:
-                import datetime as _dt
-
                 from .sources.delta import version_at_timestamp
 
-                t = _g(statement, m, "ts").replace("T", " ").replace(
-                    "Z", "+00:00"
-                )
-                d = _dt.datetime.fromisoformat(t)
-                if d.tzinfo is None:
-                    d = d.replace(tzinfo=_dt.timezone.utc)
                 target = version_at_timestamp(
-                    loc, int(d.timestamp() * 1000)
+                    loc, _ts_to_epoch_ms(_g(statement, m, "ts"))
                 )
             metrics = restore_delta(loc, target)
             read_delta(spark, loc).createOrReplaceTempView(name)
@@ -1053,7 +1058,28 @@ def _delta_insert(
     # through THE DIALECT so time-travel / Delta-view references inside
     # an INSERT body work exactly like in CTAS.
     rows = sql(spark, body.strip())
-    fields = read_delta(spark, loc).schema.fields
+    # The SNAPSHOT schema keeps the field metadata (identity / generated /
+    # CURRENT_DEFAULT) the scan's aliasing may drop.
+    from .sources.delta import _load_snapshot
+
+    fields = _load_snapshot(loc).schema.fields
+    # Positional mapping is the contract: rename the query's output to
+    # placeholder names first, so duplicate output names (SELECT a.id,
+    # b.id) stay addressable by position instead of raising AMBIGUOUS.
+    rows = rows.toDF(*[f"__ins_c{i}" for i in range(len(rows.columns))])
+
+    def _auto_filled(f) -> bool:
+        # Columns write_delta fills ITSELF when the input omits them —
+        # NULL-filling these would bypass the default / identity /
+        # generation (or trip the GENERATED ALWAYS guard), so the INSERT
+        # must OMIT them instead (SQL INSERT column-list semantics).
+        md = f.metadata or {}
+        return bool(
+            md.get("delta.generationExpression")
+            or md.get("CURRENT_DEFAULT") is not None
+            or any(k.startswith("delta.identity.") for k in md)
+        )
+
     if cols is not None:
         listed = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
         by_lower = {f.name.lower(): f for f in fields}
@@ -1069,14 +1095,16 @@ def _delta_insert(
                 f"produced {len(rows.columns)} columns"
             )
         src = {
-            by_lower[c.lower()].name: rows[rows.columns[i]]
+            by_lower[c.lower()].name: F.col(f"__ins_c{i}")
             for i, c in enumerate(listed)
         }
-        out = rows.select(*[
-            (src[f.name] if f.name in src else F.lit(None))
-            .cast(f.dataType).alias(f.name)
-            for f in fields
-        ])
+        sel = []
+        for f in fields:
+            if f.name in src:
+                sel.append(src[f.name].cast(f.dataType).alias(f.name))
+            elif not _auto_filled(f):
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = rows.select(*sel)
     else:
         if len(rows.columns) != len(fields):
             raise ValueError(
@@ -1084,7 +1112,7 @@ def _delta_insert(
                 f"query produced {len(rows.columns)}"
             )
         out = rows.select(*[
-            rows[rows.columns[i]].cast(f.dataType).alias(f.name)
+            F.col(f"__ins_c{i}").cast(f.dataType).alias(f.name)
             for i, f in enumerate(fields)
         ])
     if replace_where is not None:
@@ -1143,13 +1171,22 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     """
     m = _DELTA_MERGE_HEAD.match(statement)
     talias = m.group("talias")
+    if talias is None:
+        # No explicit alias: the table NAME is the implicit qualifier
+        # (delta-spark accepts MERGE INTO mrg USING k ON mrg.id = k.id).
+        talias = m.group("name").strip("`").split(".")[-1]
     # USING source: balanced-paren subquery or a table/view name.
     rest = rest.lstrip()
+    source_name = None
     if rest.startswith("("):
-        depth, in_str, i = 0, None, 0
+        depth, in_str, esc, i = 0, None, False, 0
         for i, ch in enumerate(rest):
             if in_str:
-                if ch == in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == in_str:
                     in_str = None
             elif ch in ("'", '"'):
                 in_str = ch
@@ -1164,6 +1201,7 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     else:
         mt = re.match(r"(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)", rest)
         source = spark.table(mt.group(1).strip("`"))
+        source_name = mt.group(1).strip("`").split(".")[-1]
         rest = rest[mt.end():]
     ma = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+(?=ON\b)", rest,
                   re.IGNORECASE)
@@ -1171,6 +1209,9 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     if ma:
         salias = ma.group(1)
         rest = rest[ma.end():]
+    if salias is None:
+        # Alias-less table source: its name is the implicit qualifier.
+        salias = source_name
     mo = re.match(r"\s*ON\s+", rest, re.IGNORECASE)
     if not mo:
         raise ValueError("MERGE: expected ON <condition>")
@@ -1195,11 +1236,13 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
         pairs = [
             (alias, fixed)
             for alias, fixed in ((talias, "t"), (salias, "s"))
-            if alias and alias != fixed
+            if alias and alias.lower() != fixed
         ]
         for alias, fixed in pairs:
+            # (?i): SQL identifiers are case-insensitive — TGT./Tgt.
+            # qualify the same relation as tgt.
             expr = _sub_outside_literals(
-                rf"\b{re.escape(alias)}\s*\.", f"\x00{fixed}\x00.", expr
+                rf"(?i)\b{re.escape(alias)}\s*\.", f"\x00{fixed}\x00.", expr
             )
         for _alias, fixed in pairs:
             expr = expr.replace(f"\x00{fixed}\x00.", f"{fixed}.")
@@ -1222,19 +1265,35 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
             mcl, re.IGNORECASE | re.DOTALL,
         )
         mi = re.match(
-            r"NOT\s+MATCHED\s+(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+INSERT\s*"
+            r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?"
+            r"(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+INSERT\s*"
             r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?"
             r"VALUES\s*\((?P<vals>.*)\))\s*$",
             mcl, re.IGNORECASE | re.DOTALL,
         )
+        if re.match(r"NOT\s+MATCHED\s+BY\s+SOURCE\b", mcl, re.IGNORECASE):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE is not supported by this "
+                "engine's MERGE — rewrite as a separate UPDATE/DELETE "
+                "with a NOT EXISTS condition over the source"
+            )
         if mu:
             raw_cond = _g(cl, mu, "cond")
             cond = norm(raw_cond) if raw_cond else None
             # SET targets may be alias-qualified (t.col = ...): strip the
             # target prefix — merge_delta wants bare column names.
             tprefix = re.compile(
-                rf"^(?:t|{re.escape(talias)})\." if talias else r"^t\."
+                rf"^(?:t|{re.escape(talias)})\." if talias else r"^t\.",
+                re.IGNORECASE,
             )
+            sets_raw = _g(cl, mu, "sets").strip().rstrip(";").strip()
+            if sets_raw == "*":
+                # UPDATE SET * (delta-spark): assign every SOURCE column
+                # to the same-named target column.
+                matched_clauses.append((cond, "update", {
+                    c: f"s.`{c}`" for c in source.columns
+                }))
+                continue
             matched_clauses.append((cond, "update", {
                 tprefix.sub("", c): norm(e)
                 for c, e in _split_set_clauses(_g(cl, mu, "sets")).items()
@@ -1303,12 +1362,19 @@ def _split_commas_outside_brackets(text: str) -> list[str]:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas outside parens/brackets/string literals."""
-    parts, depth, in_str, cur = [], 0, None, []
+    """Split on commas outside parens/brackets/string literals.
+    Backslash escapes inside literals ('O\\'Brien') are skipped, matching
+    _mask_literals — treating the escaped quote as a terminator would
+    leak the rest of the literal to top level and mis-split."""
+    parts, depth, in_str, esc, cur = [], 0, None, False, []
     for ch in s:
         if in_str:
             cur.append(ch)
-            if ch == in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == in_str:
                 in_str = None
             continue
         if ch in ("'", '"'):
@@ -1324,6 +1390,32 @@ def _split_top_level(s: str) -> list[str]:
         cur.append(ch)
     parts.append("".join(cur))
     return parts
+
+
+def _split_update_tail(
+    statement: str, masked: str, start: int
+) -> tuple[str, str | None]:
+    """Split everything after UPDATE's SET keyword into (sets, cond) at
+    the first TOP-LEVEL ``WHERE`` — the regex's lazy split stops at the
+    first WHERE even inside a parenthesized subquery (``SET a = (SELECT
+    max(x) FROM u WHERE ...)``), which masking cannot hide. Scans the
+    MASKED text (keywords inside literals already hidden) and extracts
+    the spans from the original statement."""
+    stripped = masked.rstrip()
+    stop = len(stripped) - 1 if stripped.endswith(";") else len(stripped)
+    depth = 0
+    for mm in re.finditer(r"[()]|\bWHERE\b", masked[start:stop], re.IGNORECASE):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return (
+                statement[start:start + mm.start()].strip(),
+                statement[start + mm.end():stop].strip(),
+            )
+    return statement[start:stop].strip(), None
 
 
 def _split_set_clauses(sets: str) -> dict[str, str]:

@@ -425,8 +425,18 @@ def register_delta(spark: SparkSession, name: str, url: str, version: int | None
     object store (src/object_store.rs:36-41)."""
     if urlparse(url).scheme in ("http", "https"):
         return register_delta_http(spark, name, url, version=version)
-    df = read_delta(spark, resolve_url(url), version=version)
+    path = resolve_url(url)
+    df = read_delta(spark, path, version=version)
     df.createOrReplaceTempView(name)
+    if version is None:
+        # Record the view -> path mapping so the SQL dialect routes DML
+        # (INSERT/DELETE/UPDATE/MERGE/OPTIMIZE...) on this name to the
+        # Delta engine instead of falling through to spark.sql, which
+        # rejects writes to temp views. Version-pinned registrations stay
+        # read-only: DML against a historical view has no meaning.
+        from ..session import _delta_views
+
+        _delta_views[name] = path
     return df
 
 

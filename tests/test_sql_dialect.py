@@ -196,3 +196,159 @@ def test_insert_body_supports_time_travel(spark, view):
     )
     got = {r.id: r.v for r in read_delta(spark, loc).collect()}
     assert got[101] == 10  # the PRE-update value, read via time travel
+
+
+def test_insert_column_list_fills_default_and_identity(spark, tmp_path):
+    """INSERT with a column list OMITS unlisted default/identity/generated
+    columns so write_delta fills them — NULL-filling bypassed SET DEFAULT
+    and tripped the GENERATED ALWAYS guard (review finding, r11)."""
+    loc = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 5)], "id long, v long"), loc,
+    )
+    name = f"dlt_{abs(hash(loc)) % 10**8}"
+    sql(spark, f"CREATE EXTERNAL TABLE {name} STORED AS DELTA LOCATION '{loc}'")
+    sql(spark, f"ALTER TABLE {name} ALTER COLUMN v SET DEFAULT 42")
+    sql(spark, f"INSERT INTO {name} (id) VALUES (2)")
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got == {1: 5, 2: 42}  # default applied, not NULL
+    # a column with no default still NULL-fills (SQL semantics)
+    sql(spark, f"INSERT INTO {name} (v) VALUES (7)")
+    assert {(r.id, r.v) for r in read_delta(spark, loc).collect()} == {
+        (1, 5), (2, 42), (None, 7)
+    }
+
+
+def test_insert_positional_with_duplicate_output_names(spark, view):
+    """INSERT maps query output to table columns POSITIONALLY, so
+    duplicate output names (SELECT a.id, b.id) must not raise AMBIGUOUS
+    (review finding, r11)."""
+    name, loc = view
+    sql(
+        spark,
+        f"INSERT INTO {name} (id, v) "
+        "SELECT a.id + 10, b.id FROM (SELECT 1 AS id) a "
+        "CROSS JOIN (SELECT 99 AS id) b",
+    )
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got[11] == 99
+
+
+def test_update_set_scalar_subquery_where_split(spark, view):
+    """UPDATE splits SET from WHERE at the first TOP-LEVEL where — a
+    WHERE inside a parenthesized subquery must not truncate the SET
+    expression (review finding, r11). The engine may reject subquery
+    assignments, but it must fail on the SUBQUERY, not a garbled parse —
+    and a paren-wrapped scalar expression must simply work."""
+    name, loc = view
+    sql(
+        spark,
+        f"UPDATE {name} SET v = (CASE WHEN id > 1 THEN 100 ELSE 50 END) "
+        "WHERE id = 1",
+    )
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got == {1: 50, 2: 20, 3: 30}
+
+
+def test_multiline_optimize_and_alter_default(spark, view):
+    """Multi-line predicates/exprs route through the interceptor — the
+    OPTIMIZE/ALTER COLUMN regexes lacked DOTALL and silently fell through
+    to spark.sql (review finding, r11)."""
+    name, loc = view
+    out = sql(spark, f"OPTIMIZE {name}\nWHERE id > 0\n  AND id < 99").collect()
+    assert out  # routed to the maintenance handler, not spark.sql
+    sql(spark, f"ALTER TABLE {name}\nALTER COLUMN v\nSET DEFAULT\n  7")
+    sql(spark, f"INSERT INTO {name} (id, s) VALUES (8, 'h')")
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got[8] == 7
+
+
+def test_merge_without_aliases_qualifies_by_table_name(spark, tmp_path):
+    """MERGE with no explicit aliases qualifies by TABLE NAME — delta-
+    spark treats names as implicit qualifiers (review finding, r11)."""
+    loc = str(tmp_path / "mrgtbl")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), loc,
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE mrgtbl STORED AS DELTA LOCATION '{loc}'")
+    spark.createDataFrame([(2, 222), (3, 333)], "id long, v long") \
+        .createOrReplaceTempView("mrgsrc")
+    sql(
+        spark,
+        "MERGE INTO mrgtbl USING mrgsrc ON mrgtbl.id = mrgsrc.id "
+        "WHEN MATCHED THEN UPDATE SET v = mrgsrc.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (mrgsrc.id, mrgsrc.v)",
+    )
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got == {1: 10, 2: 222, 3: 333}
+    spark.catalog.dropTempView("mrgtbl")
+    spark.catalog.dropTempView("mrgsrc")
+
+
+def test_merge_update_set_star_and_case_insensitive_aliases(spark, tmp_path):
+    """UPDATE SET * assigns every source column (delta-spark form), and
+    alias qualifiers are CASE-INSENSITIVE (TGT./SRC. resolve like
+    tgt./src. — review finding, r11)."""
+    loc = str(tmp_path / "star")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), loc,
+    )
+    sql(spark, f"CREATE EXTERNAL TABLE startbl STORED AS DELTA LOCATION '{loc}'")
+    spark.createDataFrame([(2, 2000)], "id long, v long") \
+        .createOrReplaceTempView("starsrc")
+    sql(
+        spark,
+        "MERGE INTO startbl AS tgt USING starsrc AS src ON TGT.id = SRC.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got == {1: 10, 2: 2000}
+    # BY SOURCE is a clear refusal, not a cryptic clause error
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        sql(
+            spark,
+            "MERGE INTO startbl AS t2 USING starsrc AS s2 ON t2.id = s2.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+    # BY TARGET is the standard not-matched spelled explicitly
+    sql(
+        spark,
+        "MERGE INTO startbl AS t3 USING starsrc AS s3 ON t3.id = s3.id + 8 "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s3.id + 100, s3.v)",
+    )
+    assert 102 in {r.id for r in read_delta(spark, loc).collect()}
+    spark.catalog.dropTempView("startbl")
+    spark.catalog.dropTempView("starsrc")
+
+
+def test_merge_insert_literal_with_backslash_escape(spark, view):
+    """_split_top_level honors backslash escapes like _mask_literals —
+    an escaped quote inside a VALUES literal must not desync the
+    top-level comma split (review finding, r11)."""
+    name, loc = view
+    sql(
+        spark,
+        f"MERGE INTO {name} AS t USING (SELECT 9 AS id) AS s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, s, v) "
+        "VALUES (s.id, 'O\\'Brien, Inc', 900)",
+    )
+    got = {r.id: (r.s, r.v) for r in read_delta(spark, loc).collect()}
+    assert got[9] == ("O'Brien, Inc", 900)
+
+
+def test_registry_register_delta_routes_dml(spark, tmp_path):
+    """register_delta records the view -> path mapping so DML on a
+    registry-registered name routes to the Delta engine instead of dying
+    in spark.sql (review finding, r11)."""
+    from ballista_delta_spark.sources.registry import register_delta
+
+    loc = str(tmp_path / "regd")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, s string"), loc,
+    )
+    register_delta(spark, "regd_view", loc)
+    sql(spark, "INSERT INTO regd_view VALUES (2, 'b')")
+    sql(spark, "DELETE FROM regd_view WHERE id = 1")
+    got = [(r.id, r.s) for r in read_delta(spark, loc).collect()]
+    assert got == [(2, "b")]
+    spark.catalog.dropTempView("regd_view")
