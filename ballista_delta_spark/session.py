@@ -1157,9 +1157,12 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
     """Parse the canonical MERGE grammar and route to merge_delta:
 
         MERGE INTO t USING (<subquery>)|<table> [AS] s ON <cond>
-          [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE]...
-          [WHEN NOT MATCHED [AND <cond>] THEN
+          [WHEN MATCHED [AND <cond>] THEN
+               UPDATE SET c = e, ... | UPDATE SET * | DELETE]...
+          [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
                INSERT * | INSERT (cols) VALUES (exprs)]...
+          [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+               UPDATE SET c = e, ... | DELETE]...
 
     Aliases are normalized to the engine's fixed ``t`` / ``s`` names by a
     word-boundary rewrite in the condition and expressions. Clauses keep
@@ -1250,6 +1253,7 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
 
     matched_clauses: list[tuple[str | None, str, dict | None]] = []
     not_matched_clauses: list[tuple[str | None, dict | bool]] = []
+    by_source_clauses: list[tuple[str | None, str, dict | None]] = []
     for cl in clauses:
         # Clause regexes run on the literal-masked clause (a 'then' or
         # ')' inside a string must not terminate a lazy group); groups
@@ -1271,12 +1275,29 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
             r"VALUES\s*\((?P<vals>.*)\))\s*$",
             mcl, re.IGNORECASE | re.DOTALL,
         )
-        if re.match(r"NOT\s+MATCHED\s+BY\s+SOURCE\b", mcl, re.IGNORECASE):
-            raise ValueError(
-                "WHEN NOT MATCHED BY SOURCE is not supported by this "
-                "engine's MERGE — rewrite as a separate UPDATE/DELETE "
-                "with a NOT EXISTS condition over the source"
-            )
+        mbs = re.match(
+            r"NOT\s+MATCHED\s+BY\s+SOURCE\s*"
+            r"(?:AND\s+(?P<cond>.*?)\s+)?THEN\s+"
+            r"(?:(?P<del>DELETE)\s*$|UPDATE\s+SET\s+(?P<sets>.*)$)",
+            mcl, re.IGNORECASE | re.DOTALL,
+        )
+        if mbs:
+            raw_cond = _g(cl, mbs, "cond")
+            cond = norm(raw_cond) if raw_cond else None
+            if mbs.group("del"):
+                by_source_clauses.append((cond, "delete", None))
+            else:
+                tprefix = re.compile(
+                    rf"^(?:t|{re.escape(talias)})\." if talias else r"^t\.",
+                    re.IGNORECASE,
+                )
+                by_source_clauses.append((cond, "update", {
+                    tprefix.sub("", c): norm(e)
+                    for c, e in _split_set_clauses(
+                        _g(cl, mbs, "sets")
+                    ).items()
+                }))
+            continue
         if mu:
             raw_cond = _g(cl, mu, "cond")
             cond = norm(raw_cond) if raw_cond else None
@@ -1338,6 +1359,7 @@ def _sql_merge(spark: SparkSession, statement: str, name: str, rest: str):
         spark, loc, source, norm(on),
         matched_clauses=matched_clauses,
         not_matched_clauses=not_matched_clauses,
+        not_matched_by_source_clauses=by_source_clauses,
         # MERGE WITH SCHEMA EVOLUTION INTO ... (delta-spark SQL form)
         schema_evolution=m.group("evolve") is not None,
     )

@@ -893,6 +893,9 @@ def _validate_merge_clauses(
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
     tcols: list[str],
+    by_source_clauses: (
+        list[tuple[str | None, str, dict[str, str] | None]] | tuple
+    ) = (),
 ) -> None:
     """Shared cow/dv validation — BEFORE any staging writes, so a late
     raise can't orphan already-moved part-files."""
@@ -908,7 +911,7 @@ def _validate_merge_clauses(
             f"column(s) {always_ids} is not supported — append via "
             "write_delta generates them"
         )
-    for _c, kind, upd in matched_clauses:
+    for _c, kind, upd in list(matched_clauses) + list(by_source_clauses):
         if kind == "update":
             bad = set(upd) - set(tcols)
             if bad:
@@ -1021,6 +1024,9 @@ def merge_delta(
     retries: int = 0,
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] | None = None,
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]] | None = None,
+    not_matched_by_source_clauses: (
+        list[tuple[str | None, str, dict[str, str] | None]] | None
+    ) = None,
     mode: str = "cow",
     schema_evolution: bool = False,
 ) -> dict[str, Any]:
@@ -1041,6 +1047,11 @@ def merge_delta(
       delta-spark semantics: clauses are evaluated in order, the FIRST whose
       condition holds applies, and a row qualifying for no clause is left
       as-is (matched) or not inserted (not-matched).
+    - ``not_matched_by_source_clauses``: delta-spark's ``WHEN NOT MATCHED
+      BY SOURCE`` (target rows with no source match) — same ordered
+      ``(condition | None, "update" | "delete", update_map | None)`` shape
+      as ``matched_clauses``; conditions and update expressions may
+      reference target columns only. cow mode only.
 
     Duplicate-match rule (Delta semantics): if any single target row
     matches more than one source row AND an update/delete clause could
@@ -1091,11 +1102,19 @@ def merge_delta(
         not_matched_clauses = (
             [(None, not_matched_insert)] if not_matched_insert else []
         )
+    not_matched_by_source_clauses = not_matched_by_source_clauses or []
     for _c, kind, upd in matched_clauses:
         if kind not in ("update", "delete"):
             raise ValueError(f"unknown matched-clause kind: {kind!r}")
         if kind == "update" and not upd:
             raise ValueError("update clause requires a SET map")
+    for _c, kind, upd in not_matched_by_source_clauses:
+        if kind not in ("update", "delete"):
+            raise ValueError(
+                f"unknown not-matched-by-source clause kind: {kind!r}"
+            )
+        if kind == "update" and not upd:
+            raise ValueError("by-source update clause requires a SET map")
     if schema_evolution:
         from .delta import _load_snapshot, alter_columns
 
@@ -1130,6 +1149,12 @@ def merge_delta(
                     f.name, F.lit(None).cast(f.dataType)
                 )
     if mode == "dv":
+        if not_matched_by_source_clauses:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE is only supported with "
+                "mode='cow' (the merge-on-read path does not implement "
+                "it yet)"
+            )
         return _retrying(
             lambda: _merge_dv_once(
                 spark, path, source, on, matched_clauses,
@@ -1142,6 +1167,7 @@ def merge_delta(
     return _retrying(
         lambda: _merge_once(
             spark, path, source, on, matched_clauses, not_matched_clauses,
+            not_matched_by_source_clauses,
         ),
         retries,
     )
@@ -1154,26 +1180,33 @@ def _merge_once(
     on: str,
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
+    by_source_clauses: (
+        list[tuple[str | None, str, dict[str, str] | None]] | tuple
+    ) = (),
 ) -> dict[str, Any]:
     dt = DeltaTable(path)
     # Insert-only MERGE removes no files — legal on appendOnly tables.
     _check_writable(
-        dt, removes_files=bool(matched_clauses), cdf_capable=True
+        dt,
+        removes_files=bool(matched_clauses or by_source_clauses),
+        cdf_capable=True,
     )
     cdf = cdf_enabled(dt.snapshot)
     cdc_actions: list[dict[str, Any]] = []
     tcols = [f.name for f in dt.snapshot.schema.fields]
     on_expr = F.expr(on)
     _validate_merge_clauses(
-        dt, source, matched_clauses, not_matched_clauses, tcols
+        dt, source, matched_clauses, not_matched_clauses, tcols,
+        by_source_clauses=by_source_clauses,
     )
 
-    # Insert-only MERGE (no matched clauses) never touches existing rows:
-    # skip the affected-file scan AND the rewrite — matched target rows are
-    # left in place (so no spurious dataChange add/remove actions for CDC
-    # readers to misread), and duplicate source matches are NOT ambiguous
-    # (delta-spark semantics: ambiguity only applies to update/delete).
-    insert_only = not matched_clauses
+    # Insert-only MERGE (no matched/by-source clauses) never touches
+    # existing rows: skip the affected-file scan AND the rewrite — matched
+    # target rows are left in place (so no spurious dataChange add/remove
+    # actions for CDC readers to misread), and duplicate source matches
+    # are NOT ambiguous (delta-spark semantics: ambiguity only applies to
+    # update/delete).
+    insert_only = not matched_clauses and not by_source_clauses
     # All-conditional matched clauses narrow the affected-file predicate:
     # a file whose matches all fail every clause condition is untouched.
     affected_pred = on_expr
@@ -1181,7 +1214,7 @@ def _merge_once(
     if matched_clauses and all(c is not None for c in m_conds):
         any_cond = " OR ".join(f"({c})" for c in m_conds)
         affected_pred = F.expr(f"({on}) AND ({any_cond})")
-    affected = [] if insert_only else _canon_rels(dt, [
+    affected_matched = [] if not matched_clauses else _canon_rels(dt, [
         r[_FILE_COL]
         for r in (
             _attributed(spark, dt)
@@ -1192,6 +1225,27 @@ def _merge_once(
             .collect()
         )
     ])
+    # WHEN NOT MATCHED BY SOURCE touches target rows with NO source match:
+    # its affected files come from an ANTI-join (narrowed by the clause
+    # conditions when all are conditional — t-side expressions, legal on
+    # the anti-join result where only t is in scope).
+    affected_bs: list[str] = []
+    if by_source_clauses:
+        bs_scan = (
+            _attributed(spark, dt)
+            .alias("t")
+            .join(source.alias("s"), on_expr, "left_anti")
+        )
+        bs_conds = [c for c, _k, _u in by_source_clauses]
+        if all(c is not None for c in bs_conds):
+            bs_scan = bs_scan.filter(
+                F.expr(" OR ".join(f"({c})" for c in bs_conds))
+            )
+        affected_bs = _canon_rels(dt, [
+            r[_FILE_COL]
+            for r in bs_scan.select(_FILE_COL).distinct().collect()
+        ])
+    affected = sorted(set(affected_matched) | set(affected_bs))
 
     now_ms = int(time.time() * 1000)
     # Alias AFTER adding the match marker: withColumn would drop the alias.
@@ -1232,7 +1286,22 @@ def _merge_once(
             cond_sql, _kind, _upd = matched_clauses[i]
             cc = hit & (F.expr(cond_sql) if cond_sql is not None else F.lit(True))
             act = F.when(cc, F.lit(i)).otherwise(act)
-        joined = tgt.join(src, on_expr, "left").withColumn("__act", act).cache()
+        # First-match-wins BY-SOURCE action for UNMATCHED rows (s side all
+        # null, so conditions may only reference t — Spark resolves the
+        # usual way and a null condition is simply false).
+        bsact = F.lit(-1)
+        for i in reversed(range(len(by_source_clauses))):
+            cond_sql, _kind, _upd = by_source_clauses[i]
+            cc = (~hit) & (
+                F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+            )
+            bsact = F.when(cc, F.lit(i)).otherwise(bsact)
+        joined = (
+            tgt.join(src, on_expr, "left")
+            .withColumn("__act", act)
+            .withColumn("__bsact", bsact)
+            .cache()
+        )
         try:
             # ONE job: per-target-row match counts roll up into the
             # ambiguity count and the per-clause matched-row totals.
@@ -1242,46 +1311,80 @@ def _merge_once(
                 ).alias(f"n{i}")
                 for i in range(len(matched_clauses))
             ]
-            # Group on target identity ONLY (a row matched by two source
-            # rows must land in one group for the dup check); __k == 1
-            # after the check, so max(__act) IS the row's single act.
-            stats = (
-                joined.filter(hit)
-                .groupBy(*[F.col(f"t.{c}") for c in tcols], "__m")
-                .agg(
-                    # delta-spark's cardinality rule: multiple matches are
-                    # ambiguous only when MORE THAN ONE of them would
-                    # modify the row (some clause applies, __act >= 0);
-                    # matches that fail every conditional clause are
-                    # no-ops and never nondeterministic.
-                    F.sum(
-                        F.when(F.col("__act") >= 0, 1).otherwise(0)
-                    ).alias("__k"),
-                    F.max("__act").alias("__a"),
-                )
-                .agg(
-                    F.sum(F.when(F.col("__k") > 1, 1).otherwise(0)).alias("dups"),
-                    *per_clause,
-                )
-                .collect()[0]
-            )
-            if stats["dups"]:
-                raise ValueError(
-                    f"MERGE is ambiguous: {stats['dups']} target row(s) "
-                    "would be modified by multiple source rows"
-                )
             delete_ids = [
                 i for i, (_c, k, _u) in enumerate(matched_clauses)
                 if k == "delete"
             ]
-            n_updated = sum(
-                int(stats[f"n{i}"] or 0)
-                for i, (_c, k, _u) in enumerate(matched_clauses)
-                if k == "update"
-            )
-            n_deleted = sum(int(stats[f"n{i}"] or 0) for i in delete_ids)
+            n_updated = n_deleted = 0
+            if matched_clauses:
+                # Group on target identity ONLY (a row matched by two
+                # source rows must land in one group for the dup check);
+                # __k == 1 after the check, so max(__act) IS the row's
+                # single act.
+                stats = (
+                    joined.filter(hit)
+                    .groupBy(*[F.col(f"t.{c}") for c in tcols], "__m")
+                    .agg(
+                        # delta-spark's cardinality rule: multiple matches
+                        # are ambiguous only when MORE THAN ONE of them
+                        # would modify the row (some clause applies,
+                        # __act >= 0); matches that fail every conditional
+                        # clause are no-ops and never nondeterministic.
+                        F.sum(
+                            F.when(F.col("__act") >= 0, 1).otherwise(0)
+                        ).alias("__k"),
+                        F.max("__act").alias("__a"),
+                    )
+                    .agg(
+                        F.sum(
+                            F.when(F.col("__k") > 1, 1).otherwise(0)
+                        ).alias("dups"),
+                        *per_clause,
+                    )
+                    .collect()[0]
+                )
+                if stats["dups"]:
+                    raise ValueError(
+                        f"MERGE is ambiguous: {stats['dups']} target row(s) "
+                        "would be modified by multiple source rows"
+                    )
+                n_updated = sum(
+                    int(stats[f"n{i}"] or 0)
+                    for i, (_c, k, _u) in enumerate(matched_clauses)
+                    if k == "update"
+                )
+                n_deleted = sum(int(stats[f"n{i}"] or 0) for i in delete_ids)
+            bs_delete_ids = [
+                i for i, (_c, k, _u) in enumerate(by_source_clauses)
+                if k == "delete"
+            ]
+            if by_source_clauses:
+                # Unmatched rows join to at most one (null) source row —
+                # no ambiguity; one small agg yields per-clause counts.
+                bs_stats = joined.filter(~hit).agg(*[
+                    F.sum(
+                        F.when(F.col("__bsact") == i, F.col("__m"))
+                        .otherwise(0)
+                    ).alias(f"b{i}")
+                    for i in range(len(by_source_clauses))
+                ]).collect()[0]
+                n_updated += sum(
+                    int(bs_stats[f"b{i}"] or 0)
+                    for i, (_c, k, _u) in enumerate(by_source_clauses)
+                    if k == "update"
+                )
+                n_deleted += sum(
+                    int(bs_stats[f"b{i}"] or 0) for i in bs_delete_ids
+                )
             survivors = joined
-            if any(c0 is not None for c0, _k, _u in matched_clauses):
+            # Dedup to ONE joined row per target when no-op matched copies
+            # can coexist with an applying one (conditional clauses), and
+            # whenever by-source clauses forced by-source-only files into
+            # the rewrite (a matched row there may carry several no-op
+            # matches that would otherwise duplicate it).
+            if by_source_clauses or any(
+                c0 is not None for c0, _k, _u in matched_clauses
+            ):
                 # Conditional clauses allow a target row to carry BOTH an
                 # applying match (__act >= 0, exactly one post-check) and
                 # no-op matches (__act = -1): keep one joined row per
@@ -1304,16 +1407,25 @@ def _merge_once(
                 )
             if delete_ids:
                 survivors = survivors.filter(~F.col("__act").isin(delete_ids))
+            if bs_delete_ids:
+                survivors = survivors.filter(
+                    ~F.col("__bsact").isin(bs_delete_ids)
+                )
             out_cols = []
             typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
             for c in tcols:
                 col = F.col(f"t.{c}")
                 # Chain per-clause updates innermost-last so clause order is
-                # irrelevant (each row carries exactly one __act).
+                # irrelevant (each row carries exactly one __act/__bsact).
                 for i, (_c0, kind, upd) in enumerate(matched_clauses):
                     if kind == "update" and c in upd:
                         col = F.when(
                             F.col("__act") == i, F.expr(upd[c])
+                        ).otherwise(col)
+                for i, (_c0, kind, upd) in enumerate(by_source_clauses):
+                    if kind == "update" and c in upd:
+                        col = F.when(
+                            F.col("__bsact") == i, F.expr(upd[c])
                         ).otherwise(col)
                 out_cols.append(col.cast(typed[c]).alias(c))
             rewritten = (
@@ -1355,6 +1467,19 @@ def _merge_once(
                         joined.filter(F.col("__act").isin(delete_ids)),
                         "delete", t_cols_sel,
                     ))
+                bs_upd_ids = [
+                    i for i, (_c1, k, _u) in enumerate(by_source_clauses)
+                    if k == "update"
+                ]
+                if bs_upd_ids:
+                    bs_upd = joined.filter(F.col("__bsact").isin(bs_upd_ids))
+                    parts.append(_img(bs_upd, "update_preimage", t_cols_sel))
+                    parts.append(_img(bs_upd, "update_postimage", out_cols))
+                if bs_delete_ids:
+                    parts.append(_img(
+                        joined.filter(F.col("__bsact").isin(bs_delete_ids)),
+                        "delete", t_cols_sel,
+                    ))
                 if parts:
                     u = parts[0]
                     for p_df in parts[1:]:
@@ -1373,10 +1498,14 @@ def _merge_once(
         # so the (small) affected subset suffices. When the affected scan
         # was narrowed by clause conditions that guarantee no longer holds
         # — fall back to the full target.
+        # The subset shortcut requires affected ⊇ every file with a match,
+        # which only the UNnarrowed matched-clause semi-join guarantees —
+        # a by-source-only affected set comes from an anti-join and would
+        # treat matched source rows as unmatched (spurious inserts).
         narrowed = affected_pred is not on_expr
         anti_base = (
             _subset_df(spark, dt, affected).alias("t")
-            if affected and not narrowed
+            if affected_matched and not narrowed
             else dt.to_df(spark).alias("t")
         )
         ins = _merge_insert_rows(

@@ -693,3 +693,125 @@ def test_replace_where_refuses_generated_always_identity(spark, tmp_path):
             ),
             "p = 1",
         )
+
+
+# -------------------------------------------- WHEN NOT MATCHED BY SOURCE
+def test_merge_not_matched_by_source_full_matrix(spark, tmp_path):
+    """delta-spark's WHEN NOT MATCHED BY SOURCE (target rows with no
+    source match): ordered conditional update/delete clauses compose
+    with matched updates and inserts in one commit (r11)."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+        ),
+        tbl,
+    )
+    src = spark.createDataFrame([(2, 222), (5, 555)], "id long, v long")
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id",
+        matched_clauses=[(None, "update", {"v": "s.v"})],
+        not_matched_clauses=[(None, True)],
+        not_matched_by_source_clauses=[
+            ("t.id = 3", "delete", None),           # first-match-wins
+            (None, "update", {"v": "t.v + 1000"}),  # remaining unmatched
+        ],
+    )
+    assert m["numTargetRowsUpdated"] == 3   # 1 matched + 2 by-source
+    assert m["numTargetRowsDeleted"] == 1
+    assert m["numTargetRowsInserted"] == 1
+    rows = sorted((r.id, r.v) for r in read_delta(spark, tbl).collect())
+    assert rows == [(1, 1010), (2, 222), (4, 1040), (5, 555)]
+
+
+def test_merge_by_source_only_multimatch_not_duplicated(spark, tmp_path):
+    """A by-source-only MERGE pulls files into the rewrite via an
+    ANTI-join; matched rows in those files may carry several (no-op)
+    matches and must come out exactly once."""
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long").coalesce(1),
+        tbl,
+    )
+    # id=1 matched by TWO source rows (no matched clause -> pure no-op);
+    # id=2 unmatched -> deleted by the by-source clause.
+    src = spark.createDataFrame([(1, 0), (1, 1)], "id long, x long")
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id", not_matched_insert=False,
+        not_matched_by_source_clauses=[(None, "delete", None)],
+    )
+    assert m["numTargetRowsDeleted"] == 1
+    rows = sorted((r.id, r.v) for r in read_delta(spark, tbl).collect())
+    assert rows == [(1, 10)]  # exactly once, not duplicated
+
+
+def test_merge_by_source_cdf_images(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        read_delta_changes,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+        tbl,
+    )
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame([(1, 111)], "id long, v long")
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id", not_matched_insert=False,
+        matched_clauses=[(None, "update", {"v": "s.v"})],
+        not_matched_by_source_clauses=[
+            ("t.id = 2", "update", {"v": "t.v * 10"}),
+            (None, "delete", None),
+        ],
+    )
+    # from_version is the EXCLUSIVE base snapshot (diff from..to)
+    ch = read_delta_changes(spark, tbl, from_version=m["version"] - 1)
+    kinds = {
+        (r.id, r.v, r._change_type)
+        for r in ch.select("id", "v", "_change_type").collect()
+    }
+    assert kinds == {
+        (1, 10, "update_preimage"), (1, 111, "update_postimage"),
+        (2, 20, "update_preimage"), (2, 200, "update_postimage"),
+        (3, 30, "delete"),
+    }
+    rows = sorted((r.id, r.v) for r in read_delta(spark, tbl).collect())
+    assert rows == [(1, 111), (2, 200)]
+
+
+def test_merge_by_source_partitioned_and_guards(spark, tmp_path):
+    """By-source clauses respect partition layouts, refuse mode='dv'
+    clearly, and count as row-removing work for appendOnly tables."""
+    from ballista_delta_spark.sources.delta import alter_properties
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 1), (3, 30, 0)], "id long, v long, p int"
+        ),
+        tbl, partition_by=["p"],
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="BY SOURCE.*cow"):
+        merge_delta(
+            spark, tbl, src, "t.id = s.id", mode="dv",
+            not_matched_insert=False,
+            not_matched_by_source_clauses=[(None, "delete", None)],
+        )
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id", not_matched_insert=False,
+        not_matched_by_source_clauses=[(None, "delete", None)],
+    )
+    assert m["numTargetRowsDeleted"] == 2
+    assert [(r.id, r.p) for r in read_delta(spark, tbl).collect()] == [(1, 0)]
+    # appendOnly refuses by-source row removal
+    tbl2 = str(tmp_path / "t2")
+    write_delta(spark.createDataFrame([(1, 10)], "id long, v long"), tbl2)
+    alter_properties(spark, tbl2, {"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly|append-only"):
+        merge_delta(
+            spark, tbl2, src, "t.id = s.id", not_matched_insert=False,
+            not_matched_by_source_clauses=[(None, "delete", None)],
+        )

@@ -303,13 +303,14 @@ def test_merge_update_set_star_and_case_insensitive_aliases(spark, tmp_path):
     )
     got = {r.id: r.v for r in read_delta(spark, loc).collect()}
     assert got == {1: 10, 2: 2000}
-    # BY SOURCE is a clear refusal, not a cryptic clause error
-    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
-        sql(
-            spark,
-            "MERGE INTO startbl AS t2 USING starsrc AS s2 ON t2.id = s2.id "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
-        )
+    # BY SOURCE: target rows without a source match take the clause
+    sql(
+        spark,
+        "MERGE INTO startbl AS t2 USING starsrc AS s2 ON t2.id = s2.id "
+        "WHEN NOT MATCHED BY SOURCE AND t2.v < 2000 THEN UPDATE SET v = t2.v + 5",
+    )
+    got = {r.id: r.v for r in read_delta(spark, loc).collect()}
+    assert got == {1: 15, 2: 2000}
     # BY TARGET is the standard not-matched spelled explicitly
     sql(
         spark,
