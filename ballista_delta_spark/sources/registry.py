@@ -29,6 +29,11 @@ def resolve_url(url: str, s3_probe=None) -> str:
     src/object_store.rs:72-94 — we keep the decoder for drop-in parity);
     http(s) -> passed through (Hadoop http FS if configured).
     """
+    # Plain local paths bypass urlparse entirely: a filename containing
+    # '#' or '?' would be truncated at the fragment/query separator, and
+    # a relative first segment with ':' would mis-parse as a scheme.
+    if "://" not in url and not url.startswith("file:"):
+        return url
     parsed = urlparse(url)
     scheme = parsed.scheme
     if scheme in ("", "file"):
@@ -177,12 +182,14 @@ def register_http_parquet(
     """Register parquet served over HTTP(S) as a temp view.
 
     Files are fetched by the driver into one local directory and scanned as
-    a normal (pruned, pushed-down) parquet read. Refuses more than
-    ``max_files`` files or ``max_bytes`` total bytes: above that, localizing
-    through one machine is the wrong plan — mirror the data to an object
-    store (s3a/abfs/gs) or mount an http-capable Hadoop FS instead.
+    a normal (pruned, pushed-down) parquet read — only on a local master
+    (executors elsewhere cannot read the driver's temp dir). Anything over
+    ``max_files`` files or ``max_bytes`` total bytes, any non-local
+    master, and any mid-stream budget breach all reroute to
+    :func:`register_http_parquet_distributed` (executor-side fetch).
     """
     import os
+    import shutil
     import tempfile
     import urllib.request
 
@@ -190,6 +197,10 @@ def register_http_parquet(
     if len(url_list) > max_files:
         # Above the driver-localization budget: route to the executor-side
         # fetch instead of failing (round-4 punch list #4).
+        return register_http_parquet_distributed(spark, name, url_list)
+    if not spark.sparkContext.master.startswith("local"):
+        # Driver-local temp files are invisible to remote executors; on a
+        # real cluster the distributed fetch is the only correct plan.
         return register_http_parquet_distributed(spark, name, url_list)
     # Size pre-check via HEAD where the server reports it; the streaming
     # loop below re-enforces the budget for servers that don't.
@@ -211,13 +222,19 @@ def register_http_parquet(
             while chunk := resp.read(1 << 20):
                 fetched += len(chunk)
                 if fetched > max_bytes:
-                    raise ValueError(
-                        f"HTTP localization exceeded {max_bytes} bytes at "
-                        f"{u}; mirror the table to an object store"
+                    # A server that reported no Content-Length breached the
+                    # budget mid-stream: take the same distributed fallback
+                    # the pre-check takes (and drop the partial mirror)
+                    # instead of erroring after a wasted download.
+                    fh.close()
+                    shutil.rmtree(d, ignore_errors=True)
+                    return register_http_parquet_distributed(
+                        spark, name, url_list
                     )
                 fh.write(chunk)
     df = spark.read.parquet(d)
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -378,9 +395,10 @@ def register_http_parquet_distributed(
 
     urls_df = spark.createDataFrame(
         [(u,) for u in url_list], "url string"
-    ).repartition(len(url_list), "url")
+    ).repartition(len(url_list))  # round-robin: one file per task
     df = urls_df.mapInPandas(_fetch, schema=schema)
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -428,22 +446,38 @@ def register_delta(spark: SparkSession, name: str, url: str, version: int | None
     path = resolve_url(url)
     df = read_delta(spark, path, version=version)
     df.createOrReplaceTempView(name)
+    # Record the view -> path mapping so the SQL dialect routes DML
+    # (INSERT/DELETE/UPDATE/MERGE/OPTIMIZE...) on this name to the
+    # Delta engine instead of falling through to spark.sql, which
+    # rejects writes to temp views. Version-pinned registrations stay
+    # read-only (DML against a historical view has no meaning) — and a
+    # re-registration of a previously-live name must DROP the stale
+    # routing or DML would silently write the old table.
     if version is None:
-        # Record the view -> path mapping so the SQL dialect routes DML
-        # (INSERT/DELETE/UPDATE/MERGE/OPTIMIZE...) on this name to the
-        # Delta engine instead of falling through to spark.sql, which
-        # rejects writes to temp views. Version-pinned registrations stay
-        # read-only: DML against a historical view has no meaning.
         from ..session import _delta_views
 
         _delta_views[name] = path
+    else:
+        _unroute_dml(name)
     return df
+
+
+def _unroute_dml(name: str) -> None:
+    """Drop ``name`` from the SQL dialect's DML routing map: every
+    register_* that re-binds a view name to something that is NOT the
+    live Delta table (parquet/CSV/JSON views, version-pinned or remote
+    Delta) must clear a stale mapping, else DML on the name would write
+    the previously-registered table."""
+    from ..session import _delta_views
+
+    _delta_views.pop(name, None)
 
 
 def register_parquet(spark: SparkSession, name: str, url: str) -> DataFrame:
     """``ctx.register_parquet`` (reference examples/s3_standalone.rs:35-39)."""
     df = spark.read.parquet(resolve_url(url))
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -461,6 +495,7 @@ def register_csv(spark: SparkSession, name: str, url: str, schema=None, **option
         reader = reader.option("inferSchema", "true")
     df = reader.csv(resolve_url(url))
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -471,6 +506,7 @@ def register_json(spark: SparkSession, name: str, url: str, schema=None) -> Data
         reader = reader.schema(schema)
     df = reader.json(resolve_url(url))
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -512,6 +548,7 @@ def _mirror_delta_log_http(url: str) -> str:
             fh.write(data)
 
     start = 0
+    unaddressable_v = None
     lc = _get("_last_checkpoint")
     if lc is not None:
         info = _json.loads(lc)
@@ -540,15 +577,162 @@ def _mirror_delta_log_http(url: str) -> str:
                 if data is None:
                     break
                 _put(f"{pv:020d}.json", data)
-        # else: uuid-named / v2 checkpoint we can't address without a
-        # listing — fall through to a full JSON walk from version 0.
+        else:
+            # uuid-named / v2 checkpoint we can't address without a
+            # directory listing — a full JSON walk from version 0 can
+            # still reconstruct the table IF retention never cleaned the
+            # early commits. When it has, say WHY the table is
+            # unreadable instead of claiming no log exists.
+            unaddressable_v = v
     v = start
     while (data := _get(f"{v:020d}.json")) is not None:
         _put(f"{v:020d}.json", data)
         v += 1
     if v == 0 and start == 0:
+        if unaddressable_v is not None:
+            raise ValueError(
+                f"the table at {base} requires its version-"
+                f"{unaddressable_v} checkpoint, but _last_checkpoint "
+                "names a uuid/v2 checkpoint this listing-less HTTP "
+                "mirror cannot address and the early JSON commits were "
+                "retention-cleaned — write a classic-named checkpoint "
+                "(create_checkpoint) or serve the full JSON history"
+            )
         raise ValueError(f"no Delta log found at {base}/_delta_log/")
     return root
+
+
+def _has_variant(dt) -> bool:
+    """True when the TYPE TREE contains a Variant — not a substring match
+    on simpleString(), which falsely flags field NAMES containing
+    'variant' (struct<my_variant:string>)."""
+    from pyspark.sql import types as T
+
+    vt = getattr(T, "VariantType", None)
+    if vt is not None and isinstance(dt, vt):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+    return False
+
+
+def _remote_delta_guards(snap, kind: str) -> None:
+    """Refuse tables whose scan cannot be reproduced file-locally on a
+    remote (http/s3) transport — shared by both remote registrars so the
+    rules can never drift."""
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        raise ValueError(
+            f"delta-over-{kind} cannot apply deletion vectors; "
+            "REORG TABLE ... APPLY (PURGE) the source first"
+        )
+    if snap.column_mapping_mode != "none":
+        raise ValueError(f"delta-over-{kind} does not support column mapping")
+    if any(_has_variant(f.dataType) for f in snap.schema.fields):
+        raise ValueError(
+            f"delta-over-{kind} cannot decode variant columns (pyarrow limit)"
+        )
+    if any(os.path.isabs(rel) for rel in snap.files):
+        raise ValueError(
+            f"delta-over-{kind} cannot serve absolute add-file paths (a "
+            "shallow clone references the SOURCE table's files) — deep-"
+            "clone first or register the source table itself"
+        )
+
+
+def _remote_delta_scan(
+    spark: SparkSession,
+    name: str,
+    snap,
+    base: str,
+    make_reader,
+    where: str | None,
+) -> DataFrame:
+    """Shared executor-side scan for remote (http/s3) Delta tables: one
+    task per surviving add file, partition values spliced from the log,
+    files predating an ADD COLUMN null-filled (the log schema is
+    authoritative; pyarrow's column projection silently drops columns a
+    file lacks). ``make_reader()`` runs once per task and returns
+    ``read(location, columns) -> pyarrow.Table``."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .delta import skip_files
+    from .delta_stream import _pv_caster
+
+    files = snap.files
+    if where:
+        files = skip_files(snap, where)  # driver-side stats pruning
+    # All-nullable, like the local batch reader (parquet scans surface
+    # every column nullable regardless of the log's declared nullability).
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in snap.schema.fields]
+    )
+    part_cols = list(snap.partition_columns)
+    data_cols = [f.name for f in schema.fields if f.name not in part_cols]
+    arrow_schema = to_arrow_schema(schema)
+    casters = {
+        f.name: _pv_caster(f.dataType)
+        for f in schema.fields
+        if f.name in part_cols
+    }
+    rows = [
+        (f"{base}/{rel}", _json.dumps(a.get("partitionValues") or {}))
+        for rel, a in sorted(files.items())
+    ]
+    if not rows:
+        empty = spark.createDataFrame([], schema)
+        empty.createOrReplaceTempView(name)  # the name contract holds even
+        _unroute_dml(name)
+        return empty                         # when pruning leaves no files
+
+    field_order = [f.name for f in schema.fields]
+
+    def _fetch(batches):
+        read_file = make_reader()
+        for pdf in batches:
+            for loc, pv_json in zip(pdf["loc"], pdf["pv"]):
+                tbl = read_file(loc, data_cols)
+                pv = _json.loads(pv_json)
+                n = tbl.num_rows
+                in_file = set(tbl.column_names)
+                cols = []
+                for fname in field_order:
+                    if fname in pv or fname in part_cols:
+                        raw = pv.get(fname)
+                        val = casters[fname](raw) if raw is not None else None
+                        cols.append(pa.array([val] * n))
+                    elif fname in in_file:
+                        cols.append(tbl.column(fname))
+                    else:
+                        # schema evolution: the file predates ADD COLUMN
+                        cols.append(
+                            pa.nulls(n, arrow_schema.field(fname).type)
+                        )
+                out = pa.table(cols, names=field_order).cast(
+                    arrow_schema, safe=False
+                )
+                yield out.to_pandas()
+
+    # Column-less repartition round-robins exactly one file per task;
+    # hashing on the location column would collide files into stragglers
+    # (balls-in-bins) and leave ~1/e of the tasks empty.
+    locs_df = spark.createDataFrame(rows, "loc string, pv string").repartition(
+        len(rows)
+    )
+    df = locs_df.mapInPandas(_fetch, schema=schema)
+    if where:
+        df = df.filter(where)  # skipping is a superset-prune, never exact
+    df.createOrReplaceTempView(name)
+    _unroute_dml(name)
+    return df
 
 
 def register_delta_http(
@@ -573,100 +757,31 @@ def register_delta_http(
     names), and variant columns (pyarrow cannot decode the parquet
     logical type).
     """
-    import io
-    import json as _json
-    import urllib.request
-
-    import pyarrow as pa
-
-    from .delta import _load_snapshot, skip_files
+    from .delta import _load_snapshot
 
     base = url.rstrip("/")
     mirror = _mirror_delta_log_http(base)
     snap = _load_snapshot(mirror, version=version)
-    if any(a.get("deletionVector") for a in snap.files.values()):
-        raise ValueError(
-            "delta-over-http cannot apply deletion vectors; "
-            "REORG TABLE ... APPLY (PURGE) the source first"
-        )
-    if snap.column_mapping_mode != "none":
-        raise ValueError("delta-over-http does not support column mapping")
-    if any("variant" in f.dataType.simpleString() for f in snap.schema.fields):
-        raise ValueError(
-            "delta-over-http cannot decode variant columns (pyarrow limit)"
-        )
-    files = snap.files
-    if where:
-        files = skip_files(snap, where)  # driver-side stats pruning
+    _remote_delta_guards(snap, "http")
 
-    from pyspark.sql.pandas.types import to_arrow_schema
+    def make_reader():
+        import io
+        import urllib.request
 
-    from pyspark.sql import types as T
-
-    from .delta_stream import _pv_caster
-
-    # All-nullable, like the local batch reader (parquet scans surface
-    # every column nullable regardless of the log's declared nullability).
-    schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in snap.schema.fields]
-    )
-    part_cols = list(snap.partition_columns)
-    data_cols = [f.name for f in schema.fields if f.name not in part_cols]
-    arrow_schema = to_arrow_schema(schema)
-    casters = {
-        f.name: _pv_caster(f.dataType)
-        for f in schema.fields
-        if f.name in part_cols
-    }
-    rows = [
-        (f"{base}/{rel}", _json.dumps(a.get("partitionValues") or {}))
-        for rel, a in sorted(files.items())
-    ]
-    if not rows:
-        empty = spark.createDataFrame([], schema)
-        empty.createOrReplaceTempView(name)  # the name contract holds even
-        return empty                         # when pruning leaves no files
-
-    field_order = [f.name for f in schema.fields]
-
-    def _fetch(batches):
         import pyarrow.parquet as _pq
 
-        for pdf in batches:
-            for u, pv_json in zip(pdf["url"], pdf["pv"]):
-                ranged = _ranged_open(u)
-                if ranged is not None:
-                    tbl = _pq.ParquetFile(ranged, pre_buffer=True).read(
-                        columns=data_cols
-                    )
-                else:
-                    with urllib.request.urlopen(u) as resp:
-                        tbl = _pq.read_table(
-                            io.BytesIO(resp.read()), columns=data_cols
-                        )
-                pv = _json.loads(pv_json)
-                n = tbl.num_rows
-                cols = []
-                for fname in field_order:
-                    if fname in pv or fname in part_cols:
-                        raw = pv.get(fname)
-                        val = casters[fname](raw) if raw is not None else None
-                        cols.append(pa.array([val] * n))
-                    else:
-                        cols.append(tbl.column(fname))
-                out = pa.table(cols, names=field_order).cast(
-                    arrow_schema, safe=False
+        def read(u, cols):
+            ranged = _ranged_open(u)
+            if ranged is not None:
+                return _pq.ParquetFile(ranged, pre_buffer=True).read(
+                    columns=cols
                 )
-                yield out.to_pandas()
+            with urllib.request.urlopen(u) as resp:
+                return _pq.read_table(io.BytesIO(resp.read()), columns=cols)
 
-    urls_df = spark.createDataFrame(rows, "url string, pv string").repartition(
-        len(rows), "url"
-    )
-    df = urls_df.mapInPandas(_fetch, schema=schema)
-    if where:
-        df = df.filter(where)  # skipping is a superset-prune, never exact
-    df.createOrReplaceTempView(name)
-    return df
+        return read
+
+    return _remote_delta_scan(spark, name, snap, base, make_reader, where)
 
 
 def _s3_client_kwargs(
@@ -782,9 +897,10 @@ def register_s3_parquet(
 
     keys_df = spark.createDataFrame(
         [(k,) for k in keys], "key string"
-    ).repartition(len(keys), "key")
+    ).repartition(len(keys))  # round-robin: one file per task
     df = keys_df.mapInPandas(_fetch, schema=schema)
     df.createOrReplaceTempView(name)
+    _unroute_dml(name)
     return df
 
 
@@ -844,88 +960,26 @@ def register_delta_s3(
     surviving add file becomes one task whose own S3 client fetches just
     the projected column chunks. Same reproducibility restrictions as
     delta-over-http (no DVs, no column mapping, no variant)."""
-    import json as _json
-
-    import pyarrow as pa
-
-    from pyspark.sql import types as T
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    from .delta import _load_snapshot, skip_files
-    from .delta_stream import _pv_caster
+    from .delta import _load_snapshot
 
     kw = _s3_client_kwargs(endpoint, access_key, secret_key, region)
     base = _s3_path(url).rstrip("/")
     mirror = _mirror_delta_log_s3(url, kw)
     snap = _load_snapshot(mirror, version=version)
-    if any(a.get("deletionVector") for a in snap.files.values()):
-        raise ValueError(
-            "delta-over-s3 cannot apply deletion vectors; "
-            "REORG TABLE ... APPLY (PURGE) the source first"
-        )
-    if snap.column_mapping_mode != "none":
-        raise ValueError("delta-over-s3 does not support column mapping")
-    if any("variant" in f.dataType.simpleString() for f in snap.schema.fields):
-        raise ValueError(
-            "delta-over-s3 cannot decode variant columns (pyarrow limit)"
-        )
-    files = snap.files
-    if where:
-        files = skip_files(snap, where)  # driver-side stats pruning
+    _remote_delta_guards(snap, "s3")
 
-    schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in snap.schema.fields]
-    )
-    part_cols = list(snap.partition_columns)
-    data_cols = [f.name for f in schema.fields if f.name not in part_cols]
-    arrow_schema = to_arrow_schema(schema)
-    casters = {
-        f.name: _pv_caster(f.dataType)
-        for f in schema.fields
-        if f.name in part_cols
-    }
-    rows = [
-        (f"{base}/{rel}", _json.dumps(a.get("partitionValues") or {}))
-        for rel, a in sorted(files.items())
-    ]
-    if not rows:
-        empty = spark.createDataFrame([], schema)
-        empty.createOrReplaceTempView(name)  # the name contract holds even
-        return empty                         # when pruning leaves no files
-
-    field_order = [f.name for f in schema.fields]
-
-    def _fetch(batches):
+    def make_reader():
         import pyarrow.parquet as _pq
         from pyarrow import fs as _pafs
 
         task_s3 = _pafs.S3FileSystem(**kw)
-        for pdf in batches:
-            for key, pv_json in zip(pdf["key"], pdf["pv"]):
-                with task_s3.open_input_file(key) as fh:
-                    tbl = _pq.ParquetFile(fh, pre_buffer=True).read(
-                        columns=data_cols
-                    )
-                pv = _json.loads(pv_json)
-                n = tbl.num_rows
-                cols = []
-                for fname in field_order:
-                    if fname in pv or fname in part_cols:
-                        raw = pv.get(fname)
-                        val = casters[fname](raw) if raw is not None else None
-                        cols.append(pa.array([val] * n))
-                    else:
-                        cols.append(tbl.column(fname))
-                out = pa.table(cols, names=field_order).cast(
-                    arrow_schema, safe=False
-                )
-                yield out.to_pandas()
 
-    keys_df = spark.createDataFrame(rows, "key string, pv string").repartition(
-        len(rows), "key"
-    )
-    df = keys_df.mapInPandas(_fetch, schema=schema)
-    if where:
-        df = df.filter(where)  # skipping is a superset-prune, never exact
-    df.createOrReplaceTempView(name)
-    return df
+        def read(key, cols):
+            with task_s3.open_input_file(key) as fh:
+                return _pq.ParquetFile(fh, pre_buffer=True).read(
+                    columns=cols
+                )
+
+        return read
+
+    return _remote_delta_scan(spark, name, snap, base, make_reader, where)

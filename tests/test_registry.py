@@ -390,3 +390,101 @@ def test_register_delta_over_http(spark, tmp_path):
             )
     finally:
         httpd.shutdown()
+
+
+def test_resolve_url_local_paths_with_uri_special_chars(tmp_path):
+    """Plain local paths bypass urlparse: '#'/'?' in a filename must not
+    truncate, and a ':' in a relative first segment must not parse as a
+    scheme (review finding, r11)."""
+    from ballista_delta_spark.sources.registry import resolve_url
+
+    assert resolve_url("/data/run#1/file.parquet") == "/data/run#1/file.parquet"
+    assert resolve_url("/data/a?b.parquet") == "/data/a?b.parquet"
+    assert resolve_url("my:dir/x.parquet") == "my:dir/x.parquet"
+    assert resolve_url("file:///x/y") == "/x/y"
+
+
+def test_reregistration_clears_stale_dml_routing(spark, tmp_path):
+    """Re-registering a name version-pinned (or as a parquet view) must
+    drop the DML routing the live registration installed — stale routing
+    would write the OLD table through the new name (review finding, r11)."""
+    from ballista_delta_spark.session import _delta_views, sql
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.registry import (
+        register_delta, register_parquet,
+    )
+
+    loc = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"), loc)
+    register_delta(spark, "rr_view", loc)
+    assert _delta_views.get("rr_view") == loc
+    # version-pinned re-registration: read-only, routing dropped
+    register_delta(spark, "rr_view", loc, version=0)
+    assert "rr_view" not in _delta_views
+    # re-register live, then re-bind as a plain parquet view
+    register_delta(spark, "rr_view", loc)
+    assert "rr_view" in _delta_views
+    pq = str(tmp_path / "plain")
+    spark.createDataFrame([(9,)], "x long").write.parquet(pq)
+    register_parquet(spark, "rr_view", pq)
+    assert "rr_view" not in _delta_views
+    spark.catalog.dropTempView("rr_view")
+
+
+def test_variant_guard_not_fooled_by_field_names(spark, tmp_path):
+    """The remote-scan variant refusal checks the TYPE tree, not a
+    substring of simpleString() — a field NAMED 'my_variant' must not be
+    refused (review finding, r11)."""
+    from ballista_delta_spark.sources.registry import _has_variant
+    from pyspark.sql import types as T
+
+    ok = T.StructType([T.StructField(
+        "s", T.StructType([T.StructField("my_variant", T.StringType())])
+    )])
+    assert not any(_has_variant(f.dataType) for f in ok.fields)
+    vt = getattr(T, "VariantType", None)
+    if vt is not None:
+        bad = T.StructType([T.StructField("v", vt())])
+        assert any(_has_variant(f.dataType) for f in bad.fields)
+        nested = T.StructType([T.StructField("a", T.ArrayType(vt()))])
+        assert any(_has_variant(f.dataType) for f in nested.fields)
+
+
+def test_register_delta_http_schema_evolution_and_clone_refusal(
+    spark, tmp_path
+):
+    """Files written before an ADD COLUMN null-fill over http (pyarrow's
+    projection silently drops absent columns; tbl.column() then raised
+    KeyError executor-side), and shallow clones (absolute add paths) are
+    refused explicitly instead of fetching garbage URLs (review finding,
+    r11)."""
+    import pytest as _pytest
+
+    from ballista_delta_spark.sources.delta import (
+        alter_columns, clone_delta, write_delta,
+    )
+    from ballista_delta_spark.sources.registry import register_delta_http
+
+    src = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id long"), src)
+    alter_columns(src, adds={"extra": "string"})
+    write_delta(
+        spark.createDataFrame([(2, "x")], "id long, extra string"), src,
+        mode="append",
+    )
+    httpd, port = _serve_delta(str(tmp_path))
+    try:
+        base = f"http://127.0.0.1:{port}/t"
+        df = register_delta_http(spark, "evolved_http", base)
+        got = sorted((r.id, r.extra) for r in df.collect())
+        assert got == [(1, None), (2, "x")]
+        # shallow clone: absolute add paths -> loud refusal
+        clone = str(tmp_path / "c")
+        clone_delta(src, clone)
+        with _pytest.raises(ValueError, match="absolute add-file paths"):
+            register_delta_http(
+                spark, "clone_http", f"http://127.0.0.1:{port}/c"
+            )
+    finally:
+        httpd.shutdown()
+    spark.catalog.dropTempView("evolved_http")
