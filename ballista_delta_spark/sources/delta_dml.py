@@ -1051,7 +1051,8 @@ def merge_delta(
       BY SOURCE`` (target rows with no source match) — same ordered
       ``(condition | None, "update" | "delete", update_map | None)`` shape
       as ``matched_clauses``; conditions and update expressions may
-      reference target columns only. cow mode only.
+      reference target columns only. Supported in both cow and dv modes
+      (dv: unmatched pre-images die in deletion vectors).
 
     Duplicate-match rule (Delta semantics): if any single target row
     matches more than one source row AND an update/delete clause could
@@ -1149,16 +1150,10 @@ def merge_delta(
                     f.name, F.lit(None).cast(f.dataType)
                 )
     if mode == "dv":
-        if not_matched_by_source_clauses:
-            raise ValueError(
-                "WHEN NOT MATCHED BY SOURCE is only supported with "
-                "mode='cow' (the merge-on-read path does not implement "
-                "it yet)"
-            )
         return _retrying(
             lambda: _merge_dv_once(
                 spark, path, source, on, matched_clauses,
-                not_matched_clauses,
+                not_matched_clauses, not_matched_by_source_clauses,
             ),
             retries,
         )
@@ -1555,6 +1550,9 @@ def _merge_dv_once(
     on: str,
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]],
     not_matched_clauses: list[tuple[str | None, dict[str, str] | bool]],
+    by_source_clauses: (
+        list[tuple[str | None, str, dict[str, str] | None]] | tuple
+    ) = (),
 ) -> dict[str, Any]:
     """Merge-on-read MERGE: matched update/delete pre-images die via
     per-file deletion vectors; updated post-images and inserts are
@@ -1570,11 +1568,14 @@ def _merge_dv_once(
         # already handles the insert-only outcome (and the with_location
         # scan refuses an empty snapshot), so delegate
         return _merge_once(
-            spark, path, source, on, matched_clauses, not_matched_clauses
+            spark, path, source, on, matched_clauses, not_matched_clauses,
+            by_source_clauses,
         )
-    # Matched clauses remove ROWS (appendOnly must refuse them).
+    # Matched/by-source clauses remove ROWS (appendOnly must refuse them).
     _check_writable(
-        dt, removes_files=bool(matched_clauses), cdf_capable=True
+        dt,
+        removes_files=bool(matched_clauses or by_source_clauses),
+        cdf_capable=True,
     )
     cdf = cdf_enabled(dt.snapshot)
     cdc_actions: list[dict[str, Any]] = []
@@ -1582,7 +1583,8 @@ def _merge_dv_once(
     typed = dict((f.name, f.dataType) for f in dt.snapshot.schema.fields)
     on_expr = F.expr(on)
     _validate_merge_clauses(
-        dt, source, matched_clauses, not_matched_clauses, tcols
+        dt, source, matched_clauses, not_matched_clauses, tcols,
+        by_source_clauses=by_source_clauses,
     )
 
     now_ms = int(time.time() * 1000)
@@ -1701,6 +1703,99 @@ def _merge_dv_once(
                 )
         finally:
             joined.unpersist()
+
+    if by_source_clauses:
+        # WHEN NOT MATCHED BY SOURCE, merge-on-read: unmatched target rows
+        # taking a clause die in deletion vectors; by-source UPDATEs come
+        # back as appended post-images (same shape as matched updates).
+        unmatched = (
+            dt.to_df(spark, with_location=True).alias("t")
+            .join(src, on_expr, "left_anti")
+        )
+        bsact = F.lit(-1)
+        for i in reversed(range(len(by_source_clauses))):
+            cond_sql, _kind, _upd = by_source_clauses[i]
+            cc = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+            bsact = F.when(cc, F.lit(i)).otherwise(bsact)
+        bs = (
+            unmatched.withColumn("__bsact", bsact)
+            .filter(F.col("__bsact") >= 0)
+            .cache()
+        )
+        try:
+            bs_upd_ids = [
+                i for i, (_c, k, _u) in enumerate(by_source_clauses)
+                if k == "update"
+            ]
+            bs_counts = bs.agg(*[
+                F.sum(
+                    F.when(F.col("__bsact") == i, 1).otherwise(0)
+                ).alias(f"b{i}")
+                for i in range(len(by_source_clauses))
+            ]).collect()[0]
+            bs_upd = sum(int(bs_counts[f"b{i}"] or 0) for i in bs_upd_ids)
+            bs_del = sum(
+                int(bs_counts[f"b{i}"] or 0)
+                for i, (_c, k, _u) in enumerate(by_source_clauses)
+                if k == "delete"
+            )
+            n_updated += bs_upd
+            n_deleted += bs_del
+            if bs_upd or bs_del:
+                bs_per_file, _n = _dv_mark_rows(
+                    spark, dt, bs.select("__src_fp", "__src_ri"),
+                )
+                # Matched rows and unmatched rows are disjoint, but one
+                # FILE can carry both kinds: union the per-file indexes
+                # (each call already folds in the file's pre-existing DV).
+                for f, idxs in bs_per_file.items():
+                    if f in new_per_file:
+                        new_per_file[f] = sorted(
+                            set(new_per_file[f]) | set(idxs)
+                        )
+                    else:
+                        new_per_file[f] = idxs
+            if bs_upd:
+                out_cols = []
+                for c in tcols:
+                    col = F.col(f"t.{c}")
+                    for i, (_c0, kind, upd) in enumerate(by_source_clauses):
+                        if kind == "update" and c in upd:
+                            col = F.when(
+                                F.col("__bsact") == i, F.expr(upd[c])
+                            ).otherwise(col)
+                    out_cols.append(col.cast(typed[c]).alias(c))
+                bs_upd_rows = bs.filter(F.col("__bsact").isin(bs_upd_ids))
+                post_bs = bs_upd_rows.select(*out_cols)
+                if active_constraints(dt.snapshot):
+                    enforce_constraints(post_bs, dt.snapshot)
+                adds += _stage_adds(
+                    _sized(post_bs, 1), dt.path,
+                    dt.snapshot.partition_columns, dt.snapshot.schema,
+                    snap=dt.snapshot,
+                )
+                if cdf:
+                    t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
+                    pre = bs_upd_rows.select(*t_sel).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post_img = post_bs.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    cdc_actions += _stage_cdc(
+                        pre.unionByName(post_img), dt.path,
+                        dt.snapshot.partition_columns, snap=dt.snapshot
+                    )
+            if cdf and bs_del:
+                t_sel = [F.col(f"t.{c}").alias(c) for c in tcols]
+                cdc_actions += _stage_cdc(
+                    bs.filter(~F.col("__bsact").isin(bs_upd_ids))
+                    .select(*t_sel)
+                    .withColumn("_change_type", F.lit("delete")),
+                    dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
+                )
+        finally:
+            bs.unpersist()
 
     n_inserted = 0
     ins = None

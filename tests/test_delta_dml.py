@@ -782,8 +782,8 @@ def test_merge_by_source_cdf_images(spark, tmp_path):
 
 
 def test_merge_by_source_partitioned_and_guards(spark, tmp_path):
-    """By-source clauses respect partition layouts, refuse mode='dv'
-    clearly, and count as row-removing work for appendOnly tables."""
+    """By-source clauses respect partition layouts and count as
+    row-removing work for appendOnly tables."""
     from ballista_delta_spark.sources.delta import alter_properties
 
     tbl = str(tmp_path / "t")
@@ -794,12 +794,6 @@ def test_merge_by_source_partitioned_and_guards(spark, tmp_path):
         tbl, partition_by=["p"],
     )
     src = spark.createDataFrame([(1,)], "id long")
-    with pytest.raises(ValueError, match="BY SOURCE.*cow"):
-        merge_delta(
-            spark, tbl, src, "t.id = s.id", mode="dv",
-            not_matched_insert=False,
-            not_matched_by_source_clauses=[(None, "delete", None)],
-        )
     m = merge_delta(
         spark, tbl, src, "t.id = s.id", not_matched_insert=False,
         not_matched_by_source_clauses=[(None, "delete", None)],
@@ -815,3 +809,37 @@ def test_merge_by_source_partitioned_and_guards(spark, tmp_path):
             spark, tbl2, src, "t.id = s.id", not_matched_insert=False,
             not_matched_by_source_clauses=[(None, "delete", None)],
         )
+
+
+def test_merge_by_source_dv_mode(spark, tmp_path):
+    """Merge-on-read BY SOURCE: unmatched pre-images die in deletion
+    vectors (no data file rewritten), by-source updates append
+    post-images, and matched + by-source DVs on the SAME file merge."""
+    import glob as _glob
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+        ).coalesce(1),
+        tbl,
+    )
+    data_files = set(_glob.glob(os.path.join(tbl, "*.parquet")))
+    src = spark.createDataFrame([(1, 111), (9, 999)], "id long, v long")
+    m = merge_delta(
+        spark, tbl, src, "t.id = s.id", mode="dv",
+        matched_clauses=[(None, "update", {"v": "s.v"})],
+        not_matched_clauses=[(None, True)],
+        not_matched_by_source_clauses=[
+            ("t.id = 2", "update", {"v": "t.v * 10"}),
+            ("t.id = 3", "delete", None),
+        ],
+    )
+    assert m["numTargetRowsUpdated"] == 2   # matched 1 + by-source 1
+    assert m["numTargetRowsDeleted"] == 1
+    assert m["numTargetRowsInserted"] == 1
+    assert m["numDeletionVectorsAdded"] == 1  # one file carries all marks
+    # original data file still present (merge-on-read)
+    assert data_files <= set(_glob.glob(os.path.join(tbl, "*.parquet")))
+    rows = sorted((r.id, r.v) for r in read_delta(spark, tbl).collect())
+    assert rows == [(1, 111), (2, 200), (4, 40), (9, 999)]
