@@ -52,6 +52,11 @@ def z85_decode(s: str) -> bytes:
                 acc = acc * 85 + _Z85_INDEX[ch]
             except KeyError:
                 raise ValueError(f"invalid Z85 character {ch!r}") from None
+        if acc > 0xFFFFFFFF:
+            # Z85 spec: a 5-char group encodes at most 2^32-1; letting
+            # .to_bytes raise would leak OverflowError past the module's
+            # ValueError contract.
+            raise ValueError(f"Z85 group overflows 32 bits: {s[i:i+5]!r}")
         out += acc.to_bytes(4, "big")
     return bytes(out)
 
@@ -153,16 +158,46 @@ def parse_roaring_bitmap_array(data: bytes) -> list[int]:
 
 
 def dv_file_path(table_path: str, descriptor: dict[str, Any]) -> str:
-    """Resolve the on-disk file for a storageType='u' descriptor:
-    ``pathOrInlineDv = <optional random prefix><20-char Z85 uuid>``; the
-    file is ``<prefix>/deletion_vector_<uuid>.bin`` under the table root."""
+    """Resolve the on-disk file for a file-backed DV descriptor.
+
+    storageType='u': ``pathOrInlineDv = <optional random prefix><20-char
+    Z85 uuid>``; the file is ``<prefix>/deletion_vector_<uuid>.bin``
+    under the table root, and the resolved path is CONTAINMENT-checked —
+    a crafted prefix ('..' or absolute) must not escape the root, since
+    deep clone uses the result as a WRITE destination. storageType='p':
+    ``pathOrInlineDv`` IS the path, verbatim (shallow clones point at
+    the SOURCE table's bins — legitimately outside this root); z85-
+    decoding its tail would fabricate a garbage path (any 20 hex/dash
+    chars are valid Z85), which silently corrupted VACUUM's keep-set."""
+    st = descriptor.get("storageType")
     pod = descriptor["pathOrInlineDv"]
+    if st == "p":
+        return _strip_file_scheme(pod)
+    if st != "u":
+        raise ValueError(f"no file path for DV storageType {st!r}")
     prefix, enc_uuid = pod[:-20], pod[-20:]
     u = _uuid.UUID(bytes=z85_decode(enc_uuid))
     name = f"deletion_vector_{u}.bin"
-    return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+    out = os.path.join(table_path, prefix, name) if prefix else os.path.join(
         table_path, name
     )
+    root = os.path.abspath(table_path)
+    if not os.path.abspath(out).startswith(root + os.sep):
+        raise ValueError(
+            f"DV prefix escapes the table root: {pod!r}"
+        )
+    return out
+
+
+def _strip_file_scheme(path: str) -> str:
+    """file:-scheme URI -> plain path (authority-form and Hadoop's
+    single-slash ``file:/x`` both normalize; everything else verbatim)."""
+    if not path.startswith("file:"):
+        return path
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    return parsed.path or path
 
 
 def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
@@ -173,15 +208,15 @@ def read_dv_bytes(table_path: str, descriptor: dict[str, Any]) -> bytes:
     st = descriptor.get("storageType")
     size = int(descriptor["sizeInBytes"])
     if st == "i":
-        return z85_decode(descriptor["pathOrInlineDv"])[:size]
+        decoded = z85_decode(descriptor["pathOrInlineDv"])
+        if len(decoded) < size:
+            raise ValueError(
+                f"inline DV shorter than its declared sizeInBytes: "
+                f"{len(decoded)} < {size}"
+            )
+        return decoded[:size]
     if st in ("u", "p"):
-        path = (
-            dv_file_path(table_path, descriptor)
-            if st == "u"
-            else descriptor["pathOrInlineDv"]
-        )
-        if path.startswith("file://"):
-            path = path[len("file://"):]
+        path = dv_file_path(table_path, descriptor)
         offset = int(descriptor.get("offset") or 0)
         with open(path, "rb") as fh:
             fh.seek(offset)
@@ -221,17 +256,21 @@ def _serialize_roaring32(values: list[int]) -> bytes:
     chunks: dict[int, list[int]] = {}
     for v in sorted(set(values)):
         chunks.setdefault(v >> 16, []).append(v & 0xFFFF)
-    size = len(chunks)
+    # chunks was built from sorted input: keys ascend, values per key are
+    # sorted-unique — iterate one snapshot, no re-sorting on the
+    # O(deleted rows) DML write path.
+    items = list(chunks.items())
+    size = len(items)
     out = bytearray()
     out += struct.pack("<I", 12346)
     out += struct.pack("<I", size)
-    for key, vals in sorted(chunks.items()):
+    for key, vals in items:
         out += struct.pack("<HH", key, len(vals) - 1)
     pos = len(out) + 4 * size
-    for _key, vals in sorted(chunks.items()):
+    for _key, vals in items:
         out += struct.pack("<I", pos)
         pos += 2 * len(vals) if len(vals) <= 4096 else 8192
-    for _key, vals in sorted(chunks.items()):
+    for _key, vals in items:
         if len(vals) <= 4096:
             out += struct.pack(f"<{len(vals)}H", *vals)
         else:
@@ -259,7 +298,16 @@ def write_deletion_vectors(
 ) -> dict[str, dict[str, Any]]:
     """Write ONE UUID-named .bin holding a DV per file (the delta-spark
     layout: many DVs share a file, distinguished by offset) and return
-    rel_data_path -> descriptor."""
+    rel_data_path -> descriptor.
+
+    Empty inputs never touch disk: a DV must mark at least one row (the
+    protocol forbids cardinality 0), so empty index lists are skipped
+    and an all-empty call returns {} without creating an orphan bin."""
+    per_file_indexes = {
+        rel: idxs for rel, idxs in per_file_indexes.items() if idxs
+    }
+    if not per_file_indexes:
+        return {}
     u = _uuid.uuid4()
     name = f"deletion_vector_{u}.bin"
     descriptors: dict[str, dict[str, Any]] = {}

@@ -1111,3 +1111,67 @@ def test_vacuum_counts_dv_bin_retention_from_supersession(spark, tmp_path):
     vacuum(tbl, retention_ms=0, spark=spark)
     assert not any(os.path.exists(b) for b in bins)
     assert read_delta(spark, tbl).count() == 90
+
+
+def test_dv_file_path_storage_types_and_containment(tmp_path):
+    """dv_file_path: 'p' returns the verbatim path (z85-decoding its
+    tail fabricated a garbage path — any 20 hex/dash chars are valid
+    Z85 — silently corrupting VACUUM's keep-set), 'u' is containment-
+    checked against the table root (deep clone WRITES to the result),
+    and other storage types refuse (review finding, r11)."""
+    from ballista_delta_spark.sources.dv import dv_file_path, z85_encode
+
+    tbl = str(tmp_path / "t")
+    abs_bin = "/elsewhere/src/deletion_vector_0a1b2c3d-1111-2222-3333-444455556666.bin"
+    assert dv_file_path(tbl, {
+        "storageType": "p", "pathOrInlineDv": abs_bin
+    }) == abs_bin
+    assert dv_file_path(tbl, {
+        "storageType": "p", "pathOrInlineDv": "file://" + abs_bin
+    }) == abs_bin
+    u = _uuid.uuid4()
+    ok = dv_file_path(tbl, {
+        "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes)
+    })
+    assert ok == os.path.join(tbl, f"deletion_vector_{u}.bin")
+    with pytest.raises(ValueError, match="escapes the table root"):
+        dv_file_path(tbl, {
+            "storageType": "u",
+            "pathOrInlineDv": "../../" + z85_encode(u.bytes),
+        })
+    with pytest.raises(ValueError, match="escapes the table root"):
+        dv_file_path(tbl, {
+            "storageType": "u",
+            "pathOrInlineDv": "/tmp/evil/" + z85_encode(u.bytes),
+        })
+    with pytest.raises(ValueError, match="storageType"):
+        dv_file_path(tbl, {"storageType": "i", "pathOrInlineDv": "x"})
+
+
+def test_z85_overflow_and_inline_size_are_value_errors(tmp_path):
+    from ballista_delta_spark.sources.dv import z85_decode
+
+    with pytest.raises(ValueError, match="overflows"):
+        z85_decode("#####")
+    # inline DV shorter than declared size: ValueError, not struct.error
+    data = _serialize_dv([1, 2])
+    pad = (-len(data)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data) + 64,
+        "cardinality": 2,
+    }
+    with pytest.raises(ValueError, match="shorter than"):
+        read_deletion_vector(str(tmp_path), desc)
+
+
+def test_write_deletion_vectors_skips_empty_inputs(tmp_path):
+    from ballista_delta_spark.sources.dv import write_deletion_vectors
+
+    tbl = str(tmp_path)
+    assert write_deletion_vectors(tbl, {}) == {}
+    assert glob.glob(os.path.join(tbl, "deletion_vector_*.bin")) == []
+    descs = write_deletion_vectors(tbl, {"a.parquet": [], "b.parquet": [3]})
+    assert list(descs) == ["b.parquet"]  # empty list skipped, no 0-card DV
+    assert descs["b.parquet"]["cardinality"] == 1
