@@ -2080,6 +2080,7 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     want = {f.name for f in data_fields}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -2098,7 +2099,14 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
             st = col.statistics
             if st is None:
                 continue
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.null_count is None:
+                # A footer that omits null counts (foreign writers) must
+                # not claim nullCount=0 — skip_files prunes IS NULL on
+                # that claim and would silently drop rows. Poison the
+                # column's count instead of fabricating it.
+                null_unknown.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
                 try:
                     mn, mx = st.min, st.max
@@ -2122,6 +2130,8 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     _trunc_stat_strings(mins, maxs)
+    for name in null_unknown:
+        nulls.pop(name, None)
     return json.dumps(
         {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
     )
@@ -2639,7 +2649,6 @@ def write_delta(
         # read back from the staged adds' max stats — no extra job);
         # allowExplicitInsert columns accept caller values.
         id_cols = identity_columns(prev)
-        gen_id_cols: list[str] = []
         new_hwms: dict[str, int] = {}
         typed_prev = dict((f.name, f.dataType) for f in prev.schema.fields)
         for c, md_ic in id_cols.items():
@@ -2660,7 +2669,6 @@ def write_delta(
             df, top = _assign_identity(df, c, base, step, typed_prev[c])
             if top is not None:
                 new_hwms[c] = top
-            gen_id_cols.append(c)
         # Generated columns (delta.generationExpression, writer v4):
         # compute when omitted from the input; validate when provided
         # (delta-spark semantics — a provided value must null-safely equal
@@ -2680,6 +2688,16 @@ def write_delta(
                 df = df.withColumn(c, F.expr(expr).cast(typ))
             else:
                 gen_validate.append((c, expr))
+        if gen_validate or active_constraints(prev):
+            # Pin the rows BEFORE validating: the validation aggregates
+            # and the staging write are separate jobs, and a
+            # nondeterministic input (a source dir gaining files,
+            # sample(), shuffle-order-dependent exprs) would otherwise
+            # commit rows that were never validated. Same hazard (and
+            # same localCheckpoint remedy) as _assign_identity — and for
+            # deterministic inputs the checkpoint also saves the
+            # validation pass's full recompute.
+            df = df.localCheckpoint(eager=False)
         if gen_validate:
             checks = [
                 F.sum(
@@ -2725,6 +2743,20 @@ def write_delta(
                 raise ValueError(
                     f"schema mismatch: {sorted(incoming)} vs {sorted(expected)}"
                     " (pass merge_schema=True to evolve)"
+                )
+            # Case-INSENSITIVE conflict check: evolving 'ID' next to an
+            # existing 'id' would commit a case-duplicate schema that
+            # bricks every Spark read under the default caseSensitive=
+            # false resolution (delta-spark rejects this evolution too).
+            expected_lower = {n.lower() for n in expected}
+            case_dupes = sorted(
+                n for n in incoming
+                if n not in expected and n.lower() in expected_lower
+            )
+            if case_dupes:
+                raise ValueError(
+                    f"cannot evolve column(s) {case_dupes}: they differ "
+                    "only in case from existing table columns"
                 )
             for f_prev in prev.schema.fields:
                 if f_prev.name in incoming:
@@ -3075,6 +3107,12 @@ def _stage_adds(
                 continue
         else:
             stats = _file_stats(src, indexed)
+        if json.loads(stats).get("numRecords") == 0:
+            # delta-spark never commits empty part files — the variant
+            # agg path skips them via the missing group above; the
+            # footer paths must apply the SAME rule (an empty add also
+            # burns a phantom row-id on rowTracking tables).
+            continue
         os.replace(src, dst)
         adds.append(
             {
@@ -3386,14 +3424,37 @@ def _try_commit(
     Recomputed per retry attempt so a rebased commit stays monotonic."""
     log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
+
+    def _reclaim_staged() -> None:
+        # A losing writer reclaims EVERYTHING it staged: part-files
+        # (staged_adds) and any _change_data cdc files riding in the
+        # action list — both are invisible to the log but would
+        # orphan-pollute the table dir.
+        staged_cdc = [act["cdc"] for act in actions if "cdc" in act]
+        for a in staged_adds + staged_cdc:
+            try:
+                os.unlink(os.path.join(path, a["path"]))
+            except OSError:
+                pass
+
     version = _next_version(log)
+    if snap is not None:
+        # Optimistic concurrency must start from the version the caller
+        # READ, not the log's current tail: a commit that landed between
+        # snapshot load and here (the whole Spark staging window) has to
+        # take the same rebase/conflict walk as one landing after entry —
+        # claiming _next_version outright would skip conflict detection
+        # for exactly the interval where races actually happen.
+        version = min(version, snap.version + 1)
     if expected_version is not None and version != expected_version:
         # The caller baked this exact version into its actions (e.g.
         # typeWidening's delta.typeChanges tableVersion): committing at
         # any other slot would persist a lie — refuse instead.
+        _reclaim_staged()
         raise ConcurrentWriteException(
-            f"table advanced to version {version - 1} concurrently "
-            f"(expected to commit {expected_version}); reload and retry"
+            f"table advanced concurrently (next commitable version is "
+            f"{version}, expected to commit {expected_version}); reload "
+            "and retry"
         )
     max_retries = 20
     dcv_touched: set[int] = set()
@@ -3494,18 +3555,7 @@ def _try_commit(
             _rebase_safe(log, v) for v in range(version, next_free)
         )
         if not conflict_free:
-            # Losing writer reclaims EVERYTHING it staged: part-files
-            # (staged_adds) and any _change_data cdc files riding in the
-            # action list — both are invisible to the log but would
-            # orphan-pollute the table dir.
-            staged_cdc = [
-                act["cdc"] for act in actions if "cdc" in act
-            ]
-            for a in staged_adds + staged_cdc:
-                try:
-                    os.unlink(os.path.join(path, a["path"]))
-                except OSError:
-                    pass
+            _reclaim_staged()
             raise ConcurrentWriteException(
                 f"concurrent commit at version {version}"
                 + (
@@ -3515,6 +3565,7 @@ def _try_commit(
                 )
             )
         version = next_free
+    _reclaim_staged()
     raise ConcurrentWriteException(
         f"gave up after {max_retries} rebase attempts at version {version}"
     )

@@ -243,3 +243,113 @@ def test_cross_process_concurrent_blind_appends(tmp_path):
         [-1] + [t * 1000 + i for t in range(n_procs) for i in range(n_commits)]
     )
     assert ids == want
+
+
+# -------------------------- staging-window races (review finding, r11)
+def test_commit_detects_race_inside_staging_window(spark, tbl):
+    """A commit that landed BETWEEN snapshot load and _try_commit entry
+    must take the same conflict walk as one landing after entry —
+    claiming _next_version outright skipped conflict detection for the
+    whole Spark staging window (the interval where races actually
+    happen)."""
+    import time as _time
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot, _try_commit,
+    )
+
+    snap = _load_snapshot(tbl)  # reader anchored at v0
+    # Interloper wins the next version while "we" are staging.
+    write_delta(
+        spark.createDataFrame([(7, "g")], "id int, s string"), tbl,
+        mode="append",
+    )
+    # A non-append op (delete) carrying the stale snapshot must refuse.
+    with pytest.raises(ConcurrentWriteException, match="does not rebase"):
+        _try_commit(
+            tbl,
+            [
+                {"commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "DELETE", "operationParameters": {},
+                }},
+                {"remove": {"path": "gone.parquet", "deletionTimestamp": 0,
+                            "dataChange": True}},
+            ],
+            [],
+            op_kind="delete",
+            snap=snap,
+        )
+
+
+def test_blind_append_rebases_over_staging_window_append(spark, tbl):
+    import time as _time
+
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot, _try_commit,
+    )
+
+    snap = _load_snapshot(tbl)  # v0
+    write_delta(
+        spark.createDataFrame([(8, "h")], "id int, s string"), tbl,
+        mode="append",
+    )  # interloper commits v1 (conflict-free for appends)
+    v = _try_commit(
+        tbl,
+        [
+            {"commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "WRITE", "operationParameters": {},
+            }},
+            _reuse_v0_add(tbl),
+        ],
+        [],
+        op_kind="blind_append",
+        snap=snap,
+    )
+    assert v == 2  # walked v1, found it append-safe, rebased
+
+
+def test_concurrent_deletes_do_not_resurrect_rows(spark, tmp_path):
+    """Two DELETEs racing on the same file: the loser must raise, not
+    rewrite the file from its stale pre-image (which would resurrect the
+    winner's deleted rows). Simulated by interleaving at the snapshot
+    level: the loser's snapshot predates the winner's commit."""
+    from ballista_delta_spark.sources.delta import DeltaTable
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl2 = str(tmp_path / "t2")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "x") for i in range(10)], "id int, s string"
+        ).coalesce(1),
+        tbl2,
+    )
+    # Capture the loser's view, then let the winner delete id=1.
+    import ballista_delta_spark.sources.delta_dml as dml
+
+    real_dt = dml.DeltaTable
+    stale = real_dt(tbl2)
+    delete_delta(spark, tbl2, "id = 1")  # winner commits v1
+
+    class _StaleOnce:
+        calls = 0
+
+        def __new__(cls, path=None, *a, **kw):
+            if path is None:
+                # _subset_df's DeltaTable.__new__(DeltaTable) shell
+                return real_dt.__new__(real_dt)
+            _StaleOnce.calls += 1
+            if _StaleOnce.calls == 1 and path == tbl2:
+                return stale
+            return real_dt(path, *a, **kw)
+
+    dml.DeltaTable = _StaleOnce
+    try:
+        with pytest.raises(ConcurrentWriteException):
+            delete_delta(spark, tbl2, "id = 2")
+    finally:
+        dml.DeltaTable = real_dt
+    # winner's delete intact, loser left no trace
+    ids = sorted(r.id for r in read_delta(spark, tbl2).collect())
+    assert ids == [0] + list(range(2, 10))

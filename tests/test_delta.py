@@ -1906,3 +1906,30 @@ def test_vacuum_orphan_symlink_parity(spark, tmp_path, monkeypatch):
     assert not _os.path.lexists(_os.path.join(tbl, "link2.parquet"))
     assert (external / "target.parquet").read_bytes() == b"keep me"
     assert read_delta(spark, tbl).count() == 5
+
+
+def test_empty_part_files_never_committed(spark, tmp_path):
+    """Zero-row part files are skipped on EVERY stats path (footer,
+    distributed, variant agg) — an empty add burns a phantom row id on
+    rowTracking tables and delta-spark never commits one (review
+    finding, r11)."""
+    import json as _json
+
+    tbl = str(tmp_path / "t")
+    # Force empty shuffle partitions: 1 row across 8 partitions.
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, s string").repartition(8),
+        tbl,
+    )
+    snap = DeltaTable(tbl).snapshot
+    assert len(snap.files) == 1  # 7 empty part files skipped
+    for a in snap.files.values():
+        assert _json.loads(a["stats"])["numRecords"] > 0
+    assert read_delta(spark, tbl).count() == 1
+    # an entirely empty append commits a version with zero adds
+    write_delta(
+        spark.createDataFrame([], "id long, s string"), tbl, mode="append",
+    )
+    snap2 = DeltaTable(tbl).snapshot
+    assert len(snap2.files) == 1
+    assert read_delta(spark, tbl).count() == 1

@@ -361,3 +361,18 @@ def test_merge_schema_evolution_is_case_insensitive(spark, tmp_path):
     )
     snap = _load_snapshot(p)
     assert [f.name for f in snap.schema.fields] == ["id", "s"]  # no dup
+
+
+def test_merge_schema_rejects_case_duplicate_column(spark, tmp_path):
+    """Evolving 'ID' next to an existing 'id' would commit a schema that
+    bricks every Spark read under caseSensitive=false — refused, like
+    delta-spark (review finding, r11)."""
+    from ballista_delta_spark.sources.delta import write_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"), tbl)
+    with pytest.raises(ValueError, match="differ only in case"):
+        write_delta(
+            spark.createDataFrame([(2, "b", 9)], "ID long, s string, v long"),
+            tbl, mode="append", merge_schema=True,
+        )
