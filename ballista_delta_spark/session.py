@@ -340,10 +340,38 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     out.append(statement[last:])
     return "".join(out)
 
+class _CaseFoldedViews(dict):
+    """Routing map keyed like Spark's temp-view catalog: view names are
+    case-insensitive, so ``register_parquet(spark, "SALES", ...)`` replaces
+    the SAME temp view as a prior ``register_delta(spark, "Sales", ...)``
+    and must also displace its DML route — a case-sensitive map would keep
+    the stale entry, sending DELETE/UPDATE to the old Delta table while
+    SELECT reads the new source."""
+
+    @staticmethod
+    def _k(key):
+        return key.lower() if isinstance(key, str) else key
+
+    def __setitem__(self, key, value):
+        super().__setitem__(self._k(key), value)
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._k(key))
+
+    def __contains__(self, key):
+        return super().__contains__(self._k(key))
+
+    def get(self, key, default=None):
+        return super().get(self._k(key), default)
+
+    def pop(self, key, *args):
+        return super().pop(self._k(key), *args)
+
+
 # Delta-backed view name -> table path, populated by the DDL interceptor and
 # register_delta so INSERT INTO can resolve its target (the analogue of the
 # reference's DELTA_INSERT table factory, src/lib.rs:140-174).
-_delta_views: dict[str, str] = {}
+_delta_views: dict[str, str] = _CaseFoldedViews()
 
 
 def _ts_to_epoch_ms(raw: str) -> int:

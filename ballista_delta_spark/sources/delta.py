@@ -58,9 +58,12 @@ def _log_dir(path: str) -> str:
 
 
 def _strip_file_scheme(path: str) -> str:
-    if path.startswith("file://"):
-        return urlparse(path).path
-    return path
+    # One implementation for the whole package (dv.py's also normalizes
+    # Hadoop's single-slash ``file:/x`` form, which this copy used to
+    # return verbatim — producing os.path.join garbage downstream).
+    from .dv import _strip_file_scheme as _dv_strip
+
+    return _dv_strip(path)
 
 
 def _version_file(log_dir: str, version: int) -> str:
@@ -2082,8 +2085,11 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
     nulls: dict[str, int] = {}
     null_unknown: set[str] = set()
     want = {f.name for f in data_fields}
+    mm_unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
+        if g.num_rows == 0:
+            continue  # contributes no values; missing stats prove nothing
         for ci in range(g.num_columns):
             col = g.column(ci)
             if "." in col.path_in_schema:
@@ -2097,38 +2103,52 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
             if name not in want:
                 continue
             st = col.statistics
+            # A claim is only sound if EVERY (non-empty) row group
+            # contributed: min/max or nullCount built from a subset of
+            # groups but presented as whole-file values would let
+            # skip_files prune rows that live in the uncovered group.
+            # Poison the column's claim instead of under-claiming.
             if st is None:
+                null_unknown.add(name)
+                mm_unknown.add(name)
                 continue
             if st.null_count is None:
                 # A footer that omits null counts (foreign writers) must
                 # not claim nullCount=0 — skip_files prunes IS NULL on
-                # that claim and would silently drop rows. Poison the
-                # column's count instead of fabricating it.
+                # that claim and would silently drop rows.
                 null_unknown.add(name)
             else:
                 nulls[name] = nulls.get(name, 0) + st.null_count
-            if st.has_min_max:
+            if not st.has_min_max:
+                mm_unknown.add(name)
+                continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't decode stats for some physical types
+                # (e.g. INT8 annotations) — drop the column's min/max,
+                # keep the row/null counts (stats are best-effort per
+                # spec, but a partial claim is not).
+                mm_unknown.add(name)
+                continue
+            if isinstance(mn, bytes):
                 try:
-                    mn, mx = st.min, st.max
-                except Exception:
-                    # pyarrow can't decode stats for some physical types
-                    # (e.g. INT8 annotations) — skip min/max, keep the
-                    # row/null counts (stats are best-effort per spec).
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    mm_unknown.add(name)
                     continue
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode(), mx.decode()
-                    except UnicodeDecodeError:
-                        continue
-                if hasattr(mn, "isoformat"):
-                    mn, mx = mn.isoformat(), mx.isoformat()
-                import decimal as _decimal
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            import decimal as _decimal
 
-                if isinstance(mn, _decimal.Decimal):
-                    # Delta stats spell decimals as JSON numbers.
-                    mn, mx = float(mn), float(mx)
-                mins[name] = mn if name not in mins else min(mins[name], mn)
-                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            if isinstance(mn, _decimal.Decimal):
+                # Delta stats spell decimals as JSON numbers.
+                mn, mx = float(mn), float(mx)
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in mm_unknown:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     _trunc_stat_strings(mins, maxs)
     for name in null_unknown:
         nulls.pop(name, None)
@@ -5335,10 +5355,10 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
         if st in ("u", "p"):
             from . import dv as _dv
 
-            bin_path = (
-                _strip_file_scheme(dvd["pathOrInlineDv"]) if st == "p"
-                else _dv.dv_file_path(path, dvd)
-            )
+            # dv_file_path handles 'p' (verbatim, scheme-stripped) and
+            # 'u' alike — the same resolution read_dv_bytes will use, so
+            # the existence probe cannot diverge from the read path.
+            bin_path = _dv.dv_file_path(path, dvd)
             if not os.path.exists(bin_path):
                 missing.append(f"{rel} (deletion vector {bin_path})")
     if missing:
@@ -6402,14 +6422,11 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
         st_type = desc.get("storageType")
         if st_type not in ("u", "p"):
             continue
-        # Bin identity: 'p' carries the bin path VERBATIM in
-        # pathOrInlineDv (a shallow clone's re-rooted DVs — clone_delta);
-        # only 'u' encodes a UUID that dv_file_path resolves. Feeding 'p'
-        # through dv_file_path would z85-decode an arbitrary path tail.
-        bins_before.add(
-            desc["pathOrInlineDv"] if st_type == "p"
-            else _dv.dv_file_path(path, desc)
-        )
+        # dv_file_path resolves both forms: 'u' decodes the Z85 uuid under
+        # the table root; 'p' returns the verbatim (scheme-stripped) bin
+        # path — stripping matters for bin IDENTITY, else a file:-schemed
+        # 'p' descriptor counts as a different bin than its plain twin.
+        bins_before.add(_dv.dv_file_path(path, desc))
         per_file[rel] = _dv.read_deletion_vector(path, desc)
     if len(bins_before) <= 1:
         return {
@@ -6448,7 +6465,15 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
         add = dict(old_add)
         add["path"] = rel
         add["dataChange"] = False
-        add["deletionVector"] = descriptors[rel]
+        new_desc = descriptors.get(rel)
+        if new_desc is None:
+            # The active DV decoded to an empty bitmap (spec-violating
+            # cardinality-0 descriptor from a lenient writer):
+            # write_deletion_vectors rightly refuses to persist it, so
+            # the re-add simply sheds the DV — same visible rows.
+            add.pop("deletionVector", None)
+        else:
+            add["deletionVector"] = new_desc
         actions.append({"add": add})
     version = _try_commit(
         path, actions, [], enable_ict=ict_enabled(snap), snap=snap,

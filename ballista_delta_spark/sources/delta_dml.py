@@ -1701,28 +1701,48 @@ def _merge_dv_once(
                     .withColumn("_change_type", F.lit("delete")),
                     dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
                 )
+        except BaseException:
+            joined.unpersist()  # by-source never runs on a raise
+            raise
         finally:
-            joined.unpersist()
+            if not by_source_clauses:
+                joined.unpersist()
+            # else: the by-source block reads unmatched rows out of this
+            # same cached join — it unpersists in its own finally.
 
     if by_source_clauses:
-        # WHEN NOT MATCHED BY SOURCE, merge-on-read: unmatched target rows
-        # taking a clause die in deletion vectors; by-source UPDATEs come
-        # back as appended post-images (same shape as matched updates).
-        unmatched = (
-            dt.to_df(spark, with_location=True).alias("t")
-            .join(src, on_expr, "left_anti")
-        )
-        bsact = F.lit(-1)
-        for i in reversed(range(len(by_source_clauses))):
-            cond_sql, _kind, _upd = by_source_clauses[i]
-            cc = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
-            bsact = F.when(cc, F.lit(i)).otherwise(bsact)
-        bs = (
-            unmatched.withColumn("__bsact", bsact)
-            .filter(F.col("__bsact") >= 0)
-            .cache()
-        )
+        bs = None
         try:
+            # WHEN NOT MATCHED BY SOURCE, merge-on-read: unmatched target
+            # rows taking a clause die in deletion vectors; by-source
+            # UPDATEs come back as appended post-images (same shape as
+            # matched updates). When the matched path already paid for
+            # the target-left-join, the unmatched rows are its
+            # null-source slice — one target scan serves both clause
+            # families (delta-spark's full-outer shape) instead of a
+            # second full anti-join scan.
+            if matched_clauses:
+                unmatched = (
+                    joined.filter(F.col("__s_hit").isNull())
+                    .select("t.*").alias("t")
+                )
+            else:
+                unmatched = (
+                    dt.to_df(spark, with_location=True).alias("t")
+                    .join(src, on_expr, "left_anti")
+                )
+            bsact = F.lit(-1)
+            for i in reversed(range(len(by_source_clauses))):
+                cond_sql, _kind, _upd = by_source_clauses[i]
+                cc = (
+                    F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+                )
+                bsact = F.when(cc, F.lit(i)).otherwise(bsact)
+            bs = (
+                unmatched.withColumn("__bsact", bsact)
+                .filter(F.col("__bsact") >= 0)
+                .cache()
+            )
             bs_upd_ids = [
                 i for i, (_c, k, _u) in enumerate(by_source_clauses)
                 if k == "update"
@@ -1795,7 +1815,10 @@ def _merge_dv_once(
                     dt.path, dt.snapshot.partition_columns, snap=dt.snapshot
                 )
         finally:
-            bs.unpersist()
+            if bs is not None:
+                bs.unpersist()
+            if matched_clauses:
+                joined.unpersist()
 
     n_inserted = 0
     ins = None

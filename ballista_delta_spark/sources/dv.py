@@ -181,8 +181,11 @@ def dv_file_path(table_path: str, descriptor: dict[str, Any]) -> str:
     out = os.path.join(table_path, prefix, name) if prefix else os.path.join(
         table_path, name
     )
-    root = os.path.abspath(table_path)
-    if not os.path.abspath(out).startswith(root + os.sep):
+    # realpath, not abspath: a lexical check passes when the prefix names
+    # a symlink inside the table dir pointing outside it — read/WRITE
+    # (deep clone) would then follow the link out of the root.
+    root = os.path.realpath(table_path)
+    if not os.path.realpath(out).startswith(root + os.sep):
         raise ValueError(
             f"DV prefix escapes the table root: {pod!r}"
         )

@@ -635,7 +635,11 @@ def _remote_delta_guards(snap, kind: str) -> None:
         raise ValueError(
             f"delta-over-{kind} cannot decode variant columns (pyarrow limit)"
         )
-    if any(os.path.isabs(rel) for rel in snap.files):
+    # Absolute add paths come in two spellings: POSIX-absolute AND full
+    # URIs (s3://..., file:///...) — foreign shallow clones write the
+    # latter; isabs() alone would let them through to an opaque
+    # executor-time 404 instead of this registration-time refusal.
+    if any(os.path.isabs(rel) or "://" in rel for rel in snap.files):
         raise ValueError(
             f"delta-over-{kind} cannot serve absolute add-file paths (a "
             "shallow clone references the SOURCE table's files) — deep-"

@@ -1175,3 +1175,83 @@ def test_write_deletion_vectors_skips_empty_inputs(tmp_path):
     descs = write_deletion_vectors(tbl, {"a.parquet": [], "b.parquet": [3]})
     assert list(descs) == ["b.parquet"]  # empty list skipped, no 0-card DV
     assert descs["b.parquet"]["cardinality"] == 1
+
+
+def test_dv_u_containment_rejects_symlink_escape(tmp_path):
+    """The 'u' root-escape guard must resolve SYMLINKS: a lexical
+    (abspath) check passes when the descriptor's prefix names a symlink
+    inside the table dir pointing outside it — deep clone would then
+    read/write through the link out of the root (review finding, r11)."""
+    from ballista_delta_spark.sources.dv import dv_file_path, z85_encode
+
+    tbl = tmp_path / "t"
+    tbl.mkdir()
+    outside = tmp_path / "elsewhere"
+    outside.mkdir()
+    (tbl / "sub").symlink_to(outside)
+    u = _uuid.uuid4()
+    with pytest.raises(ValueError, match="escapes the table root"):
+        dv_file_path(str(tbl), {
+            "storageType": "u",
+            "pathOrInlineDv": "sub/" + z85_encode(u.bytes),
+        })
+    # a real subdirectory prefix still resolves
+    (tbl / "real").mkdir()
+    ok = dv_file_path(str(tbl), {
+        "storageType": "u",
+        "pathOrInlineDv": "real/" + z85_encode(u.bytes),
+    })
+    assert ok.endswith(os.path.join("real", f"deletion_vector_{u}.bin"))
+
+
+def test_compact_dv_sheds_empty_bitmap_descriptors(spark, tmp_path, monkeypatch):
+    """A (spec-violating, lenient-writer) cardinality-0 DV must not abort
+    compaction: write_deletion_vectors rightly refuses to persist an empty
+    bitmap, so the re-add sheds the descriptor instead of raising KeyError
+    (review finding, r11)."""
+    from ballista_delta_spark.sources import dv as dvmod
+    from ballista_delta_spark.sources.delta import compact_deletion_vectors
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0) for i in range(4)], "id long, p long"
+        ).coalesce(1),
+        tbl,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(i, 1) for i in range(4, 8)], "id long, p long"
+        ).coalesce(1),
+        tbl, mode="append",
+    )
+    # two sequential dv-deletes, one per file -> two bins, so compaction
+    # has work to do
+    delete_delta(spark, tbl, "id = 0", mode="dv")
+    delete_delta(spark, tbl, "id = 4", mode="dv")
+    snap = DeltaTable(tbl).snapshot
+    dv_files = [r for r, a in snap.files.items() if a.get("deletionVector")]
+    assert len(dv_files) == 2
+    fake_empty = dv_files[0]
+    target = dict(snap.files[fake_empty]["deletionVector"])
+    key = (target.get("pathOrInlineDv"), target.get("offset"))
+    real_read = dvmod.read_deletion_vector
+
+    def fake(path, desc):
+        if (desc.get("pathOrInlineDv"), desc.get("offset")) == key:
+            return []
+        return real_read(path, desc)
+
+    monkeypatch.setattr(dvmod, "read_deletion_vector", fake)
+    out = compact_deletion_vectors(tbl)
+    monkeypatch.undo()
+    assert out["numBinsAfter"] == 1
+    after = DeltaTable(tbl).snapshot
+    # the faked-empty file's re-add shed its DV entirely
+    assert not after.files[fake_empty].get("deletionVector")
+    # the other file still carries a live, readable DV
+    other = [r for r in dv_files if r != fake_empty][0]
+    assert after.files[other].get("deletionVector")
+    # one delete survives, the faked-empty one resurrects its row
+    assert read_delta(spark, tbl).count() == 7

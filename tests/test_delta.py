@@ -1933,3 +1933,58 @@ def test_empty_part_files_never_committed(spark, tmp_path):
     snap2 = DeltaTable(tbl).snapshot
     assert len(snap2.files) == 1
     assert read_delta(spark, tbl).count() == 1
+
+
+def test_file_stats_poison_partial_row_group_claims(tmp_path):
+    """min/max built from a SUBSET of row groups must not be presented as
+    whole-file bounds: a binary column whose second row group holds
+    non-UTF-8 values (undecodable stats) decodes fine in group one —
+    claiming group one's bounds would let skip_files prune rows living in
+    group two (review finding, r11)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import _file_stats
+
+    p = str(tmp_path / "f.parquet")
+    schema = pa.schema([("s", pa.binary()), ("n", pa.int64())])
+    with pq.ParquetWriter(p, schema) as w:
+        w.write_table(pa.table({"s": [b"aa", b"bb"], "n": [1, None]}))
+        w.write_table(pa.table({"s": [b"\xff\xfe", b"\xff"], "n": [9, 9]}))
+    fields = [
+        T.StructField("s", T.BinaryType()),
+        T.StructField("n", T.LongType()),
+    ]
+    st = _json.loads(_file_stats(p, fields))
+    assert st["numRecords"] == 4
+    # group 2's stats are undecodable -> the column claims NO bounds
+    assert "s" not in st["minValues"] and "s" not in st["maxValues"]
+    # null counts still sum across both groups
+    assert st["nullCount"]["n"] == 1
+    # the decodable sibling column keeps full-file bounds
+    assert st["minValues"]["n"] == 1 and st["maxValues"]["n"] == 9
+
+
+def test_file_stats_ignore_empty_row_groups(tmp_path):
+    """A zero-row row group contributes no values; its (absent) stats
+    must not poison the file's otherwise-complete claims."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import _file_stats
+
+    p = str(tmp_path / "f.parquet")
+    schema = pa.schema([("n", pa.int64())])
+    with pq.ParquetWriter(p, schema) as w:
+        w.write_table(pa.table({"n": [3, 7]}))
+        w.write_table(pa.table({"n": pa.array([], pa.int64())}))
+    st = _json.loads(_file_stats(p, [T.StructField("n", T.LongType())]))
+    assert st["numRecords"] == 2
+    assert st["minValues"]["n"] == 3 and st["maxValues"]["n"] == 7
+    assert st["nullCount"]["n"] == 0

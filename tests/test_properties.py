@@ -1026,3 +1026,83 @@ class TestProjectStructEquivalence:
             for r in rows
         ]
         assert got == want
+
+
+class TestMaskLiterals:
+    """_mask_literals invariants the whole SQL dialect layer rests on:
+    same length (regex spans index into the ORIGINAL statement), code
+    outside literals preserved verbatim, literal contents fully masked
+    even with doubled-quote AND backslash escapes (ADVICE r10: a
+    desynced mask swallowed trailing WHERE into a phantom literal)."""
+
+    # inner literal text: anything printable; quotes/backslashes get
+    # escaped by the builder below
+    _inner = st.text(
+        st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+    )
+    # non-empty: an empty code segment would abut two literals, which the
+    # SQL lexer (correctly, maximal munch) reads as ONE literal with an
+    # escaped quote — '' '' vs '''' is the lexer's call, not the mask's
+    _code = st.text(
+        st.characters(
+            min_codepoint=32, max_codepoint=126,
+            exclude_characters="'\"\\",
+        ),
+        min_size=1, max_size=12,
+    )
+
+    @staticmethod
+    def _quote(inner: str, q: str, style: str) -> str:
+        if style == "double":
+            body = inner.replace(q, q + q)
+        else:
+            body = inner.replace("\\", "\\\\").replace(q, "\\" + q)
+        return q + body + q
+
+    @given(
+        code=st.lists(_code, min_size=1, max_size=4),
+        inners=st.lists(_inner, min_size=0, max_size=3),
+        quotes=st.lists(st.sampled_from(["'", '"']), min_size=3, max_size=3),
+        styles=st.lists(
+            st.sampled_from(["double", "backslash"]), min_size=3, max_size=3
+        ),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_mask_preserves_code_and_masks_literals(
+        self, code, inners, quotes, styles
+    ):
+        from ballista_delta_spark.session import _mask_literals
+
+        # interleave code segments and well-formed literals
+        parts, lit_spans = [], []
+        pos = 0
+        for i, seg in enumerate(code):
+            parts.append(seg)
+            pos += len(seg)
+            if i < len(inners):
+                lit = self._quote(inners[i], quotes[i], styles[i])
+                parts.append(lit)
+                lit_spans.append((pos, pos + len(lit)))
+                pos += len(lit)
+        stmt = "".join(parts)
+        masked = _mask_literals(stmt)
+        assert len(masked) == len(stmt)
+        # every literal is quote + xxx + quote; everything else verbatim
+        expected = list(stmt)
+        for s, e in lit_spans:
+            for k in range(s + 1, e - 1):
+                expected[k] = "x"
+        assert masked == "".join(expected)
+        # masking is idempotent (a masked statement has no escapes left)
+        assert _mask_literals(masked) == masked
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_mask_never_changes_length_or_crashes(self, stmt):
+        from ballista_delta_spark.session import _mask_literals
+
+        masked = _mask_literals(stmt)
+        assert len(masked) == len(stmt)
+        # characters outside quotes in the MASK are either original or 'x'
+        for a, b in zip(stmt, masked):
+            assert b == a or b == "x"

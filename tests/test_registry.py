@@ -488,3 +488,59 @@ def test_register_delta_http_schema_evolution_and_clone_refusal(
     finally:
         httpd.shutdown()
     spark.catalog.dropTempView("evolved_http")
+
+
+def test_case_variant_reregistration_unroutes_dml(spark, tmp_path):
+    """Spark temp-view names are case-insensitive, so a case-variant
+    re-registration replaces the SAME view and must displace its DML
+    route — a case-sensitive routing map would keep the stale entry,
+    sending DELETE to the old Delta table while SELECT reads the new
+    source (review finding, r11)."""
+    from ballista_delta_spark.session import _delta_views
+    from ballista_delta_spark.sources.delta import write_delta
+    from ballista_delta_spark.sources.registry import (
+        register_delta, register_parquet,
+    )
+
+    loc = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"), loc)
+    register_delta(spark, "CaseView", loc)
+    assert "caseview" in _delta_views and "CASEVIEW" in _delta_views
+    pq = str(tmp_path / "plain")
+    spark.createDataFrame([(9,)], "x long").write.parquet(pq)
+    register_parquet(spark, "CASEVIEW", pq)
+    assert "CaseView" not in _delta_views
+    # and re-registering delta under yet another casing routes again
+    register_delta(spark, "caseVIEW", loc)
+    assert _delta_views.get("CaseView") == loc
+    spark.catalog.dropTempView("caseview")
+    from ballista_delta_spark.sources.registry import _unroute_dml
+    _unroute_dml("CaseView")
+
+
+def test_remote_guard_refuses_uri_absolute_add_paths():
+    """Foreign shallow clones spell absolute add paths as full URIs
+    (s3://..., file:///...); the remote-scan guard must refuse those at
+    registration time, not fail with an opaque executor-side 404
+    (review finding, r11)."""
+    from types import SimpleNamespace
+
+    from ballista_delta_spark.sources.registry import _remote_delta_guards
+
+    def snap(files):
+        return SimpleNamespace(
+            files=files,
+            column_mapping_mode="none",
+            schema=SimpleNamespace(fields=[]),
+        )
+
+    with pytest.raises(ValueError, match="absolute add-file paths"):
+        _remote_delta_guards(
+            snap({"s3://src-bucket/part-0.parquet": {}}), "http"
+        )
+    with pytest.raises(ValueError, match="absolute add-file paths"):
+        _remote_delta_guards(
+            snap({"/abs/part-0.parquet": {}}), "s3"
+        )
+    # relative paths pass
+    _remote_delta_guards(snap({"part-0.parquet": {}}), "http")
