@@ -2189,6 +2189,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # orphans). Readers need no behavior change, so the feature is also
     # on the reader allowlists.
     "vacuumProtocolCheck",
+    # cleanup_log honors delta.requireCheckpointProtectionBeforeVersion:
+    # no metadata cleanup below that version unless the truncation
+    # boundary reaches it (the spec's guard for checkpoints another
+    # engine's fast DROP FEATURE flow left behind). Writer-only.
+    "checkpointProtection",
 }
 
 # Features IMPLIED by legacy protocol versions (Delta PROTOCOL.md "Features
@@ -4589,6 +4594,17 @@ def drop_feature(
                 "doesn't know the feature can't safely read the "
                 "narrow-typed files; REORG the table first"
             )
+    elif feature == "checkpointProtection":
+        if int(
+            snap.configuration.get(
+                "delta.requireCheckpointProtectionBeforeVersion", "0"
+            ) or 0
+        ) > 0:
+            raise ValueError(
+                "delta.requireCheckpointProtectionBeforeVersion is still "
+                "set — UNSET it first (dropping the feature would strip "
+                "the guard engines rely on to keep those checkpoints)"
+            )
     elif feature in ("appendOnly", "invariants", "checkConstraints",
                      "generatedColumns", "identityColumns", "timestampNtz"):
         pass  # config/schema-level features; history is the only trace
@@ -5812,19 +5828,33 @@ def cleanup_log(
     ckpt_file = os.path.join(log, "_last_checkpoint")
     if not os.path.exists(ckpt_file):
         return []  # nothing covers the tail — never delete
+    snap = _load_snapshot(path)
     if retention_ms is None:
         # delta-spark resolution order: the table's
         # delta.logRetentionDuration property ("interval 30 days"
         # syntax), else the spec default of 30 days.
-        prop = _load_snapshot(path).configuration.get(
-            "delta.logRetentionDuration"
-        )
+        prop = snap.configuration.get("delta.logRetentionDuration")
         retention_ms = (
             _parse_retention_interval(prop) if prop
             else 30 * 24 * 3600 * 1000
         )
     with open(ckpt_file) as fh:
         cv = int(json.load(fh)["version"])
+    # checkpointProtection (Delta PROTOCOL.md): metadata cleanup below
+    # delta.requireCheckpointProtectionBeforeVersion is only legal when
+    # the truncation boundary reaches that version in one operation —
+    # a PARTIAL cleanup could reap a protected checkpoint that engines
+    # using the fast DROP FEATURE flow still depend on for replay. Our
+    # boundary is the _last_checkpoint version, so the rule collapses
+    # to: boundary below the protected version -> touch nothing.
+    if "checkpointProtection" in snap.writer_features:
+        protect_below = int(
+            snap.configuration.get(
+                "delta.requireCheckpointProtectionBeforeVersion", "0"
+            ) or 0
+        )
+        if cv < protect_below:
+            return []
     now_ms = int(time.time() * 1000)
     deleted: list[str] = []
     for name in sorted(os.listdir(log)):

@@ -1988,3 +1988,59 @@ def test_file_stats_ignore_empty_row_groups(tmp_path):
     assert st["numRecords"] == 2
     assert st["minValues"]["n"] == 3 and st["maxValues"]["n"] == 7
     assert st["nullCount"]["n"] == 0
+
+
+def test_checkpoint_protection_gates_metadata_cleanup(spark, tmp_path):
+    """checkpointProtection (Delta PROTOCOL.md): once the table sets
+    delta.requireCheckpointProtectionBeforeVersion = N, metadata cleanup
+    whose truncation boundary sits BELOW N must touch nothing — a partial
+    cleanup could reap a protected checkpoint. A boundary at/above N
+    cleans up normally, and DROP FEATURE refuses while the property is
+    still set."""
+    import os as _os
+
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        cleanup_log,
+        create_checkpoint,
+        drop_feature,
+        read_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    assert create_checkpoint(tbl) == 1
+    write_delta(spark.range(6, 9).selectExpr("id AS k"), tbl, mode="append")
+    # protect everything below the CURRENT version (3 after this commit)
+    alter_properties(
+        spark, tbl,
+        set_props={
+            "delta.feature.checkpointProtection": "supported",
+            "delta.requireCheckpointProtectionBeforeVersion": "3",
+        },
+    )
+    snap = DeltaTable(tbl).snapshot
+    assert "checkpointProtection" in snap.writer_features
+    # boundary (checkpoint v1) < protected version 3 -> nothing reaped
+    assert cleanup_log(tbl, retention_ms=0) == []
+    log = _os.path.join(tbl, "_delta_log")
+    assert _os.path.exists(_os.path.join(log, f"{0:020d}.json"))
+    # dropping the feature while the property is set refuses
+    with pytest.raises(ValueError, match="requireCheckpointProtection"):
+        drop_feature(tbl, "checkpointProtection", truncate_history=True)
+    # a checkpoint at/above the protected version unlocks cleanup
+    cv = create_checkpoint(tbl)
+    assert cv >= 3
+    gone = cleanup_log(tbl, retention_ms=0)
+    assert gone and all(int(g.split(".")[0]) < cv for g in gone)
+    assert read_delta(spark, tbl).count() == 9
+    # with the property unset, the feature itself can be dropped
+    alter_properties(
+        spark, tbl,
+        unset_keys=["delta.requireCheckpointProtectionBeforeVersion"],
+    )
+    drop_feature(tbl, "checkpointProtection", truncate_history=True)
+    after = DeltaTable(tbl).snapshot
+    assert "checkpointProtection" not in after.writer_features
+    assert read_delta(spark, tbl).count() == 9
