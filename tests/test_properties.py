@@ -1106,3 +1106,61 @@ class TestMaskLiterals:
         # characters outside quotes in the MASK are either original or 'x'
         for a, b in zip(stmt, masked):
             assert b == a or b == "x"
+
+
+class TestFileStatsSoundness:
+    """_file_stats claims must be SOUND for arbitrary data and row-group
+    layouts: numRecords exact, nullCount (when claimed) exact, min a
+    lower bound and max an upper bound (string bounds may be truncated
+    prefixes / bumped prefixes — still bounds). Unsound claims are how
+    data skipping silently drops rows."""
+
+    _vals = st.lists(
+        st.one_of(st.none(), st.integers(-2**40, 2**40)),
+        min_size=1, max_size=24,
+    )
+    _strs = st.lists(
+        st.one_of(st.none(), st.text(max_size=40)),
+        min_size=1, max_size=24,
+    )
+
+    @given(ints=_vals, strs=_strs, chunk=st.integers(1, 7))
+    @settings(max_examples=80, deadline=None)
+    def test_claims_bound_the_data(self, ints, strs, chunk, tmp_path_factory):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        from ballista_delta_spark.sources.delta import _file_stats
+
+        n = max(len(ints), len(strs))
+        ints = (ints * n)[:n]
+        strs = (strs * n)[:n]
+        p = str(tmp_path_factory.mktemp("fs") / "f.parquet")
+        schema = pa.schema([("i", pa.int64()), ("s", pa.string())])
+        with pq.ParquetWriter(p, schema) as w:
+            for k in range(0, n, chunk):
+                w.write_table(pa.table({
+                    "i": pa.array(ints[k:k + chunk], pa.int64()),
+                    "s": pa.array(strs[k:k + chunk], pa.string()),
+                }))
+        fields = [
+            T.StructField("i", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+        stt = _json.loads(_file_stats(p, fields))
+        assert stt["numRecords"] == n
+        real_i = [v for v in ints if v is not None]
+        real_s = [v for v in strs if v is not None]
+        if "i" in stt["nullCount"]:
+            assert stt["nullCount"]["i"] == ints.count(None)
+        if "s" in stt["nullCount"]:
+            assert stt["nullCount"]["s"] == strs.count(None)
+        if "i" in stt["minValues"]:
+            assert real_i and stt["minValues"]["i"] <= min(real_i)
+            assert stt["maxValues"]["i"] >= max(real_i)
+        if "s" in stt["minValues"]:
+            assert real_s and stt["minValues"]["s"] <= min(real_s)
+            assert stt["maxValues"]["s"] >= max(real_s)
