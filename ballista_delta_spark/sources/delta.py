@@ -57,13 +57,11 @@ def _log_dir(path: str) -> str:
     return os.path.join(_strip_file_scheme(path), "_delta_log")
 
 
-def _strip_file_scheme(path: str) -> str:
-    # One implementation for the whole package (dv.py's also normalizes
-    # Hadoop's single-slash ``file:/x`` form, which this copy used to
-    # return verbatim — producing os.path.join garbage downstream).
-    from .dv import _strip_file_scheme as _dv_strip
-
-    return _dv_strip(path)
+# One implementation for the whole package (dv.py's also normalizes
+# Hadoop's single-slash ``file:/x`` form, which the old local copy
+# returned verbatim — producing os.path.join garbage downstream). Bound
+# once at import: this runs at essentially every public API entry.
+from .dv import _strip_file_scheme  # noqa: E402
 
 
 def _version_file(log_dir: str, version: int) -> str:
@@ -2120,7 +2118,12 @@ def _file_stats(local_path: str, data_fields: list[T.StructField]) -> str:
             else:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max:
-                mm_unknown.add(name)
+                # An ALL-NULL chunk legitimately has no min/max and
+                # contributes no values — other groups' bounds stay sound
+                # whole-file claims. Only a chunk with values and missing
+                # bounds poisons the column.
+                if st.null_count is None or st.null_count < g.num_rows:
+                    mm_unknown.add(name)
                 continue
             try:
                 mn, mx = st.min, st.max
@@ -5842,11 +5845,15 @@ def cleanup_log(
         cv = int(json.load(fh)["version"])
     # checkpointProtection (Delta PROTOCOL.md): metadata cleanup below
     # delta.requireCheckpointProtectionBeforeVersion is only legal when
-    # the truncation boundary reaches that version in one operation —
-    # a PARTIAL cleanup could reap a protected checkpoint that engines
-    # using the fast DROP FEATURE flow still depend on for replay. Our
-    # boundary is the _last_checkpoint version, so the rule collapses
-    # to: boundary below the protected version -> touch nothing.
+    # the truncation boundary reaches that version in ONE operation — a
+    # partial cleanup could reap a protected checkpoint that engines
+    # using the fast DROP FEATURE flow still depend on for replay. Two
+    # gates: the _last_checkpoint boundary must be at/above the
+    # protected version, AND the age filter must not split the protected
+    # range (deleting some sub-N files while younger ones survive would
+    # land the post-cleanup boundary below N) — checked after candidate
+    # collection below.
+    protect_below = 0
     if "checkpointProtection" in snap.writer_features:
         protect_below = int(
             snap.configuration.get(
@@ -5856,7 +5863,8 @@ def cleanup_log(
         if cv < protect_below:
             return []
     now_ms = int(time.time() * 1000)
-    deleted: list[str] = []
+    candidates: list[tuple[str, str, int]] = []
+    survivor_below_protect = False
     for name in sorted(os.listdir(log)):
         full = os.path.join(log, name)
         stem = name.split(".")[0]
@@ -5893,7 +5901,22 @@ def cleanup_log(
             # stay keyed under their version stem too).
             ts = int(os.path.getmtime(full) * 1000)
         if now_ms - ts < retention_ms:
+            if v < protect_below:
+                survivor_below_protect = True
             continue
+        candidates.append((name, full, v))
+    if (
+        protect_below
+        and survivor_below_protect
+        and any(v < protect_below for (_n, _f, v) in candidates)
+    ):
+        # The retention window keeps part of the protected range while
+        # the rest is age-eligible: deleting would leave the truncation
+        # boundary below the protected version. All-or-nothing — wait
+        # for the whole protected prefix to age out.
+        return []
+    deleted: list[str] = []
+    for name, full, _v in candidates:
         os.unlink(full)
         deleted.append(name)
     return deleted
@@ -6466,6 +6489,11 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
             "numBinsAfter": len(bins_before),
         }
     descriptors = _dv.write_deletion_vectors(path, per_file)
+    # Files whose bitmap decoded EMPTY (lenient-writer cardinality-0
+    # descriptors) are shed, not repointed — with all-empty inputs no new
+    # bin exists at all, and the metrics must say so (they persist in the
+    # table history forever).
+    n_bins_after = 1 if descriptors else 0
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [{
         "commitInfo": {
@@ -6473,9 +6501,12 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
             "operation": "COMPACT DELETION VECTORS",
             "operationParameters": {},
             "operationMetrics": {
-                "numDeletionVectorsRewritten": str(len(per_file)),
+                "numDeletionVectorsRewritten": str(len(descriptors)),
+                "numDeletionVectorsShed": str(
+                    len(per_file) - len(descriptors)
+                ),
                 "numBinsBefore": str(len(bins_before)),
-                "numBinsAfter": "1",
+                "numBinsAfter": str(n_bins_after),
             },
             "engineInfo": ENGINE_INFO,
             "txnId": str(uuid.uuid4()),
@@ -6510,9 +6541,9 @@ def compact_deletion_vectors(path: str) -> dict[str, Any]:
     )
     return {
         "version": version,
-        "numFilesRepointed": len(per_file),
+        "numFilesRepointed": len(descriptors),
         "numBinsBefore": len(bins_before),
-        "numBinsAfter": 1,
+        "numBinsAfter": n_bins_after,
     }
 
 

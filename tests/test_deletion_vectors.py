@@ -1255,3 +1255,40 @@ def test_compact_dv_sheds_empty_bitmap_descriptors(spark, tmp_path, monkeypatch)
     assert after.files[other].get("deletionVector")
     # one delete survives, the faked-empty one resurrects its row
     assert read_delta(spark, tbl).count() == 7
+
+
+def test_compact_dv_all_shed_reports_zero_bins(
+    spark, tmp_path, monkeypatch,
+):
+    """When EVERY active DV decodes empty, compaction writes no bin at
+    all — the committed metrics and the return value must say 0 bins and
+    0 repointed files, not pretend a bin exists (metrics persist in the
+    table history forever)."""
+    from ballista_delta_spark.sources import dv as dvmod
+    from ballista_delta_spark.sources.delta import (
+        DeltaTable, compact_deletion_vectors,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(4)], "id long")
+        .coalesce(1), tbl,
+    )
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(4, 8)], "id long")
+        .coalesce(1), tbl, mode="append",
+    )
+    delete_delta(spark, tbl, "id = 0", mode="dv")
+    delete_delta(spark, tbl, "id = 4", mode="dv")
+    monkeypatch.setattr(
+        dvmod, "read_deletion_vector", lambda path, desc: []
+    )
+    out = compact_deletion_vectors(tbl)
+    monkeypatch.undo()
+    assert out["numBinsAfter"] == 0
+    assert out["numFilesRepointed"] == 0
+    assert out["numBinsBefore"] == 2
+    snap = DeltaTable(tbl).snapshot
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert read_delta(spark, tbl).count() == 8  # both fakes resurrect

@@ -2044,3 +2044,78 @@ def test_checkpoint_protection_gates_metadata_cleanup(spark, tmp_path):
     after = DeltaTable(tbl).snapshot
     assert "checkpointProtection" not in after.writer_features
     assert read_delta(spark, tbl).count() == 9
+
+
+def test_checkpoint_protection_is_all_or_nothing_below_boundary(
+    spark, tmp_path,
+):
+    """Even with the checkpoint boundary above the protected version, an
+    age filter that keeps PART of the protected range must delete
+    nothing — a split cleanup would land the post-cleanup truncation
+    boundary below the protected version."""
+    import json as _json
+    import os as _os
+
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        cleanup_log,
+        create_checkpoint,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(2).selectExpr("id AS k"), tbl)
+    write_delta(spark.range(2, 4).selectExpr("id AS k"), tbl, mode="append")
+    write_delta(spark.range(4, 6).selectExpr("id AS k"), tbl, mode="append")
+    alter_properties(
+        spark, tbl,
+        set_props={
+            "delta.feature.checkpointProtection": "supported",
+            "delta.requireCheckpointProtectionBeforeVersion": "2",
+        },
+    )
+    cv = create_checkpoint(tbl)
+    assert cv >= 2
+    # age v0 artificially: rewrite its commitInfo timestamp 100 days back
+    log = _os.path.join(tbl, "_delta_log")
+    v0 = _os.path.join(log, f"{0:020d}.json")
+    lines = open(v0).read().splitlines()
+    out = []
+    for ln in lines:
+        act = _json.loads(ln)
+        if "commitInfo" in act:
+            act["commitInfo"]["timestamp"] -= 100 * 24 * 3600 * 1000
+            act["commitInfo"].pop("inCommitTimestamp", None)
+        out.append(_json.dumps(act))
+    open(v0, "w").write("\n".join(out) + "\n")
+    # 30-day retention: v0 is eligible but v1 (< protected version 2)
+    # survives -> the protected range would split -> nothing deleted
+    assert cleanup_log(tbl, retention_ms=30 * 24 * 3600 * 1000) == []
+    assert _os.path.exists(v0)
+    # zero retention: the WHOLE protected prefix is eligible -> cleans
+    gone = cleanup_log(tbl, retention_ms=0)
+    assert any(g.startswith(f"{0:020d}") for g in gone)
+    assert any(g.startswith(f"{1:020d}") for g in gone)
+
+
+def test_file_stats_keep_bounds_past_all_null_row_groups(tmp_path):
+    """An ALL-NULL row-group chunk has no min/max but contributes no
+    values — the other groups' bounds remain sound whole-file claims and
+    must not be poisoned (that would cost data skipping on every sparse
+    column)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import _file_stats
+
+    p = str(tmp_path / "f.parquet")
+    schema = pa.schema([("n", pa.int64())])
+    with pq.ParquetWriter(p, schema) as w:
+        w.write_table(pa.table({"n": pa.array([1, 4], pa.int64())}))
+        w.write_table(pa.table({"n": pa.array([None, None], pa.int64())}))
+    st = _json.loads(_file_stats(p, [T.StructField("n", T.LongType())]))
+    assert st["numRecords"] == 4
+    assert st["minValues"]["n"] == 1 and st["maxValues"]["n"] == 4
+    assert st["nullCount"]["n"] == 2
