@@ -1164,3 +1164,69 @@ class TestFileStatsSoundness:
         if "s" in stt["minValues"]:
             assert real_s and stt["minValues"]["s"] <= min(real_s)
             assert stt["maxValues"]["s"] >= max(real_s)
+
+
+class TestStreamByteBudgetWalk:
+    """maxBytesPerTrigger admission (r11: CDF plans gained sizes, making
+    the budget real in both modes): bytes are a SOFT cap — a batch may
+    overshoot by exactly one file but never starves (progress even when a
+    single file exceeds the budget) — and the walk still emits every file
+    once, in log order, terminating."""
+
+    @given(
+        sizes=st.lists(
+            st.lists(st.integers(0, 100), min_size=0, max_size=4),
+            min_size=1, max_size=5,
+        ),
+        bbudget=st.integers(1, 120),
+        fbudget=st.one_of(st.none(), st.integers(1, 3)),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_soft_byte_cap_emits_all_files_once(
+        self, sizes, bbudget, fbudget
+    ):
+        from ballista_delta_spark.sources.delta_stream import (
+            DeltaFilePartition,
+            DeltaStreamReader,
+        )
+
+        r = DeltaStreamReader.__new__(DeltaStreamReader)
+        r.starting_version = 0
+        r.max_files_per_trigger = fbudget
+        r.max_versions_per_trigger = None
+        r.max_bytes_per_trigger = bbudget
+        r.read_change_feed = False
+        r._planned = None
+        r._snap_version = None
+        r._snap_plans = {}
+        r._plans = {
+            v: [
+                DeltaFilePartition(v, f"f-{v}-{i}.parquet", size=s)
+                for i, s in enumerate(row)
+            ]
+            for v, row in enumerate(sizes)
+        }
+        r._latest_version = lambda: len(sizes) - 1
+        off = r.initialOffset()
+        seen: list[str] = []
+        for _ in range(300):
+            end = r.latestOffset()
+            parts = r.partitions(off, end)
+            if fbudget is not None:
+                assert len(parts) <= fbudget
+            if parts:
+                # soft cap: the total minus the LAST admitted file's
+                # bytes must be strictly under the budget
+                total = sum(p.size for p in parts)
+                assert total - parts[-1].size < bbudget
+            seen.extend(p.rel_path for p in parts)
+            if end == off:
+                break
+            off = end
+        else:
+            raise AssertionError("byte-budget walk did not terminate")
+        assert seen == [
+            f"f-{v}-{i}.parquet"
+            for v, row in enumerate(sizes)
+            for i in range(len(row))
+        ]
