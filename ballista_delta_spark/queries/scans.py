@@ -38,8 +38,24 @@ QUERIES: dict = {}
 _q = make_registry(QUERIES)
 
 
+# Every per-run scratch dir is tracked and reaped at process exit — a
+# bench loop re-running the mutating ids would otherwise fill /tmp with
+# full table copies until writes start failing mid-run.
+_TMP_ROOTS: list[str] = []
+
+
 def _tmp(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"bds-{prefix}-")
+    d = tempfile.mkdtemp(prefix=f"bds-{prefix}-")
+    if not _TMP_ROOTS:
+        import atexit
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _TMP_ROOTS
+            ]
+        )
+    _TMP_ROOTS.append(d)
+    return d
 
 
 # Derived artifacts (Delta/CSV/JSON copies of the star tables) are built once
@@ -64,6 +80,52 @@ def _clone(src: str, prefix: str) -> str:
     dst = os.path.join(_tmp(prefix), os.path.basename(src))
     shutil.copytree(src, dst)
     return dst
+
+
+def _enable_cdf_v0(path: str) -> None:
+    """Rewrite a cloned table's v0 commit to declare
+    ``delta.enableChangeDataFeed=true`` — the fixture shortcut for "this
+    table was CREATED with CDF" (an ALTER would add a version and shift
+    the ids' pinned version numbers). One shared implementation so the
+    surgery cannot drift between the CDF-consuming ids."""
+    import json as _json
+
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    with open(log0) as fh:
+        acts = [_json.loads(ln) for ln in fh]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(log0, "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+
+
+# directory -> base URL of a process-lifetime fixture HTTP server. The
+# http-backed scans register LAZY readers (executor-side / distributed
+# fetch at action time), so servers must outlive the query function —
+# and re-running an id must reuse, not re-spawn.
+_HTTP_SERVERS: dict[str, str] = {}
+
+
+def _http_serve(directory: str) -> str:
+    base = _HTTP_SERVERS.get(directory)
+    if base:
+        return base
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=directory
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    _HTTP_SERVERS[directory] = base
+    return base
 
 
 def _nation_delta(spark: SparkSession, sf_dir: str) -> str:
@@ -299,10 +361,17 @@ def _moto_endpoint(sf_dir: str) -> str | None:
         s3 = s3_client(_MOTO_S3["endpoint"])
         try:
             s3.create_bucket(Bucket="ballista")
-        except Exception:
-            pass  # already created by an earlier sf_dir
+        except Exception as exc:
+            # Only bucket-already-exists may pass silently — a dead moto
+            # daemon or wrong endpoint must fail HERE, not resurface as
+            # a confusing put_object/read error later.
+            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
+            if code not in ("BucketAlreadyOwnedByYou", "BucketAlreadyExists"):
+                raise
         with open(os.path.join(sf_dir, "part.parquet"), "rb") as fh:
-            s3.put_object(Bucket="ballista", Key=_sf_key(sf_dir), Body=fh.read())
+            # seekable file handle streams at constant memory (at a big
+            # SF, fh.read() would materialize the object in the driver)
+            s3.put_object(Bucket="ballista", Key=_sf_key(sf_dir), Body=fh)
         _MOTO_S3["uploaded"].add(sf_dir)
     return _MOTO_S3["endpoint"]
 
@@ -352,23 +421,16 @@ def scan_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import functools
-    import http.server
-    import threading
-
     from ..sources.registry import register_http_parquet
 
-    handler = functools.partial(http.server.SimpleHTTPRequestHandler, directory=sf_dir)
-    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    port = httpd.server_address[1]
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    try:
-        url = f"http://127.0.0.1:{port}/region.parquet"
-        register_http_parquet(spark, "region_http", url)
-        return spark.sql("SELECT r_regionkey, r_name FROM region_http")
-    finally:
-        httpd.shutdown()
+    # Process-lifetime cached server: the registered scan can fetch
+    # LAZILY (the distributed fallback for big files / non-local
+    # masters fetches at action time), so shutting the server down here
+    # would fail the query at collect; caching also stops a bench loop
+    # from accumulating one listener per run.
+    url = _http_serve(sf_dir) + "/region.parquet"
+    register_http_parquet(spark, "region_http", url)
+    return spark.sql("SELECT r_regionkey, r_name FROM region_http")
 
 
 # --- S32 scan_delta_http: a Delta table behind plain HTTP(S) — the log
@@ -385,25 +447,17 @@ def scan_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_delta_http(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import functools
-    import http.server
-    import threading
-
     from ..sources.registry import register_delta_http
 
     tbl = _nation_delta(spark, sf_dir)
-    handler = functools.partial(
-        http.server.SimpleHTTPRequestHandler,
-        directory=os.path.dirname(tbl),
-    )
-    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    port = httpd.server_address[1]
-    threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    # NOTE: no shutdown — the executor-side fetch runs when the returned
-    # DataFrame executes; the daemon server dies with the session.
+    # Process-lifetime cached server (one per directory): the
+    # executor-side fetch runs when the returned DataFrame executes, so
+    # the server must outlive this call — and re-running the id must
+    # not stack up listeners.
+    base = _http_serve(os.path.dirname(tbl))
     df = register_delta_http(
         spark, "nation_delta_http",
-        f"http://127.0.0.1:{port}/{os.path.basename(tbl)}",
+        f"{base}/{os.path.basename(tbl)}",
         where="n_regionkey <= 2",
     )
     return df.select("n_nationkey", "n_name", "n_regionkey")
@@ -498,7 +552,10 @@ def meta_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_tmp("mdd"), "t")
     nat = load(spark, sf_dir, "nation")
     write_delta(
-        nat.repartition("n_regionkey").coalesce(1), path,
+        # coalesce(1) collapses to a single task regardless of any
+        # preceding hash partitioning; partition_by alone yields the
+        # pinned 5-file layout without a dead full shuffle
+        nat.coalesce(1), path,
         partition_by=["n_regionkey"],
     )
     cluster_by(path, ["n_nationkey"])
@@ -870,22 +927,11 @@ def sink_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sink_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
-
     from ballista_delta_spark.sources.delta import read_delta_changes
     from ballista_delta_spark.sources.delta_dml import delete_delta
 
     path = _clone(_nation_delta(spark, sf_dir), "s21")
-    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
-    with open(log0) as fh:
-        acts = [_json.loads(ln) for ln in fh]
-    for a in acts:
-        if "metaData" in a:
-            a["metaData"]["configuration"] = {
-                "delta.enableChangeDataFeed": "true"
-            }
-    with open(log0, "w") as fh:
-        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+    _enable_cdf_v0(path)
     update_delta(
         spark, path, "n_regionkey = 1", {"n_name": "upper(n_name)"}
     )
@@ -1416,8 +1462,6 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sink_delta_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
-
     from pyspark.sql import Window
 
     from ballista_delta_spark.sources.delta import (
@@ -1427,16 +1471,7 @@ def sink_delta_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ballista_delta_spark.sources.delta_dml import delete_delta
 
     path = _clone(_nation_delta(spark, sf_dir), "s33")
-    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
-    with open(log0) as fh:
-        acts = [_json.loads(ln) for ln in fh]
-    for a in acts:
-        if "metaData" in a:
-            a["metaData"]["configuration"] = {
-                "delta.enableChangeDataFeed": "true"
-            }
-    with open(log0, "w") as fh:
-        fh.writelines(_json.dumps(a) + "\n" for a in acts)
+    _enable_cdf_v0(path)
     update_delta(
         spark, path, "n_regionkey = 1", {"n_name": "upper(n_name)"}
     )
