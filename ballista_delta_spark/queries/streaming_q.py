@@ -87,9 +87,9 @@ def _events_dir(sf_dir: str) -> str:
     cached = _STREAM_DIRS.get(sf_dir)
     if cached and os.path.isdir(cached):
         return cached
-    import tempfile
+    from .scans import _tmp
 
-    d = tempfile.mkdtemp(prefix="bds-events-stream-")
+    d = _tmp("events-stream")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
@@ -127,7 +127,11 @@ def _await_completion(q, name: str, timeout: int = 300) -> None:
         )
     exc = q.exception()
     if exc is not None:
-        # Terminated BY an error: the memory sink holds partial rows.
+        # Defensive only: PySpark's awaitTermination already RAISES when
+        # the query terminated with an error (so this is unreachable on
+        # current versions); kept as a cheap guard against that contract
+        # changing — a failed query must never hand back a silently
+        # partial memory sink.
         raise exc
 
 
@@ -162,7 +166,14 @@ def _run_stream(df: DataFrame, output_mode: str) -> DataFrame:
         # The stream captured the width at start(); batch queries get the
         # session's original value back.
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+    # Materialize, then drop the sink registration: memory-sink rows live
+    # on the DRIVER for as long as the table stays registered, so a bench
+    # loop re-running stream ids would otherwise grow driver memory
+    # monotonically. localCheckpoint pins the (small, final) result in
+    # executor storage, reclaimed by the ContextCleaner with the frame.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # ----------------------------------------------------- stream_tumbling_agg
@@ -238,7 +249,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL {_GAP.split()[0]} MINUTE
+                       OR ts - lag(ts) OVER w >= INTERVAL '{_GAP}'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -250,7 +261,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT user_id,
              min(ts) AS session_start,
-             max(ts) + INTERVAL {_GAP.split()[0]} MINUTE AS session_end,
+             max(ts) + INTERVAL '{_GAP}' AS session_end,
              CAST(count(*) AS BIGINT) AS n_events
       FROM sessions
       GROUP BY user_id, sid)
@@ -318,7 +329,16 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_stream(out, "update")
+    sink = _run_stream(out, "update")
+    # Update-mode memory sinks APPEND each batch's emissions; the fixture
+    # stages one file (one batch), but if the source ever micro-batches,
+    # each user must still surface ONCE — n_events is monotone per user,
+    # so the max struct keeps exactly the final emission.
+    last = F.max(F.struct("n_events", "total_value")).alias("m")
+    return (
+        sink.groupBy("user_id").agg(last)
+        .select("user_id", "m.n_events", "m.total_value")
+    )
 
 
 # --------------------------------------------------------- stream_dedup
@@ -572,8 +592,6 @@ def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources.delta import read_delta, write_delta
     from ..sources.delta_dml import merge_delta
     from ._tables import load
@@ -588,7 +606,9 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.parquet(p),
     )
 
-    tbl = os.path.join(tempfile.mkdtemp(prefix="bds-upsert-"), "user_rollup")
+    from .scans import _tmp
+
+    tbl = os.path.join(_tmp("upsert"), "user_rollup")
     target_schema = (
         "user_id bigint, n_events bigint, "
         "total_value decimal(28,6), last_ts timestamp"
@@ -598,17 +618,17 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = _events_ts_type(spark, sf_dir)
+    # The chunk artifact is written from load()'s NORMALIZED frame (ts is
+    # us TIMESTAMP whatever form the source fixture used), so the stream
+    # reads it with that schema directly — re-probing the ORIGINAL
+    # events.parquet's physical type here silently corrupted ts on
+    # nanos-form fixtures (INT64 micros read as longs, then a spurious
+    # div 1000 landed every timestamp in 1970).
     raw = (
-        spark.readStream.schema(_raw_schema(ts_type))
+        spark.readStream.schema(load(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(chunks)
     )
-    if isinstance(ts_type, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, T.TimestampNTZType):
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
         agg = batch.groupBy("user_id").agg(
@@ -630,7 +650,7 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             not_matched_insert=True,
         )
 
-    ckpt = tempfile.mkdtemp(prefix="bds-upsert-ckpt-")
+    ckpt = _tmp("upsert-ckpt")
     q = (
         raw.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", ckpt)
