@@ -55,10 +55,19 @@ def _shingle_spread(spark: SparkSession, sf_dir: str) -> int | None:
     already scans wide; return None and keep its layout."""
     import glob
 
+    import re as _re
+
     par = spark.sparkContext.defaultParallelism
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        .lower().removesuffix("b")
+    # Accept every legal Spark byte-config spelling (134217728, 128m,
+    # 128MB, 1g ...) — int() on the raw string crashed on k/m/g forms.
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).strip().lower()
+    m = _re.match(r"(\d+)\s*([kmgt]?)b?$", raw)
+    max_split = (
+        int(m.group(1))
+        * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}[m.group(2)]
+        if m else 134217728
     )
     total = sum(
         os.path.getsize(f)
@@ -133,8 +142,6 @@ def _capped_shingles(sh: DataFrame) -> DataFrame:
     twice, one per join branch; measured slower at sf0.1. Distinct
     shingles are mostly unique, so map-side combine buys the groupBy
     little.)"""
-    from pyspark.sql import Window
-
     return sh.withColumn(
         "_df", F.count("*").over(Window.partitionBy("shingle"))
     ).filter(F.col("_df") <= _SHINGLE_DF_CAP).drop("_df")
@@ -150,6 +157,25 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     in dedup_ngram_jaccard's final plan — the same lesson the minhash
     signature table learned in r3). Production shape: the inverted index
     is built once and persisted; the checkpoint is its local analogue."""
+    return _pair_overlap(sh).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def _pair_overlap(sh: DataFrame) -> DataFrame:
+    """The ONE pair-generation shape under every shingle-overlap metric
+    (Jaccard in _jaccard_pairs, containment in dedup_containment):
+    checkpoint the shingle table (it feeds three branches), build the
+    capped inverted-index self-join, count shared shingles per pair, and
+    join both sides' sizes. Returns doc_a, doc_b, n_common plus the
+    aliased sa.n_sh / sb.n_sh columns for the caller's projection — a
+    hot-key or checkpoint-strategy fix lands in every metric at once."""
     sh = sh.localCheckpoint(eager=False)
     capped = _capped_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -168,15 +194,6 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
-        )
     )
 
 
@@ -232,17 +249,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
 
 
-# ---------------------------------------------------- dedup_minhash_lsh
-# MinHash signatures (K=16) + LSH banding (4 bands x 4 rows): candidates
-# collide on a band signature; candidates are then verified with exact
-# Jaccard >= 0.8. Both engines compute identical permutations
-# h_k(x) = ((2k+1)*x + 1299721*k) mod P over the md5-derived shingle int,
-# and combine each band's 4 rows into one bigint with 31^i weights — so
-# the candidate set (not just the final answer) is engine-identical.
-@_q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+# The MinHash/banding candidate CTEs — ONE definition shared by the
+# registered dedup_minhash_lsh oracle and every oracle that audits or
+# composes it (dedup_lsh_recall, dedup_source_matrix,
+# corpus_dedup_cascade): a banding change (K, weights, permutation
+# constants) edited in one place cannot silently decouple the gate from
+# the query it audits. Composes after sh/capped CTEs; ends without a
+# trailing comma.
+_LSH_CAND_ORACLE = f"""
     hk AS (
       SELECT doc_id, k,
              min(((2*k + 1) * shingle + 1299721*k) % {_P}) AS mh
@@ -256,6 +270,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+"""
+
+
+# ---------------------------------------------------- dedup_minhash_lsh
+# MinHash signatures (K=16) + LSH banding (4 bands x 4 rows): candidates
+# collide on a band signature; candidates are then verified with exact
+# Jaccard >= 0.8. Both engines compute identical permutations
+# h_k(x) = ((2k+1)*x + 1299721*k) mod P over the md5-derived shingle int,
+# and combine each band's 4 rows into one bigint with 31^i weights — so
+# the candidate set (not just the final answer) is engine-identical.
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_ORACLE}, {_CAPPED_SH_ORACLE}, {_JACCARD_PAIRS_ORACLE},
+    {_LSH_CAND_ORACLE}
     SELECT jac.doc_a, jac.doc_b, jac.jaccard
     FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
     WHERE jac.jaccard >= 0.8
@@ -480,7 +509,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- dedup_embedding_cosine
 # Near-dup by embedding cosine >= 0.4, LSH-BLOCKED: candidates are pairs
 # whose sign-LSH buckets (similarity.py planes) differ in at most 1 bit —
-# each left row probes its own bucket plus the 4 single-bit-flip neighbors,
+# each left row probes its own bucket plus the _EMB_N_PLANES single-bit-flip neighbors,
 # an equi-join on (probe = bucket), never an all-pairs product. Round 1
 # shipped this as a theta join a.vec_id < b.vec_id (BroadcastNestedLoopJoin,
 # O(n^2) — a scale-killer the verdict flagged); the blocked form shuffles on
@@ -489,14 +518,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-identical; like all LSH this trades recall (bucket-distant pairs)
 # for never touching N^2. Both engines fold dot products strictly
 # left-to-right in double precision and round to 6 decimals pre-threshold.
-def _emb_probe_exprs() -> tuple[str, str]:
-    from .similarity import lsh_bucket_expr
-
-    spark_b = lsh_bucket_expr(_EMB_N_PLANES, dialect="spark")
-    duck_b = lsh_bucket_expr(_EMB_N_PLANES, dialect="duckdb")
-    return spark_b, duck_b
-
-
 # 8 planes = 256 buckets for the DEDUP blocking (vs 4 for the ANN top-k
 # query, whose broadcast-side is tiny). Candidate volume scales as
 # N^2 * (n_planes+1) / 2^n_planes with hamming-1 probing: at 4 planes that
@@ -504,7 +525,13 @@ def _emb_probe_exprs() -> tuple[str, str]:
 # pairs from 2,000 vectors); at 8 it is ~3.5%. The recall trade is the
 # standard LSH one and the oracle mirrors the blocking exactly.
 _EMB_N_PLANES = 8
-_EMB_BUCKET_SPARK, _EMB_BUCKET_DUCK = _emb_probe_exprs()
+# Built at import time (the registered oracle f-strings need the text),
+# so the similarity import is NOT deferred — it is an honest module
+# dependency (similarity imports nothing from dedup; no cycle).
+from .similarity import lsh_bucket_expr as _lsh_bucket_expr  # noqa: E402
+
+_EMB_BUCKET_SPARK = _lsh_bucket_expr(_EMB_N_PLANES, dialect="spark")
+_EMB_BUCKET_DUCK = _lsh_bucket_expr(_EMB_N_PLANES, dialect="duckdb")
 _PROBE_BITS = tuple(1 << k for k in range(_EMB_N_PLANES))
 
 
@@ -601,6 +628,7 @@ def label_propagate_min(sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataF
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
         .localCheckpoint()
     )
+    changed = None  # max_iters <= 0 must hit the documented raise below
     for _ in range(max_iters):
         msgs = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -880,23 +908,6 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dominates; the signature table is checkpointed once inside the LSH
 # side); the audit itself joins two O(near-dup pairs) sets and folds to
 # ONE summary row — free at any corpus size.
-_LSH_CAND_ORACLE = f"""
-    hk AS (
-      SELECT doc_id, k,
-             min(((2*k + 1) * shingle + 1299721*k) % {_P}) AS mh
-      FROM sh, unnest(range(0, {_K})) AS t(k)
-      GROUP BY doc_id, k),
-    bands AS (
-      SELECT doc_id, k // 4 AS band,
-             sum(mh * ([1,31,961,29791])[(k % 4) + 1]) AS bsig
-      FROM hk GROUP BY doc_id, k // 4),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-"""
-
-
 @_q(
     "dedup_lsh_recall",
     f"""
@@ -967,6 +978,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUB_K = 4    # tokens per rolling window
 _SUB_CAP = 50  # window hashes in more entries than this are boilerplate
 _SUB_RUN = 3   # min consecutive shared windows => substring of >= 6 tokens
+# The oracle's window concat, GENERATED from _SUB_K like the Spark side's
+# slice() — a hardcoded 4-token concat would silently diverge the two
+# engines the moment _SUB_K is retuned.
+_SUB_CONCAT_ORACLE = " || ' ' || ".join(
+    "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(_SUB_K)
+)
 
 
 @_q(
@@ -976,8 +993,8 @@ _SUB_RUN = 3   # min consecutive shared windows => substring of >= 6 tokens
       SELECT doc_id, u.pos, u.h FROM (
         SELECT doc_id,
                unnest([{{'pos': i,
-                         'h': ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
-                                  toks[i+2] || ' ' || toks[i+3]), 1, 12))::BIGINT}}
+                         'h': ('0x' || substr(md5({_SUB_CONCAT_ORACLE}),
+                                  1, 12))::BIGINT}}
                        FOR i IN range(1, len(toks) - {_SUB_K - 2})]) AS u
         FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
               FROM documents)
@@ -1101,26 +1118,11 @@ _CONTAIN_T = 0.9
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # same three-branch reuse as _jaccard_pairs: one shingling pass
-    sh = _shingles_spark(spark, sf_dir).localCheckpoint(eager=False)
-    capped = _capped_shingles(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = capped.alias("a"), capped.alias("b")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    # the shared pair-generation shape; only the projection differs
+    pairs = _pair_overlap(_shingles_spark(spark, sf_dir))
     small_first = F.col("sa.n_sh") <= F.col("sb.n_sh")
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        pairs.select(
             F.when(small_first, F.col("doc_a"))
             .otherwise(F.col("doc_b"))
             .alias("contained_doc"),
@@ -1139,8 +1141,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- dedup_survivorship
 # Canonical-document selection ("survivorship"): exact-duplicate groups
-# keep their BEST copy — longest text, then lowest doc_id as the
-# deterministic tie-break — and the per-language ledger reports what
+# keep ONE copy, picked by lowest doc_id (groups share md5(text), so
+# every copy's text — and hence n_chars — is identical; the n_chars DESC
+# sort key is defensive against an inconsistent stored length, not a
+# real "longest copy" policy) — and the per-language ledger reports what
 # dedup kept vs dropped in documents AND bytes. This is the accounting
 # step every production dedup run emits (the "we removed 38% of bytes"
 # table in every dataset paper); dedup_exact answers "which groups",
@@ -1410,9 +1414,13 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    # No broadcast hint on da/db: they are CORPUS-row-sized projections
+    # (a mandatory broadcast OOMs at 1e9 docs). The near-dup pair list is
+    # the small side; AQE broadcasts it when it fits and otherwise both
+    # joins shuffle on doc ids — the shape that survives 100 TB.
     return (
-        vp.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        vp.join(da, "doc_a")
+        .join(db, "doc_b")
         .groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),
@@ -1458,8 +1466,9 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     sh = _shingles_spark(spark, sf_dir)
+    # corpus-row-sized dim: no mandatory broadcast (see dedup_source_matrix)
     ss = (
-        sh.join(F.broadcast(d), "doc_id")
+        sh.join(d, "doc_id")
         .select("source", "shingle")
         .distinct()
         .localCheckpoint(eager=False)
