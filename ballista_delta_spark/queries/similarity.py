@@ -71,6 +71,8 @@ def lsh_bucket_expr(n_planes: int = _N_PLANES, *, dialect: str = "spark") -> str
     The same Python loop emits both dialects, so the Spark query and the
     DuckDB oracle agree term-for-term (fold order included).
     """
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r} (spark | duckdb)")
     terms = []
     for k, row in enumerate(_planes(n_planes)):
         if dialect == "spark":
@@ -258,11 +260,15 @@ def _ivf_cache_key(sf_dir: str) -> tuple:
         st = os.stat(p)
         return (sf_dir, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (sf_dir, None, None)
+        # Not stat-able (remote URI): no invalidation signal exists, so
+        # caching would silently serve stale centroids after a rewrite —
+        # return None and let callers bypass the cache entirely.
+        return None
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    cached = _IVF_CACHE.get(_ivf_cache_key(sf_dir))
+    key = _ivf_cache_key(sf_dir)
+    cached = _IVF_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
     rows = (
@@ -271,9 +277,35 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .collect()
     )
+    got = sorted(r.vec_id for r in rows)
+    if got != list(range(_IVF_K)):
+        # Cluster ids are LIST POSITIONS on the Spark side but actual
+        # vec_ids in the oracles — identical only when the seed ids are
+        # exactly 0.._IVF_K-1. A gap would silently shift every cluster
+        # label (and break the PQ sub-distance indexing); fail loudly.
+        raise ValueError(
+            f"IVF centroid seeds must be vec_ids 0..{_IVF_K - 1}; "
+            f"embeddings table has {got[:8]}..."
+        )
     cents = [r.emb for r in sorted(rows, key=lambda r: r.vec_id)]
-    _IVF_CACHE[_ivf_cache_key(sf_dir)] = cents
+    if key is not None:
+        _IVF_CACHE[key] = cents
     return cents
+
+
+def _sqdist_cols(cents: list[list[float]]) -> list:
+    """``__d0..__d{K-1}`` = squared L2 distance to each literal centroid,
+    as K separate unrolled codegen chains (same janino-size reasoning as
+    _with_centroid_dots). ONE definition for every K-centroid consumer
+    (kmeans step, outlier detect, k-center step, cluster purity): a chain
+    fix applied here lands in all of them at once."""
+    return [
+        F.expr(" + ".join(
+            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
+            for d in range(_DIM)
+        )).alias(f"__d{i}")
+        for i, c in enumerate(cents)
+    ]
 
 
 def _with_centroid_dots(df: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -474,6 +506,8 @@ _PROJ_K = 8
 
 
 def _proj_dots(dialect: str) -> list[str]:
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r} (spark | duckdb)")
     dots = []
     for row in _planes(_PROJ_K):
         if dialect == "spark":
@@ -596,15 +630,8 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dcols = []
-    for i, c in enumerate(cents):
-        terms = " + ".join(
-            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
-            for d in range(_DIM)
-        )
-        dcols.append(F.expr(terms).alias(f"__d{i}"))
-    k = len(cents)
-    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    dcols = _sqdist_cols(cents)
+    arr = _dots_arr(len(cents))
     assigned = (
         e.select("vec_id", "emb", *dcols)
         # array_position returns the FIRST index of the min — ties break
@@ -908,15 +935,8 @@ def emb_outlier_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dcols = []
-    for i, c in enumerate(cents):
-        terms = " + ".join(
-            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
-            for d in range(_DIM)
-        )
-        dcols.append(F.expr(terms).alias(f"__d{i}"))
-    k = len(cents)
-    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    dcols = _sqdist_cols(cents)
+    arr = _dots_arr(len(cents))
     assigned = (
         e.select("vec_id", *dcols)
         .withColumn(
@@ -1158,13 +1178,7 @@ def emb_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dcols = []
-    for i, c in enumerate(cents):
-        terms = " + ".join(
-            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
-            for d in range(_DIM)
-        )
-        dcols.append(F.expr(terms).alias(f"__d{i}"))
+    dcols = _sqdist_cols(cents)
     scored = e.select("vec_id", *dcols).select(
         "vec_id",
         F.least(*[F.col(f"__d{i}") for i in range(len(cents))]).alias(
@@ -1398,17 +1412,10 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
-                "emb"
-            ),
-        )
-        .withColumn("nrm", F.sqrt(F.expr(dot_expr("emb", "emb"))))
-        .select("vec_id", "nrm")
-    )
+    # _corpus, not a transform() re-implementation: one higher-order
+    # function in this projection is CodegenFallback and knocks the
+    # corpus-wide norm loop out of whole-stage codegen (module header).
+    e = _corpus(spark, sf_dir).select("vec_id", "nrm")
     j = d.join(e, d.doc_id == e.vec_id, "left").select(
         "lang", F.col("nrm").alias("yy")
     )
@@ -1491,15 +1498,8 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    dcols = []
-    for i, c in enumerate(cents):
-        terms = " + ".join(
-            f"(emb[{d}] - {c[d]!r}D) * (emb[{d}] - {c[d]!r}D)"
-            for d in range(_DIM)
-        )
-        dcols.append(F.expr(terms).alias(f"__d{i}"))
-    k = len(cents)
-    arr = "array(" + ", ".join(f"__d{i}" for i in range(k)) + ")"
+    dcols = _sqdist_cols(cents)
+    arr = _dots_arr(len(cents))
     cells = (
         e.select("label", *dcols)
         .withColumn(
