@@ -63,12 +63,23 @@ def _shingle_spread(spark: SparkSession, sf_dir: str) -> int | None:
     raw = spark.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728b"
     ).strip().lower()
-    m = _re.match(r"(\d+)\s*([kmgt]?)b?$", raw)
-    max_split = (
-        int(m.group(1))
-        * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}[m.group(2)]
-        if m else 134217728
-    )
+    m = _re.match(r"(\d+)\s*([kmgtp]?)b?$", raw)
+    if m:
+        max_split = int(m.group(1)) * {
+            "": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40,
+            "p": 2**50,
+        }[m.group(2)]
+    else:
+        # A spelling Spark accepted but this regex didn't — warn instead
+        # of silently defaulting, so a misparse in the layout heuristic
+        # is visible rather than quietly mis-sizing the shingle pass.
+        import warnings
+
+        warnings.warn(
+            "unrecognized spark.sql.files.maxPartitionBytes value "
+            f"{raw!r}; assuming 128 MiB for the shingle-spread heuristic"
+        )
+        max_split = 134217728
     total = sum(
         os.path.getsize(f)
         for f in glob.glob(os.path.join(sf_dir, "documents.parquet"))

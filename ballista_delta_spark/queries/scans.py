@@ -106,17 +106,35 @@ def _enable_cdf_v0(path: str) -> None:
 # http-backed scans register LAZY readers (executor-side / distributed
 # fetch at action time), so servers must outlive the query function —
 # and re-running an id must reuse, not re-spawn.
-_HTTP_SERVERS: dict[str, str] = {}
+_HTTP_SERVERS: dict[str, tuple[str, object]] = {}
+
+
+def _shutdown_http_servers() -> None:
+    """atexit reaper (mirrors the _TMP_ROOTS one): close every cached
+    listener's socket and stop its serve_forever thread, so process exit
+    doesn't leak sockets and a long-lived session doesn't keep serving
+    directories that were since removed."""
+    for _, httpd in _HTTP_SERVERS.values():
+        try:
+            httpd.shutdown()
+            httpd.server_close()
+        except Exception:
+            pass
+    _HTTP_SERVERS.clear()
 
 
 def _http_serve(directory: str) -> str:
-    base = _HTTP_SERVERS.get(directory)
-    if base:
-        return base
+    ent = _HTTP_SERVERS.get(directory)
+    if ent:
+        return ent[0]
     import functools
     import http.server
     import threading
 
+    if not _HTTP_SERVERS:
+        import atexit
+
+        atexit.register(_shutdown_http_servers)
     handler = functools.partial(
         http.server.SimpleHTTPRequestHandler, directory=directory
     )
@@ -124,7 +142,7 @@ def _http_serve(directory: str) -> str:
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{port}"
-    _HTTP_SERVERS[directory] = base
+    _HTTP_SERVERS[directory] = (base, httpd)
     return base
 
 

@@ -367,6 +367,21 @@ class _CaseFoldedViews(dict):
     def pop(self, key, *args):
         return super().pop(self._k(key), *args)
 
+    # Every mutation path must fold — a future `del views[name]`,
+    # `.update(...)`, or `.setdefault(...)` going through dict's raw
+    # implementation would reintroduce the exact stale-DML-route bug this
+    # class exists to prevent (mixed-case registrations leaving a live
+    # route behind).
+    def __delitem__(self, key):
+        super().__delitem__(self._k(key))
+
+    def setdefault(self, key, default=None):
+        return super().setdefault(self._k(key), default)
+
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
 
 # Delta-backed view name -> table path, populated by the DDL interceptor and
 # register_delta so INSERT INTO can resolve its target (the analogue of the

@@ -5807,6 +5807,90 @@ def compact_log(path: str, start: int, end: int) -> str:
     return out
 
 
+def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
+    """(writerFeatures, table configuration) WITHOUT materializing the
+    file set: read only the protocol/metaData columns of the checkpoint
+    (v2 sidecars, which carry the add/remove set, are never opened) plus
+    the protocol/metaData lines of the JSON tail. ``cleanup_log`` needs
+    exactly these two facts for its retention + checkpointProtection
+    gates — loading the full snapshot there re-paid the columnar open on
+    every cleanup call, a cost the old code avoided when retention was
+    explicit."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    log = _log_dir(path)
+    protocol: dict[str, Any] = {}
+    config: dict[str, str] = {}
+
+    def absorb(row: dict[str, Any]) -> None:
+        nonlocal protocol, config
+        pr = row.get("protocol")
+        if pr and pr.get("minReaderVersion"):
+            protocol = {k: v for k, v in pr.items() if v is not None}
+        md = row.get("metaData")
+        if md and md.get("schemaString"):
+            config = _as_dict(md.get("configuration"))
+
+    def absorb_parquet(fp: str) -> None:
+        cols = [
+            c for c in ("protocol", "metaData")
+            if c in pq.read_schema(fp).names
+        ]
+        if cols:
+            for row in pq.read_table(fp, columns=cols).to_pylist():
+                absorb(row)
+
+    start = 0
+    ckpt_file = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(ckpt_file):
+        with open(ckpt_file) as fh:
+            cv = int(json.load(fh)["version"])
+        prefix = os.path.join(log, f"{cv:020d}.checkpoint")
+        classic = f"{prefix}.parquet"
+        parts = sorted(
+            _glob.glob(f"{prefix}.??????????.??????????.parquet")
+        )
+        if os.path.exists(classic):
+            absorb_parquet(classic)
+        elif parts:
+            for p in parts:
+                absorb_parquet(p)
+        else:
+            v2 = sorted(
+                _glob.glob(f"{prefix}.*.parquet")
+                + _glob.glob(f"{prefix}.*.json")
+            )
+            if v2:
+                manifest = v2[-1]
+                if manifest.endswith(".json"):
+                    with open(manifest) as fh:
+                        for line in fh:
+                            if line.strip():
+                                absorb(json.loads(line))
+                else:
+                    absorb_parquet(manifest)
+        start = cv + 1
+    # JSON tail. Individual commits above the checkpoint always survive
+    # cleanup, so replaying them (not the compacted ranges) is
+    # sufficient; the substring pre-filter skips add/remove-only lines
+    # without parsing them.
+    v = start
+    while True:
+        fp = _version_file(log, v)
+        if not os.path.exists(fp):
+            break
+        with open(fp) as fh:
+            for line in fh:
+                if (
+                    '"protocol"' in line or '"metaData"' in line
+                ) and line.strip():
+                    absorb(json.loads(line))
+        v += 1
+    return list(protocol.get("writerFeatures") or []), config
+
+
 def cleanup_log(
     path: str, retention_ms: int | None = None
 ) -> list[str]:
@@ -5831,12 +5915,15 @@ def cleanup_log(
     ckpt_file = os.path.join(log, "_last_checkpoint")
     if not os.path.exists(ckpt_file):
         return []  # nothing covers the tail — never delete
-    snap = _load_snapshot(path)
+    # Light read: cleanup only needs the protocol's writerFeatures and
+    # the table configuration — never the file set, so don't pay a
+    # snapshot open per cleanup call on a large log.
+    writer_features, table_conf = _protocol_and_config(path)
     if retention_ms is None:
         # delta-spark resolution order: the table's
         # delta.logRetentionDuration property ("interval 30 days"
         # syntax), else the spec default of 30 days.
-        prop = snap.configuration.get("delta.logRetentionDuration")
+        prop = table_conf.get("delta.logRetentionDuration")
         retention_ms = (
             _parse_retention_interval(prop) if prop
             else 30 * 24 * 3600 * 1000
@@ -5854,9 +5941,9 @@ def cleanup_log(
     # land the post-cleanup boundary below N) — checked after candidate
     # collection below.
     protect_below = 0
-    if "checkpointProtection" in snap.writer_features:
+    if "checkpointProtection" in writer_features:
         protect_below = int(
-            snap.configuration.get(
+            table_conf.get(
                 "delta.requireCheckpointProtectionBeforeVersion", "0"
             ) or 0
         )

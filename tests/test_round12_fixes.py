@@ -1,0 +1,180 @@
+"""Regression tests for the four ADVICE-r12 findings:
+
+1. `_CaseFoldedViews` folds EVERY mutation path (del/update/setdefault),
+   not just __setitem__ — an unfolded path would reintroduce the
+   stale-DML-route bug the class exists to prevent.
+2. `_shingle_spread` parses the 'p' byte suffix and warns (instead of
+   silently defaulting) on an unparseable maxPartitionBytes value.
+3. `_http_serve` keeps the server object and registers an atexit reaper
+   so sockets/threads are closed at process exit.
+4. `cleanup_log` no longer loads the full snapshot — a light
+   protocol/config read serves both the retention default and the
+   checkpointProtection gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ballista_delta_spark.sources.delta import write_delta
+
+
+# ------------------------------------------------- 1. _CaseFoldedViews
+def test_case_folded_views_mutation_paths_all_fold():
+    from ballista_delta_spark.session import _CaseFoldedViews
+
+    v = _CaseFoldedViews()
+    v["Sales"] = "/a"
+    # __delitem__ folds
+    del v["SALES"]
+    assert "sales" not in v and len(v) == 0
+    # update folds — both dict-arg and kwargs forms
+    v.update({"Orders": "/o"}, Events="/e")
+    assert v["ORDERS"] == "/o" and v["events"] == "/e"
+    assert set(v.keys()) == {"orders", "events"}
+    # setdefault folds: the mixed-case key must hit the existing entry
+    assert v.setdefault("OrDeRs", "/other") == "/o"
+    assert v.setdefault("New", "/n") == "/n"
+    assert v["new"] == "/n"
+
+
+# ------------------------------------------------- 2. _shingle_spread
+def test_shingle_spread_parses_p_suffix_and_warns_on_garbage(spark, sf_dir):
+    import warnings
+
+    from ballista_delta_spark.queries.dedup import _shingle_spread
+
+    orig = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # '1p' = 2**50 bytes: everything is smaller -> spread to width
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1p")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a warn here would be a bug
+            assert (
+                _shingle_spread(spark, sf_dir)
+                == spark.sparkContext.defaultParallelism
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
+
+    # garbage spelling -> loud warning, 128 MiB fallback. Spark's own conf
+    # validation refuses to STORE a bad value, so drive the parser with a
+    # stub session (the guard matters for configs read from files/env).
+    class _Conf:
+        def get(self, *_a):
+            return "12banana"
+
+    class _SC:
+        defaultParallelism = 8
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    with pytest.warns(UserWarning, match="maxPartitionBytes"):
+        _shingle_spread(_Stub(), sf_dir)
+
+
+# ------------------------------------------------- 3. _http_serve reaper
+def test_http_serve_caches_server_and_reaper_closes_it(tmp_path):
+    import urllib.request
+
+    from ballista_delta_spark.queries import scans
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "x.txt"), "w") as fh:
+        fh.write("hello")
+    base = scans._http_serve(d)
+    assert scans._http_serve(d) == base  # cached
+    ent = scans._HTTP_SERVERS[d]
+    assert ent[0] == base and hasattr(ent[1], "shutdown")
+    with urllib.request.urlopen(f"{base}/x.txt", timeout=5) as resp:
+        assert resp.read() == b"hello"
+    # The reaper closes the socket and clears the cache; a fresh call
+    # boots a fresh server rather than returning a dead endpoint.
+    scans._shutdown_http_servers()
+    assert d not in scans._HTTP_SERVERS
+    base2 = scans._http_serve(d)
+    with urllib.request.urlopen(f"{base2}/x.txt", timeout=5) as resp:
+        assert resp.read() == b"hello"
+    scans._shutdown_http_servers()
+
+
+# ------------------------------------------------- 4. cleanup_log light read
+def test_cleanup_log_does_not_load_snapshot(spark, tmp_path, monkeypatch):
+    """With retention explicit AND with it defaulted from table config,
+    cleanup_log must work without a full snapshot load — the light
+    protocol/config reader is enough for both gates."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    D.alter_properties(
+        spark, tbl,
+        set_props={"delta.logRetentionDuration": "interval 0 days"},
+    )
+    assert D.create_checkpoint(tbl) == 2
+
+    def boom(*a, **k):
+        raise AssertionError("cleanup_log must not load the snapshot")
+
+    monkeypatch.setattr(D, "_load_snapshot", boom)
+    # defaulted retention comes from the table property via the light read
+    gone = D.cleanup_log(tbl)
+    assert gone and all(int(g.split(".")[0]) < 2 for g in gone)
+    monkeypatch.undo()
+    assert D.read_delta(spark, tbl).count() == 6
+
+
+def test_protocol_and_config_matches_snapshot(spark, tmp_path):
+    """The light reader agrees with the full snapshot on writerFeatures
+    and configuration — across a checkpoint boundary AND a post-checkpoint
+    property change in the JSON tail."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(4).selectExpr("id AS k"), tbl)
+    D.alter_properties(
+        spark, tbl,
+        set_props={
+            "delta.feature.checkpointProtection": "supported",
+            "delta.requireCheckpointProtectionBeforeVersion": "1",
+        },
+    )
+    D.create_checkpoint(tbl)
+    # tail change after the checkpoint: the light read must see it
+    D.alter_properties(
+        spark, tbl, set_props={"delta.logRetentionDuration": "interval 7 days"}
+    )
+    wf, conf = D._protocol_and_config(tbl)
+    snap = D._load_snapshot(tbl)
+    assert sorted(wf) == sorted(snap.writer_features)
+    assert conf == snap.configuration
+    assert conf["delta.logRetentionDuration"] == "interval 7 days"
+    assert "checkpointProtection" in wf
+
+
+def test_cleanup_log_protection_gate_via_light_read(spark, tmp_path):
+    """The checkpointProtection gate still holds with the snapshot-free
+    path: boundary below the protected version reaps nothing."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    assert D.create_checkpoint(tbl) == 1
+    write_delta(spark.range(6, 9).selectExpr("id AS k"), tbl, mode="append")
+    D.alter_properties(
+        spark, tbl,
+        set_props={
+            "delta.feature.checkpointProtection": "supported",
+            "delta.requireCheckpointProtectionBeforeVersion": "3",
+        },
+    )
+    assert D.cleanup_log(tbl, retention_ms=0) == []
+    assert os.path.exists(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    )
