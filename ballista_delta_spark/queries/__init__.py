@@ -37,39 +37,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r7-green staleness fills. Everything after position 50 keeps module
 # order so nothing is lost for tools/check.py full runs.
 ROTATION: tuple[str, ...] = (
-    # -- staleness-deadline fill, non-streaming (r6-green)
-    "win_range_frame",
-    # -- r9f never-judged (2)
-    "corpus_curation_verdict", "events_bot_detect",
-    # -- r9h never-judged (7)
-    "emb_whiten", "text_entropy", "mm_dedup_ahash",
-    "corpus_lang_confusion", "emb_kcenter_step", "agg_exact_percentile",
-    "corpus_source_psi",
-    # -- r9i batch 1 (14 non-streaming, registration order)
-    "events_rfm", "text_zipf_fit", "dedup_survivorship",
-    "join_interval_overlap", "basket_lift", "corpus_dedup_cascade",
-    "agg_histogram", "events_interarrival_fit", "corpus_embedding_audit",
-    "events_ab_test", "dedup_fuzzy_names", "emb_cluster_purity",
-    "events_conversion_lag", "udf_map_in_arrow",
-    # -- r9i batch 2 (6)
-    "sim_rrf_fusion", "events_ltv_cohort", "graph_triangle_count",
-    "dq_expectations", "events_scd2_tiers", "events_audience_overlap",
-    # -- r9i batch 3 (5)
-    "emb_knn_graph", "scan_text", "events_ewma_chart",
-    "agg_skew_kurtosis", "fn_try_safe",
-    # -- r9i batch 4 (3)
-    "text_boilerplate_prefix", "text_tokenizer_fertility",
-    "events_survival_curve",
-    # -- r9i batch 5 (5)
-    "events_peak_concurrency", "dedup_source_matrix",
-    "text_quality_threshold_sweep", "sink_delta_scd2_apply",
-    "events_behavior_entropy",
-    # -- r9i batch 6 head (3)
-    "corpus_doc_length_gini", "sim_mmr_rerank",
-    "corpus_source_ngram_overlap",
-    # -- streaming tail (buffer): never-judged first, then r6-stale fills
-    "stream_static_enrich",
-    "stream_delta_source", "stream_stream_join", "stream_dedup_watermarked",
+    # ==== r12 window: verification debt -> ZERO (VERDICT r11 #1) ====
+    # -- the 23 never-judged ids (ROTATION.md "Left for r12")
+    "agg_winsorized_mean", "sample_bootstrap_ci", "dedup_threshold_sweep",
+    "events_cusum_alert", "text_readability", "sample_hash_uniformity",
+    "text_blocklist_filter", "join_asof_forward", "fn_higher_order",
+    "dedup_containment", "emb_power_iteration", "sim_range_search",
+    "emb_label_drift", "sim_hard_negatives", "text_code_detect",
+    "text_pmi_topk", "events_type_lift", "corpus_token_budget",
+    "doc_merge_short", "events_seasonal_baseline", "events_value_pareto",
+    "events_streaks", "mm_clip_filter",
+    # -- the r6-stale quartet (VERDICT r11 #1)
+    "agg_regression", "fn_bitwise", "fn_string_agg", "subq_lateral",
+    # -- new r12 registrations, judged in their landing round (#8)
+    "scan_delta_or_pushdown", "scan_delta_uniform_mixed",
+    # -- r7-green staleness fills, Delta layer first (it changed most)
+    "scan_delta_skipping", "sink_delta_delete_dv", "sink_delta_update_dv",
+    "sink_delta_merge_dv", "sink_delta_cdf", "sink_delta_rename_column",
+    "sink_delta_clone", "sink_delta_reorg", "sink_delta_evolve",
+    "project_select", "project_expr", "filter_predicate",
+    "filter_between_in_like", "filter_null", "project_cast",
+    "project_distinct", "sort_multi",
+    # -- streaming tail (truncation buffer): new r12 id leads
+    "stream_cdf_rate_limit",
+    "stream_sliding_agg", "stream_delta_cdf_source", "stream_upsert_delta",
 )
 
 

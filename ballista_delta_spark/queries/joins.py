@@ -609,7 +609,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps the explode factor ~2 AND bounds duplicate candidate emissions
 # (a pair sharing k buckets is emitted k times, k-1 filtered). Measured
 # at sf0.1 (median span 7.75 h): 1-hour buckets 9.3 s, 6-hour 3.1 s —
-# the 3x is all re-emitted candidates, same output.
+# the 3x is all re-emitted candidates, same output. NOTE the OUTPUT is
+# inherently quadratic in concurrent spans per (bucket, day) — at
+# production scale cap candidates per bucket (top-N by span length or a
+# per-bucket sample) or pre-aggregate users to coarser spans (e.g.
+# per-hour activity) so the pair space stays bounded, the same
+# mitigation corpus_token_budget and seq_pack document for their
+# quadratic-looking stages.
 _OVL_BUCKET_S = 21600
 _OVL_MIN_US = 1800 * 1_000_000  # >= 30 min of overlap
 

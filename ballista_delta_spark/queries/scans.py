@@ -1529,3 +1529,96 @@ def sink_delta_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to_version").isNull().alias("is_current"),
         )
     )
+
+
+# --- S35 scan_delta_or_pushdown: TPC-H q19-shaped DISJUNCTIVE stats
+# skipping on the Delta scan path (round 12; VERDICT r11 directive #8).
+# skip_files prunes a file only when EVERY top-level OR branch is
+# provably dead from its min/max stats — the pruning itself is pinned in
+# tests/test_data_skipping.py::test_or_pruning_prunes_and_stays_exact
+# and the scale-plan pin below; here the oracle checks exactness of the
+# pruned scan end-to-end. Delta-rs/delta-spark evaluate the same shape
+# via expression trees; this engine's sound-by-construction parser keeps
+# files on any branch it can't judge.
+@_q(
+    "scan_delta_or_pushdown",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey >= 256 AND o_orderkey < 1024 AND o_totalprice > 120000)
+       OR (o_orderkey >= 4096 AND o_orderkey < 4608 AND o_totalprice < 50000)
+    """,
+)
+def scan_delta_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orders_delta_ranged(spark, sf_dir)
+    return read_delta(
+        spark, path,
+        where="(o_orderkey >= 256 AND o_orderkey < 1024 "
+              "AND o_totalprice > 120000) "
+              "OR (o_orderkey >= 4096 AND o_orderkey < 4608 "
+              "AND o_totalprice < 50000)",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _orders_delta_mixedlog(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a Delta table whose log REPLAY mixes all three commit
+    layouts: a classic checkpoint (v2), a log-compaction range
+    (3.5.compacted.json — with the individual v3-v5 commits removed, so
+    the compacted file is REQUIRED, not merely preferred), and a plain
+    JSON tail (v6). The 7 commits append disjoint o_orderkey%7 slices,
+    so the final content is exactly the orders table."""
+    from ..sources.delta import compact_log, create_checkpoint
+
+    def build(p: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        for i in range(7):
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 7 == i), p,
+                mode="overwrite" if i == 0 else "append",
+            )
+            if i == 2:
+                create_checkpoint(p)  # classic checkpoint at v2
+            if i == 5:
+                compact_log(p, 3, 5)
+                for v in (3, 4, 5):
+                    for ext in ("json", "crc"):
+                        f = os.path.join(
+                            p, "_delta_log", f"{v:020d}.{ext}"
+                        )
+                        if os.path.exists(f):
+                            os.remove(f)
+
+    return _artifact(sf_dir, "orders-delta-mixedlog", build)
+
+
+# --- S36 scan_delta_uniform_mixed: snapshot reconstruction over a MIXED
+# log layout — classic checkpoint + compacted range + JSON tail in ONE
+# replay (round 12; VERDICT r11 directive #8). The compact_log replay
+# path had unit tests but no registered id; this pins it end-to-end: the
+# individual commits inside the compacted range are GONE, so a replay
+# that ignored compaction files would lose 3 of the 7 slices and the
+# oracle hash would catch it. At 100 TB this is the layout a busy table
+# converges to (checkpoints every N commits, minor compaction between) —
+# replay stays O(compactions + tail), never O(commits).
+@_q(
+    "scan_delta_uniform_mixed",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scan_delta_uniform_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orders_delta_mixedlog(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -819,16 +819,109 @@ def _temporal_key(s: Any) -> float | None:
     return (d - _dt.datetime(1970, 1, 1)).total_seconds()
 
 
+def _split_or(pred: str) -> list[str]:
+    """Split on top-level OR (case-insensitive), respecting parens and
+    single-quoted strings — the disjunctive mirror of ``_split_and``.
+    Returns ``[pred]`` when no top-level OR exists."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
+    upper = pred.upper()
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            j = pred.index("'", i + 1) if "'" in pred[i + 1:] else n - 1
+            buf.append(pred[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and upper[i:i + 4] == " OR ":
+            parts.append("".join(buf))
+            buf = []
+            i += 4
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _unwrap_parens(pred: str) -> str:
+    """Strip outer parens that wrap the WHOLE expression — ``(a AND b)``
+    -> ``a AND b``, but ``(a) IN (b)``-style strings where the first
+    paren closes early are left alone."""
+    s = pred.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # first paren closes early: not a full wrap
+        s = s[1:-1].strip()
+    return s
+
+
 def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     """The subset of ``snap.files`` that might contain rows matching
     ``where``, judged from per-file min/max/nullCount stats. Sound by
     construction: only ``col <op> literal``, ``col IN (literals)``, and
-    ``col IS [NOT] NULL`` conjuncts prune; anything else (ORs, functions,
+    ``col IS [NOT] NULL`` conjuncts prune; anything else (functions,
     casts, unknown columns, missing stats) keeps the file. An IN list
     prunes when EVERY value falls outside [min, max]; IS NULL prunes on
     nullCount=0; IS NOT NULL prunes when nullCount equals the file's
     numRecords (an all-null column chunk).
+
+    Disjunctions (the TPC-H q19 shape, ``(a AND b) OR (c AND d)``) prune
+    too: a file is skipped only when EVERY top-level OR branch is
+    provably dead for it. A branch contributing no judgeable conjunct
+    can never be proved dead, so it disables pruning for the whole
+    predicate — keeping the evaluation sound.
     """
+    if _split_and(where):
+        groups = [_parse_skip_branch(snap, where)]
+    else:  # top-level OR
+        groups = []
+        for br in _split_or(where):
+            g = _parse_skip_branch(snap, _unwrap_parens(br))
+            if not (g[0] or g[1]):
+                groups = []  # unjudgeable branch: the OR can't prune
+                break
+            groups.append(g)
+    if not groups or all(not c and not nc for c, nc in groups):
+        # items() takes _FileIndex's batched to_pylist route; dict(mapping)
+        # on a MutableMapping would pay a per-row struct conversion.
+        return dict(snap.files.items())
+
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    ref_cols: set[str] = set()
+    for conjuncts, null_conjuncts in groups:
+        ref_cols |= (
+            {c for c, _, _ in conjuncts} | {c for c, _ in null_conjuncts}
+        )
+    phys = {c: snap.physical(c) for c in ref_cols}
+    part_cols = set(snap.partition_columns)
+    branch_evals = [
+        _build_may_match(c, nc, phys, part_cols, types) for c, nc in groups
+    ]
+    if len(branch_evals) == 1:
+        may_match = branch_evals[0]
+    else:
+        def may_match(stats_raw, part_vals):
+            return any(e(stats_raw, part_vals) for e in branch_evals)
+
+    return _apply_skip_eval(snap, may_match)
+
+
+def _parse_skip_branch(
+    snap: "Snapshot", where: str
+) -> "tuple[list[tuple[str, str, Any]], list[tuple[str, bool]]]":
+    """Parse one conjunctive clause into (cmp conjuncts, null conjuncts),
+    including generated-column partition derivation. Unrecognized
+    conjuncts are dropped — which only widens the surviving file set."""
     conjuncts = []
     null_conjuncts: list[tuple[str, bool]] = []
     for part in _split_and(where):
@@ -897,30 +990,20 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
                 if y.isdigit():
                     derived.append((pc, widened, int(y)))
     conjuncts.extend(derived)
-    if not conjuncts and not null_conjuncts:
-        # items() takes _FileIndex's batched to_pylist route; dict(mapping)
-        # on a MutableMapping would pay a per-row struct conversion.
-        return dict(snap.files.items())
+    return conjuncts, null_conjuncts
 
-    types = {f.name: f.dataType for f in snap.schema.fields}
-    ref_cols = (
-        {c for c, _, _ in conjuncts} | {c for c, _ in null_conjuncts}
-    )
-    may_match = _build_may_match(
-        conjuncts,
-        null_conjuncts,
-        {c: snap.physical(c) for c in ref_cols},
-        set(snap.partition_columns),
-        types,
-    )
 
-    # Above the threshold the per-file stats-JSON parse + predicate eval
-    # runs as ONE Spark job over columnar (path, stats, partitionValues)
-    # triples — at millions of adds the driver loop below is the last
-    # O(files) planning cost (delta-spark evaluates data skipping as a
-    # job over the state reconstruction for the same reason). The driver
-    # sees only the surviving paths; the SAME evaluator closure runs on
-    # both paths, so the two can never disagree.
+def _apply_skip_eval(snap: "Snapshot", may_match) -> dict[str, Any]:
+    """Run a (stats, partitionValues) -> bool evaluator over the file
+    set, distributed above the file-count threshold.
+
+    Above the threshold the eval runs as ONE Spark job over columnar
+    (path, stats, partitionValues) triples — at millions of adds the
+    driver loop below is the last O(files) planning cost (delta-spark
+    evaluates data skipping as a job over the state reconstruction for
+    the same reason). The driver sees only the surviving paths; the SAME
+    evaluator closure runs on both paths, so the two can never disagree.
+    """
     spark = SparkSession.getActiveSession()
     if (
         spark is not None
@@ -1723,15 +1806,28 @@ def _as_dict(v) -> dict:
 
 
 def _next_version(log: str) -> int:
+    """1 + the highest version ANY log artifact proves to exist —
+    individual commits, compaction ranges (their END version), version
+    checksums, and checkpoints. Judging by individual ``.json`` files
+    alone silently RE-USED old version numbers once a compacted range's
+    members were cleaned away (metadata retention after minor
+    compaction), splicing a new commit into the middle of history."""
     if not os.path.isdir(log):
         return 0
-    versions = [
-        int(name[:20])
-        for name in os.listdir(log)
-        if name.endswith(".json") and name[:20].isdigit()
-        and ".compacted." not in name
-    ]
-    return max(versions) + 1 if versions else 0
+    best = -1
+    for name in os.listdir(log):
+        stem = name.split(".")[0]
+        if not (stem.isdigit() and len(stem) == 20):
+            continue
+        if ".compacted." in name and name.endswith(".json"):
+            best = max(best, int(name.split(".")[1]))
+        elif (
+            name.endswith(".json")
+            or name.endswith(".crc")
+            or ".checkpoint." in name
+        ):
+            best = max(best, int(stem))
+    return best + 1
 
 
 # Commits staging at least this many part-files compute their stats with

@@ -76,7 +76,7 @@ WARMUP = 1
 RUNS = 3
 
 
-def _execute(df) -> None:
+def _wrap(df):
     # Force EVERY output column through a hash-aggregate. count() lets
     # Catalyst prune unused projections (round-1 verdict) — and so does the
     # noop sink (its required schema is empty; measured: a projection-heavy
@@ -85,9 +85,34 @@ def _execute(df) -> None:
     # a driver-side collect bottleneck.
     from pyspark.sql import functions as F
 
-    df.select(
+    return df.select(
         F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("h")
-    ).agg(F.expr("bit_xor(h)")).collect()
+    ).agg(F.expr("bit_xor(h)"))
+
+
+def _execute(df) -> None:
+    _wrap(df).collect()
+
+
+def _timed_split(fn, spark, sf_dir) -> tuple[float, float]:
+    """One timed run, split into (plan_s, exec_s) — VERDICT r11 #4.
+
+    plan_s = DataFrame build (which for artifact-backed ids includes the
+    cached-fixture probe) + the FULL Catalyst pass on the wrapped plan
+    (analysis, optimization, physical planning — forced via
+    queryExecution().executedPlan() so nothing is deferred to the
+    action). exec_s = the collect() alone. Planning-heavy ids
+    (emb_pq_topk's M×KC codegen chains, sim_cosine_topk) show a large
+    plan_s that amortizes at real scale; a plan regression moves plan_s,
+    machine drift moves exec_s — the split makes the bench-triage call
+    mechanical instead of narrative."""
+    t0 = time.time()
+    wrapped = _wrap(fn(spark, sf_dir))
+    wrapped._jdf.queryExecution().executedPlan()
+    t1 = time.time()
+    wrapped.collect()
+    t2 = time.time()
+    return t1 - t0, t2 - t1
 
 
 def _calibrate(spark) -> float:
@@ -213,6 +238,7 @@ def main() -> None:
 
     calibration = _calibrate(spark)
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -221,10 +247,15 @@ def main() -> None:
             _execute(fn(spark, sf_dir))
         samples = []
         for _i in range(RUNS):
-            t0 = time.time()
-            _execute(fn(spark, sf_dir))
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            plan_s, exec_s = _timed_split(fn, spark, sf_dir)
+            samples.append((plan_s + exec_s, plan_s, exec_s))
+        # median by TOTAL (the BASELINE.md contract), splits from the
+        # same run so plan_s + exec_s == the reported total exactly
+        total_s, plan_s, exec_s = sorted(samples)[len(samples) // 2]
+        timings[name] = round(total_s, 3)
+        splits[name] = {
+            "plan_s": round(plan_s, 3), "exec_s": round(exec_s, 3)
+        }
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
@@ -232,6 +263,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Per-query {plan_s, exec_s} from the median run (r12): plan_s =
+        # DataFrame build + full forced Catalyst pass, exec_s = the
+        # action alone. A plan regression moves plan_s; machine drift
+        # moves exec_s (compare against calibration_10m_hashagg).
+        "queries_split": splits,
         "sf": float(sf) if sf else sf_dir,
         # Fixed 10M-row hash-agg, query-set-independent. Idle reference
         # ~0.25 s — a much larger value means the machine was loaded and

@@ -51,12 +51,40 @@ def test_string_stats_prune(spark, ranged):
 
 def test_unsupported_predicates_keep_everything(spark, ranged):
     snap = _load_snapshot(ranged)
-    # Top-level OR, functions, and non-literal comparisons must not prune.
-    assert len(skip_files(snap, "k = 5 OR k = 9999")) == 10
+    # Functions and non-literal comparisons must not prune.
     assert len(skip_files(snap, "abs(k) = 5")) == 10
     assert len(skip_files(snap, "k = v")) == 10
-    # ...but remain EXACT through the residual filter.
+    # An OR whose branch is unjudgeable can never prove a file dead —
+    # the whole disjunction keeps everything.
+    assert len(skip_files(snap, "k = 5 OR abs(k) = 5")) == 10
+    assert len(skip_files(snap, "k = 5 OR k = v")) == 10
+
+
+def test_or_pruning_prunes_and_stays_exact(spark, ranged):
+    """Disjunction skipping (the TPC-H q19 shape): a file is dead only
+    when EVERY top-level OR branch is provably dead for it."""
+    snap = _load_snapshot(ranged)
+    # two point lookups -> at most one file each
+    assert len(skip_files(snap, "k = 5 OR k = 9999")) == 2
     assert read_delta(spark, ranged, where="k = 5 OR k = 9999").count() == 2
+    # q19 shape: (range AND extra) OR (range AND extra)
+    pred = (
+        "(k >= 1100 AND k < 1200 AND v >= 0)"
+        " OR (k >= 8800 AND k < 8900 AND v >= 0)"
+    )
+    kept = skip_files(snap, pred)
+    # sampled range boundaries → each 100-wide band hits 1-2 files
+    assert 2 <= len(kept) <= 4
+    assert read_delta(spark, ranged, where=pred).count() == 200
+    # three branches, one dead everywhere: survivors = union of live ones
+    pred3 = "k < 1000 OR k >= 9000 OR k = 1000000"
+    assert 2 <= len(skip_files(snap, pred3)) <= 4
+    assert read_delta(spark, ranged, where=pred3).count() == 2000
+    # all branches dead everywhere -> empty scan, schema intact
+    assert skip_files(snap, "k = -1 OR k > 1000000") == {}
+    out = read_delta(spark, ranged, where="k = -1 OR k > 1000000")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v", "s"]
 
 
 def test_empty_result_without_any_scan(spark, ranged):

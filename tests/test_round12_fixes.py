@@ -178,3 +178,39 @@ def test_cleanup_log_protection_gate_via_light_read(spark, tmp_path):
     assert os.path.exists(
         os.path.join(tbl, "_delta_log", f"{0:020d}.json")
     )
+
+
+# --------------------------------------- 5. _next_version after compaction
+def test_append_after_compaction_cleanup_does_not_reuse_versions(
+    spark, tmp_path
+):
+    """Version resolution must honor every log artifact: once a compacted
+    range's individual commits are cleaned away, a new append must commit
+    at range-end + 1 — the old .json-only listing silently RE-USED v1 and
+    spliced the new commit into the middle of history."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)           # v0
+    write_delta(
+        spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append"  # v1
+    )
+    write_delta(
+        spark.range(6, 9).selectExpr("id AS k"), tbl, mode="append"  # v2
+    )
+    D.compact_log(tbl, 1, 2)
+    log = os.path.join(tbl, "_delta_log")
+    for v in (1, 2):
+        for ext in ("json", "crc"):
+            f = os.path.join(log, f"{v:020d}.{ext}")
+            if os.path.exists(f):
+                os.remove(f)
+    assert D._next_version(log) == 3
+    write_delta(
+        spark.range(9, 12).selectExpr("id AS k"), tbl, mode="append"  # v3
+    )
+    assert os.path.exists(os.path.join(log, f"{3:020d}.json"))
+    snap = D._load_snapshot(tbl)
+    assert snap.version == 3
+    got = sorted(r.k for r in D.read_delta(spark, tbl).collect())
+    assert got == list(range(12))

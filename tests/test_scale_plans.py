@@ -1749,3 +1749,31 @@ def test_agg_winsorized_mean_broadcast_fences(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scan_delta_or_pushdown_prunes_files_before_listing(spark, sf_dir):
+    """scan_delta_or_pushdown: the q19-shaped disjunction must prune
+    Delta files from STATS before Spark lists them — the scan's file set
+    is a strict subset of the table's, and the result stays exact."""
+    from ballista_delta_spark.queries.scans import (
+        _orders_delta_ranged,
+        scan_delta_or_pushdown,
+    )
+    from ballista_delta_spark.sources.delta import _load_snapshot, skip_files
+
+    path = _orders_delta_ranged(spark, sf_dir)
+    snap = _load_snapshot(path)
+    pred = (
+        "(o_orderkey >= 256 AND o_orderkey < 1024 "
+        "AND o_totalprice > 120000) "
+        "OR (o_orderkey >= 4096 AND o_orderkey < 4608 "
+        "AND o_totalprice < 50000)"
+    )
+    kept = skip_files(snap, pred)
+    assert 0 < len(kept) < len(snap.files), (len(kept), len(snap.files))
+    # exactness end-to-end: pruned Delta scan == unpruned parquet filter
+    got = scan_delta_or_pushdown(spark, sf_dir).count()
+    want = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet").where(pred).count()
+    )
+    assert got == want and got > 0
