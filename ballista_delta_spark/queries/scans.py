@@ -343,9 +343,9 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hadoop-aws jars, so the query stands up an in-process moto S3 server and
 # reads through `register_s3_parquet` — pyarrow's NATIVE S3 client doing
 # the real wire protocol (ListObjectsV2 + ranged GetObject), with each
-# file fetched executor-side by its task's own client. `configure_s3`
-# still carries the s3a conf for real clusters with the jars. Falls back
-# to file:// URL routing only where moto isn't installed.
+# file fetched executor-side by its task's own client (the s3a/JVM path
+# is refused in this environment — SURVEY §2.1 S6). Falls back to
+# file:// URL routing only where moto isn't installed.
 _MOTO_S3: dict = {"server": None, "endpoint": None, "uploaded": set()}
 
 

@@ -6,7 +6,9 @@ DELTA_INSERT table factories. In Spark all of that is configuration plus a thin
 DDL interceptor:
 
 - information_schema      -> ``SHOW TABLES`` / ``spark.catalog`` (built in)
-- object store registry   -> Hadoop FS URIs (``file://``, ``s3a://`` + conf)
+- object store registry   -> Hadoop FS URIs (``file://``) + the pyarrow
+  native S3 path (``register_s3_parquet``/``register_delta_s3``; the JVM
+  ``s3a://`` route needs a real cluster's hadoop-aws jars — SURVEY §2.1 S6)
 - DELTA table factory     -> :func:`sql` intercepts
   ``CREATE EXTERNAL TABLE ... STORED AS DELTA LOCATION ...`` (the reference's
   DDL form, reference tests/local.rs:48) and registers a Delta-backed view.

@@ -4,13 +4,14 @@ object store + parquet AND Delta queried over s3://ballista.
 
 Two S3 paths, matching SURVEY §2 S6:
 
-- NATIVE (default here): ``register_s3_parquet`` / ``register_delta_s3``
-  use pyarrow's S3 client — real wire protocol (ListObjectsV2, ranged
-  GetObject), each file fetched executor-side by its task's own client.
-  Works on a pip-installed pyspark (no hadoop-aws jars needed).
-- s3a:// (real clusters with the hadoop-aws classpath): ``configure_s3``
-  carries the fs.s3a.* conf; scans then go through the JVM exactly like
-  the reference's ObjectStoreRegistry (src/object_store.rs:42-47).
+- NATIVE (the path this repo executes): ``register_s3_parquet`` /
+  ``register_delta_s3`` use pyarrow's S3 client — real wire protocol
+  (ListObjectsV2, ranged GetObject), each file fetched executor-side by
+  its task's own client. Works on a pip-installed pyspark (no
+  hadoop-aws jars needed).
+- s3a:// (real clusters only): needs the hadoop-aws classpath, absent
+  from pip pyspark — set fs.s3a.* via spark-defaults/--conf there.
+  SURVEY §2.1 S6 documents why this repo refuses rather than stubs it.
 
 Usage (against MinIO or any S3 endpoint):
 
@@ -32,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ballista_delta_spark.session import get_spark
 from ballista_delta_spark.sources.registry import (
-    configure_s3,
     register_delta_s3,
     register_s3_parquet,
 )
@@ -63,12 +63,6 @@ def main() -> None:
         endpoint = os.environ.get("AWS_ENDPOINT_URL")
         creds: dict[str, str] = {}  # fall back to AWS_* env (reference behavior)
         url = sys.argv[1]
-        # keep the s3a conf wired for clusters that have hadoop-aws jars
-        configure_s3(
-            spark, endpoint=endpoint,
-            access_key=os.environ.get("AWS_ACCESS_KEY_ID"),
-            secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY"),
-        )
         register_s3_parquet(spark, "p", url, endpoint=endpoint, **creds)
         spark.sql("SELECT * FROM p LIMIT 20").show()
     else:
