@@ -823,8 +823,10 @@ def stream_cdf_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
             .select(*cols)
         )
-        q = write_stream_to_delta(stream, sink, ckpt, available_now=True)
-        assert q.awaitTermination(180)
+        _await_completion(
+            write_stream_to_delta(stream, sink, ckpt, available_now=True),
+            "stream_cdf_rate_limit", timeout=180,
+        )
 
     # Drain: stop after TWO consecutive runs add nothing. One stall is
     # not enough — a clamped batch can cover a fileless commit (the v1

@@ -754,12 +754,21 @@ _SKIP_CMP = re.compile(
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
 
-def _split_and(pred: str) -> list[str]:
-    """Split on top-level AND (case-insensitive), respecting parens and
-    single-quoted strings. An OR at top level makes the WHOLE predicate
-    ineligible for skipping (file-level pruning must be provably sound)."""
+def _split_top(pred: str, word: str) -> list[str]:
+    """Split ``pred`` on top-level occurrences of the operator ``word``
+    (case-insensitive), respecting parens and single-quoted strings. An
+    operator is recognized at any identifier boundary — space, newline,
+    tab, or adjacent parens — never inside an identifier, so a column
+    named ``priORity`` can't split and ``a = 1\\nOR b = 2`` (a legal
+    multi-line predicate) does. Returns ``[pred]`` when no top-level
+    occurrence exists."""
     parts, buf, depth, i, n = [], [], 0, 0, len(pred)
     upper = pred.upper()
+    wlen = len(word)
+
+    def _ident(c: str) -> bool:
+        return c.isalnum() or c == "_"
+
     while i < n:
         ch = pred[i]
         if ch == "'":
@@ -771,18 +780,28 @@ def _split_and(pred: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0:
-            if upper[i:i + 4] == " OR " or upper[i:i + 3] == "OR(":
-                return []  # top-level OR: no sound conjunct split
-            if upper[i:i + 5] == " AND ":
+        if depth == 0 and upper[i:i + wlen] == word:
+            prev = pred[i - 1] if i > 0 else " "
+            nxt = pred[i + wlen] if i + wlen < n else " "
+            if not _ident(prev) and not _ident(nxt):
                 parts.append("".join(buf))
                 buf = []
-                i += 5
+                i += wlen
                 continue
         buf.append(ch)
         i += 1
     parts.append("".join(buf))
     return parts
+
+
+def _split_and(pred: str) -> list[str]:
+    """Split on top-level AND. An OR at top level makes the WHOLE
+    predicate ineligible for a conjunctive split (file-level pruning must
+    be provably sound) — callers that can prune disjunctions dispatch on
+    ``_split_or`` first."""
+    if len(_split_top(pred, "OR")) > 1:
+        return []
+    return _split_top(pred, "AND")
 
 
 _SKIP_IN = re.compile(
@@ -820,31 +839,9 @@ def _temporal_key(s: Any) -> float | None:
 
 
 def _split_or(pred: str) -> list[str]:
-    """Split on top-level OR (case-insensitive), respecting parens and
-    single-quoted strings — the disjunctive mirror of ``_split_and``.
+    """Split on top-level OR — the disjunctive mirror of ``_split_and``.
     Returns ``[pred]`` when no top-level OR exists."""
-    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
-    upper = pred.upper()
-    while i < n:
-        ch = pred[i]
-        if ch == "'":
-            j = pred.index("'", i + 1) if "'" in pred[i + 1:] else n - 1
-            buf.append(pred[i:j + 1])
-            i = j + 1
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if depth == 0 and upper[i:i + 4] == " OR ":
-            parts.append("".join(buf))
-            buf = []
-            i += 4
-            continue
-        buf.append(ch)
-        i += 1
-    parts.append("".join(buf))
-    return parts
+    return _split_top(pred, "OR")
 
 
 def _unwrap_parens(pred: str) -> str:
@@ -881,11 +878,12 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     can never be proved dead, so it disables pruning for the whole
     predicate — keeping the evaluation sound.
     """
-    if _split_and(where):
+    branches = _split_or(where)
+    if len(branches) == 1:
         groups = [_parse_skip_branch(snap, where)]
     else:  # top-level OR
         groups = []
-        for br in _split_or(where):
+        for br in branches:
             g = _parse_skip_branch(snap, _unwrap_parens(br))
             if not (g[0] or g[1]):
                 groups = []  # unjudgeable branch: the OR can't prune
@@ -1405,6 +1403,40 @@ def _dv_paths(snap: "Snapshot") -> list[str]:
     return [r for r, a in files.items() if a.get("deletionVector")]
 
 
+def _resolve_checkpoint_files(
+    log: str, cv: int
+) -> "tuple[str, list[str]] | None":
+    """ONE checkpoint-layout discovery shared by the full reader
+    (``_checkpoint_actions``) and the light protocol/config reader —
+    two copies of the three-layout walk would drift (and a drifted copy
+    DID drop the multi-part completeness check). Returns
+    ``("classic", [file])``, ``("multipart", parts)`` (completeness
+    validated), ``("v2", [manifest])`` (latest UUID; ``.parquet`` or
+    ``.json``), or None when no checkpoint file exists."""
+    import glob as _glob
+
+    prefix = os.path.join(log, f"{cv:020d}.checkpoint")
+    classic = f"{prefix}.parquet"
+    if os.path.exists(classic):
+        return "classic", [classic]
+    parts = sorted(_glob.glob(f"{prefix}.??????????.??????????.parquet"))
+    if parts:
+        # Validate completeness: every file advertises the same N parts.
+        n = int(parts[0].rsplit(".", 2)[1])
+        if len(parts) != n:
+            raise ValueError(
+                f"multi-part checkpoint at version {cv} is incomplete: "
+                f"found {len(parts)} of {n} parts"
+            )
+        return "multipart", parts
+    v2 = sorted(
+        _glob.glob(f"{prefix}.*.parquet") + _glob.glob(f"{prefix}.*.json")
+    )
+    if v2:
+        return "v2", [v2[-1]]
+    return None
+
+
 def _checkpoint_actions(
     log: str, cv: int
 ) -> "tuple[list[dict[str, Any]], list[Any], list[Any]] | None":
@@ -1427,8 +1459,6 @@ def _checkpoint_actions(
     through pyarrow — the log is driver-side metadata; the data files it
     points at are what Spark's executors scan.
     """
-    import glob as _glob
-
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1458,30 +1488,19 @@ def _checkpoint_actions(
         drop = [c for c in ("add", "remove") if c in tbl.column_names]
         return tbl.filter(keep).drop_columns(drop).to_pylist()
 
-    prefix = os.path.join(log, f"{cv:020d}.checkpoint")
-
-    classic = f"{prefix}.parquet"
-    if os.path.exists(classic):
-        return split(pq.read_table(classic)), add_arrays, remove_arrays
-
-    parts = sorted(_glob.glob(f"{prefix}.??????????.??????????.parquet"))
-    if parts:
-        # Validate completeness: every file advertises the same N parts.
-        n = int(parts[0].rsplit(".", 2)[1])
-        if len(parts) != n:
-            raise ValueError(
-                f"multi-part checkpoint at version {cv} is incomplete: "
-                f"found {len(parts)} of {n} parts"
-            )
+    resolved = _resolve_checkpoint_files(log, cv)
+    if resolved is None:
+        return None
+    kind, cfiles = resolved
+    if kind == "classic":
+        return split(pq.read_table(cfiles[0])), add_arrays, remove_arrays
+    if kind == "multipart":
         rows: list[dict[str, Any]] = []
-        for p in parts:
+        for p in cfiles:
             rows.extend(split(pq.read_table(p)))
         return rows, add_arrays, remove_arrays
 
-    v2 = sorted(_glob.glob(f"{prefix}.*.parquet") + _glob.glob(f"{prefix}.*.json"))
-    if not v2:
-        return None
-    manifest = v2[-1]  # any complete manifest works; take the latest UUID
+    manifest = cfiles[0]
     if manifest.endswith(".json"):
         rows = []
         with open(manifest) as fh:
@@ -5912,8 +5931,6 @@ def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
     gates — loading the full snapshot there re-paid the columnar open on
     every cleanup call, a cost the old code avoided when retention was
     explicit."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
     log = _log_dir(path)
@@ -5938,52 +5955,61 @@ def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
             for row in pq.read_table(fp, columns=cols).to_pylist():
                 absorb(row)
 
-    start = 0
-    ckpt_file = os.path.join(log, "_last_checkpoint")
-    if os.path.exists(ckpt_file):
-        with open(ckpt_file) as fh:
-            cv = int(json.load(fh)["version"])
-        prefix = os.path.join(log, f"{cv:020d}.checkpoint")
-        classic = f"{prefix}.parquet"
-        parts = sorted(
-            _glob.glob(f"{prefix}.??????????.??????????.parquet")
-        )
-        if os.path.exists(classic):
-            absorb_parquet(classic)
-        elif parts:
-            for p in parts:
-                absorb_parquet(p)
-        else:
-            v2 = sorted(
-                _glob.glob(f"{prefix}.*.parquet")
-                + _glob.glob(f"{prefix}.*.json")
-            )
-            if v2:
-                manifest = v2[-1]
-                if manifest.endswith(".json"):
-                    with open(manifest) as fh:
-                        for line in fh:
-                            if line.strip():
-                                absorb(json.loads(line))
-                else:
-                    absorb_parquet(manifest)
-        start = cv + 1
-    # JSON tail. Individual commits above the checkpoint always survive
-    # cleanup, so replaying them (not the compacted ranges) is
-    # sufficient; the substring pre-filter skips add/remove-only lines
-    # without parsing them.
-    v = start
-    while True:
-        fp = _version_file(log, v)
-        if not os.path.exists(fp):
-            break
+    def absorb_json_file(fp: str) -> None:
+        # the substring pre-filter skips add/remove-only lines without
+        # parsing them
         with open(fp) as fh:
             for line in fh:
                 if (
                     '"protocol"' in line or '"metaData"' in line
                 ) and line.strip():
                     absorb(json.loads(line))
-        v += 1
+
+    start = 0
+    ckpt_file = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(ckpt_file):
+        with open(ckpt_file) as fh:
+            cv = int(json.load(fh)["version"])
+        resolved = _resolve_checkpoint_files(log, cv)
+        if resolved is None:
+            # Mirror _load_snapshot: a missing checkpoint with a complete
+            # JSON log falls back to full replay (of protocol/metaData
+            # lines); without the log it must FAIL, not return empty
+            # protocol/config (an empty result would silently disable the
+            # checkpointProtection gate and the retention property).
+            if not os.path.exists(_version_file(log, 0)):
+                raise ValueError(
+                    f"_last_checkpoint names version {cv} but no "
+                    "checkpoint file was found and the JSON log is "
+                    "incomplete — cannot read protocol/configuration"
+                )
+        else:
+            kind, cfiles = resolved
+            for f in cfiles:
+                if f.endswith(".json"):
+                    with open(f) as fh:
+                        for line in fh:
+                            if line.strip():
+                                absorb(json.loads(line))
+                else:
+                    absorb_parquet(f)
+            start = cv + 1
+    # JSON tail, compacted-range aware (same walk as _load_snapshot's
+    # replay loop): a range whose individual commits were cleaned is
+    # served by its {start}.{end}.compacted.json — a tail walk that broke
+    # at the first missing file would silently miss metaData/protocol
+    # actions beyond the gap.
+    compacted = _compacted_ranges(log)
+    v = start
+    while True:
+        if v in compacted:
+            end_c, fp = compacted[v]
+        else:
+            end_c, fp = None, _version_file(log, v)
+            if not os.path.exists(fp):
+                break
+        absorb_json_file(fp)
+        v = (end_c if end_c is not None else v) + 1
     return list(protocol.get("writerFeatures") or []), config
 
 

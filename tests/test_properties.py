@@ -1053,8 +1053,14 @@ class TestMaskLiterals:
 
     @staticmethod
     def _quote(inner: str, q: str, style: str) -> str:
+        # Backslash is an escape in Spark's lexer in BOTH quoting styles
+        # (verified: SELECT '\' errors as unterminated, '\\' parses), so
+        # a literal backslash must be doubled regardless of how quotes
+        # are escaped — the old "double" arm emitted '\' for a lone
+        # backslash inner, an ill-formed literal the masker correctly
+        # reads as escaping the closing quote (hypothesis found it r12).
         if style == "double":
-            body = inner.replace(q, q + q)
+            body = inner.replace("\\", "\\\\").replace(q, q + q)
         else:
             body = inner.replace("\\", "\\\\").replace(q, "\\" + q)
         return q + body + q

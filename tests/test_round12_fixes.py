@@ -214,3 +214,122 @@ def test_append_after_compaction_cleanup_does_not_reuse_versions(
     assert snap.version == 3
     got = sorted(r.k for r in D.read_delta(spark, tbl).collect())
     assert got == list(range(12))
+
+
+# ----------------------------- 6. whitespace-robust AND/OR splitting
+def test_split_top_handles_newlines_tabs_parens_and_identifiers():
+    from ballista_delta_spark.sources.delta import (
+        _split_and,
+        _split_or,
+    )
+
+    # newline / tab separated operators are real operators
+    assert _split_and("a = 1 AND b = 2\nOR c = 3") == []
+    assert len(_split_or("a = 1\nOR b = 2")) == 2
+    assert len(_split_or("a = 1\tOR\tb = 2")) == 2
+    assert [p.strip() for p in _split_and("a = 1\nAND b = 2")] == [
+        "a = 1", "b = 2"
+    ]
+    # paren-adjacent operators, no spaces at all
+    assert len(_split_or("(a = 1)OR(b = 2)")) == 2
+    assert _split_and("(a = 1)AND(b = 2)") == ["(a = 1)", "(b = 2)"]
+    # identifiers CONTAINING the operator words never split
+    assert [p.strip() for p in _split_and("priority = 1 AND score = 2")] == [
+        "priority = 1", "score = 2"
+    ]
+    assert len(_split_or("sailORs = 1")) == 1
+    assert len(_split_or("x = orders")) == 1
+    # quoted strings are opaque
+    assert len(_split_or("s = 'a OR b'")) == 1
+    assert [p.strip() for p in _split_and("s = 'x AND y' AND k = 1")] == [
+        "s = 'x AND y'", "k = 1"
+    ]
+
+
+def test_multiline_or_predicate_stays_exact_end_to_end(spark, tmp_path):
+    """The review repro: a newline-separated OR used to be mis-split into
+    AND conjuncts, pruning files unsoundly and silently dropping rows."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        read_delta,
+        skip_files,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id AS k", "id % 7 AS v"
+    ).repartitionByRange(10, "k")
+    write_delta(df, path, mode="overwrite")
+    pred = "k = 5 AND v >= 0\nOR k = 9105"
+    # SQL semantics: AND binds tighter -> (k=5 AND v>=0) OR k=9105 -> 2 rows
+    got = read_delta(spark, path, where=pred)
+    assert got.count() == 2
+    assert sorted(r.k for r in got.collect()) == [5, 9105]
+    # and the pruning is genuinely disjunctive (subset of files survive)
+    snap = _load_snapshot(path)
+    assert 0 < len(skip_files(snap, pred)) < len(snap.files)
+
+
+# ----------------------------- 7. light reader over compacted gaps
+def test_protocol_and_config_sees_through_compacted_gap(spark, tmp_path):
+    """The review repro: the tail walk used to break at the first missing
+    commit, making properties set AFTER a compacted-and-cleaned range
+    invisible to cleanup_log (which would then reap protected history)."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)           # v0
+    assert D.create_checkpoint(tbl) == 0
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    write_delta(spark.range(6, 9).selectExpr("id AS k"), tbl, mode="append")
+    D.compact_log(tbl, 1, 2)
+    log = os.path.join(tbl, "_delta_log")
+    for v in (1, 2):
+        for ext in ("json", "crc"):
+            f = os.path.join(log, f"{v:020d}.{ext}")
+            if os.path.exists(f):
+                os.remove(f)
+    D.alter_properties(                                              # v3
+        spark, tbl,
+        set_props={
+            "delta.feature.checkpointProtection": "supported",
+            "delta.requireCheckpointProtectionBeforeVersion": "3",
+            "delta.logRetentionDuration": "interval 7 days",
+        },
+    )
+    wf, conf = D._protocol_and_config(tbl)
+    snap = D._load_snapshot(tbl)
+    assert sorted(wf) == sorted(snap.writer_features)
+    assert conf == snap.configuration
+    assert "checkpointProtection" in wf
+    assert conf["delta.logRetentionDuration"] == "interval 7 days"
+    # and the gate actually holds: boundary (v0) < protected (3) -> noop
+    assert D.cleanup_log(tbl, retention_ms=0) == []
+
+
+def test_protocol_and_config_checkpoint_fallbacks(spark, tmp_path):
+    """Missing checkpoint file + complete JSON log -> full-replay
+    fallback (parity with _load_snapshot); missing checkpoint + cleaned
+    log -> loud error, never a silent empty result."""
+    import glob as _glob
+
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    D.alter_properties(
+        spark, tbl,
+        set_props={"delta.logRetentionDuration": "interval 9 days"},
+    )
+    D.create_checkpoint(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for f in _glob.glob(os.path.join(log, "*.checkpoint*")):
+        os.remove(f)
+    # full JSON log survives: light read falls back to JSON replay
+    wf, conf = D._protocol_and_config(tbl)
+    assert conf["delta.logRetentionDuration"] == "interval 9 days"
+    # now ALSO remove v0: incomplete log + missing checkpoint must raise
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="checkpoint"):
+        D._protocol_and_config(tbl)
