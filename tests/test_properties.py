@@ -1236,3 +1236,96 @@ class TestStreamByteBudgetWalk:
             for v, row in enumerate(sizes)
             for i in range(len(row))
         ]
+
+
+class TestSkipDisjunctionSoundness:
+    """Disjunctive data skipping (r12) must be SOUND for arbitrary file
+    ranges and OR-of-AND predicates, in any legal whitespace spelling:
+    every file that CONTAINS a matching row survives skip_files. (The
+    inverse — pruning effectiveness — is pinned by the directed tests in
+    test_data_skipping.py; soundness is the property that silently loses
+    rows when violated.)"""
+
+    class _FakeSnap:
+        def __init__(self, files, schema):
+            self.files = files
+            self.schema = schema
+            self.partition_columns = []
+
+        def physical(self, c):
+            return c
+
+    _OPS = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "=": lambda a, b: a == b,
+    }
+
+    _branch = st.lists(
+        st.tuples(
+            st.sampled_from(["<", "<=", ">", ">=", "="]),
+            st.integers(-30, 80),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+
+    @given(
+        files=st.lists(
+            st.tuples(st.integers(-20, 60), st.integers(0, 40)),
+            min_size=1,
+            max_size=8,
+        ),
+        branches=st.lists(_branch, min_size=1, max_size=3),
+        sep=st.sampled_from([" OR ", "\nOR ", "\n OR\t", " OR\n", ") OR ("]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_every_matching_file_survives(self, files, branches, sep):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from ballista_delta_spark.sources.delta import skip_files
+
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        fdict, ranges = {}, {}
+        for idx, (lo, width) in enumerate(files):
+            hi = lo + width
+            path = f"f{idx}"
+            fdict[path] = {
+                "path": path,
+                "stats": _json.dumps({
+                    "numRecords": width + 1,
+                    "minValues": {"k": lo},
+                    "maxValues": {"k": hi},
+                    "nullCount": {"k": 0},
+                }),
+            }
+            ranges[path] = (lo, hi)
+        snap = self._FakeSnap(fdict, schema)
+
+        def br_sql(conjs):
+            return "(" + " AND ".join(
+                f"k {op} {lit}" for op, lit in conjs
+            ) + ")"
+
+        # the ") OR (" separator composes with the per-branch parens into
+        # "((a)) OR ((b))" — doubly-wrapped branches must still unwrap
+        pred = sep.join(br_sql(b) for b in branches)
+        if sep == ") OR (":
+            pred = "(" + pred + ")"
+        kept = skip_files(snap, pred)
+
+        def row_matches(v):
+            return any(
+                all(self._OPS[op](v, lit) for op, lit in conjs)
+                for conjs in branches
+            )
+
+        for path, (lo, hi) in ranges.items():
+            # files are DENSE int ranges [lo, hi]: a file has a matching
+            # row iff some v in the range satisfies the predicate
+            if any(row_matches(v) for v in range(lo, hi + 1)):
+                assert path in kept, (pred, path, lo, hi, sorted(kept))
