@@ -5947,13 +5947,19 @@ def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
             config = _as_dict(md.get("configuration"))
 
     def absorb_parquet(fp: str) -> None:
-        cols = [
-            c for c in ("protocol", "metaData")
-            if c in pq.read_schema(fp).names
-        ]
-        if cols:
-            for row in pq.read_table(fp, columns=cols).to_pylist():
-                absorb(row)
+        import pyarrow.compute as pc
+
+        names = pq.read_schema(fp).names
+        for col in ("protocol", "metaData"):
+            if col not in names:
+                continue
+            # Null rows drop COLUMNAR-side: a classic checkpoint carries
+            # these columns on all 100k+ add rows (as nulls) — to_pylist
+            # on the full column would materialize them all in Python
+            # and cost more than the snapshot open this reader avoids.
+            c = pq.read_table(fp, columns=[col]).column(col).combine_chunks()
+            for row in pc.filter(c, pc.is_valid(c)).to_pylist():
+                absorb({col: row})
 
     def absorb_json_file(fp: str) -> None:
         # the substring pre-filter skips add/remove-only lines without

@@ -220,10 +220,17 @@ def _metadata_bench() -> dict[str, float]:
     t0 = time.time()
     d.create_checkpoint(tbl)
     ckpt_s = time.time() - t0
+    # The r12 light protocol/config read (cleanup_log's gate data):
+    # reads ONLY the checkpoint's protocol/metaData columns + the JSON
+    # tail — its cost must stay independent of the 100k-add payload.
+    t0 = time.time()
+    d._protocol_and_config(tbl)
+    proto_s = time.time() - t0
     return {
         "open_100k_adds_s": round(open_s, 3),
         "point_lookup_s": round(lookup_s, 4),
         "checkpoint_100k_adds_s": round(ckpt_s, 3),
+        "protocol_config_light_read_s": round(proto_s, 4),
     }
 
 
