@@ -847,17 +847,24 @@ def _split_or(pred: str) -> list[str]:
 def _unwrap_parens(pred: str) -> str:
     """Strip outer parens that wrap the WHOLE expression — ``(a AND b)``
     -> ``a AND b``, but ``(a) IN (b)``-style strings where the first
-    paren closes early are left alone."""
+    paren closes early are left alone. Quoted strings are opaque, so a
+    paren inside a literal (``(s = ')')``) can't end the wrap early."""
     s = pred.strip()
     while s.startswith("(") and s.endswith(")"):
-        depth = 0
-        for i, ch in enumerate(s):
+        depth, i, n = 0, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                j = s.index("'", i + 1) if "'" in s[i + 1:] else n - 1
+                i = j + 1
+                continue
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-                if depth == 0 and i < len(s) - 1:
+                if depth == 0 and i < n - 1:
                     return s  # first paren closes early: not a full wrap
+            i += 1
         s = s[1:-1].strip()
     return s
 

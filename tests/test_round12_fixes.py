@@ -333,3 +333,15 @@ def test_protocol_and_config_checkpoint_fallbacks(spark, tmp_path):
     os.remove(os.path.join(log, f"{0:020d}.json"))
     with pytest.raises(ValueError, match="checkpoint"):
         D._protocol_and_config(tbl)
+
+
+def test_unwrap_parens_is_quote_aware():
+    from ballista_delta_spark.sources.delta import _unwrap_parens
+
+    assert _unwrap_parens("(a AND b)") == "a AND b"
+    assert _unwrap_parens("((a))") == "a"
+    assert _unwrap_parens("(a) IN (b)") == "(a) IN (b)"
+    # parens inside string literals must not end the wrap early
+    assert _unwrap_parens("(s = ')' AND k = 1)") == "s = ')' AND k = 1"
+    assert _unwrap_parens("(s = '(' AND k = 1)") == "s = '(' AND k = 1"
+    assert _unwrap_parens("(a = 1) OR (b = 2)") == "(a = 1) OR (b = 2)"
