@@ -354,6 +354,11 @@ class _CaseFoldedViews(dict):
     def _k(key):
         return key.lower() if isinstance(key, str) else key
 
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        if args or kwargs:
+            self.update(*args, **kwargs)
+
     def __setitem__(self, key, value):
         super().__setitem__(self._k(key), value)
 
@@ -383,6 +388,10 @@ class _CaseFoldedViews(dict):
     def update(self, *args, **kwargs):
         for k, v in dict(*args, **kwargs).items():
             self[k] = v
+
+    def __ior__(self, other):  # views |= {...} must fold too
+        self.update(other)
+        return self
 
 
 # Delta-backed view name -> table path, populated by the DDL interceptor and

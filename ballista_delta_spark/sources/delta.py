@@ -763,7 +763,6 @@ def _split_top(pred: str, word: str) -> list[str]:
     multi-line predicate) does. Returns ``[pred]`` when no top-level
     occurrence exists."""
     parts, buf, depth, i, n = [], [], 0, 0, len(pred)
-    upper = pred.upper()
     wlen = len(word)
 
     def _ident(c: str) -> bool:
@@ -780,7 +779,11 @@ def _split_top(pred: str, word: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0 and upper[i:i + wlen] == word:
+        # Slice-local upper(): a whole-string pre-uppercased copy can be
+        # LONGER than the original ('ß'.upper() == 'SS'), shifting every
+        # index after such a char and hiding real operators — which made
+        # the conjunctive path prune unsoundly.
+        if depth == 0 and pred[i:i + wlen].upper() == word:
             prev = pred[i - 1] if i > 0 else " "
             nxt = pred[i + wlen] if i + wlen < n else " "
             if not _ident(prev) and not _ident(nxt):
@@ -1842,11 +1845,16 @@ def _next_version(log: str) -> int:
         return 0
     best = -1
     for name in os.listdir(log):
-        stem = name.split(".")[0]
+        parts = name.split(".")
+        stem = parts[0]
         if not (stem.isdigit() and len(stem) == 20):
             continue
         if ".compacted." in name and name.endswith(".json"):
-            best = max(best, int(name.split(".")[1]))
+            # Same shape validation as _compacted_ranges: a foreign
+            # writer's malformed compaction-like name must be ignored,
+            # not crash every subsequent commit on the table.
+            if len(parts) == 4 and parts[1].isdigit():
+                best = max(best, int(parts[1]))
         elif (
             name.endswith(".json")
             or name.endswith(".crc")
@@ -5956,15 +5964,20 @@ def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
     def absorb_parquet(fp: str) -> None:
         import pyarrow.compute as pc
 
-        names = pq.read_schema(fp).names
-        for col in ("protocol", "metaData"):
-            if col not in names:
-                continue
-            # Null rows drop COLUMNAR-side: a classic checkpoint carries
-            # these columns on all 100k+ add rows (as nulls) — to_pylist
-            # on the full column would materialize them all in Python
-            # and cost more than the snapshot open this reader avoids.
-            c = pq.read_table(fp, columns=[col]).column(col).combine_chunks()
+        cols = [
+            c for c in ("protocol", "metaData")
+            if c in pq.read_schema(fp).names
+        ]
+        if not cols:
+            return
+        # ONE file read for both columns; null rows then drop
+        # COLUMNAR-side per column — a classic checkpoint carries these
+        # columns on all 100k+ add rows (as nulls), and to_pylist on the
+        # full rows would materialize them all in Python and cost more
+        # than the snapshot open this reader avoids.
+        tbl = pq.read_table(fp, columns=cols)
+        for col in cols:
+            c = tbl.column(col).combine_chunks()
             for row in pc.filter(c, pc.is_valid(c)).to_pylist():
                 absorb({col: row})
 
@@ -6095,8 +6108,13 @@ def cleanup_log(
         v = int(stem)
         if ".compacted." in name:
             # A compaction file is covered only when its whole RANGE is
-            # under the checkpoint.
-            v = int(name.split(".")[1])
+            # under the checkpoint. Malformed compaction-like names are
+            # skipped (same shape rule as _compacted_ranges), never
+            # parsed blindly — and never deleted.
+            parts = name.split(".")
+            if not (len(parts) == 4 and parts[1].isdigit()):
+                continue
+            v = int(parts[1])
         if v >= cv:
             continue  # not covered by the checkpoint
         is_json = name.endswith(".json")

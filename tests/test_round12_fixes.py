@@ -345,3 +345,46 @@ def test_unwrap_parens_is_quote_aware():
     assert _unwrap_parens("(s = ')' AND k = 1)") == "s = ')' AND k = 1"
     assert _unwrap_parens("(s = '(' AND k = 1)") == "s = '(' AND k = 1"
     assert _unwrap_parens("(a = 1) OR (b = 2)") == "(a = 1) OR (b = 2)"
+
+
+# ------------------------- 8. second review pass (r12) regression pins
+def test_split_top_survives_unicode_case_expansion():
+    """str.upper() can CHANGE LENGTH ('ß' -> 'SS'); a pre-uppercased
+    whole-string copy shifted every index after such a char and hid real
+    operators — making the conjunctive path prune unsoundly."""
+    from ballista_delta_spark.sources.delta import _split_and, _split_or
+
+    assert _split_and("k = 5 AND s = 'straße' OR k = 9") == []
+    assert len(_split_or("s = 'straße' OR k = 9")) == 2
+    assert [p.strip() for p in _split_and("s = 'straße' AND k = 9")] == [
+        "s = 'straße'", "k = 9"
+    ]
+
+
+def test_case_folded_views_init_and_ior_fold():
+    from ballista_delta_spark.session import _CaseFoldedViews
+
+    v = _CaseFoldedViews({"Orders": "/o"}, Events="/e")
+    assert v["ORDERS"] == "/o" and v["events"] == "/e"
+    v |= {"Sales": "/a"}
+    assert v["sales"] == "/a"
+    assert set(v) == {"orders", "events", "sales"}
+
+
+def test_malformed_compaction_name_is_ignored_not_fatal(spark, tmp_path):
+    """A compaction-like file without an end-version segment (foreign or
+    buggy writer) must be skipped by version resolution and never deleted
+    by cleanup — not crash every subsequent commit."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    log = os.path.join(tbl, "_delta_log")
+    bad = os.path.join(log, f"{3:020d}.compacted.json")
+    open(bad, "w").write("")
+    assert D._next_version(log) == 1
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    D.create_checkpoint(tbl)
+    D.cleanup_log(tbl, retention_ms=0)
+    assert os.path.exists(bad)
+    assert D.read_delta(spark, tbl).count() == 6
