@@ -511,42 +511,11 @@ def _strip_leading_comments(stmt: str) -> str:
             return t
 
 
-def _mask_literals(stmt: str) -> str:
-    """Same-LENGTH copy of ``stmt`` with string-literal CONTENTS replaced
-    by 'x' (quotes kept; '' / "" doubling AND backslash escapes handled —
-    Spark's default parser accepts 'O\\'Brien', and skipping the escaped
-    quote is what keeps the mask in sync so trailing syntax like WHERE
-    can't be swallowed into a phantom literal). Every dialect regex
-    matches against the mask, so keywords inside literals ('a where b',
-    'orders VERSION AS OF 2', 'when matched') can never trigger or split
-    a rule — and because lengths are preserved, each match's spans index
-    straight into the ORIGINAL statement for extraction (`_g`)."""
-    out: list[str] = []
-    i, n = 0, len(stmt)
-    while i < n:
-        q = stmt[i]
-        if q in ("'", '"'):
-            j = i + 1
-            while j < n:
-                if stmt[j] == "\\":  # \' \\ \n ... — skip escaped char
-                    j += 2
-                    continue
-                if stmt[j] == q:
-                    if j + 1 < n and stmt[j + 1] == q:  # doubled escape
-                        j += 2
-                        continue
-                    break
-                j += 1
-            if j < n:
-                out.append(q + "x" * (j - i - 1) + q)
-                i = j + 1
-            else:  # unterminated: mask to end
-                out.append(q + "x" * (n - i - 1))
-                i = n
-        else:
-            out.append(q)
-            i += 1
-    return "".join(out)
+# _mask_literals moved to sources/delta.py (r12) so the data-skipping
+# predicate splitters share the ONE Spark-lexer-faithful literal scanner
+# — a weaker hand-rolled copy there is exactly what made OR/AND
+# detection unsound inside double-quoted and backslash-escaped literals.
+from .sources.delta import _mask_literals  # noqa: E402,F401
 
 
 def _g(stmt: str, m: "re.Match", name: str) -> str | None:

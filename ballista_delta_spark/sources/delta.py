@@ -754,27 +754,64 @@ _SKIP_CMP = re.compile(
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
 
+def _mask_literals(stmt: str) -> str:
+    """Same-LENGTH copy of ``stmt`` with string-literal CONTENTS replaced
+    by 'x' (quotes kept; '' / "" doubling AND backslash escapes handled —
+    Spark's default parser accepts 'O\\'Brien', and skipping the escaped
+    quote is what keeps the mask in sync so trailing syntax like WHERE
+    can't be swallowed into a phantom literal). The SQL-dialect regexes
+    (session.py) and the data-skipping predicate splitters below all scan
+    the mask and slice spans from the ORIGINAL string — one
+    Spark-lexer-faithful literal scanner, property-tested
+    (TestMaskLiterals), instead of per-caller copies that drift."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        q = stmt[i]
+        if q in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if stmt[j] == "\\":  # \' \\ \n ... — skip escaped char
+                    j += 2
+                    continue
+                if stmt[j] == q:
+                    if j + 1 < n and stmt[j + 1] == q:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j < n:
+                out.append(q + "x" * (j - i - 1) + q)
+                i = j + 1
+            else:  # unterminated: mask to end
+                out.append(q + "x" * (n - i - 1))
+                i = n
+        else:
+            out.append(q)
+            i += 1
+    return "".join(out)
+
+
 def _split_top(pred: str, word: str) -> list[str]:
     """Split ``pred`` on top-level occurrences of the operator ``word``
-    (case-insensitive), respecting parens and single-quoted strings. An
-    operator is recognized at any identifier boundary — space, newline,
-    tab, or adjacent parens — never inside an identifier, so a column
-    named ``priORity`` can't split and ``a = 1\\nOR b = 2`` (a legal
+    (case-insensitive). Structure (parens, operators) is detected on the
+    literal-MASKED copy — so string literals in EITHER quote style, with
+    doubled-quote or backslash escapes, are fully opaque — while the
+    returned parts are sliced from the ORIGINAL string. An operator is
+    recognized at any identifier boundary — space, newline, tab, or
+    adjacent parens — never inside an identifier, so a column named
+    ``priORity`` can't split and ``a = 1\\nOR b = 2`` (a legal
     multi-line predicate) does. Returns ``[pred]`` when no top-level
     occurrence exists."""
-    parts, buf, depth, i, n = [], [], 0, 0, len(pred)
+    masked = _mask_literals(pred)
+    parts, start, depth, i, n = [], 0, 0, 0, len(pred)
     wlen = len(word)
 
     def _ident(c: str) -> bool:
         return c.isalnum() or c == "_"
 
     while i < n:
-        ch = pred[i]
-        if ch == "'":
-            j = pred.index("'", i + 1) if "'" in pred[i + 1:] else n - 1
-            buf.append(pred[i:j + 1])
-            i = j + 1
-            continue
+        ch = masked[i]
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -782,18 +819,18 @@ def _split_top(pred: str, word: str) -> list[str]:
         # Slice-local upper(): a whole-string pre-uppercased copy can be
         # LONGER than the original ('ß'.upper() == 'SS'), shifting every
         # index after such a char and hiding real operators — which made
-        # the conjunctive path prune unsoundly.
-        if depth == 0 and pred[i:i + wlen].upper() == word:
-            prev = pred[i - 1] if i > 0 else " "
-            nxt = pred[i + wlen] if i + wlen < n else " "
+        # the conjunctive path prune unsoundly. (Masked literal contents
+        # are all 'x', so no operator can match inside one.)
+        if depth == 0 and masked[i:i + wlen].upper() == word:
+            prev = masked[i - 1] if i > 0 else " "
+            nxt = masked[i + wlen] if i + wlen < n else " "
             if not _ident(prev) and not _ident(nxt):
-                parts.append("".join(buf))
-                buf = []
+                parts.append(pred[start:i])
                 i += wlen
+                start = i
                 continue
-        buf.append(ch)
         i += 1
-    parts.append("".join(buf))
+    parts.append(pred[start:])
     return parts
 
 
@@ -850,24 +887,21 @@ def _split_or(pred: str) -> list[str]:
 def _unwrap_parens(pred: str) -> str:
     """Strip outer parens that wrap the WHOLE expression — ``(a AND b)``
     -> ``a AND b``, but ``(a) IN (b)``-style strings where the first
-    paren closes early are left alone. Quoted strings are opaque, so a
-    paren inside a literal (``(s = ')')``) can't end the wrap early."""
+    paren closes early are left alone. Paren depth is counted on the
+    literal-MASKED copy, so a paren inside a string literal in either
+    quote style (``(s = ')')``) can't end the wrap early."""
     s = pred.strip()
     while s.startswith("(") and s.endswith(")"):
-        depth, i, n = 0, 0, len(s)
-        while i < n:
-            ch = s[i]
-            if ch == "'":
-                j = s.index("'", i + 1) if "'" in s[i + 1:] else n - 1
-                i = j + 1
-                continue
+        depth = 0
+        masked = _mask_literals(s)
+        n = len(masked)
+        for i, ch in enumerate(masked):
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0 and i < n - 1:
                     return s  # first paren closes early: not a full wrap
-            i += 1
         s = s[1:-1].strip()
     return s
 
@@ -888,6 +922,10 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     can never be proved dead, so it disables pruning for the whole
     predicate — keeping the evaluation sound.
     """
+    # Unwrap a fully-parenthesized predicate first: callers composing
+    # predicates programmatically wrap defensively, and "(k = 5 OR ...)"
+    # must prune exactly like its unwrapped form.
+    where = _unwrap_parens(where)
     branches = _split_or(where)
     if len(branches) == 1:
         groups = [_parse_skip_branch(snap, where)]
@@ -1557,6 +1595,12 @@ def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
             and parts[1].isdigit() and len(parts[1]) == 20
         ):
             s, e = int(parts[0]), int(parts[1])
+            if e < s:
+                # Malformed range (end before start) from a foreign or
+                # buggy writer: following it would step the replay walk
+                # BACKWARDS (v = end + 1 <= start) — an infinite loop,
+                # worse than the crash the other shape guards prevent.
+                continue
             if s not in out or e > out[s][0]:
                 out[s] = (e, os.path.join(log, name))
     return out
@@ -5937,7 +5981,9 @@ def compact_log(path: str, start: int, end: int) -> str:
     return out
 
 
-def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
+def _protocol_and_config(
+    path: str, checkpoint_version: int | None = None
+) -> tuple[list[str], dict[str, str]]:
     """(writerFeatures, table configuration) WITHOUT materializing the
     file set: read only the protocol/metaData columns of the checkpoint
     (v2 sidecars, which carry the add/remove set, are never opened) plus
@@ -5992,10 +6038,13 @@ def _protocol_and_config(path: str) -> tuple[list[str], dict[str, str]]:
                     absorb(json.loads(line))
 
     start = 0
+    cv = checkpoint_version  # caller's anchor wins: ONE read per op, no
+    # TOCTOU window against a checkpoint landing mid-call
     ckpt_file = os.path.join(log, "_last_checkpoint")
-    if os.path.exists(ckpt_file):
+    if cv is None and os.path.exists(ckpt_file):
         with open(ckpt_file) as fh:
             cv = int(json.load(fh)["version"])
+    if cv is not None:
         resolved = _resolve_checkpoint_files(log, cv)
         if resolved is None:
             # Mirror _load_snapshot: a missing checkpoint with a complete
@@ -6063,10 +6112,15 @@ def cleanup_log(
     ckpt_file = os.path.join(log, "_last_checkpoint")
     if not os.path.exists(ckpt_file):
         return []  # nothing covers the tail — never delete
-    # Light read: cleanup only needs the protocol's writerFeatures and
-    # the table configuration — never the file set, so don't pay a
-    # snapshot open per cleanup call on a large log.
-    writer_features, table_conf = _protocol_and_config(path)
+    with open(ckpt_file) as fh:
+        cv = int(json.load(fh)["version"])
+    # Light read, anchored on the SAME cv used for the deletion boundary
+    # (one _last_checkpoint read per op): cleanup only needs the
+    # protocol's writerFeatures and the table configuration — never the
+    # file set, so don't pay a snapshot open per cleanup call.
+    writer_features, table_conf = _protocol_and_config(
+        path, checkpoint_version=cv
+    )
     if retention_ms is None:
         # delta-spark resolution order: the table's
         # delta.logRetentionDuration property ("interval 30 days"
@@ -6076,8 +6130,6 @@ def cleanup_log(
             _parse_retention_interval(prop) if prop
             else 30 * 24 * 3600 * 1000
         )
-    with open(ckpt_file) as fh:
-        cv = int(json.load(fh)["version"])
     # checkpointProtection (Delta PROTOCOL.md): metadata cleanup below
     # delta.requireCheckpointProtectionBeforeVersion is only legal when
     # the truncation boundary reaches that version in ONE operation — a

@@ -388,3 +388,82 @@ def test_malformed_compaction_name_is_ignored_not_fatal(spark, tmp_path):
     D.cleanup_log(tbl, retention_ms=0)
     assert os.path.exists(bad)
     assert D.read_delta(spark, tbl).count() == 6
+
+
+# ------------------------- 9. third review pass (r12) regression pins
+def test_splitters_use_the_real_literal_lexer():
+    """Predicate structure is detected on the _mask_literals mask, so
+    double-quoted literals and backslash-escaped quotes are opaque —
+    the hand-rolled single-quote-only scanner manufactured conjuncts
+    from literal text and pruned files unsoundly."""
+    from ballista_delta_spark.sources.delta import (
+        _split_and,
+        _split_or,
+        _unwrap_parens,
+    )
+
+    assert len(_split_and('s = "x AND 9 > k AND y"')) == 1
+    assert len(_split_or('s = "a OR b"')) == 1
+    assert len(_split_and("s = 'x\\' AND 9 > k AND y\\''")) == 1
+    assert _unwrap_parens('(s = ")" AND k = 1)') == 's = ")" AND k = 1'
+
+
+def test_double_quoted_literal_predicate_stays_exact(spark, tmp_path):
+    """End-to-end: a predicate whose double-quoted literal CONTAINS
+    'AND <cmp>' text must not prune the files holding its matches."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(100).selectExpr(
+            "id AS k",
+            "CASE WHEN id = 42 THEN 'x AND 9 > k AND y' ELSE 'z' END AS s",
+        ).repartitionByRange(4, "k"),
+        path, mode="overwrite",
+    )
+    got = read_delta(spark, path, where='s = "x AND 9 > k AND y"')
+    assert [r.k for r in got.collect()] == [42]
+
+
+def test_backwards_compacted_range_is_ignored_not_infinite(spark, tmp_path):
+    """A compaction file whose end version precedes its start (foreign
+    writer) must be ignored — following it would walk the replay
+    BACKWARDS forever."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    for lo in (3, 6):
+        write_delta(
+            spark.range(lo, lo + 3).selectExpr("id AS k"), tbl,
+            mode="append",
+        )
+    log = os.path.join(tbl, "_delta_log")
+    open(os.path.join(log, f"{2:020d}.{1:020d}.compacted.json"), "w").write("")
+    assert D._compacted_ranges(log) == {}
+    assert D._load_snapshot(tbl).version == 2
+    assert D.read_delta(spark, tbl).count() == 9
+    wf, conf = D._protocol_and_config(tbl)  # tail walk must terminate
+    assert conf == D._load_snapshot(tbl).configuration
+
+
+def test_fully_wrapped_predicate_still_prunes(spark, tmp_path):
+    """skip_files unwraps the whole predicate once: '(k = 5 OR k = 950)'
+    prunes exactly like its unwrapped form."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        skip_files,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(1000).selectExpr("id AS k").repartitionByRange(10, "k"),
+        path, mode="overwrite",
+    )
+    snap = _load_snapshot(path)
+    plain = set(skip_files(snap, "k = 5 OR k = 950"))
+    wrapped = set(skip_files(snap, "(k = 5 OR k = 950)"))
+    assert plain == wrapped and 0 < len(wrapped) < len(snap.files)
+    conj = set(skip_files(snap, "(k >= 100 AND k < 200)"))
+    assert 0 < len(conj) < len(snap.files)
