@@ -1576,6 +1576,30 @@ def _checkpoint_actions(
     return out, add_arrays, remove_arrays
 
 
+def _compaction_range_name(name: str) -> "tuple[int, int] | None":
+    """Parse ``{start:020}.{end:020}.compacted.json`` -> (start, end),
+    or None when the name is not a WELL-FORMED compaction file. The ONE
+    shape rule shared by every consumer (_compacted_ranges,
+    _next_version, cleanup_log) — three hand-rolled copies drifted three
+    ways, and each gap was a real hazard: a lax end segment made
+    _next_version skip ahead (committing versions replay can't reach), a
+    blind parse crashed commits, and an end-before-start range stepped
+    the replay walk backwards forever."""
+    parts = name.split(".")
+    if not (
+        len(parts) == 4
+        and parts[2] == "compacted"
+        and parts[3] == "json"
+        and parts[0].isdigit() and len(parts[0]) == 20
+        and parts[1].isdigit() and len(parts[1]) == 20
+    ):
+        return None
+    s, e = int(parts[0]), int(parts[1])
+    if e < s:
+        return None
+    return s, e
+
+
 def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
     """Log-compaction files ``{start:020}.{end:020}.compacted.json`` in
     ``log``, keyed by start version -> (end version, path). Widest range
@@ -1586,21 +1610,9 @@ def _compacted_ranges(log: str) -> dict[int, tuple[int, str]]:
     except OSError:
         return out
     for name in names:
-        parts = name.split(".")
-        if (
-            len(parts) == 4
-            and parts[2] == "compacted"
-            and parts[3] == "json"
-            and parts[0].isdigit() and len(parts[0]) == 20
-            and parts[1].isdigit() and len(parts[1]) == 20
-        ):
-            s, e = int(parts[0]), int(parts[1])
-            if e < s:
-                # Malformed range (end before start) from a foreign or
-                # buggy writer: following it would step the replay walk
-                # BACKWARDS (v = end + 1 <= start) — an infinite loop,
-                # worse than the crash the other shape guards prevent.
-                continue
+        rng = _compaction_range_name(name)
+        if rng is not None:
+            s, e = rng
             if s not in out or e > out[s][0]:
                 out[s] = (e, os.path.join(log, name))
     return out
@@ -1889,16 +1901,17 @@ def _next_version(log: str) -> int:
         return 0
     best = -1
     for name in os.listdir(log):
-        parts = name.split(".")
-        stem = parts[0]
+        stem = name.split(".")[0]
         if not (stem.isdigit() and len(stem) == 20):
             continue
-        if ".compacted." in name and name.endswith(".json"):
-            # Same shape validation as _compacted_ranges: a foreign
-            # writer's malformed compaction-like name must be ignored,
-            # not crash every subsequent commit on the table.
-            if len(parts) == 4 and parts[1].isdigit():
-                best = max(best, int(parts[1]))
+        if ".compacted." in name:
+            # THE shared shape rule (_compaction_range_name): a foreign
+            # writer's malformed compaction-like name must be ignored —
+            # a laxer copy here once accepted '<v>.5.compacted.json' and
+            # skipped _next_version past versions replay can't reach.
+            rng = _compaction_range_name(name)
+            if rng is not None:
+                best = max(best, rng[1])
         elif (
             name.endswith(".json")
             or name.endswith(".crc")
@@ -6161,12 +6174,13 @@ def cleanup_log(
         if ".compacted." in name:
             # A compaction file is covered only when its whole RANGE is
             # under the checkpoint. Malformed compaction-like names are
-            # skipped (same shape rule as _compacted_ranges), never
-            # parsed blindly — and never deleted.
-            parts = name.split(".")
-            if not (len(parts) == 4 and parts[1].isdigit()):
+            # skipped via THE shared shape rule (_compaction_range_name)
+            # — never parsed blindly, and never deleted (they belong to
+            # a writer this engine doesn't understand).
+            rng = _compaction_range_name(name)
+            if rng is None:
                 continue
-            v = int(parts[1])
+            v = rng[1]
         if v >= cv:
             continue  # not covered by the checkpoint
         is_json = name.endswith(".json")

@@ -467,3 +467,34 @@ def test_fully_wrapped_predicate_still_prunes(spark, tmp_path):
     assert plain == wrapped and 0 < len(wrapped) < len(snap.files)
     conj = set(skip_files(snap, "(k >= 100 AND k < 200)"))
     assert 0 < len(conj) < len(snap.files)
+
+
+def test_compaction_shape_rule_is_shared_and_strict(spark, tmp_path):
+    """ONE shape rule for compaction names across _compacted_ranges,
+    _next_version, and cleanup_log: a lax end segment ('...3.5.compacted
+    .json') once made _next_version skip ahead to a version replay can't
+    reach — committing invisible data."""
+    import ballista_delta_spark.sources.delta as D
+
+    assert D._compaction_range_name(f"{3:020d}.{5:020d}.compacted.json") \
+        == (3, 5)
+    assert D._compaction_range_name(f"{3:020d}.5.compacted.json") is None
+    assert D._compaction_range_name(f"{5:020d}.{3:020d}.compacted.json") \
+        is None
+    assert D._compaction_range_name("x.y.compacted.json") is None
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)           # v0
+    write_delta(spark.range(3, 6).selectExpr("id AS k"), tbl, mode="append")
+    write_delta(spark.range(6, 9).selectExpr("id AS k"), tbl, mode="append")
+    log = os.path.join(tbl, "_delta_log")
+    bad = os.path.join(log, f"{3:020d}.5.compacted.json")
+    open(bad, "w").write("")
+    # the lax copy returned 6 here — a gap replay can never cross
+    assert D._next_version(log) == 3
+    write_delta(spark.range(9, 12).selectExpr("id AS k"), tbl, mode="append")
+    assert D.read_delta(spark, tbl).count() == 12  # v3 visible
+    # and cleanup never deletes the foreign artifact
+    D.create_checkpoint(tbl)
+    D.cleanup_log(tbl, retention_ms=0)
+    assert os.path.exists(bad)
