@@ -108,6 +108,12 @@ def _enable_cdf_v0(path: str) -> None:
 # and re-running an id must reuse, not re-spawn.
 _HTTP_SERVERS: dict[str, tuple[str, object]] = {}
 
+# One process-lifetime atexit registration (ADVICE r12): keying it off
+# dict emptiness re-registered the reaper after every manual
+# _shutdown_http_servers() + respawn cycle — harmless no-ops, but each
+# cycle accumulated another hook.
+_REAPER_REGISTERED = False
+
 
 def _shutdown_http_servers() -> None:
     """atexit reaper (mirrors the _TMP_ROOTS one): close every cached
@@ -131,10 +137,12 @@ def _http_serve(directory: str) -> str:
     import http.server
     import threading
 
-    if not _HTTP_SERVERS:
+    global _REAPER_REGISTERED
+    if not _REAPER_REGISTERED:
         import atexit
 
         atexit.register(_shutdown_http_servers)
+        _REAPER_REGISTERED = True
     handler = functools.partial(
         http.server.SimpleHTTPRequestHandler, directory=directory
     )

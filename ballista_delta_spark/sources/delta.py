@@ -755,19 +755,49 @@ _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
 
 
 def _mask_literals(stmt: str) -> str:
-    """Same-LENGTH copy of ``stmt`` with string-literal CONTENTS replaced
-    by 'x' (quotes kept; '' / "" doubling AND backslash escapes handled —
-    Spark's default parser accepts 'O\\'Brien', and skipping the escaped
-    quote is what keeps the mask in sync so trailing syntax like WHERE
-    can't be swallowed into a phantom literal). The SQL-dialect regexes
-    (session.py) and the data-skipping predicate splitters below all scan
-    the mask and slice spans from the ORIGINAL string — one
-    Spark-lexer-faithful literal scanner, property-tested
-    (TestMaskLiterals), instead of per-caller copies that drift."""
+    """Same-LENGTH copy of ``stmt`` with string-literal contents AND
+    comment contents replaced by 'x' (delimiters kept; '' / "" doubling
+    AND backslash escapes handled — Spark's default parser accepts
+    'O\\'Brien', and skipping the escaped quote is what keeps the mask in
+    sync so trailing syntax like WHERE can't be swallowed into a phantom
+    literal). Comments follow Spark's lexer too: ``--`` to end-of-line
+    and ``/* ... */`` (nesting honored, Spark 3+) are masked so an AND/OR
+    or paren inside comment TEXT can never read as predicate structure —
+    'k = 1 -- note AND m = 9' filters as k = 1 in Spark, and a scanner
+    that split at that AND manufactured a required conjunct and pruned
+    files unsoundly (ADVICE r12). The SQL-dialect regexes (session.py)
+    and the data-skipping predicate splitters below all scan the mask and
+    slice spans from the ORIGINAL string — one Spark-lexer-faithful
+    scanner, property-tested (TestMaskLiterals), instead of per-caller
+    copies that drift."""
     out: list[str] = []
     i, n = 0, len(stmt)
     while i < n:
         q = stmt[i]
+        if q == "-" and i + 1 < n and stmt[i + 1] == "-":
+            j = stmt.find("\n", i + 2)
+            end = n if j == -1 else j  # newline kept: it ends the comment
+            out.append("--" + "x" * (end - i - 2))
+            i = end
+            continue
+        if q == "/" and i + 1 < n and stmt[i + 1] == "*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                pair = stmt[j:j + 2]
+                if pair == "/*":
+                    depth += 1
+                    j += 2
+                elif pair == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            if depth == 0:
+                out.append("/*" + "x" * (j - i - 4) + "*/")
+            else:  # unterminated: mask to end
+                out.append("/*" + "x" * (n - i - 2))
+            i = j
+            continue
         if q in ("'", '"'):
             j = i + 1
             while j < n:
@@ -788,6 +818,32 @@ def _mask_literals(stmt: str) -> str:
                 i = n
         else:
             out.append(q)
+            i += 1
+    return "".join(out)
+
+
+def _strip_comments(s: str) -> str:
+    """Replace each comment span with a single space — exactly what
+    Spark's lexer does (a comment is a token separator, never content).
+    Spans are located on the mask, where comment interiors are all 'x',
+    so the first ``*/`` after a ``/*`` IS its closing delimiter and a
+    ``--`` inside a string literal never matches. Used by ``skip_files``
+    so a commented predicate ('k = 1 -- note') still PRUNES as k = 1
+    instead of merely (soundly) matching nothing."""
+    masked = _mask_literals(s)
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if masked[i] == "-" and masked[i + 1:i + 2] == "-":
+            j = masked.find("\n", i + 2)
+            out.append(" ")
+            i = n if j == -1 else j  # the newline survives as itself
+        elif masked[i] == "/" and masked[i + 1:i + 2] == "*":
+            j = masked.find("*/", i + 2)
+            out.append(" ")
+            i = n if j == -1 else j + 2
+        else:
+            out.append(s[i])
             i += 1
     return "".join(out)
 
@@ -922,10 +978,13 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     can never be proved dead, so it disables pruning for the whole
     predicate — keeping the evaluation sound.
     """
-    # Unwrap a fully-parenthesized predicate first: callers composing
+    # Comments are token separators to Spark's lexer — strip them first
+    # so 'k = 1 -- note' still prunes as k = 1 (masking alone would only
+    # make the commented conjunct unjudgeable: sound but prune-less).
+    # Then unwrap a fully-parenthesized predicate: callers composing
     # predicates programmatically wrap defensively, and "(k = 5 OR ...)"
     # must prune exactly like its unwrapped form.
-    where = _unwrap_parens(where)
+    where = _unwrap_parens(_strip_comments(where))
     branches = _split_or(where)
     if len(branches) == 1:
         groups = [_parse_skip_branch(snap, where)]

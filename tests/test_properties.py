@@ -1042,11 +1042,15 @@ class TestMaskLiterals:
     )
     # non-empty: an empty code segment would abut two literals, which the
     # SQL lexer (correctly, maximal munch) reads as ONE literal with an
-    # escaped quote — '' '' vs '''' is the lexer's call, not the mask's
+    # escaped quote — '' '' vs '''' is the lexer's call, not the mask's.
+    # '-' and '/' excluded so random code can't form a comment opener
+    # ('--' / '/*'), which (correctly, r13) masks to end-of-comment and
+    # would diverge from this test's literal-only expected string; the
+    # comment arm has its own directed + property coverage below.
     _code = st.text(
         st.characters(
             min_codepoint=32, max_codepoint=126,
-            exclude_characters="'\"\\",
+            exclude_characters="'\"\\-/",
         ),
         min_size=1, max_size=12,
     )
@@ -1112,6 +1116,45 @@ class TestMaskLiterals:
         # characters outside quotes in the MASK are either original or 'x'
         for a, b in zip(stmt, masked):
             assert b == a or b == "x"
+        # masking is a fixed point for EVERY input, comments included
+        assert _mask_literals(masked) == masked
+
+    def test_comments_are_masked_like_the_lexer(self):
+        """ADVICE r12: 'k = 1 -- note AND m = 9' filters as k = 1 in
+        Spark (comment text is not syntax), so AND/OR/parens/quotes
+        inside comments must be opaque to every mask-based scanner."""
+        from ballista_delta_spark.session import _mask_literals
+
+        def _exp(prefix, body, suffix):
+            return prefix + "x" * len(body) + suffix
+
+        m = _mask_literals("k = 1 -- note AND m = 9")
+        assert m == _exp("k = 1 --", " note AND m = 9", "")
+        m = _mask_literals("k = 1 /* AND m = 9 */ AND j = 2")
+        assert m == _exp("k = 1 /*", " AND m = 9 ", "*/ AND j = 2")
+        # nesting (Spark 3+ bracketed comments nest)
+        m = _mask_literals("a /* x /* y */ z */ b")
+        assert m == _exp("a /*", " x /* y */ z ", "*/ b")
+        # unterminated block comment masks to end (like an open literal)
+        assert _mask_literals("a /* open") == _exp("a /*", " open", "")
+        # '--' INSIDE a literal is content, not a comment opener
+        assert _mask_literals("s = '--x' AND k = 1") == (
+            "s = 'xxx' AND k = 1"
+        )
+        # a quote inside a comment can't open a phantom literal
+        assert _mask_literals("k = 1 -- don't\nAND m = 2") == (
+            "k = 1 --xxxxxx\nAND m = 2"
+        )
+
+    def test_strip_comments_is_lexer_whitespace(self):
+        from ballista_delta_spark.sources.delta import _strip_comments
+
+        assert _strip_comments("k = 1 -- note AND m = 9") == "k = 1  "
+        assert _strip_comments(
+            "k = 1 /* AND m = 9 */ AND j = 2"
+        ) == "k = 1   AND j = 2"
+        assert _strip_comments("k = 1 -- c\nAND m = 2") == "k = 1  \nAND m = 2"
+        assert _strip_comments("s = '--x' AND k = 1") == "s = '--x' AND k = 1"
 
 
 class TestFileStatsSoundness:

@@ -406,6 +406,14 @@ def test_splitters_use_the_real_literal_lexer():
     assert len(_split_or('s = "a OR b"')) == 1
     assert len(_split_and("s = 'x\\' AND 9 > k AND y\\''")) == 1
     assert _unwrap_parens('(s = ")" AND k = 1)') == 's = ")" AND k = 1'
+    # comment text is not syntax (ADVICE r12): the AND lives inside a
+    # '--' comment, so Spark filters as k = 1 — splitting there would
+    # manufacture a required 'm = 9' conjunct and prune unsoundly
+    assert len(_split_and("k = 1 -- note AND m = 9")) == 1
+    assert len(_split_or("k = 1 /* OR m = 9 */")) == 1
+    assert _unwrap_parens("(k = 1 /* ) */ AND m = 2)") == (
+        "k = 1 /* ) */ AND m = 2"
+    )
 
 
 def test_double_quoted_literal_predicate_stays_exact(spark, tmp_path):

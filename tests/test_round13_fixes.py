@@ -1,0 +1,110 @@
+"""Round-13 ADVICE/VERDICT regression pins.
+
+1. SQL comments in data-skipping predicates (ADVICE r12 medium):
+   Spark's lexer treats '--'-to-EOL and '/*...*/' as whitespace, so
+   'k = 1 -- note AND m = 9' filters as k = 1. The scanner must never
+   read comment TEXT as predicate structure (soundness), and — since
+   comments are just separators — a commented predicate should still
+   prune like its uncommented spelling (effectiveness).
+2. _http_serve atexit reaper (ADVICE r12 low): exactly one registration
+   per process, regardless of shutdown/respawn cycles.
+"""
+import json as _json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_comment_predicate_keeps_matching_rows(spark, tmp_path):
+    """End-to-end ADVICE scenario: the AND inside the comment must not
+    become a required conjunct — files holding k=1 rows with m!=9 must
+    survive skip_files and the rows must come back."""
+    from ballista_delta_spark.sources.delta import read_delta, write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS m")
+        .repartitionByRange(4, "k"),
+        path, mode="overwrite",
+    )
+    got = read_delta(spark, path, where="k = 1 -- note AND m = 9")
+    rows = got.collect()
+    assert [(r.k, r.m) for r in rows] == [(1, 2)]
+    got = read_delta(spark, path, where="k = 1 /* AND m = 9 */")
+    assert [(r.k, r.m) for r in got.collect()] == [(1, 2)]
+
+
+def _snap_of(files):
+    from pyspark.sql import types as T
+
+    class _FakeSnap:
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        partition_columns = []
+
+        def physical(self, c):
+            return c
+
+    s = _FakeSnap()
+    s.files = files
+    return s
+
+
+def _file(lo, hi):
+    return {
+        "stats": _json.dumps({
+            "numRecords": hi - lo + 1,
+            "minValues": {"k": lo},
+            "maxValues": {"k": hi},
+            "nullCount": {"k": 0},
+        })
+    }
+
+
+def test_comment_predicate_still_prunes(spark):
+    """Comments are token separators: stripping them restores the
+    pruning a masked-only scanner would forfeit (the commented conjunct
+    would fail the anchored regex and be dropped)."""
+    from ballista_delta_spark.sources.delta import skip_files
+
+    snap = _snap_of({"low": _file(0, 9), "high": _file(100, 109)})
+    kept = skip_files(snap, "k = 1 -- note AND m = 9")
+    assert set(kept) == {"low"}
+    kept = skip_files(snap, "k /* gap */ = 105")
+    assert set(kept) == {"high"}
+    # comment BETWEEN conjuncts: both still judged
+    kept = skip_files(snap, "k >= 0 -- lower\nAND k < 10")
+    assert set(kept) == {"low"}
+    # unjudgeable remainder next to a comment stays sound (no pruning
+    # beyond the judgeable conjunct)
+    kept = skip_files(snap, "k = 105 AND substr('x', 1) = 'x' -- c")
+    assert set(kept) == {"high"}
+
+
+def test_http_reaper_registers_exactly_once(monkeypatch):
+    import ballista_delta_spark.queries.scans as S
+
+    calls = []
+
+    class _FakeAtexit:
+        @staticmethod
+        def register(fn):
+            calls.append(fn)
+
+    monkeypatch.setitem(sys.modules, "atexit", _FakeAtexit)
+    monkeypatch.setattr(S, "_REAPER_REGISTERED", False)
+    monkeypatch.setattr(S, "_HTTP_SERVERS", {})
+    try:
+        d1 = os.path.dirname(os.path.abspath(__file__))
+        S._http_serve(d1)
+        S._shutdown_http_servers()  # manual shutdown clears the dict...
+        S._http_serve(d1)  # ...but a respawn must NOT re-register
+        assert len(calls) == 1
+    finally:
+        S._shutdown_http_servers()
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
