@@ -18,49 +18,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-11 window (r10 went 50/50 green; never-judged count 119 → 69).
-# Per VERDICT r10 #1 this window continues the paydown: the 46 OLDEST
-# never-driver-judged ids in registration order (r9f → r9h → r9i batches
-# 1-6) plus the 4 r6-green staleness-deadline fills (win_range_frame
-# first — cheap, non-streaming; the three r6 streaming ids close the
-# tail per the budget-truncation-buffer rule, preceded by the
-# never-judged stream_static_enrich so a truncation costs a repeat row,
-# not a first row). The remaining 23 never-judged ids (r9i batch-6 tail
-# + the r9g-class leftovers: join_asof_forward, fn_higher_order,
-# dedup_containment, emb_power_iteration, sim_range_search,
-# emb_label_drift, sim_hard_negatives, text_code_detect, text_pmi_topk,
-# events_type_lift, corpus_token_budget, doc_merge_short,
-# events_seasonal_baseline, events_value_pareto, events_streaks,
-# mm_clip_filter, agg_winsorized_mean, sample_bootstrap_ci,
-# dedup_threshold_sweep, events_cusum_alert, text_readability,
-# sample_hash_uniformity, text_blocklist_filter) go to r12 with the
-# r7-green staleness fills. Everything after position 50 keeps module
-# order so nothing is lost for tools/check.py full runs.
+# Round-13 window (VERDICT r12 #1 + #5), drawn by ROTATION.md's standing
+# oldest-judged-first policy: the 2 NEW r13 registrations lead (new ids
+# jump the queue — never-judged debt is never re-created), then the 30
+# r7-green ids (oldest rows in the union of CORRECTNESS_r*), then the 18
+# oldest r8-green ids in registration order — the draft's r8 tail
+# (fn_struct_map, tf_generate_series) displaced by the two new ids, per
+# the draft's own displacement rule. No streaming ids fall in this
+# window, so no truncation-buffer tail is needed. After this window
+# lands green the oldest driver-green row is r8.
 ROTATION: tuple[str, ...] = (
-    # ==== r12 window: verification debt -> ZERO (VERDICT r11 #1) ====
-    # -- the 23 never-judged ids (ROTATION.md "Left for r12")
-    "agg_winsorized_mean", "sample_bootstrap_ci", "dedup_threshold_sweep",
-    "events_cusum_alert", "text_readability", "sample_hash_uniformity",
-    "text_blocklist_filter", "join_asof_forward", "fn_higher_order",
-    "dedup_containment", "emb_power_iteration", "sim_range_search",
-    "emb_label_drift", "sim_hard_negatives", "text_code_detect",
-    "text_pmi_topk", "events_type_lift", "corpus_token_budget",
-    "doc_merge_short", "events_seasonal_baseline", "events_value_pareto",
-    "events_streaks", "mm_clip_filter",
-    # -- the r6-stale quartet (VERDICT r11 #1)
-    "agg_regression", "fn_bitwise", "fn_string_agg", "subq_lateral",
-    # -- new r12 registrations, judged in their landing round (#8)
-    "scan_delta_or_pushdown", "scan_delta_uniform_mixed",
-    # -- r7-green staleness fills, Delta layer first (it changed most)
-    "scan_delta_skipping", "sink_delta_delete_dv", "sink_delta_update_dv",
-    "sink_delta_merge_dv", "sink_delta_cdf", "sink_delta_rename_column",
-    "sink_delta_clone", "sink_delta_reorg", "sink_delta_evolve",
-    "project_select", "project_expr", "filter_predicate",
-    "filter_between_in_like", "filter_null", "project_cast",
-    "project_distinct", "sort_multi",
-    # -- streaming tail (truncation buffer): new r12 id leads
-    "stream_cdf_rate_limit",
-    "stream_sliding_agg", "stream_delta_cdf_source", "stream_upsert_delta",
+    # -- new r13 registrations, judged in their landing round
+    "dedup_url_canonical", "text_bpe_merge_step",
+    # -- the 30 r7-green ids (ROTATION.md r13 draft)
+    "limit_offset", "topk", "set_union_all", "set_union", "set_intersect",
+    "set_except", "agg_count", "agg_distinct", "agg_having", "agg_stats",
+    "agg_median", "agg_approx_percentile", "agg_approx_distinct",
+    "agg_array_agg", "agg_first_last", "win_lag_lead", "fn_interval",
+    "fn_union_misc", "fn_json", "pandas_udf_grouped_agg",
+    "udf_apply_in_pandas", "emb_normalize", "emb_quantize_int8",
+    "text_pii_redact", "text_gopher_quality", "text_bigram_topk",
+    "doc_chunk", "text_tfidf_topk", "corpus_mix", "seq_pack",
+    # -- the 18 oldest r8-green ids (registration order)
+    "meta_describe_detail", "join_salted", "agg_bool", "agg_rollup",
+    "agg_pivot", "agg_unpivot", "win_rank", "win_ntile", "win_value",
+    "win_agg_frame", "fn_string", "fn_regex", "fn_math", "fn_datetime",
+    "fn_conditional", "fn_hash_enc", "fn_array", "fn_unnest",
 )
 
 

@@ -1575,3 +1575,162 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_docs",
     )
+
+
+# ------------------------------------------------- dedup_url_canonical
+# URL canonicalization + registrable-domain rollup — the FIRST-hop dedup
+# every web corpus runs before any shingling (a crawl re-fetches the same
+# page under www./fragment/tracking-param/trailing-slash spellings; the
+# reference has no URL ops — this extends the dedup family the same way
+# dedup_exact does, VERDICT r12 directive #5).
+#
+# The documents table carries no URL column, so a messy URL is
+# SYNTHESIZED deterministically from (doc_id, source) — mixed-case
+# scheme/host, optional www./img. labels, .CO.UK vs .COM TLDs, trailing
+# slash, utm_/gclid tracking params in shuffled order, and a fragment —
+# identically in both engines, so the oracle is exact.
+#
+# Canonicalization (the industry-standard normal form):
+#   drop fragment; lowercase host; strip leading www.; strip trailing
+#   path slashes ('' -> '/'); drop tracking params (utm_*, gclid,
+#   fbclid); sort surviving params. Registrable domain = eTLD+1 with a
+#   public-suffix rule (last 3 labels under .co.uk, else last 2).
+#
+# Scale: canonicalization is a single narrow codegen'd pass (regex +
+# array ops, no Python); the rollup collapses to (domain, canon_url)
+# grain map-side-partially before the final per-domain aggregate — at
+# 100 TB the shuffle payload is one row per distinct URL, not per doc.
+_URL_SYNTH_SQL = (
+    "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN 'Img.' ELSE '' END"
+    " || source"
+    " || CASE WHEN doc_id % 7 < 2 THEN '.CO.UK' ELSE '.COM' END"
+    " || '/Path/' || CAST(doc_id % 40 AS STRING)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    "        '?utm_source=feed&ref=' || CAST(doc_id % 5 AS STRING) || '&b=2'"
+    "      WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=xyz'"
+    "      ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END"
+)
+
+
+@_q(
+    "dedup_url_canonical",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+             || CASE WHEN doc_id % 6 = 0 THEN 'Img.' ELSE '' END
+             || source
+             || CASE WHEN doc_id % 7 < 2 THEN '.CO.UK' ELSE '.COM' END
+             || '/Path/' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN
+                    '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2'
+                  WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=xyz'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END AS url
+      FROM documents
+    ), nf AS (
+      SELECT doc_id, regexp_replace(url, '#.*', '') AS no_frag FROM urls
+    ), c1 AS (
+      SELECT doc_id, no_frag,
+             regexp_replace(lower(regexp_extract(no_frag,
+                 '^[A-Za-z]+://([^/?]+)', 1)), '^www\.', '') AS host
+      FROM nf
+    ), c2 AS (
+      SELECT doc_id, host,
+             CASE WHEN regexp_replace(regexp_extract(no_frag,
+                      '^[A-Za-z]+://[^/?]+([^?]*)', 1), '/+$', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_extract(no_frag,
+                      '^[A-Za-z]+://[^/?]+([^?]*)', 1), '/+$', '') END AS path,
+             coalesce(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(no_frag, '\?(.*)', 1), '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|gclid|fbclid)='))), '&'), '') AS q
+      FROM c1
+    ), c3 AS (
+      SELECT doc_id,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain,
+             'https://' || host || path
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+      FROM c2
+    ), per_url AS (
+      SELECT domain, canon_url, count(*) AS n FROM c3 GROUP BY 1, 2
+    )
+    SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_urls,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           min(canon_url) AS first_url
+    FROM per_url GROUP BY domain
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH_SQL} AS url"
+    )
+    no_frag = F.regexp_replace("url", "#.*", "")
+    c = d.select(
+        "doc_id", no_frag.alias("no_frag")
+    ).select(
+        "doc_id",
+        "no_frag",
+        F.regexp_replace(
+            F.lower(F.regexp_extract("no_frag", r"^[A-Za-z]+://([^/?]+)", 1)),
+            r"^www\.", "",
+        ).alias("host"),
+    ).select(
+        "doc_id",
+        "host",
+        F.when(
+            F.regexp_replace(
+                F.regexp_extract(
+                    "no_frag", r"^[A-Za-z]+://[^/?]+([^?]*)", 1
+                ),
+                r"/+$", "",
+            ) == "",
+            F.lit("/"),
+        ).otherwise(
+            F.regexp_replace(
+                F.regexp_extract(
+                    "no_frag", r"^[A-Za-z]+://[^/?]+([^?]*)", 1
+                ),
+                r"/+$", "",
+            )
+        ).alias("path"),
+        F.expr(
+            "array_join(array_sort(filter("
+            "  split(regexp_extract(no_frag, '\\\\?(.*)', 1), '&'),"
+            "  p -> p != '' AND NOT p RLIKE '^(utm_[^=]*|gclid|fbclid)='"
+            ")), '&')"
+        ).alias("q"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("host").endswith(".co.uk"),
+            F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
+        ).otherwise(
+            F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)
+        ).alias("domain"),
+        F.concat(
+            F.lit("https://"), F.col("host"), F.col("path"),
+            F.when(F.col("q") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("q"))
+            ),
+        ).alias("canon_url"),
+    )
+    # two-phase rollup: collapse to URL grain first (map-side partial
+    # agg bounds the shuffle to one row per distinct canonical URL)
+    per_url = c.groupBy("domain", "canon_url").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_url.groupBy("domain").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.min("canon_url").alias("first_url"),
+    )

@@ -1324,3 +1324,122 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# ------------------------------------------------- text_bpe_merge_step
+# One distributed BPE merge iteration — the tokenizer-training primitive
+# (Sennrich et al. 2016): count adjacent symbol-pair frequencies over
+# the corpus, choose the most frequent pair (ties: lexicographically
+# first), apply the merge, and return the top-20 pair counts of the NEW
+# symbol state plus the chosen merge. Fits the established
+# iterate-with-driver-feedback contract of emb_kmeans_step /
+# emb_power_iteration: the driver reads `merged_pair`, appends it to its
+# merge list, and re-derives the next state; this id runs iteration 1
+# from scratch so the oracle is self-contained.
+#
+# Scale design (the classic BPE-trainer optimization): pair counting
+# runs at VOCAB grain, not corpus grain — words collapse to (word, freq)
+# first, so the segmentation/explode cost is O(|vocab|) and the corpus
+# contributes only a word-count shuffle whose map-side partials are
+# near-total (Zipf). A segmentation is a space-joined symbol string;
+# applying a merge is one codegen'd `replace` (left-to-right,
+# non-overlapping — exactly BPE's scan order). The vocab-grain frame is
+# localCheckpointed once: it is read twice (pair counting + re-segment)
+# and is tiny (distinct words), so re-deriving it from the corpus scan
+# would double the only expensive pass.
+_BPE_PAIRS = (
+    "CASE WHEN size(sy) >= 2 THEN transform(sequence(0, size(sy) - 2),"
+    " i -> concat(sy[i], ' ', sy[i+1])) ELSE array() END"
+)
+
+
+@_q(
+    "text_bpe_merge_step",
+    r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY 1
+    ), seg AS (
+      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, freq
+      FROM vocab
+    ), p1 AS (
+      SELECT unnest(list_transform(range(1, len(sy)),
+                 i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+      FROM (SELECT string_split(s, ' ') AS sy, freq FROM seg)
+    ), pc1 AS (
+      SELECT pair, sum(freq) AS cnt FROM p1 GROUP BY 1
+    ), best AS (
+      SELECT pair AS bp FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), seg2 AS (
+      SELECT replace(s, (SELECT bp FROM best),
+                     replace((SELECT bp FROM best), ' ', '')) AS s, freq
+      FROM seg
+    ), p2 AS (
+      SELECT unnest(list_transform(range(1, len(sy)),
+                 i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+      FROM (SELECT string_split(s, ' ') AS sy, freq FROM seg2)
+    ), pc2 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p2 GROUP BY 1
+    )
+    SELECT (SELECT bp FROM best) AS merged_pair, pair, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT)
+               AS rnk
+    FROM pc2 QUALIFY rnk <= 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", _WS)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # vocab-grain segmentation, read twice below (plan-pinned small)
+    seg = vocab.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "freq"
+    ).localCheckpoint()
+
+    def _pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("sy", F.split("s", " "))
+            .select(F.explode(F.expr(_BPE_PAIRS)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+
+    # driver-feedback scalar (the emb_kmeans_step literal-centroid
+    # pattern): the winning pair is ONE metadata-sized row — inlining it
+    # as a literal keeps the merge pass join-free (a broadcast crossJoin
+    # would plan a BroadcastNestedLoopJoin for the same effect)
+    best = (
+        _pair_counts(seg)
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()[0]["pair"]
+    )
+    seg2 = seg.select(
+        F.lit(best).alias("merged_pair"),
+        F.expr(
+            "replace(s, '{0}', '{1}')".format(
+                best.replace("'", "''"),
+                best.replace(" ", "").replace("'", "''"),
+            )
+        ).alias("s"),
+        "freq",
+    )
+    pc2 = (
+        seg2.withColumn("sy", F.split("s", " "))
+        .select("merged_pair", F.explode(F.expr(_BPE_PAIRS)).alias("pair"),
+                "freq")
+        .groupBy("merged_pair", "pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        pc2.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -1777,3 +1777,41 @@ def test_scan_delta_or_pushdown_prunes_files_before_listing(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/orders.parquet").where(pred).count()
     )
     assert got == want and got > 0
+
+
+def test_dedup_url_canonical_is_two_phase_no_join(spark, sf_dir):
+    """URL dedup scale contract: canonicalization is a single codegen'd
+    narrow pass over a PRUNED scan (doc_id + source only — never the
+    document text), and the rollup collapses to (domain, canon_url)
+    grain before the per-domain aggregate, so the shuffle payload is one
+    row per distinct URL. No join anywhere."""
+    from ballista_delta_spark.queries.dedup import dedup_url_canonical
+
+    plan = _physical_plan(dedup_url_canonical(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    # column pruning: the scan must not read text/lang/n_chars
+    assert "text" not in plan and "n_chars" not in plan, plan
+
+
+def test_text_bpe_merge_step_is_vocab_grain_join_free(spark, sf_dir):
+    """BPE trainer scale contract: the returned frame reads the
+    localCheckpointed VOCAB-grain segmentation (not the corpus), the
+    chosen merge is an inlined literal (driver-feedback pattern — no
+    join, no NLJ), and the only exchanges are the pair aggregate and the
+    top-20 global window."""
+    from ballista_delta_spark.queries.text import text_bpe_merge_step
+
+    df = text_bpe_merge_step(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "Scan parquet" not in plan, plan  # vocab grain, checkpointed
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    # determinism of the merge choice: ties broken lexicographically
+    rows = df.collect()
+    assert len({r["merged_pair"] for r in rows}) == 1
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
+        range(1, len(rows) + 1)
+    )
