@@ -1974,7 +1974,10 @@ def _next_version(log: str) -> int:
         elif (
             name.endswith(".json")
             or name.endswith(".crc")
-            or ".checkpoint." in name
+            # complete checkpoints only: a crash-orphaned staging file
+            # ("...checkpoint.parquet.<hex>.tmp") must not drive version
+            # inference — same shape discipline as compaction names
+            or (".checkpoint." in name and name.endswith(".parquet"))
         ):
             best = max(best, int(stem))
     return best + 1

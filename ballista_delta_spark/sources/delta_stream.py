@@ -355,6 +355,20 @@ class DeltaStreamReader(DataSourceStreamReader):
             self.starting_version = snap.version + 1
         else:
             self.starting_version = int(starting_version)
+        # Schema-stability fingerprint (r13 concurrency review): the
+        # stream's column maps and Arrow cast shape are resolved ONCE at
+        # query start, so a metaData action in a LATER commit that
+        # changes the physical field set, a type, or the partition
+        # columns would be silently absorbed — worst case the executor's
+        # cast(..., safe=False) WRAPS values written after a mid-stream
+        # type widening instead of failing. delta-spark stops the stream
+        # on any such change ("Detected schema change", restart to pick
+        # it up); _check_schema_stable mirrors that. Config-only
+        # metaData updates (table properties) keep the sig and pass.
+        self._start_sig = (
+            self._schema_sig(snap.metadata_raw)
+            if snap.metadata_raw else None
+        )
         # The exact Arrow shape Spark expects back from read(); computed
         # once here (driver) and shipped pickled with the reader.
         self._arrow_schema = to_arrow_schema(schema)
@@ -390,6 +404,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.__dict__.setdefault("_plans", {})
         self.__dict__.setdefault("_snap_plans", {})
         self.__dict__.setdefault("_init_snap", None)
+        self.__dict__.setdefault("_start_sig", None)
 
     @staticmethod
     def _pos(off: dict) -> tuple[int, int, bool]:
@@ -522,6 +537,52 @@ class DeltaStreamReader(DataSourceStreamReader):
         return self._off(v, i, False)
 
     # ----------------------------------------------------------- planning
+    @staticmethod
+    def _schema_sig(md: dict) -> tuple:
+        """The parts of a metaData action whose change breaks in-flight
+        reads: (physical name, type JSON) per top-level field, plus the
+        partition columns (their values are injected from the log, keyed
+        physically). A RENAME under column mapping keeps the physical
+        name and type, so it keeps the sig — the stream keeps serving
+        correct values under its start-time logical names, exactly the
+        fixed-schema contract Spark streaming already imposes."""
+        try:
+            fields = (
+                json.loads(md.get("schemaString") or "{}").get("fields")
+                or []
+            )
+        except ValueError:
+            return ("unparseable",)
+        return (
+            tuple(
+                (
+                    (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", f.get("name")
+                    ),
+                    json.dumps(f.get("type"), sort_keys=True),
+                )
+                for f in fields
+            ),
+            tuple(md.get("partitionColumns") or []),
+        )
+
+    def _check_schema_stable(
+        self, acts: list[dict[str, Any]], v: int
+    ) -> None:
+        for a in acts:
+            md = a.get("metaData")
+            if not md or self._start_sig is None:
+                continue
+            if self._schema_sig(md) != self._start_sig:
+                raise ValueError(
+                    f"detected a schema change in commit {v} of "
+                    f"{self.path}: the stream resolved its schema at "
+                    "query start and cannot serve data written under a "
+                    "different physical field set or type (a mid-stream "
+                    "type widening would otherwise be CAST unsafely). "
+                    "Restart the streaming query to adopt the new schema."
+                )
+
     def _commit_actions(self, v: int) -> list[dict[str, Any]]:
         acts = []
         with open(_version_file(_log_dir(self.path), v)) as fh:
@@ -563,6 +624,7 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def _plan_append(self, v: int) -> list[DeltaFilePartition]:
         acts = self._commit_actions(v)
+        self._check_schema_stable(acts, v)
         adds = [
             a["add"] for a in acts
             if "add" in a and a["add"].get("dataChange", True)
@@ -611,6 +673,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         it removes nothing (a remove without cdc means DML ran while CDF
         was off, which cannot be reconstructed row-level)."""
         acts = self._commit_actions(v)
+        self._check_schema_stable(acts, v)
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         if cdc:
             return [

@@ -1372,3 +1372,323 @@ class TestSkipDisjunctionSoundness:
             # row iff some v in the range satisfies the predicate
             if any(row_matches(v) for v in range(lo, hi + 1)):
                 assert path in kept, (pred, path, lo, hi, sorted(kept))
+
+
+class TestSkipFilesDifferentialFuzz:
+    """VERDICT r12 #4: the one subsystem where four successive review
+    passes each found a real soundness bug (whitespace-blind splitting,
+    unicode upper() drift, quote-aware unwrap, comment-blind masking).
+    Reviews find bugs; only the invariant proves their absence:
+
+        no file pruned by skip_files contains a row matching the
+        predicate (brute-force three-valued SQL eval per row).
+
+    Predicates are generated as ASTs over the FULL accepted grammar —
+    cmp (both operand orders, =/==/</<=/>/>= with int, float, string,
+    timestamp, and date literals), IN lists, IS [NOT] NULL, an opaque
+    unjudgeable leaf (length(s) >= n), AND/OR trees — then rendered with
+    randomized whitespace/newlines, keyword case, single/double quotes
+    with doubled AND backslash escapes, literal contents containing
+    AND/OR/parens/quotes, nested paren wrapping, and '--' / '/*...*/'
+    comments injected at token boundaries. Per-file stats are EXACT
+    (derived from the generated rows), so every pruning decision is
+    attributable to the scanner, not to stats slack."""
+
+    # --- value strategies (ASCII only: Python codepoint order == Spark
+    # UTF-8 binary order on this subset)
+    _ints = st.integers(-50, 50)
+    _floats = st.integers(-400, 400).map(lambda n: n / 8.0)
+    _strs = st.text(
+        st.characters(min_codepoint=32, max_codepoint=126), max_size=8
+    )
+    _epochs = st.integers(0, 4_000_000)  # seconds into 2024
+
+    @staticmethod
+    def _dt(sec):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    # --- AST leaves
+    _OPS = ("=", "==", "<", "<=", ">", ">=")
+
+    @classmethod
+    def _leaf_strategy(cls):
+        cmp_k = st.tuples(
+            st.just("cmp"), st.just("k"), st.sampled_from(cls._OPS),
+            st.one_of(cls._ints, cls._floats),
+        )
+        cmp_s = st.tuples(
+            st.just("cmp"), st.just("s"), st.sampled_from(cls._OPS),
+            cls._strs,
+        )
+        cmp_ts = st.tuples(
+            st.just("cmp"), st.just("ts"), st.sampled_from(cls._OPS),
+            cls._epochs,
+        )
+        cmp_d = st.tuples(
+            st.just("cmp"), st.just("d"), st.sampled_from(cls._OPS),
+            cls._epochs,
+        )
+        in_k = st.tuples(
+            st.just("in"), st.just("k"),
+            st.lists(cls._ints, min_size=1, max_size=3),
+        )
+        in_s = st.tuples(
+            st.just("in"), st.just("s"),
+            st.lists(cls._strs, min_size=1, max_size=3),
+        )
+        nulls = st.tuples(
+            st.just("null"), st.sampled_from(["k", "s", "ts", "d"]),
+            st.booleans(),
+        )
+        opaque = st.tuples(st.just("opaque"), st.integers(0, 6))
+        return st.one_of(
+            cmp_k, cmp_s, cmp_ts, cmp_d, in_k, in_s, nulls, opaque
+        )
+
+    @classmethod
+    def _ast_strategy(cls):
+        leaf = cls._leaf_strategy()
+        return st.recursive(
+            leaf,
+            lambda kids: st.tuples(
+                st.sampled_from(["and", "or"]),
+                st.lists(kids, min_size=2, max_size=3),
+            ),
+            max_leaves=5,
+        )
+
+    # --- rendering ------------------------------------------------------
+    @staticmethod
+    def _render_str_lit(val, rnd):
+        q = rnd.choice(["'", '"'])
+        style = rnd.choice(["double", "backslash"])
+        body = val.replace("\\", "\\\\")
+        body = body.replace(q, q + q if style == "double" else "\\" + q)
+        return q + body + q
+
+    def _render_lit(self, col, val, rnd):
+        if col == "s":
+            return self._render_str_lit(val, rnd)
+        if col == "ts":
+            d = self._dt(val)
+            form = rnd.choice([
+                d.strftime("%Y-%m-%d %H:%M:%S"),
+                d.strftime("%Y-%m-%dT%H:%M:%S"),
+            ])
+            return "'" + form + "'"
+        if col == "d":
+            d = self._dt(val)
+            form = rnd.choice([
+                d.strftime("%Y-%m-%d"),
+                d.strftime("%Y-%m-%d %H:%M:%S"),
+            ])
+            return "'" + form + "'"
+        if isinstance(val, float):
+            return f"{val:.3f}"
+        return str(val)
+
+    @staticmethod
+    def _sep(rnd):
+        r = rnd.random()
+        if r < 0.55:
+            return " "
+        if r < 0.7:
+            return rnd.choice(["  ", "\n", "\t", " \n "])
+        if r < 0.85:
+            txt = rnd.choice([
+                "note", "AND m = 9", "OR (", "don't", 'say "hi"',
+            ])
+            return " /* " + txt + " */ "
+        txt = rnd.choice(["note", "AND k = 1", ") OR ("])
+        return " -- " + txt + "\n "
+
+    def _kw(self, word, rnd):
+        return rnd.choice([word, word.lower(), word.capitalize()])
+
+    def _render(self, ast, rnd, depth=0):
+        kind = ast[0]
+        sep = lambda: self._sep(rnd)  # noqa: E731
+        if kind == "cmp":
+            _, col, op, val = ast
+            lit = self._render_lit(col, val, rnd)
+            if rnd.random() < 0.25 and col != "s":
+                from ballista_delta_spark.sources.delta import _FLIP
+
+                out = lit + sep() + _FLIP[op] + sep() + col
+            else:
+                out = col + sep() + op + sep() + lit
+        elif kind == "in":
+            _, col, vals = ast
+            lits = (" ," + sep()).join(
+                self._render_lit(col, v, rnd) for v in vals
+            )
+            out = (
+                col + " " + self._kw("IN", rnd) + sep() + "(" + sep()
+                + lits + sep() + ")"
+            )
+        elif kind == "null":
+            _, col, is_not = ast
+            out = (
+                col + " " + self._kw("IS", rnd) + " "
+                + (self._kw("NOT", rnd) + " " if is_not else "")
+                + self._kw("NULL", rnd)
+            )
+        elif kind == "opaque":
+            out = f"length(s) >= {ast[1]}"
+        else:  # and / or
+            word = self._kw(ast[0].upper(), rnd)
+            parts = []
+            for child in ast[1]:
+                r = self._render(child, rnd, depth + 1)
+                # children of a mixed tree must keep their own grouping;
+                # wrap (sometimes doubly) to exercise _unwrap_parens
+                wrap = (
+                    child[0] in ("and", "or")
+                    or rnd.random() < 0.5
+                )
+                if wrap:
+                    r = "(" + sep() + r + sep() + ")"
+                    if rnd.random() < 0.2:
+                        r = "(" + r + ")"
+                parts.append(r)
+            out = (sep() + word + sep()).join(parts)
+        if depth == 0 and rnd.random() < 0.3:
+            out = "(" + out + ")"
+        return out
+
+    # --- brute-force three-valued SQL eval ------------------------------
+    def _eval(self, ast, row):
+        kind = ast[0]
+        if kind == "cmp":
+            _, col, op, val = ast
+            cur = row[col]
+            if cur is None:
+                return None
+            if col == "ts":
+                val = self._dt(val)
+            elif col == "d":
+                # Spark casts the literal to DATE (time truncated)
+                val = self._dt(val).date()
+            import operator as _op
+
+            f = {
+                "=": _op.eq, "==": _op.eq, "<": _op.lt, "<=": _op.le,
+                ">": _op.gt, ">=": _op.ge,
+            }[op]
+            return f(cur, val)
+        if kind == "in":
+            _, col, vals = ast
+            cur = row[col]
+            if cur is None:
+                return None
+            return cur in vals
+        if kind == "null":
+            _, col, is_not = ast
+            return (row[col] is not None) if is_not else (row[col] is None)
+        if kind == "opaque":
+            if row["s"] is None:
+                return None
+            return len(row["s"]) >= ast[1]
+        vals = [self._eval(c, row) for c in ast[1]]
+        if kind == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+
+    # --- stats derivation (EXACT — from the rows) ------------------------
+    def _stats(self, rows, rnd):
+        import json as _json
+
+        if rnd.random() < 0.1:
+            return None  # file with no stats: must always survive
+        mins, maxs, nulls = {}, {}, {}
+        for col in ("k", "s", "ts", "d"):
+            vals = [r[col] for r in rows if r[col] is not None]
+            nulls[col] = sum(1 for r in rows if r[col] is None)
+            if not vals or rnd.random() < 0.15:
+                continue  # per-column stats gap: unjudgeable on this col
+            lo, hi = min(vals), max(vals)
+            if col == "ts":
+                fmt = rnd.choice(
+                    ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%SZ"]
+                )
+                lo, hi = lo.strftime(fmt), hi.strftime(fmt)
+            elif col == "d":
+                lo, hi = lo.strftime("%Y-%m-%d"), hi.strftime("%Y-%m-%d")
+            mins[col], maxs[col] = lo, hi
+        return _json.dumps({
+            "numRecords": len(rows), "minValues": mins,
+            "maxValues": maxs, "nullCount": nulls,
+        })
+
+    class _FakeSnap:
+        def __init__(self, files, schema):
+            self.files = files
+            self.schema = schema
+            self.partition_columns = []
+
+        def physical(self, c):
+            return c
+
+    @given(
+        data=st.data(),
+        seed=st.integers(0, 2**32 - 1),
+        n_files=st.integers(1, 5),
+    )
+    @settings(
+        max_examples=int(os.environ.get("SKIPFUZZ_EXAMPLES", "250")),
+        deadline=None,
+    )
+    def test_no_pruned_file_contains_a_matching_row(
+        self, data, seed, n_files
+    ):
+        import random as _random
+
+        from pyspark.sql import types as T
+
+        from ballista_delta_spark.sources.delta import skip_files
+
+        rnd = _random.Random(seed)
+        ast = data.draw(self._ast_strategy())
+
+        row_st = st.fixed_dictionaries({
+            "k": st.one_of(st.none(), self._ints, self._floats),
+            "s": st.one_of(st.none(), self._strs),
+            "ts": st.one_of(st.none(), self._epochs.map(self._dt)),
+            "d": st.one_of(
+                st.none(), self._epochs.map(lambda e: self._dt(e).date())
+            ),
+        })
+        files = {
+            f"f{i}": data.draw(
+                st.lists(row_st, min_size=0, max_size=5), label=f"rows{i}"
+            )
+            for i in range(n_files)
+        }
+
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+        ])
+        fdict = {
+            path: {"stats": self._stats(rows, rnd)}
+            for path, rows in files.items()
+        }
+        snap = self._FakeSnap(fdict, schema)
+        pred = self._render(ast, rnd)
+        kept = skip_files(snap, pred)
+
+        for path, rows in files.items():
+            if any(self._eval(ast, r) is True for r in rows):
+                assert path in kept, (
+                    f"UNSOUND PRUNE: file {path} contains a matching row "
+                    f"but was pruned.\npredicate: {pred!r}\n"
+                    f"stats: {fdict[path]['stats']!r}\nrows: {rows!r}"
+                )

@@ -108,3 +108,104 @@ def test_http_reaper_registers_exactly_once(monkeypatch):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+# ------------- 3. mid-stream schema change must stop the stream (r13
+# concurrency review): the reader resolves column maps + Arrow cast
+# shape once at query start; a later metaData that changes the physical
+# field set / a type / partition columns must raise (delta-spark's
+# "Detected schema change"), never be silently absorbed — a type
+# widening would otherwise reach cast(..., safe=False) and WRAP values.
+def _reader_for(path):
+    from ballista_delta_spark.sources.delta import _load_snapshot
+    from ballista_delta_spark.sources.delta_stream import DeltaStreamReader
+
+    snap = _load_snapshot(path)
+    return DeltaStreamReader(
+        path, snap.schema, starting_version=0, snapshot=snap
+    )
+
+
+def test_mid_stream_schema_change_raises(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import (
+        alter_column_type,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("CAST(id AS INT) AS k"), tbl)
+    r = _reader_for(tbl)
+    r.latestOffset()  # v0 plans fine
+    # widen k int -> bigint (ALTER COLUMN TYPE: metaData, changed type)
+    alter_column_type(tbl, "k", "bigint")
+    with pytest.raises(ValueError, match="schema change"):
+        r.latestOffset()
+
+
+def test_mid_stream_add_column_raises(spark, tmp_path):
+    from ballista_delta_spark.sources.delta import write_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    r = _reader_for(tbl)
+    r.latestOffset()
+    write_delta(
+        spark.range(3, 6).selectExpr("id AS k", "id * 2 AS extra"),
+        tbl, mode="append", merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        r.latestOffset()
+
+
+def test_config_only_metadata_commit_streams_fine(spark, tmp_path):
+    """A metaData action that only changes table PROPERTIES (same
+    fields, same types, same partitioning) must not stop the stream."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot,
+        _log_dir,
+        _version_file,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id AS k"), tbl)
+    r = _reader_for(tbl)
+    r.latestOffset()
+    snap = _load_snapshot(tbl)
+    md = dict(snap.metadata_raw)
+    md["configuration"] = {
+        **(md.get("configuration") or {}), "custom.prop": "1"
+    }
+    with open(_version_file(_log_dir(tbl), 1), "w") as fh:
+        fh.write(_json.dumps({"metaData": md}) + "\n")
+        fh.write(_json.dumps(
+            {"commitInfo": {"operation": "SET TBLPROPERTIES",
+                            "timestamp": 1}}
+        ) + "\n")
+    end = r.latestOffset()  # must plan v1 without raising
+    parts = r.partitions(r.initialOffset(), end)
+    # config commit contributes no files; v0's files all plan
+    assert {p.version for p in parts} == {0}
+
+
+def test_next_version_ignores_staging_debris(tmp_path):
+    """Version inference must count only COMPLETE log artifacts: a
+    crash-orphaned checkpoint staging file (or any .tmp debris) must not
+    advance _next_version — only durable .json/.crc/.checkpoint.parquet
+    names prove a version existed."""
+    from ballista_delta_spark.sources.delta import _next_version
+
+    log = str(tmp_path / "_delta_log")
+    os.makedirs(log)
+    open(os.path.join(log, f"{0:020d}.json"), "w").write("{}")
+    for debris in (
+        f"{9:020d}.checkpoint.parquet.deadbeef.tmp",
+        f"{7:020d}.json.deadbeef.tmp",
+        f"{8:020d}.crc.deadbeef.tmp",
+        f"{6:020d}.{5:020d}.compacted.json.tmp-x",
+    ):
+        open(os.path.join(log, debris), "w").write("")
+    assert _next_version(log) == 1
+    # complete artifacts DO count
+    open(os.path.join(log, f"{3:020d}.checkpoint.parquet"), "w").write("")
+    assert _next_version(log) == 4
