@@ -1692,3 +1692,193 @@ class TestSkipFilesDifferentialFuzz:
                     f"but was pruned.\npredicate: {pred!r}\n"
                     f"stats: {fdict[path]['stats']!r}\nrows: {rows!r}"
                 )
+
+    # ------------------------------------------------------------------
+    # Partition-value pruning + generated-column derivation (the two
+    # scanner routes the stats fuzz above doesn't reach): a table
+    # partitioned by plain `p`, by `gd` GENERATED AS CAST(ts AS DATE),
+    # and by `y` GENERATED AS year(ts). Predicates hit ts (so pruning
+    # must go THROUGH the derivation, incl. strict-inequality widening),
+    # the partition columns directly, or both. Files are internally
+    # consistent (all rows share one day / one p), stats for ts appear
+    # on a coin flip so both the stats route and the derivation-only
+    # route are exercised.
+    def _render_part_lit(self, col, val, rnd):
+        if col == "ts":
+            return self._render_lit("ts", val, rnd)
+        if col == "gd":
+            return self._render_lit("d", val, rnd)
+        return str(val)  # p / y ints
+
+    @classmethod
+    def _part_leaf_strategy(cls):
+        ops = st.sampled_from(cls._OPS)
+        return st.one_of(
+            st.tuples(st.just("cmp"), st.just("ts"), ops, cls._epochs),
+            st.tuples(st.just("cmp"), st.just("gd"), ops, cls._epochs),
+            st.tuples(
+                st.just("cmp"), st.just("p"), ops, st.integers(-9, 9)
+            ),
+            st.tuples(
+                st.just("cmp"), st.just("y"), ops,
+                st.integers(2023, 2026),
+            ),
+            st.tuples(
+                st.just("in"), st.just("p"),
+                st.lists(st.integers(-9, 9), min_size=1, max_size=3),
+            ),
+            st.tuples(
+                st.just("null"), st.sampled_from(["p", "ts"]),
+                st.booleans(),
+            ),
+        )
+
+    def _render_part(self, ast, rnd, depth=0):
+        kind = ast[0]
+        if kind == "cmp":
+            _, col, op, val = ast
+            lit = self._render_part_lit(col, val, rnd)
+            sep = self._sep(rnd)
+            if rnd.random() < 0.25:
+                from ballista_delta_spark.sources.delta import _FLIP
+
+                return lit + sep + _FLIP[op] + sep + col
+            return col + sep + op + sep + lit
+        if kind in ("in", "null", "opaque"):
+            return self._render(ast, rnd, depth)  # p-typed: int literals
+        word = self._kw(ast[0].upper(), rnd)
+        parts = []
+        for child in ast[1]:
+            r = self._render_part(child, rnd, depth + 1)
+            if child[0] in ("and", "or") or rnd.random() < 0.5:
+                r = "(" + r + ")"
+            parts.append(r)
+        return (" " + word + " ").join(parts)
+
+    def _eval_part(self, ast, row):
+        kind = ast[0]
+        if kind == "cmp":
+            _, col, op, val = ast
+            cur = row[col]
+            if cur is None:
+                return None
+            if col == "ts":
+                val = self._dt(val)
+            elif col == "gd":
+                val = self._dt(val).date()
+            import operator as _op
+
+            f = {
+                "=": _op.eq, "==": _op.eq, "<": _op.lt, "<=": _op.le,
+                ">": _op.gt, ">=": _op.ge,
+            }[op]
+            return f(cur, val)
+        if kind == "in":
+            cur = row[ast[1]]
+            return None if cur is None else cur in ast[2]
+        if kind == "null":
+            _, col, is_not = ast
+            return (row[col] is not None) if is_not else (row[col] is None)
+        vals = [self._eval_part(c, row) for c in ast[1]]
+        if kind == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+
+    @given(
+        data=st.data(),
+        seed=st.integers(0, 2**32 - 1),
+        n_files=st.integers(1, 5),
+    )
+    @settings(
+        max_examples=int(os.environ.get("SKIPFUZZ_EXAMPLES", "250")),
+        deadline=None,
+    )
+    def test_partition_and_generated_column_pruning_is_sound(
+        self, data, seed, n_files
+    ):
+        import json as _json
+        import random as _random
+
+        from pyspark.sql import types as T
+
+        from ballista_delta_spark.sources.delta import skip_files
+
+        rnd = _random.Random(seed)
+        ast = data.draw(
+            st.recursive(
+                self._part_leaf_strategy(),
+                lambda kids: st.tuples(
+                    st.sampled_from(["and", "or"]),
+                    st.lists(kids, min_size=2, max_size=3),
+                ),
+                max_leaves=5,
+            )
+        )
+        schema = T.StructType([
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "gd", T.DateType(),
+                metadata={"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+            T.StructField(
+                "y", T.IntegerType(),
+                metadata={"delta.generationExpression": "year(ts)"},
+            ),
+            T.StructField("p", T.LongType()),
+        ])
+
+        fdict, file_rows = {}, {}
+        for i in range(n_files):
+            day = data.draw(
+                st.integers(0, 730), label=f"day{i}"
+            )  # 2 years
+            secs = data.draw(
+                st.lists(
+                    st.integers(0, 86_399), min_size=1, max_size=4
+                ),
+                label=f"secs{i}",
+            )
+            p_val = data.draw(
+                st.one_of(st.none(), st.integers(-9, 9)), label=f"p{i}"
+            )
+            rows = []
+            for s in secs:
+                ts = self._dt(day * 86_400 + s)
+                rows.append({
+                    "ts": ts, "gd": ts.date(), "y": ts.year, "p": p_val,
+                })
+            d0 = rows[0]["ts"]
+            pv = {
+                "gd": d0.strftime("%Y-%m-%d"),
+                "y": str(d0.year),
+                "p": None if p_val is None else str(p_val),
+            }
+            if rnd.random() < 0.1:
+                pv.pop("p", None)  # missing pv key: unjudgeable on p
+            add = {"partitionValues": pv}
+            if rnd.random() < 0.5:  # ts stats on a coin flip
+                iso = [r["ts"].strftime("%Y-%m-%dT%H:%M:%S") for r in rows]
+                add["stats"] = _json.dumps({
+                    "numRecords": len(rows),
+                    "minValues": {"ts": min(iso)},
+                    "maxValues": {"ts": max(iso)},
+                    "nullCount": {"ts": 0},
+                })
+            fdict[f"f{i}"] = add
+            file_rows[f"f{i}"] = rows
+
+        snap = self._FakeSnap(fdict, schema)
+        snap.partition_columns = ["gd", "y", "p"]
+        pred = self._render_part(ast, rnd)
+        kept = skip_files(snap, pred)
+        for path, rows in file_rows.items():
+            if any(self._eval_part(ast, r) is True for r in rows):
+                assert path in kept, (
+                    f"UNSOUND PRUNE (partition/generated): {path}\n"
+                    f"predicate: {pred!r}\nadd: {fdict[path]!r}\n"
+                    f"rows: {rows!r}"
+                )
