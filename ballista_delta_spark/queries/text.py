@@ -1443,3 +1443,69 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc2.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """Full distributed BPE training: iterate ``text_bpe_merge_step``'s
+    core with the driver feeding each chosen merge back (the
+    ``label_propagate_min`` / ``emb_kmeans_step`` iterate-with-driver-
+    feedback contract). Returns the ordered merge list — the artifact a
+    tokenizer ships.
+
+    Scale shape per iteration: ONE vocab-grain pair aggregate (the
+    corpus was collapsed to (word, freq) once, up front) + a 1-row
+    driver collect + one codegen'd ``replace`` over the segmentation
+    strings. The segmentation frame is re-localCheckpointed each
+    iteration so lineage stays O(1) instead of accumulating ``n_merges``
+    chained projections (the label-propagation lesson). Ties break
+    lexicographically, so the merge sequence is deterministic and
+    engine-independent — pinned against a pure-Python reference trainer
+    in tests/test_round13_fixes.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    seg = (
+        d.select(F.explode(F.split("text", _WS)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            seg.withColumn("sy", F.split("s", " "))
+            .select(F.explode(F.expr(_BPE_PAIRS)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol: nothing left to merge
+        pair = top[0]["pair"]
+        left, right = pair.split(" ", 1)
+        merges.append((left, right))
+        # Boundary-anchored replacement: after merge 1 symbols are
+        # multi-char, and a plain substring replace could match across a
+        # symbol boundary ('tx ab' contains 'x ab' — merging it would
+        # corrupt the 'tx' symbol). Anchoring both ends to
+        # start/space/end keeps matches on symbol boundaries; the regex
+        # engine's left-to-right non-overlapping scan IS BPE's merge
+        # order. (The registered single-step op needs no anchors: at
+        # step 1 every symbol is one char, so a 'x y' pattern can only
+        # match at even offsets = boundaries.)
+        import re as _re
+
+        pat = "(?<=^| )" + _re.escape(pair) + "(?=$| )"
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        seg = seg.select(
+            F.regexp_replace("s", pat, repl).alias("s"), "freq"
+        ).localCheckpoint()
+    return merges

@@ -209,3 +209,91 @@ def test_next_version_ignores_staging_debris(tmp_path):
     # complete artifacts DO count
     open(os.path.join(log, f"{3:020d}.checkpoint.parquet"), "w").write("")
     assert _next_version(log) == 4
+
+
+# ------------- 4. bpe_train vs a pure-Python reference trainer: the
+# distributed loop (vocab-grain counting, anchored regex merge, driver
+# feedback) must produce the EXACT merge sequence of textbook BPE.
+def _ref_bpe(word_freq, n_merges):
+    from collections import Counter
+
+    segs = {w: tuple(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in segs.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0][0]
+        merges.append(best)
+        la, lb = best
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == la and syms[i + 1] == lb
+                ):
+                    out.append(la + lb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    import re
+
+    import duckdb
+
+    from ballista_delta_spark.queries.text import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    wf = Counter(
+        w for (t,) in rows for w in re.split(r"\s+", t or "") if w
+    )
+    want = _ref_bpe(dict(wf), 6)
+    got = bpe_train(spark, sf, n_merges=6)
+    assert got == want, (got, want)
+
+
+def test_bpe_train_merge_respects_symbol_boundaries(spark, tmp_path):
+    """The cross-boundary trap directly: corpus where pair ('a','b')
+    merges first and 'x ab' / 'tx ab' segmentations exist — the second
+    merge must bind ('x','ab') without corrupting 'tx ab' (a substring
+    replace would turn it into one 'txab' symbol)."""
+    import pandas as pd
+
+    from ballista_delta_spark.queries.text import bpe_train
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # 'ab' dominates -> merge 1 = (a,b); then 'x ab' dominates merge 2.
+    docs = (["xab"] * 6 + ["txab"] * 3 + ["ab"] * 8)
+    pd.DataFrame({
+        "doc_id": range(len(docs)),
+        "text": docs,
+        "lang": ["en"] * len(docs),
+        "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t in docs],
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+    got = bpe_train(spark, d, n_merges=2)
+    import re as _re
+
+    rows = docs
+    from collections import Counter
+
+    wf = Counter(w for t in rows for w in _re.split(r"\s+", t) if w)
+    assert got == _ref_bpe(dict(wf), 2), got
