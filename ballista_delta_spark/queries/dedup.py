@@ -1673,6 +1673,24 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").selectExpr(
         "doc_id", f"{_URL_SYNTH_SQL} AS url"
     )
+    c = _url_canonicalize(d)
+    # two-phase rollup: collapse to URL grain first (map-side partial
+    # agg bounds the shuffle to one row per distinct canonical URL)
+    per_url = c.groupBy("domain", "canon_url").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_url.groupBy("domain").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.min("canon_url").alias("first_url"),
+    )
+
+
+def _url_canonicalize(d: DataFrame) -> DataFrame:
+    """(doc_id, url) -> (doc_id, domain, canon_url): the canonicalization
+    pipeline, exposed so the urllib differential test exercises EXACTLY
+    the registered expressions (tests/test_round13_fixes.py)."""
     no_frag = F.regexp_replace("url", "#.*", "")
     c = d.select(
         "doc_id", no_frag.alias("no_frag")
@@ -1723,14 +1741,4 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("canon_url"),
     )
-    # two-phase rollup: collapse to URL grain first (map-side partial
-    # agg bounds the shuffle to one row per distinct canonical URL)
-    per_url = c.groupBy("domain", "canon_url").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return per_url.groupBy("domain").agg(
-        F.sum("n").cast("bigint").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_urls"),
-        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
-        F.min("canon_url").alias("first_url"),
-    )
+    return c

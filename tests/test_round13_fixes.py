@@ -297,3 +297,48 @@ def test_bpe_train_merge_respects_symbol_boundaries(spark, tmp_path):
 
     wf = Counter(w for t in rows for w in _re.split(r"\s+", t) if w)
     assert got == _ref_bpe(dict(wf), 2), got
+
+
+def test_url_canonicalization_matches_urllib_reference(spark):
+    """Differential semantics check for dedup_url_canonical: both the
+    Spark side and the DuckDB oracle share one regex formulation, so
+    hash-equality can't catch a shared mistake. Re-derive the canonical
+    form per doc with urllib.parse (an independent URL implementation)
+    and compare exactly — over the registered pipeline itself
+    (_url_canonicalize), not a re-spelling of it."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    from ballista_delta_spark.queries._tables import load
+    from ballista_delta_spark.queries.dedup import (
+        _URL_SYNTH_SQL,
+        _url_canonicalize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH_SQL} AS url"
+    )
+    got = {
+        r["doc_id"]: (r["domain"], r["canon_url"])
+        for r in _url_canonicalize(d).collect()
+    }
+    for r in d.collect():
+        doc_id, url = r["doc_id"], r["url"]
+        sp = urlsplit(url)
+        host = _re.sub(r"^www\.", "", sp.hostname)  # urllib lowercases
+        path = _re.sub(r"/+$", "", sp.path) or "/"
+        params = sorted(
+            p for p in sp.query.split("&")
+            if p and not _re.match(r"^(utm_[^=]*|gclid|fbclid)=", p)
+        )
+        want_url = "https://" + host + path + (
+            "?" + "&".join(params) if params else ""
+        )
+        m = _re.search(r"([^.]+\.co\.uk)$", host) if host.endswith(
+            ".co.uk"
+        ) else _re.search(r"([^.]+\.[^.]+)$", host)
+        want_domain = m.group(1)
+        assert got[doc_id] == (want_domain, want_url), (
+            doc_id, url, got[doc_id], (want_domain, want_url)
+        )
