@@ -60,6 +60,13 @@ def main(sf_dir: str) -> None:
     write_delta(docs, bronze)
     n0 = read_delta(spark, bronze).count()
 
+    # -- 1b. URL-canonical dedup readout (the crawl's FIRST hop, before
+    #    any content hashing): per-registrable-domain duplicate pressure
+    #    from www./fragment/tracking-param spellings — at crawl scale
+    #    this gate runs before documents are even fetched twice.
+    url_rollup = DEDUP_QS["dedup_url_canonical"][0](spark, sf_dir)
+    n_url_dupes = url_rollup.agg(F.sum("n_dup_docs")).collect()[0][0]
+
     # -- 2. exact dedup: md5 hash-groupBy keeps one doc per content hash
     exact = DEDUP_QS["dedup_exact"][0](spark, sf_dir)
     survivors_exact = exact.select(
@@ -113,7 +120,8 @@ def main(sf_dir: str) -> None:
     n_packs = read_delta(spark, gold).count()
 
     print(
-        f"bronze={n0} docs  silver={n_silver} docs "
+        f"bronze={n0} docs  url-dupes={n_url_dupes}  "
+        f"silver={n_silver} docs "
         f"(exact+near dedup, quality, decontamination)  "
         f"gold={n_packs} packed rows  root={root}"
     )
