@@ -342,3 +342,49 @@ def test_url_canonicalization_matches_urllib_reference(spark):
         assert got[doc_id] == (want_domain, want_url), (
             doc_id, url, got[doc_id], (want_domain, want_url)
         )
+
+
+def test_mid_stream_schema_change_fails_e2e(spark, tmp_path):
+    """Through real Structured Streaming, on a RUNNING query (the reader
+    object outlives the change — a checkpoint RESTART builds a fresh
+    reader that correctly adopts the new schema, which is the documented
+    remedy): widen a column under a live stream; the next micro-batch
+    must FAIL the query with the schema-change error, and nothing from
+    the widened commit may reach the sink."""
+    from ballista_delta_spark.sources.delta import (
+        alter_column_type,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    tbl = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(spark.range(3).selectExpr("CAST(id AS INT) AS k"), tbl)
+    register_delta_stream_source(spark)
+    df = (
+        spark.readStream.format("delta_stream")
+        .option("path", tbl).load()
+    )
+    q = (
+        df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 3
+        alter_column_type(tbl, "k", "bigint")
+        write_delta(
+            spark.createDataFrame([(2**40,)], "k long"), tbl,
+            mode="append",
+        )
+        with pytest.raises(Exception, match="schema change"):
+            q.processAllAvailable()
+            q.awaitTermination(60)
+        # nothing from the widened commit leaked into the sink
+        assert spark.read.parquet(out).count() == 3
+    finally:
+        q.stop()
