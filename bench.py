@@ -123,6 +123,14 @@ def _timed_split(fn, spark, sf_dir) -> tuple[float, float, bool]:
     wrapped = _wrap(fn(spark, sf_dir))
     wrapped._jdf.queryExecution().executedPlan()
     t1 = time.time()
+    # Snapshot the job-id set OUTSIDE the timed intervals (the listing
+    # marshals up to spark.ui.retainedJobs ids over py4j — late in the
+    # suite that's measurable), and classify the jobs only after the
+    # timed collect below.
+    plan_jobs = set(tracker.getJobIdsForGroup(None)) - jobs_before
+    t_exec0 = time.time()
+    wrapped.collect()
+    t2 = time.time()
 
     def _is_exec(job_id: int) -> bool:
         ji = tracker.getJobInfo(job_id)
@@ -138,13 +146,7 @@ def _timed_split(fn, spark, sf_dir) -> tuple[float, float, bool]:
                 return True
         return False
 
-    plan_ran_jobs = any(
-        _is_exec(j)
-        for j in set(tracker.getJobIdsForGroup(None)) - jobs_before
-    )
-    wrapped.collect()
-    t2 = time.time()
-    return t1 - t0, t2 - t1, plan_ran_jobs
+    return t1 - t0, t2 - t_exec0, any(_is_exec(j) for j in plan_jobs)
 
 
 def _calibrate(spark) -> float:
