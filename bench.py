@@ -307,11 +307,17 @@ def main() -> None:
             splits[name]["plan_includes_exec"] = True
     # Second probe AFTER the suite (VERDICT r12 #2): a probe taken only
     # up front misses mid-run contention (the r12 positions-11-14 load
-    # block cost the judge a re-measure to adjudicate).
+    # block cost the judge a re-measure to adjudicate). Direction
+    # matters (r13 measurement finding, BASELINE.md): before > after by
+    # up to ~2x is the SYSTEMATIC cold-start asymmetry (JIT/executor
+    # warm-up rides in the first probe of every fresh process) and says
+    # nothing about load — flagging it made `contended` constant-true.
+    # Load signatures are: the AFTER probe degrading past the before
+    # one (mid-run contention, the r12 block's shape), or EITHER probe
+    # beyond the 0.30 absolute ceiling (loaded boot / loaded tail).
     calibration_after = _calibrate(spark)
     contended = (
-        max(calibration_before, calibration_after)
-        / max(min(calibration_before, calibration_after), 1e-9) > 1.3
+        calibration_after > calibration_before * 1.3
         or max(calibration_before, calibration_after) > 0.30
     )
     total = round(sum(timings.values()), 3)
