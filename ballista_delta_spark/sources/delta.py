@@ -746,12 +746,17 @@ def read_delta_with_row_ids(
 
 # Eligible data-skipping conjunct: <col> <op> <literal> (or reversed).
 _SKIP_CMP = re.compile(
-    r"^\s*(?:(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>>=|<=|=|==|<|>)\s*"
+    r"^\s*(?:(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op>>=|<=|==|<>|!=|=|<|>)\s*"
     r"(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)"
-    r"|(?P<lit2>'[^']*'|-?\d+(?:\.\d+)?)\s*(?P<op2>>=|<=|=|==|<|>)\s*"
+    r"|(?P<lit2>'[^']*'|-?\d+(?:\.\d+)?)\s*"
+    r"(?P<op2>>=|<=|==|<>|!=|=|<|>)\s*"
     r"(?P<col2>[A-Za-z_][A-Za-z0-9_]*))\s*$"
 )
-_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+_FLIP = {
+    "<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "==",
+    "!=": "!=", "<>": "<>",
+}
 
 
 def _mask_literals(stmt: str) -> str:
@@ -965,12 +970,15 @@ def _unwrap_parens(pred: str) -> str:
 def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     """The subset of ``snap.files`` that might contain rows matching
     ``where``, judged from per-file min/max/nullCount stats. Sound by
-    construction: only ``col <op> literal``, ``col IN (literals)``, and
-    ``col IS [NOT] NULL`` conjuncts prune; anything else (functions,
-    casts, unknown columns, missing stats) keeps the file. An IN list
-    prunes when EVERY value falls outside [min, max]; IS NULL prunes on
-    nullCount=0; IS NOT NULL prunes when nullCount equals the file's
-    numRecords (an all-null column chunk).
+    construction: only ``col <op> literal`` (incl. ``!=``/``<>``),
+    ``col IN (literals)``, and ``col IS [NOT] NULL`` conjuncts prune;
+    anything else (functions, casts, unknown columns, missing stats)
+    keeps the file. An IN list prunes when EVERY value falls outside
+    [min, max]; ``!=`` prunes only a constant chunk (min==max==literal —
+    spec-compliant stats bound all values, and null rows can't satisfy
+    ``!=`` either); IS NULL prunes on nullCount=0; IS NOT NULL prunes
+    when nullCount equals the file's numRecords (an all-null column
+    chunk).
 
     Disjunctions (the TPC-H q19 shape, ``(a AND b) OR (c AND d)``) prune
     too: a file is skipped only when EVERY top-level OR branch is
@@ -1083,7 +1091,13 @@ def _parse_skip_branch(
         if not src:
             continue
         for col, op, val in conjuncts:
-            if col != src or not isinstance(val, str) or op == "in":
+            # != / <> never derive: ts != '2024-03-05 10:00' is satisfied
+            # by rows at OTHER times of the same day, so a derived
+            # gd != '2024-03-05' would prune partitions holding matches.
+            if (
+                col != src or not isinstance(val, str)
+                or op in ("in", "!=", "<>")
+            ):
                 continue
             widened = {">": ">=", "<": "<="}.get(op, op)
             if m_date:
@@ -1215,6 +1229,12 @@ def _build_may_match(
                 if op == "in" and all(v < mn or v > mx for v in val):
                     return False
                 if op in ("=", "==") and (val < mn or val > mx):
+                    return False
+                # != prunes only a CONSTANT column chunk equal to the
+                # literal: min==max==lit proves every non-null value is
+                # the literal, and a NULL row can't satisfy != either
+                # (three-valued), so no row in the file matches.
+                if op in ("!=", "<>") and mn == val and mx == val:
                     return False
                 if op == "<" and mn >= val:
                     return False

@@ -1409,8 +1409,8 @@ class TestSkipFilesDifferentialFuzz:
 
         return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
 
-    # --- AST leaves
-    _OPS = ("=", "==", "<", "<=", ">", ">=")
+    # --- AST leaves ("!=" renders as != or <> at random)
+    _OPS = ("=", "==", "<", "<=", ">", ">=", "!=")
 
     @classmethod
     def _leaf_strategy(cls):
@@ -1513,12 +1513,13 @@ class TestSkipFilesDifferentialFuzz:
         if kind == "cmp":
             _, col, op, val = ast
             lit = self._render_lit(col, val, rnd)
+            op_txt = rnd.choice(["!=", "<>"]) if op == "!=" else op
             if rnd.random() < 0.25 and col != "s":
                 from ballista_delta_spark.sources.delta import _FLIP
 
-                out = lit + sep() + _FLIP[op] + sep() + col
+                out = lit + sep() + _FLIP[op_txt] + sep() + col
             else:
-                out = col + sep() + op + sep() + lit
+                out = col + sep() + op_txt + sep() + lit
         elif kind == "in":
             _, col, vals = ast
             lits = (" ," + sep()).join(
@@ -1575,7 +1576,7 @@ class TestSkipFilesDifferentialFuzz:
 
             f = {
                 "=": _op.eq, "==": _op.eq, "<": _op.lt, "<=": _op.le,
-                ">": _op.gt, ">=": _op.ge,
+                ">": _op.gt, ">=": _op.ge, "!=": _op.ne,
             }[op]
             return f(cur, val)
         if kind == "in":
@@ -1739,11 +1740,12 @@ class TestSkipFilesDifferentialFuzz:
             _, col, op, val = ast
             lit = self._render_part_lit(col, val, rnd)
             sep = self._sep(rnd)
+            op_txt = rnd.choice(["!=", "<>"]) if op == "!=" else op
             if rnd.random() < 0.25:
                 from ballista_delta_spark.sources.delta import _FLIP
 
-                return lit + sep + _FLIP[op] + sep + col
-            return col + sep + op + sep + lit
+                return lit + sep + _FLIP[op_txt] + sep + col
+            return col + sep + op_txt + sep + lit
         if kind in ("in", "null", "opaque"):
             return self._render(ast, rnd, depth)  # p-typed: int literals
         word = self._kw(ast[0].upper(), rnd)
@@ -1770,7 +1772,7 @@ class TestSkipFilesDifferentialFuzz:
 
             f = {
                 "=": _op.eq, "==": _op.eq, "<": _op.lt, "<=": _op.le,
-                ">": _op.gt, ">=": _op.ge,
+                ">": _op.gt, ">=": _op.ge, "!=": _op.ne,
             }[op]
             return f(cur, val)
         if kind == "in":

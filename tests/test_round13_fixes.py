@@ -388,3 +388,55 @@ def test_mid_stream_schema_change_fails_e2e(spark, tmp_path):
         assert spark.read.parquet(out).count() == 3
     finally:
         q.stop()
+
+
+def test_not_equal_prunes_constant_chunks_only(spark):
+    """!= / <> data skipping (r13): a file whose min==max equals the
+    literal holds ONLY that value (spec: min <= all values <= max) and
+    null rows can't satisfy != either — prune it; any wider range keeps
+    the file. A generated partition column must never derive a != bound
+    (rows at other times of the same day still match)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import skip_files
+
+    snap = _snap_of({
+        "const5": _file(5, 5), "mixed": _file(0, 9), "const7": _file(7, 7)
+    })
+    assert set(skip_files(snap, "k != 5")) == {"mixed", "const7"}
+    assert set(skip_files(snap, "k <> 7")) == {"const5", "mixed"}
+    assert set(skip_files(snap, "5 != k")) == {"mixed", "const7"}
+    # nulls don't rescue a constant chunk: null k can't satisfy !=
+    f = _json.loads(_file(5, 5)["stats"])
+    f["nullCount"]["k"] = 2
+    f["numRecords"] = 3
+    snap2 = _snap_of({"c": {"stats": _json.dumps(f)}})
+    assert set(skip_files(snap2, "k != 5")) == set()
+
+    # generated-column: ts != <time on day D> must NOT prune the gd=D
+    # partition (other times of day D match)
+    class _GenSnap:
+        schema = T.StructType([
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "gd", T.DateType(),
+                metadata={"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ])
+        partition_columns = ["gd"]
+
+        def physical(self, c):
+            return c
+
+    g = _GenSnap()
+    g.files = {
+        "d1": {"partitionValues": {"gd": "2024-03-05"}},
+        "d2": {"partitionValues": {"gd": "2024-03-06"}},
+    }
+    kept = skip_files(g, "ts != '2024-03-05 10:00:00'")
+    assert set(kept) == {"d1", "d2"}  # both days hold matching rows
+    # equality still derives and prunes
+    kept = skip_files(g, "ts >= '2024-03-06 00:00:00'")
+    assert set(kept) == {"d2"}
