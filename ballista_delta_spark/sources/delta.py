@@ -867,9 +867,23 @@ def _split_top(pred: str, word: str) -> list[str]:
     masked = _mask_literals(pred)
     parts, start, depth, i, n = [], 0, 0, 0, len(pred)
     wlen = len(word)
+    # BETWEEN's own AND is not a conjunction: 'a BETWEEN 1 AND 5' is ONE
+    # predicate, and splitting at its AND manufactured the conjuncts
+    # 'a BETWEEN 1' / '5' (both unjudgeable — sound but never prunable,
+    # and wrong structure for any other consumer). A depth-0 BETWEEN
+    # token arms a counter that swallows the next depth-0 AND; only the
+    # AND split cares (no OR lives inside BETWEEN).
+    pending_between = 0
 
     def _ident(c: str) -> bool:
         return c.isalnum() or c == "_"
+
+    def _word_at(idx: int, w: str) -> bool:
+        if masked[idx:idx + len(w)].upper() != w:
+            return False
+        prev = masked[idx - 1] if idx > 0 else " "
+        nxt = masked[idx + len(w)] if idx + len(w) < n else " "
+        return not _ident(prev) and not _ident(nxt)
 
     while i < n:
         ch = masked[i]
@@ -882,14 +896,19 @@ def _split_top(pred: str, word: str) -> list[str]:
         # index after such a char and hiding real operators — which made
         # the conjunctive path prune unsoundly. (Masked literal contents
         # are all 'x', so no operator can match inside one.)
-        if depth == 0 and masked[i:i + wlen].upper() == word:
-            prev = masked[i - 1] if i > 0 else " "
-            nxt = masked[i + wlen] if i + wlen < n else " "
-            if not _ident(prev) and not _ident(nxt):
-                parts.append(pred[start:i])
+        if depth == 0 and word == "AND" and _word_at(i, "BETWEEN"):
+            pending_between += 1
+            i += len("BETWEEN")
+            continue
+        if depth == 0 and _word_at(i, word):
+            if word == "AND" and pending_between > 0:
+                pending_between -= 1
                 i += wlen
-                start = i
                 continue
+            parts.append(pred[start:i])
+            i += wlen
+            start = i
+            continue
         i += 1
     parts.append(pred[start:])
     return parts
@@ -907,6 +926,15 @@ def _split_and(pred: str) -> list[str]:
 
 _SKIP_IN = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(\s*(?P<vals>[^)]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+# col BETWEEN lo AND hi — sugar for two range conjuncts. NOT BETWEEN
+# deliberately fails the match (the NOT sits where BETWEEN must) and is
+# dropped: widening, sound.
+_SKIP_BETWEEN = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+"
+    r"(?P<lo>'[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"(?P<hi>'[^']*'|-?\d+(?:\.\d+)?)\s*$",
     re.IGNORECASE,
 )
 _SKIP_NULL = re.compile(
@@ -971,6 +999,7 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     """The subset of ``snap.files`` that might contain rows matching
     ``where``, judged from per-file min/max/nullCount stats. Sound by
     construction: only ``col <op> literal`` (incl. ``!=``/``<>``),
+    ``col BETWEEN lo AND hi`` (two range conjuncts; NOT BETWEEN drops),
     ``col IN (literals)``, and ``col IS [NOT] NULL`` conjuncts prune;
     anything else (functions, casts, unknown columns, missing stats)
     keeps the file. An IN list prunes when EVERY value falls outside
@@ -1053,6 +1082,11 @@ def _parse_skip_branch(
             op = m.group("op") or _FLIP[m.group("op2")]
             lit = m.group("lit") or m.group("lit2")
             conjuncts.append((col, op, _skip_lit(lit)))
+            continue
+        m = _SKIP_BETWEEN.match(stripped)
+        if m:
+            conjuncts.append((m.group("col"), ">=", _skip_lit(m.group("lo"))))
+            conjuncts.append((m.group("col"), "<=", _skip_lit(m.group("hi"))))
             continue
         m = _SKIP_IN.match(raw) or _SKIP_IN.match(inner)
         if m:

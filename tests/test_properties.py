@@ -1443,8 +1443,17 @@ class TestSkipFilesDifferentialFuzz:
             st.booleans(),
         )
         opaque = st.tuples(st.just("opaque"), st.integers(0, 6))
+        btw_k = st.tuples(
+            st.just("between"), st.just("k"), cls._ints, cls._ints,
+            st.booleans(),
+        )
+        btw_ts = st.tuples(
+            st.just("between"), st.just("ts"), cls._epochs, cls._epochs,
+            st.booleans(),
+        )
         return st.one_of(
-            cmp_k, cmp_s, cmp_ts, cmp_d, in_k, in_s, nulls, opaque
+            cmp_k, cmp_s, cmp_ts, cmp_d, in_k, in_s, nulls, opaque,
+            btw_k, btw_ts,
         )
 
     @classmethod
@@ -1520,6 +1529,15 @@ class TestSkipFilesDifferentialFuzz:
                 out = lit + sep() + _FLIP[op_txt] + sep() + col
             else:
                 out = col + sep() + op_txt + sep() + lit
+        elif kind == "between":
+            _, col, lo, hi, neg = ast
+            out = (
+                col + " " + (self._kw("NOT", rnd) + " " if neg else "")
+                + self._kw("BETWEEN", rnd) + sep()
+                + self._render_lit(col, lo, rnd) + sep()
+                + self._kw("AND", rnd) + sep()
+                + self._render_lit(col, hi, rnd)
+            )
         elif kind == "in":
             _, col, vals = ast
             lits = (" ," + sep()).join(
@@ -1579,6 +1597,15 @@ class TestSkipFilesDifferentialFuzz:
                 ">": _op.gt, ">=": _op.ge, "!=": _op.ne,
             }[op]
             return f(cur, val)
+        if kind == "between":
+            _, col, lo, hi, neg = ast
+            cur = row[col]
+            if cur is None:
+                return None
+            if col == "ts":
+                lo, hi = self._dt(lo), self._dt(hi)
+            res = lo <= cur <= hi
+            return (not res) if neg else res
         if kind == "in":
             _, col, vals = ast
             cur = row[col]
@@ -1732,6 +1759,14 @@ class TestSkipFilesDifferentialFuzz:
                 st.just("null"), st.sampled_from(["p", "ts"]),
                 st.booleans(),
             ),
+            st.tuples(
+                st.just("between"), st.just("ts"), cls._epochs,
+                cls._epochs, st.booleans(),
+            ),
+            st.tuples(
+                st.just("between"), st.just("p"), st.integers(-9, 9),
+                st.integers(-9, 9), st.booleans(),
+            ),
         )
 
     def _render_part(self, ast, rnd, depth=0):
@@ -1746,8 +1781,8 @@ class TestSkipFilesDifferentialFuzz:
 
                 return lit + sep + _FLIP[op_txt] + sep + col
             return col + sep + op_txt + sep + lit
-        if kind in ("in", "null", "opaque"):
-            return self._render(ast, rnd, depth)  # p-typed: int literals
+        if kind in ("in", "null", "opaque", "between"):
+            return self._render(ast, rnd, depth)  # int/ts literal forms
         word = self._kw(ast[0].upper(), rnd)
         parts = []
         for child in ast[1]:
@@ -1775,6 +1810,15 @@ class TestSkipFilesDifferentialFuzz:
                 ">": _op.gt, ">=": _op.ge, "!=": _op.ne,
             }[op]
             return f(cur, val)
+        if kind == "between":
+            _, col, lo, hi, neg = ast
+            cur = row[col]
+            if cur is None:
+                return None
+            if col == "ts":
+                lo, hi = self._dt(lo), self._dt(hi)
+            res = lo <= cur <= hi
+            return (not res) if neg else res
         if kind == "in":
             cur = row[ast[1]]
             return None if cur is None else cur in ast[2]

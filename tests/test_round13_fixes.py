@@ -440,3 +440,38 @@ def test_not_equal_prunes_constant_chunks_only(spark):
     # equality still derives and prunes
     kept = skip_files(g, "ts >= '2024-03-06 00:00:00'")
     assert set(kept) == {"d2"}
+
+
+def test_between_prunes_and_not_between_stays_sound(spark):
+    """BETWEEN (r13): the splitter must not break 'a BETWEEN 1 AND 5' at
+    its own AND, and the clause judges as two range conjuncts — pruning,
+    not merely staying sound. NOT BETWEEN is dropped (widening)."""
+    from ballista_delta_spark.sources.delta import (
+        _split_and,
+        skip_files,
+    )
+
+    assert _split_and("k BETWEEN 1 AND 5") == ["k BETWEEN 1 AND 5"]
+    parts = _split_and("k BETWEEN 1 AND 5 AND m = 2")
+    assert [p.strip() for p in parts] == ["k BETWEEN 1 AND 5", "m = 2"]
+    parts = _split_and("m = 2 AND k NOT BETWEEN 1 AND 5 AND j = 3")
+    assert [p.strip() for p in parts] == [
+        "m = 2", "k NOT BETWEEN 1 AND 5", "j = 3"
+    ]
+
+    snap = _snap_of({
+        "low": _file(0, 9), "mid": _file(40, 60), "high": _file(100, 109)
+    })
+    assert set(skip_files(snap, "k BETWEEN 45 AND 55")) == {"mid"}
+    assert set(skip_files(snap, "k between 4 and 45")) == {"low", "mid"}
+    # composes with other conjuncts and with OR branches
+    assert set(
+        skip_files(snap, "k BETWEEN 45 AND 55 AND k >= 50")
+    ) == {"mid"}
+    assert set(
+        skip_files(snap, "(k BETWEEN 0 AND 5) OR (k BETWEEN 105 AND 200)")
+    ) == {"low", "high"}
+    # NOT BETWEEN: dropped, everything survives
+    assert set(skip_files(snap, "k NOT BETWEEN 45 AND 55")) == {
+        "low", "mid", "high"
+    }
