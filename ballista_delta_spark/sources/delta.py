@@ -928,6 +928,17 @@ _SKIP_IN = re.compile(
     r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(\s*(?P<vals>[^)]+?)\s*\)\s*$",
     re.IGNORECASE,
 )
+# col LIKE 'prefix%' — the StartsWith shape delta-spark skips on. Only
+# judged when the pattern is a non-empty literal prefix + ONE trailing %
+# (no other %/_ wildcards, no backslash escapes): it then becomes the
+# range [prefix, bump(prefix)) — any match starts with prefix, so it is
+# >= prefix and < prefix-with-last-char-incremented in codepoint order
+# (UTF-8 byte order is codepoint order, so Spark-written string stats
+# compare consistently). NOT LIKE / ILIKE / other patterns drop: sound.
+_SKIP_LIKE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+LIKE\s+'(?P<pat>[^']*)'\s*$",
+    re.IGNORECASE,
+)
 # col BETWEEN lo AND hi — sugar for two range conjuncts. NOT BETWEEN
 # deliberately fails the match (the NOT sits where BETWEEN must) and is
 # dropped: widening, sound.
@@ -1000,7 +1011,9 @@ def skip_files(snap: "Snapshot", where: str) -> dict[str, Any]:
     ``where``, judged from per-file min/max/nullCount stats. Sound by
     construction: only ``col <op> literal`` (incl. ``!=``/``<>``),
     ``col BETWEEN lo AND hi`` (two range conjuncts; NOT BETWEEN drops),
-    ``col IN (literals)``, and ``col IS [NOT] NULL`` conjuncts prune;
+    ``col LIKE 'prefix%'`` (the [prefix, bump) range; any other pattern
+    shape drops), ``col IN (literals)``, and ``col IS [NOT] NULL``
+    conjuncts prune;
     anything else (functions, casts, unknown columns, missing stats)
     keeps the file. An IN list prunes when EVERY value falls outside
     [min, max]; ``!=`` prunes only a constant chunk (min==max==literal —
@@ -1087,6 +1100,20 @@ def _parse_skip_branch(
         if m:
             conjuncts.append((m.group("col"), ">=", _skip_lit(m.group("lo"))))
             conjuncts.append((m.group("col"), "<=", _skip_lit(m.group("hi"))))
+            continue
+        m = _SKIP_LIKE.match(stripped)
+        if m:
+            pat = m.group("pat")
+            prefix = pat[:-1]
+            if (
+                pat.endswith("%")
+                and prefix
+                and not any(c in prefix for c in "%_\\")
+            ):
+                conjuncts.append((m.group("col"), ">=", prefix))
+                if ord(prefix[-1]) < 0x10FFFF:
+                    bump = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                    conjuncts.append((m.group("col"), "<", bump))
             continue
         m = _SKIP_IN.match(raw) or _SKIP_IN.match(inner)
         if m:

@@ -1451,9 +1451,21 @@ class TestSkipFilesDifferentialFuzz:
             st.just("between"), st.just("ts"), cls._epochs, cls._epochs,
             st.booleans(),
         )
+        # LIKE patterns: judgeable prefixes AND rejected shapes
+        # (interior %/_, leading wildcard, no wildcard, empty, NOT)
+        like_pat = st.text(
+            st.characters(
+                min_codepoint=48, max_codepoint=122,
+                include_characters="%_",
+            ),
+            max_size=6,
+        )
+        like_s = st.tuples(
+            st.just("like"), like_pat, st.booleans(),
+        )
         return st.one_of(
             cmp_k, cmp_s, cmp_ts, cmp_d, in_k, in_s, nulls, opaque,
-            btw_k, btw_ts,
+            btw_k, btw_ts, like_s,
         )
 
     @classmethod
@@ -1538,6 +1550,12 @@ class TestSkipFilesDifferentialFuzz:
                 + self._kw("AND", rnd) + sep()
                 + self._render_lit(col, hi, rnd)
             )
+        elif kind == "like":
+            _, pat, neg = ast
+            out = (
+                "s " + (self._kw("NOT", rnd) + " " if neg else "")
+                + self._kw("LIKE", rnd) + sep() + "'" + pat + "'"
+            )
         elif kind == "in":
             _, col, vals = ast
             lits = (" ," + sep()).join(
@@ -1605,6 +1623,19 @@ class TestSkipFilesDifferentialFuzz:
             if col == "ts":
                 lo, hi = self._dt(lo), self._dt(hi)
             res = lo <= cur <= hi
+            return (not res) if neg else res
+        if kind == "like":
+            import re as _re2
+
+            _, pat, neg = ast
+            cur = row["s"]
+            if cur is None:
+                return None
+            rx = "".join(
+                ".*" if c == "%" else "." if c == "_" else _re2.escape(c)
+                for c in pat
+            )
+            res = _re2.fullmatch(rx, cur, _re2.DOTALL) is not None
             return (not res) if neg else res
         if kind == "in":
             _, col, vals = ast

@@ -475,3 +475,44 @@ def test_between_prunes_and_not_between_stays_sound(spark):
     assert set(skip_files(snap, "k NOT BETWEEN 45 AND 55")) == {
         "low", "mid", "high"
     }
+
+
+def test_like_prefix_prunes(spark):
+    """LIKE 'prefix%' (r13): judged as the [prefix, bump) range; every
+    other pattern shape (interior wildcards, leading %, _, escapes, NOT
+    LIKE, no trailing %) drops — widening, sound."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ballista_delta_spark.sources.delta import skip_files
+
+    def _sfile(lo, hi):
+        return {"stats": _json.dumps({
+            "numRecords": 2,
+            "minValues": {"s": lo}, "maxValues": {"s": hi},
+            "nullCount": {"s": 0},
+        })}
+
+    class _S:
+        schema = T.StructType([T.StructField("s", T.StringType())])
+        partition_columns = []
+
+        def physical(self, c):
+            return c
+
+    snap = _S()
+    snap.files = {
+        "ab": _sfile("aa", "az"), "mq": _sfile("ma", "mz"),
+        "xz": _sfile("xa", "zz"),
+    }
+    assert set(skip_files(snap, "s LIKE 'm%'")) == {"mq"}
+    assert set(skip_files(snap, "s like 'a%'")) == {"ab"}
+    # boundary: prefix 'z' -> only the file whose range reaches z
+    assert set(skip_files(snap, "s LIKE 'z%'")) == {"xz"}
+    # rejected shapes keep everything
+    for pred in (
+        "s LIKE '%m'", "s LIKE 'm_%'", "s LIKE 'm'", "s LIKE '%'",
+        "s NOT LIKE 'm%'", "s LIKE 'a%b%'", "s LIKE 'a\\\\%'",
+    ):
+        assert set(skip_files(snap, pred)) == {"ab", "mq", "xz"}, pred
