@@ -1415,19 +1415,31 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): the winning pair is ONE metadata-sized row — inlining it
     # as a literal keeps the merge pass join-free (a broadcast crossJoin
     # would plan a BroadcastNestedLoopJoin for the same effect)
-    best = (
+    top = (
         _pair_counts(seg)
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(1)
-        .collect()[0]["pair"]
+        .collect()
     )
+    if not top:
+        # No word has >= 2 symbols (or the corpus is empty): the oracle's
+        # scalar subquery yields NULL, its replace() NULLs the
+        # segmentation, and the downstream unnest emits no rows — mirror
+        # that with an empty frame of the same schema (ADVICE r14:
+        # collect()[0] raised IndexError here; bpe_train already guards).
+        return spark.createDataFrame(
+            [], "merged_pair string, pair string, cnt bigint, rnk bigint"
+        )
+    best = top[0]["pair"]
+    # Column-API replace, not SQL-string splicing: a winning pair
+    # containing a backslash (or any future metachar) is passed as a
+    # bound literal instead of being re-lexed by Spark's SQL parser
+    # (ADVICE r14: the spliced form double-escaped quotes but not
+    # backslashes).
     seg2 = seg.select(
         F.lit(best).alias("merged_pair"),
-        F.expr(
-            "replace(s, '{0}', '{1}')".format(
-                best.replace("'", "''"),
-                best.replace(" ", "").replace("'", "''"),
-            )
+        F.replace(
+            F.col("s"), F.lit(best), F.lit(best.replace(" ", ""))
         ).alias("s"),
         "freq",
     )

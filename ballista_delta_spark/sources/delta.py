@@ -1244,6 +1244,22 @@ def _build_may_match(
         pv_all = part_vals or {}
         for col, op, val in conjuncts:
             pcol = phys[col]
+            if (
+                op in ("!=", "<>", ">", ">=")
+                and col not in part_cols
+                and isinstance(types.get(col), (T.FloatType, T.DoubleType))
+            ):
+                # Parquet footer stats EXCLUDE NaN from min/max while Spark
+                # orders NaN ABOVE every other value: a chunk {lit, NaN}
+                # reports min==max==lit yet its NaN row satisfies != / > /
+                # >= — judging these ops on fractional file stats would
+                # prune files that contain matching rows. Partition values
+                # carry the exact value (NaN partition keys compare False
+                # under Python and fall through conservatively), so only
+                # the stats path refuses. = / IN / < / <= stay judgeable:
+                # NaN never satisfies them for the non-NaN literals the
+                # scanner parses.
+                continue
             if col in part_cols:
                 pv = pv_all.get(pcol)
                 if pv is None:

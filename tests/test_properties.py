@@ -1426,6 +1426,18 @@ class TestSkipFilesDifferentialFuzz:
             st.just("cmp"), st.just("ts"), st.sampled_from(cls._OPS),
             cls._epochs,
         )
+        # x is a true DoubleType column whose rows may carry NaN —
+        # parquet-style stats EXCLUDE NaN from min/max, so this leaf is
+        # the regression net for the ADVICE r13 finding (a {lit, NaN}
+        # chunk reports min==max==lit yet NaN satisfies != / > / >=).
+        cmp_x = st.tuples(
+            st.just("cmp"), st.just("x"), st.sampled_from(cls._OPS),
+            cls._floats,
+        )
+        btw_x = st.tuples(
+            st.just("between"), st.just("x"), cls._floats, cls._floats,
+            st.booleans(),
+        )
         cmp_d = st.tuples(
             st.just("cmp"), st.just("d"), st.sampled_from(cls._OPS),
             cls._epochs,
@@ -1464,8 +1476,8 @@ class TestSkipFilesDifferentialFuzz:
             st.just("like"), like_pat, st.booleans(),
         )
         return st.one_of(
-            cmp_k, cmp_s, cmp_ts, cmp_d, in_k, in_s, nulls, opaque,
-            btw_k, btw_ts, like_s,
+            cmp_k, cmp_s, cmp_ts, cmp_d, cmp_x, in_k, in_s, nulls, opaque,
+            btw_k, btw_ts, btw_x, like_s,
         )
 
     @classmethod
@@ -1608,6 +1620,15 @@ class TestSkipFilesDifferentialFuzz:
             elif col == "d":
                 # Spark casts the literal to DATE (time truncated)
                 val = self._dt(val).date()
+            import math as _math
+
+            if isinstance(cur, float) and _math.isnan(cur):
+                # Spark orders NaN ABOVE every other double and equal
+                # only to itself; the generated literals are never NaN.
+                return {
+                    "=": False, "==": False, "<": False, "<=": False,
+                    ">": True, ">=": True, "!=": True,
+                }[op]
             import operator as _op
 
             f = {
@@ -1665,10 +1686,19 @@ class TestSkipFilesDifferentialFuzz:
 
         if rnd.random() < 0.1:
             return None  # file with no stats: must always survive
+        import math as _math
+
         mins, maxs, nulls = {}, {}, {}
-        for col in ("k", "s", "ts", "d"):
+        for col in ("k", "s", "ts", "d", "x"):
             vals = [r[col] for r in rows if r[col] is not None]
             nulls[col] = sum(1 for r in rows if r[col] is None)
+            # parquet footers EXCLUDE NaN from min/max (NaN is not null,
+            # so nullCount still counts it as a value) — exactly the
+            # stats shape the ADVICE r13 NaN finding exploits.
+            vals = [
+                v for v in vals
+                if not (isinstance(v, float) and _math.isnan(v))
+            ]
             if not vals or rnd.random() < 0.15:
                 continue  # per-column stats gap: unjudgeable on this col
             lo, hi = min(vals), max(vals)
@@ -1722,6 +1752,9 @@ class TestSkipFilesDifferentialFuzz:
             "d": st.one_of(
                 st.none(), self._epochs.map(lambda e: self._dt(e).date())
             ),
+            "x": st.one_of(
+                st.none(), self._floats, st.just(float("nan"))
+            ),
         })
         files = {
             f"f{i}": data.draw(
@@ -1735,6 +1768,7 @@ class TestSkipFilesDifferentialFuzz:
             T.StructField("s", T.StringType()),
             T.StructField("ts", T.TimestampType()),
             T.StructField("d", T.DateType()),
+            T.StructField("x", T.DoubleType()),
         ])
         fdict = {
             path: {"stats": self._stats(rows, rnd)}

@@ -1,0 +1,161 @@
+"""Round-14 directed pins for the ADVICE r13 findings.
+
+1. NaN-blind fractional pruning (sources/delta.py): parquet footer stats
+   exclude NaN from min/max while Spark orders NaN above every double, so
+   a {lit, NaN} chunk reports min==max==lit yet its NaN row satisfies
+   != / > / >= — the scanner must refuse to judge those ops on
+   float/double FILE stats (partition values stay exact and judgeable).
+2. text_bpe_merge_step empty-corpus guard (queries/text.py): a corpus
+   where no word has >= 2 symbols used to raise IndexError on
+   collect()[0]; the oracle SQL returns an empty result there.
+3. text_bpe_merge_step backslash-safe merge (queries/text.py): the old
+   SQL-string splice doubled quotes but not backslashes, so a winning
+   pair containing '\\' was re-lexed as an escape sequence.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+
+class _FakeSnap:
+    def __init__(self, files, schema, part_cols=()):
+        self.files = files
+        self.schema = schema
+        self.partition_columns = list(part_cols)
+
+    def physical(self, c):
+        return c
+
+
+def _stats(mins, maxs, nulls, n):
+    return json.dumps({
+        "numRecords": n, "minValues": mins, "maxValues": maxs,
+        "nullCount": nulls,
+    })
+
+
+class TestNaNFractionalPruning:
+    SCHEMA = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("f", T.FloatType()),
+        T.StructField("k", T.LongType()),
+    ])
+
+    def _snap(self):
+        # One file whose footer-style stats say x is the constant 5.0 —
+        # but (as with any parquet footer) a NaN row would be invisible
+        # to min/max, so no fractional != / > / >= may prune it.
+        files = {
+            "const": {"stats": _stats(
+                {"x": 5.0, "f": 5.0, "k": 5}, {"x": 5.0, "f": 5.0, "k": 5},
+                {"x": 0, "f": 0, "k": 0}, 3,
+            )},
+        }
+        return _FakeSnap(files, self.SCHEMA)
+
+    @pytest.mark.parametrize("pred", [
+        "x != 5.0", "x <> 5.0", "x > 9.0", "x >= 9.0",
+        "f != 5.0", "f > 9.0", "f >= 5.5",
+    ])
+    def test_fractional_ne_gt_ge_never_prune_on_file_stats(self, pred):
+        from ballista_delta_spark.sources.delta import skip_files
+
+        kept = skip_files(self._snap(), pred)
+        assert "const" in kept, pred
+
+    @pytest.mark.parametrize("pred", [
+        "x < 1.0", "x <= 1.0", "x = 9.0", "x in (1.0, 2.0)",
+    ])
+    def test_fractional_lt_le_eq_still_prune(self, pred):
+        # NaN never satisfies < / <= / = / IN for a non-NaN literal, so
+        # these stay judgeable — the fix must not widen them.
+        from ballista_delta_spark.sources.delta import skip_files
+
+        kept = skip_files(self._snap(), pred)
+        assert "const" not in kept, pred
+
+    @pytest.mark.parametrize("pred", ["k != 5", "k > 9", "k >= 9"])
+    def test_integer_columns_keep_judging(self, pred):
+        from ballista_delta_spark.sources.delta import skip_files
+
+        kept = skip_files(self._snap(), pred)
+        assert "const" not in kept, pred
+
+    def test_fractional_partition_values_stay_judgeable(self):
+        # Partition values carry the exact value (no NaN blindness), so
+        # x > / != on a PARTITION double still prunes.
+        from ballista_delta_spark.sources.delta import skip_files
+
+        schema = T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("k", T.LongType()),
+        ])
+        files = {
+            "p5": {"partitionValues": {"x": "5.0"}, "stats": _stats(
+                {"k": 1}, {"k": 9}, {"k": 0}, 3)},
+        }
+        snap = _FakeSnap(files, schema, part_cols=["x"])
+        assert "p5" not in skip_files(snap, "x > 9.0")
+        assert "p5" not in skip_files(snap, "x != 5.0")
+        assert "p5" in skip_files(snap, "x > 1.0")
+
+
+def _write_docs(tmp_path, docs):
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": range(len(docs)),
+        "text": docs,
+        "lang": ["en"] * len(docs),
+        "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t in docs],
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+class TestBpeMergeStepGuards:
+    def test_single_symbol_corpus_returns_empty(self, spark, tmp_path):
+        from ballista_delta_spark.queries.text import text_bpe_merge_step
+
+        d = _write_docs(tmp_path, ["a b c", "a a b"])
+        out = text_bpe_merge_step(spark, d)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "merged_pair", "pair", "cnt", "rnk",
+        ]
+
+    def test_empty_corpus_returns_empty(self, spark, tmp_path):
+        from ballista_delta_spark.queries.text import text_bpe_merge_step
+
+        d = _write_docs(tmp_path, [])
+        assert text_bpe_merge_step(spark, d).count() == 0
+
+    def test_backslash_pair_merges_literally(self, spark, tmp_path):
+        from ballista_delta_spark.queries.text import text_bpe_merge_step
+
+        # Every word is three backslashes: segmentation '\ \ \', the only
+        # (and winning) pair is '\ \'; a left-to-right non-overlapping
+        # literal replace yields '\\ \' whose single remaining pair is
+        # ('\\', '\'). The old spliced form re-lexed the backslashes.
+        d = _write_docs(tmp_path, ["\\\\\\"] * 4)
+        rows = text_bpe_merge_step(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["merged_pair"] == "\\ \\"
+        assert r["pair"] == "\\\\ \\"
+        assert r["cnt"] == 4 and r["rnk"] == 1
+
+    def test_quote_pair_still_merges(self, spark, tmp_path):
+        from ballista_delta_spark.queries.text import text_bpe_merge_step
+
+        # The case the old escaping DID handle — keep it working.
+        d = _write_docs(tmp_path, ["'''"] * 4)
+        rows = text_bpe_merge_step(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0]["merged_pair"] == "' '"
+        assert rows[0]["pair"] == "'' '"
