@@ -18,32 +18,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checks the FIRST ~50 ids of this dict, so ordering is a coverage decision,
 # not cosmetics.
 #
-# Round-13 window (VERDICT r12 #1 + #5), drawn by ROTATION.md's standing
-# oldest-judged-first policy: the 2 NEW r13 registrations lead (new ids
-# jump the queue — never-judged debt is never re-created), then the 30
-# r7-green ids (oldest rows in the union of CORRECTNESS_r*), then the 18
-# oldest r8-green ids in registration order — the draft's r8 tail
-# (fn_struct_map, tf_generate_series) displaced by the two new ids, per
-# the draft's own displacement rule. No streaming ids fall in this
-# window, so no truncation-buffer tail is needed. After this window
-# lands green the oldest driver-green row is r8.
+# Round-14 window (VERDICT r13 #1 + #2), exactly ROTATION.md's committed
+# r14 draft with its displacement rule applied: the 2 NEW r14
+# registrations lead (new ids jump the queue — never-judged debt is
+# never re-created), then the 29 r8-green non-streaming ids (the oldest
+# rows in the union of CORRECTNESS_r*, led by the pair the r13 window
+# displaced), then the oldest r9-green scans/sinks block with its OWN
+# tail (sink_delta_widen, sink_delta_variant) displaced by the two new
+# ids, and the three r8 streaming ids last as the truncation buffer.
+# After this window lands green the oldest driver-green row is r9.
 ROTATION: tuple[str, ...] = (
-    # -- new r13 registrations, judged in their landing round
-    "dedup_url_canonical", "text_bpe_merge_step",
-    # -- the 30 r7-green ids (ROTATION.md r13 draft)
-    "limit_offset", "topk", "set_union_all", "set_union", "set_intersect",
-    "set_except", "agg_count", "agg_distinct", "agg_having", "agg_stats",
-    "agg_median", "agg_approx_percentile", "agg_approx_distinct",
-    "agg_array_agg", "agg_first_last", "win_lag_lead", "fn_interval",
-    "fn_union_misc", "fn_json", "pandas_udf_grouped_agg",
-    "udf_apply_in_pandas", "emb_normalize", "emb_quantize_int8",
-    "text_pii_redact", "text_gopher_quality", "text_bigram_topk",
-    "doc_chunk", "text_tfidf_topk", "corpus_mix", "seq_pack",
-    # -- the 18 oldest r8-green ids (registration order)
-    "meta_describe_detail", "join_salted", "agg_bool", "agg_rollup",
-    "agg_pivot", "agg_unpivot", "win_rank", "win_ntile", "win_value",
-    "win_agg_frame", "fn_string", "fn_regex", "fn_math", "fn_datetime",
-    "fn_conditional", "fn_hash_enc", "fn_array", "fn_unnest",
+    # -- new r14 registrations, judged in their landing round
+    "fn_url_parse", "events_holt_level_step",
+    # -- the 29 r8-green non-streaming ids (ROTATION.md r14 draft order)
+    "fn_struct_map", "tf_generate_series", "subq_scalar", "subq_in_exists",
+    "cte", "derived_table", "udf_python", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_clusters", "sim_cosine_topk",
+    "sim_lsh_bucketed", "sim_ivf_topk", "emb_project", "text_token_count",
+    "text_quality", "text_lang_id", "text_fingerprint", "text_repetition",
+    "text_decontaminate", "events_sessionize", "text_unigram_logprob",
+    "mm_binary_features", "mm_resize_pool", "sample_stratified",
+    "sample_train_test_split",
+    # -- the 16 oldest r9-green scans/sinks (registration order, tail
+    #    pair displaced by the new ids)
+    "scan_delta_register", "scan_delta_ddl", "scan_delta_partitioned",
+    "scan_parquet", "scan_csv_json", "scan_orc", "scan_s3", "scan_http",
+    "meta_information_schema", "meta_describe_columns", "sink_delta_insert",
+    "sink_delta_write_local", "sink_delta_delete", "sink_delta_update",
+    "sink_delta_merge", "sink_delta_merge_conditional",
+    # -- r8 streaming ids, last inside the window (truncation buffer)
+    "stream_tumbling_agg", "stream_session_window",
+    "stream_stateful_user_stats",
 )
 
 

@@ -669,3 +669,91 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_oob_index"),
     )
+
+
+# --- F12 fn_url_parse: the parse_url / try_parse_url extraction family
+# (PROTOCOL, HOST, PATH, QUERY, REF, FILE, and single query-param pulls),
+# completing the URL surface dedup_url_canonical opened. URLs are
+# synthesized deterministically from documents with a malformed arm
+# (doc_id % 11 = 0) so try_parse_url's NULL-on-unparseable semantics are
+# exercised, not just the happy path. DuckDB 1.0 has no parse_url, so
+# the oracle emulates each part with the regexes java.net.URI implies on
+# this synth domain (no percent-escapes, no ports, no userinfo); the
+# malformed arm NULLs every part on both sides. Scale: one narrow
+# codegen'd projection — zero exchanges, no UDFs (reference parity:
+# DataFusion exposes no URL family; this is Spark-native surface).
+@_q(
+    "fn_url_parse",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                  ELSE 'HTTPS://'
+                    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0 THEN 'Img.' ELSE '' END
+                    || source
+                    || CASE WHEN doc_id % 7 < 2 THEN '.CO.UK' ELSE '.COM' END
+                    || '/Path/' || CAST(doc_id % 40 AS VARCHAR)
+                    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0 THEN
+                           '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2'
+                         WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=xyz'
+                         ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url, doc_id % 11 = 0 AS bad,
+             nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+      FROM urls
+    )
+    SELECT doc_id, url,
+           CASE WHEN bad THEN NULL
+                ELSE regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+           END AS proto,
+           CASE WHEN bad THEN NULL
+                ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+           END AS host,
+           CASE WHEN bad THEN NULL
+                ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           END AS path,
+           CASE WHEN bad THEN NULL ELSE q END AS query,
+           CASE WHEN bad THEN NULL
+                ELSE nullif(regexp_extract(url, '#(.*)$', 1), '')
+           END AS ref,
+           CASE WHEN bad THEN NULL
+                ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+           END AS file,
+           CASE WHEN bad OR q IS NULL
+                     OR NOT regexp_matches(q, '(^|&)a=') THEN NULL
+                ELSE regexp_extract(q, '(^|&)a=([^&]*)', 2)
+           END AS q_a,
+           CASE WHEN bad OR q IS NULL
+                     OR NOT regexp_matches(q, '(^|&)ref=') THEN NULL
+                ELSE regexp_extract(q, '(^|&)ref=([^&]*)', 2)
+           END AS q_ref
+    FROM parts
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _URL_SYNTH_SQL
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 11 = 0"
+        " THEN 'not a url ' || CAST(doc_id AS STRING)"
+        f" ELSE {_URL_SYNTH_SQL} END AS url",
+    )
+    return d.selectExpr(
+        "doc_id",
+        "url",
+        "try_parse_url(url, 'PROTOCOL') AS proto",
+        "try_parse_url(url, 'HOST') AS host",
+        "try_parse_url(url, 'PATH') AS path",
+        "try_parse_url(url, 'QUERY') AS query",
+        "try_parse_url(url, 'REF') AS ref",
+        "try_parse_url(url, 'FILE') AS file",
+        "try_parse_url(url, 'QUERY', 'a') AS q_a",
+        "try_parse_url(url, 'QUERY', 'ref') AS q_ref",
+    )

@@ -3549,3 +3549,153 @@ def events_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") + 0.0).alias("cusum_stat"),
         (F.col("s") > 4 * F.col("sigma")).alias("drift_alert"),
     )
+
+
+# ---------------------------------------------------- events_holt_level_step
+# One Holt / double-exponential smoothing update over the daily grid —
+# the forecasting twin of events_ewma_chart (level only) and
+# events_cusum_alert (drift): per event_type, from the no-peek init
+# (level₀ = y₀, trend₀ = 0), process day t=1:
+#
+#   level₁ = α·y₁ + (1-α)·(level₀ + trend₀)
+#   trend₁ = β·(level₁ - level₀) + (1-β)·trend₀
+#   forecast(t=2) = level₁ + trend₁,  one-step error = y₁ - (level₀+trend₀)
+#
+# (The textbook init trend₀ = y₁ - y₀ makes the first update collapse to
+# level₁ = y₁ identically — a test that can't fail; the no-peek init
+# keeps α and β live in the output.) ``holt_smooth`` below iterates this
+# update across the whole grid with the state fed back by the driver —
+# the emb_kmeans_step / bpe_train iterate-with-driver-feedback contract.
+#
+# Scale shape: ONE exchange folds the fact table to the daily grid with
+# map-side partial aggregation (the EWMA lesson: day means accumulate as
+# rounded DECIMALs so the sum is partitioning-order-proof); everything
+# after runs at event_type grain (a handful of rows) — conditional
+# aggregation picks y₀/y₁ without a second shuffle, and the update
+# itself is pure codegen'd double arithmetic, written in one fixed
+# expression order so both engines evaluate identical IEEE doubles.
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.2
+
+
+@_q(
+    "events_holt_level_step",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS v
+      FROM events GROUP BY event_type, d),
+    idx AS (
+      SELECT event_type, d, v,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - 1 AS INTEGER) AS t
+      FROM daily),
+    grid AS (
+      SELECT event_type,
+             max(CASE WHEN t = 0 THEN v END) AS y0,
+             max(CASE WHEN t = 1 THEN v END) AS y1,
+             max(CASE WHEN t = 1 THEN d END) AS day
+      FROM idx WHERE t <= 1 GROUP BY event_type),
+    step AS (
+      SELECT event_type, day, y0, y1,
+             {_HOLT_ALPHA} * y1 + (1 - {_HOLT_ALPHA}) * y0 AS level,
+             y1 - y0 AS one_step_err
+      FROM grid)
+    SELECT event_type, day, y1 AS day_mean, level,
+           {_HOLT_BETA} * (level - y0) AS trend,
+           level + {_HOLT_BETA} * (level - y0) AS forecast_next,
+           one_step_err
+    FROM step
+    """,
+)
+def events_holt_level_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.expr(
+                "CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)"
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn("t", (F.row_number().over(wt) - 1).cast("int"))
+    grid = (
+        idx.filter(F.col("t") <= 1)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("t") == 0, F.col("v"))).alias("y0"),
+            F.max(F.when(F.col("t") == 1, F.col("v"))).alias("y1"),
+            F.max(F.when(F.col("t") == 1, F.col("d"))).alias("day"),
+        )
+    )
+    a, b = F.lit(_HOLT_ALPHA), F.lit(_HOLT_BETA)
+    level = a * F.col("y1") + (F.lit(1) - a) * F.col("y0")
+    step = grid.select(
+        "event_type", "day", "y0",
+        F.col("y1").alias("day_mean"),
+        level.alias("level"),
+        (F.col("y1") - F.col("y0")).alias("one_step_err"),
+    )
+    trend = b * (F.col("level") - F.col("y0"))
+    return step.select(
+        "event_type", "day", "day_mean", "level",
+        trend.alias("trend"),
+        (F.col("level") + trend).alias("forecast_next"),
+        "one_step_err",
+    )
+
+
+def holt_smooth(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = _HOLT_ALPHA,
+    beta: float = _HOLT_BETA,
+) -> DataFrame:
+    """Full Holt pass over the daily grid: iterate the
+    ``events_holt_level_step`` update across every day with the state
+    (level, trend) per event_type fed back by the driver each iteration
+    — the emb_kmeans_step / bpe_train contract. Returns the final state
+    plus the h=1 forecast per event_type.
+
+    Per iteration the cluster does NOTHING (the grid was collected once
+    — it is days × event_types, metadata-sized at any corpus scale; the
+    100 TB fact table is touched exactly once, by the daily fold). The
+    loop is therefore pure driver arithmetic over the collected grid —
+    shipping each scalar update back to the cluster would serialize a
+    Spark job per day for no data-parallel work. Pinned against a
+    pure-Python reference in tests/test_round14_fixes.py.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))"
+                    " AS DOUBLE)"
+                )
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["v"]))
+    out = []
+    for et, pts in sorted(series.items()):
+        level, trend = pts[0][1], 0.0
+        for _, y in pts[1:]:
+            prev = level
+            level = alpha * y + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        out.append((et, pts[-1][0], level, trend, level + trend))
+    return spark.createDataFrame(
+        out,
+        "event_type string, last_day date, level double, trend double,"
+        " forecast_next double",
+    )

@@ -159,3 +159,108 @@ class TestBpeMergeStepGuards:
         assert len(rows) == 1
         assert rows[0]["merged_pair"] == "' '"
         assert rows[0]["pair"] == "'' '"
+
+
+class TestFnUrlParse:
+    def test_differential_vs_urllib(self, spark, sf_dir):
+        """Spark's try_parse_url (java.net.URI) vs urllib.parse.urlsplit
+        on every synthesized URL at sf0.001 — same independent-oracle
+        method as the r13 canonicalizer differential."""
+        from urllib.parse import parse_qs, urlsplit
+
+        from ballista_delta_spark.queries.functions_q import fn_url_parse
+
+        rows = fn_url_parse(spark, sf_dir).collect()
+        assert rows
+        saw_bad = saw_query = saw_ref = False
+        for r in rows:
+            if r["doc_id"] % 11 == 0:
+                saw_bad = True
+                assert r["proto"] is None and r["host"] is None
+                assert r["path"] is None and r["query"] is None
+                continue
+            sp = urlsplit(r["url"])
+            assert r["proto"].lower() == sp.scheme.lower()
+            assert r["host"] == sp.netloc
+            assert r["path"] == sp.path
+            assert r["query"] == (sp.query or None)
+            assert r["ref"] == (sp.fragment or None)
+            qs = parse_qs(sp.query, keep_blank_values=True)
+            assert r["q_a"] == (qs.get("a", [None])[0])
+            assert r["q_ref"] == (qs.get("ref", [None])[0])
+            saw_query = saw_query or r["query"] is not None
+            saw_ref = saw_ref or r["ref"] is not None
+        assert saw_bad and saw_query and saw_ref
+
+
+def _write_events(tmp_path, rows):
+    import datetime as dt
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=1)
+               for day, _, _ in rows],
+        "user_id": [1] * len(rows),
+        "event_type": [et for _, et, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+class TestHoltLevelStep:
+    def test_step_matches_hand_computed(self, spark, tmp_path):
+        from ballista_delta_spark.queries.pipeline import (
+            _HOLT_ALPHA, _HOLT_BETA, events_holt_level_step,
+        )
+
+        # two event types; day means: a -> [10.0, 16.0], b -> [4.0, 3.0]
+        rows = [
+            (0, "a", 8.0), (0, "a", 12.0), (1, "a", 16.0),
+            (0, "b", 4.0), (1, "b", 2.0), (1, "b", 4.0),
+        ]
+        d = _write_events(tmp_path, rows)
+        got = {r["event_type"]: r
+               for r in events_holt_level_step(spark, d).collect()}
+        for et, y0, y1 in [("a", 10.0, 16.0), ("b", 4.0, 3.0)]:
+            r = got[et]
+            level = _HOLT_ALPHA * y1 + (1 - _HOLT_ALPHA) * y0
+            trend = _HOLT_BETA * (level - y0)
+            assert r["day_mean"] == y1
+            assert abs(r["level"] - level) < 1e-12
+            assert abs(r["trend"] - trend) < 1e-12
+            assert abs(r["forecast_next"] - (level + trend)) < 1e-12
+            assert abs(r["one_step_err"] - (y1 - y0)) < 1e-12
+
+    def test_single_day_type_yields_nulls(self, spark, tmp_path):
+        from ballista_delta_spark.queries.pipeline import (
+            events_holt_level_step,
+        )
+
+        d = _write_events(tmp_path, [(0, "solo", 5.0)])
+        r = events_holt_level_step(spark, d).collect()[0]
+        assert r["day_mean"] is None and r["level"] is None
+
+    def test_holt_smooth_matches_reference_recursion(self, spark, tmp_path):
+        from ballista_delta_spark.queries.pipeline import holt_smooth
+
+        series = {"a": [10.0, 16.0, 12.0, 20.0, 18.0],
+                  "b": [4.0, 3.0, 5.0]}
+        rows = [
+            (day, et, v)
+            for et, ys in series.items()
+            for day, v in enumerate(ys)
+        ]
+        d = _write_events(tmp_path, rows)
+        got = {r["event_type"]: r for r in holt_smooth(spark, d).collect()}
+        for et, ys in series.items():
+            level, trend = ys[0], 0.0
+            for y in ys[1:]:
+                prev = level
+                level = 0.3 * y + 0.7 * (level + trend)
+                trend = 0.2 * (level - prev) + 0.8 * trend
+            assert abs(got[et]["level"] - level) < 1e-12, et
+            assert abs(got[et]["trend"] - trend) < 1e-12, et
+            assert abs(got[et]["forecast_next"] - (level + trend)) < 1e-12

@@ -1815,3 +1815,35 @@ def test_text_bpe_merge_step_is_vocab_grain_join_free(spark, sf_dir):
     assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
         range(1, len(rows) + 1)
     )
+
+
+def test_fn_url_parse_is_single_narrow_pass(spark, sf_dir):
+    """URL extraction scale contract: one codegen'd projection over a
+    scan PRUNED to doc_id + source (never the document text), zero
+    exchanges, zero joins, no Python anywhere."""
+    from ballista_delta_spark.queries.functions_q import fn_url_parse
+
+    plan = _physical_plan(fn_url_parse(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "text" not in plan and "n_chars" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_events_holt_level_step_single_fact_exchange(spark, sf_dir):
+    """Holt step scale contract: the fact table is read once and folds
+    to the daily grid in ONE map-side-partial exchange; the state pick
+    (y0/y1 via conditional agg) and the update run at event_type grain
+    — the only other exchange is the tiny grid's window/agg pair. No
+    join, no Python."""
+    from ballista_delta_spark.queries.pipeline import events_holt_level_step
+
+    plan = _physical_plan(events_holt_level_step(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # daily fold + grid window + event_type agg: tiny-side exchanges are
+    # grid-sized, the fact contributes exactly one
+    assert plan.count("Exchange") <= 3, plan
+    assert "partial_" in plan.lower() or "partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
