@@ -627,7 +627,7 @@ def fsck_repair(
             }
         })
     out["version"] = _try_commit(
-        path, actions, [], enable_ict=ict_enabled(snap)
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
     )
     return out
 
@@ -3315,11 +3315,11 @@ def write_delta(
     blind = (
         mode == "append" and exists and txn_app is None
         # rider actions (e.g. a domainMetadata ledger) may conflict with
-        # a racing writer's rider on the same domain — never rebase them
+        # a racing writer's rider on the same domain — never rebase them.
+        # (Row tracking's delta.rowTracking domain is NOT a rider: the
+        # retry loop reallocates fresh ids above every winner's claims,
+        # so row-tracked appends rebase like delta-spark's.)
         and not extra_actions
-        # row tracking allocates ids from the snapshot's high-water mark;
-        # a rebase over a concurrent allocator would collide — no rebase.
-        and not _row_tracking_enabled(prev)
         and not any("metaData" in a or "protocol" in a for a in actions)
     )
     version = _try_commit(
@@ -3832,27 +3832,36 @@ def _try_commit(
         )
     max_retries = 20
     dcv_touched: set[int] = set()
+    brid_touched: set[int] = set()
+    # Floor for fresh row-id allocation, raised by every winning commit's
+    # claims during a rebase: re-committing ids computed from the stale
+    # snapshot would hand two files the same row ids.
+    hwm_floor = -1
     for _attempt in range(max_retries + 1):
         if _row_tracking_enabled(snap):
             # Row tracking (writer feature): every NEW add gets fresh row
             # ids (baseRowId .. baseRowId + numRecords - 1) and the commit
             # version as defaultRowCommitVersion; the high-water mark
             # advances in the same commit's delta.rowTracking domain.
-            # Re-run per retry attempt: a rebase shifts the version.
-            hwm = int(json.loads(
+            # Re-run per retry attempt: a rebase shifts the version AND
+            # (brid_touched) reallocates OUR fresh ids above the winners'
+            # high-water mark — a re-add carrying its original ids keeps
+            # them (row-version stability for unmodified rows).
+            hwm = max(int(json.loads(
                 snap.domain_metadata.get("delta.rowTracking") or "{}"
-            ).get("rowIdHighWaterMark", -1))
+            ).get("rowIdHighWaterMark", -1)), hwm_floor)
             assigned = False
             for act in actions:
                 add = act.get("add")
                 if add is None:
                     continue
-                if add.get("baseRowId") is None:
+                if add.get("baseRowId") is None or id(add) in brid_touched:
                     n = int(json.loads(
                         add.get("stats") or "{}"
                     ).get("numRecords") or 0)
                     add["baseRowId"] = hwm + 1
                     hwm += max(n, 1)
+                    brid_touched.add(id(add))
                     assigned = True
                 # Fresh adds get THIS commit's version; a RE-ADD of an
                 # existing file (DV mark, backfill replay) keeps its
@@ -3938,6 +3947,45 @@ def _try_commit(
                     else f" ({op_kind} does not rebase)"
                 )
             )
+        if _row_tracking_enabled(snap):
+            # Raise the allocation floor past every row-id claim in the
+            # winning commits (their adds' ranges AND their domain's
+            # high-water mark) so the retry's fresh ids can't collide. An
+            # unreadable winner means row-id safety can't be proven —
+            # conflict, don't guess.
+            try:
+                for v_won in range(version, next_free):
+                    with open(_version_file(log, v_won)) as fh:
+                        for line in fh:
+                            if not line.strip():
+                                continue
+                            act_w = json.loads(line)
+                            dm = act_w.get("domainMetadata")
+                            if (
+                                dm
+                                and dm.get("domain") == "delta.rowTracking"
+                                and not dm.get("removed")
+                            ):
+                                hwm_floor = max(hwm_floor, int(json.loads(
+                                    dm.get("configuration") or "{}"
+                                ).get("rowIdHighWaterMark", -1)))
+                            add_w = act_w.get("add")
+                            if add_w and add_w.get("baseRowId") is not None:
+                                n_w = int(json.loads(
+                                    add_w.get("stats") or "{}"
+                                ).get("numRecords") or 0)
+                                hwm_floor = max(
+                                    hwm_floor,
+                                    int(add_w["baseRowId"])
+                                    + max(n_w, 1) - 1,
+                                )
+            except (OSError, ValueError, KeyError):
+                _reclaim_staged()
+                raise ConcurrentWriteException(
+                    f"concurrent commit at version {version}: winning "
+                    "commit unreadable while re-deriving the row-id "
+                    "high-water mark"
+                )
         version = next_free
     _reclaim_staged()
     raise ConcurrentWriteException(
@@ -4170,7 +4218,9 @@ def alter_constraints(
             snap, min_writer=3, writer_feature="checkConstraints"
         ))
     actions.append({"metaData": md})
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
+    )
 
 
 def alter_properties(
@@ -4338,7 +4388,11 @@ def alter_properties(
     # rowTracking table); the ids themselves were assigned above.
     version = _try_commit(
         path, actions, [], enable_ict=ict_enabled(snap),
-        snap=psnap if enabling_row_tracking else None,
+        # Always anchor on the snapshot this ALTER read: without it a
+        # commit landing in the staging window is silently clobbered
+        # (last-writer-wins on the whole metaData) instead of raising
+        # ConcurrentWriteException (r14 review).
+        snap=psnap if enabling_row_tracking else snap,
     )
     if (
         cfg.get(
@@ -4543,7 +4597,9 @@ def alter_columns(
         }
     })
     actions.append({"metaData": md})
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
+    )
 
 
 # Lossless widenings per the Delta typeWidening feature spec: integer
@@ -4765,7 +4821,9 @@ def alter_column_default(
         }
     })
     actions.append({"metaData": md})
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
+    )
 
 
 def clustering_columns(snap: "Snapshot") -> list[str]:
@@ -4857,7 +4915,9 @@ def cluster_by(path: str, columns: list[str] | None) -> int:
         }
     })
     actions.append({"domainMetadata": dm})
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
+    )
 
 
 def drop_feature(
@@ -5001,7 +5061,9 @@ def drop_feature(
         },
         {"protocol": pr},
     ]
-    return _try_commit(path, actions, [], enable_ict=ict_enabled(snap))
+    return _try_commit(
+        path, actions, [], enable_ict=ict_enabled(snap), snap=snap
+    )
 
 
 def _distributed_copy(spark: SparkSession, pairs: list[tuple[str, str]]) -> None:
@@ -5785,7 +5847,9 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
         })
     actions += removes
     actions += re_adds
-    committed = _try_commit(path, actions, [], enable_ict=ict_enabled(current))
+    committed = _try_commit(
+        path, actions, [], enable_ict=ict_enabled(current), snap=current
+    )
     return {"version": committed, **metrics}
 
 

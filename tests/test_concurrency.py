@@ -353,3 +353,83 @@ def test_concurrent_deletes_do_not_resurrect_rows(spark, tmp_path):
     # winner's delete intact, loser left no trace
     ids = sorted(r.id for r in read_delta(spark, tbl2).collect())
     assert ids == [0] + list(range(2, 10))
+
+
+def test_rebased_append_allocates_fresh_row_ids(spark, tmp_path, monkeypatch):
+    """Row-tracking rebase soundness (r14 review): a blind append that
+    loses the race to ANOTHER row-tracked append must reassign its
+    baseRowIds above the winner's high-water mark — re-committing the
+    ids computed from the stale snapshot would hand two different files
+    the same fresh row ids (the spec's one uniqueness invariant)."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot, alter_properties,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id", "id * 2 AS v"), p)
+    alter_properties(spark, p, {"delta.enableRowTracking": "true"})
+    snap0 = _load_snapshot(p)
+    hwm0 = json.loads(snap0.domain_metadata["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ]
+    assert hwm0 == 9
+
+    # the winner: a concurrent row-tracked append claiming ids 10..14
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        {"add": {
+            "path": "winner.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({"numRecords": 5}),
+            "baseRowId": hwm0 + 1, "defaultRowCommitVersion": 2,
+        }},
+        {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm0 + 5}),
+            "removed": False,
+        }},
+    ])
+    write_delta(
+        spark.range(100, 107).selectExpr("id", "id * 2 AS v"), p,
+        mode="append",
+    )
+    snap = _load_snapshot(p)
+    spans = []
+    for a in snap.files.values():
+        n = json.loads(a.get("stats") or "{}").get("numRecords") or 1
+        assert a.get("baseRowId") is not None
+        spans.append((int(a["baseRowId"]), int(a["baseRowId"]) + int(n) - 1))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"row-id ranges overlap: {spans}"
+    hwm = json.loads(snap.domain_metadata["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ]
+    assert hwm == max(hi for _lo, hi in spans)
+    assert hwm >= hwm0 + 5 + 7  # winner's 5 rows + our 7, no reuse
+
+
+def test_metadata_ops_fail_closed_on_staging_window_race(
+    spark, tbl, monkeypatch
+):
+    """r14 review: metadata ops (ALTER ... PROPERTIES / CONSTRAINTS)
+    must anchor on the snapshot they READ — a commit landing in their
+    staging window previously got silently clobbered (the re-emitted
+    metaData is last-writer-wins), now it raises."""
+    from ballista_delta_spark.sources.delta import (
+        alter_constraints, alter_properties,
+    )
+
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        _reuse_v0_add(tbl),
+    ])
+    with pytest.raises(ConcurrentWriteException):
+        alter_properties(spark, tbl, {"delta.appendOnly": "false"})
+
+    _inject_winner(monkeypatch, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        _reuse_v0_add(tbl),
+    ])
+    with pytest.raises(ConcurrentWriteException):
+        alter_constraints(spark, tbl, add={"c_pos": "id > 0"})
