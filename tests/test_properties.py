@@ -2024,7 +2024,17 @@ class TestLogReplayDifferentialFuzz:
     def _ts(v):
         return 1_600_000_000_000 + v * 1000
 
-    def _commit_lines(self, v, ops, policy):
+    def _meta(self, conf):
+        return {"metaData": {
+            "id": "fuzz-table", "format": {
+                "provider": "parquet", "options": {},
+            },
+            "schemaString": self._SCHEMA_STR,
+            "partitionColumns": [], "configuration": dict(conf),
+            "createdTime": self._ts(0),
+        }}
+
+    def _commit_lines(self, v, ops, policy, conf):
         import json as _json
 
         lines = [_json.dumps({"commitInfo": {"timestamp": self._ts(v)}})]
@@ -2035,30 +2045,50 @@ class TestLogReplayDifferentialFuzz:
                     "readerFeatures": ["v2Checkpoint"],
                     "writerFeatures": ["v2Checkpoint"],
                 }
-                conf = {"delta.checkpointPolicy": "v2"}
             else:
                 proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-                conf = {}
             lines.append(_json.dumps({"protocol": proto}))
-            lines.append(_json.dumps({"metaData": {
-                "id": "fuzz-table", "format": {
-                    "provider": "parquet", "options": {},
-                },
-                "schemaString": self._SCHEMA_STR,
-                "partitionColumns": [], "configuration": conf,
-                "createdTime": self._ts(0),
-            }}))
-        for kind, fid in ops:
-            p = f"part-{fid:05d}.parquet"
+            lines.append(_json.dumps(self._meta(conf)))
+        for kind, arg in ops:
+            if kind in ("add", "remove", "dv"):
+                p = f"part-{arg:05d}.parquet"
             if kind == "add":
                 lines.append(_json.dumps({"add": {
-                    "path": p, "partitionValues": {}, "size": 100 + fid,
+                    "path": p, "partitionValues": {}, "size": 100 + arg,
                     "modificationTime": self._ts(v), "dataChange": True,
                 }}))
-            else:
+            elif kind == "remove":
                 lines.append(_json.dumps({"remove": {
                     "path": p, "deletionTimestamp": self._ts(v),
                     "dataChange": True,
+                }}))
+            elif kind == "dv":
+                # re-add of a LIVE file with an inline deletion vector —
+                # a checkpoint/compaction that drops the descriptor
+                # resurrects the deleted rows (the _ckpt_add_row class)
+                lines.append(_json.dumps({"add": {
+                    "path": p, "partitionValues": {}, "size": 100 + arg,
+                    "modificationTime": self._ts(v), "dataChange": False,
+                    "deletionVector": {
+                        "storageType": "i",
+                        "pathOrInlineDv": f"inline{v}",
+                        "offset": 0, "sizeInBytes": 8,
+                        "cardinality": 1 + (v % 3),
+                    },
+                }}))
+            elif kind == "conf":
+                lines.append(_json.dumps(self._meta(arg)))
+            elif kind == "domain":
+                name, removed = arg
+                lines.append(_json.dumps({"domainMetadata": {
+                    "domain": name,
+                    "configuration": _json.dumps({"at": v}),
+                    "removed": removed,
+                }}))
+            elif kind == "txn":
+                lines.append(_json.dumps({"txn": {
+                    "appId": arg, "version": v,
+                    "lastUpdated": self._ts(v),
                 }}))
         return lines
 
@@ -2081,11 +2111,38 @@ class TestLogReplayDifferentialFuzz:
         )
         n_commits = data.draw(st.integers(2, 8), label="n_commits")
 
-        live: dict[str, int] = {}
-        model: list[dict[str, int]] = []
+        base_conf = (
+            {"delta.checkpointPolicy": "v2"} if policy == "v2" else {}
+        )
+        live: dict[str, tuple[int, int | None]] = {}
+        conf: dict[str, str] = dict(base_conf)
+        domains: dict[str, str] = {}
+        txns: dict[str, int] = {}
+        model: list[dict] = []
         next_fid = 0
         cleaned = False
         checkpointed_at: list[int] = []
+
+        def snap_state(snap):
+            import json as _json2
+
+            return {
+                "files": {
+                    p: (
+                        a.get("size"),
+                        (a.get("deletionVector") or {}).get("cardinality")
+                        if a.get("deletionVector") else None,
+                    )
+                    for p, a in snap.files.items()
+                },
+                "conf": dict(snap.configuration),
+                "domains": {
+                    d: _json2.loads(c)["at"]
+                    for d, c in snap.domain_metadata.items()
+                    if d.startswith("fuzz.")
+                },
+                "txns": dict(snap.app_transactions),
+            }
 
         def check_all():
             # soundness on every version + availability per the rules
@@ -2099,38 +2156,73 @@ class TestLogReplayDifferentialFuzz:
                         and not os.path.exists(D._version_file(log, v))
                     ), f"v{v} must load (no log file was ever deleted)"
                     continue
-                got = {
-                    p: a.get("size") for p, a in snap.files.items()
-                }
+                got = snap_state(snap)
                 assert got == want, (
-                    f"REPLAY DIVERGED at v{v}: got {sorted(got)} "
-                    f"want {sorted(want)}"
+                    f"REPLAY DIVERGED at v{v}:\ngot  {got}\nwant {want}"
                 )
             latest = D._load_snapshot(tbl)
             assert latest.version == len(model) - 1
-            assert {
-                p: a.get("size") for p, a in latest.files.items()
-            } == model[-1]
+            assert snap_state(latest) == model[-1]
+
+        def record():
+            model.append({
+                "files": dict(live), "conf": dict(conf),
+                "domains": dict(domains), "txns": dict(txns),
+            })
 
         for v in range(n_commits):
             ops = []
             n_ops = data.draw(st.integers(1, 3), label=f"nops{v}")
             for _ in range(n_ops):
-                if live and data.draw(st.booleans(), label=f"rm{v}"):
+                kind = data.draw(st.sampled_from(
+                    ["add", "add", "add", "remove", "dv", "conf",
+                     "domain", "txn"]
+                ), label=f"kind{v}")
+                if kind == "remove" and live:
                     victim = data.draw(
                         st.sampled_from(sorted(live)), label=f"vic{v}"
                     )
                     ops.append(("remove", int(victim[5:10])))
                     del live[victim]
-                else:
+                elif kind == "dv" and live:
+                    victim = data.draw(
+                        st.sampled_from(sorted(live)), label=f"dvv{v}"
+                    )
+                    fid = int(victim[5:10])
+                    ops.append(("dv", fid))
+                    live[victim] = (100 + fid, 1 + (v % 3))
+                elif kind == "conf":
+                    conf = dict(base_conf)
+                    conf["fuzz.key"] = str(v)
+                    ops.append(("conf", dict(conf)))
+                elif kind == "domain":
+                    name = data.draw(st.sampled_from(
+                        ["fuzz.domA", "fuzz.domB"]
+                    ), label=f"dom{v}")
+                    removed = data.draw(st.booleans(), label=f"domrm{v}")
+                    ops.append(("domain", (name, removed)))
+                    if removed:
+                        domains.pop(name, None)
+                    else:
+                        domains[name] = v
+                elif kind == "txn":
+                    app = data.draw(st.sampled_from(
+                        ["appX", "appY"]
+                    ), label=f"app{v}")
+                    ops.append(("txn", app))
+                    txns[app] = v
+                else:  # add (also the remove/dv fallback on empty table)
                     ops.append(("add", next_fid))
-                    live[f"part-{next_fid:05d}.parquet"] = 100 + next_fid
+                    live[f"part-{next_fid:05d}.parquet"] = (
+                        100 + next_fid, None,
+                    )
                     next_fid += 1
             with open(D._version_file(log, v), "w") as fh:
                 fh.write(
-                    "\n".join(self._commit_lines(v, ops, policy)) + "\n"
+                    "\n".join(self._commit_lines(v, ops, policy, conf))
+                    + "\n"
                 )
-            model.append(dict(live))
+            record()
             assert D._next_version(log) == v + 1
 
             event = data.draw(st.sampled_from([
@@ -2178,8 +2270,10 @@ class TestLogReplayDifferentialFuzz:
         v = D._next_version(log)
         assert v == n_commits
         ops = [("add", next_fid)]
-        live[f"part-{next_fid:05d}.parquet"] = 100 + next_fid
+        live[f"part-{next_fid:05d}.parquet"] = (100 + next_fid, None)
         with open(D._version_file(log, v), "w") as fh:
-            fh.write("\n".join(self._commit_lines(v, ops, policy)) + "\n")
-        model.append(dict(live))
+            fh.write(
+                "\n".join(self._commit_lines(v, ops, policy, conf)) + "\n"
+            )
+        record()
         check_all()
