@@ -597,7 +597,10 @@ def fsck_repair(
     else:
         missing = [
             rel for rel in sorted(snap.files)
-            if not os.path.exists(os.path.join(path, rel))
+            if not any(
+                os.path.exists(os.path.join(path, sp))
+                for sp in _rel_spellings(rel)
+            )
         ]
     out = {"numMissingFiles": len(missing), "missing": missing}
     if dry_run or not missing:
@@ -2046,6 +2049,25 @@ def _as_dict(v) -> dict:
     return dict(v)
 
 
+def _rel_spellings(rel: str) -> "tuple[str, ...]":
+    """Both spellings of a log-recorded relative path: as written, and
+    percent-decoded. The spec stores add/remove paths RFC 2396-encoded;
+    this engine records raw names (its own uuid names never need
+    encoding), but a FOREIGN writer's '%20' spellings point at decoded
+    on-disk names. Destructive passes (VACUUM untracked sweep, FSCK
+    missing-file detection) must treat a file as tracked/present if
+    EITHER spelling matches — guessing wrong deletes live data. The scan
+    path intentionally stays raw (a mismatched foreign table fails LOUD
+    at read, never silently); full encode-on-write/decode-on-read parity
+    is recorded in ADVICE.md for a coordinated change."""
+    if "%" not in rel:
+        return (rel,)
+    from urllib.parse import unquote
+
+    dec = unquote(rel)
+    return (rel,) if dec == rel else (rel, dec)
+
+
 def _next_version(log: str) -> int:
     """1 + the highest version ANY log artifact proves to exist —
     individual commits, compaction ranges (their END version), version
@@ -2285,7 +2307,10 @@ def _distributed_missing_files(
         for pdf in batches:
             out = [
                 rel for rel in pdf["rel"]
-                if not _os.path.exists(_os.path.join(root, rel))
+                if not any(
+                    _os.path.exists(_os.path.join(root, sp))
+                    for sp in _rel_spellings(rel)
+                )
             ]
             yield _pd.DataFrame({"rel": out})
 
@@ -5925,7 +5950,16 @@ def _bins_named_since(path: str, horizon_ts: int) -> set[str]:
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(fp) * 1000)
         if int(commit_ts) < horizon_ts:
-            break
+            # Judge every commit by its OWN timestamp instead of stopping
+            # at the first pre-horizon one: without inCommitTimestamps,
+            # plain commitInfo stamps can be skew-non-monotonic, and an
+            # early break would drop protection for an in-window DV
+            # supersession sitting below one old-stamped commit —
+            # premature bin deletion resurrects rows for in-window time
+            # travel (r14 review). Cost stays metadata-plane: the
+            # surviving JSON tail, the same set cleanup_log already walks
+            # per call.
+            continue
         for act in actions:
             a = act.get("add") or act.get("remove")
             if not a:
@@ -6091,7 +6125,11 @@ def vacuum(
         len(snap.files) + len(snap.tombstones), len(root_entries)
     )
     if spark is not None and listing_scale >= _DISTRIBUTED_LISTING_MIN_FILES:
-        tracked_rels = list(snap.files) + list(snap.tombstones)
+        tracked_rels = [
+            sp
+            for rel in list(snap.files) + list(snap.tombstones)
+            for sp in _rel_spellings(rel)
+        ]
         for rel in _distributed_untracked_listing(
             spark, path, tracked_rels, now_ms - retention_ms
         ):
@@ -6112,7 +6150,11 @@ def vacuum(
                     continue
             deleted.append(rel)
     else:
-        tracked = set(snap.files) | set(snap.tombstones)
+        tracked = {
+            sp
+            for rel in list(snap.files) + list(snap.tombstones)
+            for sp in _rel_spellings(rel)
+        }
         for walk_root, dirs, names in os.walk(path):
             rel_root = os.path.relpath(walk_root, path)
             dirs[:] = [d for d in dirs if _vacuum_keep_dir(d)]

@@ -264,3 +264,109 @@ class TestHoltLevelStep:
             assert abs(got[et]["level"] - level) < 1e-12, et
             assert abs(got[et]["trend"] - trend) < 1e-12, et
             assert abs(got[et]["forecast_next"] - (level + trend)) < 1e-12
+
+
+_MINI_SCHEMA = (
+    '{"type":"struct","fields":[{"name":"k","type":"long",'
+    '"nullable":true,"metadata":{}}]}'
+)
+
+
+def _mini_table(tmp_path, adds, name="enc"):
+    """Hand-written single-commit table (protocol 1/2, no data reads)."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = str(tmp_path / name)
+    log = os.path.join(tbl, "_delta_log")
+    os.makedirs(log)
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": 1_600_000_000_000}}),
+        json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }}),
+        json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _MINI_SCHEMA, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }}),
+    ] + [
+        json.dumps({"add": {
+            "path": p, "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True,
+        }})
+        for p in adds
+    ]
+    with open(D._version_file(log, 0), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return tbl
+
+
+class TestEncodedPathDestructiveGuards:
+    """r14 review: the spec stores add paths percent-encoded; a foreign
+    table's '%20' spelling points at a decoded on-disk name. The
+    DESTRUCTIVE passes must recognize either spelling — guessing wrong
+    removes live data (fsck drops the add; vacuum unlinks the file)."""
+
+    def test_fsck_sees_decoded_spelling_as_present(self, tmp_path):
+        from ballista_delta_spark.sources.delta import fsck_repair
+
+        tbl = _mini_table(tmp_path, ["my%20file.parquet"])
+        with open(os.path.join(tbl, "my file.parquet"), "wb") as fh:
+            fh.write(b"x")
+        out = fsck_repair(tbl, dry_run=True, spark=None)
+        assert out["numMissingFiles"] == 0, out
+
+    def test_vacuum_keeps_decoded_spelling_of_tracked_file(self, tmp_path):
+        from ballista_delta_spark.sources.delta import vacuum
+
+        tbl = _mini_table(tmp_path, ["my%20file.parquet"])
+        fp = os.path.join(tbl, "my file.parquet")
+        with open(fp, "wb") as fh:
+            fh.write(b"x")
+        os.utime(fp, (1, 1))  # ancient mtime: untracked would be swept
+        deleted = vacuum(tbl, retention_ms=0, dry_run=True, spark=None)
+        assert deleted == [], deleted
+        # control: a genuinely untracked old file IS swept
+        orphan = os.path.join(tbl, "orphan.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"x")
+        os.utime(orphan, (1, 1))
+        deleted = vacuum(tbl, retention_ms=0, dry_run=True, spark=None)
+        assert deleted == ["orphan.parquet"], deleted
+
+
+def test_bins_named_since_survives_skewed_timestamps(tmp_path):
+    """r14 review: without ICT, commitInfo stamps can be non-monotonic.
+    An in-window commit naming a DV bin must stay protected even when a
+    NEWER version carries an older (skewed) stamp — the old early-break
+    dropped everything below it."""
+    import ballista_delta_spark.sources.delta as D
+
+    tbl = _mini_table(tmp_path, ["a.parquet"])
+    log = os.path.join(tbl, "_delta_log")
+    dvd = {
+        "storageType": "u", "pathOrInlineDv": "ab" * 10,
+        "offset": 1, "sizeInBytes": 8, "cardinality": 1,
+    }
+    # v1: IN-window stamp, names the DV
+    with open(D._version_file(log, 1), "w") as fh:
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 2_000}}
+        ) + "\n" + json.dumps({"add": {
+            "path": "a.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": False,
+            "deletionVector": dvd,
+        }}) + "\n")
+    # v2: skewed OLD stamp on top of it
+    with open(D._version_file(log, 2), "w") as fh:
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 50}}
+        ) + "\n" + json.dumps({"remove": {
+            "path": "b.parquet", "deletionTimestamp": 50,
+            "dataChange": True,
+        }}) + "\n")
+    out = D._bins_named_since(tbl, horizon_ts=1_000)
+    from ballista_delta_spark.sources import dv as _dv
+
+    want = os.path.abspath(_dv.dv_file_path(tbl, dvd))
+    assert want in out, out
