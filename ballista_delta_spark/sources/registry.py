@@ -289,6 +289,15 @@ class _RangedHttpFile:
                     f"(HTTP {resp.status})"
                 )
             data = resp.read()
+        if len(data) != end - self._pos + 1:
+            # A proxy may answer 206 with a SHORTER body than the asked
+            # range and a self-consistent Content-Length — http.client
+            # then raises nothing, and pyarrow would misparse the footer
+            # or a column chunk from the truncated buffer. Fail loud.
+            raise OSError(
+                f"{self.url}: short range read "
+                f"(asked bytes={self._pos}-{end}, got {len(data)})"
+            )
         self._pos += len(data)
         return data
 

@@ -544,3 +544,42 @@ def test_remote_guard_refuses_uri_absolute_add_paths():
         )
     # relative paths pass
     _remote_delta_guards(snap({"part-0.parquet": {}}), "http")
+
+
+def test_ranged_read_raises_on_short_206_body(tmp_path):
+    """r14 hardening: a proxy answering 206 with a SHORTER body than the
+    asked range (and a self-consistent Content-Length) must fail loud —
+    pyarrow would otherwise misparse the truncated buffer."""
+    import http.server
+    import threading
+
+    import pytest as _pytest
+
+    from ballista_delta_spark.sources.registry import _RangedHttpFile
+
+    payload = b"x" * 1000
+
+    class _ShortHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            # always send only half of any asked range
+            chunk = payload[:100]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes 0-99/{len(payload)}")
+            self.send_header("Content-Length", str(len(chunk)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+            self.wfile.write(chunk)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _ShortHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        f = _RangedHttpFile(
+            f"http://127.0.0.1:{httpd.server_address[1]}/f", len(payload)
+        )
+        with _pytest.raises(OSError, match="short range read"):
+            f.read(500)
+    finally:
+        httpd.shutdown()
