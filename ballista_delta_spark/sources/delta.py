@@ -229,7 +229,7 @@ class DeltaTable:
                 df = df.join(deleted, ["__src_fp", "__src_ri"], "left_anti")
             return df
 
-        paths = [os.path.join(self.path, p) for p in snap.files]
+        paths = [_fs_join(self.path, p) for p in snap.files]
         # Absolute add paths (shallow clones) can live OUTSIDE the table
         # root, where Spark's basePath partition recovery would refuse the
         # scan — those take the partitionValues-literal union path below.
@@ -264,7 +264,7 @@ class DeltaTable:
         by_pv: dict[tuple, list[str]] = {}
         for rel, add in self.snapshot.files.items():
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
-            by_pv.setdefault(key, []).append(os.path.join(self.path, rel))
+            by_pv.setdefault(key, []).append(_fs_join(self.path, rel))
         parts = []
         ptypes = {snap.physical(f.name): f.dataType for f in snap.schema.fields}
         phys_data_schema = T.StructType([
@@ -353,7 +353,7 @@ class DeltaTable:
 
         bitmaps = [
             (
-                os.path.abspath(os.path.join(self.path, rel)),
+                os.path.abspath(_fs_join(self.path, rel)),
                 _dv.read_dv_bytes(self.path, _as_dict(a["deletionVector"])),
                 int(_as_dict(a["deletionVector"]).get("cardinality") or 0),
             )
@@ -555,7 +555,7 @@ def convert_to_delta(spark: SparkSession, path: str) -> int:
                 part_values[k] = _hive_part_value(val)
         actions.append({
             "add": {
-                "path": rel.replace(os.sep, "/"),
+                "path": _encode_rel(rel.replace(os.sep, "/")),
                 "partitionValues": part_values,
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
@@ -701,7 +701,7 @@ def _row_lineage_df(spark: SparkSession, path: str, dt: DeltaTable) -> DataFrame
     base = dt.to_df(spark, with_location=True, with_row_lineage=True)
     rows = [
         (
-            os.path.abspath(os.path.join(path, rel)),
+            os.path.abspath(_fs_join(path, rel)),
             int(a["baseRowId"]),
             int(a.get("defaultRowCommitVersion") or 0),
         )
@@ -2049,23 +2049,62 @@ def _as_dict(v) -> dict:
     return dict(v)
 
 
-def _rel_spellings(rel: str) -> "tuple[str, ...]":
-    """Both spellings of a log-recorded relative path: as written, and
-    percent-decoded. The spec stores add/remove paths RFC 2396-encoded;
-    this engine records raw names (its own uuid names never need
-    encoding), but a FOREIGN writer's '%20' spellings point at decoded
-    on-disk names. Destructive passes (VACUUM untracked sweep, FSCK
-    missing-file detection) must treat a file as tracked/present if
-    EITHER spelling matches — guessing wrong deletes live data. The scan
-    path intentionally stays raw (a mismatched foreign table fails LOUD
-    at read, never silently); full encode-on-write/decode-on-read parity
-    is recorded in ADVICE.md for a coordinated change."""
+# RFC 2396 pchar set (unreserved marks + the path sub-delims java.net.URI
+# and delta-spark leave bare) — '/' kept so whole rels encode in one call.
+_REL_SAFE = "-_.!~*'():@&=+$,/"
+
+
+def _encode_rel(rel: str) -> str:
+    """Log spelling of an on-disk relative path: the spec stores add/
+    remove (and cdc) paths as RFC 2396-encoded URIs. Identity for this
+    engine's own uuid part-names and plain Hive dirs; a '%' or space in
+    a Spark-escaped partition dir round-trips exactly ('%' -> '%25')."""
+    from urllib.parse import quote
+
+    return quote(rel, safe=_REL_SAFE)
+
+
+def _fs_rel(rel: str) -> str:
+    """Filesystem spelling of a log-recorded path: percent-DECODED, the
+    spec's reader rule ("the path ... needs to be decoded"). Every site
+    that joins a log rel onto the table root must go through this — a
+    raw join misreads any foreign table whose paths carry '%20'
+    spellings. Inverse of :func:`_encode_rel` (lossless both ways
+    because the writer always encodes '%')."""
     if "%" not in rel:
-        return (rel,)
+        return rel
     from urllib.parse import unquote
 
-    dec = unquote(rel)
+    return unquote(rel)
+
+
+def _rel_spellings(rel: str) -> "tuple[str, ...]":
+    """Both spellings of a log-recorded relative path: as written, and
+    percent-decoded. Destructive passes (VACUUM untracked sweep, FSCK
+    missing-file detection) treat a file as tracked/present if EITHER
+    spelling matches — defense in depth for tables recorded RAW by older
+    writers (this engine pre-r14) where a literal '%XX' name would
+    mis-decode."""
+    dec = _fs_rel(rel)
     return (rel,) if dec == rel else (rel, dec)
+
+
+def _fs_join(root: str, rel: str) -> str:
+    """Absolute on-disk path of a log-recorded rel: the RFC 2396-decoded
+    spelling (the spec's reader rule), falling back to the VERBATIM
+    spelling when only it exists on disk — compatibility with tables
+    recorded raw by older writers (this engine pre-r14), where a literal
+    '%XX' in a Spark-escaped partition dir would otherwise mis-decode.
+    Zero filesystem cost for '%'-free rels (every name this engine
+    generates). ``os.path.join`` ignores ``root`` for absolute rels, so
+    shallow-clone references resolve unchanged."""
+    if "%" not in rel:
+        return os.path.join(root, rel)
+    dec = os.path.join(root, _fs_rel(rel))
+    if os.path.exists(dec):
+        return dec
+    raw = os.path.join(root, rel)
+    return raw if os.path.exists(raw) else dec
 
 
 def _next_version(log: str) -> int:
@@ -2780,8 +2819,10 @@ def _stage_cdc(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             actions.append({
-                "path": os.path.join("_change_data", rel_final).replace(
-                    os.sep, "/"
+                "path": _encode_rel(
+                    os.path.join("_change_data", rel_final).replace(
+                        os.sep, "/"
+                    )
                 ),
                 "partitionValues": part_values,
                 "size": os.path.getsize(dst),
@@ -3515,7 +3556,7 @@ def _stage_adds(
         os.replace(src, dst)
         adds.append(
             {
-                "path": rel_final.replace(os.sep, "/"),
+                "path": _encode_rel(rel_final.replace(os.sep, "/")),
                 "partitionValues": part_values,
                 "size": os.path.getsize(dst),
                 "modificationTime": now_ms,
@@ -3596,8 +3637,10 @@ def generate_symlink_manifest(
         )
     groups: dict[str, list[str]] = {}
     for rel in sorted(snap.files):
-        groups.setdefault(os.path.dirname(rel), []).append(
-            "file://" + os.path.abspath(os.path.join(path, rel))
+        # group by the DECODED partition dir — the manifest tree must
+        # mirror the real Hive layout external engines list
+        groups.setdefault(os.path.dirname(_fs_rel(rel)), []).append(
+            "file://" + os.path.abspath(_fs_join(path, rel))
         )
     man_root = os.path.join(path, _MANIFEST_DIR)
     if partitions is None:
@@ -3748,7 +3791,9 @@ def _maybe_update_symlink_manifests(
     )).lower() != "true":
         return
     touched = {
-        os.path.dirname(act[k]["path"])
+        # DECODED dirs — generate_symlink_manifest groups by the real
+        # Hive layout, so the touched set must speak the same spelling
+        os.path.dirname(_fs_rel(act[k]["path"]))
         for act in actions
         for k in ("add", "remove")
         if k in act
@@ -3832,7 +3877,7 @@ def _try_commit(
         staged_cdc = [act["cdc"] for act in actions if "cdc" in act]
         for a in staged_adds + staged_cdc:
             try:
-                os.unlink(os.path.join(path, a["path"]))
+                os.unlink(os.path.join(path, _fs_rel(a["path"])))
             except OSError:
                 pass
 
@@ -5217,8 +5262,12 @@ def clone_delta(
         add["dataChange"] = False
         desc = _as_dict(a.get("deletionVector") or {})
         if not deep:
+            # The absolute reference is recorded in LOG spelling: decode
+            # the source's rel to the on-disk name, then re-encode the
+            # whole absolute path (lossless even for '%' in src dirs).
             add["path"] = (
-                rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+                rel if os.path.isabs(rel)
+                else _encode_rel(os.path.join(src_abs, _fs_rel(rel)))
             )
             if desc and desc.get("storageType") == "u":
                 new_desc = dict(desc)
@@ -5226,15 +5275,17 @@ def clone_delta(
                 new_desc["pathOrInlineDv"] = _dv.dv_file_path(src_abs, desc)
                 add["deletionVector"] = new_desc
         else:
-            src_fp = rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+            src_fp = _fs_join(src_abs, rel)
             # Absolute source paths (the source was itself a shallow
             # clone) flatten into the destination root under a fresh
             # unambiguous name; relative paths keep their Hive layout.
+            # rel_out is a LOG spelling (recorded verbatim below); the
+            # data copy lands at its DECODED on-disk name.
             rel_out = (
                 f"cloned-{i:05d}-{os.path.basename(rel)}"
                 if os.path.isabs(rel) else rel
             )
-            dst_fp = os.path.join(dst, rel_out)
+            dst_fp = os.path.join(dst, _fs_rel(rel_out))
             copy_pairs.append((src_fp, dst_fp))
             add["path"] = rel_out.replace(os.sep, "/")
             if desc:
@@ -5684,7 +5735,7 @@ def read_delta_changes(
         for v in range(from_version + 1, new.version + 1):
             if v in per_version_cdc:
                 files = [
-                    os.path.join(path, a["path"]) for a in per_version_cdc[v]
+                    _fs_join(path, a["path"]) for a in per_version_cdc[v]
                 ]
                 cdf = (
                     spark.read.option(
@@ -5798,7 +5849,7 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     missing: list[str] = []
     for rel, add in candidates.items():
         if rel not in current.files and not os.path.exists(
-            os.path.join(path, rel)
+            _fs_join(path, rel)
         ):
             missing.append(rel)
             continue
@@ -6028,7 +6079,7 @@ def vacuum(
         ts = rm.get("deletionTimestamp") or 0
         if now_ms - ts < retention_ms:
             continue
-        abs_path = os.path.join(path, rel)
+        abs_path = _fs_join(path, rel)
         # VACUUM must NEVER reach outside the table root: a shallow
         # clone's tombstones reference the SOURCE table's files by
         # absolute path (clone_delta), and deleting them would destroy
@@ -7192,7 +7243,7 @@ def recompute_stats(
             )
         spark_stats = _spark_side_stats(
             spark,
-            [os.path.join(path, rel) for rel in snap.files],
+            [_fs_join(path, rel) for rel in snap.files],
             indexed,
         )
     elif spark is not None and len(snap.files) >= _SPARK_STATS_MIN_FILES:
@@ -7201,7 +7252,7 @@ def recompute_stats(
         # resilience as the sequential path below).
         spark_stats = _distributed_footer_stats(
             spark,
-            [os.path.join(path, rel) for rel in snap.files],
+            [_fs_join(path, rel) for rel in snap.files],
             indexed,
             strict=False,
         )
@@ -7209,7 +7260,7 @@ def recompute_stats(
     adds: list[dict[str, Any]] = []
     skipped: list[str] = []
     for rel, old in snap.files.items():
-        src = os.path.join(path, rel)
+        src = _fs_join(path, rel)
         if spark_stats is not None:
             stats = spark_stats.get(os.path.abspath(src))
             if stats is None:

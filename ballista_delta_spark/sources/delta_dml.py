@@ -46,6 +46,7 @@ from .delta import (
     DeltaTable,
     ENGINE_INFO,
     _dv_paths,
+    _fs_rel,
     _stage_adds,
     _strip_file_scheme,
     _try_commit,
@@ -173,6 +174,15 @@ def _canon_rels(dt: DeltaTable, rels) -> list[str]:
     alias = {
         os.path.realpath(k): k for k in keys if os.path.isabs(k)
     }
+    for k in keys:
+        # The scan reports DECODED on-disk names; log keys are RFC 2396
+        # spellings (spec) — alias the decoded form back to its key so
+        # DML on an encoded-path table locates its files.
+        dec = _fs_rel(k)
+        if dec != k:
+            alias.setdefault(dec, k)
+            if os.path.isabs(dec):
+                alias.setdefault(os.path.realpath(dec), k)
     out: list[str] = []
     for r in rels:
         if r in keys:
@@ -1007,7 +1017,7 @@ def _stage_insert_adds(
             adds.append(a)
         else:
             try:
-                os.remove(os.path.join(dt.path, a["path"]))
+                os.remove(os.path.join(dt.path, _fs_rel(a["path"])))
             except OSError:
                 pass
     return adds, n_inserted

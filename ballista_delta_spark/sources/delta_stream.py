@@ -53,6 +53,7 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from pyspark.sql import types as T
 
 from .delta import (
+    _fs_join,
     _load_snapshot,
     _log_dir,
     _next_version,
@@ -779,7 +780,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.path, partition.rel_path))
+        pf = pq.ParquetFile(_fs_join(self.path, partition.rel_path))
         # Project the read to the physical columns the output schema
         # actually consumes — dropped/renamed columns left behind by
         # schema evolution and cdc extras are never decoded.
@@ -797,7 +798,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                 needed.append(p)
         if needed:
             tbl = pq.read_table(
-                os.path.join(self.path, partition.rel_path), columns=needed
+                _fs_join(self.path, partition.rel_path), columns=needed
             )
             n = tbl.num_rows
         else:

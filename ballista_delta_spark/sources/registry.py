@@ -656,6 +656,7 @@ def _remote_delta_scan(
     base: str,
     make_reader,
     where: str | None,
+    decode_rels: bool = False,
 ) -> DataFrame:
     """Shared executor-side scan for remote (http/s3) Delta tables: one
     task per surviving add file, partition values spliced from the log,
@@ -670,7 +671,7 @@ def _remote_delta_scan(
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from .delta import skip_files
+    from .delta import _fs_rel, skip_files
     from .delta_stream import _pv_caster
 
     files = snap.files
@@ -689,8 +690,13 @@ def _remote_delta_scan(
         for f in schema.fields
         if f.name in part_cols
     }
+    # add.path is recorded RFC 2396-encoded (Delta spec). For HTTP the
+    # encoded spelling IS the correct URL escape of the server-side file
+    # name, so it passes through verbatim; object-store keys (S3) are
+    # matched literally, so the key must be the DECODED name.
+    _loc = _fs_rel if decode_rels else (lambda r: r)
     rows = [
-        (f"{base}/{rel}", _json.dumps(a.get("partitionValues") or {}))
+        (f"{base}/{_loc(rel)}", _json.dumps(a.get("partitionValues") or {}))
         for rel, a in sorted(files.items())
     ]
     if not rows:
@@ -787,7 +793,9 @@ def register_delta_http(
 
         return read
 
-    return _remote_delta_scan(spark, name, snap, base, make_reader, where)
+    return _remote_delta_scan(
+        spark, name, snap, base, make_reader, where, decode_rels=False
+    )
 
 
 def _s3_client_kwargs(
@@ -987,4 +995,6 @@ def register_delta_s3(
 
         return read
 
-    return _remote_delta_scan(spark, name, snap, base, make_reader, where)
+    return _remote_delta_scan(
+        spark, name, snap, base, make_reader, where, decode_rels=True
+    )

@@ -370,3 +370,131 @@ def test_bins_named_since_survives_skewed_timestamps(tmp_path):
 
     want = os.path.abspath(_dv.dv_file_path(tbl, dvd))
     assert want in out, out
+
+
+class TestRfc2396PathParity:
+    """r14: the coordinated encode-on-write / decode-on-read change the
+    ADVICE OPEN note called for. add/remove/cdc paths are recorded as
+    RFC 2396 spellings (spec) and every fs-join site decodes; identity
+    for every name this engine wrote before (uuid parts, plain Hive
+    dirs), lossless for partition values that force Spark's own '%'
+    dir-escaping."""
+
+    def test_special_char_partition_round_trip(self, spark, tmp_path):
+        from ballista_delta_spark.sources.delta import (
+            _load_snapshot, read_delta, vacuum, write_delta,
+        )
+
+        tbl = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "x%y"), (4, "plain")],
+            "id int, p string",
+        )
+        write_delta(df, tbl, partition_by=["p"])
+        snap = _load_snapshot(tbl)
+        # the space partition's add.path must carry the %20 spelling
+        assert any("%20" in rel for rel in snap.files), list(snap.files)
+        # Spark escapes '%' in the dir name; the log re-encodes that
+        assert any("%2525" in rel for rel in snap.files), list(snap.files)
+        got = sorted(
+            (r.id, r.p) for r in read_delta(spark, tbl).collect()
+        )
+        assert got == [(1, "a b"), (2, "a b"), (3, "x%y"), (4, "plain")]
+        # the where= skip path and vacuum both resolve the same files
+        assert read_delta(spark, tbl, where="id > 2").count() == 2
+        assert vacuum(tbl, retention_ms=0, dry_run=True, spark=spark) == []
+
+    def test_dml_and_cdf_on_encoded_partitions(self, spark, tmp_path):
+        from ballista_delta_spark.sources.delta import (
+            alter_properties, read_delta, read_delta_changes, write_delta,
+        )
+        from ballista_delta_spark.sources.delta_dml import delete_delta
+
+        tbl = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(i, "a b" if i % 2 else "c%d") for i in range(8)],
+                "id int, p string",
+            ),
+            tbl, partition_by=["p"],
+        )
+        alter_properties(
+            spark, tbl, {"delta.enableChangeDataFeed": "true"}
+        )
+        out = delete_delta(spark, tbl, "id >= 6")
+        assert out.get("numRemovedRows", out.get("num_affected_rows", 2))
+        assert sorted(
+            r.id for r in read_delta(spark, tbl).collect()
+        ) == list(range(6))
+        ch = read_delta_changes(spark, tbl, 1)
+        assert sorted(
+            r.id for r in ch.filter("_change_type = 'delete'").collect()
+        ) == [6, 7]
+
+    def test_clone_of_encoded_table(self, spark, tmp_path):
+        from ballista_delta_spark.sources.delta import (
+            clone_delta, read_delta, write_delta,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a b"), (2, "x%y")], "id int, p string"
+            ),
+            src, partition_by=["p"],
+        )
+        for deep, name in ((True, "deep"), (False, "shallow")):
+            dst = str(tmp_path / name)
+            clone_delta(src, dst, deep=deep, spark=spark)
+            got = sorted(
+                (r.id, r.p) for r in read_delta(spark, dst).collect()
+            )
+            assert got == [(1, "a b"), (2, "x%y")], (name, got)
+
+    def test_foreign_encoded_relative_path_reads(self, spark, tmp_path):
+        """A hand-written (foreign-style) log whose add.path carries the
+        RFC spelling of an unpartitioned file with a space."""
+        import pandas as pd2
+
+        from ballista_delta_spark.sources.delta import read_delta
+
+        tbl = _mini_table(tmp_path, ["my%20data.parquet"], name="foreign")
+        pd2.DataFrame({"k": [1, 2, 3]}).to_parquet(
+            os.path.join(tbl, "my data.parquet")
+        )
+        got = sorted(r.k for r in read_delta(spark, tbl).collect())
+        assert got == [1, 2, 3]
+
+    def test_raw_recorded_percent_name_still_reads(self, spark, tmp_path):
+        """Back-compat: pre-r14 this engine recorded paths RAW, so a
+        Spark-escaped partition dir ('%' -> '%25') appears verbatim in
+        old logs. The decoded spelling doesn't exist on disk — the
+        _fs_join fallback must find the raw one instead of failing a
+        table that read fine before the encode change."""
+        import pandas as pd2
+
+        from ballista_delta_spark.sources.delta import read_delta
+
+        tbl = _mini_table(tmp_path, ["data%25x.parquet"], name="legacy")
+        pd2.DataFrame({"k": [7, 8]}).to_parquet(
+            os.path.join(tbl, "data%25x.parquet")
+        )
+        got = sorted(r.k for r in read_delta(spark, tbl).collect())
+        assert got == [7, 8]
+
+    def test_fs_join_spelling_preference(self, tmp_path):
+        from ballista_delta_spark.sources.delta import _fs_join
+
+        root = str(tmp_path)
+        # neither exists -> the spec (decoded) spelling
+        assert _fs_join(root, "a%20b") == os.path.join(root, "a b")
+        # only the raw spelling exists -> raw (legacy table)
+        open(os.path.join(root, "a%20b"), "w").close()
+        assert _fs_join(root, "a%20b") == os.path.join(root, "a%20b")
+        # decoded exists -> decoded wins even when both do
+        open(os.path.join(root, "a b"), "w").close()
+        assert _fs_join(root, "a%20b") == os.path.join(root, "a b")
+        # '%'-free rels never touch the filesystem path logic
+        assert _fs_join(root, "plain.parquet") == os.path.join(
+            root, "plain.parquet"
+        )

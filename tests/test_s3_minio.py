@@ -160,3 +160,35 @@ def test_delta_over_s3_empty_prune_still_registers_view(
     assert df.count() == 0
     assert spark.sql("SELECT * FROM nation_pruned_s3").count() == 0
     assert [f.name for f in df.schema.fields] == src.columns
+
+
+def test_delta_over_s3_encoded_add_paths(
+    spark, s3_client, moto_endpoint, tmp_path
+):
+    """r14 RFC 2396 parity: add.path is recorded percent-encoded (the
+    spec; delta-rs does the same), while the object-store KEY is the
+    decoded name — upload_tree uploads on-disk names, so the reader must
+    decode the log spelling to build the key or every special-char
+    partition 404s."""
+    from ballista_delta_spark.sources.delta import (
+        _load_snapshot, write_delta,
+    )
+    from ballista_delta_spark.sources.registry import register_delta_s3
+
+    tbl = str(tmp_path / "enc_part")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "plain")], "id int, p string"
+        ),
+        tbl, partition_by=["p"],
+    )
+    snap = _load_snapshot(tbl)
+    assert any("%20" in rel for rel in snap.files), list(snap.files)
+    _put_tree(s3_client, tbl, "ballista", "enc_part")
+
+    df = register_delta_s3(
+        spark, "enc_part_s3", "s3://ballista/enc_part",
+        endpoint=moto_endpoint, **CREDS,
+    )
+    got = sorted((r.id, r.p) for r in df.collect())
+    assert got == [(1, "a b"), (2, "a b"), (3, "plain")]
