@@ -1699,23 +1699,25 @@ def _checkpoint_actions(
     if resolved is None:
         return None
     kind, cfiles = resolved
-    if kind == "classic":
-        return split(pq.read_table(cfiles[0])), add_arrays, remove_arrays
-    if kind == "multipart":
-        rows: list[dict[str, Any]] = []
+    rows: list[dict[str, Any]] = []
+    if kind in ("classic", "multipart"):
         for p in cfiles:
             rows.extend(split(pq.read_table(p)))
-        return rows, add_arrays, remove_arrays
-
-    manifest = cfiles[0]
-    if manifest.endswith(".json"):
-        rows = []
-        with open(manifest) as fh:
-            for line in fh:
-                if line.strip():
-                    rows.append(json.loads(line))
     else:
-        rows = split(pq.read_table(manifest))
+        manifest = cfiles[0]
+        if manifest.endswith(".json"):
+            with open(manifest) as fh:
+                for line in fh:
+                    if line.strip():
+                        rows.append(json.loads(line))
+        else:
+            rows = split(pq.read_table(manifest))
+    # Sidecar resolution runs for EVERY layout, not just uuid-named
+    # files: the spec allows a v2-spec manifest under CLASSIC naming
+    # (so listing-less discovery keeps working), and kind-gating it
+    # replayed such a table to ZERO adds — a silent empty result. A
+    # plain classic/multipart checkpoint has no sidecar rows, so this
+    # pass is a no-op for it.
     out: list[dict[str, Any]] = []
     sidecars: list[str] = []
     for row in rows:

@@ -546,7 +546,9 @@ def _mirror_delta_log_http(url: str) -> str:
             raise
 
     def _put(name: str, data: bytes) -> None:
-        with open(os.path.join(log_dir, name), "wb") as fh:
+        dst = os.path.join(log_dir, name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "wb") as fh:
             fh.write(data)
 
     start = 0
@@ -569,6 +571,33 @@ def _mirror_delta_log_http(url: str) -> str:
             _put("_last_checkpoint", lc)
             for n, data in ck:
                 _put(n, data)
+            # A classic-NAMED checkpoint may still be a v2-spec MANIFEST
+            # (the spec allows v2 checkpoints under classic naming so
+            # listing-less discovery keeps working): its add/remove set
+            # lives in _sidecars/ files NAMED INSIDE the manifest — also
+            # addressable without a directory listing. Mirror them, or
+            # the local replay of a spec-legal table dies on a missing
+            # sidecar it could have fetched.
+            import pyarrow.parquet as _pq
+
+            for n, _ in ck:
+                fp = os.path.join(log_dir, n)
+                if "sidecar" not in _pq.read_schema(fp).names:
+                    continue
+                col = _pq.read_table(fp, columns=["sidecar"]).column(
+                    "sidecar"
+                )
+                for sc in col.drop_null().to_pylist():
+                    sc_rel = f"_sidecars/{sc['path']}"
+                    sc_data = _get(sc_rel)
+                    if sc_data is None:
+                        raise ValueError(
+                            f"the v2 checkpoint at {base} references "
+                            f"sidecar {sc['path']!r}, which the server "
+                            "does not serve — the table is unreadable "
+                            "over this transport"
+                        )
+                    _put(sc_rel, sc_data)
             start = v + 1
             # Pre-checkpoint JSON commits enable time travel; mirror the
             # contiguous tail that log retention has not cleaned yet

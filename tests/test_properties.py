@@ -2232,6 +2232,21 @@ class TestLogReplayDifferentialFuzz:
             if event in ("checkpoint", "multipart"):
                 if policy == "v2":
                     D.create_checkpoint(tbl, checkpoint_format="v2")
+                    # Spec-legal variant: the same v2-spec manifest under
+                    # CLASSIC naming (listing-less discovery compat). The
+                    # replay must resolve its sidecars identically — the
+                    # kind-gated sidecar pass replayed this shape to zero
+                    # adds (r14 fix).
+                    if data.draw(st.booleans(), label=f"clsname{v}"):
+                        import glob as _glob
+
+                        cks = _glob.glob(os.path.join(
+                            log, f"{v:020d}.checkpoint.*-*.parquet"
+                        ))
+                        if cks:
+                            os.rename(cks[-1], os.path.join(
+                                log, f"{v:020d}.checkpoint.parquet"
+                            ))
                 elif event == "multipart":
                     D.create_checkpoint(tbl, parts=2)
                 else:

@@ -392,6 +392,48 @@ def test_register_delta_over_http(spark, tmp_path):
         httpd.shutdown()
 
 
+def test_register_delta_http_v2_checkpoint_classic_name(spark, tmp_path):
+    """A v2-spec checkpoint MANIFEST under CLASSIC naming (spec-legal:
+    v2 checkpoints may use the classic scheme so listing-less discovery
+    keeps working): the HTTP mirror must also fetch the _sidecars/
+    files named INSIDE the manifest — they hold the whole add set, and
+    without them local replay dies on a table the transport can serve."""
+    import glob as _glob
+    import os
+
+    from ballista_delta_spark.sources.delta import (
+        alter_properties,
+        create_checkpoint,
+        write_delta,
+    )
+    from ballista_delta_spark.sources.registry import register_delta_http
+
+    src = str(tmp_path / "v2t")
+    write_delta(
+        spark.range(30).selectExpr("id", "CAST(id % 3 AS INT) AS p"),
+        src, partition_by=["p"],
+    )
+    alter_properties(spark, src, {"delta.checkpointPolicy": "v2"})
+    v = create_checkpoint(src)
+    log = os.path.join(src, "_delta_log")
+    [uuid_ck] = _glob.glob(
+        os.path.join(log, f"{v:020d}.checkpoint.*-*.parquet")
+    )
+    os.rename(
+        uuid_ck, os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    )
+
+    httpd, port = _serve_delta(str(tmp_path))
+    try:
+        df = register_delta_http(
+            spark, "delta_http_v2ck", f"http://127.0.0.1:{port}/v2t"
+        )
+        assert sorted(r.id for r in df.collect()) == list(range(30))
+        assert {r.p for r in df.collect()} == {0, 1, 2}
+    finally:
+        httpd.shutdown()
+
+
 def test_resolve_url_local_paths_with_uri_special_chars(tmp_path):
     """Plain local paths bypass urlparse: '#'/'?' in a filename must not
     truncate, and a ':' in a relative first segment must not parse as a

@@ -498,3 +498,32 @@ class TestRfc2396PathParity:
         assert _fs_join(root, "plain.parquet") == os.path.join(
             root, "plain.parquet"
         )
+
+
+def test_classic_named_v2_manifest_replays_sidecars(spark, tmp_path):
+    """Reader soundness: a v2-spec checkpoint manifest under CLASSIC
+    naming (spec-legal) must resolve its _sidecars/ files in the LOCAL
+    replay too — kind-gating the sidecar pass on uuid naming replayed
+    such a table to zero adds (silent empty result)."""
+    import glob as _glob
+
+    from ballista_delta_spark.sources.delta import (
+        alter_properties, create_checkpoint, read_delta, write_delta,
+        cleanup_log,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(25).selectExpr("id"), tbl)
+    alter_properties(spark, tbl, {"delta.checkpointPolicy": "v2"})
+    v = create_checkpoint(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    [uuid_ck] = _glob.glob(
+        os.path.join(log, f"{v:020d}.checkpoint.*-*.parquet")
+    )
+    os.rename(uuid_ck, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    # drop the JSON commits so replay MUST come from the checkpoint
+    cleanup_log(tbl, retention_ms=0)
+    for j in _glob.glob(os.path.join(log, "*.json")):
+        os.unlink(j)
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == list(range(25))
