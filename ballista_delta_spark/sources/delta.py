@@ -5682,18 +5682,30 @@ def read_delta_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    net: bool = False,
 ) -> DataFrame:
-    """Row-level changes between two versions (CDC without _change_data
-    files): table columns plus ``_change_type`` in {insert, delete}; a
-    copy-on-write UPDATE appears as a delete+insert pair (the log carries
-    no row identity to correlate them, same as delta-spark CDF for
-    non-CDF tables).
+    """Row-level changes between two versions: table columns plus
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+    (delta-spark's ``table_changes`` column set). Assembly is
+    PER-COMMIT, matching delta-spark CDF semantics: a cdc-bearing commit
+    contributes its ``_change_data`` files (spec: readers must prefer
+    them), a derivable commit contributes an EXCEPT ALL diff of just the
+    files IT touched, and ``dataChange=false`` commits
+    (OPTIMIZE/clustering) contribute nothing. A copy-on-write UPDATE on
+    a non-CDF table appears as a delete+insert pair (the log carries no
+    row identity to correlate them — same as delta-spark).
 
-    Cost shape: only the files that CHANGED between the versions are
-    scanned — rows in untouched files can't differ, and a row moved by
-    compaction (or rewritten unchanged) appears in both scans and cancels
-    in the EXCEPT ALL diff. That makes incremental consumption of a big
-    table O(churn), not O(table).
+    Cost shape: the live file map rolls FORWARD through the range's
+    commit actions (one dict pass per commit — no snapshot replay per
+    version), and each per-commit diff scans only that commit's touched
+    files, so the whole range costs O(total churn), not
+    O(versions x table).
+
+    ``net=True`` collapses the range to ONE endpoint diff: rows a later
+    commit re-inserted identically cancel out and the per-commit columns
+    are omitted — the cheap summary form when only the net row delta
+    matters (one scan pair for the whole range; also the only form
+    available once log cleanup has dropped the range's commit files).
     """
     path = _strip_file_scheme(path)
     old = _load_snapshot(path, version=from_version)
@@ -5710,68 +5722,115 @@ def read_delta_changes(
 
     cols = [f.name for f in new.schema.fields]
 
-    def _diff(o: "Snapshot", n: "Snapshot") -> DataFrame:
-        return _snapshot_change_diff(_subset, o, n, cols)
+    if net:
+        return _snapshot_change_diff(_subset, old, new, cols)
 
-    # Spec: when a commit carries cdc actions, CDF readers use THEM for
-    # that commit instead of deriving from add/remove. Assemble
-    # per-version when any commit in range has them; otherwise keep the
-    # one-shot snapshot diff (cheaper for multi-version ranges).
     log = _log_dir(path)
-    per_version_cdc: dict[int, list[dict[str, Any]]] = {}
+    parts: list[DataFrame] = []
+    # Roll the live file map forward commit by commit: each version's
+    # before/after maps feed _snapshot_change_diff, which scans only the
+    # files whose identity or deletion vector changed in THAT commit.
+    cur: dict[str, dict[str, Any]] = dict(old.files)
     for v in range(from_version + 1, new.version + 1):
         fp = _version_file(log, v)
         if not os.path.exists(fp):
-            continue
-        cdc = []
+            raise ValueError(
+                f"per-commit CDF needs the version-{v} commit file, which "
+                "log cleanup/compaction has dropped — pass net=True for "
+                "the endpoint diff of the surviving snapshots"
+            )
+        acts: list[dict[str, Any]] = []
         with open(fp) as fh:
             for ln in fh:
                 if ln.strip():
-                    act = json.loads(ln)
-                    if "cdc" in act:
-                        cdc.append(act["cdc"])
-        if cdc:
-            per_version_cdc[v] = cdc
-    if per_version_cdc:
-        parts: list[DataFrame] = []
-        for v in range(from_version + 1, new.version + 1):
-            if v in per_version_cdc:
-                files = [
-                    _fs_join(path, a["path"]) for a in per_version_cdc[v]
-                ]
-                cdf = (
-                    spark.read.option(
-                        "basePath", os.path.join(path, "_change_data")
-                    )
-                    .parquet(*files)
+                    acts.append(json.loads(ln))
+        commit_ts: int | None = None
+        for act in acts:
+            if "commitInfo" in act:
+                ci = act["commitInfo"]
+                # Spec: with enableInCommitTimestamps the authoritative
+                # commit time is inCommitTimestamp, not file time.
+                commit_ts = ci.get(
+                    "inCommitTimestamp", ci.get("timestamp")
                 )
-                # Partition-column types are inferred from directory names
-                # here (e.g. '01' -> int); cast every column back to the
-                # declared log-schema type so the unionByName with
-                # derivable-commit parts can't mismatch. CDC parquet spells
-                # PHYSICAL names on a columnMapping table — resolve back to
-                # logical exactly as to_df does.
-                typed = {f.name: f.dataType for f in new.schema.fields}
-                parts.append(
-                    cdf.select(
-                        *[
-                            F.col(new.physical(c)).cast(typed[c]).alias(c)
-                            for c in cols
-                        ],
-                        "_change_type",
-                    )
-                )
-            else:
-                # Derivable commit: diff its endpoints the usual way.
-                prev_s = _load_snapshot(path, version=v - 1)
-                this_s = _load_snapshot(path, version=v)
-                parts.append(_diff(prev_s, this_s))
-        out = parts[0]
-        for p_df in parts[1:]:
-            out = out.unionByName(p_df)
-        return out
+                break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(fp) * 1000)
 
-    return _diff(old, new)
+        def _stamp(df: DataFrame, v=v, ts=commit_ts) -> DataFrame:
+            return df.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+            )
+
+        cdc = [act["cdc"] for act in acts if "cdc" in act]
+        after = dict(cur)
+        data_change = False
+        for act in acts:
+            if "remove" in act:
+                after.pop(act["remove"]["path"], None)
+                data_change = data_change or bool(
+                    act["remove"].get("dataChange")
+                )
+        for act in acts:
+            if "add" in act:
+                after[act["add"]["path"]] = act["add"]
+                data_change = data_change or bool(
+                    act["add"].get("dataChange")
+                )
+        if cdc:
+            # Spec: when a commit carries cdc actions, CDF readers use
+            # THEM for that commit instead of deriving from add/remove.
+            files = [_fs_join(path, a["path"]) for a in cdc]
+            cdf = (
+                spark.read.option(
+                    "basePath", os.path.join(path, "_change_data")
+                )
+                .parquet(*files)
+            )
+            # Partition-column types are inferred from directory names
+            # here (e.g. '01' -> int); cast every column back to the
+            # declared log-schema type so the unionByName across commits
+            # can't mismatch. CDC parquet spells PHYSICAL names on a
+            # columnMapping table — resolve back to logical exactly as
+            # to_df does.
+            typed = {f.name: f.dataType for f in new.schema.fields}
+            parts.append(_stamp(
+                cdf.select(
+                    *[
+                        F.col(new.physical(c)).cast(typed[c]).alias(c)
+                        for c in cols
+                    ],
+                    "_change_type",
+                )
+            ))
+        elif data_change:
+            o_sh = copy_mod.copy(new)
+            o_sh.files = cur
+            n_sh = copy_mod.copy(new)
+            n_sh.files = after
+            parts.append(_stamp(
+                _snapshot_change_diff(_subset, o_sh, n_sh, cols)
+            ))
+        # else: dataChange=false rewrite (OPTIMIZE) or metadata-only
+        # commit — no CDF rows, and no scan spent proving it.
+        cur = after
+
+    if not parts:
+        empty_schema = T.StructType(
+            list(new.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
 
 
 def _snapshot_change_diff(

@@ -126,7 +126,12 @@ def test_cdf_reads_logical_names_on_mapped_table(spark, tbl):
     v_before = _load_snapshot(tbl).version
     update_delta(spark, tbl, "k = 1", {"value": "111"})
     ch = read_delta_changes(spark, tbl, from_version=v_before)
-    assert set(ch.columns) == {"k", "value", "p", "_change_type"}
+    # r14: table_changes column parity — version/timestamp stamps ride
+    # along with every change row
+    assert set(ch.columns) == {
+        "k", "value", "p", "_change_type",
+        "_commit_version", "_commit_timestamp",
+    }
     types = {
         r["_change_type"]: r["value"]
         for r in ch.filter("k = 1").collect()

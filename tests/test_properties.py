@@ -2292,3 +2292,215 @@ class TestLogReplayDifferentialFuzz:
             )
         record()
         check_all()
+
+
+class TestDmlDifferentialFuzz:
+    """r14 (post-close): the differential-fuzz method extended from log
+    replay to the DML surface. Random sequences of
+    append / DELETE / UPDATE (each cow AND dv) / MERGE / OPTIMIZE /
+    checkpoint / VACUUM / RESTORE run against a real table while a pure
+    dict model applies the same semantics; after every op the table must
+    read back exactly as the model, and at the end the CDF stream (when
+    enabled) must FOLD back to the final state — one invariant covering
+    change-type completeness across every DML path at once."""
+
+    _DDL = "id long, grp int, val long"
+
+    @staticmethod
+    def _match_ids(model, shape):
+        kind = shape[0]
+        if kind == "grp_eq":
+            return [i for i, (g, _) in model.items() if g == shape[1]]
+        if kind == "id_mod":
+            _, k, r = shape
+            return [i for i in model if i % k == r]
+        _, x = shape  # val_gt
+        return [i for i, (_, v) in model.items() if v > x]
+
+    @staticmethod
+    def _cond(shape):
+        kind = shape[0]
+        if kind == "grp_eq":
+            return f"grp = {shape[1]}"
+        if kind == "id_mod":
+            return f"id % {shape[1]} = {shape[2]}"
+        return f"val > {shape[1]}"
+
+    @given(data=st.data())
+    @settings(
+        max_examples=int(os.environ.get("DMLFUZZ_EXAMPLES", "12")),
+        deadline=None,
+    )
+    def test_dml_matches_model_and_cdf_folds(
+        self, data, spark, tmp_path_factory
+    ):
+        import ballista_delta_spark.sources.delta as D
+        from ballista_delta_spark.sources.delta_dml import (
+            delete_delta, merge_delta, update_delta,
+        )
+
+        tbl = os.path.join(str(tmp_path_factory.mktemp("dmlfuzz")), "t")
+        partitioned = data.draw(st.booleans(), label="partitioned")
+        cdf = data.draw(st.booleans(), label="cdf")
+
+        model = {i: (i % 3, i * 10) for i in range(12)}
+        next_id = 12
+
+        def df_of(rows):
+            return spark.createDataFrame(
+                [(i, g, v) for i, (g, v) in sorted(rows.items())], self._DDL
+            )
+
+        D.write_delta(
+            df_of(model), tbl,
+            partition_by=["grp"] if partitioned else None,
+        )
+        if cdf:
+            D.alter_properties(
+                spark, tbl, {"delta.enableChangeDataFeed": "true"}
+            )
+        baseline = dict(model)
+        base_version = D._load_snapshot(tbl).version
+
+        def check():
+            got = {
+                (r.id, r.grp, r.val)
+                for r in D.read_delta(spark, tbl).collect()
+            }
+            want = {(i, g, v) for i, (g, v) in model.items()}
+            assert got == want, (
+                f"DIVERGED:\n only table: {sorted(got - want)}"
+                f"\n only model: {sorted(want - got)}"
+            )
+
+        restore_points = []  # (version, model snapshot)
+        shapes = st.one_of(
+            st.tuples(st.just("grp_eq"), st.integers(0, 3)),
+            st.tuples(
+                st.just("id_mod"), st.integers(2, 4), st.integers(0, 3)
+            ),
+            st.tuples(st.just("val_gt"), st.integers(-50, 400)),
+        )
+        n_ops = data.draw(st.integers(3, 6), label="n_ops")
+        for step in range(n_ops):
+            op = data.draw(st.sampled_from([
+                "append", "delete", "delete", "update", "update", "merge",
+                "optimize", "checkpoint", "vacuum", "restore",
+            ]), label=f"op{step}")
+            dml_mode = data.draw(
+                st.sampled_from(["cow", "dv"]), label=f"mode{step}"
+            )
+            if op == "append":
+                fresh = {
+                    next_id + j: ((next_id + j) % 4, (next_id + j) * 10)
+                    for j in range(data.draw(
+                        st.integers(1, 3), label=f"napp{step}"
+                    ))
+                }
+                next_id += len(fresh)
+                D.write_delta(df_of(fresh), tbl, mode="append")
+                model.update(fresh)
+            elif op == "delete":
+                shape = data.draw(shapes, label=f"pred{step}")
+                delete_delta(spark, tbl, self._cond(shape), mode=dml_mode)
+                for i in self._match_ids(model, shape):
+                    del model[i]
+            elif op == "update":
+                shape = data.draw(shapes, label=f"pred{step}")
+                bump = data.draw(
+                    st.sampled_from([1000, -77]), label=f"bump{step}"
+                )
+                update_delta(
+                    spark, tbl, self._cond(shape),
+                    {"val": f"val + {bump}"}, mode=dml_mode,
+                )
+                for i in self._match_ids(model, shape):
+                    g, v = model[i]
+                    model[i] = (g, v + bump)
+            elif op == "merge":
+                hit = sorted(model)[:2]
+                src = {
+                    i: (model[i][0], model[i][1] + 5) for i in hit
+                }
+                src[next_id] = (next_id % 4, next_id * 10)
+                ins_id = next_id
+                next_id += 1
+                merge_delta(
+                    spark, tbl, df_of(src), "t.id = s.id",
+                    matched_update={"val": "s.val"},
+                    not_matched_insert=True,
+                    mode=dml_mode,
+                )
+                for i in hit:
+                    model[i] = (model[i][0], model[i][1] + 5)
+                model[ins_id] = src[ins_id]
+            elif op == "optimize":
+                D.optimize(spark, tbl, target_file_rows=8)
+            elif op == "checkpoint":
+                D.create_checkpoint(tbl)
+            elif op == "vacuum":
+                D.vacuum(tbl, retention_ms=0, spark=spark)
+                # vacuumed bytes are gone: older versions are no longer
+                # restorable targets
+                restore_points.clear()
+            elif op == "restore" and restore_points:
+                v, snap_model = data.draw(
+                    st.sampled_from(restore_points), label=f"rst{step}"
+                )
+                D.restore_delta(tbl, v)
+                model = dict(snap_model)
+            check()
+            restore_points.append(
+                (D._load_snapshot(tbl).version, dict(model))
+            )
+
+        if not cdf:
+            return
+        # FOLD the change feed over the baseline, two ways.
+        # (1) per-commit stream (the default, delta-spark semantics):
+        # group by _commit_version, apply each commit's deletions
+        # (delete / update_preimage) before its insertions
+        # (insert / update_postimage); the stream must replay the
+        # baseline exactly to the final state.
+        from collections import Counter
+
+        state = Counter((i, g, v) for i, (g, v) in baseline.items())
+        rows = D.read_delta_changes(spark, tbl, base_version).collect()
+        by_version: dict[int, list] = {}
+        for r in rows:
+            assert r["_change_type"] in (
+                "insert", "delete", "update_preimage", "update_postimage",
+            ), r["_change_type"]
+            assert r["_commit_version"] > base_version
+            by_version.setdefault(r["_commit_version"], []).append(r)
+        for v in sorted(by_version):
+            batch = by_version[v]
+            for r in batch:
+                if r["_change_type"] in ("delete", "update_preimage"):
+                    key = (r.id, r.grp, r.val)
+                    assert state[key] > 0, (
+                        f"CDF deletes absent row {key} at v{v}"
+                    )
+                    state[key] -= 1
+            for r in batch:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    state[(r.id, r.grp, r.val)] += 1
+        want = Counter((i, g, v) for i, (g, v) in model.items())
+        assert +state == want, (
+            f"CDF STREAM FOLD DIVERGED:\n fold : {sorted((+state).items())}"
+            f"\n model: {sorted(want.items())}"
+        )
+        # (2) net=True endpoint diff: the order-free MULTISET equation
+        # baseline + insertions - deletions == final state.
+        fold = Counter((i, g, v) for i, (g, v) in baseline.items())
+        for r in D.read_delta_changes(
+            spark, tbl, base_version, net=True
+        ).collect():
+            key = (r.id, r.grp, r.val)
+            fold[key] += (
+                1 if r["_change_type"] == "insert" else -1
+            )
+        assert +fold == want, (
+            f"CDF NET FOLD DIVERGED:\n fold : {sorted((+fold).items())}"
+            f"\n model: {sorted(want.items())}"
+        )
