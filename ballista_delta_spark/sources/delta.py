@@ -2224,8 +2224,15 @@ def _vacuum_keep_dir(name: str) -> bool:
     """Spec listing rule shared by EVERY orphan-discovery walk (driver
     and distributed — one definition so the branches cannot diverge):
     descend a directory iff it is a Hive partition dir (``=`` in the
-    name) or not ``_``/``.``-prefixed."""
-    return "=" in name or not name.startswith(("_", "."))
+    name), ``_change_data`` (delta-spark's VacuumCommand carves the cdc
+    dir out of the hidden-file rule: change files are reclaimed by the
+    SAME retention window as data files, or a CDF-heavy table leaks
+    them forever), or not ``_``/``.``-prefixed."""
+    return (
+        "=" in name
+        or name == "_change_data"
+        or not name.startswith(("_", "."))
+    )
 
 
 def _vacuum_skip_name(name: str) -> bool:
@@ -5794,12 +5801,19 @@ def read_delta_changes(
             # declared log-schema type so the unionByName across commits
             # can't mismatch. CDC parquet spells PHYSICAL names on a
             # columnMapping table — resolve back to logical exactly as
-            # to_df does.
+            # to_df does, and null-fill columns ADDED after this commit
+            # (pre-evolution change files can't carry them — same rule
+            # as the data-file read path).
             typed = {f.name: f.dataType for f in new.schema.fields}
+            avail = set(cdf.columns)
             parts.append(_stamp(
                 cdf.select(
                     *[
-                        F.col(new.physical(c)).cast(typed[c]).alias(c)
+                        (
+                            F.col(new.physical(c))
+                            if new.physical(c) in avail
+                            else F.lit(None)
+                        ).cast(typed[c]).alias(c)
                         for c in cols
                     ],
                     "_change_type",
@@ -5971,17 +5985,19 @@ def restore_delta(path: str, version: int) -> dict[str, Any]:
     if target.schema.jsonValue() != current.schema.jsonValue() or (
         target.configuration != current.configuration
     ):
-        # Schema/config evolved since the target version: restore those too.
-        actions.append({
-            "metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": json.dumps(target.schema.jsonValue()),
-                "partitionColumns": target.partition_columns,
-                "configuration": target.configuration,
-                "createdTime": now_ms,
-            }
-        })
+        # Schema/config evolved since the target version: restore those
+        # too — on the TABLE'S OWN immutable id (delta-spark RESTORE
+        # never changes it; a fresh id would reset every streaming
+        # reader and txn ledger keyed on it).
+        md = dict(current.metadata_raw) or {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "createdTime": now_ms,
+        }
+        md["schemaString"] = json.dumps(target.schema.jsonValue())
+        md["partitionColumns"] = target.partition_columns
+        md["configuration"] = target.configuration
+        actions.append({"metaData": md})
     actions += removes
     actions += re_adds
     committed = _try_commit(
@@ -6215,10 +6231,13 @@ def vacuum(
     # staging and commit — are deleted once older than the retention
     # window. The window protects IN-FLIGHT writers: a live ``.tmp-write``
     # staging dir is younger than any sane retention. Spec listing rules:
-    # skip `_`/`.`-prefixed path segments (the log, `_change_data`, which
-    # CDF readers consume on their own retention) unless the segment is a
-    # Hive partition dir (contains '='). Tombstoned files were handled
-    # above — inside the window they are KEPT by both passes.
+    # skip `_`/`.`-prefixed path segments (the log) unless the segment is
+    # a Hive partition dir (contains '=') or ``_change_data`` — cdc files
+    # are never add-referenced, so the orphan pass with its mtime window
+    # IS their reclamation (delta-spark VacuumCommand's explicit cdc
+    # carve-out; in-window change files stay readable, older ones go).
+    # Tombstoned files were handled above — inside the window they are
+    # KEPT by both passes.
     # A crashed writer's whole staging dir (invisible to the log by
     # design — _stage_adds) goes as one tree once it has been idle past
     # the window.

@@ -661,7 +661,9 @@ def test_vacuum_reclaims_crashed_writer_orphans(spark, tmp_path):
     """delta-spark VACUUM semantics: files the log never references —
     untracked parquet and a crashed writer's .tmp-write staging tree —
     are reclaimed past retention; young orphans (a LIVE writer) and
-    everything under _-prefixed dirs are kept."""
+    _-prefixed dirs are kept — EXCEPT _change_data, whose change files
+    are reclaimed by the same window (delta-spark's VacuumCommand cdc
+    carve-out, r14)."""
     import os as _os
 
     from ballista_delta_spark.sources.delta import vacuum
@@ -678,9 +680,10 @@ def test_vacuum_reclaims_crashed_writer_orphans(spark, tmp_path):
     cdc = _os.path.join(tbl, "_change_data")
     _os.makedirs(cdc)
     open(_os.path.join(cdc, "cdc-x.parquet"), "wb").write(b"cdc")
-    # Within retention: the (young) orphans are protected.
+    # Within retention: the (young) orphans AND change files are
+    # protected.
     assert vacuum(tbl, retention_ms=10 * 60 * 1000) == []
-    # Past retention (0): orphans reclaimed, log + _change_data + live
+    # Past retention (0): orphans and change files reclaimed, log + live
     # snapshot untouched.
     dry = vacuum(tbl, retention_ms=0, dry_run=True)
     assert _os.path.exists(orphan)  # dry run touched nothing
@@ -689,7 +692,8 @@ def test_vacuum_reclaims_crashed_writer_orphans(spark, tmp_path):
     assert ".tmp-write-deadbeef" in deleted
     assert "part-orphan.snappy.parquet" in deleted
     assert not _os.path.exists(orphan) and not _os.path.exists(staging)
-    assert _os.path.exists(_os.path.join(cdc, "cdc-x.parquet"))
+    assert "_change_data/cdc-x.parquet" in deleted
+    assert not _os.path.exists(_os.path.join(cdc, "cdc-x.parquet"))
     assert read_delta(spark, tbl).count() == 5
 
 

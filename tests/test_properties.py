@@ -2310,12 +2310,12 @@ class TestDmlDifferentialFuzz:
     def _match_ids(model, shape):
         kind = shape[0]
         if kind == "grp_eq":
-            return [i for i, (g, _) in model.items() if g == shape[1]]
+            return [i for i, t in model.items() if t[0] == shape[1]]
         if kind == "id_mod":
             _, k, r = shape
             return [i for i in model if i % k == r]
         _, x = shape  # val_gt
-        return [i for i, (_, v) in model.items() if v > x]
+        return [i for i, t in model.items() if t[1] > x]
 
     @staticmethod
     def _cond(shape):
@@ -2336,19 +2336,31 @@ class TestDmlDifferentialFuzz:
     ):
         import ballista_delta_spark.sources.delta as D
         from ballista_delta_spark.sources.delta_dml import (
-            delete_delta, merge_delta, update_delta,
+            delete_delta, merge_delta, replace_where_delta, update_delta,
         )
 
         tbl = os.path.join(str(tmp_path_factory.mktemp("dmlfuzz")), "t")
         partitioned = data.draw(st.booleans(), label="partitioned")
         cdf = data.draw(st.booleans(), label="cdf")
 
-        model = {i: (i % 3, i * 10) for i in range(12)}
+        # model value = (grp, val, extra); extra exists in the table only
+        # once the schema has evolved (merge_schema append)
+        model = {i: (i % 3, i * 10, None) for i in range(12)}
         next_id = 12
+        evolved = [False]
 
         def df_of(rows):
+            if evolved[0]:
+                return spark.createDataFrame(
+                    [
+                        (i, g, v, x)
+                        for i, (g, v, x) in sorted(rows.items())
+                    ],
+                    self._DDL + ", extra string",
+                )
             return spark.createDataFrame(
-                [(i, g, v) for i, (g, v) in sorted(rows.items())], self._DDL
+                [(i, g, v) for i, (g, v, _) in sorted(rows.items())],
+                self._DDL,
             )
 
         D.write_delta(
@@ -2363,17 +2375,22 @@ class TestDmlDifferentialFuzz:
         base_version = D._load_snapshot(tbl).version
 
         def check():
-            got = {
-                (r.id, r.grp, r.val)
-                for r in D.read_delta(spark, tbl).collect()
-            }
-            want = {(i, g, v) for i, (g, v) in model.items()}
+            rows = D.read_delta(spark, tbl).collect()
+            if evolved[0]:
+                got = {(r.id, r.grp, r.val, r.extra) for r in rows}
+                want = {
+                    (i, g, v, x) for i, (g, v, x) in model.items()
+                }
+            else:
+                got = {(r.id, r.grp, r.val) for r in rows}
+                want = {(i, g, v) for i, (g, v, _) in model.items()}
             assert got == want, (
                 f"DIVERGED:\n only table: {sorted(got - want)}"
                 f"\n only model: {sorted(want - got)}"
             )
 
-        restore_points = []  # (version, model snapshot)
+        restore_points = []  # (version, model snapshot, evolved flag)
+        vacuumed = False
         shapes = st.one_of(
             st.tuples(st.just("grp_eq"), st.integers(0, 3)),
             st.tuples(
@@ -2385,6 +2402,7 @@ class TestDmlDifferentialFuzz:
         for step in range(n_ops):
             op = data.draw(st.sampled_from([
                 "append", "delete", "delete", "update", "update", "merge",
+                "merge_del", "replace_where", "evolve",
                 "optimize", "checkpoint", "vacuum", "restore",
             ]), label=f"op{step}")
             dml_mode = data.draw(
@@ -2392,7 +2410,10 @@ class TestDmlDifferentialFuzz:
             )
             if op == "append":
                 fresh = {
-                    next_id + j: ((next_id + j) % 4, (next_id + j) * 10)
+                    next_id + j: (
+                        (next_id + j) % 4, (next_id + j) * 10,
+                        f"x{next_id + j}" if evolved[0] else None,
+                    )
                     for j in range(data.draw(
                         st.integers(1, 3), label=f"napp{step}"
                     ))
@@ -2415,14 +2436,18 @@ class TestDmlDifferentialFuzz:
                     {"val": f"val + {bump}"}, mode=dml_mode,
                 )
                 for i in self._match_ids(model, shape):
-                    g, v = model[i]
-                    model[i] = (g, v + bump)
+                    g, v, x = model[i]
+                    model[i] = (g, v + bump, x)
             elif op == "merge":
                 hit = sorted(model)[:2]
                 src = {
-                    i: (model[i][0], model[i][1] + 5) for i in hit
+                    i: (model[i][0], model[i][1] + 5, model[i][2])
+                    for i in hit
                 }
-                src[next_id] = (next_id % 4, next_id * 10)
+                src[next_id] = (
+                    next_id % 4, next_id * 10,
+                    f"x{next_id}" if evolved[0] else None,
+                )
                 ins_id = next_id
                 next_id += 1
                 merge_delta(
@@ -2432,8 +2457,61 @@ class TestDmlDifferentialFuzz:
                     mode=dml_mode,
                 )
                 for i in hit:
-                    model[i] = (model[i][0], model[i][1] + 5)
+                    model[i] = (
+                        model[i][0], model[i][1] + 5, model[i][2]
+                    )
                 model[ins_id] = src[ins_id]
+            elif op == "merge_del":
+                # WHEN MATCHED THEN DELETE, no insert clause: source
+                # names the two lowest ids (plus one absent id that must
+                # be a no-op without the insert clause)
+                hit = sorted(model)[:2]
+                src = {i: model[i] for i in hit}
+                src[next_id] = (0, 0, None)
+                next_id += 1
+                merge_delta(
+                    spark, tbl, df_of(src), "t.id = s.id",
+                    matched_delete=True,
+                    not_matched_insert=False,
+                    mode=dml_mode,
+                )
+                for i in hit:
+                    del model[i]
+            elif op == "replace_where":
+                # replace one grp slice with a recomputed one (the
+                # backfill primitive); strict containment: every new row
+                # carries the predicate's grp
+                g = data.draw(st.integers(0, 3), label=f"rwg{step}")
+                n_new = data.draw(st.integers(1, 2), label=f"rwn{step}")
+                fresh = {
+                    next_id + j: (
+                        g, (next_id + j) * 10,
+                        f"x{next_id + j}" if evolved[0] else None,
+                    )
+                    for j in range(n_new)
+                }
+                next_id += n_new
+                replace_where_delta(
+                    spark, tbl, df_of(fresh), f"grp = {g}"
+                )
+                for i in [i for i, t in model.items() if t[0] == g]:
+                    del model[i]
+                model.update(fresh)
+            elif op == "evolve" and not evolved[0]:
+                # merge_schema append introduces the extra column; old
+                # rows read back null-filled. A later RESTORE to a
+                # pre-evolution version reverts the schema (and drops
+                # the evolved-period files), so the flag rides along in
+                # restore_points.
+                evolved[0] = True
+                fresh = {
+                    next_id: (next_id % 4, next_id * 10, f"x{next_id}")
+                }
+                next_id += 1
+                D.write_delta(
+                    df_of(fresh), tbl, mode="append", merge_schema=True
+                )
+                model.update(fresh)
             elif op == "optimize":
                 D.optimize(spark, tbl, target_file_rows=8)
             elif op == "checkpoint":
@@ -2441,20 +2519,26 @@ class TestDmlDifferentialFuzz:
             elif op == "vacuum":
                 D.vacuum(tbl, retention_ms=0, spark=spark)
                 # vacuumed bytes are gone: older versions are no longer
-                # restorable targets
+                # restorable targets, and CDF over the pre-vacuum range
+                # can no longer be computed (delta-spark parity: the
+                # read fails loud on the missing file — retention is
+                # the guard; the 60-example sweep proved the loud
+                # failure, so the folds below only run un-vacuumed)
                 restore_points.clear()
+                vacuumed = True
             elif op == "restore" and restore_points:
-                v, snap_model = data.draw(
+                v, snap_model, snap_evolved = data.draw(
                     st.sampled_from(restore_points), label=f"rst{step}"
                 )
                 D.restore_delta(tbl, v)
                 model = dict(snap_model)
+                evolved[0] = snap_evolved
             check()
             restore_points.append(
-                (D._load_snapshot(tbl).version, dict(model))
+                (D._load_snapshot(tbl).version, dict(model), evolved[0])
             )
 
-        if not cdf:
+        if not cdf or vacuumed:
             return
         # FOLD the change feed over the baseline, two ways.
         # (1) per-commit stream (the default, delta-spark semantics):
@@ -2464,8 +2548,16 @@ class TestDmlDifferentialFuzz:
         # baseline exactly to the final state.
         from collections import Counter
 
-        state = Counter((i, g, v) for i, (g, v) in baseline.items())
-        rows = D.read_delta_changes(spark, tbl, base_version).collect()
+        ch_df = D.read_delta_changes(spark, tbl, base_version)
+        use_extra = "extra" in ch_df.columns
+
+        def mkey(i, g, v, x):
+            return (i, g, v, x) if use_extra else (i, g, v)
+
+        state = Counter(
+            mkey(i, g, v, x) for i, (g, v, x) in baseline.items()
+        )
+        rows = ch_df.collect()
         by_version: dict[int, list] = {}
         for r in rows:
             assert r["_change_type"] in (
@@ -2477,26 +2569,32 @@ class TestDmlDifferentialFuzz:
             batch = by_version[v]
             for r in batch:
                 if r["_change_type"] in ("delete", "update_preimage"):
-                    key = (r.id, r.grp, r.val)
+                    key = mkey(r.id, r.grp, r.val, getattr(r, "extra", None))
                     assert state[key] > 0, (
                         f"CDF deletes absent row {key} at v{v}"
                     )
                     state[key] -= 1
             for r in batch:
                 if r["_change_type"] in ("insert", "update_postimage"):
-                    state[(r.id, r.grp, r.val)] += 1
-        want = Counter((i, g, v) for i, (g, v) in model.items())
+                    state[
+                        mkey(r.id, r.grp, r.val, getattr(r, "extra", None))
+                    ] += 1
+        want = Counter(
+            mkey(i, g, v, x) for i, (g, v, x) in model.items()
+        )
         assert +state == want, (
             f"CDF STREAM FOLD DIVERGED:\n fold : {sorted((+state).items())}"
             f"\n model: {sorted(want.items())}"
         )
         # (2) net=True endpoint diff: the order-free MULTISET equation
         # baseline + insertions - deletions == final state.
-        fold = Counter((i, g, v) for i, (g, v) in baseline.items())
+        fold = Counter(
+            mkey(i, g, v, x) for i, (g, v, x) in baseline.items()
+        )
         for r in D.read_delta_changes(
             spark, tbl, base_version, net=True
         ).collect():
-            key = (r.id, r.grp, r.val)
+            key = mkey(r.id, r.grp, r.val, getattr(r, "extra", None))
             fold[key] += (
                 1 if r["_change_type"] == "insert" else -1
             )

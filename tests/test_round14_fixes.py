@@ -527,3 +527,45 @@ def test_classic_named_v2_manifest_replays_sidecars(spark, tmp_path):
         os.unlink(j)
     got = sorted(r.id for r in read_delta(spark, tbl).collect())
     assert got == list(range(25))
+
+
+def test_vacuum_reclaims_old_change_data(spark, tmp_path):
+    """r14: delta-spark's VacuumCommand carves _change_data out of the
+    hidden-dir rule — cdc files are reclaimed by the same retention
+    window as data files (they are never add-referenced, so without
+    this a CDF-heavy table leaks them forever). In-window change files
+    must stay readable."""
+    import glob as _glob
+
+    from ballista_delta_spark.sources.delta import (
+        alter_properties, read_delta_changes, vacuum, write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import update_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id"), tbl)
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})
+    update_delta(spark, tbl, "id = 3", {"id": "33"})
+    cdcs = _glob.glob(os.path.join(tbl, "_change_data", "*.parquet"))
+    assert cdcs
+
+    # in-window: fresh cdc files survive and CDF still reads them
+    assert vacuum(tbl, retention_ms=10**9, dry_run=True, spark=spark) == []
+    # age them past the window -> swept
+    for c in cdcs:
+        os.utime(c, (1, 1))
+    deleted = vacuum(tbl, retention_ms=10**9, spark=spark)
+    for c in cdcs:
+        assert os.path.relpath(c, tbl) in deleted, (c, deleted)
+        assert not os.path.exists(c)
+    # the live table is untouched
+    from ballista_delta_spark.sources.delta import read_delta
+
+    got = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert got == sorted([0, 1, 2, 33, 4, 5, 6, 7, 8, 9])
+    # and the CDF read over the reclaimed range now fails LOUD, never
+    # silently empty (delta-spark parity)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="[Pp]ath|not exist|No such"):
+        read_delta_changes(spark, tbl, 1).collect()
