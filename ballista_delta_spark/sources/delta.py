@@ -5728,9 +5728,12 @@ def read_delta_changes(
         return sub.to_df(spark)
 
     cols = [f.name for f in new.schema.fields]
+    col_types = {f.name: f.dataType for f in new.schema.fields}
 
     if net:
-        return _snapshot_change_diff(_subset, old, new, cols)
+        return _snapshot_change_diff(
+            _subset, old, new, cols, types=col_types
+        )
 
     log = _log_dir(path)
     parts: list[DataFrame] = []
@@ -5825,7 +5828,9 @@ def read_delta_changes(
             n_sh = copy_mod.copy(new)
             n_sh.files = after
             parts.append(_stamp(
-                _snapshot_change_diff(_subset, o_sh, n_sh, cols)
+                _snapshot_change_diff(
+                    _subset, o_sh, n_sh, cols, types=col_types
+                )
             ))
         # else: dataChange=false rewrite (OPTIMIZE) or metadata-only
         # commit — no CDF rows, and no scan spent proving it.
@@ -5848,10 +5853,17 @@ def read_delta_changes(
 
 
 def _snapshot_change_diff(
-    _subset, old: "Snapshot", new: "Snapshot", cols: list[str]
+    _subset,
+    old: "Snapshot",
+    new: "Snapshot",
+    cols: list[str],
+    types: "dict[str, Any] | None" = None,
 ) -> DataFrame:
     """Row-level diff of two snapshots as CDC rows, scanning only the
-    files that differ between them."""
+    files that differ between them. ``cols``/``types`` spell the OUTPUT
+    schema (the range's final one): a side predating an ADD COLUMN
+    null-fills it, a side predating a type widening upcasts — without
+    this, diffing across a schema change died on the unresolved column."""
     removed = set(old.files) - set(new.files)
     added = set(new.files) - set(old.files)
     # A path present in BOTH snapshots whose deletion vector changed has
@@ -5866,8 +5878,18 @@ def _snapshot_change_diff(
     }
     removed |= dv_changed
     added |= dv_changed
-    old_rows = _subset(old, removed).select(*cols)
-    new_rows = _subset(new, added).select(*cols)
+    def _proj(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        out = []
+        for c in cols:
+            col = F.col(c) if c in have else F.lit(None)
+            if types is not None and c in types:
+                col = col.cast(types[c])
+            out.append(col.alias(c))
+        return df.select(*out)
+
+    old_rows = _proj(_subset(old, removed))
+    new_rows = _proj(_subset(new, added))
     deletes = old_rows.exceptAll(new_rows).withColumn(
         "_change_type", F.lit("delete")
     )

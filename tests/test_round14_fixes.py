@@ -569,3 +569,45 @@ def test_vacuum_reclaims_old_change_data(spark, tmp_path):
 
     with _pytest.raises(Exception, match="[Pp]ath|not exist|No such"):
         read_delta_changes(spark, tbl, 1).collect()
+
+
+def test_cdf_net_diff_across_add_column(spark, tmp_path):
+    """r14 fuzzer find: the net endpoint diff selects the range's FINAL
+    schema over the OLD snapshot's subset — a column added mid-range
+    died on UNRESOLVED_COLUMN instead of null-filling (and the same
+    projection now upcasts across a widening)."""
+    from ballista_delta_spark.sources.delta import (
+        alter_properties, read_delta_changes, write_delta,
+    )
+    from ballista_delta_spark.sources.delta_dml import delete_delta
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"), tbl
+    )
+    alter_properties(spark, tbl, {"delta.enableChangeDataFeed": "true"})
+    delete_delta(spark, tbl, "id = 1")                      # v2 (cdc)
+    write_delta(
+        spark.createDataFrame(
+            [(3, 30, "x")], "id long, val long, extra string"
+        ),
+        tbl, mode="append", merge_schema=True,
+    )                                                       # v3 evolve
+
+    # per-commit stream: pre-evolution cdc rows null-fill `extra`
+    rows = read_delta_changes(spark, tbl, 1).collect()
+    got = {
+        (r.id, r.val, r.extra, r["_change_type"], r["_commit_version"])
+        for r in rows
+    }
+    assert got == {
+        (1, 10, None, "delete", 2),
+        (3, 30, "x", "insert", 3),
+    }, got
+    # net endpoint diff: the old side (pre-evolution files) null-fills
+    net = read_delta_changes(spark, tbl, 1, net=True).collect()
+    got_net = {(r.id, r.val, r.extra, r["_change_type"]) for r in net}
+    assert got_net == {
+        (1, 10, None, "delete"),
+        (3, 30, "x", "insert"),
+    }, got_net
