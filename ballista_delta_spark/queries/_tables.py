@@ -17,16 +17,47 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Analyzed-DataFrame memo: ``spark.read.parquet`` runs file listing + a
+# footer schema-inference job + several py4j rounds PER CALL — repeated
+# for every frame build of every query (the bench builds 4+ frames per
+# id). Registering the scan once per (session, file state) is the local
+# analogue of catalog table registration: the memo holds a LAZY plan
+# (never data — every action still scans the parquet), and the key's
+# mtime/size component invalidates it if the file is rewritten.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _df_cache_key(spark: SparkSession, sf_dir: str, name: str):
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(p)
+    except OSError:
+        # Not stat-able (remote URI): no invalidation signal, no memo.
+        return None
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return None
+    return (app_id, os.path.abspath(p), st.st_mtime_ns, st.st_size)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = _df_cache_key(spark, sf_dir, name)
+    cached = _DF_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return cached
     # The driver supplies its own SparkSession; timestamp collection goes
     # through the session timezone, so pin UTC here (runtime conf, cheap)
     # or every timestamp-bearing query would drift vs the UTC-naive oracle
     # on a non-UTC host.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if key is not None:
+        _DF_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

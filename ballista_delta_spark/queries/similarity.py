@@ -431,9 +431,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _dot, cid in dots[:_IVF_NPROBE]:
                 probe_rows.append((r.vec_id, r.emb, r.nrm, cid))
         _IVF_PROBE_CACHE[_ivf_cache_key(sf_dir)] = probe_rows
-    probes = spark.createDataFrame(
-        probe_rows,
-        "query_id bigint, qemb array<double>, qnrm double, probe_cell bigint",
+    # Render the probe rows as a VALUES inline table -> LocalTableScan.
+    # spark.createDataFrame(rows) parallelizes 10 rows over
+    # defaultParallelism partitions: building the broadcast side then
+    # runs a 32-task Python-RDD job per execution (measured 0.35 s idle,
+    # multi-second under a busy Python worker pool). The literal form
+    # broadcasts straight from the driver with ZERO tasks; repr()
+    # round-trips every double bit-for-bit so the values are unchanged.
+    rows_sql = ", ".join(
+        "({}L, array({}), {}D, {}L)".format(
+            q, ", ".join(f"{x!r}D" for x in emb), repr(nrm), cell
+        )
+        for q, emb, nrm, cell in probe_rows
+    )
+    probes = spark.sql(
+        "SELECT col1 AS query_id, col2 AS qemb, col3 AS qnrm, "
+        f"col4 AS probe_cell FROM VALUES {rows_sql}"
     )
     # Broadcast the probe rows (queries x NPROBE): the corpus-side join is
     # then map-side on cell — the corpus is never shuffled end-to-end.

@@ -450,6 +450,15 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every JVM<->Python hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Whole-stage-codegen class cache (default 100 entries): this
+        # engine's query surface compiles far more than 100 distinct
+        # codegen units (the unrolled 64-dim embedding chains alone are
+        # hundreds of KB of generated Java per plan), so a session running
+        # many queries thrashes the cache and re-pays janino compilation
+        # + a cold JIT on every execution — measured 2-4 s spikes on the
+        # expression-heavy similarity queries. 4096 entries bounds the
+        # cost at tens of MB of metaspace on driver and executors alike.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # Pin session TZ so timestamp semantics match the UTC-naive oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
