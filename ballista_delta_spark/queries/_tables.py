@@ -82,6 +82,54 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread_width(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> int | None:
+    """Target partition count for a compute-heavy narrow pass over
+    ``table``, from driver-side file metadata only (no Spark job).
+
+    A table whose parquet footprint is under one ``maxPartitionBytes``
+    per core scans on fewer cores than the cluster has (often ONE — a
+    single row group cannot be split), serializing any md5/tokenize/
+    Python-decode map pass on one core. Spread it to cluster width so
+    the per-row compute parallelizes; a big table (>= 1 split per core)
+    already scans wide — return None and keep its layout.
+    """
+    import glob
+    import re as _re
+
+    par = spark.sparkContext.defaultParallelism
+    # Accept every legal Spark byte-config spelling (134217728, 128m,
+    # 128MB, 1g ...) — int() on the raw string crashed on k/m/g forms.
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).strip().lower()
+    m = _re.match(r"(\d+)\s*([kmgtp]?)b?$", raw)
+    if m:
+        max_split = int(m.group(1)) * {
+            "": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40,
+            "p": 2**50,
+        }[m.group(2)]
+    else:
+        # A spelling Spark accepted but this regex didn't — warn instead
+        # of silently defaulting, so a misparse in the layout heuristic
+        # is visible rather than quietly mis-sizing the spread pass.
+        import warnings
+
+        warnings.warn(
+            "unrecognized spark.sql.files.maxPartitionBytes value "
+            f"{raw!r}; assuming 128 MiB for the spread heuristic"
+        )
+        max_split = 134217728
+    base = os.path.join(sf_dir, f"{table}.parquet")
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(base) + glob.glob(os.path.join(base, "*.parquet"))
+        if os.path.isfile(f)
+    )
+    return par if total < max_split * par else None
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     out = {}
     for name in names or TABLES:

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._registry import make_registry
-from ._tables import load
+from ._tables import load, spread_width
 
 QUERIES: dict = {}
 _q = make_registry(QUERIES)
@@ -47,46 +47,10 @@ _SHINGLE_DF_CAP = 100  # drop shingles present in more docs than this
 
 # ---------------------------------------------------------------- helpers
 def _shingle_spread(spark: SparkSession, sf_dir: str) -> int | None:
-    """Target partition count for the shingling pass, from driver-side file
-    metadata only (no Spark job, no plan→RDD conversion). A corpus whose
-    parquet footprint is under one ``maxPartitionBytes`` per core would scan
-    on fewer cores than the cluster has — spread it to full width so the
-    md5-per-shingle compute parallelizes. A big corpus (≥1 split per core)
-    already scans wide; return None and keep its layout."""
-    import glob
-
-    import re as _re
-
-    par = spark.sparkContext.defaultParallelism
-    # Accept every legal Spark byte-config spelling (134217728, 128m,
-    # 128MB, 1g ...) — int() on the raw string crashed on k/m/g forms.
-    raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b"
-    ).strip().lower()
-    m = _re.match(r"(\d+)\s*([kmgtp]?)b?$", raw)
-    if m:
-        max_split = int(m.group(1)) * {
-            "": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40,
-            "p": 2**50,
-        }[m.group(2)]
-    else:
-        # A spelling Spark accepted but this regex didn't — warn instead
-        # of silently defaulting, so a misparse in the layout heuristic
-        # is visible rather than quietly mis-sizing the shingle pass.
-        import warnings
-
-        warnings.warn(
-            "unrecognized spark.sql.files.maxPartitionBytes value "
-            f"{raw!r}; assuming 128 MiB for the shingle-spread heuristic"
-        )
-        max_split = 134217728
-    total = sum(
-        os.path.getsize(f)
-        for f in glob.glob(os.path.join(sf_dir, "documents.parquet"))
-        + glob.glob(os.path.join(sf_dir, "documents.parquet", "*.parquet"))
-        if os.path.isfile(f)
-    )
-    return par if total < max_split * par else None
+    """Target partition count for the shingling pass — the documents
+    instance of the shared driver-side layout heuristic (see
+    ``_tables.spread_width``)."""
+    return spread_width(spark, sf_dir, "documents")
 
 
 def _shingles_spark(
@@ -1033,6 +997,11 @@ _SUB_CONCAT_ORACLE = " || ' ' || ".join(
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # No spread here (unlike the minhash shingling pass): the window
+    # explode feeds a hash exchange immediately, so the join/window
+    # stages already parallelize; A/B at sf0.1 measured the round-robin
+    # spread a net loss (1.41 -> 1.52 s — the extra stage round costs
+    # more than the single-task md5 pass it parallelizes).
     windows = (
         d.withColumn("toks", F.split(F.lower("text"), r"\s+"))
         .filter(F.size("toks") >= _SUB_K)

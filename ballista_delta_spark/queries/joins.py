@@ -653,6 +653,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp("e") / _OVL_BUCKET_S).alias("b_hi"),
         )
         .localCheckpoint(eager=False)
+        # Width-pinned repartition (REPARTITION_BY_NUM — AQE never
+        # coalesces it): the probe side's cost is the QUADRATIC pair
+        # loop downstream, not its own bytes, and AQE's byte-targeted
+        # coalescing collapsed the tiny span table to ONE partition —
+        # the whole pair+filter+agg stage ran as a single 2.0 s task.
+        # spans is an aggregate (small by construction at any scale), so
+        # re-spreading it is cheap; width follows cluster parallelism.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     a = spans.select(
         F.col("user_id").alias("ua"),

@@ -57,7 +57,14 @@ def decode_image(data: bytes):
 
 
 def _payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with the text re-encoded as an opaque binary payload."""
+    """documents with the text re-encoded as an opaque binary payload.
+
+    Deliberately NOT spread to cluster width: A/B at sf0.1 measured a
+    round-robin repartition a net loss for the mapInPandas consumers
+    (0.65 -> 0.82 s on mm_dedup_ahash — dispatching 32 Python worker
+    batches costs more than the single-worker decode it parallelizes at
+    this payload size). At real scale the input splits wide on its own.
+    """
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", F.col("text").cast("binary").alias("payload"))
 

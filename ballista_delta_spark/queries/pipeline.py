@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._registry import make_registry
-from ._tables import load
+from ._tables import load, spread_width
 
 QUERIES: dict = {}
 _q = make_registry(QUERIES)
@@ -354,6 +354,16 @@ def _shingle_expr(dialect: str) -> str:
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Spread the 13-gram md5 explode to cluster width when the corpus
+    # arrives as one unsplittable input partition (see
+    # _tables.spread_width): the train-side probe is map-side (broadcast
+    # bench set), so without the spread the whole shingling + probe pass
+    # runs on one core. Round-robin only — the scale pin forbidding a
+    # train-side hash exchange still holds, and the bench branch's
+    # doc_id < 10 filter pushes below the repartition.
+    w = spread_width(spark, sf_dir, "documents")
+    if w:
+        d = d.repartition(w)
     # NO pre-join distinct on the train shingles: dedup lives in the
     # count_distinct AFTER the broadcast probe, so the only rows that
     # ever shuffle are the MATCHED shingles (contamination hits — a

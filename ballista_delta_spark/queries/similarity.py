@@ -1030,6 +1030,17 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("emb")
     )
+    # Spread the heavy map pass (64 round+DECIMAL casts per row feeding
+    # the partial aggregate) when the corpus arrives as one unsplittable
+    # input partition — the DECIMAL accumulation is order-independent,
+    # so parallel partials are value-identical. Round-robin only; the
+    # pin forbidding a corpus hash exchange still holds, and at real
+    # scale the guard returns None.
+    from ._tables import spread_width
+
+    sw = spread_width(spark, sf_dir, "embeddings")
+    if sw:
+        e = e.repartition(sw)
     wchain = " + ".join(f"emb[{j}] * ({_PI_V0[j]!r}D)" for j in range(_DIM))
     r = e.select(F.expr(f"({wchain})").alias("w"), "emb")
     agg = r.agg(
@@ -1104,7 +1115,18 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    x = e.select("vec_id", F.posexplode("emb").alias("dim", "v"))
+    # Spread the stats branch's posexplode + DECIMAL partial aggregate
+    # when the corpus arrives as one unsplittable partition (DECIMAL
+    # sums are order-independent — value-identical in parallel). The
+    # apply branch below keeps the un-spread scan: it only explodes the
+    # 100 filtered query vectors.
+    from ._tables import spread_width
+
+    es = e
+    sw = spread_width(spark, sf_dir, "embeddings")
+    if sw:
+        es = es.repartition(sw)
+    x = es.select("vec_id", F.posexplode("emb").alias("dim", "v"))
     st = (
         x.groupBy("dim")
         .agg(
@@ -1682,6 +1704,18 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus(spark, sf_dir)
         .withColumn("bucket", F.expr(_KNN_BUCKET_SPARK))
         .localCheckpoint(eager=False)
+        # Width-pinned repartition (REPARTITION_BY_NUM — AQE never
+        # coalesces it): this join's cost is Σ|bucket|² per-pair cosine
+        # COMPUTE, not shuffle bytes, and AQE's byte-targeted coalescing
+        # collapsed the ~1 MB shuffle to ONE partition, serializing the
+        # whole pair loop on one core (measured: the join stage was a
+        # single 2.0 s task). Both self-join branches reuse the one
+        # exchange; width follows cluster parallelism, so the pin is
+        # scale-adaptive, and after the checkpoint so the materialized
+        # table is not re-shuffled twice.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "bucket"
+        )
     )
     q, c = eb.alias("q"), eb.alias("c")
     scored = (

@@ -473,6 +473,14 @@ def build_spark(
         # logic failure.
         .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE (r14 measurement): -XX:-DontCompileHugeMethods lets C2
+        # compile the giant unrolled-chain codegen methods (emb_knn_graph
+        # join stage 2.7 s -> 0.8 s steady-state in isolation) but causes
+        # a suite-wide COMPILE STORM in a many-query session — every big
+        # generated class becomes C2-eligible and the concurrent compiles
+        # regressed the mid-suite TPC-H block up to 13x (bench total
+        # 22.9 s -> 35.4 s). Deliberately NOT set; per-pair hot loops are
+        # instead kept parallel via explicit width pins at the query level.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
