@@ -997,11 +997,14 @@ _SUB_CONCAT_ORACLE = " || ' ' || ".join(
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # No spread here (unlike the minhash shingling pass): the window
-    # explode feeds a hash exchange immediately, so the join/window
-    # stages already parallelize; A/B at sf0.1 measured the round-robin
-    # spread a net loss (1.41 -> 1.52 s — the extra stage round costs
-    # more than the single-task md5 pass it parallelizes).
+    # Spread the md5-per-window explode to cluster width when the corpus
+    # arrives as one unsplittable input partition (same heuristic+guard
+    # as the minhash shingling pass): the pass was a single 0.7 s task;
+    # clean A/B at sf0.1 measured 1.28 -> 0.94 s with the round-robin
+    # spread (an earlier contended A/B had read it as a wash).
+    w = spread_width(spark, sf_dir, "documents")
+    if w:
+        d = d.repartition(w)
     windows = (
         d.withColumn("toks", F.split(F.lower("text"), r"\s+"))
         .filter(F.size("toks") >= _SUB_K)

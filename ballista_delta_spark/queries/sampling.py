@@ -284,6 +284,9 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 64
 _DSIR_TARGET_LANG = "en"
 
+# Phase-1 measure rows per corpus file state (see sample_dsir).
+_DSIR_MEASURE_CACHE: dict = {}
+
 
 @_q(
     "sample_dsir",
@@ -319,17 +322,29 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     bucket = f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {_DSIR_B}"
-    counts = (
-        d.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
-        .groupBy(F.expr(bucket).alias("bk"))
-        .agg(
-            F.count(F.lit(1)).alias("r_c"),
-            F.count(
-                F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
-            ).alias("t_c"),
+    # Phase-1 measure (B bucket rows) — memoized per input-file state
+    # like the IVF centroid cache: the tokenize+groupBy job otherwise
+    # re-runs on every frame build of this id.
+    from ._tables import _df_cache_key
+
+    ck = _df_cache_key(spark, sf_dir, "documents")
+    counts = _DSIR_MEASURE_CACHE.get(ck) if ck is not None else None
+    if counts is None:
+        counts = (
+            d.select(
+                "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+            )
+            .groupBy(F.expr(bucket).alias("bk"))
+            .agg(
+                F.count(F.lit(1)).alias("r_c"),
+                F.count(
+                    F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+                ).alias("t_c"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        if ck is not None:
+            _DSIR_MEASURE_CACHE[ck] = counts
     r_tot = sum(r["r_c"] for r in counts)
     t_tot = sum(r["t_c"] for r in counts)
     by_bk = {r["bk"]: (r["r_c"], r["t_c"]) for r in counts}
