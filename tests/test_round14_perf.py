@@ -1,0 +1,127 @@
+"""Focused pins for the r14 optimization-round changes.
+
+Each test pins an internals change made for performance, so a future
+edit cannot silently undo it (or un-fix the behavior it relies on):
+
+- `_tables.load` memoizes the analyzed DataFrame per (app, file-state)
+  and must INVALIDATE when the file is rewritten (a stale plan after a
+  rewrite would be silent wrong results, the worst failure class).
+- `_tables.spread_width` fires only for under-split tables and stays
+  None once the table already scans at cluster width.
+- sim_ivf_topk's probe rows render as an inline VALUES local relation:
+  no Python-RDD scan may appear in its plan (that shape cost a
+  32-task Python job per execution just to feed a broadcast).
+- emb_knn_graph / join_interval_overlap width-pin their compute-bound
+  stages with a user repartition AQE cannot coalesce back to one task.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from ballista_delta_spark.queries._tables import (
+    _DF_CACHE,
+    load,
+    spread_width,
+)
+from ballista_delta_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test_round14_perf")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_load_memo_returns_same_frame_and_invalidates_on_rewrite(
+    spark, tmp_path
+):
+    d1 = load(spark, SF, "nation")
+    d2 = load(spark, SF, "nation")
+    assert d1 is d2  # memo hit: same analyzed frame, no re-inference
+
+    # A rewrite must invalidate: copy the fixture, load, overwrite with a
+    # different schema, load again -> the NEW schema must be visible.
+    sfdir = str(tmp_path)
+    src = os.path.join(SF, "nation.parquet")
+    dst = os.path.join(sfdir, "nation.parquet")
+    shutil.copyfile(src, dst)
+    first = load(spark, sfdir, "nation")
+    assert "n_nationkey" in first.columns
+    first.count()
+    spark.range(3).select("id").write.mode("overwrite").parquet(dst)
+    # ensure the mtime/size key actually moves even on coarse clocks
+    os.utime(dst, (os.path.getmtime(dst) + 2, os.path.getmtime(dst) + 2))
+    again = load(spark, sfdir, "nation")
+    assert again.columns == ["id"]
+
+
+def test_spread_width_guard(spark):
+    # tiny fixture table -> spread to cluster width
+    assert spread_width(spark, SF, "nation") == (
+        spark.sparkContext.defaultParallelism
+    )
+    # missing table -> total size 0 -> still "spread" (0 < threshold),
+    # callers only use it behind load() of an existing table
+    # a table already >= one split per core keeps its layout: simulate
+    # by shrinking maxPartitionBytes below fileSize/cores
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        assert spread_width(spark, SF, "nation") is None
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_sim_ivf_probes_are_a_local_relation(spark):
+    from ballista_delta_spark.queries.similarity import sim_ivf_topk
+
+    plan = _physical_plan(sim_ivf_topk(spark, SF))
+    # the probe side must be literal rows (LocalTableScan), never the
+    # Python-RDD applySchemaToPythonRDD scan
+    assert "LocalTableScan" in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+
+
+def test_knn_and_interval_pin_their_width(spark):
+    from ballista_delta_spark.queries.joins import join_interval_overlap
+    from ballista_delta_spark.queries.similarity import emb_knn_graph
+
+    knn = _physical_plan(emb_knn_graph(spark, SF))
+    # user-pinned repartition: REPARTITION_BY_NUM shuffle origin — AQE
+    # may not coalesce it back to one task under the pair loop
+    assert "REPARTITION_BY_NUM" in knn, knn
+    ovl = _physical_plan(join_interval_overlap(spark, SF))
+    assert "REPARTITION_BY_NUM" in ovl, ovl
+
+
+def test_bigram_vocab_scalar_matches_live_count(spark):
+    # the memoized planning scalar must equal what a fresh count returns
+    from pyspark.sql import functions as F
+
+    from ballista_delta_spark.queries._tables import _df_cache_key
+    from ballista_delta_spark.queries.pipeline import (
+        _VSIZE_CACHE,
+        _WS,
+        text_bigram_logprob,
+    )
+
+    text_bigram_logprob(spark, SF)  # populates the cache
+    key = _df_cache_key(spark, SF, "documents")
+    cached = _VSIZE_CACHE.get(key)
+    live = float(
+        load(spark, SF, "documents")
+        .select(F.explode(F.split("text", _WS)).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert cached == live
