@@ -155,7 +155,16 @@ def _cos_spark() -> F.Column:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _corpus(spark, sf_dir)
     q = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("q")
-    c = e.alias("c")
+    # The quadratic scoring loop (stream side of the broadcast join) runs
+    # on however many tasks the corpus SCAN produced — one, for a
+    # single-row-group file — serializing |q|x|c| unrolled dot chains on
+    # one core. Spread to cluster width under the guard (no-op once the
+    # corpus scans wide). Per-pair math + the vec_id tie-break make the
+    # result partitioning-proof.
+    from ._tables import spread_width
+
+    sw = spread_width(spark, sf_dir, "embeddings")
+    c = (e.repartition(sw) if sw else e).alias("c")
     scored = q.join(c, F.col("c.vec_id") != F.col("q.vec_id")).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
@@ -391,9 +400,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _corpus(spark, sf_dir)
     # Cell assignment: map-side projections over literal centroids; the
     # argmax reads the K dot COLUMNS (cheap refs), 1-based array_position
-    # tie-breaks to the lowest centroid id -> cid = i-1.
+    # tie-breaks to the lowest centroid id -> cid = i-1. The K x 64-term
+    # chains run on however many tasks the corpus scan produced (ONE for
+    # a single-row-group file) — spread to cluster width under the guard
+    # (no-op once the corpus scans wide); per-row math, order-proof.
+    from ._tables import spread_width
+
+    sw = spread_width(spark, sf_dir, "embeddings")
     assigned = (
-        _with_centroid_dots(e, cents)
+        _with_centroid_dots(e.repartition(sw) if sw else e, cents)
         .withColumn(
             "cell",
             # coalesce(-1): provably non-null, so the join's inferred

@@ -103,6 +103,22 @@ def test_knn_and_interval_pin_their_width(spark):
     assert "REPARTITION_BY_NUM" in ovl, ovl
 
 
+def test_cosine_and_ivf_spread_their_corpus_scan(spark):
+    from ballista_delta_spark.queries.similarity import (
+        sim_cosine_topk,
+        sim_ivf_topk,
+    )
+
+    # On an under-split fixture the guard fires and the scoring /
+    # assignment side carries a round-robin spread (REPARTITION_BY_NUM);
+    # a wide-scanning table would make spread_width return None and
+    # drop the exchange — the guard test above covers that arm.
+    cos = _physical_plan(sim_cosine_topk(spark, SF))
+    assert "REPARTITION_BY_NUM" in cos, cos
+    ivf = _physical_plan(sim_ivf_topk(spark, SF))
+    assert "REPARTITION_BY_NUM" in ivf, ivf
+
+
 def test_bigram_vocab_scalar_matches_live_count(spark):
     # the memoized planning scalar must equal what a fresh count returns
     from pyspark.sql import functions as F
