@@ -1169,6 +1169,10 @@ _SEG_POS = 1 << 20
 )
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # NOTE: a spread_width round-robin of the scan was A/B'd and is a
+    # net LOSS (0.61 -> 1.16 s): the exchange ships full document text
+    # to both downstream aggregates — the heavy-payload case where
+    # "shuffle fewer bytes" beats "more parallelism".
     w = docs.select("doc_id", F.split("text", _WS).alias("ws"))
     # posexplode(sequence(...)) keeps the segment expansion inside
     # whole-stage codegen (no higher-order transform() in the hot scan);
@@ -1195,23 +1199,38 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.min("p").alias("first_pos"))
     )
-    k = segs.join(firsts, "seg").withColumn(
-        "keep", pos == F.col("first_pos")
+    # `first_pos` = doc_id * 2^20 + seg_idx is injective, so the winning
+    # occurrence of every distinct segment is DECODABLE from the
+    # segment-grain aggregate alone — the occurrence-level join back on
+    # the segment text (the maximally skewed key, shuffling every
+    # occurrence's seg string) is unnecessary. keep <=> pos == first_pos
+    # <=> (doc_id, seg_idx) == divmod(first_pos, 2^20), so reassembly
+    # reads only the one winning row per distinct segment; per-doc
+    # totals come from a doc-grain count (map-side partial, doc-sized
+    # exchange). Segment text now crosses an exchange at most once per
+    # DISTINCT segment, never per occurrence, and the hot-key join is
+    # gone outright.
+    kept = firsts.select(
+        F.shiftright("first_pos", 20).alias("doc_id"),
+        (F.col("first_pos") % _SEG_POS).alias("seg_idx"),
+        "seg",
     )
-    return k.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segs"),
-        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    perdoc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("seg_idx", "seg"))
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
                 lambda x: x["seg"],
             ),
             " ",
         ).alias("dedup_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
 
 

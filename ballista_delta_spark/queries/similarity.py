@@ -852,10 +852,14 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
 
-    def _subdist_cols(prefix: str) -> list:
-        """M*KC alias columns of per-sub-space squared L2 to each codebook
-        entry — each an 8-term chain, individually janino-safe."""
-        cols = []
+    def _subdist_exprs(prefix: str) -> list[str]:
+        """M*KC SQL strings of per-sub-space squared L2 to each codebook
+        entry — each an 8-term chain, individually janino-safe. Plain
+        strings fed to ONE selectExpr per projection: building the same
+        columns as individual F.expr(...).alias(...) objects cost ~3,700
+        py4j round-trips (~1.2 s of plan_s per frame build); the parsed
+        expression trees are identical either way."""
+        exprs = []
         for m in range(_PQ_M):
             for j in range(_PQ_KC):
                 sub = cents[j][m * _PQ_SUB : (m + 1) * _PQ_SUB]
@@ -864,43 +868,45 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" * (emb[{m * _PQ_SUB + d}] - {sub[d]!r}D)"
                     for d in range(_PQ_SUB)
                 )
-                cols.append(F.expr(terms).alias(f"__{prefix}{m}_{j}"))
-        return cols
+                exprs.append(f"{terms} AS __{prefix}{m}_{j}")
+        return exprs
 
     # Index build: encode + materialize the compressed code table.
-    enc = e.select("vec_id", *_subdist_cols("d"))
-    code_cols = []
+    enc = e.selectExpr("vec_id", *_subdist_exprs("d"))
+    code_exprs = []
     for m in range(_PQ_M):
         arr = "array(" + ", ".join(f"__d{m}_{j}" for j in range(_PQ_KC)) + ")"
         # array_position -> FIRST index of the min: ties break to the
         # lowest codebook entry, matching the oracle's (dist, j) order.
-        code_cols.append(
-            F.expr(f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)")
-            .alias(f"c{m}")
+        code_exprs.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+            f" AS c{m}"
         )
-    codes = enc.select("vec_id", *code_cols).localCheckpoint(eager=False)
+    codes = enc.selectExpr("vec_id", *code_exprs).localCheckpoint(eager=False)
 
     # Query side: per-sub-space distance TABLES (tiny — _N_QUERIES rows).
-    qt_cols = [
-        F.array(*[F.col(f"__q{m}_{j}") for j in range(_PQ_KC)]).alias(f"qt{m}")
+    qt_exprs = [
+        "array("
+        + ", ".join(f"__q{m}_{j}" for j in range(_PQ_KC))
+        + f") AS qt{m}"
         for m in range(_PQ_M)
     ]
     qtabs = (
         e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), *_subdist_cols("q"))
-        .select("query_id", *qt_cols)
+        .selectExpr("vec_id AS query_id", *_subdist_exprs("q"))
+        .selectExpr("query_id", *qt_exprs)
     )
 
     # ADC scan: broadcast the tables over the code table; M lookups,
     # summed left-to-right (matches the oracle's ordered list_sum fold).
-    adc = F.element_at(f"qt0", F.col("c0") + 1)
-    for m in range(1, _PQ_M):
-        adc = adc + F.element_at(f"qt{m}", F.col(f"c{m}") + 1)
+    adc = " + ".join(
+        f"element_at(qt{m}, c{m} + 1)" for m in range(_PQ_M)
+    )
     scored = (
         codes.crossJoin(F.broadcast(qtabs))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", F.round(adc, 6).alias("approx_dist")
+        .selectExpr(
+            "query_id", "vec_id", f"round({adc}, 6) AS approx_dist"
         )
     )
     w = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")

@@ -119,6 +119,22 @@ def test_cosine_and_ivf_spread_their_corpus_scan(spark):
     assert "REPARTITION_BY_NUM" in ivf, ivf
 
 
+def test_segment_dedup_has_no_occurrence_grain_join(spark):
+    from ballista_delta_spark.queries.pipeline import text_segment_dedup
+
+    plan = _physical_plan(text_segment_dedup(spark, SF))
+    # The winning occurrence is DECODED from the segment-grain min
+    # (first_pos = doc_id * 2^20 + seg_idx is injective), so the only
+    # join left is the doc-grain totals <- kept attach. A join keyed on
+    # the segment text would re-shuffle every occurrence by the
+    # maximally-skewed key — forbid every shuffle-join operator and pin
+    # the single left-outer attach.
+    assert plan.count("Join") == 1, plan
+    assert "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "shiftright" in plan, plan  # the decode, not a re-join
+
+
 def test_bigram_vocab_scalar_matches_live_count(spark):
     # the memoized planning scalar must equal what a fresh count returns
     from pyspark.sql import functions as F
