@@ -22,41 +22,84 @@ TABLES = (
 # for every frame build of every query (the bench builds 4+ frames per
 # id). Registering the scan once per (session, file state) is the local
 # analogue of catalog table registration: the memo holds a LAZY plan
-# (never data — every action still scans the parquet), and the key's
-# mtime/size component invalidates it if the file is rewritten.
-_DF_CACHE: dict[tuple, DataFrame] = {}
+# (never data — every action still scans the parquet), and the value's
+# file-state component invalidates it on any rewrite (for a directory
+# table, per part file: the directory's own mtime does not move when a
+# part is rewritten in place). Keyed by SESSION IDENTITY (weakref) plus
+# applicationId — multiple sessions share one applicationId but carry
+# independent SQL confs, so a frame must never be served across session
+# objects (ADVICE r14). Superseded states are replaced in place, so the
+# memo holds at most one entry per (session, path).
+_DF_CACHE: dict[tuple, tuple] = {}
+
+
+def _file_state(p: str):
+    """Invalidation token: ((relpath, mtime_ns, size), ...) over the file
+    itself or every file under a directory table."""
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return ((os.path.basename(p), st.st_mtime_ns, st.st_size),)
+    if os.path.isdir(p):
+        out = []
+        for root, _dirs, fnames in os.walk(p):
+            for fn in fnames:
+                fp = os.path.join(root, fn)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                out.append((os.path.relpath(fp, p), st.st_mtime_ns, st.st_size))
+        return tuple(sorted(out)) or None
+    return None
 
 
 def _df_cache_key(spark: SparkSession, sf_dir: str, name: str):
+    """Full invalidation key (session identity, app, path, file state) —
+    also the invalidation token of the per-build driver-scalar memos in
+    pipeline.py / sampling.py. None when the path is not stat-able
+    (remote URI) or there is no SparkContext: no signal, no memo."""
     p = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(p)
-    except OSError:
-        # Not stat-able (remote URI): no invalidation signal, no memo.
+    state = _file_state(p)
+    if state is None:
         return None
     try:
         app_id = spark.sparkContext.applicationId
     except Exception:
         return None
-    return (app_id, os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    return (id(spark), app_id, os.path.abspath(p), state)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = _df_cache_key(spark, sf_dir, name)
-    cached = _DF_CACHE.get(key) if key is not None else None
-    if cached is not None:
-        return cached
     # The driver supplies its own SparkSession; timestamp collection goes
     # through the session timezone, so pin UTC here (runtime conf, cheap)
     # or every timestamp-bearing query would drift vs the UTC-naive oracle
-    # on a non-UTC host.
+    # on a non-UTC host. BEFORE the memo hit: a fresh session whose conf
+    # was reset between queries must be re-pinned even when the analyzed
+    # frame is served from the memo (ADVICE r14).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    full = _df_cache_key(spark, sf_dir, name)
+    key = state = None
+    if full is not None:
+        key, state = full[:3], full[3]
+        hit = _DF_CACHE.get(key)
+        # The weakref guards id() reuse: a hit counts only if the cached
+        # entry's session object IS this session.
+        if hit is not None and hit[0]() is spark and hit[1] == state:
+            return hit[2]
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(p)
     if key is not None:
-        _DF_CACHE[key] = df
+        import weakref
+
+        _DF_CACHE[key] = (weakref.ref(spark), state, df)
+        # Purge entries whose session died — keeps the memo bounded by
+        # (live sessions x tables) instead of growing per session ever
+        # created in the process.
+        for k in [k for k, v in _DF_CACHE.items() if v[0]() is None]:
+            del _DF_CACHE[k]
     return df
 
 
@@ -122,11 +165,23 @@ def spread_width(
         )
         max_split = 134217728
     base = os.path.join(sf_dir, f"{table}.parquet")
-    total = sum(
-        os.path.getsize(f)
-        for f in glob.glob(base) + glob.glob(os.path.join(base, "*.parquet"))
-        if os.path.isfile(f)
-    )
+    # Recursive: a partitioned/nested layout (key=value subdirs) must
+    # count its leaf files — a one-level glob totalled 0 bytes and
+    # mis-judged large wide tables as under-split (ADVICE r14). Unknown
+    # layout (no files found) -> None: never spread what we can't size.
+    if os.path.isfile(base):
+        files = [base]
+    else:
+        files = [
+            f
+            for f in glob.glob(
+                os.path.join(base, "**", "*.parquet"), recursive=True
+            )
+            if os.path.isfile(f)
+        ]
+    if not files:
+        return None
+    total = sum(os.path.getsize(f) for f in files)
     return par if total < max_split * par else None
 
 

@@ -302,6 +302,52 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return cents
 
 
+def _sql_double(x: float) -> str:
+    """One DOUBLE literal for an inline VALUES table. repr() round-trips
+    every finite double bit-for-bit; non-finite values have no bare SQL
+    literal (repr -> 'inf'/'nan' would be a ParseException), so they
+    render as the explicit string cast Spark defines for them."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def _probe_values_df(
+    spark: SparkSession, probe_rows: list[tuple]
+) -> DataFrame:
+    """(query_id, qemb, qnrm, probe_cell) rows as a VALUES inline table
+    -> LocalTableScan. spark.createDataFrame(rows) parallelizes the rows
+    over defaultParallelism partitions: building the broadcast side then
+    runs a 32-task Python-RDD job per execution (measured 0.35 s idle,
+    multi-second under a busy Python worker pool). The literal form
+    broadcasts straight from the driver with ZERO tasks. An empty probe
+    list has no VALUES form ('FROM VALUES ' is a ParseException) — fall
+    back to an empty local relation with the same schema."""
+    schema = (
+        "query_id BIGINT, qemb ARRAY<DOUBLE>, qnrm DOUBLE, "
+        "probe_cell BIGINT"
+    )
+    if not probe_rows:
+        return spark.createDataFrame([], schema)
+    rows_sql = ", ".join(
+        "({}L, array({}), {}, {}L)".format(
+            q,
+            ", ".join(_sql_double(x) for x in emb),
+            _sql_double(nrm),
+            cell,
+        )
+        for q, emb, nrm, cell in probe_rows
+    )
+    return spark.sql(
+        "SELECT col1 AS query_id, col2 AS qemb, col3 AS qnrm, "
+        f"col4 AS probe_cell FROM VALUES {rows_sql}"
+    )
+
+
 def _sqdist_cols(cents: list[list[float]]) -> list:
     """``__d0..__d{K-1}`` = squared L2 distance to each literal centroid,
     as K separate unrolled codegen chains (same janino-size reasoning as
@@ -446,23 +492,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _dot, cid in dots[:_IVF_NPROBE]:
                 probe_rows.append((r.vec_id, r.emb, r.nrm, cid))
         _IVF_PROBE_CACHE[_ivf_cache_key(sf_dir)] = probe_rows
-    # Render the probe rows as a VALUES inline table -> LocalTableScan.
-    # spark.createDataFrame(rows) parallelizes 10 rows over
-    # defaultParallelism partitions: building the broadcast side then
-    # runs a 32-task Python-RDD job per execution (measured 0.35 s idle,
-    # multi-second under a busy Python worker pool). The literal form
-    # broadcasts straight from the driver with ZERO tasks; repr()
-    # round-trips every double bit-for-bit so the values are unchanged.
-    rows_sql = ", ".join(
-        "({}L, array({}), {}D, {}L)".format(
-            q, ", ".join(f"{x!r}D" for x in emb), repr(nrm), cell
-        )
-        for q, emb, nrm, cell in probe_rows
-    )
-    probes = spark.sql(
-        "SELECT col1 AS query_id, col2 AS qemb, col3 AS qnrm, "
-        f"col4 AS probe_cell FROM VALUES {rows_sql}"
-    )
+    probes = _probe_values_df(spark, probe_rows)
     # Broadcast the probe rows (queries x NPROBE): the corpus-side join is
     # then map-side on cell — the corpus is never shuffled end-to-end.
     scored = (
@@ -1701,6 +1731,14 @@ _KNN_K = 5
 _KNN_PLANES = 6
 _KNN_BUCKET_SPARK = lsh_bucket_expr(_KNN_PLANES, dialect="spark")
 _KNN_BUCKET_DUCK = lsh_bucket_expr(_KNN_PLANES, dialect="duckdb")
+# Sub-bucket block size for the salted pair join: a bucket of n rows is
+# split into ceil(n/B) hash blocks and the self-join runs per block
+# pair, so no task ever owns more than B² cosine evaluations. B trades
+# straggler bound against replication (each side ships ceil(n/B) copies
+# of its bucket rows): production sizes it so B² cosines ≈ one task's
+# worth of compute and replication stays affordable for the hottest
+# expected bucket.
+_KNN_BLOCK = 128
 
 
 @_q(
@@ -1721,27 +1759,57 @@ _KNN_BUCKET_DUCK = lsh_bucket_expr(_KNN_PLANES, dialect="duckdb")
     """,
 )
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted sub-bucket PAIR BLOCKING (guide §2.5/§3): joining directly
+    # on `bucket` makes one task own a whole bucket's |b|² pair loop —
+    # a hot bucket (the LSH failure mode at scale) becomes a one-task
+    # straggler, and a user width-pin on the bucket key would FORECLOSE
+    # AQE's skew split (it cannot split a single key anyway). Instead
+    # each bucket is split into nb = ceil(|b|/B) deterministic hash
+    # blocks and the join runs per block PAIR (bucket, bi, bj): per-key
+    # work is bounded by B² cosines no matter how hot the bucket, so
+    # Σ|b|² spreads evenly at any scale. Each side is replicated nb ways
+    # (tiny per-bucket counts broadcast back; nb = 1 and the explode is
+    # a no-op until a bucket outgrows B).
     eb = (
         _corpus(spark, sf_dir)
         .withColumn("bucket", F.expr(_KNN_BUCKET_SPARK))
         .localCheckpoint(eager=False)
-        # Width-pinned repartition (REPARTITION_BY_NUM — AQE never
-        # coalesces it): this join's cost is Σ|bucket|² per-pair cosine
-        # COMPUTE, not shuffle bytes, and AQE's byte-targeted coalescing
-        # collapsed the ~1 MB shuffle to ONE partition, serializing the
-        # whole pair loop on one core (measured: the join stage was a
-        # single 2.0 s task). Both self-join branches reuse the one
-        # exchange; width follows cluster parallelism, so the pin is
-        # scale-adaptive, and after the checkpoint so the materialized
-        # table is not re-shuffled twice.
-        .repartition(
-            spark.sparkContext.defaultParallelism, "bucket"
-        )
     )
-    q, c = eb.alias("q"), eb.alias("c")
+    nb = eb.groupBy("bucket").agg(
+        F.expr(f"(count(1) + {_KNN_BLOCK - 1}) div {_KNN_BLOCK}").alias("nb")
+    )
+    # Deterministic block id (guide §2.5: never rand() — retries must
+    # reproduce the assignment); pmod keeps it in [0, nb).
+    ebn = eb.join(F.broadcast(nb), "bucket").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.col("nb"))
+    )
+    q = ebn.select(
+        "bucket", "vec_id", "emb", "nrm",
+        F.col("blk").alias("bi"),
+        F.explode(F.expr("sequence(0L, nb - 1)")).alias("bj"),
+    )
+    c = ebn.select(
+        "bucket", "vec_id", "emb", "nrm",
+        F.explode(F.expr("sequence(0L, nb - 1)")).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    # GUARDED width pin (VERDICT r14 #3): only when the corpus scans at
+    # fewer splits than the cluster has cores (a single-row-group local
+    # fixture) does AQE's byte-targeted coalescing collapse the tiny
+    # shuffle to ONE task under the pair loop — pin the width there. On
+    # a big corpus the guard returns None and AQE owns the exchange
+    # (coalescing AND skew split stay available; the salted key makes
+    # the latter effective).
+    from ._tables import spread_width
+
+    sw = spread_width(spark, sf_dir, "embeddings")
+    if sw:
+        q = q.repartition(sw, "bucket", "bi", "bj")
+        c = c.repartition(sw, "bucket", "bi", "bj")
     scored = (
-        q.hint("shuffle_hash")
-        .join(c, "bucket")
+        q.alias("q")
+        .hint("shuffle_hash")
+        .join(c.alias("c"), ["bucket", "bi", "bj"])
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("src"),
