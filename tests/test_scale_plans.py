@@ -1657,14 +1657,19 @@ def test_emb_knn_graph_bucketed_self_join(spark, sf_dir):
     """kNN-graph scale contract: the all-vectors pair space is blocked
     by the LSH bucket (equi-self-join over the checkpointed bucketized
     corpus — never a cross join); per-vector top-k is a
-    WindowGroupLimit."""
+    WindowGroupLimit. r15: the join key is the salted (bucket, bi, bj)
+    block pair, so the checkpoint now feeds FOUR ExistingRDD branches
+    (the per-bucket block-count aggregate, its broadcast copy, and the
+    two join sides) — all serve from the one materialized table, never
+    a parquet re-scan."""
     from ballista_delta_spark.queries.similarity import emb_knn_graph
 
     plan = _physical_plan(emb_knn_graph(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
 
 
 def test_events_ewma_chart_days_grid_only(spark, sf_dir):
