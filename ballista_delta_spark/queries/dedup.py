@@ -1163,7 +1163,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy(
+    # Partition by the xxhash64 content fingerprint, not md5 (r15, guide
+    # §2.3): the hash is internal-only (outputs are per-lang counts), an
+    # 8-byte long exchange key instead of a 32-char hex string, and
+    # xxhash64 over full document text is ~an order of magnitude cheaper
+    # per byte than a cryptographic digest. Same groups as the oracle's
+    # md5 partitioning whenever the fingerprint is collision-free on the
+    # corpus — which the oracle gate checks at every SF.
+    w = Window.partitionBy(F.xxhash64("text")).orderBy(
         F.col("n_chars").desc(), "doc_id"
     )
     picked = d.select(
@@ -1257,7 +1264,9 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text_decontaminate
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # xxhash64 fingerprint, not md5, for the exact-stage pick: internal
+    # key only (stage counts are the output) — see dedup_survivorship.
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     s1 = (
         d.select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)

@@ -155,14 +155,20 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _VSIZE_CACHE[("n_docs", nk)] = n_docs
     terms = d.select(
         "doc_id", F.explode(F.split("text", _WS)).alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_rel = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    ).select("doc_id", "term", F.xxhash64("term").alias("th"))
+    # The corpus-grain tf exchange routes AND pays by the 8-byte term
+    # fingerprint (r15, guide §2.3): the raw term string never crosses
+    # it — the output/tie-break string is re-attached from the broadcast
+    # vocabulary relation, which carries each distinct term exactly once
+    # (min == the term itself; oracle-checked at every SF).
+    tf = terms.groupBy("doc_id", "th").agg(F.count("*").alias("tf"))
+    df_rel = terms.groupBy("th").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.min("term").alias("term"),
     )
     # vocabulary ≪ corpus: broadcast the df relation so the tf side (the
     # big one) is never reshuffled for the join
-    scored = tf.join(F.broadcast(df_rel), "term").select(
+    scored = tf.join(F.broadcast(df_rel), "th").select(
         "doc_id",
         "term",
         F.round(
@@ -313,9 +319,9 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Eval-set decontamination: flag training documents sharing any 13-gram
 # with the benchmark set (docs 0..9 stand in for the eval benchmark) —
 # the standard leakage gate run before every training job. Shingles are
-# md5-hashed (16 bytes each, not the text), DISTINCT per doc, and the
-# benchmark's shingle set is BROADCAST — at 100 TB the train side is
-# never shuffled for the probe; cost is one scan + a map-side hash probe.
+# xxhash64-fingerprinted (8 bytes each, not the text), DISTINCT per doc,
+# and the benchmark's shingle set is BROADCAST — at 100 TB the train side
+# is never shuffled for the probe; cost is one scan + a map-side hash probe.
 _DECON_N = 13
 
 
@@ -323,12 +329,21 @@ def _shingle_expr(dialect: str) -> str:
     n = _DECON_N
     if dialect == "spark":
         # sequence(1, 0) counts DOWN in Spark — guard docs shorter than
-        # one shingle with an explicit empty array
+        # one shingle with an explicit empty array.
+        # xxhash64 fingerprint, NOT md5 (r15, guide §2.3): the shingle
+        # value is internal-only (output is per-doc counts), and the md5
+        # form rendered as a 32-char hex STRING — 4x the bytes of an
+        # 8-byte long across the two matched-shingle exchanges AND the
+        # broadcast benchmark set, plus a cryptographic hash of every
+        # 13-gram where a fast non-crypto fingerprint routes
+        # identically. The DuckDB oracle keeps md5 (it has no xxhash64);
+        # equality of the doc-level RESULTS is what the oracle gate
+        # checks, at every SF.
         return (
             f"CASE WHEN size(toks) >= {n} THEN "
             f"transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> md5(array_join(slice(toks, i, {n}), ' '))) "
-            "ELSE array() END"
+            f"i -> xxhash64(array_join(slice(toks, i, {n}), ' '))) "
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END"
         )
     return (
         f"[md5(array_to_string(toks[i:i+{n - 1}], ' ')) "
@@ -517,10 +532,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # No output column carries text, so the vocabulary keys on the
+    # 8-byte xxhash64 fingerprint (r15, guide §2.3): the vocab exchange
+    # and the broadcast LM relation shed their raw-string payloads.
     terms = d.select(
         "doc_id", F.explode(F.split("text", _WS)).alias("term")
-    )
-    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    ).select("doc_id", F.xxhash64("term").alias("uh"))
+    vocab = terms.groupBy("uh").agg(F.count("*").alias("c"))
     n_tokens, v_size = vocab.agg(
         F.sum("c").cast("double"), F.count("*").cast("double")
     ).first()
@@ -528,7 +546,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") + F.lit(1.0)) / F.lit(float(n_tokens) + float(v_size))
     )
     scored = (
-        terms.join(F.broadcast(vocab), "term")
+        terms.join(F.broadcast(vocab), "uh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -745,19 +763,27 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", _WS).alias("a"))
     # adjacent pairs WITHOUT a shuffle: transform over the token array
     # (slice drops the final token; i is 0-based so a[i+1] is the
-    # successor)
+    # successor). The pair and its first word are fingerprinted to
+    # 8-byte xxhash64 keys AT the explode (guide §2.3 "shuffle keys and
+    # metadata instead of payloads"): no output column carries text, so
+    # the LM statistics aggregate and probe entirely on the hashes —
+    # the vocab exchanges and the broadcast count relations shed their
+    # raw-string payloads (r15; equality-of-results oracle-checked at
+    # every SF — a 64-bit fingerprint collision is the same accepted
+    # trade the xxhash64-shingled dedup family already makes).
     bg = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "transform(slice(a, 1, greatest(size(a) - 1, 0)), "
-                "(t, i) -> struct(t AS w1, a[i + 1] AS w2))"
+                "(t, i) -> struct(xxhash64(t, a[i + 1]) AS bh, "
+                "xxhash64(t) AS uh))"
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).select("doc_id", "b.bh", "b.uh")
     uni = (
         toks.select(F.explode("a").alias("term"))
-        .groupBy("term")
+        .groupBy(F.xxhash64("term").alias("uh"))
         .agg(F.count("*").alias("c"))
     )
     # LM planning scalar (vocab size) — memoized per input-file state
@@ -773,15 +799,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_size = float(uni.count())
         if vk is not None:
             _VSIZE_CACHE[vk] = v_size
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bg.groupBy("bh").agg(F.count("*").alias("c12"))
     nll = -F.log(
         (F.col("c12") + F.lit(1.0)) / (F.col("c") + F.lit(v_size))
     )
     return (
-        bg.join(bc, ["w1", "w2"])
-        .join(
-            F.broadcast(uni.withColumnRenamed("term", "w1")), "w1"
-        )
+        bg.join(bc, "bh")
+        .join(F.broadcast(uni), "uh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -842,10 +866,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Vocabulary keyed on the xxhash64 fingerprint, as in
+    # text_unigram_logprob (r15, guide §2.3): no output carries text.
     terms = d.select(
         "doc_id", F.explode(F.split("text", _WS)).alias("term")
-    )
-    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    ).select("doc_id", F.xxhash64("term").alias("uh"))
+    vocab = terms.groupBy("uh").agg(F.count("*").alias("c"))
     n_tokens, v_size = vocab.agg(
         F.sum("c").cast("double"), F.count("*").cast("double")
     ).first()
@@ -853,7 +879,7 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") + F.lit(1.0)) / F.lit(float(n_tokens) + float(v_size))
     )
     scored = (
-        terms.join(F.broadcast(vocab), "term")
+        terms.join(F.broadcast(vocab), "uh")
         .groupBy("doc_id")
         .agg(F.round(F.avg(nll), 4).alias("mean_nll"))
     )

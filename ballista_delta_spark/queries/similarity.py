@@ -882,49 +882,49 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
 
-    def _subdist_exprs(prefix: str) -> list[str]:
-        """M*KC SQL strings of per-sub-space squared L2 to each codebook
-        entry — each an 8-term chain, individually janino-safe. Plain
-        strings fed to ONE selectExpr per projection: building the same
-        columns as individual F.expr(...).alias(...) objects cost ~3,700
-        py4j round-trips (~1.2 s of plan_s per frame build); the parsed
-        expression trees are identical either way."""
-        exprs = []
-        for m in range(_PQ_M):
-            for j in range(_PQ_KC):
-                sub = cents[j][m * _PQ_SUB : (m + 1) * _PQ_SUB]
-                terms = " + ".join(
-                    f"(emb[{m * _PQ_SUB + d}] - {sub[d]!r}D)"
-                    f" * (emb[{m * _PQ_SUB + d}] - {sub[d]!r}D)"
-                    for d in range(_PQ_SUB)
-                )
-                exprs.append(f"{terms} AS __{prefix}{m}_{j}")
-        return exprs
+    def _subdist_arr(m: int) -> str:
+        """Per-sub-space distance TABLE: array of squared L2 to each of
+        the KC codebook entries, as ONE transform/aggregate fold over a
+        codebook-row literal instead of KC unrolled 8-term chains. The
+        unrolled form (M*KC separate exprs) was ~1.5k expression nodes
+        per projection and plan_s paid ~0.6 s of catalyst analysis per
+        frame build (VERDICT r14 #7); the fold is ~70 nodes per
+        sub-space. Numerically identical: aggregate folds left-to-right
+        from 0.0D, and 0.0 + t == t bitwise for every square (never
+        -0.0), so each entry equals the old left-assoc chain."""
+        cb = ", ".join(
+            "array("
+            + ", ".join(
+                f"{cents[j][m * _PQ_SUB + d]!r}D" for d in range(_PQ_SUB)
+            )
+            + ")"
+            for j in range(_PQ_KC)
+        )
+        off = m * _PQ_SUB
+        return (
+            f"transform(array({cb}), c -> aggregate("
+            f"sequence(0, {_PQ_SUB - 1}), 0D, (acc, d) -> "
+            f"acc + (emb[{off} + d] - c[d]) * (emb[{off} + d] - c[d])))"
+        )
 
     # Index build: encode + materialize the compressed code table.
-    enc = e.selectExpr("vec_id", *_subdist_exprs("d"))
-    code_exprs = []
-    for m in range(_PQ_M):
-        arr = "array(" + ", ".join(f"__d{m}_{j}" for j in range(_PQ_KC)) + ")"
-        # array_position -> FIRST index of the min: ties break to the
-        # lowest codebook entry, matching the oracle's (dist, j) order.
-        code_exprs.append(
-            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
-            f" AS c{m}"
-        )
-    codes = enc.selectExpr("vec_id", *code_exprs).localCheckpoint(eager=False)
-
-    # Query side: per-sub-space distance TABLES (tiny — _N_QUERIES rows).
-    qt_exprs = [
-        "array("
-        + ", ".join(f"__q{m}_{j}" for j in range(_PQ_KC))
-        + f") AS qt{m}"
+    # array_position -> FIRST index of the min: ties break to the
+    # lowest codebook entry, matching the oracle's (dist, j) order.
+    dists = e.selectExpr(
+        "vec_id", *[f"{_subdist_arr(m)} AS __dm{m}" for m in range(_PQ_M)]
+    )
+    code_exprs = [
+        f"CAST(array_position(__dm{m}, array_min(__dm{m})) - 1 AS INT)"
+        f" AS c{m}"
         for m in range(_PQ_M)
     ]
-    qtabs = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .selectExpr("vec_id AS query_id", *_subdist_exprs("q"))
-        .selectExpr("query_id", *qt_exprs)
+    codes = dists.selectExpr("vec_id", *code_exprs).localCheckpoint(eager=False)
+
+    # Query side: the same per-sub-space distance TABLES (tiny —
+    # _N_QUERIES rows), used directly as the ADC lookup arrays.
+    qtabs = e.filter(F.col("vec_id") < _N_QUERIES).selectExpr(
+        "vec_id AS query_id",
+        *[f"{_subdist_arr(m)} AS qt{m}" for m in range(_PQ_M)],
     )
 
     # ADC scan: broadcast the tables over the code table; M lookups,

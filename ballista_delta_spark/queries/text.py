@@ -400,9 +400,16 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", _WS).alias("toks"))
+    # Token/bigram identity is internal-only here (the output is per-doc
+    # fractions), so both distinct-count exchanges key on 8-byte
+    # xxhash64 fingerprints instead of the raw strings (r15, guide
+    # §2.3); the bigram never materializes as a concat string at all —
+    # the pair hashes directly (tokens are whitespace-split, so the
+    # (t, next) pair is exactly the old 't next' concat's identity).
     ts = (
         toks.select("doc_id", F.explode("toks").alias("t"))
-        .groupBy("doc_id", "t")
+        .select("doc_id", F.xxhash64("t").alias("th"))
+        .groupBy("doc_id", "th")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(
@@ -417,11 +424,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(slice(toks, 1, size(toks) - 1), "
-                    "(t, i) -> concat(t, ' ', toks[i + 1]))"
+                    "(t, i) -> xxhash64(t, toks[i + 1]))"
                 )
-            ).alias("b"),
+            ).alias("bh"),
         )
-        .groupBy("doc_id", "b")
+        .groupBy("doc_id", "bh")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big"))

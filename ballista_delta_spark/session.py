@@ -448,6 +448,29 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Over-split every shuffle up front and let AQE coalesce DOWN
+        # (VERDICT r14 #2): AQE never splits a non-skewed exchange UP, so
+        # an initial partition count equal to total cores under-splits the
+        # big exchanges at 100 TB and each reduce task sorts/joins GBs and
+        # spills (guide §5). 4x cores keeps reduce tasks bounded while
+        # coalescing folds the small exchanges back to byte-sized targets;
+        # on a production cluster raise the multiplier via
+        # $SPARK_GRAFT_INITIAL_PARTS (rule of thumb: shuffle bytes /
+        # advisoryPartitionSizeInBytes, clamped below by this default).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(4 * n)),
+        )
+        # Companion to the over-split: CACHED plans execute without AQE
+        # partition coalescing unless this is on (SPARK-39172), so the
+        # DML-internal transient caches (delta merge/update) would run
+        # their shuffles at the full initial width — 128 tiny tasks on a
+        # 25-row merge. Allowing AQE to re-partition cached output keeps
+        # the over-split+coalesce contract uniform across cached plans.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for every JVM<->Python hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Whole-stage-codegen class cache (default 100 entries): this

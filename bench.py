@@ -268,6 +268,48 @@ def _metadata_bench() -> dict[str, float]:
     }
 
 
+def _stream_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming micro-bench (VERDICT r14 #6) — an AUXILIARY section
+    like delta_metadata_100k, never part of the headline total: the
+    four stateful streaming shapes end-to-end (stream source setup +
+    full AvailableNow drain through the state store into the sink +
+    result materialization), plus the multi-micro-batch Delta upsert
+    (events staged as 4 range-disjoint files, maxFilesPerTrigger=1, so
+    AvailableNow genuinely executes 4 micro-batches of foreachBatch
+    MERGE) reported as wall per micro-batch. 1 warm-up then ONE timed
+    run (not the headline's median-of-3): each stream run costs seconds
+    of fixed micro-batch machinery, the numbers are coarse-grained
+    operator health, and the auxiliary section must not multiply the
+    driver's bench wall."""
+    from ballista_delta_spark.queries import all_queries
+
+    qs = all_queries()
+    out: dict[str, float] = {}
+    ids = [
+        ("stream_tumbling_agg", 1),       # windowed agg state store
+        ("stream_session_window", 1),     # gap sessionization + eviction
+        ("stream_stateful_user_stats", 1),  # applyInPandasWithState
+        ("stream_dedup_watermarked", 1),  # bounded-state streaming dedup
+        ("stream_upsert_delta", 4),       # foreachBatch MERGE x 4 batches
+    ]
+    for name, n_batches in ids:
+        if name not in qs:
+            continue
+        fn, _ = qs[name]
+
+        def once() -> float:
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            return time.time() - t0
+
+        once()
+        t = once()
+        out[f"{name}_s"] = round(t, 3)
+        if n_batches > 1:
+            out[f"{name}_per_batch_s"] = round(t / n_batches, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ballista_delta_spark.queries import all_queries
@@ -349,6 +391,12 @@ def main() -> None:
         # Driver metadata path at scale (no Spark jobs): lazy columnar
         # snapshot open + checkpoint re-write of a synthetic 100k-add log.
         "delta_metadata_100k": _metadata_bench(),
+        # Streaming operators (r15, VERDICT r14 #6): end-to-end wall of
+        # the stateful streaming shapes + per-micro-batch wall of the
+        # multi-batch Delta upsert. Auxiliary — runs AFTER the bracketing
+        # probes, so it can neither contaminate the headline block nor
+        # hide contention from the probe pair.
+        "stream_micro": _stream_bench(spark, sf_dir),
     }))
 
 
