@@ -90,9 +90,24 @@ def _events_dir(sf_dir: str) -> str:
     from .scans import _tmp
 
     d = _tmp("events-stream")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Directory-table fixture (the tiled sf1 perf fixture): the
+        # file-stream source lists the monitored directory but does NOT
+        # recurse into a symlinked subdirectory — staging the dir as one
+        # symlink silently yields a ZERO-file (and zero-row) stream.
+        # Stage each leaf part file directly instead.
+        n = 0
+        for root, _dirs, fnames in os.walk(src, followlinks=True):
+            for fn in sorted(fnames):
+                if fn.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(root, fn),
+                        os.path.join(d, f"part-{n:05d}.parquet"),
+                    )
+                    n += 1
+    else:
+        os.symlink(src, os.path.join(d, "events.parquet"))
     _STREAM_DIRS[sf_dir] = d
     return d
 

@@ -502,8 +502,20 @@ def build_spark(
         # a suite-wide COMPILE STORM in a many-query session — every big
         # generated class becomes C2-eligible and the concurrent compiles
         # regressed the mid-suite TPC-H block up to 13x (bench total
-        # 22.9 s -> 35.4 s). Deliberately NOT set; per-pair hot loops are
-        # instead kept parallel via explicit width pins at the query level.
+        # 22.9 s -> 35.4 s). Deliberately NOT set.
+        # r15: the per-STAGE form of the same fix that the process-global
+        # JVM flag could not give us — cap whole-stage codegen methods at
+        # the JVM JIT's own huge-method threshold (8000 bytecode bytes,
+        # the DontCompileHugeMethods limit). A fused stage whose method
+        # exceeds it runs INTERPRETED bytecode forever (the JIT refuses
+        # it); with the cap, Spark demotes exactly those stages to
+        # non-wholestage execution, whose per-expression generated
+        # methods are small and JIT-compile, while every normal stage
+        # keeps fused wholestage codegen. Measured at sf1 (tiled 10x
+        # fixture, 32 cores): emb_knn_graph 34.5 -> 4.1 s, sim_cosine_topk
+        # 5.7 -> 0.7 s (the 64-dim cosine chains are exactly such
+        # stages); neutral on dedup_minhash_lsh / emb_pq_topk / TPC-H.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )

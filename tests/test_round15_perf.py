@@ -156,6 +156,27 @@ def test_pq_subdistances_are_hof_folds(spark):
     assert "aggregate(" in plan, plan[:2000]
 
 
+def test_events_stream_stages_directory_fixtures(spark, tmp_path):
+    """A directory-form events table (the tiled sf1 perf fixture) must
+    stage its LEAF part files for the file-stream source — a symlinked
+    subdirectory is silently invisible to it (zero files, zero rows),
+    which mis-measured the sf1 stream bench as ~0.2 s no-ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballista_delta_spark.queries.streaming_q import _events_dir
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    t = pa.table({"event_id": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, str(src / "part-000.parquet"))
+    pq.write_table(t, str(src / "part-001.parquet"))
+    staged = _events_dir(str(tmp_path))
+    files = sorted(os.listdir(staged))
+    assert len(files) == 2 and all(f.endswith(".parquet") for f in files)
+    assert all(os.path.isfile(os.path.join(staged, f)) for f in files)
+
+
 def test_session_oversplits_initial_shuffle_partitions():
     n = default_cpus()
     opts = {
@@ -164,6 +185,11 @@ def test_session_oversplits_initial_shuffle_partitions():
     }
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     assert opts[key] == str(4 * n)
+    # ... and wholestage methods cap at the JVM JIT's huge-method
+    # threshold, so oversized fused stages demote to split, JIT-able
+    # code instead of running interpreted forever (8.5x on the sf1
+    # kNN pair loop).
+    assert opts["spark.sql.codegen.hugeMethodLimit"] == "8000"
     os.environ["SPARK_GRAFT_INITIAL_PARTS"] = "999"
     try:
         opts = {
