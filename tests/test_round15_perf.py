@@ -13,10 +13,12 @@ cannot silently undo it:
 - emb_pq_topk builds its sub-space distance tables as ONE
   transform/aggregate fold per sub-space instead of M*KC unrolled
   chains (plan_s was paying ~0.6 s of catalyst analysis per build).
-- The session over-splits shuffles up front
-  (adaptive.coalescePartitions.initialPartitionNum = 4x cores,
-  env-overridable) and lets AQE coalesce DOWN — AQE never splits a
-  non-skewed exchange UP (VERDICT r14 #2).
+- The session surfaces adaptive.coalescePartitions.initialPartitionNum
+  (local default = cores; production over-splits via
+  $SPARK_GRAFT_INITIAL_PARTS) because AQE never splits a non-skewed
+  exchange UP (VERDICT r14 #2) — and caps wholestage codegen at the
+  JIT's huge-method limit so oversized fused stages JIT instead of
+  running interpreted.
 """
 
 from __future__ import annotations
@@ -184,7 +186,10 @@ def test_session_oversplits_initial_shuffle_partitions():
         for k, v in build_spark("probe")._options.items()
     }
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    assert opts[key] == str(4 * n)
+    # local default = cores (a 4x local default cost a measured +15% on
+    # the sf0.1 suite — tiny-task overhead on the eager-checkpoint ids);
+    # production over-splits via the env knob below.
+    assert opts[key] == str(n)
     # ... and wholestage methods cap at the JVM JIT's huge-method
     # threshold, so oversized fused stages demote to split, JIT-able
     # code instead of running interpreted forever (8.5x on the sf1
